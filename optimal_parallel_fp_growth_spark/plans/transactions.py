@@ -1,0 +1,50 @@
+"""Canonical basket derivations from the test tables (FIXTURES.md F3).
+
+The reference's data model is a single ``items: array<string>`` column
+(``epfp/FPGrowth.scala:62``); these builders produce that shape from the
+relational test tables. All are single-shuffle groupBy aggregations with
+map-side partial aggregation (Catalyst plans ``HashAggregate(partial)`` →
+exchange → ``HashAggregate(final)``), which is the plan that survives a
+100 TB lineitem: the shuffle carries one (key, partial-set) pair per
+map task, not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+
+def transactions_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basket = the distinct parts of one order.
+
+    ``lineitem → groupBy(l_orderkey) → sort_array(collect_set(l_partkey as string))``.
+    Only (l_orderkey, l_partkey) are read — column pruning reaches the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set(F.col("l_partkey").cast("string"))).alias("items")
+    )
+
+
+def transactions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basket = the distinct event types of one (user, day).
+
+    Dense small-alphabet baskets — the mining-friendly fixture.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sort_array(F.collect_set("event_type")).alias("items"))
+    )
+
+
+def transactions_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basket = the distinct space-separated tokens of one document —
+    the reference's own loader shape (``epfp/EPFP.scala:26``)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("items")
+    )
