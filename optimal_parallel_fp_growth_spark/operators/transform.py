@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.functions.arrays import array_subset_of
 
-_ROW_ID = "__opfpg_row_id"
-
 
 def transform_with_rules(
     dataset: DataFrame,
@@ -42,12 +40,22 @@ def transform_with_rules(
     Null baskets predict null (FPGrowth.scala:146); baskets matching no
     rule predict [] / "" (the reference's empty-string quirk,
     pfp/PFP.scala:48).
+
+    Physical shape: the prediction is a pure function of the basket, so
+    we evaluate the (broadcast) rule nested-loop join once per DISTINCT
+    basket and equi-join the results back on the array key — smaller NLJ
+    input than per-row, deterministic (no row ids), and multiplicity/
+    extra columns of ``dataset`` are preserved by the join-back.
     """
     for c in (prediction_col, f"{prediction_col}_items"):
         if c in dataset.columns:
             raise ValueError(f"output column {c!r} already exists in dataset")
 
-    src = dataset.withColumn(_ROW_ID, F.monotonically_increasing_id())
+    baskets = (
+        dataset.select(F.col(items_col).alias("__basket"))
+        .where(F.col("__basket").isNotNull())
+        .distinct()
+    )
 
     flat_rules = rules.select(
         F.col("antecedent"),
@@ -57,22 +65,18 @@ def transform_with_rules(
 
     # Broadcast NL join: rules are bounded (collected+broadcast in the
     # reference too); the subset predicate stays JVM-side.
-    matched = (
-        src.where(F.col(items_col).isNotNull())
-        .select(_ROW_ID, items_col)
-        .join(
-            F.broadcast(flat_rules),
-            array_subset_of("antecedent", items_col)
-            & ~F.array_contains(F.col(items_col), F.col("consequent_item")),
-            "inner",
-        )
+    matched = baskets.join(
+        F.broadcast(flat_rules),
+        array_subset_of("antecedent", "__basket")
+        & ~F.array_contains(F.col("__basket"), F.col("consequent_item")),
+        "inner",
     )
 
-    # Ordered, deduped consequents per row: collect (lift desc, item asc)
-    # structs, array_sort gives the total order, array_distinct keeps the
-    # first (= highest-lift) occurrence of each item.
+    # Ordered, deduped consequents per basket: collect (lift desc, item
+    # asc) structs, array_sort gives the total order, array_distinct keeps
+    # the first (= highest-lift) occurrence of each item.
     preds = (
-        matched.groupBy(_ROW_ID)
+        matched.groupBy("__basket")
         .agg(
             F.array_distinct(
                 F.transform(
@@ -91,7 +95,8 @@ def transform_with_rules(
     )
 
     out = (
-        src.join(preds, on=_ROW_ID, how="left")
+        dataset.join(preds, F.col(items_col).eqNullSafe(F.col("__basket")), "left")
+        .drop("__basket")
         .withColumn(
             "__pred_items",
             F.when(F.col(items_col).isNull(), F.lit(None).cast("array<string>"))
@@ -107,4 +112,4 @@ def transform_with_rules(
         out = out.withColumnRenamed("__pred_items", f"{prediction_col}_items")
     else:
         out = out.drop("__pred_items")
-    return out.drop(_ROW_ID)
+    return out

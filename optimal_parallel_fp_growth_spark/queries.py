@@ -1,0 +1,193 @@
+"""Query registry — the driver contract surface.
+
+Each entry pairs a PySpark implementation (callable ``(spark, sf_dir) →
+DataFrame``) with an equivalent ANSI-SQL oracle DuckDB runs on the same
+parquet tables. Column names/aliases match exactly on both sides; array
+-valued outputs are canonicalized to '|'-joined sorted strings so the
+hash comparison is representation-independent (FIXTURES.md F5).
+
+Mining parameters are calibrated to the testdata (see FIXTURES.md):
+- events user-day baskets: 5-item alphabet; support ~0.40/0.14/0.05/0.02
+  for k=1/2/3/4 ⇒ ``minSupport=0.03`` keeps exactly k ≤ 3 with wide
+  margins; the oracle still enumerates k ≤ 4 so a boundary drift would be
+  caught, and the Spark side filters ``size(items) <= 4`` symmetrically.
+- lineitem baskets are sparse (max item support ~0.003) ⇒ singleton
+  counting at ``minSupport=0.002``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth
+from optimal_parallel_fp_growth_spark.operators.itemcount import freq_items, word_count
+from optimal_parallel_fp_growth_spark.plans.transactions import (
+    transactions_from_documents,
+    transactions_from_events,
+    transactions_from_lineitem,
+)
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# mining params (single source of truth for query + oracle)
+EVENTS_MIN_SUPPORT = 0.03
+EVENTS_MIN_CONFIDENCE = 0.2
+LINEITEM_MIN_SUPPORT = 0.002
+
+
+def _events_model(spark: SparkSession, sf_dir: str, kernel: str = "mllib"):
+    tx = transactions_from_events(spark, sf_dir)
+    return tx, FPGrowth(
+        min_support=EVENTS_MIN_SUPPORT,
+        min_confidence=EVENTS_MIN_CONFIDENCE,
+        kernel=kernel,
+    ).fit(tx)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+
+
+def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_rows op (epfp/FPGrowthCore.scala:53-54): N baskets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.countDistinct("l_orderkey").alias("n"))
+
+
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """freq_items / word-count-with-HAVING op over lineitem baskets."""
+    tx = transactions_from_lineitem(spark, sf_dir)
+    return freq_items(tx, min_support=LINEITEM_MIN_SUPPORT)
+
+
+def q_tokenize_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize_distinct op (epfp/EPFP.scala:26) over documents.text."""
+    tx = transactions_from_documents(spark, sf_dir)
+    return tx.select("doc_id", F.explode("items").alias("item"))
+
+
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCountDemo parity (WordCountDemo.scala:26-28)."""
+    return word_count(load_table(spark, sf_dir, "documents"))
+
+
+def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP-Growth frequent itemsets on events baskets (epfp/FPGrowth.scala:55-80)."""
+    _, model = _events_model(spark, sf_dir)
+    return (
+        model.freq_itemsets.where(F.size("items") <= 4)
+        .select(F.array_join("items", "|").alias("itemset"), "freq")
+    )
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (epfp/AssociationRules.scala:58-82)."""
+    _, model = _events_model(spark, sf_dir)
+    rules = model.association_rules(EVENTS_MIN_CONFIDENCE)
+    return rules.select(
+        F.array_join("antecedent", "|").alias("antecedent"),
+        F.element_at("consequent", 1).alias("consequent"),
+        "confidence",
+        "lift",
+        "support",
+    )
+
+
+def q_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction over the training baskets (epfp/FPGrowth.scala:123-150)."""
+    tx, model = _events_model(spark, sf_dir)
+    out = model.transform(tx, min_confidence=EVENTS_MIN_CONFIDENCE, keep_array=False)
+    return out.select(
+        "user_id", F.col("day").cast("long").alias("day_epoch"), "prediction"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+_EVENTS_FIS_CTE = f"""
+WITH tx AS (SELECT user_id, date_trunc('day', ts) AS day,
+                   list_sort(list_distinct(list(event_type))) AS items
+            FROM events GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM tx),
+p AS (SELECT user_id, day, unnest(items) AS item FROM tx),
+k1 AS (SELECT [item] AS items, count(*) AS freq FROM p GROUP BY 1),
+k2 AS (SELECT [a.item, b.item] AS items, count(*) AS freq
+       FROM p a JOIN p b ON a.user_id=b.user_id AND a.day=b.day AND a.item<b.item GROUP BY 1),
+k3 AS (SELECT [a.item, b.item, c.item] AS items, count(*) AS freq
+       FROM p a JOIN p b ON a.user_id=b.user_id AND a.day=b.day AND a.item<b.item
+                 JOIN p c ON b.user_id=c.user_id AND b.day=c.day AND b.item<c.item GROUP BY 1),
+k4 AS (SELECT [a.item, b.item, c.item, d.item] AS items, count(*) AS freq
+       FROM p a JOIN p b ON a.user_id=b.user_id AND a.day=b.day AND a.item<b.item
+                 JOIN p c ON b.user_id=c.user_id AND b.day=c.day AND b.item<c.item
+                 JOIN p d ON c.user_id=d.user_id AND c.day=d.day AND c.item<d.item GROUP BY 1),
+fis AS (SELECT items, freq
+        FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+              UNION ALL SELECT * FROM k3 UNION ALL SELECT * FROM k4)
+        WHERE freq >= CEIL({EVENTS_MIN_SUPPORT} * (SELECT n FROM n)))
+"""
+
+_EVENTS_RULES_CTE = _EVENTS_FIS_CTE + f""",
+cand AS (SELECT list_sort(list_filter(items, x -> x <> item)) AS ante,
+                item AS cons, freq AS freq_union
+         FROM (SELECT items, freq, unnest(items) AS item FROM fis WHERE len(items) >= 2)),
+joined AS (SELECT c.ante, c.cons, c.freq_union, f.freq AS freq_antecedent
+           FROM cand c JOIN fis f ON c.ante = f.items),
+singles AS (SELECT items[1] AS cons, freq::DOUBLE / (SELECT n FROM n) AS supp_c
+            FROM fis WHERE len(items) = 1),
+rules AS (SELECT j.ante, j.cons,
+                 j.freq_union::DOUBLE / j.freq_antecedent AS confidence,
+                 j.freq_union::DOUBLE / j.freq_antecedent / s.supp_c AS lift,
+                 j.freq_union::DOUBLE / (SELECT n FROM n) AS support
+          FROM joined j LEFT JOIN singles s ON j.cons = s.cons
+          WHERE j.freq_union::DOUBLE / j.freq_antecedent >= {EVENTS_MIN_CONFIDENCE})
+"""
+
+ORACLES: dict[str, str] = {
+    "count_rows": "SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_orderkey FROM lineitem)",
+    "freq_items": f"""
+WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem)
+SELECT item, COUNT(*) AS freq FROM p GROUP BY item
+HAVING COUNT(*) >= CEIL({LINEITEM_MIN_SUPPORT} * (SELECT n FROM n))
+""",
+    "tokenize_distinct": """
+SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS item FROM documents
+""",
+    "word_count": """
+SELECT w AS word, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1
+""",
+    "freq_itemsets": _EVENTS_FIS_CTE
+    + "SELECT array_to_string(items, '|') AS itemset, freq FROM fis",
+    "assoc_rules": _EVENTS_RULES_CTE
+    + """
+SELECT array_to_string(ante, '|') AS antecedent, cons AS consequent,
+       confidence, lift, support
+FROM rules""",
+    "transform": _EVENTS_RULES_CTE
+    + """,
+matched AS (SELECT t.user_id, t.day, r.cons, max(r.lift) AS lift
+            FROM tx t JOIN rules r
+              ON list_has_all(t.items, r.ante) AND NOT list_contains(t.items, r.cons)
+            GROUP BY 1, 2, 3),
+preds AS (SELECT user_id, day,
+                 string_agg(cons, ', ' ORDER BY lift DESC, cons) AS prediction
+          FROM matched GROUP BY 1, 2)
+SELECT t.user_id, CAST(epoch(t.day) AS BIGINT) AS day_epoch,
+       COALESCE(p.prediction, '') AS prediction
+FROM tx t LEFT JOIN preds p ON t.user_id = p.user_id AND t.day = p.day""",
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "count_rows": q_count_rows,
+    "freq_items": q_freq_items,
+    "tokenize_distinct": q_tokenize_distinct,
+    "word_count": q_word_count,
+    "freq_itemsets": q_freq_itemsets,
+    "assoc_rules": q_assoc_rules,
+    "transform": q_transform,
+}
