@@ -1,0 +1,194 @@
+"""Self-contained Parallel FP-Growth mining kernel (the ``kernel="pandas"``
+path of :class:`FPGrowth`).
+
+Re-expresses the reference's PFP/EPFP pipeline (``epfp/FPGrowthCore.scala:
+49-114``) Spark-first:
+
+stage 1  frequent items      — explode → hash-agg → HAVING (Catalyst does
+                               partial+final, i.e. the reference's
+                               map-side-combined ``reduceByKey``); the
+                               surviving item list is bounded by
+                               minSupport and collected to build the rank
+                               dictionary (the reference does the same,
+                               FPGrowthCore.scala:86).
+stage 2  conditional DB      — per basket, items → ranks (dictionary
+                               encoding, O2) and AT MOST ONE longest
+                               prefix per target group (shuffle-volume
+                               optimization O3, FPGrowthCore.scala:
+                               123-142), via an Arrow-batched
+                               ``mapInPandas``.
+stage 3  combine             — ``groupBy(group, ranks).count()``:
+                               identical conditional transactions merge
+                               map-side BEFORE the shuffle — recovering
+                               the reference's ``aggregateByKey`` tree
+                               combine (O4) declaratively.
+stage 4  group mining        — ``groupBy(group).applyInPandas``: build an
+                               FP-tree per group, extract patterns whose
+                               suffix item the group owns (duplicate
+                               suppression O5, FPTree.scala:85-97),
+                               decode ranks → items.
+
+Group assignment uses the EPFP balanced partitioner (O6) by default,
+PFP's hash assignment otherwise — see operators/balanced.py.
+
+Scale note: one group's FP-tree lives in one Python worker's heap; group
+count should scale with data (``num_partitions``), and the MLlib kernel
+remains the default for the largest inputs (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.operators.balanced import (
+    balanced_group_assignment,
+    hash_group_assignment,
+)
+
+# ---------------------------------------------------------------------------
+# FP-tree (per-group, worker-local). Ranks are ints, frequency-descending;
+# transactions are inserted in ascending-rank order.
+
+
+class _Node:
+    __slots__ = ("item", "count", "parent", "children")
+
+    def __init__(self, item: int | None, parent: "_Node | None"):
+        self.item = item
+        self.count = 0
+        self.parent = parent
+        self.children: dict[int, _Node] = {}
+
+
+def _build_tree(transactions: Iterator[tuple[tuple[int, ...], int]]):
+    """→ (root, header) where header[rank] = list of nodes for that rank."""
+    root = _Node(None, None)
+    header: dict[int, list[_Node]] = {}
+    for ranks, cnt in transactions:
+        node = root
+        for r in ranks:
+            child = node.children.get(r)
+            if child is None:
+                child = _Node(r, node)
+                node.children[r] = child
+                header.setdefault(r, []).append(child)
+            child.count += cnt
+            node = child
+    return root, header
+
+
+def _mine_tree(header, suffix, min_count, owns, out):
+    """Recursive FP-Growth extraction. ``owns`` filters the top-level
+    suffix item (None below the top level → emit everything frequent)."""
+    for r in header:
+        support = sum(n.count for n in header[r])
+        if support < min_count or (owns is not None and not owns(r)):
+            continue
+        pattern = suffix + (r,)
+        out.append((pattern, support))
+        # conditional pattern base: paths above every node of r
+        cond = []
+        for node in header[r]:
+            path = []
+            p = node.parent
+            while p.item is not None:
+                path.append(p.item)
+                p = p.parent
+            if path:
+                path.reverse()
+                cond.append((tuple(path), node.count))
+        if cond:
+            _, sub_header = _build_tree(cond)
+            _mine_tree(sub_header, pattern, min_count, None, out)
+
+
+# ---------------------------------------------------------------------------
+
+
+def mine_pandas(
+    items_df: DataFrame,
+    min_count: int,
+    num_partitions: int | None = None,
+    balanced: bool = True,
+) -> DataFrame:
+    """items_df: single ``items: array<string>`` column, nulls dropped.
+    → (items: array<string>, freq: long), uncanonicalized order."""
+    spark = items_df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    # stage 1 — frequent items, rank dictionary (freq desc, item asc)
+    freq_rows = (
+        items_df.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= min_count)
+        .orderBy(F.desc("freq"), F.asc("item"))
+        .collect()
+    )
+    if not freq_rows:
+        return spark.createDataFrame([], "items array<string>, freq long")
+    rank_to_item = [r["item"] for r in freq_rows]
+    num_groups = max(1, min(num_partitions, len(rank_to_item)))
+    assign = (
+        balanced_group_assignment(len(rank_to_item), num_groups)
+        if balanced
+        else hash_group_assignment(len(rank_to_item), num_groups)
+    )
+
+    sc = spark.sparkContext
+    bc_item_to_rank = sc.broadcast({it: r for r, it in enumerate(rank_to_item)})
+    bc_assign = sc.broadcast(assign)
+    bc_rank_to_item = sc.broadcast(rank_to_item)
+
+    # stage 2 — dictionary-encode baskets; ≤1 longest prefix per group
+    def gen_cond(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        item_to_rank = bc_item_to_rank.value
+        group_of = bc_assign.value
+        for pdf in batches:
+            out_group: list[int] = []
+            out_ranks: list[list[int]] = []
+            for items in pdf["items"]:
+                ranks = sorted(
+                    {item_to_rank[i] for i in items if i in item_to_rank}
+                )
+                emitted: set[int] = set()
+                for idx in range(len(ranks) - 1, -1, -1):
+                    g = group_of[ranks[idx]]
+                    if g not in emitted:
+                        emitted.add(g)
+                        out_group.append(g)
+                        out_ranks.append(ranks[: idx + 1])
+            yield pd.DataFrame({"group": out_group, "ranks": out_ranks})
+
+    cond = items_df.mapInPandas(gen_cond, "group int, ranks array<int>")
+
+    # stage 3 — merge identical conditional transactions (partial agg
+    # happens map-side, so the shuffle carries combined rows)
+    cond_agg = cond.groupBy("group", "ranks").agg(F.count("*").alias("cnt"))
+
+    # stage 4 — per-group tree build + extraction + rank decode
+    def mine_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        group = int(pdf["group"].iloc[0])
+        group_of = bc_assign.value
+        decode = bc_rank_to_item.value
+        _, header = _build_tree(
+            (tuple(ranks), int(cnt))
+            for ranks, cnt in zip(pdf["ranks"], pdf["cnt"])
+        )
+        patterns: list[tuple[tuple[int, ...], int]] = []
+        _mine_tree(header, (), min_count, lambda r: group_of[r] == group, patterns)
+        return pd.DataFrame(
+            {
+                "items": [[decode[r] for r in pat] for pat, _ in patterns],
+                "freq": [supp for _, supp in patterns],
+            }
+        )
+
+    return cond_agg.groupBy("group").applyInPandas(
+        mine_group, "items array<string>, freq long"
+    )

@@ -55,7 +55,7 @@ def rules_as_dict(df):
     }
 
 
-@pytest.fixture(scope="module", params=["mllib"])
+@pytest.fixture(scope="module", params=["mllib", "pandas"])
 def model(request, fpm_train):
     fp = FPGrowth(min_support=0.4, min_confidence=0.6, kernel=request.param)
     return fp.fit(fpm_train)
