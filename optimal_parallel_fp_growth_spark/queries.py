@@ -105,6 +105,68 @@ def q_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_freq_itemsets_pfp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same mining through the self-contained pandas PFP kernel with EPFP
+    balanced grouping (epfp/FPGrowthCore.scala:49-114) — checked against
+    the identical SQL oracle as the MLlib path."""
+    tx = transactions_from_events(spark, sf_dir)
+    model = FPGrowth(
+        min_support=EVENTS_MIN_SUPPORT, kernel="pandas", num_partitions=8
+    ).fit(tx)
+    return (
+        model.freq_itemsets.where(F.size("items") <= 4)
+        .select(F.array_join("items", "|").alias("itemset"), "freq")
+    )
+
+
+def q_apriori_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori 1⇒1 rules with the reference's floor threshold and
+    confidence/rawCount quirk metric (apriori/Apriori.scala:73,125)."""
+    from optimal_parallel_fp_growth_spark.operators.apriori import (
+        apriori_one_to_one_rules,
+    )
+
+    tx = transactions_from_events(spark, sf_dir)
+    return apriori_one_to_one_rules(tx, min_support=0.1, min_confidence=0.2)
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic relational surface: multi-way join (dims broadcast) +
+    grouped sum + sort — the operator classes the reference lacks
+    (SURVEY §2.4 '(absent)')."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tiebreak + broadcast dim join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 
@@ -163,6 +225,45 @@ FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1
 """,
     "freq_itemsets": _EVENTS_FIS_CTE
     + "SELECT array_to_string(items, '|') AS itemset, freq FROM fis",
+    "freq_itemsets_pfp": _EVENTS_FIS_CTE
+    + "SELECT array_to_string(items, '|') AS itemset, freq FROM fis",
+    "apriori_rules": """
+WITH tx AS (SELECT user_id, date_trunc('day', ts) AS day,
+                   list_sort(list_distinct(list(event_type))) AS items
+            FROM events GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM tx),
+p AS (SELECT user_id, day, unnest(items) AS item FROM tx),
+singles AS (SELECT item, count(*) AS freq FROM p GROUP BY 1
+            HAVING count(*) >= FLOOR(0.1 * (SELECT n FROM n))),
+pairs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS freq_pair
+          FROM p a JOIN p b ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+          GROUP BY 1, 2 HAVING count(*) >= FLOOR(0.1 * (SELECT n FROM n))),
+directed AS (SELECT ia AS antecedent, ib AS consequent, freq_pair FROM pairs
+             UNION ALL
+             SELECT ib AS antecedent, ia AS consequent, freq_pair FROM pairs)
+SELECT d.antecedent, d.consequent,
+       d.freq_pair::DOUBLE / sa.freq AS confidence,
+       d.freq_pair::DOUBLE / sa.freq / sc.freq AS score
+FROM directed d
+JOIN singles sa ON d.antecedent = sa.item
+JOIN singles sc ON d.consequent = sc.item
+WHERE d.freq_pair::DOUBLE / sa.freq >= 0.2
+""",
+    "revenue_by_nation": """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "top_orders": """
+SELECT o_orderkey, c_name, o_totalprice
+FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10) o
+JOIN customer ON o_custkey = c_custkey
+""",
     "assoc_rules": _EVENTS_RULES_CTE
     + """
 SELECT array_to_string(ante, '|') AS antecedent, cons AS consequent,
@@ -188,6 +289,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_distinct": q_tokenize_distinct,
     "word_count": q_word_count,
     "freq_itemsets": q_freq_itemsets,
+    "freq_itemsets_pfp": q_freq_itemsets_pfp,
     "assoc_rules": q_assoc_rules,
     "transform": q_transform,
+    "apriori_rules": q_apriori_rules,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders": q_top_orders,
 }
