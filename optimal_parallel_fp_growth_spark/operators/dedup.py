@@ -1,0 +1,265 @@
+"""Deduplication operators — the core of an LLM training-data pipeline
+(no reference counterpart; SURVEY §7.2 M7 / driver north star).
+
+Four tiers, all pure DataFrame (no Python UDFs anywhere):
+
+- exact          — sha256 hash-groupBy; one shuffle on the hash.
+- ngram_jaccard  — EXACT set-similarity via an inverted shingle index
+                   (explode → self-join on shingle → pair-intersection
+                   counts). Quadratic only within a shingle's posting
+                   list; at 100 TB add prefix filtering / drop ultra-
+                   common shingles (df > threshold) before the join.
+- minhash_lsh    — the scale path: md5-based minhash signatures (md5 so
+                   the DuckDB oracle reproduces hashes bit-for-bit),
+                   banded LSH bucketing, candidate pairs verified with
+                   exact jaccard. Shuffle volume is O(docs · bands), not
+                   O(pairs).
+- simhash        — 32-bit simhash fingerprints, 8-bit band join,
+                   hamming-distance verify via xor + bit_count.
+
+All outputs are deterministic: pair keys ordered (doc_a < doc_b),
+similarities rounded to 1e-6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.functions.text import tokens
+
+
+def _shingles(text_col: str, k: int = 2) -> Column:
+    """Distinct word k-grams (k=2: bigrams), 1-based positions."""
+    t = tokens(text_col)
+    if k == 1:
+        return F.array_distinct(t)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(t, i + off) for off in range(k)]
+    )
+    # Guard: sequence(1, 0) DESCENDS in Spark, so short texts must yield []
+    # explicitly rather than via an empty sequence.
+    return F.when(
+        F.size(t) >= k,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)), gram)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct text, keeping the smallest
+    doc_id. → (text_sha256, doc_id_kept, n_dups)."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        .agg(F.min("doc_id").alias("doc_id_kept"), F.count("*").alias("n_dups"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", k: int = 2, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT near-dup pairs by k-gram Jaccard ≥ threshold, via inverted
+    index: |A∩B| from a shingle-keyed self-join, sizes joined back.
+    → (doc_a, doc_b, jaccard)."""
+    sh = docs.select("doc_id", _shingles(text_col, k).alias("sh"))
+    sh.persist()
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+
+def _md5_hash64(value: Column) -> Column:
+    """Deterministic 60-bit integer hash reproducible in DuckDB:
+    int(md5(x)[:15], 16)."""
+    return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = 2, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """→ (doc_id, sh: array<string>, sig: array<long>). The signature is
+    computed entirely array-side (nested ``transform``): zero shuffles,
+    zero Python, one codegen stage over the scan."""
+    sh = _shingles(text_col, k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: _md5_hash64(F.concat_ws(":", s, seed.cast("string"))),
+            )
+        ),
+    )
+    return docs.select("doc_id", sh.alias("sh")).where(F.size("sh") > 0).select(
+        "doc_id", "sh", sig.alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Near-dup pairs: banded-LSH candidates, then exact-jaccard verify.
+    → (doc_a, doc_b, jaccard). Deterministic (md5 hashes), so the DuckDB
+    oracle reproduces the *same* candidates — LSH false negatives affect
+    recall (measured in tests), never oracle parity."""
+    rows = num_hashes // num_bands
+    sigs = minhash_signatures(docs, text_col, k, num_hashes)
+    sigs.persist()
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("sig"), b * rows + 1, rows).alias("band_sig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_sig")
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit simhash over distinct whitespace tokens (md5-derived token
+    hashes → per-bit ±1 vote sums → sign vector packed to a long).
+    → (doc_id, fp)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.alias("fp"))
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs with hamming(fp_a, fp_b) ≤ max_hamming, candidates
+    from an 8-bit band join (a pair within distance 3 shares ≥1 of 4
+    bands exactly; wider distances are best-effort, like production
+    simhash). → (doc_a, doc_b, hamming)."""
+    fps = simhash_fingerprints(docs, text_col)
+    fps.persist()
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fp"), b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", "bb.band", "bb.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators over the ``documents`` table — the quality/
+filtering stage of an LLM training-data pipeline (no reference
+counterpart; SURVEY §7.2 M7).
+
+Everything is a narrow projection over one scan: Catalyst prunes the
+parquet read to (doc_id, text) and fuses all expressions into one
+codegen stage — the shape that survives 100 TB (zero shuffles, zero
+Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.functions.text import (
+    LANG_MARKERS,
+    digit_ratio,
+    marker_hits,
+    regex_token_count,
+    stopword_ratio,
+    tokens,
+)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/shape statistics."""
+    t = tokens(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_obs"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        regex_token_count(text_col).alias("n_regex_tokens"),
+        F.round(
+            (F.length(text_col) - F.size(t) + 1) / F.greatest(F.size(t), F.lit(1)), 6
+        ).alias("avg_token_len"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(digit_ratio(text_col), 6).alias("digit_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic heuristic quality score in [0,1]:
+    rewards medium length, lexical diversity, and some stopword mass —
+    the standard cheap pre-filter before expensive dedup/classification."""
+    t = tokens(text_col)
+    n = F.size(t)
+    diversity = F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1))
+    length_term = F.least(n / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(t) * 5.0, F.lit(1.0))
+    score = F.round(0.4 * length_term + 0.4 * diversity + 0.2 * stop_term, 6)
+    return docs.select("doc_id", score.alias("quality"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax over per-language function-word
+    hits; 'und' (undetermined) when no marker fires. Ties break on
+    language code order (deterministic)."""
+    t = tokens(text_col)
+    scored: Column = F.array(
+        *[
+            F.struct(
+                (-marker_hits(t, lang)).alias("neg_hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_sort(scored)[0]
+    return docs.select(
+        "doc_id",
+        F.when(best["neg_hits"] < 0, best["lang"]).otherwise("und").alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of case/whitespace-normalized text plus a
+    64-bit-ish integer fingerprint (first 15 hex digits) — the join key
+    for cheap cross-corpus exact matching."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), " +", " ")
+    h = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        h.alias("fp_md5"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp_int"),
+    )

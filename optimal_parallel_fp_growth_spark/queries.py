@@ -283,6 +283,10 @@ SELECT t.user_id, CAST(epoch(t.day) AS BIGINT) AS day_epoch,
 FROM tx t LEFT JOIN preds p ON t.user_id = p.user_id AND t.day = p.day""",
 }
 
+from optimal_parallel_fp_growth_spark.queries_docs import DOC_ORACLES, DOC_QUERIES
+
+ORACLES.update(DOC_ORACLES)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_rows": q_count_rows,
     "freq_items": q_freq_items,
@@ -296,3 +300,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
 }
+QUERIES.update(DOC_QUERIES)

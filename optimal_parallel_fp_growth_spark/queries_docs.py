@@ -1,0 +1,234 @@
+"""Document-pipeline query registry — text analysis + deduplication over
+the ``documents`` table (driver north-star extensions, SURVEY §7.2 M7).
+
+Oracles are generated from the same constants the Spark operators use
+(LANG_MARKERS / EN_STOPWORDS / TOKEN_REGEX / minhash params), so both
+sides stay in lock-step by construction. Every hash is md5-derived,
+which DuckDB reproduces bit-for-bit ('0x'||hex cast, verified).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    TOKEN_REGEX,
+)
+from optimal_parallel_fp_growth_spark.operators import dedup, textops
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=2, threshold=0.2
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), k=2, threshold=0.2
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+_TOKS_CTE = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+"""
+
+_STOPWORDS_SQL = _sql_list(EN_STOPWORDS)
+
+_SHINGLES_CTE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 2
+                   THEN list_distinct([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])
+                   ELSE [] END AS sh
+       FROM t)
+"""
+
+ORACLE_TEXT_STATS = (
+    _TOKS_CTE
+    + f"""
+SELECT doc_id,
+       length(text) AS n_chars_obs,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_regex_tokens,
+       round((length(text) - len(toks) + 1) / greatest(len(toks), 1), 6) AS avg_token_len,
+       round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / greatest(length(text), 1), 6) AS digit_ratio
+FROM t
+"""
+)
+
+ORACLE_QUALITY_SCORE = (
+    _TOKS_CTE
+    + f"""
+SELECT doc_id,
+       round(0.4 * least(len(toks) / 50.0, 1.0)
+             + 0.4 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+             + 0.2 * least((len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))
+                            / greatest(len(toks), 1)) * 5.0, 1.0), 6) AS quality
+FROM t
+"""
+)
+
+_MARKER_VALUES = ",\n             ".join(
+    f"('{lang}', {_sql_list(words)})" for lang, words in sorted(LANG_MARKERS.items())
+)
+
+ORACLE_LANG_ID = (
+    _TOKS_CTE
+    + f""",
+hits AS (SELECT doc_id, m.lang,
+                len(list_filter(toks, x -> list_contains(m.markers, x))) AS h
+         FROM t CROSS JOIN (VALUES {_MARKER_VALUES}) AS m(lang, markers)),
+best AS (SELECT doc_id, lang, h,
+                row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn
+         FROM hits)
+SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1
+"""
+)
+
+ORACLE_DOC_FINGERPRINT = """
+WITH n AS (SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS h
+           FROM documents)
+SELECT doc_id, h AS fp_md5,
+       ('0x' || substr(h, 1, 15))::BIGINT AS fp_int
+FROM n
+"""
+
+ORACLE_DEDUP_EXACT = """
+SELECT sha256(text) AS text_sha256, min(doc_id) AS doc_id_kept, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+ORACLE_NGRAM_JACCARD = (
+    _SHINGLES_CTE
+    + """,
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM posting a JOIN posting b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+"""
+)
+
+ORACLE_MINHASH_LSH = (
+    _SHINGLES_CTE
+    + f""",
+nz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+mh AS (SELECT doc_id, seed,
+              min(('0x' || substr(md5(s || ':' || seed), 1, 15))::BIGINT) AS mhv
+       FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
+       CROSS JOIN range({dedup.NUM_HASHES}) r(seed)
+       GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(mhv ORDER BY seed) AS sig FROM mh GROUP BY 1),
+bands AS (SELECT doc_id, b,
+                 sig[b * {dedup.ROWS_PER_BAND} + 1 : b * {dedup.ROWS_PER_BAND} + {dedup.ROWS_PER_BAND}] AS band_sig
+          FROM sig CROSS JOIN range({dedup.NUM_BANDS}) r(b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(na.sh, nb.sh))
+             / len(list_distinct(na.sh || nb.sh)), 6) AS jaccard
+FROM cand
+JOIN nz na ON cand.doc_a = na.doc_id
+JOIN nz nb ON cand.doc_b = nb.doc_id
+WHERE round(len(list_intersect(na.sh, nb.sh))
+            / len(list_distinct(na.sh || nb.sh)), 6) >= 0.2
+"""
+)
+
+ORACLE_SIMHASH = f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+votes AS (SELECT doc_id, i,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN range({dedup.SIMHASH_BITS}) r(i)
+          GROUP BY 1, 2),
+fp AS (SELECT doc_id,
+              sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS fp
+       FROM votes GROUP BY 1),
+bands AS (SELECT doc_id, fp, b, (fp >> (b * 8)) & 255 AS band_val
+          FROM fp CROSS JOIN range(4) r(b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.fp AS fp_a, b.fp AS fp_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 6
+"""
+
+DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+DOC_ORACLES: dict[str, str] = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_simhash": ORACLE_SIMHASH,
+}
