@@ -1,0 +1,138 @@
+"""Benchmark harness (SURVEY §7.2 M8, BASELINE.md protocol).
+
+Runs the flagship FP-Growth pipeline (stock-MLlib baseline vs this
+engine, same data/params) plus headline analytic queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, and prints ONE JSON line:
+
+    {"metric": "e2e_sec", "value": N, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": 0.1}
+
+Each stage is forced with the noop sink (full computation, no driver
+materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# BASELINE.md flagship params: lineitem baskets, sparse regime.
+FLAGSHIP_MIN_SUPPORT = 0.01
+FLAGSHIP_MIN_CONFIDENCE = 0.1
+# Dense regime for the full fit→rules→transform pipeline: events baskets.
+EVENTS_MIN_SUPPORT = 0.03
+EVENTS_MIN_CONFIDENCE = 0.2
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth
+    from optimal_parallel_fp_growth_spark.plans.transactions import (
+        transactions_from_events,
+        transactions_from_lineitem,
+    )
+    from optimal_parallel_fp_growth_spark.queries import QUERIES
+    from optimal_parallel_fp_growth_spark.session import get_session
+
+    spark = get_session("opfpg-bench")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    # ---- flagship: sparse lineitem baskets, baseline vs engine ----------
+    li_tx = transactions_from_lineitem(spark, SF_DIR).persist()
+    li_tx.count()
+
+    def baseline():
+        from pyspark.ml.fpm import FPGrowth as MLlib
+
+        model = MLlib(
+            itemsCol="items",
+            minSupport=FLAGSHIP_MIN_SUPPORT,
+            minConfidence=FLAGSHIP_MIN_CONFIDENCE,
+        ).fit(li_tx)
+        _force(model.freqItemsets)
+        _force(model.associationRules)
+        _force(model.transform(li_tx))
+
+    timed("baseline_mllib_pipeline", baseline)
+
+    def engine_pipeline(kernel: str, name: str):
+        model = FPGrowth(
+            min_support=FLAGSHIP_MIN_SUPPORT,
+            min_confidence=FLAGSHIP_MIN_CONFIDENCE,
+            kernel=kernel,
+        ).fit(li_tx)
+        _force(model.freq_itemsets)
+        _force(model.association_rules(FLAGSHIP_MIN_CONFIDENCE))
+        _force(model.transform(li_tx, FLAGSHIP_MIN_CONFIDENCE))
+
+    timed("engine_pipeline", lambda: engine_pipeline("mllib", "engine"))
+    timed("engine_pipeline_pandas", lambda: engine_pipeline("pandas", "pandas"))
+    li_tx.unpersist()
+
+    # ---- dense events pipeline (fit → rules → transform) ----------------
+    ev_tx = transactions_from_events(spark, SF_DIR).persist()
+    ev_tx.count()
+
+    def events_pipeline():
+        model = FPGrowth(
+            min_support=EVENTS_MIN_SUPPORT,
+            min_confidence=EVENTS_MIN_CONFIDENCE,
+        ).fit(ev_tx)
+        _force(model.association_rules(EVENTS_MIN_CONFIDENCE))
+        _force(model.transform(ev_tx, EVENTS_MIN_CONFIDENCE))
+
+    timed("events_pipeline", events_pipeline)
+    ev_tx.unpersist()
+
+    # ---- headline analytic queries --------------------------------------
+    for qname in (
+        "freq_items",
+        "revenue_by_nation",
+        "top_orders",
+        "word_count",
+        "text_stats",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+    ):
+        q = QUERIES[qname]
+        timed(qname, lambda q=q: _force(q(spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
