@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (``array<float>``) — the
+ANN stage of an LLM training-data pipeline (no reference counterpart;
+driver north star / SURVEY §7.2 M7).
+
+Two tiers, both pure DataFrame (higher-order functions, zero Python in
+the row path):
+
+- ``cosine_topk``   — exact brute-force top-k: broadcast the (small)
+                      query set, one narrow pass over the corpus, window
+                      top-k per query. At 100 TB this is THE baseline:
+                      no shuffle of the corpus, scan stays columnar and
+                      whole-stage-codegen'd; the only shuffle is the
+                      top-k window partitioned by query_id (bounded by
+                      #queries × corpus-partition partial top-k under
+                      AQE).
+- ``ann_topk``      — sign-LSH bucketed: corpus hashed once to a
+                      2^bits-bucket id from coordinate signs (axis-
+                      aligned random-hyperplane LSH, deterministic so
+                      the DuckDB oracle reproduces it); queries probe
+                      their own bucket plus all hamming-1 neighbors.
+                      Candidate volume drops ~(bits+1)/2^bits; recall
+                      measured in tests against the exact tier.
+
+Scoring is double-precision end-to-end (floats cast up before any
+arithmetic) with left-to-right fold order, so DuckDB's
+``list_dot_product`` reproduces cosines bit-for-bit; ranking uses the
+ROUNDED cosine with vec_id tiebreak ⇒ deterministic total order on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ANN_BITS = 6  # 64 sign buckets
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold — same order as DuckDB's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _prepared(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return emb.select(F.col(id_col).alias("vec_id"), v.alias("v")).withColumn(
+        "norm2", _dot(F.col("v"), F.col("v"))
+    )
+
+
+def _score_topk(cand: DataFrame, k: int) -> DataFrame:
+    """cand: (query_id, qv, qnorm2, vec_id, v, norm2) → top-k by cosine."""
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / F.sqrt(F.col("qnorm2") * F.col("norm2")), 6
+    )
+    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+    → (query_id, vec_id, cosine, rn). Self-matches excluded."""
+    corpus = _prepared(emb, id_col, vec_col)
+    q = _prepared(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    cand = corpus.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    return _score_topk(cand, k)
+
+
+def _sign_bucket(vec: Column, bits: int = ANN_BITS) -> Column:
+    """LSH bucket id from the signs of the first ``bits`` coordinates."""
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(0)
+    return b
+
+
+def ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = ANN_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket and its hamming-1 neighbor buckets (multi-probe), then exact
+    cosine rank. → (query_id, vec_id, cosine, rn)."""
+    corpus = _prepared(emb, id_col, vec_col).withColumn(
+        "bucket", _sign_bucket(F.col("v"), bits)
+    )
+    qb = _sign_bucket(F.col("v"), bits)
+    q = (
+        _prepared(queries, id_col, vec_col)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm2").alias("qnorm2"),
+            F.explode(
+                F.array_distinct(
+                    F.array(qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
+                )
+            ).alias("bucket"),
+        )
+    )
+    cand = corpus.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    return _score_topk(cand, k)

@@ -284,8 +284,10 @@ FROM tx t LEFT JOIN preds p ON t.user_id = p.user_id AND t.day = p.day""",
 }
 
 from optimal_parallel_fp_growth_spark.queries_docs import DOC_ORACLES, DOC_QUERIES
+from optimal_parallel_fp_growth_spark.queries_vectors import VEC_ORACLES, VEC_QUERIES
 
 ORACLES.update(DOC_ORACLES)
+ORACLES.update(VEC_ORACLES)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_rows": q_count_rows,
@@ -301,3 +303,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": q_top_orders,
 }
 QUERIES.update(DOC_QUERIES)
+QUERIES.update(VEC_QUERIES)

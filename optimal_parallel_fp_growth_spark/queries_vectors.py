@@ -1,0 +1,96 @@
+"""Vector-similarity query registry — ANN over the ``embeddings`` table
+(driver north star; SURVEY §7.2 M7).
+
+Query set = every 50th vector (deterministic). Scoring is double-
+precision with left-to-right fold order on both engines, and ranking
+uses the rounded cosine with vec_id tiebreak, so the DuckDB oracle is
+exact (verified incl. tie cases at sf0.01).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.operators.similarity import (
+    ANN_BITS,
+    ann_topk,
+    cosine_topk,
+)
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+QUERY_STRIDE = 50
+TOP_K = 10
+
+
+def _emb_and_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, emb.where(F.col("vec_id") % QUERY_STRIDE == 0)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    return cosine_topk(emb, queries, k=TOP_K)
+
+
+def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    return ann_topk(emb, queries, k=TOP_K)
+
+
+_PREP_CTE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2 FROM e)
+"""
+
+ORACLE_KNN_COSINE = (
+    _PREP_CTE
+    + f""",
+q AS (SELECT vec_id AS query_id, v AS qv, norm2 AS qnorm2 FROM p
+      WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (SELECT query_id, c.vec_id,
+                  round(list_dot_product(qv, c.v) / sqrt(qnorm2 * c.norm2), 6) AS cosine
+           FROM q CROSS JOIN p c WHERE query_id <> c.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM scored)
+SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= {TOP_K}
+"""
+)
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(ANN_BITS)
+)
+_PROBES_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << j})" for j in range(ANN_BITS)
+) + "]"
+
+ORACLE_KNN_ANN = (
+    _PREP_CTE
+    + f""",
+b AS (SELECT vec_id, v, norm2, {_BUCKET_SQL} AS bucket FROM p),
+q AS (SELECT vec_id AS query_id, qv, qnorm2, unnest(probes) AS bucket
+      FROM (SELECT vec_id, v AS qv, norm2 AS qnorm2,
+                   list_distinct({_PROBES_SQL}) AS probes
+            FROM b WHERE vec_id % {QUERY_STRIDE} = 0)),
+scored AS (SELECT query_id, c.vec_id,
+                  round(list_dot_product(qv, c.v) / sqrt(qnorm2 * c.norm2), 6) AS cosine
+           FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM scored)
+SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= {TOP_K}
+"""
+)
+
+VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_cosine": q_knn_cosine,
+    "knn_ann": q_knn_ann,
+}
+
+VEC_ORACLES: dict[str, str] = {
+    "knn_cosine": ORACLE_KNN_COSINE,
+    "knn_ann": ORACLE_KNN_ANN,
+}

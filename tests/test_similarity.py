@@ -1,0 +1,54 @@
+"""Similarity-search quality properties (parity with the DuckDB oracle
+is covered by test_oracle_parity; these check ANN-vs-exact relations)."""
+
+from __future__ import annotations
+
+import pytest
+
+from optimal_parallel_fp_growth_spark.queries_vectors import (
+    TOP_K,
+    q_knn_ann,
+    q_knn_cosine,
+)
+
+
+@pytest.fixture(scope="module")
+def exact_and_ann(spark, sf_oracle):
+    exact = q_knn_cosine(spark, sf_oracle).collect()
+    ann = q_knn_ann(spark, sf_oracle).collect()
+    return exact, ann
+
+
+def test_topk_shape_and_self_exclusion(exact_and_ann):
+    exact, ann = exact_and_ann
+    for rows in (exact, ann):
+        per_q: dict[int, int] = {}
+        for r in rows:
+            assert r.query_id != r.vec_id
+            assert -1.0 <= r.cosine <= 1.0
+            per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert all(n <= TOP_K for n in per_q.values())
+    # exact tier always fills k (corpus >> k)
+    exact_counts = {}
+    for r in exact:
+        exact_counts[r.query_id] = exact_counts.get(r.query_id, 0) + 1
+    assert set(exact_counts.values()) == {TOP_K}
+
+
+def test_ann_recall_floor(exact_and_ann):
+    exact, ann = exact_and_ann
+    e = {(r.query_id, r.vec_id) for r in exact}
+    a = {(r.query_id, r.vec_id) for r in ann}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.15, f"ANN recall@{TOP_K} collapsed: {recall:.3f}"
+
+
+def test_ann_cosines_agree_with_exact(exact_and_ann):
+    """For pairs surfaced by both tiers, the scored cosine is identical
+    (ANN approximates the candidate set, never the metric)."""
+    exact, ann = exact_and_ann
+    e = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    for r in ann:
+        key = (r.query_id, r.vec_id)
+        if key in e:
+            assert e[key] == r.cosine
