@@ -286,8 +286,14 @@ FROM tx t LEFT JOIN preds p ON t.user_id = p.user_id AND t.day = p.day""",
 from optimal_parallel_fp_growth_spark.queries_docs import DOC_ORACLES, DOC_QUERIES
 from optimal_parallel_fp_growth_spark.queries_vectors import VEC_ORACLES, VEC_QUERIES
 
+from optimal_parallel_fp_growth_spark.queries_events import (
+    EVENT_ORACLES,
+    EVENT_QUERIES,
+)
+
 ORACLES.update(DOC_ORACLES)
 ORACLES.update(VEC_ORACLES)
+ORACLES.update(EVENT_ORACLES)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_rows": q_count_rows,
@@ -304,3 +310,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 QUERIES.update(DOC_QUERIES)
 QUERIES.update(VEC_QUERIES)
+QUERIES.update(EVENT_QUERIES)

@@ -1,0 +1,97 @@
+"""Event-analytics query registry: sessionization, rolling windows,
+rollup aggregates (SURVEY §2.8 '(absent)' operator classes, built
+Spark-native).
+
+Timestamp parity: Spark's ``cast(ts as long)`` truncates to whole
+seconds; the oracles use ``epoch_us(ts) // 1000000`` (floor division —
+identical for positive epochs) rather than ``epoch()`` which rounds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from optimal_parallel_fp_growth_spark.operators.sessions import (
+    daily_rollup,
+    rolling_stats,
+    sessionize,
+)
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+GAP_MINUTES = 30
+ROLL_FRAME = 3
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"), GAP_MINUTES)
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_stats(load_table(spark, sf_dir, "events"), ROLL_FRAME)
+
+
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_rollup(load_table(spark, sf_dir, "events"))
+
+
+_EPOCH = "(epoch_us(ts) // 1000000)"
+
+ORACLE_SESSIONIZE = f"""
+WITH lagged AS (
+  SELECT user_id, event_id, event_type, value, ts, {_EPOCH} AS sec,
+         CASE WHEN {_EPOCH} - lag({_EPOCH}) OVER w > {GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tagged AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM lagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types,
+       min(sec) AS start_epoch,
+       max(sec) AS end_epoch,
+       max(sec) - min(sec) AS duration_sec,
+       round(sum(value), 6) AS total_value
+FROM tagged GROUP BY 1, 2
+"""
+
+ORACLE_ROLLING = f"""
+SELECT event_id, user_id, {_EPOCH} AS ts_epoch,
+       round(avg(value) OVER w, 6) AS rolling_avg,
+       round(max(value) OVER w, 6) AS rolling_max,
+       count(*) OVER w AS rolling_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_DAILY_ROLLUP = """
+SELECT coalesce(day_epoch, -1) AS day_epoch,
+       coalesce(event_type, '(all)') AS event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       grouping(day_epoch)::INT AS g_day,
+       grouping(event_type)::INT AS g_type
+FROM (SELECT (epoch_us(date_trunc('day', ts)) // 1000000) AS day_epoch,
+             event_type, value
+      FROM events)
+GROUP BY ROLLUP (day_epoch, event_type)
+"""
+
+EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_sessionize": q_sessionize,
+    "events_rolling": q_rolling_stats,
+    "events_daily_rollup": q_daily_rollup,
+}
+
+EVENT_ORACLES: dict[str, str] = {
+    "events_sessionize": ORACLE_SESSIONIZE,
+    "events_rolling": ORACLE_ROLLING,
+    "events_daily_rollup": ORACLE_DAILY_ROLLUP,
+}

@@ -1,0 +1,114 @@
+"""Structured Streaming over the events table (driver north star;
+SURVEY §2.8 — the reference declares spark-streaming in its pom but
+never uses it; this module is the Spark-native realization).
+
+``stream_events`` treats the events parquet as a file stream (same
+nano-timestamp handling as the batch catalog); the transformations are
+the streaming twins of operators/sessions.py:
+
+- ``windowed_counts``  — tumbling event-time window + watermark: the
+  canonical late-data-tolerant aggregation. State is (window, type)
+  keyed — shards across executors, no driver state.
+- ``session_counts``   — native ``session_window`` gap sessions per
+  user: the streaming form of ``sessionize`` (state per user-session,
+  closed by watermark at scale).
+
+Tests drive both with ``trigger(availableNow=True)`` into a memory sink
+and check agreement with the equivalent batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table with proper µs timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # File-stream sources need a directory; glob down to the events file.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "6 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark for late
+    data. → (window_start_epoch, event_type, n_events, sum_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Native session-window aggregation per user (streaming twin of
+    operators.sessions.sessionize). → (user_id, start_epoch, end_epoch,
+    n_events)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("start_epoch"),
+            F.col("w.end").cast("long").alias("end_epoch"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain an (aggregated) stream into an in-memory table with
+    availableNow — the batch-verifiable execution path used by tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def batch_windowed_counts(
+    spark: SparkSession, sf_dir: str, window: str = "6 hours"
+) -> DataFrame:
+    """Batch plan with identical semantics to ``windowed_counts`` (no
+    late data in a static file ⇒ the watermark is a no-op)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,34 @@
+"""Structured Streaming: availableNow drain into memory sink must agree
+with the equivalent batch plan (exactly-once over a static source)."""
+
+from __future__ import annotations
+
+from optimal_parallel_fp_growth_spark.operators.sessions import sessionize
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+from optimal_parallel_fp_growth_spark.streaming.events import (
+    batch_windowed_counts,
+    run_to_memory,
+    session_counts,
+    stream_events,
+    windowed_counts,
+)
+
+
+def test_windowed_counts_match_batch(spark, sf_small):
+    st = windowed_counts(stream_events(spark, sf_small))
+    run_to_memory(st, "wc_stream")
+    got = {tuple(r) for r in spark.table("wc_stream").collect()}
+    want = {tuple(r) for r in batch_windowed_counts(spark, sf_small).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_session_window_counts_match_batch_sessionize(spark, sf_small):
+    st = session_counts(stream_events(spark, sf_small), gap="30 minutes")
+    run_to_memory(st, "sess_stream")
+    got = spark.table("sess_stream")
+
+    batch = sessionize(load_table(spark, sf_small, "events"), gap_minutes=30)
+    # session_window closes at last_event + gap; compare (user, start, n).
+    got_set = {(r.user_id, r.start_epoch, r.n_events) for r in got.collect()}
+    want_set = {(r.user_id, r.start_epoch, r.n_events) for r in batch.collect()}
+    assert got_set == want_set and len(want_set) > 0
