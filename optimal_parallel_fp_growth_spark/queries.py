@@ -291,9 +291,15 @@ from optimal_parallel_fp_growth_spark.queries_events import (
     EVENT_QUERIES,
 )
 
+from optimal_parallel_fp_growth_spark.queries_multimodal import (
+    MM_ORACLES,
+    MM_QUERIES,
+)
+
 ORACLES.update(DOC_ORACLES)
 ORACLES.update(VEC_ORACLES)
 ORACLES.update(EVENT_ORACLES)
+ORACLES.update(MM_ORACLES)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_rows": q_count_rows,
@@ -311,3 +317,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 QUERIES.update(DOC_QUERIES)
 QUERIES.update(VEC_QUERIES)
 QUERIES.update(EVENT_QUERIES)
+QUERIES.update(MM_QUERIES)
