@@ -29,9 +29,12 @@ from pyspark.sql import functions as F
 from optimal_parallel_fp_growth_spark.functions.text import tokens
 
 
-def _shingles(text_col: str, k: int = 2) -> Column:
-    """Distinct word k-grams (k=2: bigrams), 1-based positions."""
-    t = tokens(text_col)
+def _shingles_of(t: Column, k: int = 2) -> Column:
+    """Distinct word k-grams over a token array. ``t`` MUST be a bound
+    attribute (a materialized column), not an inline split() expression:
+    higher-order functions evaluate interpreted (no codegen CSE), so an
+    inline split would re-tokenize the text for every element_at —
+    O(tokens²) per document (measured 6s → 0.5s at sf0.1)."""
     if k == 1:
         return F.array_distinct(t)
     gram = lambda i: F.concat_ws(
@@ -43,6 +46,14 @@ def _shingles(text_col: str, k: int = 2) -> Column:
         F.size(t) >= k,
         F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)), gram)),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, k: int = 2) -> DataFrame:
+    """→ (doc_id, sh) with tokens materialized behind a projection
+    boundary so the lambda sees an attribute, not the split expression."""
+    return docs.select("doc_id", tokens(text_col).alias("toks")).select(
+        "doc_id", _shingles_of(F.col("toks"), k).alias("sh")
+    )
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,7 +71,7 @@ def ngram_jaccard_pairs(
     """EXACT near-dup pairs by k-gram Jaccard ≥ threshold, via inverted
     index: |A∩B| from a shingle-keyed self-join, sizes joined back.
     → (doc_a, doc_b, jaccard)."""
-    sh = docs.select("doc_id", _shingles(text_col, k).alias("sh"))
+    sh = _doc_shingles(docs, text_col, k)
     sh.persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
@@ -96,31 +107,41 @@ NUM_HASHES = 16
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
-
-def _md5_hash64(value: Column) -> Column:
-    """Deterministic 60-bit integer hash reproducible in DuckDB:
-    int(md5(x)[:15], 16)."""
-    return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("long")
+# Universal-hash family over a 32-bit md5-derived base hash:
+# mh_i(s) = (A_i·h32(s) + B_i) mod P. One md5 per shingle (not one per
+# shingle×seed — 16× less digest work, the sf0.1 hot spot), then 16
+# integer mixes that stay far below int64 overflow (A < 2^24, h < 2^32).
+MINHASH_P = 4294967311  # smallest prime > 2^32
+MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
+    (1000003 + 7919 * i, 12345 + 69069 * i) for i in range(NUM_HASHES)
+)
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", k: int = 2, num_hashes: int = NUM_HASHES
+    docs: DataFrame, text_col: str = "text", k: int = 2
 ) -> DataFrame:
     """→ (doc_id, sh: array<string>, sig: array<long>). The signature is
-    computed entirely array-side (nested ``transform``): zero shuffles,
-    zero Python, one codegen stage over the scan."""
-    sh = _shingles(text_col, k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: _md5_hash64(F.concat_ws(":", s, seed.cast("string"))),
-            )
-        ),
+    computed entirely array-side: zero shuffles, zero Python, one codegen
+    stage over the scan."""
+    base = F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    return docs.select("doc_id", sh.alias("sh")).where(F.size("sh") > 0).select(
-        "doc_id", "sh", sig.alias("sig")
+
+    def mix(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), mix(a, b)))
+            for a, b in MINHASH_AB
+        ]
+    )
+    return (
+        _doc_shingles(docs, text_col, k)
+        .where(F.size("sh") > 0)
+        .withColumn("hs", base)
+        .select("doc_id", "sh", sig.alias("sig"))
     )
 
 
@@ -137,7 +158,7 @@ def minhash_lsh_pairs(
     oracle reproduces the *same* candidates — LSH false negatives affect
     recall (measured in tests), never oracle parity."""
     rows = num_hashes // num_bands
-    sigs = minhash_signatures(docs, text_col, k, num_hashes)
+    sigs = minhash_signatures(docs, text_col, k)
     sigs.persist()
 
     bands = sigs.select(

@@ -163,14 +163,18 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
 """
 )
 
+_AB_VALUES = ",\n             ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.MINHASH_AB)
+)
+
 ORACLE_MINHASH_LSH = (
     _SHINGLES_CTE
     + f""",
 nz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-mh AS (SELECT doc_id, seed,
-              min(('0x' || substr(md5(s || ':' || seed), 1, 15))::BIGINT) AS mhv
-       FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
-       CROSS JOIN range({dedup.NUM_HASHES}) r(seed)
+hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+       FROM (SELECT doc_id, unnest(sh) AS s FROM nz)),
+mh AS (SELECT doc_id, seed, min((h * a + b) % {dedup.MINHASH_P}) AS mhv
+       FROM hs CROSS JOIN (VALUES {_AB_VALUES}) ab(seed, a, b)
        GROUP BY 1, 2),
 sig AS (SELECT doc_id, list(mhv ORDER BY seed) AS sig FROM mh GROUP BY 1),
 bands AS (SELECT doc_id, b,
