@@ -24,9 +24,11 @@ from optimal_parallel_fp_growth_spark.functions.text import (
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document token/shape statistics."""
-    t = tokens(text_col)
-    return docs.select(
+    """Per-document token/shape statistics. Tokens are materialized once
+    behind a projection boundary (the split() expression would otherwise
+    be re-evaluated for every stat that references it)."""
+    t = F.col("__toks")
+    return docs.withColumn("__toks", tokens(text_col)).select(
         "doc_id",
         F.length(text_col).alias("n_chars_obs"),
         F.size(t).alias("n_tokens"),
@@ -44,20 +46,22 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic heuristic quality score in [0,1]:
     rewards medium length, lexical diversity, and some stopword mass —
     the standard cheap pre-filter before expensive dedup/classification."""
-    t = tokens(text_col)
+    t = F.col("__toks")
     n = F.size(t)
     diversity = F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1))
     length_term = F.least(n / F.lit(50.0), F.lit(1.0))
     stop_term = F.least(stopword_ratio(t) * 5.0, F.lit(1.0))
     score = F.round(0.4 * length_term + 0.4 * diversity + 0.2 * stop_term, 6)
-    return docs.select("doc_id", score.alias("quality"))
+    return docs.withColumn("__toks", tokens(text_col)).select(
+        "doc_id", score.alias("quality")
+    )
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: argmax over per-language function-word
     hits; 'und' (undetermined) when no marker fires. Ties break on
     language code order (deterministic)."""
-    t = tokens(text_col)
+    t = F.col("__toks")
     scored: Column = F.array(
         *[
             F.struct(
@@ -67,7 +71,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ]
     )
     best = F.array_sort(scored)[0]
-    return docs.select(
+    return docs.withColumn("__toks", tokens(text_col)).select(
         "doc_id",
         F.when(best["neg_hits"] < 0, best["lang"]).otherwise("und").alias("lang_pred"),
     )

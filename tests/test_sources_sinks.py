@@ -1,0 +1,65 @@
+"""Source/sink coverage: text basket loader (the reference's only
+source, epfp/EPFP.scala:26-27), file sinks + partition pruning, and
+generic item types in the mining kernel (SURVEY §1.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+from optimal_parallel_fp_growth_spark.sources.sinks import (
+    read_back,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from optimal_parallel_fp_growth_spark.sources.text import read_baskets_text
+
+
+def test_text_basket_source(spark, tmp_path):
+    p = tmp_path / "baskets.txt"
+    p.write_text("I1 I2 I5 I2\nI2 I4\n\n")
+    got = read_baskets_text(spark, str(p)).collect()
+    baskets = sorted(tuple(r.items) for r in got)
+    # dedup within line, order of first appearance; empty line -> ['']
+    assert baskets == [("",), ("I1", "I2", "I5"), ("I2", "I4")]
+
+
+def test_parquet_roundtrip_and_partition_pruning(spark, sf_small, tmp_path):
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_parquet(ev, out, partition_by=("day",))
+    back = read_back(spark, out)
+    assert back.count() == ev.count()
+
+    one_day = ev.select("day").first().day
+    pruned = back.where(F.col("day") == F.lit(one_day))
+    scan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in scan  # pruning reached the scan
+    assert pruned.count() == ev.where(F.col("day") == F.lit(one_day)).count()
+
+
+def test_csv_json_roundtrip(spark, sf_small, tmp_path):
+    nation = load_table(spark, sf_small, "nation")
+    write_csv(nation, str(tmp_path / "n_csv"))
+    write_json(nation, str(tmp_path / "n_json"))
+    assert read_back(spark, str(tmp_path / "n_csv"), "csv").count() == nation.count()
+    got = read_back(spark, str(tmp_path / "n_json"), "json")
+    assert sorted(got.columns) == sorted(nation.columns)
+
+
+def test_mining_accepts_int_items(spark):
+    """SURVEY §1.2: the reference core is generic over the item type;
+    our kernel must accept array<int>/array<long> too."""
+    rows = [([1, 2, 5],), ([2, 4],), ([2, 3],), ([1, 3],), ([4, 2, 5, 1],)]
+    tx = spark.createDataFrame(rows, "items array<int>")
+    model = FPGrowth(min_support=0.4, min_confidence=0.5).fit(tx)
+    fis = {(tuple(r["items"]), r["freq"]) for r in model.freq_itemsets.collect()}
+    assert ((2,), 4) in fis and ((1, 2), 2) in fis
+    rules = model.association_rules(0.5)
+    assert rules.where(F.col("lift").isNotNull()).count() > 0
+    items_type = dict(model.freq_itemsets.dtypes)["items"]
+    assert items_type == "array<int>"
