@@ -296,10 +296,16 @@ from optimal_parallel_fp_growth_spark.queries_multimodal import (
     MM_QUERIES,
 )
 
+from optimal_parallel_fp_growth_spark.queries_relational import (
+    REL_ORACLES,
+    REL_QUERIES,
+)
+
 ORACLES.update(DOC_ORACLES)
 ORACLES.update(VEC_ORACLES)
 ORACLES.update(EVENT_ORACLES)
 ORACLES.update(MM_ORACLES)
+ORACLES.update(REL_ORACLES)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_rows": q_count_rows,
@@ -318,3 +324,4 @@ QUERIES.update(DOC_QUERIES)
 QUERIES.update(VEC_QUERIES)
 QUERIES.update(EVENT_QUERIES)
 QUERIES.update(MM_QUERIES)
+QUERIES.update(REL_QUERIES)

@@ -1,0 +1,188 @@
+"""Relational query pack — operator classes the reference lacks
+entirely (SURVEY §2.4/§2.3 '(absent)': outer/semi/anti joins, distinct
+aggregation, set operators, windowed top-n, wide aggregation):
+
+- pricing_summary          — TPC-H Q1 shape: pushed-down date filter +
+                             wide multi-aggregate groupBy.
+- customers_no_big_orders  — LEFT ANTI join against a filtered build side.
+- top_suppliers_per_nation — join + agg + row_number window top-3.
+- order_priority_stats     — COUNT(DISTINCT) + plain aggs per group.
+- segment_part_overlap     — INTERSECT of two join pipelines.
+
+All pure DataFrame; every one has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+SHIP_CUTOFF = "1998-09-02"
+BIG_ORDER = 300000.0
+TOP_N = 3
+SEG_A, SEG_B = "BUILDING", "MACHINERY"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= SHIP_CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    big = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > BIG_ORDER
+    )
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    )
+
+
+def q_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name", "s_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("revenue"), F.asc("s_suppkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_N)
+        .select("s_nationkey", "rank", "s_suppkey", "s_name", "revenue")
+    )
+
+
+def q_order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+def q_segment_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def parts_of(segment: str) -> DataFrame:
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(
+                F.broadcast(cust.where(F.col("c_mktsegment") == segment)),
+                orders.o_custkey == F.col("c_custkey"),
+            )
+            .select("l_partkey")
+            .distinct()
+        )
+
+    return parts_of(SEG_A).intersect(parts_of(SEG_B)).select(
+        F.col("l_partkey").alias("partkey")
+    )
+
+
+ORACLE_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+GROUP BY 1, 2
+"""
+
+ORACLE_NO_BIG = f"""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {BIG_ORDER})
+"""
+
+ORACLE_TOP_SUPP = f"""
+WITH rev AS (
+  SELECT s_suppkey, s_name, s_nationkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY revenue DESC, s_suppkey ASC) AS rank
+      FROM rev)
+SELECT s_nationkey, rank, s_suppkey, s_name, revenue
+FROM r WHERE rank <= {TOP_N}
+"""
+
+ORACLE_PRIORITY = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+ORACLE_OVERLAP = f"""
+SELECT DISTINCT l_partkey AS partkey
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{SEG_A}'
+INTERSECT
+SELECT DISTINCT l_partkey AS partkey
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{SEG_B}'
+"""
+
+REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "customers_no_big_orders": q_customers_no_big_orders,
+    "top_suppliers_per_nation": q_top_suppliers_per_nation,
+    "order_priority_stats": q_order_priority_stats,
+    "segment_part_overlap": q_segment_part_overlap,
+}
+
+REL_ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "customers_no_big_orders": ORACLE_NO_BIG,
+    "top_suppliers_per_nation": ORACLE_TOP_SUPP,
+    "order_priority_stats": ORACLE_PRIORITY,
+    "segment_part_overlap": ORACLE_OVERLAP,
+}
