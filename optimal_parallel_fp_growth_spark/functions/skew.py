@@ -1,0 +1,55 @@
+"""Skew-mitigation primitives (100 TB stance, SURVEY §4 O6 analog).
+
+AQE's skew-join splitting handles *join* skew at runtime; *aggregation*
+skew on a hot key still funnels every row of that key through one
+reducer. ``salted_agg`` is the classic two-phase fix: pre-aggregate on
+(key, salt) so the hot key's rows spread over ``salt_buckets`` reducers,
+then combine the partials. The salt is deterministic (hash of a
+discriminator column, not rand()) so runs are reproducible and tests /
+oracles stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deterministic_salt(discriminator: Column | str, buckets: int) -> Column:
+    c = F.col(discriminator) if isinstance(discriminator, str) else discriminator
+    return F.pmod(F.xxhash64(c), F.lit(buckets))
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    discriminator: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column → one of 'count'/'sum:<col>'/'min:<col>'/
+    'max:<col>' (the decomposable aggregates; avg = sum/count at the call
+    site). Phase 1 groups by (keys, salt) — partial per bucket; phase 2
+    groups by keys — combines ``salt_buckets`` partials per key.
+    """
+    salted = df.withColumn("__salt", deterministic_salt(discriminator, salt_buckets))
+
+    def phase1(spec: str) -> Column:
+        if spec == "count":
+            return F.count("*")
+        op, col = spec.split(":", 1)
+        return getattr(F, op)(col)
+
+    combine = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    p1 = salted.groupBy(*key_cols, "__salt").agg(
+        *[phase1(spec).alias(out) for out, spec in aggs.items()]
+    )
+    p2 = p1.groupBy(*key_cols).agg(
+        *[
+            combine[spec.split(":", 1)[0]](out).alias(out)
+            for out, spec in aggs.items()
+        ]
+    )
+    return p2

@@ -79,6 +79,7 @@ class FPGrowth:
         num_partitions: int | None = None,
         kernel: str = "mllib",
         balanced: bool = True,
+        validate_unique: bool = False,
     ):
         if not 0.0 <= min_support <= 1.0:
             raise ValueError(f"minSupport must be in [0,1] but got {min_support}")
@@ -95,6 +96,11 @@ class FPGrowth:
         self.num_partitions = num_partitions
         self.kernel = kernel
         self.balanced = balanced
+        # The reference validates uniqueness unconditionally inside item
+        # counting (epfp/FPGrowthCore.scala:77-81); we make the check
+        # opt-in because it costs one extra pass over the input, which a
+        # caller who already array_distinct'ed their baskets shouldn't pay.
+        self.validate_unique = validate_unique
 
     def min_count(self, n: int) -> int:
         """minCount = ceil(minSupport · N) — epfp/FPGrowthCore.scala:54."""
@@ -109,6 +115,12 @@ class FPGrowth:
         )
         items.persist()
         try:
+            if self.validate_unique:
+                from optimal_parallel_fp_growth_spark.functions.arrays import (
+                    validate_unique_items,
+                )
+
+                validate_unique_items(items, "items")
             n = items.count()
             if self.kernel == "mllib":
                 freq = self._fit_mllib(items)
