@@ -36,6 +36,12 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_rollup(load_table(spark, sf_dir, "events"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimal_parallel_fp_growth_spark.operators.asof import asof_join_last_event
+
+    return asof_join_last_event(load_table(spark, sf_dir, "events"), "purchase")
+
+
 _EPOCH = "(epoch_us(ts) // 1000000)"
 
 ORACLE_SESSIONIZE = f"""
@@ -84,14 +90,29 @@ FROM (SELECT (epoch_us(date_trunc('day', ts)) // 1000000) AS day_epoch,
 GROUP BY ROLLUP (day_epoch, event_type)
 """
 
+ORACLE_ASOF = f"""
+WITH base AS (SELECT event_id, user_id, event_type, {_EPOCH} AS ts_epoch
+              FROM events),
+l AS (SELECT * FROM base WHERE event_type <> 'purchase'),
+r AS (SELECT user_id AS r_user, ts_epoch AS r_ts FROM base
+      WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.event_type, l.ts_epoch,
+       r.r_ts AS last_marker_ts_epoch,
+       l.ts_epoch - r.r_ts AS sec_since_marker
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.r_user AND l.ts_epoch >= r.r_ts
+"""
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_sessionize,
     "events_rolling": q_rolling_stats,
     "events_daily_rollup": q_daily_rollup,
+    "events_asof_join": q_asof_join,
 }
 
 EVENT_ORACLES: dict[str, str] = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_rolling": ORACLE_ROLLING,
     "events_daily_rollup": ORACLE_DAILY_ROLLUP,
+    "events_asof_join": ORACLE_ASOF,
 }

@@ -1,0 +1,57 @@
+"""Physical-plan regression tests — the scale properties the engine
+promises (pushdown reaches the scan, dims broadcast, columns pruned)
+must survive refactors, not just hold by accident."""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_revenue_broadcasts_dims_and_prunes_columns(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries import q_revenue_by_nation
+
+    plan = _plan(q_revenue_by_nation(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2  # cust + nation (orders may too)
+    assert "SortMergeJoin" not in plan
+    # lineitem scan reads only the 3 needed columns
+    assert "l_orderkey" in plan and "l_comment" not in plan
+    for line in plan.splitlines():
+        if "FileScan" in line and "lineitem" in line:
+            assert "l_extendedprice" in line and "l_quantity" not in line
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_customers_no_big_orders,
+    )
+
+    plan = _plan(q_customers_no_big_orders(spark, sf_small))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_aggregations_are_partial_then_final(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries import q_freq_items
+
+    plan = _plan(q_freq_items(spark, sf_small))
+    assert "partial_count" in plan or "partial" in plan  # map-side combine
+    assert plan.count("Exchange") <= 3  # basket agg + item agg (+AQE reads)
+
+
+def test_minhash_has_single_scan_no_python(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.operators.dedup import minhash_signatures
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    plan = _plan(minhash_signatures(load_table(spark, sf_small, "documents")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan  # zero shuffles
+
+
+def test_knn_broadcasts_queries(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_vectors import q_knn_cosine
+
+    plan = _plan(q_knn_cosine(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
