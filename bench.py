@@ -105,11 +105,16 @@ def main() -> None:
         "freq_items",
         "revenue_by_nation",
         "top_orders",
+        "pricing_summary",
         "word_count",
         "text_stats",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "knn_cosine",
+        "events_sessionize",
+        "events_asof_join",
+        "multimodal_features",
     ):
         q = QUERIES[qname]
         timed(qname, lambda q=q: _force(q(spark, SF_DIR)))

@@ -89,6 +89,62 @@ def cosine_topk(
     return _score_topk(cand, k)
 
 
+def cosine_topk_arrow(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same result as :func:`cosine_topk`, scored in an Arrow-batched
+    ``mapInPandas`` (numpy matmul per batch) instead of JVM expressions.
+
+    Exists as the measured alternative path: for ~64-dim vectors the
+    JVM higher-order-function scorer wins (no serialization), but as
+    dimensionality or query count grows the BLAS matmul amortizes the
+    Arrow transfer — bench both before choosing at a new scale. Top-k
+    ranking (rounded cosine, vec_id tiebreak) is identical, so the two
+    tiers are interchangeable bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    q_ids = [r.query_id for r in q_rows]
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches):
+        q_ids_, q_mat_, q_norm_ = bc.value
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            cos = (c_mat @ q_mat_.T) / np.outer(c_norm, q_norm_)
+            n_c, n_q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids_, n_c),
+                    "vec_id": np.tile(pdf[id_col].to_numpy(), n_q),
+                    "cosine": np.round(cos.T.ravel(), 6),
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, vec_id long, cosine double"
+    ).where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
 def _sign_bucket(vec: Column, bits: int = ANN_BITS) -> Column:
     """LSH bucket id from the signs of the first ``bits`` coordinates."""
     b = F.lit(0)

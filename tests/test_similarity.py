@@ -43,6 +43,24 @@ def test_ann_recall_floor(exact_and_ann):
     assert recall >= 0.15, f"ANN recall@{TOP_K} collapsed: {recall:.3f}"
 
 
+def test_arrow_scorer_matches_expression_scorer(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+    from optimal_parallel_fp_growth_spark.queries_vectors import (
+        QUERY_STRIDE,
+        _emb_and_queries,
+    )
+
+    emb, queries = _emb_and_queries(spark, sf_oracle)
+    a = {tuple(r) for r in cosine_topk(emb, queries, k=10).collect()}
+    b = {tuple(r) for r in cosine_topk_arrow(emb, queries, k=10).collect()}
+    assert a == b
+
+
 def test_ann_cosines_agree_with_exact(exact_and_ann):
     """For pairs surfaced by both tiers, the scored cosine is identical
     (ANN approximates the candidate set, never the metric)."""

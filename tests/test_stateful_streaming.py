@@ -12,8 +12,35 @@ from optimal_parallel_fp_growth_spark.streaming.events import (
 from optimal_parallel_fp_growth_spark.streaming.stateful import first_seen_dedup
 
 
-def test_first_seen_dedup_matches_batch(spark, sf_small):
-    st = first_seen_dedup(stream_events(spark, sf_small))
+def _multi_batch_stream(spark, sf_small, tmp_path, n_parts: int):
+    """Split events into n_parts files so availableNow processes several
+    micro-batches (maxFilesPerTrigger=1) — state must carry across them."""
+    import time as _time
+
+    from pyspark.sql import functions as F_
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_small}/events.parquet")
+    # time-ordered slices written SEQUENTIALLY: the file source orders
+    # batches by modification time, so arrival order == event-time order,
+    # like a real stream.
+    qs = raw.approxQuantile("ts", [i / n_parts for i in range(1, n_parts)], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = raw.where((F_.col("ts") > lo) & (F_.col("ts") <= hi))
+        chunk.coalesce(1).write.mode("append").parquet(str(tmp_path / "ev_parts"))
+        _time.sleep(0.05)
+    schema = raw.schema
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ev_parts"))
+    )
+    return st.withColumn("ts", F_.timestamp_micros(F_.expr("`ts` div 1000")))
+
+
+def test_first_seen_dedup_matches_batch(spark, sf_small, tmp_path):
+    st = first_seen_dedup(_multi_batch_stream(spark, sf_small, tmp_path, 4))
     run_to_memory(st, "first_seen", output_mode="update")
     got = {tuple(r) for r in spark.table("first_seen").collect()}
 
