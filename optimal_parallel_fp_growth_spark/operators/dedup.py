@@ -66,15 +66,61 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", k: int = 2, threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """EXACT near-dup pairs by k-gram Jaccard ≥ threshold, via inverted
-    index: |A∩B| from a shingle-keyed self-join, sizes joined back.
-    → (doc_a, doc_b, jaccard)."""
+    """Near-dup pairs by k-gram Jaccard ≥ threshold, via inverted index:
+    |A∩B| from a shingle-keyed self-join, sizes joined back.
+    → (doc_a, doc_b, jaccard).
+
+    ``max_df=None`` is EXACT. With ``max_df=N`` (the 100 TB scale path),
+    candidate pairs must share at least one shingle whose document
+    frequency is ≤ N — the posting self-join skips the quadratic hot
+    lists of stop-shingles; jaccard for surviving candidates is still
+    computed exactly over the full shingle sets, so reported values are
+    identical to the exact tier and only recall (pairs overlapping
+    solely in ubiquitous shingles) is approximate.
+    """
     sh = _doc_shingles(docs, text_col, k)
     sh.persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        rare = (
+            posting.groupBy("shingle")
+            .count()
+            .where(F.col("count") <= max_df)
+            .select("shingle")
+        )
+        cand = (
+            posting.join(F.broadcast(rare), "shingle")
+            .alias("a")
+            .join(
+                posting.join(F.broadcast(rare), "shingle").alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        jac = F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+            6,
+        )
+        return (
+            cand.join(sh_a, "doc_a")
+            .join(sh_b, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
     inter = (
         posting.alias("a")
         .join(posting.alias("b"),

@@ -42,6 +42,17 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_last_event(load_table(spark, sf_dir, "events"), "purchase")
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time windows — the batch twin of
+    streaming.events.windowed_counts (same plan shape, same results;
+    the streaming-vs-batch agreement is tested separately)."""
+    from optimal_parallel_fp_growth_spark.streaming.events import (
+        batch_windowed_counts,
+    )
+
+    return batch_windowed_counts(spark, sf_dir, "6 hours")
+
+
 _EPOCH = "(epoch_us(ts) // 1000000)"
 
 ORACLE_SESSIONIZE = f"""
@@ -103,11 +114,21 @@ FROM l ASOF LEFT JOIN r
   ON l.user_id = r.r_user AND l.ts_epoch >= r.r_ts
 """
 
+# Spark tumbling windows align to the 1970-01-01 UTC epoch origin.
+ORACLE_WINDOWED = f"""
+SELECT ({_EPOCH} // 21600) * 21600 AS window_start_epoch,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_sessionize,
     "events_rolling": q_rolling_stats,
     "events_daily_rollup": q_daily_rollup,
     "events_asof_join": q_asof_join,
+    "events_windowed_counts": q_windowed_counts,
 }
 
 EVENT_ORACLES: dict[str, str] = {
@@ -115,4 +136,5 @@ EVENT_ORACLES: dict[str, str] = {
     "events_rolling": ORACLE_ROLLING,
     "events_daily_rollup": ORACLE_DAILY_ROLLUP,
     "events_asof_join": ORACLE_ASOF,
+    "events_windowed_counts": ORACLE_WINDOWED,
 }
