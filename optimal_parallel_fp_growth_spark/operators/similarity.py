@@ -153,6 +153,49 @@ def _sign_bucket(vec: Column, bits: int = ANN_BITS) -> Column:
     return b
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    bits: int = ANN_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-tier companion
+    of ann_topk): candidates from sign-LSH buckets with hamming-1
+    multi-probe, exact cosine verify ≥ threshold. → (doc_a, doc_b,
+    cosine). All-pairs work is confined to bucket-collision groups —
+    the shape that survives a 100 TB corpus where the exact quadratic
+    verify is impossible."""
+    corpus = _prepared(emb, id_col, vec_col).withColumn(
+        "bucket", _sign_bucket(F.col("v"), bits)
+    )
+    qb = _sign_bucket(F.col("v"), bits)
+    probing = _prepared(emb, id_col, vec_col).select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("va"),
+        F.col("norm2").alias("na"),
+        F.explode(
+            F.array_distinct(
+                F.array(qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        probing.join(corpus, "bucket")
+        .where(F.col("doc_a") < F.col("vec_id"))
+        .select("doc_a", F.col("vec_id").alias("doc_b"), "va", "na", "v", "norm2")
+        # a pair can collide via a's probe AND b's probe — keep one
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("v")) / F.sqrt(F.col("na") * F.col("norm2")), 6
+    )
+    return (
+        cand.select("doc_a", "doc_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk(
     emb: DataFrame,
     queries: DataFrame,

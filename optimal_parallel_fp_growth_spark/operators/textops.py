@@ -77,14 +77,30 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+ROLL_B = 1000003
+ROLL_P = 2147483647  # 2^31-1: acc·B + h < 2^52, overflow-safe under ANSI
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Content fingerprints: md5 of case/whitespace-normalized text plus a
-    64-bit-ish integer fingerprint (first 15 hex digits) — the join key
-    for cheap cross-corpus exact matching."""
+    """Content fingerprints: md5 of case/whitespace-normalized text, a
+    64-bit-ish integer key (first 15 hex digits), and a Rabin-Karp-style
+    ROLLING hash over the token sequence — order-sensitive (md5 of the
+    set-identical-but-reordered doc differs), the cheap cross-corpus
+    join key family."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), " +", " ")
     h = F.md5(norm)
-    return docs.select(
+    token_hashes = F.transform(
+        F.col("__toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    fp_roll = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, hh: (acc * ROLL_B + hh) % ROLL_P,
+    )
+    return docs.withColumn("__toks", tokens(text_col)).select(
         "doc_id",
         h.alias("fp_md5"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp_int"),
+        fp_roll.alias("fp_roll"),
     )

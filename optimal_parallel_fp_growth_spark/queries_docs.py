@@ -132,11 +132,16 @@ FROM best WHERE rn = 1
 """
 )
 
-ORACLE_DOC_FINGERPRINT = """
-WITH n AS (SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS h
+ORACLE_DOC_FINGERPRINT = f"""
+WITH n AS (SELECT doc_id,
+                  md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS h,
+                  list_transform(string_split(text, ' '),
+                                 t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
            FROM documents)
 SELECT doc_id, h AS fp_md5,
-       ('0x' || substr(h, 1, 15))::BIGINT AS fp_int
+       ('0x' || substr(h, 1, 15))::BIGINT AS fp_int,
+       list_reduce(list_prepend(0::BIGINT, th),
+                   (acc, hh) -> (acc * {textops.ROLL_B} + hh) % {textops.ROLL_P}) AS fp_roll
 FROM n
 """
 

@@ -18,11 +18,13 @@ from optimal_parallel_fp_growth_spark.operators.similarity import (
     ANN_BITS,
     ann_topk,
     cosine_topk,
+    embedding_neardup_pairs,
 )
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
 QUERY_STRIDE = 50
 TOP_K = 10
+NEARDUP_THRESHOLD = 0.4  # synthetic embeddings top out near cos 0.51
 
 
 def _emb_and_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -38,6 +40,11 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, queries = _emb_and_queries(spark, sf_dir)
     return ann_topk(emb, queries, k=TOP_K)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
 
 
 _PREP_CTE = f"""
@@ -85,12 +92,31 @@ SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= {TOP_K}
 """
 )
 
+ORACLE_NEARDUP = (
+    _PREP_CTE
+    + f""",
+b AS (SELECT vec_id, v, norm2, {_BUCKET_SQL} AS bucket FROM p),
+pr AS (SELECT vec_id AS doc_a, unnest(probes) AS bucket
+       FROM (SELECT vec_id, list_distinct({_PROBES_SQL}) AS probes FROM b)),
+cand AS (SELECT DISTINCT pr.doc_a, c.vec_id AS doc_b
+         FROM pr JOIN b c USING (bucket) WHERE pr.doc_a < c.vec_id),
+scored AS (SELECT doc_a, doc_b,
+                  round(list_dot_product(a.v, bb.v)
+                        / sqrt(a.norm2 * bb.norm2), 6) AS cosine
+           FROM cand JOIN p a ON cand.doc_a = a.vec_id
+                     JOIN p bb ON cand.doc_b = bb.vec_id)
+SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+)
+
 VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "knn_ann": q_knn_ann,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 VEC_ORACLES: dict[str, str] = {
     "knn_cosine": ORACLE_KNN_COSINE,
     "knn_ann": ORACLE_KNN_ANN,
+    "embedding_neardup": ORACLE_NEARDUP,
 }
