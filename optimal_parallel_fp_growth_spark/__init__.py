@@ -7,9 +7,53 @@ LLM-data-pipeline operators a 100 TB training-data pipeline needs
 Reference parity citations use paths relative to /root/reference/.
 """
 
-from optimal_parallel_fp_growth_spark.session import get_session
+from optimal_parallel_fp_growth_spark.operators.asof import asof_join_last_event
+from optimal_parallel_fp_growth_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth, FPGrowthModel
+from optimal_parallel_fp_growth_spark.operators.sessions import (
+    daily_rollup,
+    rolling_stats,
+    sessionize,
+)
+from optimal_parallel_fp_growth_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    embedding_neardup_pairs,
+)
+from optimal_parallel_fp_growth_spark.operators.textops import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+)
+from optimal_parallel_fp_growth_spark.session import get_session
+from optimal_parallel_fp_growth_spark.sources.text import read_baskets_text
 
-__all__ = ["get_session", "FPGrowth", "FPGrowthModel"]
+__all__ = [
+    "get_session",
+    "FPGrowth",
+    "FPGrowthModel",
+    "read_baskets_text",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "ann_topk",
+    "embedding_neardup_pairs",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "sessionize",
+    "rolling_stats",
+    "daily_rollup",
+    "asof_join_last_event",
+]
 
 __version__ = "0.1.0"

@@ -163,7 +163,14 @@ def mine_pandas(
                         emitted.add(g)
                         out_group.append(g)
                         out_ranks.append(ranks[: idx + 1])
-            yield pd.DataFrame({"group": out_group, "ranks": out_ranks})
+            # Explicit dtypes: an empty batch would otherwise default to
+            # float64 columns, which Arrow cannot convert to int/array.
+            yield pd.DataFrame(
+                {
+                    "group": pd.Series(out_group, dtype="int32"),
+                    "ranks": pd.Series(out_ranks, dtype="object"),
+                }
+            )
 
     cond = items_df.mapInPandas(gen_cond, "group int, ranks array<int>")
 
@@ -184,8 +191,10 @@ def mine_pandas(
         _mine_tree(header, (), min_count, lambda r: group_of[r] == group, patterns)
         return pd.DataFrame(
             {
-                "items": [[decode[r] for r in pat] for pat, _ in patterns],
-                "freq": [supp for _, supp in patterns],
+                "items": pd.Series(
+                    [[decode[r] for r in pat] for pat, _ in patterns], dtype="object"
+                ),
+                "freq": pd.Series([supp for _, supp in patterns], dtype="int64"),
             }
         )
 
