@@ -146,6 +146,31 @@ def ngram_jaccard_pairs(
     return out
 
 
+def deduped_corpus(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """The consumable pipeline output: documents surviving BOTH exact
+    dedup (keep smallest doc_id per identical text) and near-dup removal
+    (greedy: for every minhash-LSH pair a<b with jaccard ≥ threshold,
+    drop b). Greedy-by-id is the standard cheap policy — one pass, no
+    connected-components iteration; survivors are deterministic."""
+    keep_exact = (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = (
+        minhash_lsh_pairs(docs, text_col, threshold=threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.join(keep_exact, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

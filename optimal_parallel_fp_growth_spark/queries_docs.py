@@ -67,6 +67,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
 
+def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.deduped_corpus(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 
@@ -220,6 +226,16 @@ SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
 FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 6
 """
 
+ORACLE_DEDUPED_CORPUS = f"""
+WITH keep_exact AS (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY sha256(text)),
+near_drop AS (SELECT DISTINCT doc_b FROM ({ORACLE_MINHASH_LSH}))
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN keep_exact USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_b FROM near_drop)
+"""
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -229,9 +245,11 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "deduped_corpus": q_deduped_corpus,
 }
 
 DOC_ORACLES: dict[str, str] = {
+    "deduped_corpus": ORACLE_DEDUPED_CORPUS,
     "text_stats": ORACLE_TEXT_STATS,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
