@@ -65,6 +65,45 @@ def rolling_stats(events: DataFrame, frame: int = 3) -> DataFrame:
     )
 
 
+INTERVAL_BUCKET_SEC = 3600
+
+
+def interval_join_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Range/interval join — assign every event to the session interval
+    containing it. Spark has no native range-join optimization, and the
+    naive theta join (ts BETWEEN start AND end) degenerates to a per-key
+    cross product; this is the standard bucketized rewrite:
+
+    1. explode each session interval into the hour buckets it covers,
+    2. equi-join events on (user_id, hour bucket) — co-partitioned,
+       shuffle bounded by intervals × covered-buckets, and
+    3. filter exact containment.
+
+    Sessions are maximal gap-separated intervals, so each event lands in
+    exactly one. → (event_id, user_id, ts_epoch, session_idx)."""
+    sessions = sessionize(events, gap_minutes).select(
+        "user_id", "session_idx", "start_epoch", "end_epoch"
+    )
+    b = INTERVAL_BUCKET_SEC
+    s_buckets = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("start_epoch") / b).cast("long"),
+                (F.col("end_epoch") / b).cast("long"),
+            )
+        ),
+    )
+    ev = events.select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_epoch")
+    ).withColumn("bucket", (F.col("ts_epoch") / b).cast("long"))
+    return (
+        ev.join(s_buckets, ["user_id", "bucket"])
+        .where(F.col("ts_epoch").between(F.col("start_epoch"), F.col("end_epoch")))
+        .select("event_id", "user_id", "ts_epoch", "session_idx")
+    )
+
+
 def daily_rollup(events: DataFrame) -> DataFrame:
     """ROLLUP (day, event_type): per-cell, per-day, and grand totals,
     with explicit grouping flags so null cells are unambiguous."""

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from optimal_parallel_fp_growth_spark.operators.sessions import (
     daily_rollup,
+    interval_join_sessions,
     rolling_stats,
     sessionize,
 )
@@ -40,6 +41,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimal_parallel_fp_growth_spark.operators.asof import asof_join_last_event
 
     return asof_join_last_event(load_table(spark, sf_dir, "events"), "purchase")
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_join_sessions(load_table(spark, sf_dir, "events"), GAP_MINUTES)
 
 
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,15 +128,26 @@ SELECT ({_EPOCH} // 21600) * 21600 AS window_start_epoch,
 FROM events GROUP BY 1, 2
 """
 
+ORACLE_INTERVAL_JOIN = f"""
+WITH sess AS ({ORACLE_SESSIONIZE})
+SELECT e.event_id, e.user_id, {_EPOCH.replace('ts', 'e.ts')} AS ts_epoch,
+       s.session_idx
+FROM events e JOIN sess s
+  ON e.user_id = s.user_id
+ AND {_EPOCH.replace('ts', 'e.ts')} BETWEEN s.start_epoch AND s.end_epoch
+"""
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_sessionize,
     "events_rolling": q_rolling_stats,
     "events_daily_rollup": q_daily_rollup,
     "events_asof_join": q_asof_join,
     "events_windowed_counts": q_windowed_counts,
+    "events_interval_join": q_interval_join,
 }
 
 EVENT_ORACLES: dict[str, str] = {
+    "events_interval_join": ORACLE_INTERVAL_JOIN,
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_rolling": ORACLE_ROLLING,
     "events_daily_rollup": ORACLE_DAILY_ROLLUP,
