@@ -1,0 +1,87 @@
+"""Command-line entry points — parity with the reference's four mains
+(``epfp/EPFP.scala:11-39``, ``pfp/PFP.scala:11-42``, ``fp/FP.scala:13-41``,
+``apriori/Apriori.scala:20-48``): read a text file of space-separated
+baskets, mine, print timing + rules to stdout.
+
+    python -m optimal_parallel_fp_growth_spark.cli mine train.txt \
+        --min-support 0.3 --min-confidence 0.8 [--kernel mllib|pandas] \
+        [--num-partitions N] [--no-balanced]
+    python -m optimal_parallel_fp_growth_spark.cli transform train.txt test.txt \
+        --min-support 0.3 --min-confidence 0.8
+
+``--kernel pandas --num-partitions 1`` reproduces the FP (single-group)
+baseline; ``--no-balanced`` gives PFP hash grouping; default balanced
+grouping is EPFP. Rule lines use the reference's printRule format
+(``epfp/EPFP.scala:41-51``): ``{antecedent} => {consequent}: confidence``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _print_rules(rules_df) -> None:
+    for r in rules_df.collect():
+        ante = ",".join(r.antecedent)
+        cons = ",".join(r.consequent)
+        print(f"{{{ante}}} => {{{cons}}}: {r.confidence}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth
+    from optimal_parallel_fp_growth_spark.session import get_session
+    from optimal_parallel_fp_growth_spark.sources.text import read_baskets_text
+
+    p = argparse.ArgumentParser(prog="optimal_parallel_fp_growth_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("mine", "transform"):
+        s = sub.add_parser(name)
+        s.add_argument("train")
+        if name == "transform":
+            s.add_argument("test")
+        s.add_argument("--min-support", type=float, default=0.3)
+        s.add_argument("--min-confidence", type=float, default=0.8)
+        s.add_argument("--num-partitions", type=int, default=None)
+        s.add_argument("--kernel", choices=("mllib", "pandas"), default="mllib")
+        s.add_argument("--no-balanced", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_session("opfpg-cli")
+    try:
+        train = read_baskets_text(spark, args.train)
+        est = FPGrowth(
+            min_support=args.min_support,
+            min_confidence=args.min_confidence,
+            num_partitions=args.num_partitions,
+            kernel=args.kernel,
+            balanced=not args.no_balanced,
+        )
+        t0 = time.perf_counter()
+        model = est.fit(train)
+        # reference's timing harness prints fit wall-time (EPFP.scala:31-35)
+        print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
+
+        if args.cmd == "mine":
+            _print_rules(model.association_rules(args.min_confidence))
+        else:
+            test = read_baskets_text(spark, args.test)
+            out = model.transform(
+                test, min_confidence=args.min_confidence, keep_array=False
+            )
+            for r in out.collect():
+                print(f"{' '.join(r.items)} -> {r.prediction}")
+        return 0
+    finally:
+        # getOrCreate may have handed us a caller-owned session (tests,
+        # notebooks) — only stop what we created.
+        if not pre_existing:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
