@@ -115,11 +115,16 @@ def mine_pandas(
     num_partitions: int | None = None,
     balanced: bool = True,
 ) -> DataFrame:
-    """items_df: single ``items: array<string>`` column, nulls dropped.
-    → (items: array<string>, freq: long), uncanonicalized order."""
+    """items_df: single ``items`` array column (string/int/long elements),
+    nulls dropped. → (items: array<input element type>, freq: long),
+    uncanonicalized order."""
     spark = items_df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    # Item type is generic like the reference's `Item: ClassTag`
+    # (epfp/FPGrowthCore.scala:49) — inherit it from the input schema.
+    item_dt = items_df.schema["items"].dataType.elementType.simpleString()
+    out_schema = f"items array<{item_dt}>, freq long"
 
     # stage 1 — frequent items, rank dictionary (freq desc, item asc)
     freq_rows = (
@@ -131,7 +136,7 @@ def mine_pandas(
         .collect()
     )
     if not freq_rows:
-        return spark.createDataFrame([], "items array<string>, freq long")
+        return spark.createDataFrame([], out_schema)
     rank_to_item = [r["item"] for r in freq_rows]
     num_groups = max(1, min(num_partitions, len(rank_to_item)))
     assign = (
@@ -198,6 +203,4 @@ def mine_pandas(
             }
         )
 
-    return cond_agg.groupBy("group").applyInPandas(
-        mine_group, "items array<string>, freq long"
-    )
+    return cond_agg.groupBy("group").applyInPandas(mine_group, out_schema)

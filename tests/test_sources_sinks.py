@@ -53,13 +53,17 @@ def test_csv_json_roundtrip(spark, sf_small, tmp_path):
 
 def test_mining_accepts_int_items(spark):
     """SURVEY §1.2: the reference core is generic over the item type;
-    our kernel must accept array<int>/array<long> too."""
+    both kernels must accept array<int>/array<long> too."""
     rows = [([1, 2, 5],), ([2, 4],), ([2, 3],), ([1, 3],), ([4, 2, 5, 1],)]
     tx = spark.createDataFrame(rows, "items array<int>")
-    model = FPGrowth(min_support=0.4, min_confidence=0.5).fit(tx)
-    fis = {(tuple(r["items"]), r["freq"]) for r in model.freq_itemsets.collect()}
-    assert ((2,), 4) in fis and ((1, 2), 2) in fis
-    rules = model.association_rules(0.5)
-    assert rules.where(F.col("lift").isNotNull()).count() > 0
-    items_type = dict(model.freq_itemsets.dtypes)["items"]
-    assert items_type == "array<int>"
+    results = {}
+    for kernel in ("mllib", "pandas"):
+        model = FPGrowth(min_support=0.4, min_confidence=0.5, kernel=kernel).fit(tx)
+        fis = {(tuple(r["items"]), r["freq"]) for r in model.freq_itemsets.collect()}
+        assert ((2,), 4) in fis and ((1, 2), 2) in fis
+        assert dict(model.freq_itemsets.dtypes)["items"] == "array<int>"
+        results[kernel] = fis
+        if kernel == "mllib":
+            rules = model.association_rules(0.5)
+            assert rules.where(F.col("lift").isNotNull()).count() > 0
+    assert results["mllib"] == results["pandas"]
