@@ -113,3 +113,50 @@ def transform_with_rules(
     else:
         out = out.drop("__pred_items")
     return out
+
+
+def transform_with_rules_udf(
+    dataset: DataFrame,
+    rules: DataFrame,
+    items_col: str = "items",
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """SURVEY §2.4 Option A — the reference's LITERAL physical shape
+    (``epfp/FPGrowth.scala:124-148``): collect the rules to the driver,
+    ``sc.broadcast`` them, apply per row in a (vectorized) UDF. Kept as
+    the measured alternative to the declarative path above and as parity
+    evidence; same total order (lift desc, consequent asc), same
+    null/empty semantics. Prefer ``transform_with_rules`` in pipelines —
+    it stays JVM-side and dedupes work per distinct basket."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    collected = [
+        (tuple(r.antecedent), r.consequent[0], float("-inf") if r.lift is None else r.lift)
+        for r in rules.select("antecedent", "consequent", "lift").collect()
+    ]
+    collected.sort(key=lambda t: (-t[2], t[1]))
+    bc = dataset.sparkSession.sparkContext.broadcast(collected)
+
+    def predict(items):
+        rs = bc.value
+
+        def one(basket):
+            if basket is None:
+                return None
+            s = set(basket)
+            out, seen = [], set()
+            for ante, cons, _ in rs:
+                if cons not in s and cons not in seen and s.issuperset(ante):
+                    seen.add(cons)
+                    out.append(cons)
+            return ", ".join(out)
+
+        return items.apply(one)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve — attach real type objects instead.
+    predict.__annotations__ = {"items": pd.Series, "return": pd.Series}
+    predict = pandas_udf(predict, "string")
+
+    return dataset.withColumn(prediction_col, predict(F.col(items_col)))
