@@ -65,6 +65,31 @@ def rolling_stats(events: DataFrame, frame: int = 3) -> DataFrame:
     )
 
 
+def hourly_cube(events: DataFrame) -> DataFrame:
+    """CUBE (hour-of-day, event_type): all four grouping combinations —
+    the full grouping-sets surface (rollup covers the hierarchy case)."""
+    return (
+        events.select(
+            F.hour("ts").alias("hour"), "event_type", "value"
+        )
+        .cube("hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+        )
+        .select(
+            F.coalesce("hour", F.lit(-1)).alias("hour"),
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            "n_events",
+            "avg_value",
+            "g_hour",
+            "g_type",
+        )
+    )
+
+
 INTERVAL_BUCKET_SEC = 3600
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from optimal_parallel_fp_growth_spark.operators.sessions import (
     daily_rollup,
+    hourly_cube,
     interval_join_sessions,
     rolling_stats,
     sessionize,
@@ -41,6 +42,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimal_parallel_fp_growth_spark.operators.asof import asof_join_last_event
 
     return asof_join_last_event(load_table(spark, sf_dir, "events"), "purchase")
+
+
+def q_hourly_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_cube(load_table(spark, sf_dir, "events"))
 
 
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,10 +149,23 @@ EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_asof_join,
     "events_windowed_counts": q_windowed_counts,
     "events_interval_join": q_interval_join,
+    "events_hourly_cube": q_hourly_cube,
 }
+
+ORACLE_HOURLY_CUBE = """
+SELECT coalesce(hour, -1) AS hour,
+       coalesce(event_type, '(all)') AS event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       grouping(hour)::INT AS g_hour,
+       grouping(event_type)::INT AS g_type
+FROM (SELECT extract(hour FROM ts)::INT AS hour, event_type, value FROM events)
+GROUP BY CUBE (hour, event_type)
+"""
 
 EVENT_ORACLES: dict[str, str] = {
     "events_interval_join": ORACLE_INTERVAL_JOIN,
+    "events_hourly_cube": ORACLE_HOURLY_CUBE,
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_rolling": ORACLE_ROLLING,
     "events_daily_rollup": ORACLE_DAILY_ROLLUP,
