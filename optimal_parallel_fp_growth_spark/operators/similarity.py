@@ -153,6 +153,79 @@ def _sign_bucket(vec: Column, bits: int = ANN_BITS) -> Column:
     return b
 
 
+IVF_CELLS = 16
+IVF_PROBE = 2
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flavored ANN: corpus partitioned into coarse cells by nearest
+    centroid, queries probe their ``n_probe`` closest cells, exact
+    cosine rank inside the probed cells. → (query_id, vec_id, cosine, rn).
+
+    Centroids are SEEDED deterministically (the first ``n_cells``
+    vectors by id) instead of k-means-trained — the inverted-file
+    structure, assignment, and probing are the real thing; swapping in
+    trained centroids changes recall, not the dataflow. Cell ids and
+    probe order use rounded cosine with centroid-id tiebreak so the
+    DuckDB oracle reproduces the index bit-for-bit."""
+    prepared = _prepared(emb, id_col, vec_col)
+    cent_rows = (
+        prepared.orderBy("vec_id").limit(n_cells).collect()
+    )  # tiny: n_cells × dim
+    cents = [(int(r.vec_id), list(r.v), float(r.norm2)) for r in cent_rows]
+
+    def cos_to(cid: int, cv: list[float], cn: float) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(x) for x in cv]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(dot / F.sqrt(F.col("norm2") * F.lit(cn)), 6)
+
+    scored_cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-cos_to(cid, cv, cn)).alias("neg_cos"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv, cn in cents
+            ]
+        )
+    )
+    corpus = prepared.withColumn("cell", scored_cells[0]["cid"])
+    q = (
+        _prepared(queries, id_col, vec_col)
+        .withColumn("__cells", scored_cells)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm2").alias("qnorm2"),
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__cells"), 1, n_probe), lambda s: s["cid"]
+                )
+            ).alias("cell"),
+        )
+    )
+    cand = corpus.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    return _score_topk(cand, k)
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -16,9 +16,12 @@ from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.operators.similarity import (
     ANN_BITS,
+    IVF_CELLS,
+    IVF_PROBE,
     ann_topk,
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_topk,
 )
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
@@ -40,6 +43,11 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, queries = _emb_and_queries(spark, sf_dir)
     return ann_topk(emb, queries, k=TOP_K)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    return ivf_topk(emb, queries, k=TOP_K)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,14 +117,42 @@ SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
 """
 )
 
+ORACLE_KNN_IVF = (
+    _PREP_CTE
+    + f""",
+c AS (SELECT vec_id AS cid, v AS cv, norm2 AS cn FROM p
+      ORDER BY vec_id LIMIT {IVF_CELLS}),
+cellscore AS (SELECT p.vec_id, p.v, p.norm2, c.cid,
+                     round(list_dot_product(p.v, c.cv)
+                           / sqrt(p.norm2 * c.cn), 6) AS ccos
+              FROM p CROSS JOIN c),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY ccos DESC, cid ASC) AS cr
+           FROM cellscore),
+corpus AS (SELECT vec_id, v, norm2, cid AS cell FROM ranked WHERE cr = 1),
+qprobe AS (SELECT vec_id AS query_id, v AS qv, norm2 AS qnorm2, cid AS cell
+           FROM ranked WHERE cr <= {IVF_PROBE} AND vec_id % {QUERY_STRIDE} = 0),
+scored AS (SELECT query_id, c2.vec_id,
+                  round(list_dot_product(qv, c2.v) / sqrt(qnorm2 * c2.norm2), 6) AS cosine
+           FROM qprobe JOIN corpus c2 USING (cell)
+           WHERE query_id <> c2.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM scored)
+SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= {TOP_K}
+"""
+)
+
 VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "knn_ann": q_knn_ann,
+    "knn_ivf": q_knn_ivf,
     "embedding_neardup": q_embedding_neardup,
 }
 
 VEC_ORACLES: dict[str, str] = {
     "knn_cosine": ORACLE_KNN_COSINE,
     "knn_ann": ORACLE_KNN_ANN,
+    "knn_ivf": ORACLE_KNN_IVF,
     "embedding_neardup": ORACLE_NEARDUP,
 }

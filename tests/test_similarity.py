@@ -43,6 +43,16 @@ def test_ann_recall_floor(exact_and_ann):
     assert recall >= 0.15, f"ANN recall@{TOP_K} collapsed: {recall:.3f}"
 
 
+def test_ivf_recall_floor(spark, sf_oracle, exact_and_ann):
+    from optimal_parallel_fp_growth_spark.queries_vectors import q_knn_ivf
+
+    exact, _ = exact_and_ann
+    e = {(r.query_id, r.vec_id) for r in exact}
+    ivf = {(r.query_id, r.vec_id) for r in q_knn_ivf(spark, sf_oracle).collect()}
+    recall = len(e & ivf) / len(e)
+    assert recall >= 0.15, f"IVF recall@{TOP_K} collapsed: {recall:.3f}"
+
+
 def test_arrow_scorer_matches_expression_scorer(spark, sf_oracle):
     from pyspark.sql import functions as F
 
