@@ -52,6 +52,26 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join_sessions(load_table(spark, sf_dir, "events"), GAP_MINUTES)
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions (SURVEY §2.6 '(absent)'): parse events.props
+    with a schema-d from_json, aggregate the extracted field."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum((F.col("k") % 2 == 0).cast("long")).alias("n_even"),
+        )
+    )
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6h event-time windows — the batch twin of
     streaming.events.windowed_counts (same plan shape, same results;
@@ -150,7 +170,19 @@ EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_counts": q_windowed_counts,
     "events_interval_join": q_interval_join,
     "events_hourly_cube": q_hourly_cube,
+    "events_json_props": q_json_props_stats,
 }
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(k), 6) AS avg_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_even
+FROM (SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events)
+GROUP BY 1
+"""
 
 ORACLE_HOURLY_CUBE = """
 SELECT coalesce(hour, -1) AS hour,
@@ -166,6 +198,7 @@ GROUP BY CUBE (hour, event_type)
 EVENT_ORACLES: dict[str, str] = {
     "events_interval_join": ORACLE_INTERVAL_JOIN,
     "events_hourly_cube": ORACLE_HOURLY_CUBE,
+    "events_json_props": ORACLE_JSON_PROPS,
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_rolling": ORACLE_ROLLING,
     "events_daily_rollup": ORACLE_DAILY_ROLLUP,
