@@ -183,8 +183,19 @@ def mine_pandas(
     # happens map-side, so the shuffle carries combined rows)
     cond_agg = cond.groupBy("group", "ranks").agg(F.count("*").alias("cnt"))
 
+    # One group's conditional DB must fit a Python worker's heap; fail
+    # loudly with actionable advice instead of OOMing the executor.
+    max_group_rows = 5_000_000
+
     # stage 4 — per-group tree build + extraction + rank decode
     def mine_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_rows:
+            raise RuntimeError(
+                f"mining group {int(pdf['group'].iloc[0])} has {len(pdf)} "
+                f"distinct conditional transactions (> {max_group_rows}); "
+                "raise num_partitions (more, smaller groups), raise "
+                "min_support, or use kernel='mllib' for this scale"
+            )
         group = int(pdf["group"].iloc[0])
         group_of = bc_assign.value
         decode = bc_rank_to_item.value
