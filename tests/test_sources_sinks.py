@@ -51,6 +51,14 @@ def test_csv_json_roundtrip(spark, sf_small, tmp_path):
     assert sorted(got.columns) == sorted(nation.columns)
 
 
+def test_orc_roundtrip(spark, sf_small, tmp_path):
+    nation = load_table(spark, sf_small, "nation")
+    out = str(tmp_path / "n_orc")
+    nation.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
 def test_mining_accepts_int_items(spark):
     """SURVEY §1.2: the reference core is generic over the item type;
     both kernels must accept array<int>/array<long> too."""
