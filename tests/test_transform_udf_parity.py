@@ -33,3 +33,24 @@ def test_udf_and_join_transform_agree_on_events(spark, sf_small):
     a = _preds(transform_with_rules(tx, rules, keep_array=False), keys)
     b = _preds(transform_with_rules_udf(tx, rules), keys)
     assert a == b and len(a) > 0
+
+
+def test_direct_and_dedupe_transform_agree(spark, fpm_train, fpm_test, sf_small):
+    model = FPGrowth(min_support=0.4, min_confidence=0.5).fit(fpm_train)
+    rules = model.association_rules(0.5)
+    a = _preds(transform_with_rules(fpm_test, rules, keep_array=False), ["tid"])
+    b = _preds(
+        transform_with_rules(fpm_test, rules, keep_array=False, dedupe_baskets=False),
+        ["tid"],
+    )
+    assert a == b
+
+    tx = transactions_from_events(spark, sf_small)
+    m2 = FPGrowth(min_support=0.03, min_confidence=0.2).fit(tx)
+    r2 = m2.association_rules(0.2)
+    keys = ["user_id", "day"]
+    c = _preds(transform_with_rules(tx, r2, keep_array=False), keys)
+    d = _preds(
+        transform_with_rules(tx, r2, keep_array=False, dedupe_baskets=False), keys
+    )
+    assert c == d and len(c) > 0
