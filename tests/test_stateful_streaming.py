@@ -39,6 +39,46 @@ def _multi_batch_stream(spark, sf_small, tmp_path, n_parts: int):
     return st.withColumn("ts", F_.timestamp_micros(F_.expr("`ts` div 1000")))
 
 
+def test_checkpoint_restart_is_exactly_once(spark, sf_small, tmp_path):
+    """File sink + checkpoint: stop after the first micro-batch, restart,
+    feed more files — every input row lands in the sink exactly once."""
+    import time as _time
+
+    from pyspark.sql import functions as F_
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1 = raw.where(F_.col("event_id") % 2 == 0)
+    half2 = raw.where(F_.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        st = spark.readStream.schema(raw.schema).parquet(str(src))
+        q = (
+            st.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # processes half1, then stops (availableNow)
+    _time.sleep(0.05)
+    half2.coalesce(1).write.mode("append").parquet(str(src))
+    run_once()  # restart from checkpoint: must process ONLY half2
+
+    got = spark.read.parquet(sink)
+    assert got.count() == raw.count()  # no loss, no duplicates
+    assert got.select("event_id").distinct().count() == raw.count()
+
+
 def test_first_seen_dedup_matches_batch(spark, sf_small, tmp_path):
     st = first_seen_dedup(_multi_batch_stream(spark, sf_small, tmp_path, 4))
     run_to_memory(st, "first_seen", output_mode="update")
