@@ -1,0 +1,107 @@
+"""Deterministic sampling operators for training-data pipelines
+(no reference counterpart; driver north star — corpus splitting and
+source mixing are the last mile of every LLM data pipeline).
+
+Both operators decide per-row from an md5-derived bucket of the row's
+id, so they are:
+
+- deterministic & reproducible — same input row → same decision on any
+  cluster, any partitioning, any Spark version (no RNG, no
+  ``rand()``-is-recomputed-per-retry hazard: a failed task's retry gets
+  identical decisions, which ``F.rand`` does NOT guarantee under
+  speculative execution);
+- oracle-checkable — DuckDB reproduces md5 bit-for-bit;
+- independent of each other — every operator salts the hash with a
+  purpose string, otherwise "test split" and "kept by mixing" would be
+  correlated events (a 0.5 mixing rate would annihilate a top-bucket
+  test split entirely).
+
+Scale: pure codegen'd projections/filters over the scan — no shuffle,
+no UDF, predicate pushes down to parquet row-group pruning where the
+id column is sorted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS): first 8 hex digits of
+    md5(salt || ':' || id) as an integer, mod BUCKETS."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
+
+
+def corpus_split(
+    docs: DataFrame,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given weights
+    (must sum to 1). → input columns + ``split``. Boundaries are
+    cumulative-weight bucket thresholds, so a (0.9, 0.05, 0.05) split is
+    exact to 1/BUCKETS granularity and stable under corpus growth: a
+    row's split never changes when other rows are added or removed."""
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for _, w in weights):
+        raise ValueError("split weights must be non-negative")
+    bucket = hash_bucket(id_col, salt)
+    expr = None
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w
+        bound = int(round(cum * BUCKETS))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", split)
+
+
+def mix_sources(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source downsampling (corpus mixing): keep a row
+    iff its hash bucket < rate(source)·BUCKETS. Sources absent from
+    ``rates`` keep ``default_rate``. → input rows that survive.
+
+    The rates table rides a broadcast join (it is a handful of rows even
+    at 100 TB — one per source), so the plan is scan → broadcast hash
+    join → codegen'd filter: zero shuffles of the fact table."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    spark = docs.sparkSession
+    rates_df = spark.createDataFrame(
+        [(s, int(round(r * BUCKETS))) for s, r in sorted(rates.items())],
+        f"{source_col} string, keep_below int",
+    )
+    default_below = int(round(default_rate * BUCKETS))
+    keep = hash_bucket(id_col, salt) < F.coalesce(
+        F.col("keep_below"), F.lit(default_below)
+    )
+    return (
+        docs.join(F.broadcast(rates_df), source_col, "left")
+        .where(keep)
+        .select(*docs.columns)
+    )

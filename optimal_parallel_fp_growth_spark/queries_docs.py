@@ -19,8 +19,16 @@ from optimal_parallel_fp_growth_spark.functions.text import (
     LANG_MARKERS,
     TOKEN_REGEX,
 )
-from optimal_parallel_fp_growth_spark.operators import dedup, textops
+from optimal_parallel_fp_growth_spark.operators import dedup, sampling, textops
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+# Shared by the Spark query and its oracle (lock-step by construction).
+SPLIT_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("train", 0.9),
+    ("val", 0.05),
+    ("test", 0.05),
+)
+MIX_RATES: dict[str, float] = {"src0": 0.5, "src3": 0.25, "src7": 0.0}
 
 
 def _sql_list(words: tuple[str, ...]) -> str:
@@ -71,6 +79,24 @@ def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.deduped_corpus(
         load_table(spark, sf_dir, "documents"), threshold=0.2
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.corpus_split(
+        load_table(spark, sf_dir, "documents"), SPLIT_WEIGHTS
+    ).select("doc_id", "split")
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.mix_sources(
+        load_table(spark, sf_dir, "documents"), MIX_RATES
+    ).select("doc_id", "source")
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +262,52 @@ JOIN keep_exact USING (doc_id)
 WHERE d.doc_id NOT IN (SELECT doc_b FROM near_drop)
 """
 
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({ORACLE_MINHASH_LSH})),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+minr AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+SELECT d.doc_id, least(d.doc_id, coalesce(minr.mv, d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN minr ON minr.u = d.doc_id
+"""
+
+
+def _split_case_sql() -> str:
+    clauses, cum = [], 0.0
+    for name, w in SPLIT_WEIGHTS[:-1]:
+        cum += w
+        clauses.append(f"WHEN b < {int(round(cum * sampling.BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{SPLIT_WEIGHTS[-1][0]}' END"
+
+
+ORACLE_CORPUS_SPLIT = f"""
+WITH b AS (SELECT doc_id,
+                  ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  % {sampling.BUCKETS} AS b
+           FROM documents)
+SELECT doc_id, {_split_case_sql()} AS split FROM b
+"""
+
+_RATE_VALUES = ", ".join(
+    f"('{s}', {int(round(r * sampling.BUCKETS))})"
+    for s, r in sorted(MIX_RATES.items())
+)
+
+ORACLE_MIX_SOURCES = f"""
+WITH rates(source, keep_below) AS (VALUES {_RATE_VALUES})
+SELECT d.doc_id, d.source
+FROM documents d LEFT JOIN rates r USING (source)
+WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+      % {sampling.BUCKETS} < coalesce(r.keep_below, {int(round(1.0 * sampling.BUCKETS))})
+"""
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -246,6 +318,9 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "deduped_corpus": q_deduped_corpus,
+    "dedup_clusters": q_dedup_clusters,
+    "corpus_split": q_corpus_split,
+    "mix_sources": q_mix_sources,
 }
 
 DOC_ORACLES: dict[str, str] = {
@@ -258,4 +333,7 @@ DOC_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "corpus_split": ORACLE_CORPUS_SPLIT,
+    "mix_sources": ORACLE_MIX_SOURCES,
 }

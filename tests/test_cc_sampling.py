@@ -1,0 +1,191 @@
+"""Connected-components clustering + deterministic sampling operators.
+
+CC is checked against hand-computed components and a Python union-find
+over the same minhash pairs (differential, like the mining core tests);
+sampling is checked for determinism, exactness of the bucket rule, and
+independence between salts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
+    minhash_lsh_pairs,
+)
+from optimal_parallel_fp_growth_spark.operators.sampling import (
+    BUCKETS,
+    corpus_split,
+    mix_sources,
+)
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# connected components
+
+
+def test_cc_hand_graph(spark):
+    # chain 1-2-3, separate pair 10-11, triangle 20-21-22 (+ redundant edge)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["u"], r["component"]) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_cc_long_chain_converges(spark):
+    # a 12-node path is the worst case for min-label propagation:
+    # the label must walk the full diameter.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(edges).collect()
+    assert {r["component"] for r in labels} == {0}
+    assert len(labels) == 12
+
+
+def test_cc_max_iterations_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    ]
+    assert pairs, "fixture should contain near-dup pairs"
+    expected = _union_find(pairs)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, threshold=0.2).collect()
+    }
+    assert len(got) == docs.count()
+    for doc_id, cluster in got.items():
+        assert cluster == expected.get(doc_id, doc_id)
+    # one survivor per cluster: survivors are exactly the label values
+    survivors = {d for d, c in got.items() if d == c}
+    assert survivors == set(got.values())
+
+
+# ---------------------------------------------------------------------------
+# sampling
+
+
+def test_corpus_split_total_and_deterministic(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out1 = corpus_split(docs).select("doc_id", "split").collect()
+    out2 = corpus_split(docs).select("doc_id", "split").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_split = {}
+    for r in out1:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    # every doc in exactly one split; train dominates at 0.9 weight
+    assert sum(len(v) for v in by_split.values()) == docs.count()
+    assert len(by_split["train"]) > len(by_split.get("val", set()))
+    assert len(by_split["train"]) > len(by_split.get("test", set()))
+
+
+def test_corpus_split_stable_under_corpus_growth(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    full = {
+        r["doc_id"]: r["split"]
+        for r in corpus_split(docs).select("doc_id", "split").collect()
+    }
+    half = {
+        r["doc_id"]: r["split"]
+        for r in corpus_split(docs.where(F.col("doc_id") % 2 == 0))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert half == {d: s for d, s in full.items() if d % 2 == 0}
+
+
+def test_corpus_split_validates_weights(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="sum to 1"):
+        corpus_split(docs, (("a", 0.5), ("b", 0.1)))
+    with pytest.raises(ValueError, match="non-negative"):
+        corpus_split(docs, (("a", 1.5), ("b", -0.5)))
+
+
+def test_mix_sources_rates_and_zero(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = {"src0": 0.5, "src1": 0.0}
+    kept = mix_sources(docs, rates)
+    assert kept.columns == docs.columns
+    per_source = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "src1" not in per_source  # rate 0 drops everything
+    assert 0 < per_source["src0"] < totals["src0"]  # strictly downsampled
+    # unlisted sources keep default_rate=1.0
+    for s, n in totals.items():
+        if s not in rates:
+            assert per_source[s] == n
+
+
+def test_mix_and_split_salts_independent(spark):
+    # With the same salt, "kept at rate 0.5" and bucket-based splits
+    # would be correlated; distinct salts must give ~independent picks.
+    docs = load_table(spark, SF_DIR, "documents")
+    split = corpus_split(docs, (("lo", 0.5), ("hi", 0.5)))
+    kept = set(
+        r["doc_id"] for r in mix_sources(docs, {}, default_rate=0.5)
+        .select("doc_id").collect()
+    )
+    lo = set(
+        r["doc_id"] for r in split.where(F.col("split") == "lo")
+        .select("doc_id").collect()
+    )
+    n = docs.count()
+    overlap = len(kept & lo)
+    # independent halves overlap in ~n/4; same-salt would give n/2 or 0.
+    assert 0.10 * n < overlap < 0.40 * n
+
+
+def test_mix_sources_validates_rates(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="must be in"):
+        mix_sources(docs, {"src0": 1.5})
+    with pytest.raises(ValueError, match="default_rate"):
+        mix_sources(docs, {}, default_rate=-0.1)
