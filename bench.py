@@ -111,6 +111,9 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_clusters",
+        "corpus_split",
+        "mix_sources",
         "knn_cosine",
         "events_sessionize",
         "events_asof_join",

@@ -212,23 +212,17 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
-            )
-            .localCheckpoint()
+        # One materialization per round: the convergence test and the next
+        # round's labels both read this checkpoint (keeping the old
+        # new-vs-old join would cost a second shuffle job per round).
+        joined = labels.join(nbr_min, "u", "left").localCheckpoint()
+        changed = joined.where(F.col("nbr_min") < F.col("component")).count()
+        labels = joined.select(
+            "u",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("component"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
         if changed == 0:
             break
     else:
