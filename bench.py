@@ -103,6 +103,7 @@ def main() -> None:
     # ---- headline analytic queries --------------------------------------
     for qname in (
         "freq_items",
+        "freq_itemsets_docs",
         "revenue_by_nation",
         "top_orders",
         "pricing_summary",

@@ -119,6 +119,23 @@ def q_freq_itemsets_pfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_MIN_SUPPORT = 0.6
+
+
+def q_freq_itemsets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped corpus mining: the reference's mains tokenize a
+    text corpus into word baskets and fit (epfp/EPFP.scala:23-27); same
+    pipeline over documents.text. At minSupport=0.6 the testdata lattice
+    terminates naturally at k=2 (no frequent triple), so the output is
+    the COMPLETE itemset family while the oracle enumerates k ≤ 3 to
+    catch any boundary drift."""
+    tx = transactions_from_documents(spark, sf_dir)
+    model = FPGrowth(min_support=DOCS_MIN_SUPPORT).fit(tx)
+    return model.freq_itemsets.select(
+        F.array_join("items", "|").alias("itemset"), "freq"
+    )
+
+
 def q_apriori_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apriori 1⇒1 rules with the reference's floor threshold and
     confidence/rawCount quirk metric (apriori/Apriori.scala:73,125)."""
@@ -208,7 +225,24 @@ rules AS (SELECT j.ante, j.cons,
           WHERE j.freq_union::DOUBLE / j.freq_antecedent >= {EVENTS_MIN_CONFIDENCE})
 """
 
+_DOCS_FIS_SQL = f"""
+WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+           FROM documents),
+n AS (SELECT count(*) AS n FROM t),
+p AS (SELECT doc_id, unnest(toks) AS item FROM t),
+k1 AS (SELECT [item] AS items, count(*) AS freq FROM p GROUP BY 1),
+k2 AS (SELECT [a.item, b.item] AS items, count(*) AS freq
+       FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.item < b.item GROUP BY 1),
+k3 AS (SELECT [a.item, b.item, c.item] AS items, count(*) AS freq
+       FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.item < b.item
+                 JOIN p c ON b.doc_id = c.doc_id AND b.item < c.item GROUP BY 1)
+SELECT array_to_string(items, '|') AS itemset, freq
+FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
+WHERE freq >= CEIL({DOCS_MIN_SUPPORT} * (SELECT n FROM n))
+"""
+
 ORACLES: dict[str, str] = {
+    "freq_itemsets_docs": _DOCS_FIS_SQL,
     "count_rows": "SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_orderkey FROM lineitem)",
     "freq_items": f"""
 WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
@@ -314,6 +348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_count": q_word_count,
     "freq_itemsets": q_freq_itemsets,
     "freq_itemsets_pfp": q_freq_itemsets_pfp,
+    "freq_itemsets_docs": q_freq_itemsets_docs,
     "assoc_rules": q_assoc_rules,
     "transform": q_transform,
     "apriori_rules": q_apriori_rules,

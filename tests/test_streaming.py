@@ -32,3 +32,31 @@ def test_session_window_counts_match_batch_sessionize(spark, sf_small):
     got_set = {(r.user_id, r.start_epoch, r.n_events) for r in got.collect()}
     want_set = {(r.user_id, r.start_epoch, r.n_events) for r in batch.collect()}
     assert got_set == want_set and len(want_set) > 0
+
+
+def test_sampling_ops_are_streaming_compatible(spark, sf_small):
+    # The sampling operators are stateless projections/filters plus a
+    # stream-static broadcast join (rates dim), so the same code path
+    # must run unchanged under Structured Streaming in append mode.
+    from optimal_parallel_fp_growth_spark.operators.sampling import (
+        corpus_split,
+        mix_sources,
+    )
+
+    schema = spark.read.parquet(f"{sf_small}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_small)
+    )
+    st = corpus_split(mix_sources(stream, {"src0": 0.5})).select(
+        "doc_id", "split"
+    )
+    run_to_memory(st, "mix_split_stream", output_mode="append")
+    got = {tuple(r) for r in spark.table("mix_split_stream").collect()}
+
+    batch = corpus_split(
+        mix_sources(load_table(spark, sf_small, "documents"), {"src0": 0.5})
+    ).select("doc_id", "split")
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
