@@ -104,3 +104,20 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp_int"),
         fp_roll.alias("fp_roll"),
     )
+
+
+def token_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact token-count percentiles per language — the corpus-sizing
+    profile (sequence-length budgeting) a training pipeline reads before
+    packing. Uses Spark's exact ``percentile`` aggregate (linear
+    interpolation, matching DuckDB ``quantile_cont`` bit-for-bit); at
+    the 100 TB tier swap in ``percentile_approx`` (t-digest, one pass,
+    bounded memory) — the approx-agg accuracy envelope is covered by
+    tests/test_approx_aggs.py. → (lang, n_docs, p50, p90, p99)."""
+    toks = docs.select("lang", F.size(F.split(F.col(text_col), " ")).alias("n_tokens"))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99"),
+    )

@@ -81,6 +81,10 @@ def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_quantiles(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(
         load_table(spark, sf_dir, "documents"), threshold=0.2
@@ -262,6 +266,14 @@ JOIN keep_exact USING (doc_id)
 WHERE d.doc_id NOT IN (SELECT doc_b FROM near_drop)
 """
 
+ORACLE_TOKEN_QUANTILES = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
+       round(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90,
+       round(quantile_cont(len(string_split(text, ' ')), 0.99), 6) AS p99
+FROM documents GROUP BY lang
+"""
+
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE
 pairs AS (SELECT doc_a, doc_b FROM ({ORACLE_MINHASH_LSH})),
@@ -318,6 +330,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "deduped_corpus": q_deduped_corpus,
+    "token_quantiles": q_token_quantiles,
     "dedup_clusters": q_dedup_clusters,
     "corpus_split": q_corpus_split,
     "mix_sources": q_mix_sources,
@@ -333,6 +346,7 @@ DOC_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
+    "token_quantiles": ORACLE_TOKEN_QUANTILES,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "mix_sources": ORACLE_MIX_SOURCES,
