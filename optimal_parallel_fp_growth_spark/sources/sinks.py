@@ -43,3 +43,47 @@ def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame
     if fmt == "json":
         return reader.json(path)
     return reader.parquet(path)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str,
+    mode: str = "overwrite",
+    salt: str = "shard",
+) -> None:
+    """Training-data shard layout: hive directories ``shard=0..n-1``,
+    exactly ONE parquet file per shard, near-equal row counts.
+
+    Shard membership is the salted md5 bucket of the row id (same scheme
+    as ``operators/sampling.py``): deterministic in the data, so re-runs,
+    task retries, and different cluster sizes produce byte-identical
+    shard membership — `spark_partition_id()`-style sharding does not
+    survive any of those. One shuffle (`repartition(n, shard)`), then
+    each task's rows split by `partitionBy` into its shard directory;
+    hash collisions between shard values only co-locate two shards in
+    one task, never split a shard across files."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    from pyspark.sql import functions as F
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % num_shards
+    )
+    (
+        df.withColumn("shard", shard)
+        .repartition(num_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -55,3 +55,28 @@ def test_knn_broadcasts_queries(spark, sf_small):
 
     plan = _plan(q_knn_cosine(spark, sf_small))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_corpus_split_is_shuffle_free_and_prunes(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.operators.sampling import corpus_split
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    plan = _plan(corpus_split(docs).select("doc_id", "split"))
+    assert "Exchange" not in plan  # pure projection over the scan
+    for line in plan.splitlines():
+        if "FileScan" in line:
+            # only doc_id read: column pruning reached the scan
+            assert "doc_id" in line and "text" not in line
+
+
+def test_mix_sources_broadcasts_rates_dim(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.operators.sampling import mix_sources
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    plan = _plan(mix_sources(docs, {"src0": 0.5}))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the fact table is never exchanged: only the broadcast exchange exists
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")

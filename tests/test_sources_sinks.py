@@ -75,3 +75,38 @@ def test_mining_accepts_int_items(spark):
             rules = model.association_rules(0.5)
             assert rules.where(F.col("lift").isNotNull()).count() > 0
     assert results["mllib"] == results["pandas"]
+
+
+def test_write_sharded_layout_balance_and_determinism(spark, sf_small, tmp_path):
+    import glob
+
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+    from optimal_parallel_fp_growth_spark.sources.sinks import write_sharded
+
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    write_sharded(docs, out, num_shards=8, id_col="doc_id")
+
+    # exactly one data file per shard directory, all 8 present
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == 8
+    for d in dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+    back = spark.read.parquet(out)
+    assert back.count() == n
+
+    # near-equal rows per shard (md5 bucket is uniform)
+    counts = {r["shard"]: r["c"] for r in back.groupBy("shard").agg(
+        F.count("*").alias("c")).collect()}
+    mean = n / 8
+    assert all(0.5 * mean < c < 1.5 * mean for c in counts.values())
+
+    # deterministic membership: rewriting yields the identical assignment
+    out2 = str(tmp_path / "shards2")
+    write_sharded(docs, out2, num_shards=8, id_col="doc_id")
+    a = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"])
+         for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a == b
