@@ -147,23 +147,42 @@ def ngram_jaccard_pairs(
 
 
 def deduped_corpus(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    policy: str = "greedy",
 ) -> DataFrame:
     """The consumable pipeline output: documents surviving BOTH exact
-    dedup (keep smallest doc_id per identical text) and near-dup removal
-    (greedy: for every minhash-LSH pair a<b with jaccard ≥ threshold,
-    drop b). Greedy-by-id is the standard cheap policy — one pass, no
-    connected-components iteration; survivors are deterministic."""
+    dedup (keep smallest doc_id per identical text) and near-dup
+    removal. Two policies:
+
+    - ``greedy`` — for every minhash-LSH pair a<b with jaccard ≥
+      threshold, drop b. One pass, no iteration; under non-transitive
+      similarity (A~C, B~C, A≁B) it keeps both A and B yet drops C, so
+      cluster boundaries depend on id order.
+    - ``cc`` — one survivor per connected component of the pair graph
+      (the component's min doc_id, via :func:`dedup_clusters`): the
+      production policy — a canonical representative per transitive
+      similarity cluster — at the cost of the CC iteration."""
     keep_exact = (
         docs.groupBy(F.sha2(F.col(text_col), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    near_drop = (
-        minhash_lsh_pairs(docs, text_col, threshold=threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    if policy == "greedy":
+        near_drop = (
+            minhash_lsh_pairs(docs, text_col, threshold=threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+    elif policy == "cc":
+        near_drop = (
+            dedup_clusters(docs, text_col, threshold=threshold)
+            .where(F.col("cluster_id") != F.col("doc_id"))
+            .select("doc_id")
+        )
+    else:
+        raise ValueError(f"unknown dedup policy {policy!r} (greedy|cc)")
     return (
         docs.join(keep_exact, "doc_id", "left_semi")
         .join(near_drop, "doc_id", "left_anti")

@@ -81,6 +81,12 @@ def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deduped_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.deduped_corpus(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, policy="cc"
+    )
+
+
 def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_quantiles(load_table(spark, sf_dir, "documents"))
 
@@ -266,6 +272,25 @@ JOIN keep_exact USING (doc_id)
 WHERE d.doc_id NOT IN (SELECT doc_b FROM near_drop)
 """
 
+ORACLE_DEDUPED_CORPUS_CC = f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({ORACLE_MINHASH_LSH})),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+keep_exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+drop_cc AS (SELECT DISTINCT u AS doc_id FROM reach WHERE v < u)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN keep_exact USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_cc)
+"""
+
 ORACLE_TOKEN_QUANTILES = """
 SELECT lang, count(*) AS n_docs,
        round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
@@ -332,6 +357,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deduped_corpus": q_deduped_corpus,
     "token_quantiles": q_token_quantiles,
     "dedup_clusters": q_dedup_clusters,
+    "deduped_corpus_cc": q_deduped_corpus_cc,
     "corpus_split": q_corpus_split,
     "mix_sources": q_mix_sources,
 }
@@ -348,6 +374,7 @@ DOC_ORACLES: dict[str, str] = {
     "dedup_simhash": ORACLE_SIMHASH,
     "token_quantiles": ORACLE_TOKEN_QUANTILES,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "deduped_corpus_cc": ORACLE_DEDUPED_CORPUS_CC,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "mix_sources": ORACLE_MIX_SOURCES,
 }

@@ -189,3 +189,25 @@ def test_mix_sources_validates_rates(spark):
         mix_sources(docs, {"src0": 1.5})
     with pytest.raises(ValueError, match="default_rate"):
         mix_sources(docs, {}, default_rate=-0.1)
+
+
+def test_deduped_corpus_cc_policy(spark):
+    from optimal_parallel_fp_growth_spark.operators.dedup import deduped_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    greedy = {r["doc_id"] for r in deduped_corpus(docs, threshold=0.2).collect()}
+    cc = {
+        r["doc_id"]
+        for r in deduped_corpus(docs, threshold=0.2, policy="cc").collect()
+    }
+    # cc keeps exactly the component minima that also survive exact dedup:
+    # every cc survivor with near-dups is its cluster's min id, so the
+    # greedy pass (which drops any doc_b) can never keep fewer minima.
+    assert cc and greedy
+    pairs = minhash_lsh_pairs(docs, threshold=0.2).select("doc_a", "doc_b").collect()
+    comp = _union_find([(r["doc_a"], r["doc_b"]) for r in pairs])
+    for d in cc:
+        assert comp.get(d, d) == d  # a survivor is its component's min
+
+    with pytest.raises(ValueError, match="unknown dedup policy"):
+        deduped_corpus(docs, policy="bogus")
