@@ -14,7 +14,16 @@ from optimal_parallel_fp_growth_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from optimal_parallel_fp_growth_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
+    deduped_corpus,
+)
 from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth, FPGrowthModel
+from optimal_parallel_fp_growth_spark.operators.sampling import (
+    corpus_split,
+    mix_sources,
+)
 from optimal_parallel_fp_growth_spark.operators.sessions import (
     daily_rollup,
     rolling_stats,
@@ -30,7 +39,9 @@ from optimal_parallel_fp_growth_spark.operators.textops import (
     lang_id,
     quality_score,
     text_stats,
+    token_quantiles,
 )
+from optimal_parallel_fp_growth_spark.sources.sinks import write_sharded
 from optimal_parallel_fp_growth_spark.session import get_session
 from optimal_parallel_fp_growth_spark.sources.text import read_baskets_text
 
@@ -43,6 +54,13 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "connected_components",
+    "dedup_clusters",
+    "deduped_corpus",
+    "corpus_split",
+    "mix_sources",
+    "write_sharded",
+    "token_quantiles",
     "cosine_topk",
     "ann_topk",
     "embedding_neardup_pairs",
