@@ -94,8 +94,8 @@ WITH lagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 tagged AS (
-  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
   FROM lagged
 )
 SELECT user_id, session_idx,
@@ -179,7 +179,7 @@ SELECT event_type,
        round(avg(k), 6) AS avg_k,
        min(k) AS min_k,
        max(k) AS max_k,
-       sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_even
+       sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_even
 FROM (SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events)
 GROUP BY 1
 """
