@@ -14,7 +14,8 @@ Four tiers, all pure DataFrame (no Python UDFs anywhere):
                    banded LSH bucketing, candidate pairs verified with
                    exact jaccard. Shuffle volume is O(docs · bands), not
                    O(pairs).
-- simhash        — 32-bit simhash fingerprints, 8-bit band join,
+- simhash        — 64-bit simhash fingerprints, 16-bit band join
+                   (hamming≤3 recall guaranteed by pigeonhole),
                    hamming-distance verify via xor + bit_count.
 
 All outputs are deterministic: pair keys ordered (doc_a < doc_b),
@@ -387,36 +388,51 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit simhash over distinct whitespace tokens (md5-derived token
+    """64-bit simhash over distinct whitespace tokens (md5-derived token
     hashes → per-bit ±1 vote sums → sign vector packed to a long).
     → (doc_id, fp).
 
-    Deliberately explode → groupBy(doc_id), NOT array-side: the 32 vote
+    The 64-bit token hash is taken as two 32-bit halves of md5 (chars
+    1-8 / 9-16): a single 16-hex-char conv() would exceed signed-BIGINT
+    range in the DuckDB oracle, and both engines handle 32-bit halves
+    exactly. Sign bit 63 is set by adding Long.MIN_VALUE (two's
+    complement) because neither engine can shift a literal 1 into it.
+
+    Deliberately explode → groupBy(doc_id), NOT array-side: the 64 vote
     sums stay inside whole-stage codegen with map-side partial
     aggregation (rows of a doc are co-located in the scan, so the
     shuffle carries ~1 combined row per doc). The tempting zero-shuffle
-    formulation (32 interpreted filter() passes per row) measured 3×
+    formulation (interpreted filter() passes per row) measured 3×
     SLOWER at sf0.1 — HOFs don't codegen."""
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).select(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h_hi"),
     )
+
+    def _bit(i: int) -> Column:
+        half, sh = ("h_lo", i) if i < 32 else ("h_hi", i - 32)
+        return F.shiftright(F.col(half), sh).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"v{i}")
         for i in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
     fp = None
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        weight = -(1 << 63) if i == 63 else (1 << i)
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fp = bit if fp is None else fp + bit
     return agg.select("doc_id", fp.alias("fp"))
 
@@ -425,9 +441,16 @@ def simhash_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 6
 ) -> DataFrame:
     """Near-dup pairs with hamming(fp_a, fp_b) ≤ max_hamming, candidates
-    from an 8-bit band join (a pair within distance 3 shares ≥1 of 4
-    bands exactly; wider distances are best-effort, like production
-    simhash). → (doc_a, doc_b, hamming)."""
+    from a 16-bit band join (a pair within distance 3 shares ≥1 of 4
+    bands exactly — pigeonhole; wider distances are best-effort, like
+    production simhash). → (doc_a, doc_b, hamming).
+
+    Scale shape: 4×16-bit bands give 4·65536 join keys, so expected
+    band-join candidate volume is O(n²/65536) per band under uniform
+    fingerprints — vs O(n²/256) at the earlier 32-bit/8-bit width,
+    which saturated (36% of all pairs became candidates at 500 docs).
+    The arithmetic shiftright sign-extension on band 3 is masked off by
+    the & 0xFFFF, identically in Spark and the DuckDB oracle."""
     fps = simhash_fingerprints(docs, text_col)
     fps.persist()
     bands = fps.select(
@@ -438,11 +461,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("fp"), b * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("fp"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
                         .alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bb"),

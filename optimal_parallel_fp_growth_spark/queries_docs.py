@@ -244,16 +244,25 @@ WHERE round(len(list_intersect(na.sh, nb.sh))
 ORACLE_SIMHASH = f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
              FROM documents),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
+      FROM tok),
 votes AS (SELECT doc_id, i,
-                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                 sum(CASE WHEN (CASE WHEN i < 32 THEN h_lo >> i::INT
+                                     ELSE h_hi >> (i - 32)::INT END) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
           FROM h CROSS JOIN range({dedup.SIMHASH_BITS}) r(i)
           GROUP BY 1, 2),
 fp AS (SELECT doc_id,
-              sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS fp
+              sum(CASE WHEN v <= 0 THEN 0
+                       WHEN i = 63 THEN -9223372036854775808
+                       ELSE (1::BIGINT << i::INT) END)::BIGINT AS fp
        FROM votes GROUP BY 1),
-bands AS (SELECT doc_id, fp, b, (fp >> (b * 8)) & 255 AS band_val
-          FROM fp CROSS JOIN range(4) r(b)),
+bands AS (SELECT doc_id, fp, b,
+                 (fp >> (b * {dedup.SIMHASH_BAND_BITS})::INT)
+                   & {(1 << dedup.SIMHASH_BAND_BITS) - 1} AS band_val
+          FROM fp CROSS JOIN range({dedup.SIMHASH_BANDS}) r(b)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 a.fp AS fp_a, b.fp AS fp_b
          FROM bands a JOIN bands b

@@ -20,3 +20,101 @@ def test_max_df_pruning_is_exact_on_values_subset_on_pairs(spark, sf_small):
     assert set(pruned) <= set(exact)  # pruning only loses pairs
     for pair, j in pruned.items():
         assert j == exact[pair]  # surviving values identical
+
+
+# ---------------------------------------------------------------------------
+# 64-bit simhash scale path
+
+
+def _brute_hamming(fps):
+    out = {}
+    for i, (da, fa) in enumerate(fps):
+        for db, fb in fps[i + 1 :]:
+            a, b = sorted((da, db))
+            out[(a, b)] = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+    return out
+
+
+def test_simhash_width_is_64_with_16bit_bands():
+    from optimal_parallel_fp_growth_spark.operators import dedup
+
+    assert dedup.SIMHASH_BITS == 64
+    assert dedup.SIMHASH_BAND_BITS == 16
+    assert dedup.SIMHASH_BANDS == 4
+
+
+def test_simhash_fingerprints_use_full_64_bits(spark, sf_small):
+    """High half must carry entropy — a 32-bit regression would zero it."""
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.operators.dedup import simhash_fingerprints
+
+    docs = load_table(spark, sf_small, "documents")
+    fps = simhash_fingerprints(docs)
+    hi = fps.select(
+        F.sum(
+            (F.shiftrightunsigned(F.col("fp"), 32) > 0).cast("int")
+        ).alias("n_hi")
+    ).collect()[0]
+    assert hi.n_hi > 0
+
+
+def test_simhash_recall_guarantee_hamming_le_3(spark, sf_small):
+    """Pigeonhole: ≤3 differing bits across 4 bands leaves ≥1 band equal,
+    so every hamming≤3 pair MUST surface as a band-join candidate."""
+    from optimal_parallel_fp_growth_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    fps = [(r.doc_id, r.fp) for r in simhash_fingerprints(docs).collect()]
+    truth = {p: h for p, h in _brute_hamming(fps).items() if h <= 3}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == truth
+
+
+def test_simhash_candidate_volume_bounded_on_dissimilar_corpus(spark):
+    """Uniform (dissimilar) docs: expected band collisions are
+    ~4·C(n,2)/2^16 ≈ 3 for n=300 — assert candidates ≪ all-pairs, the
+    property the 8-bit width lost (O(n²/256) saturated at toy scale)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.operators import dedup
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(10**9)}" for _ in range(40)))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.simhash_fingerprints(docs)
+    mask = (1 << dedup.SIMHASH_BAND_BITS) - 1
+    bands = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), b * dedup.SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("v")
+                    for b in range(dedup.SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_val"),
+    )
+    # collisions per band value across the corpus ⇒ candidate pair count
+    n_cand = (
+        bands.groupBy("band_val")
+        .count()
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c"))
+        .collect()[0]
+        .c
+    )
+    all_pairs = 300 * 299 / 2
+    assert n_cand < 0.01 * all_pairs
