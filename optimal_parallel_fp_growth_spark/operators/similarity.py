@@ -6,13 +6,14 @@ Two tiers, both pure DataFrame (higher-order functions, zero Python in
 the row path):
 
 - ``cosine_topk``   — exact brute-force top-k: broadcast the (small)
-                      query set, one narrow pass over the corpus, window
-                      top-k per query. At 100 TB this is THE baseline:
-                      no shuffle of the corpus, scan stays columnar and
-                      whole-stage-codegen'd; the only shuffle is the
-                      top-k window partitioned by query_id (bounded by
-                      #queries × corpus-partition partial top-k under
-                      AQE).
+                      query set, one narrow pass over the corpus, then
+                      a per-query top-k window whose map stage is
+                      truncated to partition-local top-k by Catalyst's
+                      InferWindowGroupLimit (see ``_rank_topk``). At
+                      100 TB this is THE baseline: no shuffle of the
+                      corpus, scan stays columnar and whole-stage-
+                      codegen'd, and the per-query reducer receives
+                      ≤ #partitions·k rows, never the corpus's scores.
 - ``ann_topk``      — sign-LSH bucketed: corpus hashed once to a
                       2^bits-bucket id from coordinate signs (axis-
                       aligned random-hyperplane LSH, deterministic so
@@ -54,18 +55,38 @@ def _prepared(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _score_topk(cand: DataFrame, k: int) -> DataFrame:
-    """cand: (query_id, qv, qnorm2, vec_id, v, norm2) → top-k by cosine."""
-    cos = F.round(
-        _dot(F.col("qv"), F.col("v")) / F.sqrt(F.col("qnorm2") * F.col("norm2")), 6
-    )
-    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """scored: (query_id, vec_id, cosine) → exact top-k per query by
+    (cosine desc, vec_id asc).
+
+    Deliberately a single per-query window: on Spark ≥3.5 the
+    ``rn <= k`` filter over ``row_number`` triggers Catalyst's
+    InferWindowGroupLimit, which plants a *Partial* WindowGroupLimit
+    in the map stage — every corpus partition is truncated to its own
+    top-k per query BEFORE the exchange, so the per-query reducer
+    receives ≤ #partitions·k rows, never the full corpus's scores.
+    That is exactly the two-phase (partition-local then global) top-k,
+    done by the optimizer with zero extra shuffles; a hand-rolled
+    spark_partition_id pre-window was measured to add one full
+    Exchange for nothing. Pinned by
+    tests/test_plan_quality.py::test_knn_topk_has_partial_group_limit.
+    Exactness regardless of partitioning: the order (rounded cosine
+    desc, vec_id asc) is total, and any global-top-k row is in its
+    partition's local top-k."""
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "vec_id", "cosine", "rn")
     )
+
+
+def _score_topk(cand: DataFrame, k: int) -> DataFrame:
+    """cand: (query_id, qv, qnorm2, vec_id, v, norm2) → top-k by cosine."""
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / F.sqrt(F.col("qnorm2") * F.col("norm2")), 6
+    )
+    return _rank_topk(cand.select("query_id", "vec_id", cos.alias("cosine")), k)
 
 
 def cosine_topk(
@@ -137,12 +158,7 @@ def cosine_topk_arrow(
     scored = emb.select(id_col, vec_col).mapInPandas(
         score, "query_id long, vec_id long, cosine double"
     ).where(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "vec_id", "cosine", "rn")
-    )
+    return _rank_topk(scored, k)
 
 
 def _sign_bucket(vec: Column, bits: int = ANN_BITS) -> Column:

