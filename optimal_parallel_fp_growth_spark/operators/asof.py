@@ -3,8 +3,9 @@
 DataFrame ops when semantics allow).
 
 ``asof_join_last_event``: attach to every event the same user's most
-recent STRICTLY EARLIER event of a marker type (e.g. last 'purchase'
-before this click). Implemented as the union-tag trick, NOT a range
+recent marker-type event AT OR BEFORE this event's timestamp (e.g.
+last 'purchase' up to and including this click's instant — inclusive,
+see Tiebreak below). Implemented as the union-tag trick, NOT a range
 join:
 
     union(left tagged, right tagged)

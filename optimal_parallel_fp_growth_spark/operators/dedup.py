@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from optimal_parallel_fp_growth_spark.functions.caching import tag_cached_inputs
 from optimal_parallel_fp_growth_spark.functions.text import tokens
 
 
@@ -116,11 +117,12 @@ def ngram_jaccard_pairs(
             / F.size(F.array_union("sh_a", "sh_b")),
             6,
         )
-        return (
+        return tag_cached_inputs(
             cand.join(sh_a, "doc_a")
             .join(sh_b, "doc_b")
             .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .where(F.col("jaccard") >= threshold)
+            .where(F.col("jaccard") >= threshold),
+            sh,
         )
     inter = (
         posting.alias("a")
@@ -144,7 +146,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out
+    return tag_cached_inputs(out, sh)
 
 
 def deduped_corpus(
@@ -369,7 +371,7 @@ def minhash_lsh_pairs(
 
     sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
+    return tag_cached_inputs(
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select(
@@ -381,7 +383,8 @@ def minhash_lsh_pairs(
                 6,
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= threshold),
+        sigs,
     )
 
 
@@ -486,11 +489,12 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    return tag_cached_inputs(
         cand.select(
             "doc_a",
             "doc_b",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.col("hamming") <= max_hamming),
+        fps,
     )

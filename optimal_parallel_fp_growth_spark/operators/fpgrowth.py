@@ -38,28 +38,68 @@ class FPGrowthModel:
     """
 
     def __init__(self, freq_itemsets: DataFrame, num_transactions: int,
-                 items_col: str = "items", prediction_col: str = "prediction"):
+                 items_col: str = "items", prediction_col: str = "prediction",
+                 min_confidence: float = 0.8):
         self.freq_itemsets = freq_itemsets
         self.num_transactions = num_transactions
         self.items_col = items_col
         self.prediction_col = prediction_col
+        # The estimator's minConfidence rides along on the fitted model
+        # (epfp/FPGrowth.scala genericFit → .setMinConfidence), so
+        # FPGrowth(min_confidence=x).fit(df).transform(df) applies x,
+        # not a hard-coded default.
+        self.min_confidence = min_confidence
         self._rules_cache: dict[float, DataFrame] = {}
 
-    def association_rules(self, min_confidence: float = 0.8) -> DataFrame:
-        """Rules at min_confidence; memoized per confidence like the
+    def association_rules(self, min_confidence: float | None = None) -> DataFrame:
+        """Rules at min_confidence (default: the estimator's value this
+        model was fitted with); memoized per confidence like the
         reference (epfp/FPGrowth.scala:89-107)."""
+        if min_confidence is None:
+            min_confidence = self.min_confidence
         if min_confidence not in self._rules_cache:
             self._rules_cache[min_confidence] = association_rules(
                 self.freq_itemsets, self.num_transactions, min_confidence
             ).cache()
         return self._rules_cache[min_confidence]
 
-    def transform(self, dataset: DataFrame, min_confidence: float = 0.8,
+    def transform(self, dataset: DataFrame, min_confidence: float | None = None,
                   keep_array: bool = True) -> DataFrame:
         """Reference-parity prediction (epfp/FPGrowth.scala:123-150)."""
         return transform_with_rules(
             dataset,
             self.association_rules(min_confidence),
+            items_col=self.items_col,
+            prediction_col=self.prediction_col,
+            keep_array=keep_array,
+        )
+
+    def unpersist(self) -> None:
+        """Release everything this model pinned in executor storage —
+        the frequent-itemsets DataFrame (persisted by fit()) and every
+        memoized rules DataFrame. Call when done with the model in a
+        long-lived session; without it, Spark's LRU eviction is the
+        only cleanup."""
+        for df in self._rules_cache.values():
+            df.unpersist()
+        self._rules_cache.clear()
+        self.freq_itemsets.unpersist()
+
+    def transform_self(self, min_confidence: float | None = None,
+                       keep_array: bool = True) -> DataFrame:
+        """The reference's ``transform(spark)`` demo overload
+        (pfp/FPGrowth.scala:124-148): predict over the DISTINCT
+        antecedents of the mined rules themselves — each rule
+        antecedent becomes an input basket, answered with the standard
+        rule application. The reference round-trips the collected
+        rules through ``makeRDD(...).toDF``; we stay on the rules
+        DataFrame (already bounded) and reuse the declarative
+        transform."""
+        rules = self.association_rules(min_confidence)
+        baskets = rules.select(F.col("antecedent").alias(self.items_col)).distinct()
+        return transform_with_rules(
+            baskets,
+            rules,
             items_col=self.items_col,
             prediction_col=self.prediction_col,
             keep_array=keep_array,
@@ -138,7 +178,9 @@ class FPGrowth:
             freq.persist().count()  # materialize before unpersisting input
         finally:
             items.unpersist()
-        return FPGrowthModel(freq, n, self.items_col, self.prediction_col)
+        return FPGrowthModel(
+            freq, n, self.items_col, self.prediction_col, self.min_confidence
+        )
 
     def _fit_mllib(self, items: DataFrame) -> DataFrame:
         from pyspark.ml.fpm import FPGrowth as MLlibFPGrowth

@@ -58,6 +58,11 @@ def corpus_split(
         raise ValueError(f"split weights must sum to 1, got {total}")
     if any(w < 0 for _, w in weights):
         raise ValueError("split weights must be non-negative")
+    if "split" in docs.columns:
+        raise ValueError(
+            "input already has a 'split' column - rename or drop it before "
+            "split_corpus (withColumn would silently replace it)"
+        )
     bucket = hash_bucket(id_col, salt)
     expr = None
     cum = 0.0
@@ -91,6 +96,13 @@ def mix_sources(
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    if "keep_below" in docs.columns:
+        # the broadcast rates join would make F.col('keep_below') ambiguous
+        # (or silently shadow user data).
+        raise ValueError(
+            "input already has a 'keep_below' column - rename or drop it "
+            "before mix_sources (reserved for the internal rates join)"
+        )
     spark = docs.sparkSession
     rates_df = spark.createDataFrame(
         [(s, int(round(r * BUCKETS))) for s, r in sorted(rates.items())],

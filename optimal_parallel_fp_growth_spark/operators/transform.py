@@ -94,7 +94,14 @@ def transform_with_rules(
                     F.array_sort(
                         F.collect_list(
                             F.struct(
-                                (-F.col("lift")).alias("neg_lift"),
+                                # Null lift → -inf priority (sorts last),
+                                # matching _transform_direct and the UDF
+                                # twin; without the coalesce a null
+                                # neg_lift would sort FIRST here.
+                                (-F.coalesce(
+                                    F.col("lift"),
+                                    F.lit(float("-inf")),
+                                )).alias("neg_lift"),
                                 F.col("consequent_item").alias("item"),
                             )
                         )

@@ -105,6 +105,15 @@ def q_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's demo self-recommendation overload
+    (pfp/FPGrowth.scala:124-148): predict over the distinct antecedents
+    of the mined rules themselves."""
+    _, model = _events_model(spark, sf_dir)
+    out = model.transform_self(min_confidence=EVENTS_MIN_CONFIDENCE, keep_array=False)
+    return out.select(F.array_join("items", "|").alias("items"), "prediction")
+
+
 def q_freq_itemsets_pfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same mining through the self-contained pandas PFP kernel with EPFP
     balanced grouping (epfp/FPGrowthCore.scala:49-114) — checked against
@@ -315,6 +324,18 @@ preds AS (SELECT user_id, day,
 SELECT t.user_id, CAST(epoch(t.day) AS BIGINT) AS day_epoch,
        COALESCE(p.prediction, '') AS prediction
 FROM tx t LEFT JOIN preds p ON t.user_id = p.user_id AND t.day = p.day""",
+    "transform_self": _EVENTS_RULES_CTE
+    + """,
+baskets AS (SELECT DISTINCT ante AS items FROM rules),
+matched AS (SELECT b.items, r.cons, max(r.lift) AS lift
+            FROM baskets b JOIN rules r
+              ON list_has_all(b.items, r.ante) AND NOT list_contains(b.items, r.cons)
+            GROUP BY 1, 2),
+preds AS (SELECT items, string_agg(cons, ', ' ORDER BY lift DESC, cons) AS prediction
+          FROM matched GROUP BY 1)
+SELECT array_to_string(b.items, '|') AS items,
+       COALESCE(p.prediction, '') AS prediction
+FROM baskets b LEFT JOIN preds p ON b.items = p.items""",
 }
 
 from optimal_parallel_fp_growth_spark.queries_docs import DOC_ORACLES, DOC_QUERIES
@@ -351,6 +372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freq_itemsets_docs": q_freq_itemsets_docs,
     "assoc_rules": q_assoc_rules,
     "transform": q_transform,
+    "transform_self": q_transform_self,
     "apriori_rules": q_apriori_rules,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,

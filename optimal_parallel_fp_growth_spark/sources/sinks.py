@@ -66,6 +66,13 @@ def write_sharded(
     one task, never split a shard across files."""
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    if "shard" in df.columns:
+        # withColumn would silently REPLACE it, corrupting user data and
+        # changing shard membership.
+        raise ValueError(
+            "input already has a 'shard' column - rename or drop it before "
+            "write_sharded (the shard layout reserves that name)"
+        )
     from pyspark.sql import functions as F
 
     shard = (
