@@ -34,7 +34,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-ANN_BITS = 6  # 64 sign buckets
+ANN_BITS = 6  # 64 sign buckets — the pinned default the oracle mirrors
+ANN_TARGET_OCCUPANCY = 64  # expected docs per bucket the auto path aims at
+
+
+def ann_bits_for(
+    n_corpus: int,
+    dim: int,
+    target_occupancy: int = ANN_TARGET_OCCUPANCY,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> int:
+    """Sign-LSH width for a corpus of ``n_corpus`` ``dim``-dimensional
+    vectors: the smallest ``bits`` whose expected uniform bucket
+    occupancy ``n/2^bits`` is ≤ ``target_occupancy``, clamped to
+    [min_bits, min(max_bits, dim)] — each bucket bit consumes one
+    coordinate, and beyond ~16 bits the hamming-1 probe fan-out
+    (bits+1 probes) costs more than the occupancy saves. Bucket count
+    thus grows linearly with the corpus, keeping per-query candidate
+    volume O(target_occupancy · (bits+1)) instead of O(n) at a frozen
+    width — the knob the 100 TB path turns."""
+    cap = max(min_bits, min(max_bits, dim))
+    bits = min_bits
+    while bits < cap and n_corpus > target_occupancy * (1 << bits):
+        bits += 1
+    return bits
 
 
 def _as_double(col: Column) -> Column:
@@ -161,6 +185,19 @@ def cosine_topk_arrow(
     return _rank_topk(scored, k)
 
 
+def _resolve_bits(emb: DataFrame, vec_col: str, bits: int | None) -> int:
+    """``bits=None`` → derive from the corpus via :func:`ann_bits_for`.
+    Costs one count job plus one first() (dim probe) — negligible next
+    to the ANN join, and the count is exactly the statistic the width
+    must track."""
+    if bits is not None:
+        return bits
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return 4  # empty corpus: width is irrelevant
+    return ann_bits_for(emb.count(), first.d)
+
+
 def _sign_bucket(vec: Column, bits: int = ANN_BITS) -> Column:
     """LSH bucket id from the signs of the first ``bits`` coordinates."""
     b = F.lit(0)
@@ -245,7 +282,7 @@ def ivf_topk(
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
-    bits: int = ANN_BITS,
+    bits: int | None = ANN_BITS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -254,7 +291,10 @@ def embedding_neardup_pairs(
     multi-probe, exact cosine verify ≥ threshold. → (doc_a, doc_b,
     cosine). All-pairs work is confined to bucket-collision groups —
     the shape that survives a 100 TB corpus where the exact quadratic
-    verify is impossible."""
+    verify is impossible. ``bits=None`` sizes the bucket width to the
+    corpus (:func:`ann_bits_for`) so occupancy stays bounded as the
+    corpus grows."""
+    bits = _resolve_bits(emb, vec_col, bits)
     corpus = _prepared(emb, id_col, vec_col).withColumn(
         "bucket", _sign_bucket(F.col("v"), bits)
     )
@@ -289,13 +329,15 @@ def ann_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int = ANN_BITS,
+    bits: int | None = ANN_BITS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
     bucket and its hamming-1 neighbor buckets (multi-probe), then exact
-    cosine rank. → (query_id, vec_id, cosine, rn)."""
+    cosine rank. → (query_id, vec_id, cosine, rn). ``bits=None`` sizes
+    the bucket width to the corpus (:func:`ann_bits_for`)."""
+    bits = _resolve_bits(emb, vec_col, bits)
     corpus = _prepared(emb, id_col, vec_col).withColumn(
         "bucket", _sign_bucket(F.col("v"), bits)
     )

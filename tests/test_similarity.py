@@ -111,3 +111,91 @@ def test_two_phase_topk_exact_across_partitionings(spark, sf_oracle):
         .collect()
     )
     assert ref == baseline
+
+
+def test_ann_bits_for_scaling_and_clamps():
+    from optimal_parallel_fp_growth_spark.operators.similarity import ann_bits_for
+
+    # occupancy-bounded growth: bucket count tracks corpus size
+    assert ann_bits_for(500, 64) == 4          # 500 <= 64*2^4
+    assert ann_bits_for(2000, 64) == 5         # needs 32 buckets
+    assert ann_bits_for(64 * (1 << 10) + 1, 64) == 11
+    assert ann_bits_for(10**12, 64) == 16      # max_bits clamp
+    assert ann_bits_for(10**12, 8) == 8        # dim clamp
+    assert ann_bits_for(1, 64) == 4            # min_bits clamp
+    # monotone in corpus size
+    prev = 0
+    for n in (10, 10**3, 10**5, 10**7, 10**9):
+        b = ann_bits_for(n, 64)
+        assert b >= prev
+        prev = b
+
+
+def test_ann_recall_at_two_widths(spark, sf_oracle, exact_and_ann):
+    """Recall-vs-exact at two bucket widths (the auto width for this
+    corpus, 4, and the pinned default 6): floors hold, recall is
+    monotone in candidate volume, and widening really shrinks the
+    bucket-collision volume. (At aggressively wide settings, e.g. 10
+    bits over 500 docs, recall measurably collapses - that is the
+    over-widening ann_bits_for's occupancy target exists to prevent.)"""
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        _prepared,
+        _sign_bucket,
+        ann_topk,
+    )
+    from optimal_parallel_fp_growth_spark.queries_vectors import TOP_K
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    exact, _ = exact_and_ann
+    e = {(r.query_id, r.vec_id) for r in exact}
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.orderBy("vec_id").limit(20)
+
+    def bucket_sizes(bits):
+        return (
+            _prepared(emb, "vec_id", "embedding")
+            .select(_sign_bucket(F.col("v"), bits).alias("b"))
+            .groupBy("b")
+            .count()
+            .select(F.sum(F.col("count") * F.col("count")).alias("s"))
+            .collect()[0]
+            .s
+        )
+
+    qids = {r.vec_id for r in queries.select("vec_id").collect()}
+    e_sub = {p for p in e if p[0] in qids}
+    recalls = {}
+    for bits in (4, 6):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann_topk(emb, queries, k=TOP_K, bits=bits).collect()
+        }
+        recalls[bits] = len(e_sub & got) / max(len(e_sub), 1)
+    # narrower buckets see more candidates -> at least as much recall;
+    # both settings stay above the floor at this corpus size
+    assert recalls[4] >= recalls[6] >= 0.15, recalls
+    # sum of squared bucket sizes ~ candidate volume: must shrink with
+    # bits - the knob really trades volume for recall
+    assert bucket_sizes(6) < bucket_sizes(4)
+
+
+def test_ann_auto_bits_path(spark, sf_oracle):
+    """bits=None derives the width from the corpus and still returns a
+    valid, recall-bearing result."""
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        ann_bits_for,
+        ann_topk,
+        cosine_topk,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.orderBy("vec_id").limit(10)
+    auto = ann_topk(emb, queries, k=5, bits=None).collect()
+    explicit = ann_topk(
+        emb, queries, k=5, bits=ann_bits_for(emb.count(), 64)
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    assert len(auto) > 0
