@@ -202,20 +202,31 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
-    """Distributed connected components by min-label propagation:
-    every node's label converges to the smallest node id in its
-    component. → (u, component) for every node appearing in ``edges``.
+    """Distributed connected components. → (u, component) for every
+    node appearing in ``edges``; component = smallest node id in the
+    component. Two interchangeable algorithms (differential-tested
+    against each other and a union-find reference):
 
-    Spark-first iteration: each round is one shuffle join (pull the
-    labels of my neighbours) + one aggregation (their min), and the
-    round's result is ``localCheckpoint``-ed so the plan does not grow
-    with the iteration count. Rounds needed = graph diameter; near-dup
-    graphs are unions of small near-cliques (diameter ≤ ~3), so this
-    converges in 2–4 rounds. For adversarial long-chain graphs at the
-    100 TB tier, swap the propagation rule for large-star/small-star
-    (Kiveris et al. 2014) — same join/agg primitives, O(log n) rounds.
+    - ``label`` (default): min-label propagation — each round one
+      shuffle join (pull neighbours' labels) + one min aggregation.
+      Rounds needed = graph DIAMETER; near-dup graphs are unions of
+      small near-cliques (diameter ≤ ~3), so this converges in 2–4
+      rounds and each round touches only (edges + nodes).
+    - ``star``: alternating large-star/small-star (Kiveris et al.
+      2014, "Connected Components in MapReduce and Beyond") —
+      converges in O(log²·n) rounds INDEPENDENT of diameter, the
+      safe choice for adversarial long-chain graphs where label
+      propagation would need diameter rounds.
+
+    Both checkpoint per round so plans stay flat regardless of
+    iteration count.
     """
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown CC algorithm {algorithm!r} (label|star)")
     und = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -252,11 +263,84 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "rounds; the pair graph has a longer chain than near-dup "
-            "graphs should — raise max_iterations or use a "
-            "large-star/small-star variant"
+            "graphs should — raise max_iterations or rerun with "
+            "algorithm='star' (diameter-independent rounds)"
         )
     und.unpersist()
     return labels
+
+
+def _cc_star(
+    edges: DataFrame, src: str, dst: str, max_iterations: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014).
+
+    Edge state is kept in parent-pointer form (u, v) with v < u.
+    Each round:
+
+    - large-star: symmetrize, and for every node u hook each LARGER
+      neighbour v > u onto m = min(Γ(u) ∪ {u}).
+    - small-star: group the parent pointers by child u and re-hang u
+      and all its parents ≠ m onto m = min(parents ∪ {u}).
+
+    Both steps preserve connectivity and strictly shrink potential;
+    at fixpoint the edge set is a star per component centred on its
+    minimum, reached in O(log² n) rounds regardless of graph diameter
+    (label propagation needs diameter rounds). Each step is the same
+    join + min-aggregation shuffle primitive as the label variant;
+    per-round localCheckpoint keeps the plan flat. Convergence test:
+    new ⊆ old with equal counts (both sides are distinct sets).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_iterations):
+        # --- large-star ---
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn")).alias("m")
+        ls = (
+            sym.join(mins, "u")
+            .select("u", "v", m)
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star (input is parent-pointer form: v < u) ---
+        pmins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        rehang = (
+            ls.join(pmins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        hang_self = pmins.select("u", F.col("m").alias("v"))
+        new = rehang.union(hang_self).distinct().localCheckpoint()
+        n_new = new.count()
+        if n_new == n_edges and new.exceptAll(e).count() == 0:
+            e = new
+            break
+        e, n_edges = new, n_new
+    else:
+        raise RuntimeError(
+            f"star CC did not converge in {max_iterations} rounds — "
+            "O(log² n) bound exceeded; raise max_iterations"
+        )
+    # fixpoint edges are (node, component-min) stars; centres map to
+    # themselves
+    centres = e.select(F.col("v").alias("u")).distinct().withColumn(
+        "component", F.col("u")
+    )
+    return e.withColumnRenamed("v", "component").union(centres).distinct()
 
 
 def dedup_clusters(

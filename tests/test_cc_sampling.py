@@ -65,6 +65,60 @@ def test_cc_max_iterations_raises(spark):
         connected_components(edges, max_iterations=2)
 
 
+def test_cc_star_matches_label_on_hand_and_random_graphs(spark):
+    """Differential: the large-star/small-star variant must produce the
+    identical labelling as min-label propagation and the union-find
+    reference on assorted graph shapes."""
+    import random
+
+    rng = random.Random(11)
+    shapes = [
+        # hand shapes: chain, pair, triangle+redundant, star, two chains
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        [(i, i + 1) for i in range(11)],
+        [(0, i) for i in range(1, 8)] + [(100, 101), (101, 102)],
+        # random graphs: sparse and denser
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(40)],
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(120)],
+    ]
+    for pairs in shapes:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        label = {
+            (r["u"], r["component"])
+            for r in connected_components(edges, algorithm="label").collect()
+        }
+        star = {
+            (r["u"], r["component"])
+            for r in connected_components(edges, algorithm="star").collect()
+        }
+        assert star == label, pairs
+        expected = set(_union_find(pairs).items())
+        assert star == expected, pairs
+
+
+def test_cc_star_beats_diameter_on_long_chain(spark):
+    """A 33-node path needs ~diameter rounds of label propagation but
+    only O(log n) star rounds — 6 iterations must suffice where the
+    label variant raises."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, algorithm="label", max_iterations=6)
+    labels = connected_components(
+        edges, algorithm="star", max_iterations=6
+    ).collect()
+    assert {r["component"] for r in labels} == {0}
+    assert len(labels) == 33
+
+
+def test_cc_unknown_algorithm_raises(spark):
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(edges, algorithm="bogus")
+
+
 def _union_find(pairs):
     parent: dict[int, int] = {}
 
