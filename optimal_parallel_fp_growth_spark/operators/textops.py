@@ -121,3 +121,70 @@ def token_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99"),
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality signals per document — the
+    filter stage that catches boilerplate and degenerate generations
+    before training. → (doc_id, n_tokens, distinct_ratio,
+    top_token_frac, top_2gram_frac).
+
+    - ``distinct_ratio``   — |distinct tokens| / |tokens| (low = loopy).
+    - ``top_token_frac``   — occurrences of the most frequent token /
+      |tokens| ("fraction of characters in the most common word" family).
+    - ``top_2gram_frac``   — occurrences of the most frequent word
+      2-gram / |2-grams| (0.0 for docs of < 2 tokens).
+
+    Shape: explode → two-level aggregation. The first groupBy keys on
+    (doc_id, token) so the partial (map-side) aggregate collapses each
+    document's repeats BEFORE the shuffle — repetitive documents, the
+    very thing this measures, shuffle the least. The second groupBy
+    reduces to one row per doc_id. Same two shuffles at any corpus
+    size; no Python, no HOF in the hot path.
+    """
+    toks = docs.select("doc_id", tokens(text_col).alias("toks"))
+    tok = toks.select("doc_id", F.explode("toks").alias("tok"))
+    tok_stats = (
+        tok.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("count").alias("top_tok"),
+        )
+    )
+    # raw (non-distinct) 2-grams: positions 1..n-1
+    grams = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_grams"), F.max("count").alias("top_gram"))
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_tok") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_gram") / F.col("n_grams"), F.lit(0.0)), 6
+            ).alias("top_2gram_frac"),
+        )
+    )

@@ -43,6 +43,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.text_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -354,8 +358,28 @@ WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
       % {sampling.BUCKETS} < coalesce(r.keep_below, {int(round(1.0 * sampling.BUCKETS))})
 """
 
+ORACLE_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+ts AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+              max(c) AS top_tok
+       FROM tc GROUP BY 1),
+g AS (SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]) AS gram
+      FROM t WHERE len(toks) >= 2),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+gs AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram FROM gc GROUP BY 1)
+SELECT ts.doc_id, n_tokens,
+       round(n_distinct / n_tokens::DOUBLE, 6) AS distinct_ratio,
+       round(top_tok / n_tokens::DOUBLE, 6) AS top_token_frac,
+       round(coalesce(top_gram / n_grams::DOUBLE, 0.0), 6) AS top_2gram_frac
+FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+"""
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
+    "repetition_signals": q_repetition_signals,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -374,6 +398,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DOC_ORACLES: dict[str, str] = {
     "deduped_corpus": ORACLE_DEDUPED_CORPUS,
     "text_stats": ORACLE_TEXT_STATS,
+    "repetition_signals": ORACLE_REPETITION,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

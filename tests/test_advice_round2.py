@@ -131,3 +131,34 @@ def test_transform_self_matches_manual(fpm_train):
     }
     assert got == expect
     assert len(got) == baskets.count()
+
+
+def test_repetition_signals_hand_values(spark):
+    from optimal_parallel_fp_growth_spark.operators.textops import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # fully loopy
+            (2, "w x y z"),          # fully distinct
+            (3, "solo"),             # < 2 tokens: no 2-grams
+            (4, "a b a b a"),        # period-2 loop
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    r1 = got[1]
+    assert (r1.n_tokens, r1.distinct_ratio, r1.top_token_frac) == (4, 0.25, 1.0)
+    assert r1.top_2gram_frac == 1.0  # "a a" is all 3 grams
+    r2 = got[2]
+    assert (r2.distinct_ratio, r2.top_token_frac, r2.top_2gram_frac) == (
+        1.0,
+        0.25,
+        0.333333,  # 3 bigrams, each unique
+    )
+    r3 = got[3]
+    assert (r3.n_tokens, r3.top_2gram_frac) == (1, 0.0)
+    r4 = got[4]
+    assert r4.n_tokens == 5 and r4.top_token_frac == 0.6
+    assert r4.top_2gram_frac == 0.5  # "a b" twice of 4 grams
