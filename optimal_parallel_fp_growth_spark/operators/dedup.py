@@ -419,11 +419,29 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
+    verify: str = "exact",
 ) -> DataFrame:
-    """Near-dup pairs: banded-LSH candidates, then exact-jaccard verify.
+    """Near-dup pairs: banded-LSH candidates, then a jaccard verify.
     → (doc_a, doc_b, jaccard). Deterministic (md5 hashes), so the DuckDB
     oracle reproduces the *same* candidates — LSH false negatives affect
-    recall (measured in tests), never oracle parity."""
+    recall (measured in tests), never oracle parity.
+
+    ``verify`` picks the verification payload:
+
+    - ``exact`` (default, the oracle-checked path): candidates are
+      joined back to the full shingle SETS and scored with exact
+      jaccard — the reported value is the true similarity.
+    - ``signatures`` (the 100 TB path): candidates are joined back to
+      the 16-long minhash SIGNATURES only, and jaccard is estimated as
+      the fraction of agreeing components (the standard unbiased
+      minhash estimator, stderr ≈ sqrt(j(1-j)/num_hashes)). The two
+      verify joins then ship 16 longs per doc instead of every shingle
+      of every candidate — at web-corpus scale the shingle arrays are
+      the dominant shuffle payload of this operator. Same candidates,
+      estimated values; raise num_hashes to tighten the estimate.
+    """
+    if verify not in ("exact", "signatures"):
+        raise ValueError(f"verify must be 'exact' or 'signatures', got {verify!r}")
     rows = num_hashes // num_bands
     sigs = minhash_signatures(docs, text_col, k)
     sigs.persist()
@@ -453,6 +471,29 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    if verify == "signatures":
+        sg_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+        sg_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+        est = F.round(
+            F.aggregate(
+                F.zip_with(
+                    "sig_a",
+                    "sig_b",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(num_hashes),
+            6,
+        )
+        return tag_cached_inputs(
+            cand.join(sg_a, "doc_a")
+            .join(sg_b, "doc_b")
+            .select("doc_a", "doc_b", est.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold),
+            sigs,
+        )
     sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return tag_cached_inputs(

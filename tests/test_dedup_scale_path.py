@@ -118,3 +118,66 @@ def test_simhash_candidate_volume_bounded_on_dissimilar_corpus(spark):
     )
     all_pairs = 300 * 299 / 2
     assert n_cand < 0.01 * all_pairs
+
+
+# ---------------------------------------------------------------------------
+# minhash signature-estimate verify (100 TB payload path)
+
+
+def test_minhash_signature_verify_estimates_exact(spark, sf_small):
+    """verify='signatures' must produce a subset-compatible pair set
+    with jaccard estimated by signature agreement: same LSH candidates,
+    estimate within the minhash stderr envelope of the exact value."""
+    from optimal_parallel_fp_growth_spark.operators.dedup import (
+        NUM_HASHES,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.0, verify="signatures"
+        ).collect()
+    }
+    # identical candidate pairs at threshold 0 (same bands, same join)
+    assert set(est) == set(exact)
+    # estimates are k-quantized and track exact values distributionally:
+    # a 16-hash estimator has stderr ~0.12 per pair (plus linear-mix
+    # family bias), so bound the aggregate error, not each pair.
+    errs = sorted(abs(e - exact[p]) for p, e in est.items())
+    mae = sum(errs) / len(errs)
+    assert mae <= 0.125, mae                       # ~2/16 average
+    assert errs[int(0.9 * len(errs))] <= 0.25     # p90 within 4/16
+    assert errs[-1] <= 0.5                        # no catastrophic miss
+    for e in est.values():
+        assert abs(e * NUM_HASHES - round(e * NUM_HASHES)) < 1e-6
+
+
+def test_minhash_signature_verify_plan_avoids_shingle_arrays(spark, sf_small):
+    """The verify joins in signature mode must not ship shingle sets -
+    no array_intersect/array_union in the physical plan."""
+    from optimal_parallel_fp_growth_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_small, "documents")
+    plan_sig = minhash_lsh_pairs(
+        docs, verify="signatures"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" not in plan_sig
+    assert "array_union" not in plan_sig
+    plan_exact = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan_exact  # control
+
+
+def test_minhash_verify_validates(spark, sf_small):
+    import pytest
+
+    from optimal_parallel_fp_growth_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_small, "documents")
+    with pytest.raises(ValueError, match="verify"):
+        minhash_lsh_pairs(docs, verify="bogus")
