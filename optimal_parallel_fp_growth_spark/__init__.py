@@ -34,11 +34,20 @@ from optimal_parallel_fp_growth_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
 )
+from optimal_parallel_fp_growth_spark.functions.caching import (
+    release_cached_inputs,
+)
+from optimal_parallel_fp_growth_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
 from optimal_parallel_fp_growth_spark.operators.textops import (
     doc_fingerprint,
     lang_id,
     quality_score,
+    repetition_signals,
     text_stats,
+    tfidf_top_terms,
     token_quantiles,
 )
 from optimal_parallel_fp_growth_spark.sources.sinks import write_sharded
@@ -68,6 +77,11 @@ __all__ = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "repetition_signals",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "pack_sequences",
+    "release_cached_inputs",
     "sessionize",
     "rolling_stats",
     "daily_rollup",

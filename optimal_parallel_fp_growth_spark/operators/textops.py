@@ -10,7 +10,7 @@ Python).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.functions.text import (
@@ -187,4 +187,43 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.coalesce(F.col("top_gram") / F.col("n_grams"), F.lit(0.0)), 6
             ).alias("top_2gram_frac"),
         )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+    → (doc_id, term, tf, score, rank); idf = ln(N / df) over raw
+    (non-distinct) term frequency, rank by (score desc, term asc) so
+    the order is total and oracle-reproducible.
+
+    Shape: explode → (doc, term) count [map-side partial agg] → term
+    document frequencies [one small aggregate, broadcast back] → per-doc
+    top-k window, which Catalyst turns two-phase via
+    InferWindowGroupLimit (rank filter → Partial WindowGroupLimit in
+    the map stage). The df table is |vocabulary|-sized — broadcast it;
+    nothing quadratic anywhere."""
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

@@ -47,6 +47,24 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimal_parallel_fp_growth_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimal_parallel_fp_growth_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=256)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -377,9 +395,49 @@ SELECT ts.doc_id, n_tokens,
 FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
 """
 
+ORACLE_TFIDF = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, tf.term, tf,
+                  round(tf * ln((SELECT n_docs FROM n) / df::DOUBLE), 6) AS score
+           FROM tf JOIN df ON tf.term = df.term),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS rank
+           FROM scored)
+SELECT doc_id, term, tf, score, rank::INT AS rank FROM ranked WHERE rank <= 5
+"""
+
+# chunk_tokens=16, overlap=4 -> stride 12; chunk i is toks[1+12i : 12i+16].
+ORACLE_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, (1 + ceil(greatest(len(toks) - 16, 0) / 12.0))::BIGINT)) AS chunk_idx
+      FROM t)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       len(toks[(chunk_idx * 12 + 1)::INT:(chunk_idx * 12 + 16)::INT])::INT AS n_tokens,
+       array_to_string(toks[(chunk_idx * 12 + 1)::INT:(chunk_idx * 12 + 16)::INT], ' ') AS chunk_text
+FROM c
+"""
+
+ORACLE_PACKS = """
+WITH counted AS (SELECT doc_id, source AS "group",
+                        len(string_split(text, ' '))::INT AS n_tokens
+                 FROM documents)
+SELECT doc_id, "group", n_tokens,
+       ((sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+        // 256)::BIGINT AS pack_id
+FROM counted
+"""
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -399,6 +457,9 @@ DOC_ORACLES: dict[str, str] = {
     "deduped_corpus": ORACLE_DEDUPED_CORPUS,
     "text_stats": ORACLE_TEXT_STATS,
     "repetition_signals": ORACLE_REPETITION,
+    "tfidf_top_terms": ORACLE_TFIDF,
+    "chunk_documents": ORACLE_CHUNKS,
+    "pack_sequences": ORACLE_PACKS,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

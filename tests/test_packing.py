@@ -1,0 +1,148 @@
+"""Chunking / packing / tf-idf unit tests (oracle parity is covered by
+the driver gate; these pin edge-case semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from optimal_parallel_fp_growth_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    docs = _docs(spark, [(1, "a", "x y z")])
+    rows = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.chunk_idx, r.n_tokens, r.chunk_text) == (0, 3, "x y z")
+
+
+def test_chunk_boundaries_and_overlap(spark):
+    # 10 tokens, chunk 4, overlap 1 -> stride 3 -> starts 1,4,7
+    # (1 + ceil((10-4)/3) = 3 chunks; the third reaches the last token)
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    docs = _docs(spark, [(1, "a", text)])
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    texts = [r.chunk_text for r in rows]
+    assert texts == ["t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"]
+    # every token appears; consecutive chunks overlap by exactly 1
+    for a, b in zip(texts, texts[1:]):
+        assert a.split()[-1] == b.split()[0]
+
+
+def test_chunk_coverage_no_token_lost(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    # stride-12 chunks of every doc must cover exactly ceil pattern and
+    # reconstruct the token count: sum(sizes) - overlaps == n_tokens
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("sum_chunks"),
+            F.count("*").alias("n_chunks"),
+        )
+        .join(
+            docs.select(
+                "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+            ),
+            "doc_id",
+        )
+    )
+    bad = per_doc.where(
+        F.col("sum_chunks") - 4 * (F.col("n_chunks") - 1) != F.col("n_tokens")
+    ).count()
+    assert bad == 0
+
+
+def test_chunk_validates(spark):
+    docs = _docs(spark, [(1, "a", "x")])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=0)
+
+
+def test_pack_contiguous_fill(spark):
+    # group a: docs of 3,3,3 tokens, budget 5 -> starts 0,3,6 -> packs 0,0,1
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "x x x"),
+            (2, "a", "y y y"),
+            (3, "a", "z z z"),
+            (4, "b", "w w w w w w"),
+            (5, "b", "v"),
+        ],
+    )
+    got = {r.doc_id: r.pack_id for r in pack_sequences(docs, budget=5).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0, 5: 1}
+
+
+def test_pack_deterministic_across_partitionings(spark):
+    rows = [(i, f"s{i % 3}", " ".join(["w"] * (i % 7 + 1))) for i in range(60)]
+    docs = _docs(spark, rows)
+    base = sorted(map(tuple, pack_sequences(docs, budget=8).collect()))
+    re7 = sorted(
+        map(tuple, pack_sequences(docs.repartition(7), budget=8).collect())
+    )
+    assert base == re7
+
+
+def test_pack_validates(spark):
+    docs = _docs(spark, [(1, "a", "x")])
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, budget=0)
+
+
+def test_tfidf_hand_values(spark):
+    from optimal_parallel_fp_growth_spark.operators.textops import tfidf_top_terms
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "apple apple banana"),
+            (2, "a", "banana cherry"),
+            (3, "a", "cherry cherry cherry"),
+        ],
+    )
+    import math
+
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 idf=ln(3/1) -> top; banana tf=1 idf=ln(3/2)
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["apple", "banana"]
+    assert abs(d1[0].score - round(2 * math.log(3 / 1), 6)) < 1e-9
+    assert abs(d1[1].score - round(1 * math.log(3 / 2), 6)) < 1e-9
+    # doc 3: cherry tf=3 idf=ln(3/2)
+    d3 = sorted(by_doc[3], key=lambda r: r.rank)
+    assert d3[0].term == "cherry"
+    assert abs(d3[0].score - round(3 * math.log(3 / 2), 6)) < 1e-9
+
+
+def test_tfidf_topk_window_is_two_phase(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.operators.textops import tfidf_top_terms
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    plan = (
+        tfidf_top_terms(load_table(spark, sf_small, "documents"), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
