@@ -119,6 +119,12 @@ def main() -> None:
         "events_sessionize",
         "events_asof_join",
         "multimodal_features",
+        # round-2 additions (baselines recorded in BASELINE.md §round-2)
+        "repetition_signals",
+        "tfidf_top_terms",
+        "chunk_documents",
+        "pack_sequences",
+        "transform_self",
     ):
         q = QUERIES[qname]
         timed(qname, lambda q=q: _force(q(spark, SF_DIR)))

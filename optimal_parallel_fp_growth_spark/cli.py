@@ -8,6 +8,16 @@ baskets, mine, print timing + rules to stdout.
         [--num-partitions N] [--no-balanced]
     python -m optimal_parallel_fp_growth_spark.cli transform train.txt test.txt \
         --min-support 0.3 --min-confidence 0.8
+    python -m optimal_parallel_fp_growth_spark.cli recommend train.txt \
+        --min-support 0.3 --min-confidence 0.8
+    python -m optimal_parallel_fp_growth_spark.cli dedup in.parquet out.parquet \
+        --threshold 0.5 --policy cc
+
+``recommend`` is the reference's ``transform(spark)`` demo overload
+(pfp/FPGrowth.scala:124-148): predict over the distinct antecedents of
+the mined rules. ``dedup`` runs the end-to-end corpus dedup (exact +
+minhash-LSH near-dup, greedy or cluster-canonical policy) from parquet
+to parquet.
 
 ``--kernel pandas --num-partitions 1`` reproduces the FP (single-group)
 baseline; ``--no-balanced`` gives PFP hash grouping; default balanced
@@ -36,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
 
     p = argparse.ArgumentParser(prog="optimal_parallel_fp_growth_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("mine", "transform"):
+    for name in ("mine", "transform", "recommend"):
         s = sub.add_parser(name)
         s.add_argument("train")
         if name == "transform":
@@ -46,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--num-partitions", type=int, default=None)
         s.add_argument("--kernel", choices=("mllib", "pandas"), default="mllib")
         s.add_argument("--no-balanced", action="store_true")
+    d = sub.add_parser("dedup")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.5)
+    d.add_argument("--policy", choices=("greedy", "cc"), default="greedy")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -53,6 +69,26 @@ def main(argv: list[str] | None = None) -> int:
     pre_existing = SparkSession.getActiveSession() is not None
     spark = get_session("opfpg-cli")
     try:
+        if args.cmd == "dedup":
+            from optimal_parallel_fp_growth_spark.operators.dedup import (
+                deduped_corpus,
+            )
+
+            docs = spark.read.parquet(args.input)
+            t0 = time.perf_counter()
+            out = deduped_corpus(
+                docs,
+                text_col=args.text_col,
+                threshold=args.threshold,
+                policy=args.policy,
+            )
+            kept = docs.join(out.select("doc_id"), "doc_id", "left_semi")
+            kept.write.mode("overwrite").parquet(args.output)
+            n_in, n_out = docs.count(), kept.count()
+            print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
+            print(f"kept {n_out} / {n_in} documents")
+            return 0
+
         train = read_baskets_text(spark, args.train)
         est = FPGrowth(
             min_support=args.min_support,
@@ -68,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.cmd == "mine":
             _print_rules(model.association_rules(args.min_confidence))
+        elif args.cmd == "recommend":
+            # pfp/FPGrowth.scala:124-148 demo: predict over the distinct
+            # rule antecedents themselves.
+            out = model.transform_self(
+                min_confidence=args.min_confidence, keep_array=False
+            )
+            for r in out.collect():
+                print(f"{' '.join(r.items)} -> {r.prediction}")
         else:
             test = read_baskets_text(spark, args.test)
             out = model.transform(

@@ -186,10 +186,13 @@ def deduped_corpus(
         )
     else:
         raise ValueError(f"unknown dedup policy {policy!r} (greedy|cc)")
+    # carry the standard metadata columns when present (the oracle-checked
+    # documents schema) without requiring them of arbitrary corpora
+    cols = ["doc_id"] + [c for c in ("lang", "source") if c in docs.columns]
     return (
         docs.join(keep_exact, "doc_id", "left_semi")
         .join(near_drop, "doc_id", "left_anti")
-        .select("doc_id", "lang", "source")
+        .select(*cols)
     )
 
 

@@ -40,3 +40,39 @@ def test_cli_transform_pandas_kernel(spark, txt, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "->" in out and out.count("\n") >= 3
+
+
+def test_cli_recommend(spark, txt, capsys):
+    from optimal_parallel_fp_growth_spark.cli import main
+
+    train, _ = txt
+    rc = main(["recommend", train, "--min-support", "0.4",
+               "--min-confidence", "0.5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if " -> " in l]
+    assert lines  # one prediction per distinct rule antecedent
+    # every left side is a rule antecedent basket; right side never
+    # repeats an item from the left
+    for line in lines:
+        items, _, pred = line.partition(" -> ")
+        assert not set(items.split()) & set(p for p in pred.split(", ") if p)
+
+
+def test_cli_dedup_roundtrip(spark, tmp_path, capsys):
+    from optimal_parallel_fp_growth_spark.cli import main
+
+    src = str(tmp_path / "docs_in.parquet")
+    dst = str(tmp_path / "docs_out.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different text here"), (4, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    rc = main(["dedup", src, dst, "--threshold", "0.5", "--policy", "cc"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    kept = {r.doc_id for r in spark.read.parquet(dst).collect()}
+    assert 1 in kept and 3 in kept    # exact-dup survivor + unique doc
+    assert 2 not in kept              # exact duplicate dropped
+    assert "kept" in out
