@@ -8,6 +8,9 @@ aggregation, set operators, windowed top-n, wide aggregation):
 - top_suppliers_per_nation — join + agg + row_number window top-3.
 - order_priority_stats     — COUNT(DISTINCT) + plain aggs per group.
 - segment_part_overlap     — INTERSECT of two join pipelines.
+- shipping_priority        — TPC-H Q3 shape: date predicates pushed to
+                             BOTH fact scans, broadcast segment dim,
+                             deterministic top-10 (TakeOrdered).
 
 All pure DataFrame; every one has an exact DuckDB oracle.
 """
@@ -22,6 +25,8 @@ from pyspark.sql import functions as F
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
 SHIP_CUTOFF = "1998-09-02"
+Q3_DATE = "1998-01-01"
+Q3_SEGMENT = "BUILDING"
 BIG_ORDER = 300000.0
 TOP_N = 3
 SEG_A, SEG_B = "BUILDING", "MACHINERY"
@@ -114,6 +119,54 @@ def q_segment_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
+    Both date filters reach the parquet scans (PushedFilters), the
+    segment dim is broadcast, and the top-10 is a TakeOrderedAndProject
+    over the rounded revenue with l_orderkey tiebreak (total order →
+    deterministic)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < Q3_DATE)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > Q3_DATE)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        agg.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            # NTZ has no direct long cast; the session tz is UTC, so the
+            # LTZ hop yields the naive value's epoch == DuckDB epoch_us
+            F.col("o_orderdate")
+            .cast("timestamp")
+            .cast("long")
+            .alias("o_orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
 ORACLE_PRICING = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -171,12 +224,33 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE c_mktsegment = '{SEG_B}'
 """
 
+ORACLE_SHIPPING_PRIORITY = f"""
+WITH j AS (
+  SELECT l_orderkey,
+         (epoch_us(o_orderdate) // 1000000) AS o_orderdate_epoch,
+         o_orderpriority,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = '{Q3_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+    AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+)
+SELECT l_orderkey, o_orderdate_epoch, o_orderpriority,
+       round(sum(rev), 2) AS revenue
+FROM j GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "customers_no_big_orders": q_customers_no_big_orders,
     "top_suppliers_per_nation": q_top_suppliers_per_nation,
     "order_priority_stats": q_order_priority_stats,
     "segment_part_overlap": q_segment_part_overlap,
+    "shipping_priority": q_shipping_priority,
 }
 
 REL_ORACLES: dict[str, str] = {
@@ -185,4 +259,5 @@ REL_ORACLES: dict[str, str] = {
     "top_suppliers_per_nation": ORACLE_TOP_SUPP,
     "order_priority_stats": ORACLE_PRIORITY,
     "segment_part_overlap": ORACLE_OVERLAP,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
 }

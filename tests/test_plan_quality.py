@@ -103,3 +103,21 @@ def test_knn_topk_has_partial_group_limit(spark, sf_small):
     partial_pos = plan.find("WindowGroupLimit", exch_pos)
     assert 0 < final_pos < exch_pos < partial_pos
     assert "Partial" in plan[partial_pos : plan.index("\n", partial_pos)]
+
+
+def test_shipping_priority_pushdown_broadcast_takeordered(spark, sf_small):
+    """Q3 shape: BOTH date predicates must reach their parquet scans,
+    the segment dim must broadcast, and the top-10 must be a
+    TakeOrderedAndProject (partial per-partition top-N, no global
+    sort of the aggregate)."""
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_shipping_priority,
+    )
+
+    plan = _plan(q_shipping_priority(spark, sf_small))
+    assert plan.count("PushedFilters: [IsNotNull") >= 2
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[-1] or "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
