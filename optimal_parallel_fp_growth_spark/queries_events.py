@@ -162,6 +162,57 @@ FROM events e JOIN sess s
  AND {_EPOCH.replace('ts', 'e.ts')} BETWEEN s.start_epoch AND s.end_epoch
 """
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimal_parallel_fp_growth_spark.operators.funnels import funnel_counts
+
+    return funnel_counts(load_table(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimal_parallel_fp_growth_spark.operators.funnels import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"), max_offset_days=14)
+
+
+ORACLE_FUNNEL = f"""
+WITH e AS (SELECT user_id, event_type, {_EPOCH} AS sec FROM events),
+per_user AS (
+  SELECT user_id,
+         list(sec ORDER BY sec) FILTER (event_type = '{FUNNEL_STEPS[0]}') AS l0,
+         list(sec ORDER BY sec) FILTER (event_type = '{FUNNEL_STEPS[1]}') AS l1,
+         list(sec ORDER BY sec) FILTER (event_type = '{FUNNEL_STEPS[2]}') AS l2
+  FROM e GROUP BY user_id
+),
+walk AS (
+  SELECT user_id,
+         l0[1] AS t0,
+         list_filter(l1, x -> x > l0[1])[1] AS t1,
+         list_filter(l2, x -> x > list_filter(l1, y -> y > l0[1])[1])[1] AS t2
+  FROM per_user
+)
+SELECT 0 AS step_idx, '{FUNNEL_STEPS[0]}' AS step, count(t0)::BIGINT AS n_users FROM walk
+UNION ALL
+SELECT 1, '{FUNNEL_STEPS[1]}', count(t1)::BIGINT FROM walk
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[2]}', count(t2)::BIGINT FROM walk
+"""
+
+ORACLE_RETENTION = f"""
+WITH days AS (SELECT DISTINCT user_id,
+                     ({_EPOCH} // 86400) * 86400 AS day_epoch
+              FROM events),
+cohort AS (SELECT user_id, min(day_epoch) AS cohort_epoch FROM days GROUP BY 1)
+SELECT cohort_epoch,
+       ((day_epoch - cohort_epoch) // 86400)::BIGINT AS day_offset,
+       count(DISTINCT d.user_id)::BIGINT AS n_active
+FROM days d JOIN cohort c ON d.user_id = c.user_id
+WHERE (day_epoch - cohort_epoch) // 86400 <= 14
+GROUP BY 1, 2
+"""
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_sessionize,
     "events_rolling": q_rolling_stats,
@@ -171,6 +222,8 @@ EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_join": q_interval_join,
     "events_hourly_cube": q_hourly_cube,
     "events_json_props": q_json_props_stats,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
 }
 
 ORACLE_JSON_PROPS = """
@@ -204,4 +257,6 @@ EVENT_ORACLES: dict[str, str] = {
     "events_daily_rollup": ORACLE_DAILY_ROLLUP,
     "events_asof_join": ORACLE_ASOF,
     "events_windowed_counts": ORACLE_WINDOWED,
+    "events_funnel": ORACLE_FUNNEL,
+    "events_retention": ORACLE_RETENTION,
 }
