@@ -91,7 +91,9 @@ def pack_sequences(
     where start_offset is the cumulative token count of all earlier
     documents in the group. Documents may straddle a budget boundary
     (they are not split; pair with :func:`chunk_documents` first when
-    hard caps are needed). Everything is integer arithmetic over a
+    hard caps are needed), and a document longer than the budget
+    advances the offset past whole packs, so pack ids within a group
+    can skip values. Everything is integer arithmetic over a
     per-group running sum, so re-runs and retries produce identical
     packs on any cluster size.
     """

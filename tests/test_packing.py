@@ -146,3 +146,77 @@ def test_tfidf_topk_window_is_two_phase(spark, sf_small):
         .toString()
     )
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+# ---------------------------------------------------------------------------
+# property tests: chunk/pack invariants under random shapes
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=60),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_invariants(spark, n_tokens, chunk, overlap_frac):
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    docs = spark.createDataFrame(
+        [(1, "s", text)], "doc_id long, source string, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # chunk count matches the closed form
+    expected_n = 1 + max(0, -(-(n_tokens - chunk) // stride))
+    assert len(rows) == expected_n
+    # indices contiguous from 0; all chunks full except possibly the last
+    assert [r.chunk_idx for r in rows] == list(range(expected_n))
+    assert all(r.n_tokens == chunk for r in rows[:-1])
+    assert 1 <= rows[-1].n_tokens <= chunk
+    # exact coverage: chunk i starts at token i*stride
+    toks = text.split()
+    for r in rows:
+        start = r.chunk_idx * stride
+        assert r.chunk_text.split() == toks[start : start + chunk]
+    # last chunk reaches the final token
+    assert rows[-1].chunk_text.split()[-1] == toks[-1]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=25),
+    budget=st.integers(min_value=5, max_value=60),
+)
+def test_pack_invariants(spark, sizes, budget):
+    docs = spark.createDataFrame(
+        [(i, "g", " ".join(["w"] * n)) for i, n in enumerate(sizes)],
+        "doc_id long, source string, text string",
+    )
+    rows = sorted(
+        pack_sequences(docs, budget=budget).collect(), key=lambda r: r.doc_id
+    )
+    # reference: sequential contiguous fill in doc_id order
+    start = 0
+    for r, n in zip(rows, sizes):
+        assert r.n_tokens == n
+        assert r.pack_id == start // budget
+        start += n
+    # pack ids are non-decreasing; gaps are legal (a doc longer than
+    # the budget advances the start offset past whole packs)
+    ids = [r.pack_id for r in rows]
+    assert ids == sorted(ids)
+    assert ids[0] == 0
