@@ -41,6 +41,11 @@ from optimal_parallel_fp_growth_spark.operators.packing import (
     chunk_documents,
     pack_sequences,
 )
+from optimal_parallel_fp_growth_spark.operators.pii import pii_stats, redact_pii
+from optimal_parallel_fp_growth_spark.operators.funnels import (
+    cohort_retention,
+    funnel_counts,
+)
 from optimal_parallel_fp_growth_spark.operators.textops import (
     doc_fingerprint,
     lang_id,
@@ -82,6 +87,10 @@ __all__ = [
     "chunk_documents",
     "pack_sequences",
     "release_cached_inputs",
+    "pii_stats",
+    "redact_pii",
+    "funnel_counts",
+    "cohort_retention",
     "sessionize",
     "rolling_stats",
     "daily_rollup",

@@ -59,6 +59,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimal_parallel_fp_growth_spark.operators.pii import pii_stats
+
+    return pii_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimal_parallel_fp_growth_spark.operators.packing import pack_sequences
 
@@ -432,12 +438,26 @@ SELECT doc_id, "group", n_tokens,
 FROM counted
 """
 
+from optimal_parallel_fp_growth_spark.operators.pii import PII_PATTERNS as _PII
+
+ORACLE_PII_STATS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII[0][1]}'))::INT AS n_email,
+       len(regexp_extract_all(text, '{_PII[1][1]}'))::INT AS n_phone,
+       len(regexp_extract_all(text, '{_PII[2][1]}'))::INT AS n_ip,
+       (len(regexp_extract_all(text, '{_PII[0][1]}'))
+        + len(regexp_extract_all(text, '{_PII[1][1]}'))
+        + len(regexp_extract_all(text, '{_PII[2][1]}'))) > 0 AS has_pii
+FROM documents
+"""
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "pii_stats": q_pii_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -460,6 +480,7 @@ DOC_ORACLES: dict[str, str] = {
     "tfidf_top_terms": ORACLE_TFIDF,
     "chunk_documents": ORACLE_CHUNKS,
     "pack_sequences": ORACLE_PACKS,
+    "pii_stats": ORACLE_PII_STATS,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

@@ -220,3 +220,50 @@ def test_pack_invariants(spark, sizes, budget):
     ids = [r.pack_id for r in rows]
     assert ids == sorted(ids)
     assert ids[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+
+
+def test_pii_stats_and_redaction(spark):
+    from optimal_parallel_fp_growth_spark.operators.pii import (
+        pii_stats,
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact a.b+c@x-y.co.uk and bob@test.io now"),
+            (2, "call +555-123-4567 or 555 987 6543"),
+            (3, "server at 10.0.255.1 responded"),
+            (4, "perfectly clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in pii_stats(docs).collect()}
+    assert (stats[1].n_email, stats[1].has_pii) == (2, True)
+    assert (stats[2].n_phone, stats[2].has_pii) == (2, True)
+    assert (stats[3].n_ip, stats[3].has_pii) == (1, True)
+    assert (stats[4].n_email, stats[4].n_phone, stats[4].n_ip,
+            stats[4].has_pii) == (0, 0, 0, False)
+
+    red = {r.doc_id: r.text_redacted for r in redact_pii(docs).collect()}
+    assert red[1] == "contact <EMAIL> and <EMAIL> now"
+    assert red[2] == "call <PHONE> or <PHONE>"
+    assert red[3] == "server at <IP> responded"
+    assert red[4] == "perfectly clean text"
+
+
+def test_pii_plan_is_single_scan_no_python(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.operators.pii import pii_stats
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    plan = (
+        pii_stats(load_table(spark, sf_small, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
