@@ -9,6 +9,7 @@ Reference parity citations use paths relative to /root/reference/.
 
 from optimal_parallel_fp_growth_spark.operators.asof import asof_join_last_event
 from optimal_parallel_fp_growth_spark.operators.dedup import (
+    decontaminate,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -91,6 +92,7 @@ __all__ = [
     "redact_pii",
     "funnel_counts",
     "cohort_retention",
+    "decontaminate",
     "sessionize",
     "rolling_stats",
     "daily_rollup",

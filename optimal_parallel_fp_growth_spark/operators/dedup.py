@@ -626,3 +626,44 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming),
         fps,
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_hits`` distinct word ``k``-grams with any document of
+    the (small) eval set. → (doc_id, eval_id, n_shared) for every
+    contaminated (training, eval) pair.
+
+    Scale shape: the eval set is benchmark-sized (thousands of rows),
+    so its exploded shingle postings BROADCAST; the corpus-side
+    posting explode then streams through a broadcast hash join — the
+    100 TB corpus is never shuffled, and the only exchange is the
+    final (doc_id, eval_id) count aggregation over matched postings
+    (already pruned to eval-overlapping shingles). This mirrors the
+    standard n-gram decontamination used for LLM training corpora,
+    with k configurable (production uses 8-13; tests use small k to
+    match the synthetic corpus).
+    """
+    train_posting = _doc_shingles(docs, text_col, k).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    eval_posting = (
+        _doc_shingles(eval_docs, text_col, k)
+        .select(F.col("doc_id").alias("eval_id"), F.explode("sh").alias("shingle"))
+    )
+    return (
+        train_posting.join(F.broadcast(eval_posting), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_hits)
+    )

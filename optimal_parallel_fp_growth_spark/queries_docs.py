@@ -71,6 +71,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=256)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination with every 50th document standing in as
+    the benchmark set; self-matches excluded."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    return dedup.decontaminate(docs, ev, k=3, min_hits=2).where(
+        F.col("doc_id") != F.col("eval_id")
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -451,6 +461,23 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLE_DECONTAMINATE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh3 AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                        FOR i IN range(1, len(toks) - 1)])
+                    ELSE [] END AS sh
+        FROM t),
+tp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh3),
+ep AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM sh3 WHERE doc_id % 50 = 0)
+SELECT doc_id, eval_id, count(*)::BIGINT AS n_shared
+FROM tp JOIN ep USING (shingle)
+WHERE doc_id <> eval_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
@@ -458,6 +485,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "pii_stats": q_pii_stats,
+    "decontaminate": q_decontaminate,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -481,6 +509,7 @@ DOC_ORACLES: dict[str, str] = {
     "chunk_documents": ORACLE_CHUNKS,
     "pack_sequences": ORACLE_PACKS,
     "pii_stats": ORACLE_PII_STATS,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

@@ -181,3 +181,51 @@ def test_minhash_verify_validates(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     with pytest.raises(ValueError, match="verify"):
         minhash_lsh_pairs(docs, verify="bogus")
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination
+
+
+def test_decontaminate_hand_values(spark):
+    from optimal_parallel_fp_growth_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # shares "the quick brown",
+                                                  # "quick brown fox", "brown fox jumps"
+            (2, "a quick brown fox appears"),     # shares "quick brown fox"
+            (3, "nothing in common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.n_shared
+        for r in decontaminate(train, ev, k=3, min_hits=1).collect()
+    }
+    assert got == {(1, 100): 3, (2, 100): 1}
+    # min_hits raises the bar
+    strict = {
+        (r.doc_id, r.eval_id): r.n_shared
+        for r in decontaminate(train, ev, k=3, min_hits=2).collect()
+    }
+    assert strict == {(1, 100): 3}
+
+
+def test_decontaminate_broadcasts_eval_postings(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_small, "documents")
+    ev = docs.limit(5)
+    plan = (
+        decontaminate(docs, ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
