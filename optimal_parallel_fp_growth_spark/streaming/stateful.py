@@ -70,3 +70,75 @@ def first_seen_dedup(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_progress(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Streaming ordered-funnel state machine per user: track the
+    completion time of each step (step i completes at the first step-i
+    event STRICTLY LATER than step i-1's completion), carrying progress
+    across micro-batches. Emits a row whenever a user advances:
+    (user_id, steps_completed, last_step, last_t_epoch).
+
+    Exactness contract: identical to the batch walk
+    (operators/funnels.py::funnel_counts) when each key's events arrive
+    in event-time order across batches — the same guarantee
+    first_seen_dedup documents. Under that order, each t_i is final the
+    moment it is set (later batches only contain later timestamps), so
+    the incremental machine never needs revision. State per user is
+    len(steps) longs — the state store holds |users|·k longs at any
+    corpus size, never raw events.
+    """
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError("steps must be >= 2 distinct event types")
+    k = len(steps)
+    out_schema = (
+        "user_id long, steps_completed int, last_step string, last_t_epoch long"
+    )
+    state_schema = ", ".join(f"t{i} long" for i in range(k))
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def fn(key, pdfs, state: GroupState):
+        ts = list(state.get) if state.exists else [-1] * k
+        done_before = sum(1 for t in ts if t >= 0)
+        # rows WITHIN a micro-batch arrive unsorted: gather the batch's
+        # events and walk them in event-time order, so each step gets
+        # its EARLIEST qualifying time (exactly the batch walk). Per
+        # user per batch this is that user's events, which is the same
+        # bound sessionization already tolerates.
+        batch = []
+        for pdf in pdfs:
+            batch.extend(
+                (int(sec), step_idx[et])
+                for et, sec in zip(pdf["event_type"], pdf["ts_epoch"])
+                if et in step_idx
+            )
+        batch.sort()
+        for sec, i in batch:
+            if ts[i] >= 0:
+                continue
+            if i == 0 or (ts[i - 1] >= 0 and sec > ts[i - 1]):
+                ts[i] = sec
+        done_now = sum(1 for t in ts if t >= 0)
+        if done_now > done_before:
+            state.update(tuple(ts))
+            last = done_now - 1
+            yield pd.DataFrame(
+                [(key[0], done_now, steps[last], ts[last])],
+                columns=[
+                    "user_id",
+                    "steps_completed",
+                    "last_step",
+                    "last_t_epoch",
+                ],
+            )
+
+    prepared = events.selectExpr(
+        "user_id", "event_type", "cast(ts as long) AS ts_epoch"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

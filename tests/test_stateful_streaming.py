@@ -105,3 +105,35 @@ def test_first_seen_dedup_matches_batch(spark, sf_small, tmp_path):
     assert got == want and len(want) > 0
     # dedup really dropped something
     assert len(want) < ev.count()
+
+
+def test_funnel_progress_matches_batch(spark, sf_small, tmp_path):
+    from optimal_parallel_fp_growth_spark.operators.funnels import funnel_counts
+    from optimal_parallel_fp_growth_spark.streaming.stateful import funnel_progress
+
+    steps = ("view", "click", "purchase")
+    st = funnel_progress(
+        _multi_batch_stream(spark, sf_small, tmp_path, 4), steps
+    )
+    run_to_memory(st, "funnel_stream", output_mode="update")
+    prog = spark.table("funnel_stream")
+    # final per-user progress = max steps_completed emitted
+    final = {
+        r.user_id: r.m
+        for r in prog.groupBy("user_id")
+        .agg(F.max("steps_completed").alias("m"))
+        .collect()
+    }
+    # batch reference: users completing >= i+1 steps per step i
+    batch = {
+        r.step_idx: r.n_users
+        for r in funnel_counts(load_table(spark, sf_small, "events"), steps).collect()
+    }
+    for i in range(len(steps)):
+        stream_n = sum(1 for m in final.values() if m >= i + 1)
+        assert stream_n == batch[i], (i, stream_n, batch[i])
+    # progress is monotone per user: emissions strictly increase
+    for r in (
+        prog.groupBy("user_id", "steps_completed").count().where(F.col("count") > 1)
+    ).collect():
+        raise AssertionError(f"duplicate progress emission: {r}")
