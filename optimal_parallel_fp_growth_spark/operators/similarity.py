@@ -208,13 +208,26 @@ def _sign_bucket(vec: Column, bits: int = ANN_BITS) -> Column:
 
 IVF_CELLS = 16
 IVF_PROBE = 2
+IVF_MAX_CELLS = 4096
+
+
+def ivf_cells_for(n_corpus: int, min_cells: int = IVF_CELLS,
+                  max_cells: int = IVF_MAX_CELLS) -> int:
+    """IVF cell count for a corpus: ~sqrt(n) (the FAISS rule of thumb —
+    balances cell size against centroid-scan cost), clamped to
+    [min_cells, max_cells]. The centroid table is collected driver-side
+    and broadcast: at the 4096-cell clamp with 64-dim doubles that is
+    ~2 MB, still broadcast-sized."""
+    import math
+
+    return max(min_cells, min(max_cells, int(math.isqrt(max(n_corpus, 1)))))
 
 
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_cells: int = IVF_CELLS,
+    n_cells: int | None = IVF_CELLS,
     n_probe: int = IVF_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -222,6 +235,8 @@ def ivf_topk(
     """IVF-flavored ANN: corpus partitioned into coarse cells by nearest
     centroid, queries probe their ``n_probe`` closest cells, exact
     cosine rank inside the probed cells. → (query_id, vec_id, cosine, rn).
+    ``n_cells=None`` derives ~sqrt(corpus) cells via
+    :func:`ivf_cells_for` (one count job).
 
     Centroids are SEEDED deterministically (the first ``n_cells``
     vectors by id) instead of k-means-trained — the inverted-file
@@ -230,6 +245,8 @@ def ivf_topk(
     probe order use rounded cosine with centroid-id tiebreak so the
     DuckDB oracle reproduces the index bit-for-bit."""
     prepared = _prepared(emb, id_col, vec_col)
+    if n_cells is None:
+        n_cells = ivf_cells_for(emb.count())
     cent_rows = (
         prepared.orderBy("vec_id").limit(n_cells).collect()
     )  # tiny: n_cells × dim

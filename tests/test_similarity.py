@@ -199,3 +199,27 @@ def test_ann_auto_bits_path(spark, sf_oracle):
     ).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
     assert len(auto) > 0
+
+
+def test_ivf_cells_for_scaling():
+    from optimal_parallel_fp_growth_spark.operators.similarity import ivf_cells_for
+
+    assert ivf_cells_for(100) == 16          # min clamp
+    assert ivf_cells_for(10**6) == 1000      # sqrt rule
+    assert ivf_cells_for(10**9) == 4096      # max clamp (broadcast-sized)
+
+
+def test_ivf_auto_cells_path(spark, sf_oracle):
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        ivf_cells_for,
+        ivf_topk,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    auto = sorted(map(tuple, ivf_topk(emb, queries, k=5, n_cells=None).collect()))
+    explicit = sorted(
+        map(tuple, ivf_topk(emb, queries, k=5, n_cells=ivf_cells_for(emb.count())).collect())
+    )
+    assert auto == explicit and len(auto) > 0
