@@ -1,0 +1,168 @@
+"""Corpus n-gram statistics and inverted index — LM-training staples
+(no reference counterpart; driver north star: corpus-wide n-gram count
+tables feed contamination checks, repetition filters, and classic LM
+smoothing; the inverted index is the backbone of retrieval-style
+decontamination).
+
+Scale notes
+-----------
+``ngram_counts``: one codegen'd projection builds every document's
+n-gram list JVM-side (no Python), one explode, ONE shuffle on the gram
+key with map-side partial aggregation; the ``min_count`` filter runs
+post-agg (HAVING). Output volume is bounded by distinct-gram count,
+which the filter prunes hard at 100 TB (hapax grams dominate and are
+dropped). The gram arrays are built with higher-order functions, so the
+token array is materialized behind a projection boundary first (the
+HOF-vs-CSE pitfall: lambda-bearing expressions are excluded from common
+subexpression elimination, and without the boundary the split would run
+once per reference).
+
+``inverted_index``: df (document frequency) needs ALL postings per
+token, but the posting list we *return* is capped at ``max_postings``.
+Collecting every doc_id into one ``collect_list`` and slicing after
+would ship the full posting list of every stop-token through the
+shuffle (millions of ids for 'the' at 100 TB) — instead the cap rides a
+rank-filtered window (``row_number() <= K``), which Spark ≥3.5 rewrites
+to a two-phase WindowGroupLimit: each map task keeps only its local
+top-K before the shuffle, so no task ever holds more than K ids per
+token. df is a plain count aggregated alongside; the two aggregates
+join on the token key they are both already partitioned by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ngram_array(toks: Column, n: int, sep: str) -> Column:
+    """Array of n-grams (as sep-joined strings) from a token array.
+
+    Guarded: documents shorter than ``n`` tokens yield an empty array —
+    ``F.sequence(1, 0)`` would otherwise DESCEND ([1, 0]), silently
+    fabricating grams from negative slices.
+    """
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), sep))
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-wide n-gram count table: → (gram, cnt), cnt >= min_count.
+
+    Tokenization is the reference's split-on-space (epfp/EPFP.scala:26);
+    grams are token windows joined with ``sep``. Repeated occurrences
+    inside one document all count (this is a corpus frequency table,
+    not a document-frequency table — see ``inverted_index`` for df).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = docs.select(F.split(F.col(text_col), " ").alias("toks"))
+    grams = toks.select(
+        F.explode(_ngram_array(F.col("toks"), n, sep)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    max_postings: int = 10,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token → (df, capped posting list): → (token, df, postings).
+
+    ``df`` counts every document containing the token (exact, over all
+    postings); ``postings`` is the ``max_postings`` SMALLEST doc ids,
+    '|'-joined in ascending order (a string, so the DuckDB oracle
+    compares bit-for-bit — list hashing differs across engines).
+    Tokens are distinct-per-document (this is document frequency, not
+    term frequency).
+    """
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    dfreq = (
+        pairs.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    capped = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_postings)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), "|"
+            ).alias("postings")
+        )
+    )
+    return dfreq.join(capped, "token").select("token", "df", "postings")
+
+
+def source_ngram_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source
+    pair, how many distinct n-grams they share. → (source_a, source_b,
+    shared_grams) with source_a < source_b.
+
+    Scale shape: NOT a gram self-join (which ships every posting twice
+    and explodes on stop-grams). Instead distinct (source, gram) pairs
+    collapse to one sorted source-set per gram — an array bounded by the
+    number of SOURCES (handful), not documents — and the pair expansion
+    is a per-row nested-loop over that tiny array, JVM-side. Two
+    shuffles total (distinct, final pair count), both map-side combined;
+    per-gram work is O(#sources²) with #sources ~ dozens at 100 TB.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    sg = toks.select(
+        "source", F.explode(_ngram_array(F.col("toks"), n, sep)).alias("gram")
+    ).distinct()
+    per_gram = sg.groupBy("gram").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    # all ordered pairs (ss[i], ss[j]) with i < j, built with indexed HOFs
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size("ss")),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.source_a").alias("source_a"),
+                      F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )

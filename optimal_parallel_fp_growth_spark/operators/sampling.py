@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -114,6 +114,68 @@ def mix_sources(
     )
     return (
         docs.join(F.broadcast(rates_df), source_col, "left")
+        .where(keep)
+        .select(*docs.columns)
+    )
+
+
+def mix_by_temperature(
+    docs: DataFrame,
+    target_total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mixtemp",
+) -> DataFrame:
+    """Temperature-based source mixing: resample so source s's share of
+    the output is proportional to count(s)^alpha (alpha=1 keeps natural
+    proportions, alpha=0 equalizes sources, alpha≈0.5 is the usual
+    multilingual/multi-source rebalance). → input rows that survive.
+
+    Per-source keep rate = min(1, target_total·w_s / count_s) with
+    w_s = count_s^alpha / Σ count_s^alpha; rows are kept by the same
+    deterministic md5-bucket rule as ``mix_sources`` (retry-safe, no
+    RNG). Oversampling is not attempted: a source whose natural count is
+    below its target keeps everything (rate capped at 1), so the output
+    can undershoot ``target_total`` — by design, this operator never
+    duplicates rows.
+
+    Scale: one count aggregation over the fact table (map-side combined),
+    a per-source rate table of #sources rows computed with a single-
+    partition window over that TINY aggregate (not the fact table), then
+    a broadcast join + codegen'd filter — the fact table is never
+    shuffled.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+    if "keep_below" in docs.columns:
+        raise ValueError(
+            "input already has a 'keep_below' column - rename or drop it "
+            "before mix_by_temperature (reserved for the internal rates join)"
+        )
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("c_s"))
+    pw = F.pow(F.col("c_s"), F.lit(float(alpha)))
+    rates = (
+        counts.withColumn("pw", pw)
+        # empty OVER() = one partition — fine, `counts` has one row per source
+        .withColumn("tot", F.sum("pw").over(Window.partitionBy()))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total)) * F.col("pw") / F.col("tot") / F.col("c_s"),
+            ),
+        )
+        .select(
+            source_col,
+            F.round(F.col("rate") * BUCKETS, 0).cast("int").alias("keep_below"),
+        )
+    )
+    keep = hash_bucket(id_col, salt) < F.col("keep_below")
+    return (
+        docs.join(F.broadcast(rates), source_col, "inner")
         .where(keep)
         .select(*docs.columns)
     )

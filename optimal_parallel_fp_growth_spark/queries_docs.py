@@ -19,7 +19,7 @@ from optimal_parallel_fp_growth_spark.functions.text import (
     LANG_MARKERS,
     TOKEN_REGEX,
 )
-from optimal_parallel_fp_growth_spark.operators import dedup, sampling, textops
+from optimal_parallel_fp_growth_spark.operators import dedup, ngrams, sampling, textops
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
 # Shared by the Spark query and its oracle (lock-step by construction).
@@ -144,6 +144,28 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mix_sources(
         load_table(spark, sf_dir, "documents"), MIX_RATES
+    ).select("doc_id", "source")
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngrams.ngram_counts(
+        load_table(spark, sf_dir, "documents"), n=3, min_count=2
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngrams.inverted_index(
+        load_table(spark, sf_dir, "documents"), max_postings=10, min_df=2
+    )
+
+
+def q_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngrams.source_ngram_overlap(load_table(spark, sf_dir, "documents"), n=3)
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.mix_by_temperature(
+        load_table(spark, sf_dir, "documents"), target_total=300, alpha=0.5
     ).select("doc_id", "source")
 
 
@@ -478,6 +500,48 @@ GROUP BY 1, 2
 HAVING count(*) >= 2
 """
 
+# trigrams: valid 1-based starts are 1..len-2, range() is end-exclusive,
+# greatest(...,1) makes short docs contribute an empty range.
+ORACLE_NGRAM_COUNTS = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT array_to_string(t[i : i+2], ' ') AS gram
+          FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i))
+SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+ORACLE_INVERTED_INDEX = """
+WITH pairs AS (SELECT DISTINCT doc_id,
+                      unnest(list_distinct(string_split(text, ' '))) AS token
+               FROM documents)
+SELECT token, COUNT(*) AS df,
+       array_to_string((list_sort(list(doc_id)))[1:10], '|') AS postings
+FROM pairs GROUP BY token HAVING COUNT(*) >= 2
+"""
+
+ORACLE_SOURCE_NGRAM_OVERLAP = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+sg AS (SELECT DISTINCT source, array_to_string(t[i : i+2], ' ') AS gram
+       FROM toks, UNNEST(range(1, greatest(len(t)-1, 1))) AS u(i))
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_grams
+FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+# Same per-source rate math as sampling.mix_by_temperature (target 300,
+# alpha 0.5, BUCKETS 10000, salt 'mixtemp').
+ORACLE_MIX_TEMPERATURE = """
+WITH c AS (SELECT source, COUNT(*) AS c_s FROM documents GROUP BY 1),
+w AS (SELECT source, c_s, pow(c_s, 0.5) AS pw,
+             SUM(pow(c_s, 0.5)) OVER () AS tot FROM c),
+r AS (SELECT source,
+             CAST(round(least(1.0, 300.0 * pw / tot / c_s) * 10000, 0) AS INT)
+               AS keep_below
+      FROM w)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5('mixtemp:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+      % 10000 < r.keep_below
+"""
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
@@ -499,6 +563,10 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deduped_corpus_cc": q_deduped_corpus_cc,
     "corpus_split": q_corpus_split,
     "mix_sources": q_mix_sources,
+    "ngram_counts": q_ngram_counts,
+    "inverted_index": q_inverted_index,
+    "source_ngram_overlap": q_source_ngram_overlap,
+    "mix_temperature": q_mix_temperature,
 }
 
 DOC_ORACLES: dict[str, str] = {
@@ -522,4 +590,8 @@ DOC_ORACLES: dict[str, str] = {
     "deduped_corpus_cc": ORACLE_DEDUPED_CORPUS_CC,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "mix_sources": ORACLE_MIX_SOURCES,
+    "ngram_counts": ORACLE_NGRAM_COUNTS,
+    "inverted_index": ORACLE_INVERTED_INDEX,
+    "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
+    "mix_temperature": ORACLE_MIX_TEMPERATURE,
 }

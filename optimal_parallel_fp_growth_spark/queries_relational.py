@@ -244,6 +244,39 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate pushes to the parquet scan
+    (PushedFilters on l_shipdate/l_discount/l_quantity), then a single
+    partial+final global aggregate — zero shuffle of row data, only the
+    one-row partial aggregates move."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= Q6_START)
+            & (F.col("l_shipdate") < Q6_END)
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY)
+        ).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q6_START, Q6_END = "1997-01-01", "1998-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY = 24.0
+
+ORACLE_FORECAST_REVENUE = f"""
+SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_START}' AND l_shipdate < TIMESTAMP '{Q6_END}'
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -251,6 +284,7 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_stats": q_order_priority_stats,
     "segment_part_overlap": q_segment_part_overlap,
     "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
 }
 
 REL_ORACLES: dict[str, str] = {
@@ -260,4 +294,5 @@ REL_ORACLES: dict[str, str] = {
     "order_priority_stats": ORACLE_PRIORITY,
     "segment_part_overlap": ORACLE_OVERLAP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "forecast_revenue": ORACLE_FORECAST_REVENUE,
 }
