@@ -125,6 +125,15 @@ def main() -> None:
         "chunk_documents",
         "pack_sequences",
         "transform_self",
+        # round-2 batch 2 (baselines recorded in BASELINE.md §round-2)
+        "ngram_counts",
+        "inverted_index",
+        "source_ngram_overlap",
+        "mix_temperature",
+        "stratified_sample",
+        "events_top_users",
+        "label_centroids",
+        "forecast_revenue",
     ):
         q = QUERIES[qname]
         timed(qname, lambda q=q: _force(q(spark, SF_DIR)))

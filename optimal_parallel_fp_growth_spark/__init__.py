@@ -21,9 +21,16 @@ from optimal_parallel_fp_growth_spark.operators.dedup import (
     deduped_corpus,
 )
 from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth, FPGrowthModel
+from optimal_parallel_fp_growth_spark.operators.ngrams import (
+    inverted_index,
+    ngram_counts,
+    source_ngram_overlap,
+)
 from optimal_parallel_fp_growth_spark.operators.sampling import (
     corpus_split,
+    mix_by_temperature,
     mix_sources,
+    stratified_sample,
 )
 from optimal_parallel_fp_growth_spark.operators.sessions import (
     daily_rollup,
@@ -34,6 +41,7 @@ from optimal_parallel_fp_growth_spark.operators.similarity import (
     ann_topk,
     cosine_topk,
     embedding_neardup_pairs,
+    label_centroids,
 )
 from optimal_parallel_fp_growth_spark.functions.caching import (
     release_cached_inputs,
@@ -74,6 +82,12 @@ __all__ = [
     "deduped_corpus",
     "corpus_split",
     "mix_sources",
+    "mix_by_temperature",
+    "stratified_sample",
+    "ngram_counts",
+    "inverted_index",
+    "source_ngram_overlap",
+    "label_centroids",
     "write_sharded",
     "token_quantiles",
     "cosine_topk",

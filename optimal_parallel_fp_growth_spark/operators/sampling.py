@@ -179,3 +179,33 @@ def mix_by_temperature(
         .where(keep)
         .select(*docs.columns)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen deterministically: rank rows inside each stratum
+    by md5(salt:id) and keep the lowest ranks. → input columns.
+
+    Unlike rate-based sampling this hits the requested count EXACTLY,
+    at the price of one shuffle on the stratum key. The rank filter is
+    ``row_number() <= n``, which Spark ≥3.5 rewrites to a two-phase
+    WindowGroupLimit — each map task pre-trims to its local n before the
+    shuffle, so a mega-stratum never funnels through one task's memory.
+    The (hash, id) sort key is total (md5 ties broken by id), so the
+    sample is stable under re-partitioning, retries, and row order.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -376,3 +376,22 @@ def ann_topk(
         F.col("query_id") != F.col("vec_id")
     )
     return _score_topk(cand, k)
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension):
+    → (label, pos, mean_val, n_vectors). The long layout keeps the
+    oracle exact (no cross-engine array hashing) and the shuffle key
+    space tiny (labels × dims).
+
+    Scale: posexplode is a codegen'd 64×-row projection (no Python, no
+    data copy of the vector beyond the scan), then ONE shuffle on
+    (label, pos) with map-side partial avg/count — every executor ships
+    labels × dims partial rows regardless of corpus size."""
+    pe = emb.select(F.col(label_col).alias("label"),
+                    F.posexplode(vec_col).alias("pos", "v"))
+    return pe.groupBy("label", "pos").agg(
+        F.avg("v").alias("mean_val"), F.count(F.lit(1)).alias("n_vectors")
+    )

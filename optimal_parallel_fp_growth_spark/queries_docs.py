@@ -169,6 +169,12 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(
+        load_table(spark, sf_dir, "documents"), strata_col="source", n_per_stratum=10
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 
@@ -542,6 +548,16 @@ WHERE ('0x' || substr(md5('mixtemp:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
       % 10000 < r.keep_below
 """
 
+# Same (md5, id) total order as sampling.stratified_sample (salt 'strat').
+ORACLE_STRATIFIED_SAMPLE = """
+WITH r AS (SELECT doc_id, source,
+                  row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY md5('strat:' || doc_id::VARCHAR), doc_id) AS rn
+           FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= 10
+"""
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
@@ -567,6 +583,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "source_ngram_overlap": q_source_ngram_overlap,
     "mix_temperature": q_mix_temperature,
+    "stratified_sample": q_stratified_sample,
 }
 
 DOC_ORACLES: dict[str, str] = {
@@ -594,4 +611,5 @@ DOC_ORACLES: dict[str, str] = {
     "inverted_index": ORACLE_INVERTED_INDEX,
     "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
     "mix_temperature": ORACLE_MIX_TEMPERATURE,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.operators.sessions import (
     daily_rollup,
@@ -213,6 +214,36 @@ WHERE (day_epoch - cohort_epoch) // 86400 <= 14
 GROUP BY 1, 2
 """
 
+TOP_USERS_K = 5
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type heavy hitters: the TOP_USERS_K most active users of each
+    event type. Two shuffles (count agg with map-side combine, then the
+    rank window), and the rank filter rides the two-phase
+    WindowGroupLimit rewrite so no task ever materializes a full
+    event_type's user list — the skew-safe top-k shape at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id")
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_USERS_K)
+    )
+
+
+ORACLE_TOP_USERS = f"""
+WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, user_id, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id) AS rank
+      FROM c)
+SELECT event_type, user_id, cnt, rank::INT AS rank FROM r
+WHERE rank <= {TOP_USERS_K}
+"""
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_sessionize,
     "events_rolling": q_rolling_stats,
@@ -224,6 +255,7 @@ EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_props": q_json_props_stats,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_top_users": q_events_top_users,
 }
 
 ORACLE_JSON_PROPS = """
@@ -259,4 +291,5 @@ EVENT_ORACLES: dict[str, str] = {
     "events_windowed_counts": ORACLE_WINDOWED,
     "events_funnel": ORACLE_FUNNEL,
     "events_retention": ORACLE_RETENTION,
+    "events_top_users": ORACLE_TOP_USERS,
 }

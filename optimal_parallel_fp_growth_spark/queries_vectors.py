@@ -22,6 +22,7 @@ from optimal_parallel_fp_growth_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
+    label_centroids,
 )
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
@@ -143,11 +144,30 @@ SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= {TOP_K}
 """
 )
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = label_centroids(emb)
+    return c.select(
+        "label", "pos", F.round("mean_val", 9).alias("mean_val"), "n_vectors"
+    )
+
+
+# float32 widened to double before avg on both engines; rounded to the
+# comparison precision (1e-9) to absorb summation-order ulps.
+ORACLE_LABEL_CENTROIDS = """
+WITH pe AS (SELECT label, i - 1 AS pos, embedding[i] AS v
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
+SELECT label, pos::INT AS pos, round(AVG(v), 9) AS mean_val,
+       COUNT(*) AS n_vectors
+FROM pe GROUP BY label, pos
+"""
+
 VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "knn_ann": q_knn_ann,
     "knn_ivf": q_knn_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "label_centroids": q_label_centroids,
 }
 
 VEC_ORACLES: dict[str, str] = {
@@ -155,4 +175,5 @@ VEC_ORACLES: dict[str, str] = {
     "knn_ann": ORACLE_KNN_ANN,
     "knn_ivf": ORACLE_KNN_IVF,
     "embedding_neardup": ORACLE_NEARDUP,
+    "label_centroids": ORACLE_LABEL_CENTROIDS,
 }

@@ -1,0 +1,71 @@
+"""stratified_sample / events_top_users / label_centroids — semantics
+plus the WindowGroupLimit plan pins that carry their 100-TB story."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.operators.sampling import stratified_sample
+from optimal_parallel_fp_growth_spark.operators.similarity import label_centroids
+
+
+def test_stratified_sample_exact_counts_and_small_strata(spark):
+    rows = [(i, "big") for i in range(100)] + [(100 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, "source", 10)
+    by = {r["source"]: r["n"] for r in
+          out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by == {"big": 10, "tiny": 3}  # exact n, small stratum keeps all
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    rows = [(i, str(i % 4)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r.doc_id for r in stratified_sample(df, "source", 5).collect())
+    b = sorted(
+        r.doc_id for r in stratified_sample(df.repartition(13), "source", 5).collect()
+    )
+    assert a == b
+
+
+def test_stratified_sample_validation(spark):
+    df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_sample(df, "source", 0)
+
+
+def test_stratified_sample_plan_two_phase(spark):
+    df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    plan = (
+        stratified_sample(df, "source", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("WindowGroupLimit") == 2 and "Partial" in plan
+
+
+def test_label_centroids_values(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [3.0, 2.0], 0), (3, [5.0, 5.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {(r.label, r.pos): (r.mean_val, r.n_vectors)
+           for r in label_centroids(emb).collect()}
+    assert got == {
+        (0, 0): (2.0, 2), (0, 1): (1.0, 2),
+        (1, 0): (5.0, 1), (1, 1): (5.0, 1),
+    }
+
+
+def test_events_top_users_plan_two_phase(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_events import q_events_top_users
+
+    df = q_events_top_users(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 2 and "Partial" in plan
+    # per-type ranks are dense from 1 and respect count order
+    rows = df.where(F.col("event_type") == df.select("event_type").first()[0])
+    got = sorted((r.rank, r.cnt) for r in rows.collect())
+    assert [rk for rk, _ in got] == list(range(1, len(got) + 1))
+    cnts = [c for _, c in got]
+    assert cnts == sorted(cnts, reverse=True)
