@@ -134,6 +134,7 @@ def main() -> None:
         "events_top_users",
         "label_centroids",
         "forecast_revenue",
+        "curate_corpus",
     ):
         q = QUERIES[qname]
         timed(qname, lambda q=q: _force(q(spark, SF_DIR)))

@@ -51,6 +51,7 @@ from optimal_parallel_fp_growth_spark.operators.packing import (
     pack_sequences,
 )
 from optimal_parallel_fp_growth_spark.operators.pii import pii_stats, redact_pii
+from optimal_parallel_fp_growth_spark.plans.curate import curate_corpus
 from optimal_parallel_fp_growth_spark.operators.funnels import (
     cohort_retention,
     funnel_counts,
@@ -104,6 +105,7 @@ __all__ = [
     "release_cached_inputs",
     "pii_stats",
     "redact_pii",
+    "curate_corpus",
     "funnel_counts",
     "cohort_retention",
     "decontaminate",

@@ -175,6 +175,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimal_parallel_fp_growth_spark.plans.curate import curate_corpus
+
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"), split_weights=SPLIT_WEIGHTS
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 
@@ -548,6 +556,28 @@ WHERE ('0x' || substr(md5('mixtemp:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
       % 10000 < r.keep_below
 """
 
+# End-to-end curation: existing oracle CTEs chained in the pipeline's
+# stage order (dedup survivors ∩ quality ≥ 0.5 → train split → packing).
+_TRAIN_BELOW = int(round(SPLIT_WEIGHTS[0][1] * sampling.BUCKETS))
+
+ORACLE_CURATE_CORPUS = f"""
+WITH surv AS (SELECT doc_id FROM ({ORACLE_DEDUPED_CORPUS})),
+qual AS (SELECT * FROM ({ORACLE_QUALITY_SCORE})),
+kept AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         JOIN surv USING (doc_id) JOIN qual USING (doc_id)
+         WHERE quality >= 0.5),
+tr AS (SELECT doc_id, source, text FROM kept
+       WHERE ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % {sampling.BUCKETS} < {_TRAIN_BELOW}),
+counted AS (SELECT doc_id, source,
+                   len(string_split(text, ' '))::INT AS n_tokens FROM tr)
+SELECT doc_id, source, n_tokens,
+       ((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+        // 256)::BIGINT AS pack_id
+FROM counted
+"""
+
 # Same (md5, id) total order as sampling.stratified_sample (salt 'strat').
 ORACLE_STRATIFIED_SAMPLE = """
 WITH r AS (SELECT doc_id, source,
@@ -584,6 +614,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_ngram_overlap": q_source_ngram_overlap,
     "mix_temperature": q_mix_temperature,
     "stratified_sample": q_stratified_sample,
+    "curate_corpus": q_curate_corpus,
 }
 
 DOC_ORACLES: dict[str, str] = {
@@ -612,4 +643,5 @@ DOC_ORACLES: dict[str, str] = {
     "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
     "mix_temperature": ORACLE_MIX_TEMPERATURE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "curate_corpus": ORACLE_CURATE_CORPUS,
 }

@@ -69,3 +69,27 @@ def test_events_top_users_plan_two_phase(spark, sf_small):
     assert [rk for rk, _ in got] == list(range(1, len(got) + 1))
     cnts = [c for _, c in got]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_curate_corpus_invariants(spark, sf_oracle):
+    from optimal_parallel_fp_growth_spark.plans.curate import curate_corpus
+    from optimal_parallel_fp_growth_spark.operators.dedup import deduped_corpus
+    from optimal_parallel_fp_growth_spark.operators.textops import quality_score
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = curate_corpus(docs).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))  # each doc packed at most once
+
+    surv = {r.doc_id for r in deduped_corpus(docs).collect()}
+    qual = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    for r in out:
+        assert r.doc_id in surv and qual[r.doc_id] >= 0.5
+
+    # packs are contiguous in doc_id order within a source: pack_id
+    # non-decreasing when rows sorted by (source, doc_id)
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        assert by_src.get(r.source, 0) <= r.pack_id
+        by_src[r.source] = r.pack_id
