@@ -142,3 +142,70 @@ def funnel_progress(events: DataFrame, steps: tuple[str, ...] = ("view", "click"
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stream(events: DataFrame, capacity: int = 8) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters per event_type: maintain at
+    most ``capacity`` candidate users per type with bounded state, and
+    after every micro-batch emit the current candidates as
+    (event_type, user_id, est_count). Classic guarantee: any user whose
+    true count exceeds N/(capacity+1) is guaranteed present, and
+    est_count undercounts the true count by at most N/(capacity+1)
+    (N = events of that type so far). With capacity ≥ distinct users the
+    counts are EXACT — the batch-agreement test pins that case.
+
+    This is the operator streaming SQL cannot express: a native
+    ``groupBy(type, user).count`` keeps state per (type, user) — 
+    unbounded in users — while this keeps ``capacity`` counters per
+    type, a constant, making 100 TB state-store size a configuration
+    choice instead of a data-size liability.
+
+    Determinism: batch rows are applied in (ts_epoch, user_id) order, so
+    a replay with the same micro-batch boundaries reproduces the same
+    candidate sets (decrements depend on arrival order, as in any
+    Misra-Gries deployment).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    out_schema = "event_type string, user_id long, est_count long"
+    state_schema = "users array<long>, counts array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            users, counts = state.get
+            mg = dict(zip(list(users), list(counts)))
+        else:
+            mg = {}
+        batch = []
+        for pdf in pdfs:
+            batch.extend(
+                (int(sec), int(u))
+                for sec, u in zip(pdf["ts_epoch"], pdf["user_id"])
+            )
+        batch.sort()
+        for _, u in batch:
+            if u in mg:
+                mg[u] += 1
+            elif len(mg) < capacity:
+                mg[u] = 1
+            else:
+                # decrement-all step; drop zeros
+                mg = {v: c - 1 for v, c in mg.items() if c > 1}
+        if not mg:
+            return
+        state.update((list(mg.keys()), list(mg.values())))
+        yield pd.DataFrame(
+            [(key[0], u, c) for u, c in sorted(mg.items())],
+            columns=["event_type", "user_id", "est_count"],
+        )
+
+    prepared = events.selectExpr(
+        "event_type", "user_id", "cast(ts as long) AS ts_epoch"
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

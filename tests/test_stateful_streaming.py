@@ -137,3 +137,60 @@ def test_funnel_progress_matches_batch(spark, sf_small, tmp_path):
         prog.groupBy("user_id", "steps_completed").count().where(F.col("count") > 1)
     ).collect():
         raise AssertionError(f"duplicate progress emission: {r}")
+
+
+def test_heavy_hitters_exact_when_capacity_covers(spark, sf_small, tmp_path):
+    from optimal_parallel_fp_growth_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    st = heavy_hitters_stream(
+        _multi_batch_stream(spark, sf_small, tmp_path, 4), capacity=100_000
+    )
+    run_to_memory(st, "hh_stream", output_mode="update")
+    # capacity >= distinct users: Misra-Gries never decrements, counts are
+    # exact and non-decreasing, so max emission per pair = final count.
+    got = {
+        (r.event_type, r.user_id): r.m
+        for r in spark.table("hh_stream")
+        .groupBy("event_type", "user_id")
+        .agg(F.max("est_count").alias("m"))
+        .collect()
+    }
+    want = {
+        (r.event_type, r.user_id): r.n
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_bounded_state_undercounts(spark, sf_small, tmp_path):
+    from optimal_parallel_fp_growth_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    st = heavy_hitters_stream(
+        _multi_batch_stream(spark, sf_small, tmp_path, 3), capacity=4
+    )
+    run_to_memory(st, "hh_small", output_mode="update")
+    est = {
+        (r.event_type, r.user_id): r.m
+        for r in spark.table("hh_small")
+        .groupBy("event_type", "user_id")
+        .agg(F.max("est_count").alias("m"))
+        .collect()
+    }
+    assert est, "stream emitted nothing"
+    true = {
+        (r.event_type, r.user_id): r.n
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # Misra-Gries stored counts never exceed true counts
+    for k, v in est.items():
+        assert v <= true[k], (k, v, true[k])
