@@ -12,6 +12,8 @@ baskets, mine, print timing + rules to stdout.
         --min-support 0.3 --min-confidence 0.8
     python -m optimal_parallel_fp_growth_spark.cli dedup in.parquet out.parquet \
         --threshold 0.5 --policy cc
+    python -m optimal_parallel_fp_growth_spark.cli curate in.parquet out.parquet \
+        --quality-min 0.5 --threshold 0.5 --budget 256
 
 ``recommend`` is the reference's ``transform(spark)`` demo overload
 (pfp/FPGrowth.scala:124-148): predict over the distinct antecedents of
@@ -62,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--text-col", default="text")
     d.add_argument("--threshold", type=float, default=0.5)
     d.add_argument("--policy", choices=("greedy", "cc"), default="greedy")
+    c = sub.add_parser("curate")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--quality-min", type=float, default=0.5)
+    c.add_argument("--threshold", type=float, default=0.5)
+    c.add_argument("--budget", type=int, default=256)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -87,6 +96,27 @@ def main(argv: list[str] | None = None) -> int:
             n_in, n_out = docs.count(), kept.count()
             print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
             print(f"kept {n_out} / {n_in} documents")
+            return 0
+
+        if args.cmd == "curate":
+            from optimal_parallel_fp_growth_spark.plans.curate import (
+                curate_corpus,
+            )
+
+            docs = spark.read.parquet(args.input)
+            t0 = time.perf_counter()
+            packed = curate_corpus(
+                docs,
+                quality_min=args.quality_min,
+                dedup_threshold=args.threshold,
+                budget=args.budget,
+                text_col=args.text_col,
+            )
+            out = docs.join(packed.select("doc_id", "pack_id"), "doc_id")
+            out.write.mode("overwrite").parquet(args.output)
+            n_in, n_out = docs.count(), out.count()
+            print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
+            print(f"packed {n_out} / {n_in} documents")
             return 0
 
         train = read_baskets_text(spark, args.train)

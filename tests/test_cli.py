@@ -76,3 +76,27 @@ def test_cli_dedup_roundtrip(spark, tmp_path, capsys):
     assert 1 in kept and 3 in kept    # exact-dup survivor + unique doc
     assert 2 not in kept              # exact duplicate dropped
     assert "kept" in out
+
+
+def test_cli_curate_roundtrip(spark, tmp_path, capsys):
+    from optimal_parallel_fp_growth_spark.cli import main
+
+    src = str(tmp_path / "cur_in.parquet")
+    dst = str(tmp_path / "cur_out.parquet")
+    # long diverse texts pass the default quality gate; doc 2 is an
+    # exact duplicate of doc 1 and must not be packed
+    words = "alpha beta gamma delta epsilon zeta eta theta the of and to in is".split()
+    long_text = " ".join(words * 4)
+    spark.createDataFrame(
+        [(1, long_text, "s0"), (2, long_text, "s0"),
+         (3, " ".join(reversed(words * 4)), "s1")],
+        "doc_id long, text string, source string",
+    ).write.mode("overwrite").parquet(src)
+    rc = main(["curate", src, dst, "--budget", "16"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = spark.read.parquet(dst).collect()
+    ids = {r.doc_id for r in rows}
+    assert 2 not in ids               # exact duplicate never packed
+    assert all(hasattr(r, "pack_id") for r in rows)
+    assert "packed" in out
