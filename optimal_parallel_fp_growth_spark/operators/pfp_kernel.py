@@ -215,3 +215,159 @@ def mine_pandas(
         )
 
     return cond_agg.groupBy("group").applyInPandas(mine_group, out_schema)
+
+
+def mine_pandas_by(
+    items_df: DataFrame,
+    corpus_col: str,
+    min_support: float,
+    num_partitions: int | None = None,
+    balanced: bool = True,
+) -> DataFrame:
+    """Grouped mining: run the full PFP pipeline INDEPENDENTLY per corpus
+    (e.g. per language) in one pass — the "hypertable rollup" shape for
+    mining. items_df: (corpus_col, items array); → (corpus_col, items,
+    freq) where freq ≥ ceil(min_support · |corpus|) within each corpus.
+
+    Same four stages as :func:`mine_pandas`, with the corpus key carried
+    through: per-corpus rank dictionaries and balanced group assignments
+    (stage 1 collects only FREQUENT (corpus, item) rows — bounded by
+    min_support exactly like the reference's dictionary collect), stage
+    2 emits (corpus, group, ranks), stages 3-4 key every shuffle by
+    (corpus, group) so corpora mine in parallel without seeing each
+    other's data. State per applyInPandas call is one corpus-group's
+    conditional DB — the same worker-heap bound as ungrouped mining.
+    """
+    import math
+
+    spark = items_df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    if not 0.0 < min_support <= 1.0:
+        raise ValueError(f"min_support must be in (0, 1], got {min_support}")
+    item_dt = items_df.schema["items"].dataType.elementType.simpleString()
+    corpus_dt = items_df.schema[corpus_col].dataType.simpleString()
+    out_schema = f"{corpus_col} {corpus_dt}, items array<{item_dt}>, freq long"
+
+    src = items_df.select(F.col(corpus_col).alias("corpus"), "items")
+    sizes = {r["corpus"]: r["n"] for r in
+             src.groupBy("corpus").agg(F.count("*").alias("n")).collect()}
+    if not sizes:
+        return spark.createDataFrame([], out_schema)
+    min_count = {c: max(1, math.ceil(min_support * n)) for c, n in sizes.items()}
+    mc_df = spark.createDataFrame(
+        [(c, m) for c, m in sorted(min_count.items())],
+        f"corpus {corpus_dt}, mc long",
+    )
+
+    # stage 1 — per-corpus frequent items; only frequent rows are collected
+    freq_rows = (
+        src.select("corpus", F.explode("items").alias("item"))
+        .groupBy("corpus", "item")
+        .agg(F.count("*").alias("freq"))
+        .join(F.broadcast(mc_df), "corpus")
+        .where(F.col("freq") >= F.col("mc"))
+        .select("corpus", "item", "freq")
+        .collect()
+    )
+    if not freq_rows:
+        return spark.createDataFrame([], out_schema)
+    per_corpus: dict = {}
+    for r in freq_rows:
+        per_corpus.setdefault(r["corpus"], []).append((r["item"], r["freq"]))
+    rank_to_item: dict = {}
+    item_to_rank: dict = {}
+    assign: dict = {}
+    for c, pairs in per_corpus.items():
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        decode = [it for it, _ in pairs]
+        rank_to_item[c] = decode
+        item_to_rank[c] = {it: r for r, it in enumerate(decode)}
+        g = max(1, min(num_partitions, len(decode)))
+        assign[c] = (
+            balanced_group_assignment(len(decode), g)
+            if balanced
+            else hash_group_assignment(len(decode), g)
+        )
+
+    sc = spark.sparkContext
+    bc = sc.broadcast((item_to_rank, rank_to_item, assign, min_count))
+
+    # stage 2 — dictionary-encode per corpus; ≤1 longest prefix per group
+    def gen_cond(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i2r, _, asg, _ = bc.value
+        for pdf in batches:
+            out_c: list = []
+            out_group: list[int] = []
+            out_ranks: list[list[int]] = []
+            for corpus, items in zip(pdf["corpus"], pdf["items"]):
+                d = i2r.get(corpus)
+                if d is None:
+                    continue
+                group_of = asg[corpus]
+                ranks = sorted({d[i] for i in items if i in d})
+                emitted: set[int] = set()
+                for idx in range(len(ranks) - 1, -1, -1):
+                    g = group_of[ranks[idx]]
+                    if g not in emitted:
+                        emitted.add(g)
+                        out_c.append(corpus)
+                        out_group.append(g)
+                        out_ranks.append(ranks[: idx + 1])
+            yield pd.DataFrame(
+                {
+                    "corpus": pd.Series(out_c, dtype="object"),
+                    "group": pd.Series(out_group, dtype="int32"),
+                    "ranks": pd.Series(out_ranks, dtype="object"),
+                }
+            )
+
+    cond = src.mapInPandas(
+        gen_cond, f"corpus {corpus_dt}, group int, ranks array<int>"
+    )
+
+    # stage 3 — map-side combine of identical conditional transactions
+    cond_agg = cond.groupBy("corpus", "group", "ranks").agg(
+        F.count("*").alias("cnt")
+    )
+
+    max_group_rows = 5_000_000
+
+    # stage 4 — per-(corpus, group) tree build + extraction + decode
+    def mine_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_rows:
+            raise RuntimeError(
+                f"mining group {pdf['corpus'].iloc[0]}/{int(pdf['group'].iloc[0])} "
+                f"has {len(pdf)} distinct conditional transactions "
+                f"(> {max_group_rows}); raise num_partitions or min_support"
+            )
+        _, r2i, asg, mcs = bc.value
+        corpus = pdf["corpus"].iloc[0]
+        group = int(pdf["group"].iloc[0])
+        group_of = asg[corpus]
+        decode = r2i[corpus]
+        mc = mcs[corpus]
+        _, header = _build_tree(
+            (tuple(ranks), int(cnt))
+            for ranks, cnt in zip(pdf["ranks"], pdf["cnt"])
+        )
+        patterns: list[tuple[tuple[int, ...], int]] = []
+        _mine_tree(header, (), mc, lambda r: group_of[r] == group, patterns)
+        return pd.DataFrame(
+            {
+                "corpus": pd.Series([corpus] * len(patterns), dtype="object"),
+                "items": pd.Series(
+                    [[decode[r] for r in pat] for pat, _ in patterns],
+                    dtype="object",
+                ),
+                "freq": pd.Series(
+                    [supp for _, supp in patterns], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        cond_agg.groupBy("corpus", "group")
+        .applyInPandas(mine_group, f"corpus {corpus_dt}, items array<{item_dt}>, freq long")
+        .withColumnRenamed("corpus", corpus_col)
+    )

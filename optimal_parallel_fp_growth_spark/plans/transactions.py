@@ -48,3 +48,15 @@ def transactions_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("items")
     )
+
+
+def transactions_from_documents_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same token baskets keyed by language — the grouped-mining shape
+    (one independent corpus per ``lang``) for
+    :func:`~optimal_parallel_fp_growth_spark.operators.pfp_kernel.mine_pandas_by`."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return docs.select(
+        "lang", F.array_distinct(F.split(F.col("text"), " ")).alias("items")
+    )

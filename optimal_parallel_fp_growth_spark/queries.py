@@ -145,6 +145,31 @@ def q_freq_itemsets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_freq_itemsets_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mining: the full PFP pipeline run INDEPENDENTLY per
+    language corpus in one pass (operators/pfp_kernel.py::mine_pandas_by)
+    — per-corpus thresholds ceil(minSupport·|corpus|), per-corpus rank
+    dictionaries, every shuffle keyed by (corpus, group). The testdata's
+    per-lang lattices extend past k=3, so both sides enumerate k ≤ 3;
+    cross-kernel completeness of the full family is covered by
+    tests/test_pfp_kernel.py."""
+    from optimal_parallel_fp_growth_spark.operators.pfp_kernel import mine_pandas_by
+    from optimal_parallel_fp_growth_spark.plans.transactions import (
+        transactions_from_documents_by_lang,
+    )
+
+    tx = transactions_from_documents_by_lang(spark, sf_dir)
+    out = mine_pandas_by(tx, "lang", min_support=DOCS_MIN_SUPPORT, num_partitions=8)
+    return (
+        out.where(F.size("items") <= 3)
+        .select(
+            "lang",
+            F.array_join(F.sort_array("items"), "|").alias("itemset"),
+            "freq",
+        )
+    )
+
+
 def q_apriori_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apriori 1⇒1 rules with the reference's floor threshold and
     confidence/rawCount quirk metric (apriori/Apriori.scala:73,125)."""
@@ -250,8 +275,26 @@ FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
 WHERE freq >= CEIL({DOCS_MIN_SUPPORT} * (SELECT n FROM n))
 """
 
+_DOCS_FIS_BY_LANG_SQL = f"""
+WITH t AS (SELECT doc_id, lang, list_sort(list_distinct(string_split(text, ' '))) AS toks
+           FROM documents),
+n AS (SELECT lang, count(*) AS n FROM t GROUP BY 1),
+p AS (SELECT doc_id, lang, unnest(toks) AS item FROM t),
+k1 AS (SELECT lang, [item] AS items, count(*) AS freq FROM p GROUP BY 1, 2),
+k2 AS (SELECT a.lang, [a.item, b.item] AS items, count(*) AS freq
+       FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.item < b.item GROUP BY 1, 2),
+k3 AS (SELECT a.lang, [a.item, b.item, c.item] AS items, count(*) AS freq
+       FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.item < b.item
+                 JOIN p c ON b.doc_id = c.doc_id AND b.item < c.item GROUP BY 1, 2)
+SELECT u.lang, array_to_string(items, '|') AS itemset, freq
+FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3) u
+JOIN n ON u.lang = n.lang
+WHERE freq >= CEIL({DOCS_MIN_SUPPORT} * n.n)
+"""
+
 ORACLES: dict[str, str] = {
     "freq_itemsets_docs": _DOCS_FIS_SQL,
+    "freq_itemsets_by_lang": _DOCS_FIS_BY_LANG_SQL,
     "count_rows": "SELECT COUNT(*) AS n FROM (SELECT DISTINCT l_orderkey FROM lineitem)",
     "freq_items": f"""
 WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
@@ -370,6 +413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freq_itemsets": q_freq_itemsets,
     "freq_itemsets_pfp": q_freq_itemsets_pfp,
     "freq_itemsets_docs": q_freq_itemsets_docs,
+    "freq_itemsets_by_lang": q_freq_itemsets_by_lang,
     "assoc_rules": q_assoc_rules,
     "transform": q_transform,
     "transform_self": q_transform_self,

@@ -5,6 +5,7 @@ with both balanced (EPFP) and hash (PFP) group assignment."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark import FPGrowth
 from optimal_parallel_fp_growth_spark.operators.balanced import (
@@ -48,6 +49,53 @@ def test_single_group(spark, fpm_train):
     # num_partitions=1 is the reference's "sequential FP" baseline (fp/FP.scala:33)
     model = FPGrowth(min_support=0.4, kernel="pandas", num_partitions=1).fit(fpm_train)
     assert model.freq_itemsets.count() == 10
+
+
+@pytest.mark.parametrize("balanced", [True, False])
+def test_grouped_mining_matches_per_corpus_runs(spark, sf_small, balanced):
+    """mine_pandas_by(corpus_col) must equal running the ungrouped kernel
+    once per corpus at that corpus's own ceil(minSupport·n) threshold —
+    per-corpus dictionaries and thresholds, no cross-corpus leakage."""
+    import math
+
+    from optimal_parallel_fp_growth_spark.operators.pfp_kernel import (
+        mine_pandas,
+        mine_pandas_by,
+    )
+    from optimal_parallel_fp_growth_spark.plans.transactions import (
+        transactions_from_documents_by_lang,
+    )
+
+    ms = 0.6
+    tx = transactions_from_documents_by_lang(spark, sf_small)
+    got = {
+        (r["lang"], tuple(sorted(r["items"]))): r["freq"]
+        for r in mine_pandas_by(
+            tx, "lang", min_support=ms, num_partitions=4, balanced=balanced
+        ).collect()
+    }
+
+    want = {}
+    for lang_row in tx.select("lang").distinct().collect():
+        lang = lang_row["lang"]
+        sub = tx.where(F.col("lang") == lang).select("items")
+        mc = max(1, math.ceil(ms * sub.count()))
+        for r in mine_pandas(sub, mc, num_partitions=4).collect():
+            want[(lang, tuple(sorted(r["items"])))] = r["freq"]
+
+    assert got == want
+    assert len({lang for lang, _ in got}) > 1  # exercised multiple corpora
+
+
+def test_grouped_mining_empty_and_unknown_corpus(spark):
+    from optimal_parallel_fp_growth_spark.operators.pfp_kernel import mine_pandas_by
+
+    empty = spark.createDataFrame([], "lang string, items array<string>")
+    assert mine_pandas_by(empty, "lang", min_support=0.5).count() == 0
+    # all-infrequent input → empty, not an error
+    rows = [("a", ["x"]), ("a", ["y"]), ("a", ["z"])]
+    df = spark.createDataFrame(rows, "lang string, items array<string>")
+    assert mine_pandas_by(df, "lang", min_support=0.9).count() == 0
 
 
 def test_balanced_assignment_properties():
