@@ -588,6 +588,46 @@ WITH r AS (SELECT doc_id, source,
 SELECT doc_id, source FROM r WHERE rn <= 10
 """
 
+def q_dq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over the corpus: every constraint is one
+    aggregate expression in ONE single-pass agg job (see
+    operators/quality_checks.py) — constraint count does not add scans."""
+    from optimal_parallel_fp_growth_spark.operators.quality_checks import (
+        documents_quality_suite,
+    )
+
+    return documents_quality_suite(load_table(spark, sf_dir, "documents"))
+
+
+# Mirrors documents_quality_suite constraint-for-constraint (lock-step).
+ORACLE_DQ_DOCUMENTS = """
+WITH m AS (
+  SELECT round(avg((text IS NOT NULL)::INT), 9)                      AS text_complete,
+         round(count(DISTINCT doc_id)::DOUBLE / count(doc_id), 9)    AS doc_id_unique,
+         round(avg((lang IN ('de','en','es','fr','zh'))::INT), 9)    AS lang_accepted,
+         round(avg((n_chars = length(text))::INT), 9)                AS n_chars_consistent,
+         round(avg((source IS NOT NULL)::INT), 9)                    AS source_complete,
+         round(min(n_chars)::DOUBLE, 9)                              AS min_chars
+  FROM documents)
+SELECT u.check, u.observed,
+       CASE u.check
+         WHEN 'text_complete'      THEN u.observed = 1.0
+         WHEN 'doc_id_unique'      THEN u.observed = 1.0
+         WHEN 'lang_accepted'      THEN u.observed = 1.0
+         WHEN 'n_chars_consistent' THEN u.observed >= 0.99
+         WHEN 'source_complete'    THEN u.observed = 1.0
+         ELSE u.observed >= 1.0
+       END AS passed
+FROM (
+  SELECT 'text_complete' AS check, text_complete AS observed FROM m
+  UNION ALL SELECT 'doc_id_unique', doc_id_unique FROM m
+  UNION ALL SELECT 'lang_accepted', lang_accepted FROM m
+  UNION ALL SELECT 'n_chars_consistent', n_chars_consistent FROM m
+  UNION ALL SELECT 'source_complete', source_complete FROM m
+  UNION ALL SELECT 'min_chars', min_chars FROM m) u
+"""
+
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
@@ -615,6 +655,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_temperature": q_mix_temperature,
     "stratified_sample": q_stratified_sample,
     "curate_corpus": q_curate_corpus,
+    "dq_documents": q_dq_documents,
 }
 
 DOC_ORACLES: dict[str, str] = {
@@ -644,4 +685,5 @@ DOC_ORACLES: dict[str, str] = {
     "mix_temperature": ORACLE_MIX_TEMPERATURE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "curate_corpus": ORACLE_CURATE_CORPUS,
+    "dq_documents": ORACLE_DQ_DOCUMENTS,
 }
