@@ -244,6 +244,154 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+Q10_START, Q10_END = "1997-07-01", "1997-10-01"
+Q10_TOP = 20
+Q18_QTY = 150.0
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+    Both fact filters (l_returnflag = 'R', the o_orderdate quarter) push
+    to their parquet scans; nation is broadcast; the final top-20 is a
+    TakeOrderedAndProject on (revenue desc, c_custkey asc) — total
+    order, deterministic."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= Q10_START) & (F.col("o_orderdate") < Q10_END)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOP)
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold —
+    aggregate-then-join (the HAVING side is reduced to ~2.9k keys BEFORE
+    touching orders/customer, so the join input is the aggregate, never
+    the raw fact), then enrich with the customer dim."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias(
+                "o_orderdate_epoch"
+            ),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (ratio-to-report): each supplier nation's share of
+    every order-year's revenue. The share is a window SUM over the
+    25-row-per-year aggregate — the window runs on the REDUCED aggregate
+    (≤ years × nations rows), never on fact rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"), "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    w = Window.partitionBy("o_year")
+    return rev.select(
+        "o_year",
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+    )
+
+
+ORACLE_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_START}'
+  AND o_orderdate <  TIMESTAMP '{Q10_END}'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOP}
+"""
+
+ORACLE_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > {Q18_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey AS orderkey,
+       (epoch_us(o_orderdate) // 1000000) AS o_orderdate_epoch,
+       o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLE_NATION_SHARE = """
+WITH rev AS (
+  SELECT year(o_orderdate) AS o_year, n_name,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT o_year, n_name,
+       round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY o_year), 6) AS share
+FROM rev
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: every predicate pushes to the parquet scan
     (PushedFilters on l_shipdate/l_discount/l_quantity), then a single
@@ -285,6 +433,9 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_part_overlap": q_segment_part_overlap,
     "shipping_priority": q_shipping_priority,
     "forecast_revenue": q_forecast_revenue,
+    "returned_item_report": q_returned_item_report,
+    "large_orders": q_large_orders,
+    "nation_revenue_share": q_nation_revenue_share,
 }
 
 REL_ORACLES: dict[str, str] = {
@@ -295,4 +446,7 @@ REL_ORACLES: dict[str, str] = {
     "segment_part_overlap": ORACLE_OVERLAP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "returned_item_report": ORACLE_RETURNED_ITEMS,
+    "large_orders": ORACLE_LARGE_ORDERS,
+    "nation_revenue_share": ORACLE_NATION_SHARE,
 }

@@ -121,3 +121,51 @@ def test_shipping_priority_pushdown_broadcast_takeordered(spark, sf_small):
     assert "GreaterThan(l_shipdate" in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_returned_items_pushdown_broadcast_takeordered(spark, sf_small):
+    """Q10 shape: returnflag + the orderdate quarter both reach their
+    scans, nation broadcasts, top-20 is a TakeOrderedAndProject."""
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_returned_item_report,
+    )
+
+    plan = _plan(q_returned_item_report(spark, sf_small))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_large_orders_aggregates_before_join(spark, sf_small):
+    """Q18 shape: the quantity rollup must be complete (partial+final
+    HashAggregate) BEFORE any join touches orders/customer — i.e. the
+    join's probe side is the ~0.1%-selectivity aggregate, not raw
+    lineitem; and lineitem's scan reads only the two needed columns."""
+    from optimal_parallel_fp_growth_spark.queries_relational import q_large_orders
+
+    plan = _plan(q_large_orders(spark, sf_small))
+    for line in plan.splitlines():
+        if "Scan parquet" in line and "lineitem" in line:
+            assert "l_quantity" in line and "l_extendedprice" not in line
+    # aggregate appears below the first join in the plan tree
+    assert plan.index("HashAggregate") < len(plan)
+    first_join = min(
+        p for p in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin")) if p >= 0
+    )
+    assert "HashAggregate" in plan[first_join:]  # agg feeds the join
+
+
+def test_nation_share_window_over_aggregate(spark, sf_small):
+    """Q8 shape: the ratio-to-report window must consume the (year,
+    nation) aggregate — the Window's child chain contains the final
+    HashAggregate, so fact rows never enter the window exchange."""
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_nation_revenue_share,
+    )
+
+    plan = _plan(q_nation_revenue_share(spark, sf_small))
+    assert "Window" in plan
+    assert plan.find("Window") < plan.find("HashAggregate")
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation dims
