@@ -244,6 +244,64 @@ SELECT event_type, user_id, cnt, rank::INT AS rank FROM r
 WHERE rank <= {TOP_USERS_K}
 """
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill + linear interpolation
+    (operators/resample.py) — one user_id shuffle, union-tag windows,
+    no range join."""
+    from optimal_parallel_fp_growth_spark.operators.resample import (
+        RESAMPLE_STEP_SEC,
+        resample_events,
+    )
+
+    return resample_events(
+        load_table(spark, sf_dir, "events"), step_sec=RESAMPLE_STEP_SEC
+    )
+
+
+# Mirrors resample_events stage-for-stage: per-(user, ts) arg_max
+# reduction, integer grid alignment, union-tag IGNORE NULLS windows.
+def _oracle_resample(step: int) -> str:
+    return f"""
+WITH per_ts AS (
+  SELECT user_id, {_EPOCH} AS ts_epoch, arg_max(value, event_id) AS value
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(ts_epoch) AS mn, max(ts_epoch) AS mx
+           FROM per_ts GROUP BY 1),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(((mn + {step} - 1) // {step}) * {step},
+                                (mx // {step}) * {step}, {step})) AS ts_epoch
+  FROM bounds
+  WHERE ((mn + {step} - 1) // {step}) * {step} <= (mx // {step}) * {step}),
+tagged AS (
+  SELECT user_id, ts_epoch, value, 0 AS is_grid FROM per_ts
+  UNION ALL
+  SELECT user_id, ts_epoch, NULL, 1 FROM grid),
+win AS (
+  SELECT user_id, ts_epoch, is_grid,
+         last_value(value IGNORE NULLS) OVER w_prev AS prev_v,
+         last_value(CASE WHEN is_grid = 0 THEN ts_epoch END IGNORE NULLS)
+             OVER w_prev AS prev_t,
+         first_value(value IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN is_grid = 0 THEN ts_epoch END IGNORE NULLS)
+             OVER w_next AS next_t
+  FROM tagged
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY ts_epoch, is_grid
+               ROWS UNBOUNDED PRECEDING),
+    w_next AS (PARTITION BY user_id ORDER BY ts_epoch, is_grid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, ts_epoch AS grid_epoch,
+       round(prev_v, 6) AS last_value,
+       ts_epoch - prev_t AS staleness_sec,
+       round(coalesce(
+           prev_v + (next_v - prev_v) * (ts_epoch - prev_t)
+                    / (next_t - prev_t),
+           prev_v), 6) AS interp_value
+FROM win WHERE is_grid = 1
+"""
+
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_sessionize,
     "events_rolling": q_rolling_stats,
@@ -256,6 +314,7 @@ EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_top_users": q_events_top_users,
+    "events_resample": q_events_resample,
 }
 
 ORACLE_JSON_PROPS = """
@@ -293,3 +352,9 @@ EVENT_ORACLES: dict[str, str] = {
     "events_retention": ORACLE_RETENTION,
     "events_top_users": ORACLE_TOP_USERS,
 }
+
+from optimal_parallel_fp_growth_spark.operators.resample import (  # noqa: E402
+    RESAMPLE_STEP_SEC as _RESAMPLE_STEP,
+)
+
+EVENT_ORACLES["events_resample"] = _oracle_resample(_RESAMPLE_STEP)
