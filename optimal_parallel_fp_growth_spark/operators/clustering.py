@@ -1,0 +1,223 @@
+"""Distributed Lloyd k-means and SemDeDup-style semantic deduplication
+over the ``embeddings`` table (LLM-curation north star; no reference
+counterpart — the reference mines itemsets only, cf.
+``epfp/FPGrowthCore.scala``).
+
+``kmeans_assign`` is deliberately the deterministic, oracle-checkable
+variant of Lloyd's algorithm rather than a wrapper over
+``pyspark.ml.clustering.KMeans`` (whose k-means|| init is seeded-random
+and whose BLAS summation order is not reproducible in an external SQL
+engine). The dataflow is the one that survives 100 TB:
+
+- Centroids live on the DRIVER as ``k × dim`` rounded doubles (a few
+  KB) and enter each iteration as broadcast literals — the corpus is
+  never collected.
+- One iteration = one scan of the corpus: assign each vector to its
+  nearest centroid (argmin over k literal arrays, pure codegen'd
+  expressions, no shuffle), then ONE shuffle of ``k × dim`` partial
+  (cluster, pos, sum, count) rows — ``posexplode`` + ``avg`` with
+  map-side partial aggregation, identical shape to
+  ``similarity.label_centroids``.
+- Iteration count is a fixed small hyper-parameter (Lloyd converges in
+  quality, not exactness, after a handful of rounds at web scale), so
+  the whole job is ``n_iter + 1`` scans and ``n_iter`` tiny collects.
+
+Cross-engine exactness (the DuckDB oracle reproduces assignments
+bit-for-bit): seeds are the first ``k`` vectors by id; per-iteration
+centroid coordinates are ``round(avg, 9)`` (the proven
+``label_centroids`` parity recipe); distances compare as
+``round(|v|² − 2·v·c + |c|², 6)`` with centroid-id tiebreak, every dot
+product a left-to-right double fold on both engines; empty clusters
+keep their previous centroid.
+
+``semdedup`` composes the final k-means assignment with a
+within-cluster pairwise cosine prune — the SemDeDup recipe (Abbas et
+al. 2023, arXiv:2303.09540): a document is dropped when a smaller-id
+document in the SAME cluster has cosine ≥ threshold. Clustering first
+is what makes semantic dedup tractable at scale: the quadratic
+candidate work is confined to one cluster at a time (choose ``k``
+so n/k bounds the per-cluster pair volume), exactly like the LSH
+buckets of ``dedup.minhash_lsh_pairs`` but in embedding space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.functions.caching import tag_cached_inputs
+from optimal_parallel_fp_growth_spark.operators.similarity import _dot, _prepared
+
+KMEANS_K = 8
+KMEANS_ITER = 2
+CENTROID_DECIMALS = 9
+DIST_DECIMALS = 6
+
+# centroid: (cid, coords, norm2) — cid is the seed vector's id.
+_Centroid = tuple[int, list[float], float]
+
+
+def _fold_norm2(coords: list[float]) -> float:
+    """Left-to-right ``acc + x·x`` double fold — the same IEEE sequence
+    as the engines' ``F.aggregate(zip_with(...))`` / DuckDB
+    ``list_dot_product(cv, cv)``."""
+    acc = 0.0
+    for x in coords:
+        acc = acc + x * x
+    return acc
+
+
+def _dist2_to(cv: list[float], cn: float) -> Column:
+    """round(|v|² − 2·v·c + |c|², 6) against literal centroid coords."""
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in cv]), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(F.col("norm2") - 2 * dot + F.lit(cn), DIST_DECIMALS)
+
+
+def _assign(prepared: DataFrame, cents: list[_Centroid]) -> DataFrame:
+    """(vec_id, v, norm2) + (cluster, dist2): nearest centroid by
+    (dist2, cid) — argmin via array_sort over k literal structs, the
+    ivf_topk cell-assignment shape: zero shuffles, pure codegen."""
+    scored = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _dist2_to(cv, cn).alias("dist2"),
+                    # long, not the lit-default int: cluster ids are seed
+                    # vec_ids and the driver hasher is dtype-sensitive
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, cv, cn in cents
+            ]
+        )
+    )
+    return prepared.withColumn("__c", scored[0]).select(
+        "vec_id",
+        "v",
+        "norm2",
+        F.col("__c.cid").alias("cluster"),
+        F.col("__c.dist2").alias("dist2"),
+    )
+
+
+def _seed_centroids(prepared: DataFrame, k: int) -> list[_Centroid]:
+    rows = prepared.orderBy("vec_id").limit(k).collect()  # tiny: k × dim
+    return [(int(r.vec_id), list(r.v), _fold_norm2(list(r.v))) for r in rows]
+
+
+def _lloyd_centroids(
+    prepared: DataFrame, k: int, n_iter: int
+) -> list[_Centroid]:
+    """Run ``n_iter`` Lloyd updates from the deterministic seeds and
+    return the final centroid set (driver-side, k × dim)."""
+    cents = _seed_centroids(prepared, k)
+    if not cents:
+        raise ValueError("k-means needs a non-empty corpus")
+    dim = len(cents[0][1])
+    for _ in range(n_iter):
+        means = (
+            _assign(prepared, cents)
+            .select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), CENTROID_DECIMALS).alias("val"))
+            .collect()
+        )  # ≤ k × dim rows — the only data leaving the cluster
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r.cluster), {})[int(r.pos)] = float(r.val)
+        nxt: list[_Centroid] = []
+        for cid, coords, _cn in cents:
+            got = by_cid.get(cid)
+            # empty cluster keeps its previous centroid
+            new = coords if got is None else [got[p] for p in range(dim)]
+            nxt.append((cid, new, _fold_norm2(new)))
+        cents = nxt
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means: ``n_iter`` centroid updates from
+    first-``k``-by-id seeds, then the final assignment.
+    → (vec_id, cluster, dist2); ``cluster`` is the seed vector's id."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    prepared = _prepared(emb, id_col, vec_col)
+    if n_iter > 0:
+        prepared.persist()
+    cents = _lloyd_centroids(prepared, k, n_iter)
+    if n_iter > 0:
+        prepared.unpersist()
+    return _assign(prepared, cents).select("vec_id", "cluster", "dist2")
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings, then inside each
+    cluster drop every vector that has a smaller-id neighbour with
+    cosine ≥ ``threshold``. → (vec_id, cluster, kept).
+
+    The pairwise join is equi-keyed on ``cluster``, so candidate volume
+    is Σ_c |c|² — bounded by choosing ``k`` ≈ n / target_cluster_size
+    (the SemDeDup paper runs k = 110k on LAION-440M, same ratio). The
+    keep-smallest-id rule is the greedy tier of
+    ``dedup.deduped_corpus``; feed the pairs to
+    ``dedup.connected_components`` instead when cluster-canonical
+    survivors are needed."""
+    prepared = _prepared(emb, id_col, vec_col)
+    prepared.persist()
+    cents = _lloyd_centroids(prepared, k, n_iter)
+    assigned = _assign(prepared, cents)
+    a = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm2").alias("na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm2").alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")),
+        DIST_DECIMALS,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    out = (
+        assigned.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+    # the returned plan reads `prepared` three times (both pair sides +
+    # the output base) — keep it cached, caller releases after
+    # materializing (functions/caching.py contract)
+    return tag_cached_inputs(out, prepared)

@@ -162,12 +162,99 @@ SELECT label, pos::INT AS pos, round(AVG(v), 9) AS mean_val,
 FROM pe GROUP BY label, pos
 """
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimal_parallel_fp_growth_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimal_parallel_fp_growth_spark.operators.clustering import semdedup
+
+    return semdedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
+    )
+
+
+def _oracle_kmeans_cte(k: int, n_iter: int) -> str:
+    """Unrolled-Lloyd CTE chain mirroring operators/clustering.py
+    stage-for-stage: first-k-by-id seeds, per-iteration
+    round(avg, 9) centroids with empty-cluster carry-over, assignment
+    by round(|v|²−2·v·c+|c|², 6) with centroid-id tiebreak. Ends with
+    ``afin(vec_id, v, norm2, cid, dist2)`` — the final assignment."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, v, norm2, cid, dist2 FROM (
+    SELECT p.vec_id, p.v, p.norm2, c.cid,
+           round(p.norm2 - 2 * list_dot_product(p.v, c.cv) + c.cn, 6) AS dist2,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY round(p.norm2 - 2 * list_dot_product(p.v, c.cv) + c.cn, 6),
+                                       c.cid) AS rn
+    FROM p CROSS JOIN {cents} c)
+  WHERE rn = 1)"""
+
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2 FROM e),
+c0 AS (SELECT vec_id AS cid, v AS cv, norm2 AS cn FROM p
+       ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append("," + assign(f"a{i}", f"c{i - 1}"))
+        parts.append(
+            f""",
+m{i} AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+         FROM a{i}),
+mm{i} AS (SELECT cid, pos, round(avg(val), 9) AS val
+          FROM m{i} GROUP BY cid, pos),
+cl{i} AS (SELECT cid, generate_subscripts(cv, 1) AS pos, unnest(cv) AS val
+          FROM c{i - 1}),
+c{i} AS (SELECT cid, cv, list_dot_product(cv, cv) AS cn FROM (
+           SELECT cl.cid, list(coalesce(mm.val, cl.val) ORDER BY cl.pos) AS cv
+           FROM cl{i} cl LEFT JOIN mm{i} mm
+             ON cl.cid = mm.cid AND cl.pos = mm.pos
+           GROUP BY cl.cid))"""
+        )
+    parts.append("," + assign("afin", f"c{n_iter}"))
+    return "".join(parts)
+
+
+from optimal_parallel_fp_growth_spark.operators.clustering import (  # noqa: E402
+    KMEANS_ITER,
+    KMEANS_K,
+)
+
+ORACLE_KMEANS = (
+    _oracle_kmeans_cte(KMEANS_K, KMEANS_ITER)
+    + """
+SELECT vec_id, cid AS cluster, dist2 FROM afin
+"""
+)
+
+ORACLE_SEMDEDUP = (
+    _oracle_kmeans_cte(KMEANS_K, KMEANS_ITER)
+    + f""",
+dropped AS (SELECT DISTINCT b.vec_id
+            FROM afin a JOIN afin b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / sqrt(a.norm2 * b.norm2), 6) >= {NEARDUP_THRESHOLD})
+SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NULL) AS kept
+FROM afin a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+)
+
 VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "knn_ann": q_knn_ann,
     "knn_ivf": q_knn_ivf,
     "embedding_neardup": q_embedding_neardup,
     "label_centroids": q_label_centroids,
+    "kmeans_clusters": q_kmeans,
+    "semdedup": q_semdedup,
 }
 
 VEC_ORACLES: dict[str, str] = {
@@ -176,4 +263,6 @@ VEC_ORACLES: dict[str, str] = {
     "knn_ivf": ORACLE_KNN_IVF,
     "embedding_neardup": ORACLE_NEARDUP,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
+    "kmeans_clusters": ORACLE_KMEANS,
+    "semdedup": ORACLE_SEMDEDUP,
 }

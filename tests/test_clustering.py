@@ -1,0 +1,173 @@
+"""Lloyd k-means + SemDeDup (operators/clustering.py): differential
+test against a pure-Python Lloyd replica, seed/empty-cluster edge
+cases, and the SemDeDup drop rule verified by brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.functions.caching import release_cached_inputs
+from optimal_parallel_fp_growth_spark.operators.clustering import (
+    kmeans_assign,
+    semdedup,
+)
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+
+def _py_lloyd(vecs: dict[int, list[float]], k: int, n_iter: int):
+    """Reference Lloyd with the operator's exact rules: first-k-by-id
+    seeds, round(dist2, 6) + cid tiebreak, round(avg, 9) centroids,
+    empty clusters carry the previous centroid."""
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    ids = sorted(vecs)
+    cents = {i: list(vecs[i]) for i in ids[:k]}
+
+    def assign():
+        out = {}
+        for vid in ids:
+            v = vecs[vid]
+            n2 = dot(v, v)
+            best = min(
+                (round(n2 - 2 * dot(v, cv) + dot(cv, cv), 6), cid)
+                for cid, cv in cents.items()
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        members: dict[int, list[int]] = {}
+        for vid, (cid, _d) in a.items():
+            members.setdefault(cid, []).append(vid)
+        for cid in cents:
+            vids = members.get(cid)
+            if not vids:
+                continue  # carry previous centroid
+            dim = len(cents[cid])
+            cents[cid] = [
+                round(sum(vecs[v][p] for v in vids) / len(vids), 9)
+                for p in range(dim)
+            ]
+    return assign(), cents
+
+
+@pytest.fixture(scope="module")
+def tiny_vectors(spark):
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [4.0, 4.1]),
+        (2, [0.3, -0.2]),
+        (3, [4.2, 3.9]),
+        (4, [-3.8, 4.0]),
+        (5, [0.1, 0.2]),
+        (6, [-4.1, 4.2]),
+        (7, [4.0, 4.0]),
+        (8, [-4.0, 3.8]),
+    ]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_kmeans_matches_python_reference(tiny_vectors):
+    rows, df = tiny_vectors
+    vecs = {vid: v for vid, v in rows}
+    for n_iter in (0, 1, 3):
+        got = {
+            r.vec_id: (r.cluster, r.dist2)
+            for r in kmeans_assign(df, k=3, n_iter=n_iter).collect()
+        }
+        want, _ = _py_lloyd(vecs, 3, n_iter)
+        assert got == want, f"n_iter={n_iter}"
+
+
+def test_kmeans_niter0_is_seed_assignment(tiny_vectors):
+    _, df = tiny_vectors
+    out = kmeans_assign(df, k=3, n_iter=0)
+    # seeds are their own nearest centroid at distance 0
+    seed_rows = {r.vec_id: r for r in out.where("vec_id < 3").collect()}
+    for vid, r in seed_rows.items():
+        assert r.cluster == vid and r.dist2 == 0.0
+
+
+def test_kmeans_cost_nonincreasing(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    costs = [
+        kmeans_assign(emb, k=8, n_iter=i)
+        .agg(F.sum("dist2").alias("c"))
+        .collect()[0]
+        .c
+        for i in (0, 1, 2)
+    ]
+    assert costs[0] >= costs[1] >= costs[2]
+    assert costs[2] < costs[0]  # it actually moved
+
+
+def test_kmeans_empty_cluster_carries_previous_centroid(spark):
+    # duplicate seed vectors: every point prefers cid 0 on the tie, so
+    # cluster 1 is empty after the first assignment and must keep its
+    # seed centroid instead of crashing or NaN-ing
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [0.0]), (2, [5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2, n_iter=1).collect()}
+    # after the update c0 = mean(0,0,5) = 5/3, c1 = carried [0.0]:
+    # the two zero-vectors now prefer the carried centroid
+    assert out == {0: 1, 1: 1, 2: 0}
+
+
+def test_kmeans_param_validation(tiny_vectors):
+    _, df = tiny_vectors
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_assign(df, k=0)
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_assign(df, n_iter=-1)
+
+
+def test_semdedup_drop_rule_brute_force(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    out = semdedup(emb, threshold=0.4, k=8, n_iter=2)
+    rows = out.collect()
+    release_cached_inputs(out)
+    cluster = {r.vec_id: r.cluster for r in rows}
+    kept = {r.vec_id: r.kept for r in rows}
+    assert len(rows) == emb.count()  # one verdict per vector
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return round(d / (n1 * n2) ** 0.5, 6)
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, cid in cluster.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    for cid, vids in by_cluster.items():
+        vids.sort()
+        for i, b in enumerate(vids):
+            has_smaller_dup = any(
+                cos(vecs[a], vecs[b]) >= 0.4 for a in vids[:i]
+            )
+            assert kept[b] == (not has_smaller_dup), (cid, b)
+
+
+def test_semdedup_threshold_above_one_keeps_all(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    out = semdedup(emb, threshold=1.01, k=8, n_iter=1)
+    assert out.where(~F.col("kept")).count() == 0
+    release_cached_inputs(out)
