@@ -628,7 +628,52 @@ FROM (
 """
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal with 16-token chunks standing in
+    for paragraphs (the synthetic corpus has no newlines): chunk each
+    document (stride 16, no overlap), drop every chunk that appears
+    verbatim in ≥ 2 distinct documents, reassemble the survivors."""
+    from optimal_parallel_fp_growth_spark.operators.linededup import (
+        dedup_lines_from,
+    )
+    from optimal_parallel_fp_growth_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=16, overlap=0
+    )
+    return dedup_lines_from(
+        chunks, sep="\n", pos_col="chunk_idx", line_col="chunk_text"
+    )
+
+
+# stride 16 = chunk_tokens (overlap 0); mirrors q_dedup_lines
+# stage-for-stage: chunk, blacklist md5(chunk) in >= 2 distinct docs,
+# anti-join, reassemble in chunk order.
+ORACLE_DEDUP_LINES = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, (1 + ceil(greatest(len(toks) - 16, 0) / 16.0))::BIGINT)) AS chunk_idx
+      FROM t),
+l AS (SELECT doc_id, chunk_idx AS pos,
+             array_to_string(toks[(chunk_idx * 16 + 1)::INT:(chunk_idx * 16 + 16)::INT], ' ') AS line
+      FROM c),
+h AS (SELECT doc_id, pos, line, md5(line) AS lh FROM l),
+bl AS (SELECT lh FROM (SELECT lh, count(DISTINCT doc_id) AS nd FROM h GROUP BY lh)
+       WHERE nd >= 2),
+kept AS (SELECT h.doc_id, h.pos, h.line FROM h
+         LEFT JOIN bl ON h.lh = bl.lh WHERE bl.lh IS NULL),
+re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+              count(*) AS n_kept
+       FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM h GROUP BY doc_id)
+SELECT tot.doc_id, coalesce(re.clean_text, '') AS clean_text, tot.n_lines,
+       tot.n_lines - coalesce(re.n_kept, 0) AS n_removed
+FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
+"""
+
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_lines": q_dedup_lines,
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -659,6 +704,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 DOC_ORACLES: dict[str, str] = {
+    "dedup_lines": ORACLE_DEDUP_LINES,
     "deduped_corpus": ORACLE_DEDUPED_CORPUS,
     "text_stats": ORACLE_TEXT_STATS,
     "repetition_signals": ORACLE_REPETITION,
