@@ -425,7 +425,63 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_START}' AND l_shipdate < TIMESTAMP '{Q6_END}'
   AND l_quantity < {Q6_QTY}
 """
 
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer–supplier trade graph
+    (edge: customer bought from supplier, via orders ⨝ lineitem).
+    Symmetrizing gives every node outdeg ≥ 1, so no dangling-mass
+    leak — see operators/graph.py."""
+    from optimal_parallel_fp_growth_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = cs.union(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(sym)
+
+
+def _oracle_pagerank(damping: float, n_iter: int) -> str:
+    """Unrolled power iteration mirroring operators/graph.py
+    round-for-round (round(rank, 9) each round)."""
+    head = f"""
+WITH cs AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+                            's' || l_suppkey::VARCHAR AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+ed0 AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+deg AS (SELECT src, count(*) AS outdeg FROM ed0 GROUP BY src),
+ed AS (SELECT ed0.src, ed0.dst, deg.outdeg FROM ed0 JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM ed0 UNION SELECT dst FROM ed0),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+s{i} AS (SELECT ed.dst AS node, sum(r.rank / ed.outdeg) AS s
+         FROM ed JOIN r{i - 1} r ON ed.src = r.node GROUP BY ed.dst),
+r{i} AS (SELECT nodes.node,
+                round((1.0 - {damping}) / (SELECT n FROM nn)
+                      + {damping} * coalesce(s{i}.s, 0.0), 9) AS rank
+         FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node)""")
+    return head + "".join(steps) + f"""
+SELECT node, rank FROM r{n_iter}
+"""
+
+
+from optimal_parallel_fp_growth_spark.operators.graph import (  # noqa: E402
+    PR_DAMPING,
+    PR_ITER,
+)
+
+ORACLE_SUPPLIER_PAGERANK = _oracle_pagerank(PR_DAMPING, PR_ITER)
+
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "supplier_pagerank": q_supplier_pagerank,
     "pricing_summary": q_pricing_summary,
     "customers_no_big_orders": q_customers_no_big_orders,
     "top_suppliers_per_nation": q_top_suppliers_per_nation,
@@ -439,6 +495,7 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 REL_ORACLES: dict[str, str] = {
+    "supplier_pagerank": ORACLE_SUPPLIER_PAGERANK,
     "pricing_summary": ORACLE_PRICING,
     "customers_no_big_orders": ORACLE_NO_BIG,
     "top_suppliers_per_nation": ORACLE_TOP_SUPP,
