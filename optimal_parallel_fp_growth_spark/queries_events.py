@@ -302,7 +302,63 @@ FROM win WHERE is_grid = 1
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user matrix: event_type pivoted into columns as an
+    explicit conditional aggregate — ONE shuffle on user_id with
+    map-side combine. Deliberately NOT ``DataFrame.pivot``: even with
+    the value list pinned, pivot plans a (user, type) pre-aggregate
+    plus a second pivotfirst shuffle (two exchanges, verified in
+    tests/test_plan_quality.py); the conditional agg halves that.
+    Result equivalence with ``.pivot`` is pinned in
+    tests/test_pivot.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.round(
+                F.sum(F.when(F.col("event_type") == t, F.col("value"))), 6
+            ).alias(t)
+            for t in EVENT_TYPES
+        ]
+    )
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the pivoted matrix back to long form (unpivot/stack
+    coverage); absent combinations drop with their nulls, so
+    pivot→unpivot is exactly the per-(user, type) aggregate."""
+    wide = q_events_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "user_id", list(EVENT_TYPES), "event_type", "sum_value"
+    ).where(F.col("sum_value").isNotNull())
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"round(sum(value) FILTER (event_type = '{t}'), 6) AS {t}"
+    for t in EVENT_TYPES
+)
+
+ORACLE_EVENTS_PIVOT = f"""
+SELECT user_id,
+       {_PIVOT_COLS}
+FROM events GROUP BY user_id
+"""
+
+ORACLE_EVENTS_UNPIVOT = f"""
+WITH pvt AS ({ORACLE_EVENTS_PIVOT})
+SELECT user_id, event_type, sum_value FROM (
+  {" UNION ALL ".join(
+      f"SELECT user_id, '{t}' AS event_type, {t} AS sum_value FROM pvt"
+      for t in EVENT_TYPES
+  )})
+WHERE sum_value IS NOT NULL
+"""
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_pivot": q_events_pivot,
+    "events_unpivot": q_events_unpivot,
     "events_sessionize": q_sessionize,
     "events_rolling": q_rolling_stats,
     "events_daily_rollup": q_daily_rollup,
@@ -340,6 +396,8 @@ GROUP BY CUBE (hour, event_type)
 """
 
 EVENT_ORACLES: dict[str, str] = {
+    "events_pivot": ORACLE_EVENTS_PIVOT,
+    "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "events_interval_join": ORACLE_INTERVAL_JOIN,
     "events_hourly_cube": ORACLE_HOURLY_CUBE,
     "events_json_props": ORACLE_JSON_PROPS,

@@ -169,3 +169,27 @@ def test_nation_share_window_over_aggregate(spark, sf_small):
     assert "Window" in plan
     assert plan.find("Window") < plan.find("HashAggregate")
     assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation dims
+
+
+def test_events_pivot_is_single_shuffle_conditional_agg(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_events import q_events_pivot
+
+    plan = _plan(q_events_pivot(spark, sf_small))
+    # pinned pivot values -> one partial+final aggregate pair, one
+    # exchange on user_id, no extra distinct-values job in the plan
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free_projection(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.operators.clustering import kmeans_assign
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    plan = _plan(kmeans_assign(emb, n_iter=0))
+    # the per-point argmin over k literal centroids is pure codegen
+    # over the scan: no exchange, no Python
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
