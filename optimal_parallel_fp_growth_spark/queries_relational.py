@@ -425,6 +425,217 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_START}' AND l_shipdate < TIMESTAMP '{Q6_END}'
   AND l_quantity < {Q6_QTY}
 """
 
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_START, Q7_END = "1996-01-01", "1998-01-01"
+Q14_START, Q14_END = "1997-09-01", "1997-10-01"
+Q9_PART_LIKE = "widget"
+Q19_BRANDS = (  # (brand, max_size, qty_lo, qty_hi)
+    ("Brand#1", 15, 1.0, 15.0),
+    ("Brand#2", 25, 10.0, 25.0),
+    ("Brand#3", 50, 20.0, 35.0),
+)
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year and
+    direction. Fact-side date filter pushes to the lineitem scan; the
+    two nation-filtered supplier/customer sides are broadcast (dim
+    tables stay dim-sized at any corpus scale)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= Q7_START) & (F.col("l_shipdate") < Q7_END)
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_TRADE_VOLUME = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       date_part('year', l_shipdate)::INT AS l_year,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_START}' AND l_shipdate < TIMESTAMP '{Q7_END}'
+  AND sn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND cn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_product_line_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no supplycost column in this schema, so revenue
+    stands in for profit): revenue of one product line by supplier
+    nation and order year. Part filter prunes before the broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(Q9_PART_LIKE))
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_PRODUCT_LINE = f"""
+SELECT n_name AS nation, date_part('year', o_orderdate)::INT AS o_year,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{Q9_PART_LIKE}%'
+GROUP BY 1, 2
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
+    One broadcast join + a single global conditional aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= Q14_START) & (F.col("l_shipdate") < Q14_END)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE = f"""
+SELECT round(100.0 * sum((CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END)::DECIMAL(18,6))::DOUBLE
+             / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE,
+             6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
+  AND l_shipdate < TIMESTAMP '{Q14_END}'
+"""
+
+
+def q_brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of per-brand (size, quantity)
+    windows — the canonical OR-of-ANDs predicate that must NOT explode
+    into a cross product: one broadcast hash join on partkey with the
+    residual disjunction as the join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arm = None
+    for brand, max_size, qty_lo, qty_hi in Q19_BRANDS:
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= max_size)
+            & (F.col("l_quantity") >= qty_lo)
+            & (F.col("l_quantity") <= qty_hi)
+        )
+        arm = cond if arm is None else arm | cond
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(arm)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_Q19_ARMS = " OR ".join(
+    f"(p_brand = '{b}' AND p_size <= {s} AND l_quantity BETWEEN {lo} AND {hi})"
+    for b, s, lo, hi in Q19_BRANDS
+)
+
+ORACLE_BRAND_DISCOUNT = f"""
+SELECT round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_Q19_ARMS}
+"""
+
+
 def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the symmetrized customer–supplier trade graph
     (edge: customer bought from supplier, via orders ⨝ lineitem).
@@ -482,6 +693,10 @@ ORACLE_SUPPLIER_PAGERANK = _oracle_pagerank(PR_DAMPING, PR_ITER)
 
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
+    "nation_trade_volume": q_nation_trade_volume,
+    "product_line_revenue": q_product_line_revenue,
+    "promo_revenue_share": q_promo_revenue_share,
+    "brand_discount_revenue": q_brand_discount_revenue,
     "pricing_summary": q_pricing_summary,
     "customers_no_big_orders": q_customers_no_big_orders,
     "top_suppliers_per_nation": q_top_suppliers_per_nation,
@@ -496,6 +711,10 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 REL_ORACLES: dict[str, str] = {
     "supplier_pagerank": ORACLE_SUPPLIER_PAGERANK,
+    "nation_trade_volume": ORACLE_TRADE_VOLUME,
+    "product_line_revenue": ORACLE_PRODUCT_LINE,
+    "promo_revenue_share": ORACLE_PROMO_REVENUE,
+    "brand_discount_revenue": ORACLE_BRAND_DISCOUNT,
     "pricing_summary": ORACLE_PRICING,
     "customers_no_big_orders": ORACLE_NO_BIG,
     "top_suppliers_per_nation": ORACLE_TOP_SUPP,

@@ -193,3 +193,25 @@ def test_kmeans_assignment_is_shuffle_free_projection(spark, sf_small):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_trade_volume_pushes_dates_and_broadcasts_dims(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_nation_trade_volume,
+    )
+
+    plan = _plan(q_nation_trade_volume(spark, sf_small))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier+nation, customer+nation
+
+
+def test_brand_discount_is_single_broadcast_join_no_cross(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_brand_discount_revenue,
+    )
+
+    plan = _plan(q_brand_discount_revenue(spark, sf_small))
+    # the OR-of-ANDs must ride the partkey equi-join as a residual
+    # filter, never degrade to a nested-loop cross product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
