@@ -672,8 +672,42 @@ FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear classifier over documents
+    (operators/classifier.py) with the deterministic seed-weight
+    stand-in table."""
+    from optimal_parallel_fp_growth_spark.operators.classifier import (
+        score_documents,
+        seed_weights,
+    )
+
+    return score_documents(
+        load_table(spark, sf_dir, "documents"), seed_weights(spark)
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+WITH w AS (SELECT b AS bucket,
+                  ('0x' || substr(md5('w:' || b::VARCHAR), 1, 8))::BIGINT
+                  % 2000001 - 1000000 AS weight_micro
+           FROM range(1024) t(b)),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+f AS (SELECT doc_id,
+             ('0x' || substr(md5('t:' || tok), 1, 8))::BIGINT % 1024 AS bucket
+      FROM tok),
+a AS (SELECT doc_id, count(*) AS n_tokens, sum(weight_micro)::BIGINT AS sw
+      FROM f JOIN w USING (bucket) GROUP BY doc_id),
+s AS (SELECT doc_id, n_tokens,
+             round(1.0 / (1.0 + exp(-(0.0 + sw::DOUBLE / 1000000.0 / n_tokens))),
+                   6) AS score
+      FROM a)
+SELECT doc_id, n_tokens, score, score >= 0.5 AS label FROM s
+"""
+
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lines": q_dedup_lines,
+    "quality_classifier": q_quality_classifier,
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -705,6 +739,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 DOC_ORACLES: dict[str, str] = {
     "dedup_lines": ORACLE_DEDUP_LINES,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "deduped_corpus": ORACLE_DEDUPED_CORPUS,
     "text_stats": ORACLE_TEXT_STATS,
     "repetition_signals": ORACLE_REPETITION,
