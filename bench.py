@@ -135,6 +135,15 @@ def main() -> None:
         "label_centroids",
         "forecast_revenue",
         "curate_corpus",
+        # round-2 batch 3 (baselines recorded in BASELINE.md §round-2)
+        "kmeans_clusters",
+        "semdedup",
+        "dedup_lines",
+        "supplier_pagerank",
+        "quality_classifier",
+        "nation_trade_volume",
+        "events_resample",
+        "events_pivot",
     ):
         q = QUERIES[qname]
         timed(qname, lambda q=q: _force(q(spark, SF_DIR)))
