@@ -14,6 +14,8 @@ baskets, mine, print timing + rules to stdout.
         --threshold 0.5 --policy cc
     python -m optimal_parallel_fp_growth_spark.cli curate in.parquet out.parquet \
         --quality-min 0.5 --threshold 0.5 --budget 256
+    python -m optimal_parallel_fp_growth_spark.cli cluster emb.parquet out.parquet \
+        --k 8 --n-iter 2 [--semdedup-threshold 0.4]
 
 ``recommend`` is the reference's ``transform(spark)`` demo overload
 (pfp/FPGrowth.scala:124-148): predict over the distinct antecedents of
@@ -71,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--quality-min", type=float, default=0.5)
     c.add_argument("--threshold", type=float, default=0.5)
     c.add_argument("--budget", type=int, default=256)
+    k = sub.add_parser("cluster")
+    k.add_argument("input")
+    k.add_argument("output")
+    k.add_argument("--k", type=int, default=8)
+    k.add_argument("--n-iter", type=int, default=2)
+    k.add_argument("--vec-col", default="embedding")
+    k.add_argument("--id-col", default="vec_id")
+    k.add_argument("--semdedup-threshold", type=float, default=None)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -117,6 +127,35 @@ def main(argv: list[str] | None = None) -> int:
             n_in, n_out = docs.count(), out.count()
             print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
             print(f"packed {n_out} / {n_in} documents")
+            return 0
+
+        if args.cmd == "cluster":
+            from optimal_parallel_fp_growth_spark.functions.caching import (
+                release_cached_inputs,
+            )
+            from optimal_parallel_fp_growth_spark.operators.clustering import (
+                kmeans_assign,
+                semdedup,
+            )
+
+            emb = spark.read.parquet(args.input)
+            t0 = time.perf_counter()
+            if args.semdedup_threshold is not None:
+                out = semdedup(
+                    emb, args.semdedup_threshold, k=args.k,
+                    n_iter=args.n_iter, id_col=args.id_col,
+                    vec_col=args.vec_col,
+                )
+            else:
+                out = kmeans_assign(
+                    emb, k=args.k, n_iter=args.n_iter,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+            out.write.mode("overwrite").parquet(args.output)
+            release_cached_inputs(out)
+            n = spark.read.parquet(args.output).count()
+            print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
+            print(f"clustered {n} vectors into {args.k} cells")
             return 0
 
         train = read_baskets_text(spark, args.train)

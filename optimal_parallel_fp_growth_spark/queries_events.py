@@ -356,9 +356,49 @@ SELECT user_id, event_type, sum_value FROM (
 WHERE sum_value IS NOT NULL
 """
 
+def q_events_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window coverage (ntile / percent_rank / cume_dist):
+    spend quartiles of users WITHIN each event type. The window
+    partitions on event_type — a bounded-cardinality dimension — so no
+    global single-reducer sort ever happens; the per-user totals
+    beneath it are one map-side-combined shuffle. Totals are summed on
+    DECIMAL (order-independent), ranks use a (total desc, user_id)
+    total order so every rank function is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total_value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_USER_QUARTILES = """
+WITH t AS (SELECT event_type, user_id,
+                  round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS total_value
+           FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, total_value,
+       (ntile(4) OVER w)::INT AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC, user_id ASC)
+"""
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
+    "events_user_quartiles": q_events_user_quartiles,
     "events_sessionize": q_sessionize,
     "events_rolling": q_rolling_stats,
     "events_daily_rollup": q_daily_rollup,
@@ -398,6 +438,7 @@ GROUP BY CUBE (hour, event_type)
 EVENT_ORACLES: dict[str, str] = {
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
+    "events_user_quartiles": ORACLE_USER_QUARTILES,
     "events_interval_join": ORACLE_INTERVAL_JOIN,
     "events_hourly_cube": ORACLE_HOURLY_CUBE,
     "events_json_props": ORACLE_JSON_PROPS,

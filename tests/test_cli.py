@@ -100,3 +100,34 @@ def test_cli_curate_roundtrip(spark, tmp_path, capsys):
     assert 2 not in ids               # exact duplicate never packed
     assert all(hasattr(r, "pack_id") for r in rows)
     assert "packed" in out
+
+
+def test_cli_cluster_roundtrip(spark, sf_small, tmp_path, capsys):
+    from optimal_parallel_fp_growth_spark.cli import main
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "emb_in.parquet")
+    dst = str(tmp_path / "emb_out.parquet")
+    load_table(spark, sf_small, "embeddings").write.parquet(src)
+    rc = main(["cluster", src, dst, "--k", "4", "--n-iter", "1"])
+    assert rc == 0
+    out = spark.read.parquet(dst)
+    assert out.columns == ["vec_id", "cluster", "dist2"]
+    assert out.count() == 500
+    assert out.select("cluster").distinct().count() <= 4
+    assert "clustered 500 vectors" in capsys.readouterr().out
+
+
+def test_cli_cluster_semdedup(spark, sf_small, tmp_path, capsys):
+    from optimal_parallel_fp_growth_spark.cli import main
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    src = str(tmp_path / "emb_in2.parquet")
+    dst = str(tmp_path / "emb_out2.parquet")
+    load_table(spark, sf_small, "embeddings").write.parquet(src)
+    rc = main(["cluster", src, dst, "--k", "4", "--n-iter", "1",
+               "--semdedup-threshold", "0.4"])
+    assert rc == 0
+    out = spark.read.parquet(dst)
+    assert out.columns == ["vec_id", "cluster", "kept"]
+    assert out.where("NOT kept").count() > 0
