@@ -691,6 +691,211 @@ from optimal_parallel_fp_growth_spark.operators.graph import (  # noqa: E402
 
 ORACLE_SUPPLIER_PAGERANK = _oracle_pagerank(PR_DAMPING, PR_ITER)
 
+# ---------------------------------------------------------------------------
+# Batch 4 — correlated-subquery / decorrelation shapes (TPC-H Q17, Q13,
+# Q15, Q22 adapted to the synthetic schema). The reference has no
+# subquery support at all (SURVEY §2.4 absent); these exercise the
+# rewrites Catalyst would do for correlated scalar subqueries, written
+# out explicitly as the scale-correct DataFrame plans.
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#4"
+Q17_QTY_FACTOR = 0.2
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of small-quantity line items, where
+    "small" is relative to the part's own average quantity (a
+    correlated scalar subquery in SQL).
+
+    Scale shape: restrict the fact table to the brand's parts FIRST via
+    a broadcast join (the brand slice is ~1/brand_count of lineitem),
+    then compute the per-part average as an unordered window aggregate
+    over ``l_partkey`` — ONE shuffle of the brand slice, versus the
+    naive groupBy-avg + re-join which scans and shuffles it twice. The
+    final aggregate is a one-row global sum (partials only move)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li_b = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li_b.withColumn(
+            "qty_cap", F.lit(Q17_QTY_FACTOR) * F.avg("l_quantity").over(w)
+        )
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double")
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_SMALL_QTY = f"""
+SELECT round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{Q17_BRAND}'
+  AND l_quantity < (
+    SELECT {Q17_QTY_FACTOR} * avg(l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    including zero-order customers (outer join + double aggregation).
+
+    Scale shape: aggregate orders down to (custkey, count) BEFORE the
+    outer join — the join's build side shrinks from |orders| rows to
+    |customers-with-orders| rows, and the second aggregate's input is
+    |customers|, not |orders|. Both aggregations get map-side partial
+    combine for free."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+ORACLE_CUSTOMER_ORDER_COUNTS = f"""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the global maximum (uncorrelated scalar subquery over a derived
+    aggregate).
+
+    Scale shape: one shuffled aggregate over the date-pruned fact scan
+    produces per-supplier revenue; the global max is a one-row
+    aggregate broadcast back (never a single-reducer global sort); the
+    surviving ~1 row broadcasts into the supplier dimension join.
+    Revenue sums on DECIMAL so partial-aggregation order can't move
+    the result across engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= Q15_START) & (F.col("l_shipdate") < Q15_END)
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    winners = rev.join(
+        F.broadcast(mx), rev.total_revenue == mx.max_revenue
+    ).select("l_suppkey", "total_revenue")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        F.broadcast(winners)
+        .join(supp, winners.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(((l_extendedprice * (1 - l_discount)))::DECIMAL(18,6)), 2)::DOUBLE
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+    AND l_shipdate < TIMESTAMP '{Q15_END}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+Q22_URGENT = "1-URGENT"
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-segment count/total of customers whose
+    balance beats the global positive-balance average AND who have no
+    urgent orders (scalar subquery + NOT EXISTS anti join).
+
+    Scale shape: the global average is a one-row aggregate broadcast
+    into the customer scan (no shuffle of customer rows for the
+    threshold); the anti join's build side is ``distinct o_custkey``
+    of the urgent slice — shrunk before the shuffle; the final
+    aggregate is segment-bounded."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent_cust = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == Q22_URGENT)
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(urgent_cust, rich.c_custkey == urgent_cust.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_IDLE_RICH = f"""
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal::DECIMAL(18,6)), 2)::DOUBLE AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '{Q22_URGENT}')
+GROUP BY c_mktsegment
+"""
+
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "nation_trade_volume": q_nation_trade_volume,
@@ -707,6 +912,10 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_report": q_returned_item_report,
     "large_orders": q_large_orders,
     "nation_revenue_share": q_nation_revenue_share,
+    "small_qty_revenue": q_small_qty_revenue,
+    "customer_order_counts": q_customer_order_counts,
+    "top_supplier": q_top_supplier,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 REL_ORACLES: dict[str, str] = {
@@ -725,4 +934,8 @@ REL_ORACLES: dict[str, str] = {
     "returned_item_report": ORACLE_RETURNED_ITEMS,
     "large_orders": ORACLE_LARGE_ORDERS,
     "nation_revenue_share": ORACLE_NATION_SHARE,
+    "small_qty_revenue": ORACLE_SMALL_QTY,
+    "customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
+    "idle_rich_customers": ORACLE_IDLE_RICH,
 }

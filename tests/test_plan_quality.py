@@ -215,3 +215,61 @@ def test_brand_discount_is_single_broadcast_join_no_cross(spark, sf_small):
     # filter, never degrade to a nested-loop cross product
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_small_qty_revenue_single_fact_shuffle(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_small_qty_revenue,
+    )
+
+    plan = _plan(q_small_qty_revenue(spark, sf_small))
+    # brand slice via broadcast, per-part avg as a window: the fact
+    # rows cross the wire exactly once (the l_partkey exchange); the
+    # final global agg moves only one-row partials
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "FileScan" in line and "part." in line:
+            assert "p_brand" in line  # brand filter pushed to part scan
+
+
+def test_customer_order_counts_aggregates_before_join(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_customer_order_counts,
+    )
+
+    plan = _plan(q_customer_order_counts(spark, sf_small))
+    # orders collapse to (custkey, count) BEFORE the outer join; the
+    # priority filter is pushed to the orders scan
+    agg_pos = plan.find("partial_count")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert "Not(EqualTo(o_orderpriority" in plan or "PushedFilters" in plan
+
+
+def test_top_supplier_broadcasts_scalar_max_and_winner(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_top_supplier,
+    )
+
+    plan = _plan(q_top_supplier(spark, sf_small))
+    # the one-row max and the ~1-row winner both broadcast: no
+    # sort-merge anywhere, date range pushed to the lineitem scan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_idle_rich_customers_anti_join_shrinks_build(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_idle_rich_customers,
+    )
+
+    plan = _plan(q_idle_rich_customers(spark, sf_small))
+    # scalar avg broadcasts into the customer scan; the anti join's
+    # build side is the distinct urgent custkeys (HashAggregate before
+    # the join input), with the priority filter pushed down
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
