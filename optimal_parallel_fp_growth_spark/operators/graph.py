@@ -41,15 +41,29 @@ def pagerank(
     n_iter: int = PR_ITER,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
     → (node, rank), one row per node appearing as src or dst,
-    rank rounded to 9 decimals."""
+    rank rounded to 9 decimals.
+
+    ``assume_distinct=True`` skips the defensive edge dedup shuffle —
+    pass it when the caller already produced a distinct edge list
+    (e.g. a ``.distinct()``-ed join output plus its loss-free
+    reversal), saving one full-edge-list shuffle."""
     if not 0.0 <= damping <= 1.0:
         raise ValueError(f"damping must be in [0,1], got {damping}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    # The edge build upstream of this operator can be arbitrarily
+    # expensive (joins, unions). Materialize it exactly ONCE —
+    # everything below (degrees, degree-annotated edges, node set)
+    # derives from the checkpointed blocks instead of re-running the
+    # build per derivation.
+    e = e.localCheckpoint()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # materialized once, read every round: localCheckpoint both caches
     # the blocks and cuts the lineage the loop would otherwise re-derive

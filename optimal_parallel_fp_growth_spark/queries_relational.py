@@ -654,7 +654,10 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sym = cs.union(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(sym)
+    # cs is distinct and the 'c'/'s' prefixes make the reversed copy
+    # disjoint from it, so sym is distinct by construction — skip the
+    # operator's defensive full-edge-list dedup shuffle
+    return pagerank(sym, assume_distinct=True)
 
 
 def _oracle_pagerank(damping: float, n_iter: int) -> str:
