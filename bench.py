@@ -36,6 +36,9 @@ def _force(df) -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        release_cached_inputs,
+    )
     from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth
     from optimal_parallel_fp_growth_spark.plans.transactions import (
         transactions_from_events,
@@ -80,6 +83,7 @@ def main() -> None:
         _force(model.freq_itemsets)
         _force(model.association_rules(FLAGSHIP_MIN_CONFIDENCE))
         _force(model.transform(li_tx, FLAGSHIP_MIN_CONFIDENCE))
+        model.unpersist()
 
     timed("engine_pipeline", lambda: engine_pipeline("mllib", "engine"))
     timed("engine_pipeline_pandas", lambda: engine_pipeline("pandas", "pandas"))
@@ -96,6 +100,7 @@ def main() -> None:
         ).fit(ev_tx)
         _force(model.association_rules(EVENTS_MIN_CONFIDENCE))
         _force(model.transform(ev_tx, EVENTS_MIN_CONFIDENCE))
+        model.unpersist()
 
     timed("events_pipeline", events_pipeline)
     ev_tx.unpersist()
@@ -146,7 +151,15 @@ def main() -> None:
         "events_pivot",
     ):
         q = QUERIES[qname]
-        timed(qname, lambda q=q: _force(q(spark, SF_DIR)))
+
+        def run(q=q):
+            out = q(spark, SF_DIR)
+            _force(out)
+            # free tagged persisted intermediates so the long query
+            # sequence never leans on LRU storage eviction
+            release_cached_inputs(out)
+
+        timed(qname, run)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -171,6 +171,10 @@ def main(argv: list[str] | None = None) -> int:
         # reference's timing harness prints fit wall-time (EPFP.scala:31-35)
         print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
 
+        from optimal_parallel_fp_growth_spark.functions.caching import (
+            release_cached_inputs,
+        )
+
         if args.cmd == "mine":
             _print_rules(model.association_rules(args.min_confidence))
         elif args.cmd == "recommend":
@@ -181,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             for r in out.collect():
                 print(f"{' '.join(r.items)} -> {r.prediction}")
+            release_cached_inputs(out)
         else:
             test = read_baskets_text(spark, args.test)
             out = model.transform(
@@ -188,6 +193,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             for r in out.collect():
                 print(f"{' '.join(r.items)} -> {r.prediction}")
+            release_cached_inputs(out)
+        model.unpersist()
         return 0
     finally:
         # getOrCreate may have handed us a caller-owned session (tests,

@@ -53,6 +53,31 @@ KMEANS_ITER = 2
 CENTROID_DECIMALS = 9
 DIST_DECIMALS = 6
 
+KMEANS_TARGET_CELL = 512  # docs per cluster the auto-k path aims at
+KMEANS_MAX_K = 65536  # seed collect stays ≤ k × dim ≈ MBs at dim 64
+
+
+def kmeans_k_for(
+    n_corpus: int,
+    target_cell_size: int = KMEANS_TARGET_CELL,
+    min_k: int = 2,
+    max_k: int = KMEANS_MAX_K,
+) -> int:
+    """Cluster count for a corpus of ``n_corpus`` vectors: ``k`` ≈
+    n / target_cell_size (ceil), clamped to [min_k, max_k] — the
+    ``ann_bits_for`` / ``ivf_cells_for`` recipe applied to k-means.
+    SemDeDup's pairwise prune does Σ_c |c|² work, so a frozen ``k``
+    goes quadratic as the corpus grows; deriving k from n keeps the
+    expected per-cluster size (and hence per-cluster pair volume) flat
+    at ``target_cell_size`` — the SemDeDup paper's own operating point
+    (k = 110k over LAION-440M ≈ 4k docs/cluster, arXiv:2303.09540).
+    ``max_k`` bounds the driver-side centroid state (k × dim doubles)
+    and the per-iteration k × dim-row shuffle."""
+    if n_corpus <= 0:
+        return min_k
+    k = -(-n_corpus // target_cell_size)  # ceil division
+    return max(min_k, min(max_k, k))
+
 # centroid: (cid, coords, norm2) — cid is the seed vector's id.
 _Centroid = tuple[int, list[float], float]
 
@@ -140,23 +165,27 @@ def _lloyd_centroids(
 
 def kmeans_assign(
     emb: DataFrame,
-    k: int = KMEANS_K,
+    k: int | None = KMEANS_K,
     n_iter: int = KMEANS_ITER,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic Lloyd k-means: ``n_iter`` centroid updates from
     first-``k``-by-id seeds, then the final assignment.
-    → (vec_id, cluster, dist2); ``cluster`` is the seed vector's id."""
-    if k < 1:
+    → (vec_id, cluster, dist2); ``cluster`` is the seed vector's id.
+    ``k=None`` derives the cluster count from the corpus size via
+    ``kmeans_k_for`` (one extra count job)."""
+    if k is not None and k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     prepared = _prepared(emb, id_col, vec_col)
-    if n_iter > 0:
+    if n_iter > 0 or k is None:
         prepared.persist()
+    if k is None:
+        k = kmeans_k_for(prepared.count())
     cents = _lloyd_centroids(prepared, k, n_iter)
-    if n_iter > 0:
+    if prepared.is_cached:
         prepared.unpersist()
     return _assign(prepared, cents).select("vec_id", "cluster", "dist2")
 
@@ -164,7 +193,7 @@ def kmeans_assign(
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.4,
-    k: int = KMEANS_K,
+    k: int | None = KMEANS_K,
     n_iter: int = KMEANS_ITER,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -175,13 +204,17 @@ def semdedup(
 
     The pairwise join is equi-keyed on ``cluster``, so candidate volume
     is Σ_c |c|² — bounded by choosing ``k`` ≈ n / target_cluster_size
-    (the SemDeDup paper runs k = 110k on LAION-440M, same ratio). The
-    keep-smallest-id rule is the greedy tier of
+    (the SemDeDup paper runs k = 110k on LAION-440M, same ratio).
+    ``k=None`` (the scale default) derives exactly that via
+    ``kmeans_k_for``, so per-cluster pair volume stays flat as the
+    corpus grows. The keep-smallest-id rule is the greedy tier of
     ``dedup.deduped_corpus``; feed the pairs to
     ``dedup.connected_components`` instead when cluster-canonical
     survivors are needed."""
     prepared = _prepared(emb, id_col, vec_col)
     prepared.persist()
+    if k is None:
+        k = kmeans_k_for(prepared.count())
     cents = _lloyd_centroids(prepared, k, n_iter)
     assigned = _assign(prepared, cents)
     a = assigned.select(

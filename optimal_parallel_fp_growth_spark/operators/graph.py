@@ -7,25 +7,42 @@ reference counterpart; the reference mines itemsets only).
     r₀(v)   = 1 / N
     rₜ₊₁(v) = (1 − d) / N + d · Σ_{u→v} rₜ(u) / outdeg(u)
 
-This is the non-redistributing variant: a dangling node (no
-out-edges) simply leaks its mass each round, shrinking Σr below 1 —
-the standard simplification when the caller symmetrizes the graph
-(every node then has outdeg ≥ 1, nothing leaks; the
-``supplier_pagerank`` query does exactly that).
+Dangling nodes (no out-edges): by default their mass simply leaks each
+round, shrinking Σr below 1 — the standard simplification when the
+caller symmetrizes the graph (every node then has outdeg ≥ 1, nothing
+leaks; the ``supplier_pagerank`` query does exactly that).
+``redistribute_dangling=True`` instead adds the classic correction —
+the leaked mass Σ_{dangling u} rₜ(u) is spread uniformly over all N
+nodes — computed as a 1-row aggregate broadcast into the update
+expression (no per-round driver collect), keeping Σr = 1 on
+non-symmetrized graphs.
 
 Scale shape: out-degrees are joined onto the edge list ONCE before the
-loop and the result persisted + ``localCheckpoint``-ed (flat lineage —
-an iterative plan that re-derives its input every round grows
-exponentially). Each round is one shuffle-join of the edge list with
-the current rank vector on ``src`` followed by one ``sum`` shuffle on
-``dst`` — both keyed shuffles an AQE-planned cluster handles at any
-scale, with per-round ``localCheckpoint`` keeping the plan flat and
-failure recovery bounded to one round. Ranks are rounded to 9 decimals
-every round so results are reproducible across engines and cluster
-sizes (summation-order ulps stay below the rounding grain).
+loop and the result persisted with a cut lineage (an iterative plan
+that re-derives its input every round grows exponentially). Each round
+is one shuffle-join of the edge list with the current rank vector on
+``src`` followed by one ``sum`` shuffle on ``dst`` — both keyed
+shuffles an AQE-planned cluster handles at any scale, with a per-round
+lineage cut keeping the plan flat and failure recovery bounded to one
+round. Ranks are rounded to 9 decimals every round so results are
+reproducible across engines and cluster sizes (summation-order ulps
+stay below the rounding grain).
+
+Lineage cuts come in two grades. ``reliable=False`` (default) uses
+``localCheckpoint`` — executor-local blocks, zero I/O, right for
+local[] and for clusters with stable executors, but a lost executor
+forces recompute-from-scratch because the lineage is GONE.
+``reliable=True`` writes each cut to the SparkContext checkpoint
+directory (set it to durable storage — HDFS/S3 — via
+``sc.setCheckpointDir``; if unset, a session-local temp dir is used and
+a cluster deployment should override it), making executor loss cost
+one re-read instead of a full restart — the cluster-grade setting for
+long chains over 100 TB graphs.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +52,21 @@ PR_ITER = 3
 PR_DECIMALS = 9
 
 
+def _ensure_checkpoint_dir(df: DataFrame) -> None:
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        # local-mode fallback; cluster callers set a durable path
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="opfpg-ckpt-"))
+
+
+def _cut(df: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize ``df`` and cut its lineage (see module docstring)."""
+    if reliable:
+        _ensure_checkpoint_dir(df)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = PR_DAMPING,
@@ -42,6 +74,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     assume_distinct: bool = False,
+    redistribute_dangling: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
     → (node, rank), one row per node appearing as src or dst,
@@ -61,39 +95,57 @@ def pagerank(
     # The edge build upstream of this operator can be arbitrarily
     # expensive (joins, unions). Materialize it exactly ONCE —
     # everything below (degrees, degree-annotated edges, node set)
-    # derives from the checkpointed blocks instead of re-running the
+    # derives from the materialized blocks instead of re-running the
     # build per derivation.
-    e = e.localCheckpoint()
+    e = _cut(e, reliable)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # materialized once, read every round: localCheckpoint both caches
-    # the blocks and cuts the lineage the loop would otherwise re-derive
-    ed = e.join(deg, "src").localCheckpoint()
-    nodes = (
+    # materialized once, read every round
+    ed = _cut(e.join(deg, "src"), reliable)
+    nodes = _cut(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n  # same double arithmetic as the oracle
     r = nodes.withColumn("rank", F.lit(1.0 / n))
+    dangling = None
+    if redistribute_dangling:
+        # nodes with no out-edges; tiny relative to the edge list, and
+        # the per-round mass aggregate over it is a 1-row DataFrame
+        dangling = _cut(
+            nodes.join(deg.select(F.col("src").alias("node")), "node", "anti"),
+            reliable,
+        )
     for _ in range(n_iter):
         contrib = ed.join(r, ed.src == r.node).select(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("outdeg")).alias("c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        r = (
-            nodes.join(sums, "node", "left")
-            .select(
+        if dangling is not None:
+            # leaked mass this round, as a 1-row aggregate attached to
+            # every node via a broadcast nested-loop join — no
+            # per-round driver collect
+            dm = dangling.join(r, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+            lhs = nodes.crossJoin(F.broadcast(dm))
+        else:
+            lhs = nodes.withColumn("__dm", F.lit(0.0))
+        r = _cut(
+            lhs.join(sums, "node", "left").select(
                 "node",
                 F.round(
-                    F.lit(base) + damping * F.coalesce("s", F.lit(0.0)),
+                    F.lit(base)
+                    + damping
+                    * (F.coalesce("s", F.lit(0.0)) + F.col("__dm") / n),
                     PR_DECIMALS,
                 ).alias("rank"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
     return r

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from optimal_parallel_fp_growth_spark.functions.time import epoch_seconds
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
 SHIP_CUTOFF = "1998-09-02"
@@ -155,12 +156,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             "l_orderkey",
-            # NTZ has no direct long cast; the session tz is UTC, so the
-            # LTZ hop yields the naive value's epoch == DuckDB epoch_us
-            F.col("o_orderdate")
-            .cast("timestamp")
-            .cast("long")
-            .alias("o_orderdate_epoch"),
+            epoch_seconds(orders, "o_orderdate").alias("o_orderdate_epoch"),
             "o_orderpriority",
             "revenue",
         )
@@ -308,9 +304,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             F.col("o_orderkey").alias("orderkey"),
-            F.col("o_orderdate").cast("timestamp").cast("long").alias(
-                "o_orderdate_epoch"
-            ),
+            epoch_seconds(orders, "o_orderdate").alias("o_orderdate_epoch"),
             "o_totalprice",
             "total_qty",
         )

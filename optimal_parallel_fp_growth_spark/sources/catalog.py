@@ -25,16 +25,27 @@ TABLES = (
     "embeddings",
 )
 
-# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
-# Spark's vectorized reader rejects by default. We read them as long via
-# the legacy conf and rebuild proper (µs) timestamp columns. Integer
-# `div` keeps full precision (float division would lose low bits of an
-# int64 nanosecond value).
-_NANO_TS_COLS = {
+# Timestamp columns across testdata generations. Older driver parquet
+# stored INT64 TIMESTAMP(NANOS) (read as long via the legacy conf and
+# rebuilt with timestamp_micros); current parquet stores naive µs
+# timestamps, which Spark reads as TIMESTAMP_NTZ.
+#
+# Only events.ts is normalized to TIMESTAMP_LTZ with its wall clock
+# interpreted as UTC — the exact instant DuckDB's epoch() assigns to
+# the same naive value — so the MANY downstream `cast(ts as long)`
+# sites (sessions, funnels, as-of, resample, streaming twins) stay
+# session-timezone-independent without each knowing about NTZ. The
+# date-like columns (o_orderdate, l_shipdate) deliberately stay in
+# their native type: the TPC-H-shape queries filter on them, and a
+# rewritten column defeats parquet PushedFilters at the scan
+# (plan-quality tests pin the pushdown). Their few epoch conversions
+# go through functions/time.py::epoch_seconds instead.
+_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
 }
+_NORMALIZE_TO_LTZ = {"events"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,9 +54,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+    for c in _TS_COLS.get(name, ()):
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":  # legacy nanos-as-long generation
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz" and name in _NORMALIZE_TO_LTZ:
+            df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
     return df
 
 

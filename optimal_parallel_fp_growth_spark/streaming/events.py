@@ -26,7 +26,10 @@ from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table with proper µs timestamps."""
+    """File-source stream of the events table with proper µs LTZ
+    timestamps — the same per-generation ``ts`` normalization as
+    ``catalog.load_table`` (legacy nanos-as-long vs current naive-µs
+    parquet), applied to a streaming scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # File-stream sources need a directory; glob down to the events file.
@@ -36,7 +39,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    dtype = dict(raw.dtypes)["ts"]
+    if dtype == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    if dtype == "timestamp_ntz":
+        return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return raw
 
 
 def windowed_counts(

@@ -148,10 +148,18 @@ def heavy_hitters_stream(events: DataFrame, capacity: int = 8) -> DataFrame:
     """Streaming Misra-Gries heavy hitters per event_type: maintain at
     most ``capacity`` candidate users per type with bounded state, and
     after every micro-batch emit the current candidates as
-    (event_type, user_id, est_count). Classic guarantee: any user whose
-    true count exceeds N/(capacity+1) is guaranteed present, and
-    est_count undercounts the true count by at most N/(capacity+1)
-    (N = events of that type so far). With capacity ≥ distinct users the
+    (event_type, user_id, est_count, max_count). Classic guarantee: any
+    user whose true count exceeds N/(capacity+1) is guaranteed present,
+    and ``est_count`` undercounts the true count by at most the number
+    of decrement steps taken so far — which this operator TRACKS in
+    state and surfaces, so every emitted row carries its own certainty
+    interval:
+
+        est_count ≤ true_count ≤ max_count  (= est_count + decrements)
+
+    The tracked bound is per-run exact, always ≤ the a-priori
+    N/(capacity+1) worst case. With capacity ≥ distinct users no
+    decrement ever fires, the interval collapses (est = max) and the
     counts are EXACT — the batch-agreement test pins that case.
 
     This is the operator streaming SQL cannot express: a native

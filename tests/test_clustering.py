@@ -171,3 +171,59 @@ def test_semdedup_threshold_above_one_keeps_all(spark, sf_small):
     out = semdedup(emb, threshold=1.01, k=8, n_iter=1)
     assert out.where(~F.col("kept")).count() == 0
     release_cached_inputs(out)
+
+
+def test_kmeans_k_for_bounds_cell_size():
+    """The auto-k knob keeps expected cluster size flat as n grows
+    (until the max_k clamp), so SemDeDup's Σ|c|² pair volume scales
+    linearly with the corpus instead of quadratically."""
+    from optimal_parallel_fp_growth_spark.operators.clustering import (
+        KMEANS_MAX_K,
+        KMEANS_TARGET_CELL,
+        kmeans_k_for,
+    )
+
+    prev_k = 0
+    for n in [0, 1, 100, 1_000, 10_000, 1_000_000, 10_000_000, 10**9, 10**11]:
+        k = kmeans_k_for(n)
+        assert k >= prev_k, "k must be monotone in n"
+        prev_k = k
+        assert 2 <= k <= KMEANS_MAX_K
+        if n > 0 and k < KMEANS_MAX_K:
+            # expected per-cell size never exceeds the target
+            assert n / k <= KMEANS_TARGET_CELL
+    # respects explicit clamps
+    assert kmeans_k_for(10**9, max_k=128) == 128
+    assert kmeans_k_for(5, target_cell_size=1, min_k=2) == 5
+
+
+def test_kmeans_auto_k_runs_and_matches_explicit(spark, sf_small):
+    """k=None derives k from the corpus count; at sf_small (500 rows,
+    target 512) that is the min clamp k=2 — verify against explicit."""
+    from optimal_parallel_fp_growth_spark.operators.clustering import kmeans_k_for
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    expect_k = kmeans_k_for(n)
+    auto = kmeans_assign(emb, k=None).orderBy("vec_id").collect()
+    manual = kmeans_assign(emb, k=expect_k).orderBy("vec_id").collect()
+    assert auto == manual
+    assert len({r.cluster for r in auto}) <= expect_k
+
+
+def test_semdedup_auto_k_bounds_observed_cells(spark, sf_small):
+    """semdedup(k=None): every observed cluster stays within a small
+    multiple of the target cell size (uniform-ish test embeddings)."""
+    from optimal_parallel_fp_growth_spark.operators.clustering import (
+        KMEANS_TARGET_CELL,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    out = semdedup(emb, threshold=0.9, k=None)
+    sizes = [
+        r.n for r in out.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    ]
+    release_cached_inputs(out)
+    assert sum(sizes) == emb.count()
+    # generous skew slack: 8× the target expected size
+    assert max(sizes) <= 8 * KMEANS_TARGET_CELL

@@ -80,3 +80,60 @@ def test_pagerank_param_validation(web_graph):
         pagerank(df, damping=1.5)
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=-1)
+
+
+def _py_pagerank_redistribute(edges, damping=0.85, n_iter=3):
+    """Replica with the classic dangling-mass correction: leaked mass
+    is spread uniformly over all nodes each round."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(r[v] for v in nodes if v not in outdeg)
+        s = {v: 0.0 for v in nodes}
+        for u, v in e:
+            s[v] += r[u] / outdeg[u]
+        r = {
+            v: round((1.0 - damping) / n + damping * (s[v] + dm / n), 9)
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_redistribute_dangling_matches_python(spark):
+    # b and d are dangling; redistribution keeps Σr = 1
+    edges = [("a", "b"), ("a", "c"), ("c", "d"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for n_iter in (1, 3):
+        got = {
+            r.node: r.rank
+            for r in pagerank(
+                df, n_iter=n_iter, redistribute_dangling=True
+            ).collect()
+        }
+        assert got == _py_pagerank_redistribute(edges, n_iter=n_iter)
+    total = sum(got.values())
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_redistribute_noop_without_dangling(web_graph):
+    # every node in the symmetrized graph has out-edges → the corrected
+    # variant must equal the plain one exactly
+    _, df = web_graph
+    sym = df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    plain = {r.node: r.rank for r in pagerank(sym, n_iter=2).collect()}
+    redis = {
+        r.node: r.rank
+        for r in pagerank(sym, n_iter=2, redistribute_dangling=True).collect()
+    }
+    assert plain == redis
+
+
+def test_pagerank_reliable_checkpoint_matches_local(web_graph):
+    edges, df = web_graph
+    got = {r.node: r.rank for r in pagerank(df, n_iter=2, reliable=True).collect()}
+    assert got == _py_pagerank(edges, n_iter=2)
