@@ -31,8 +31,44 @@ def epoch_seconds(source: DataFrame, col: str) -> Column:
     """Whole-second epoch of timestamp column ``col``; ``source`` is
     any DataFrame carrying the column's dtype (typically the scan it
     originated from — the returned Column resolves by name in whatever
-    plan it is used)."""
+    plan it is used).
+
+    FLOOR semantics on the NTZ branch: ``cast(timestamp AS long)``
+    floors, while ``timestampdiff(SECOND, …)`` truncates toward zero —
+    the two disagree by 1s on pre-epoch fractional timestamps. The
+    micros diff with an exact integer floor-div (subtract the
+    non-negative ``pmod`` remainder first, so the division stays in
+    long arithmetic) makes both branches agree everywhere.
+    """
     dtype = dict(source.dtypes).get(col)
     if dtype == "timestamp_ntz":
-        return F.expr(f"timestampdiff(SECOND, {_NTZ_EPOCH}, `{col}`)")
+        m = f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, `{col}`)"
+        return F.expr(f"(({m}) - pmod({m}, 1000000)) div 1000000")
     return F.col(col).cast("long")
+
+
+def wall_utc_timestamp(source: DataFrame, col: str) -> Column:
+    """TIMESTAMP_LTZ instant whose epoch equals ``col``'s wall clock
+    read as UTC — independent of the session time zone.
+
+    ``to_utc_timestamp(ntz, 'UTC')`` is NOT that: PySpark implicitly
+    casts TIMESTAMP_NTZ → TIMESTAMP through the SESSION zone before the
+    function applies, so a non-UTC driver session shifts every epoch by
+    its offset. ``timestampdiff`` against the naive epoch is a pure
+    wall-clock subtraction (no zone anywhere), and ``timestamp_micros``
+    builds the LTZ instant directly from that epoch.
+
+    Dispatches on dtype across testdata generations:
+    - bigint (legacy INT64 TIMESTAMP(NANOS) read via nanosAsLong) →
+      ``timestamp_micros(col div 1000)``
+    - timestamp_ntz (current naive-µs parquet) → the diff above
+    - already LTZ → passthrough
+    """
+    dtype = dict(source.dtypes).get(col)
+    if dtype == "bigint":
+        return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+    if dtype == "timestamp_ntz":
+        return F.timestamp_micros(
+            F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, `{col}`)")
+        )
+    return F.col(col)

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from optimal_parallel_fp_growth_spark.functions.caching import tag_cached_inputs
+from optimal_parallel_fp_growth_spark.functions.caching import (
+    RddBlockHandle,
+    persistent_rdd_ids,
+    tag_cached_inputs,
+    unpersist_blocks,
+)
 from optimal_parallel_fp_growth_spark.functions.text import tokens
 
 
@@ -237,9 +242,18 @@ def connected_components(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     und = und.persist()
+    spark = edges.sparkSession
+    seen = persistent_rdd_ids(spark)
     labels = (
         und.select("u").distinct().withColumn("component", F.col("u"))
     ).localCheckpoint()
+    # Round N−1's checkpoint blocks are dead once round N materializes:
+    # free them eagerly instead of letting 25 rounds of blocks sit in
+    # executor storage for the session (at 100 TB that accumulation is
+    # real memory). Only the FINAL round's blocks survive the loop —
+    # they back the returned plan — and those are handed to the
+    # tag/release lifecycle by the callers that wrap this operator.
+    prev_ids = persistent_rdd_ids(spark) - seen
     for _ in range(max_iterations):
         nbr_min = (
             und.join(
@@ -251,8 +265,11 @@ def connected_components(
         # One materialization per round: the convergence test and the next
         # round's labels both read this checkpoint (keeping the old
         # new-vs-old join would cost a second shuffle job per round).
+        seen = persistent_rdd_ids(spark)
         joined = labels.join(nbr_min, "u", "left").localCheckpoint()
         changed = joined.where(F.col("nbr_min") < F.col("component")).count()
+        unpersist_blocks(spark, prev_ids)
+        prev_ids = persistent_rdd_ids(spark) - seen
         labels = joined.select(
             "u",
             F.least(
@@ -270,7 +287,7 @@ def connected_components(
             "algorithm='star' (diameter-independent rounds)"
         )
     und.unpersist()
-    return labels
+    return tag_cached_inputs(labels, RddBlockHandle(spark, prev_ids))
 
 
 def _cc_star(
@@ -303,9 +320,15 @@ def _cc_star(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
+    spark = edges.sparkSession
+    seen = persistent_rdd_ids(spark)
+    e = e.localCheckpoint()
     n_edges = e.count()
+    # same per-round block hygiene as the label variant: round N−1's
+    # checkpoint blocks are freed once round N's convergence check (the
+    # last reader of BOTH rounds) has run.
+    prev_ids = persistent_rdd_ids(spark) - seen
     for _ in range(max_iterations):
         # --- large-star ---
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -327,12 +350,15 @@ def _cc_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         hang_self = pmins.select("u", F.col("m").alias("v"))
+        seen = persistent_rdd_ids(spark)
         new = rehang.union(hang_self).distinct().localCheckpoint()
         n_new = new.count()
-        if n_new == n_edges and new.exceptAll(e).count() == 0:
-            e = new
-            break
+        converged = n_new == n_edges and new.exceptAll(e).count() == 0
+        unpersist_blocks(spark, prev_ids)
+        prev_ids = persistent_rdd_ids(spark) - seen
         e, n_edges = new, n_new
+        if converged:
+            break
     else:
         raise RuntimeError(
             f"star CC did not converge in {max_iterations} rounds — "
@@ -343,7 +369,10 @@ def _cc_star(
     centres = e.select(F.col("v").alias("u")).distinct().withColumn(
         "component", F.col("u")
     )
-    return e.withColumnRenamed("v", "component").union(centres).distinct()
+    return tag_cached_inputs(
+        e.withColumnRenamed("v", "component").union(centres).distinct(),
+        RddBlockHandle(spark, prev_ids),
+    )
 
 
 def dedup_clusters(

@@ -42,10 +42,20 @@ long chains over 100 TB graphs.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.functions.caching import (
+    RddBlockHandle,
+    persistent_rdd_ids,
+    tag_cached_inputs,
+    unpersist_blocks,
+)
 
 PR_DAMPING = 0.85
 PR_ITER = 3
@@ -55,8 +65,20 @@ PR_DECIMALS = 9
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        # local-mode fallback; cluster callers set a durable path
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="opfpg-ckpt-"))
+        # local-mode fallback; cluster callers set a durable path.
+        # Registered for interpreter-exit cleanup so repeated sessions
+        # don't strand checkpoint files in /tmp.
+        d = tempfile.mkdtemp(prefix="opfpg-ckpt-")
+        warnings.warn(
+            "reliable=True with no sc.setCheckpointDir(): falling back "
+            f"to driver-local temp dir {d} — this gives NO durability "
+            "on a multi-node cluster; set a durable (HDFS/S3) "
+            "checkpoint dir in production",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        sc.setCheckpointDir(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
 
 
 def _cut(df: DataFrame, reliable: bool) -> DataFrame:
@@ -92,34 +114,58 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
+    spark = edges.sparkSession
     # The edge build upstream of this operator can be arbitrarily
     # expensive (joins, unions). Materialize it exactly ONCE —
     # everything below (degrees, degree-annotated edges, node set)
     # derives from the materialized blocks instead of re-running the
-    # build per derivation.
+    # build per derivation. Block hygiene mirrors
+    # dedup.connected_components: every localCheckpoint's blocks are
+    # freed at the first point nothing live reads them (e after the
+    # derived cuts exist; round N−1's ranks after round N; the
+    # loop-invariant cuts after the loop), and only the FINAL result's
+    # blocks survive, handed to the tag/release lifecycle. Under
+    # reliable=True the cuts are file-backed checkpoints with no
+    # persistent RDDs, so every id-diff is empty and this is a no-op.
+    seen = persistent_rdd_ids(spark)
     e = _cut(e, reliable)
+    e_ids = persistent_rdd_ids(spark) - seen
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # materialized once, read every round
+    seen = persistent_rdd_ids(spark)
     ed = _cut(e.join(deg, "src"), reliable)
+    ed_ids = persistent_rdd_ids(spark) - seen
+    seen = persistent_rdd_ids(spark)
     nodes = _cut(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct(),
         reliable,
     )
+    node_ids = persistent_rdd_ids(spark) - seen
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        unpersist_blocks(spark, e_ids | ed_ids)
+        return tag_cached_inputs(
+            nodes.withColumn("rank", F.lit(0.0)),
+            RddBlockHandle(spark, node_ids),
+        )
     base = (1.0 - damping) / n  # same double arithmetic as the oracle
     r = nodes.withColumn("rank", F.lit(1.0 / n))
     dangling = None
+    loop_ids = set(ed_ids)
     if redistribute_dangling:
         # nodes with no out-edges; tiny relative to the edge list, and
         # the per-round mass aggregate over it is a 1-row DataFrame
+        seen = persistent_rdd_ids(spark)
         dangling = _cut(
             nodes.join(deg.select(F.col("src").alias("node")), "node", "anti"),
             reliable,
         )
+        loop_ids |= persistent_rdd_ids(spark) - seen
+    # deg/ed/nodes/dangling are all materialized — e's blocks are dead
+    unpersist_blocks(spark, e_ids)
+    prev_r_ids: set[int] = set()
     for _ in range(n_iter):
         contrib = ed.join(r, ed.src == r.node).select(
             F.col("dst").alias("node"),
@@ -136,6 +182,7 @@ def pagerank(
             lhs = nodes.crossJoin(F.broadcast(dm))
         else:
             lhs = nodes.withColumn("__dm", F.lit(0.0))
+        seen = persistent_rdd_ids(spark)
         r = _cut(
             lhs.join(sums, "node", "left").select(
                 "node",
@@ -148,4 +195,14 @@ def pagerank(
             ),
             reliable,
         )
-    return r
+        unpersist_blocks(spark, prev_r_ids)
+        prev_r_ids = persistent_rdd_ids(spark) - seen
+    if n_iter > 0:
+        # final plan is the last cut — loop-invariant blocks are dead
+        unpersist_blocks(spark, loop_ids | node_ids)
+        final_ids = prev_r_ids
+    else:
+        # returned plan still reads the nodes blocks
+        unpersist_blocks(spark, loop_ids)
+        final_ids = node_ids
+    return tag_cached_inputs(r, RddBlockHandle(spark, final_ids))

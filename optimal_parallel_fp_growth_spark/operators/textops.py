@@ -191,7 +191,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def tfidf_top_terms(
-    docs: DataFrame, k: int = 5, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    broadcast_df: bool | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf.
     → (doc_id, term, tf, score, rank); idf = ln(N / df) over raw
@@ -199,17 +202,29 @@ def tfidf_top_terms(
     the order is total and oracle-reproducible.
 
     Shape: explode → (doc, term) count [map-side partial agg] → term
-    document frequencies [one small aggregate, broadcast back] → per-doc
+    document frequencies [one small aggregate joined back] → per-doc
     top-k window, which Catalyst turns two-phase via
     InferWindowGroupLimit (rank filter → Partial WindowGroupLimit in
-    the map stage). The df table is |vocabulary|-sized — broadcast it;
-    nothing quadratic anywhere."""
+    the map stage). Nothing quadratic anywhere.
+
+    The df table is |vocabulary|-sized, which is NOT always
+    broadcast-safe (a 100 TB web corpus has a billion-term vocabulary).
+    ``broadcast_df=None`` (default) leaves the join strategy to
+    Catalyst/AQE: below ``autoBroadcastJoinThreshold`` the runtime
+    re-plan converts it to a broadcast join (same plan as the hint on
+    small corpora), above it the term-keyed shuffle join is the correct
+    scale path — the hint is advisory, never load-bearing.
+    ``broadcast_df=True/False`` pins either strategy explicitly."""
     tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if broadcast_df:
+        df = F.broadcast(df)
+    elif broadcast_df is False:
+        df = df.hint("shuffle_merge")
     n_docs = docs.select(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

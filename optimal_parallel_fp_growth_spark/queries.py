@@ -429,69 +429,69 @@ QUERIES.update(REL_QUERIES)
 
 # ---------------------------------------------------------------------------
 # Driver sampling order. The correctness harness samples the registry in
-# insertion order with a bounded per-round window (~50 rows), so entries the
-# driver has never hash-verified must come FIRST. Priority tiers:
-#   1. round-1 hash-fail fixes (casts landed in round 2, never driver-re-run)
-#   2. entries never sampled by any round
-#   3. round-1-green entries that fell outside the round-2 window
-#   4. previously-green regression canaries (core mining + heaviest ops)
+# insertion order with a bounded per-round window (~50 rows), so entries
+# whose last green driver row is OLDEST must come FIRST — the rotation
+# contract that bounds staleness to one round. Round-4 tiers:
+#   1. entries green only in r01/r02 (outside the r03 window — the 36
+#      docs/text/sampling/vector family rows VERDICT r3 task #5 lists)
+#   2. entries added this round (never driver-sampled)
+#   3. r03-green regression canaries (core mining + heaviest plans)
 # Everything else follows in original insertion order. Python dicts preserve
 # insertion order, so rebuilding the dict IS the sampling contract.
 _DRIVER_PRIORITY: list[str] = [
-    # tier 1 — r01 hash-fails, fixed locally, need a green driver row
-    "events_sessionize",
-    "events_interval_join",
-    "events_json_props",
-    # tier 2 — never sampled by the driver
-    "events_pivot",
-    "events_unpivot",
-    "events_user_quartiles",
-    "events_funnel",
-    "events_retention",
-    "events_top_users",
-    "events_resample",
-    "supplier_pagerank",
-    "nation_trade_volume",
-    "product_line_revenue",
-    "promo_revenue_share",
-    "brand_discount_revenue",
-    "shipping_priority",
-    "forecast_revenue",
-    "returned_item_report",
-    "large_orders",
-    "nation_revenue_share",
-    "small_qty_revenue",
-    "customer_order_counts",
-    "top_supplier",
-    "idle_rich_customers",
-    # tier 3 — r01-green, outside the r02 window
-    "multimodal_features",
-    "multimodal_frames",
-    "events_asof_join",
-    "events_daily_rollup",
-    "events_hourly_cube",
-    "events_rolling",
-    "events_windowed_counts",
-    "pricing_summary",
-    "order_priority_stats",
-    "top_suppliers_per_nation",
-    "segment_part_overlap",
-    "customers_no_big_orders",
-    # tier 4 — r02-green canaries (core mining + heaviest plans)
+    # tier 1 — last green row r01/r02; cycle back into the window
+    "count_rows",
+    "freq_items",
+    "tokenize_distinct",
+    "word_count",
+    "freq_itemsets_docs",
+    "revenue_by_nation",
+    "top_orders",
+    "dedup_lines",
+    "quality_classifier",
+    "text_stats",
+    "repetition_signals",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "pack_sequences",
+    "pii_stats",
+    "decontaminate",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "deduped_corpus",
+    "token_quantiles",
+    "deduped_corpus_cc",
+    "corpus_split",
+    "mix_sources",
+    "ngram_counts",
+    "inverted_index",
+    "source_ngram_overlap",
+    "stratified_sample",
+    "curate_corpus",
+    "dq_documents",
+    "knn_ann",
+    "knn_ivf",
+    "embedding_neardup",
+    "label_centroids",
+    # tier 2 — added in round 4, never driver-sampled
+    "kmeans_auto",
+    # tier 3 — r03-green canaries (core mining + heaviest plans)
     "freq_itemsets",
     "assoc_rules",
     "transform",
     "transform_self",
     "apriori_rules",
     "freq_itemsets_pfp",
-    "freq_itemsets_by_lang",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
     "kmeans_clusters",
     "semdedup",
     "knn_cosine",
-    "mix_temperature",
+    "supplier_pagerank",
 ]
 
 

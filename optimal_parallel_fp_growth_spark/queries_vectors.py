@@ -176,7 +176,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_kmeans_cte(k: int, n_iter: int) -> str:
+def q_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-k twin of ``kmeans_clusters``: ``k=None`` derives the
+    cluster count from the corpus size (``kmeans_k_for`` — the scale
+    default that keeps per-cluster size flat as the corpus grows), so
+    the driver exercises the 100-TB operating point, not just the
+    pinned-k one."""
+    from optimal_parallel_fp_growth_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=None)
+
+
+def _oracle_kmeans_cte(k: int | str, n_iter: int) -> str:
     """Unrolled-Lloyd CTE chain mirroring operators/clustering.py
     stage-for-stage: first-k-by-id seeds, per-iteration
     round(avg, 9) centroids with empty-cluster carry-over, assignment
@@ -225,10 +236,27 @@ c{i} AS (SELECT cid, cv, list_dot_product(cv, cv) AS cn FROM (
 from optimal_parallel_fp_growth_spark.operators.clustering import (  # noqa: E402
     KMEANS_ITER,
     KMEANS_K,
+    KMEANS_MAX_K,
+    KMEANS_TARGET_CELL,
 )
 
 ORACLE_KMEANS = (
     _oracle_kmeans_cte(KMEANS_K, KMEANS_ITER)
+    + """
+SELECT vec_id, cid AS cluster, dist2 FROM afin
+"""
+)
+
+# kmeans_k_for as SQL: ceil(n / target_cell) clamped to [2, max_k],
+# evaluated by DuckDB as a scalar-subquery LIMIT on the seed CTE — the
+# oracle stays exact at every sf without baking in a row count.
+_AUTO_K_LIMIT = (
+    f"(SELECT greatest(2, least({KMEANS_MAX_K}, "
+    f"CAST(ceil(count(*) / {KMEANS_TARGET_CELL}.0) AS BIGINT))) FROM p)"
+)
+
+ORACLE_KMEANS_AUTO = (
+    _oracle_kmeans_cte(_AUTO_K_LIMIT, KMEANS_ITER)
     + """
 SELECT vec_id, cid AS cluster, dist2 FROM afin
 """
@@ -254,6 +282,7 @@ VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "label_centroids": q_label_centroids,
     "kmeans_clusters": q_kmeans,
+    "kmeans_auto": q_kmeans_auto,
     "semdedup": q_semdedup,
 }
 
@@ -264,5 +293,6 @@ VEC_ORACLES: dict[str, str] = {
     "embedding_neardup": ORACLE_NEARDUP,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "kmeans_clusters": ORACLE_KMEANS,
+    "kmeans_auto": ORACLE_KMEANS_AUTO,
     "semdedup": ORACLE_SEMDEDUP,
 }

@@ -10,7 +10,8 @@ per-table projection in the query, never pre-collect.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.functions.time import wall_utc_timestamp
 
 TABLES = (
     "region",
@@ -58,10 +59,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if c not in df.columns:
             continue
         dtype = dict(df.dtypes)[c]
-        if dtype == "bigint":  # legacy nanos-as-long generation
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        elif dtype == "timestamp_ntz" and name in _NORMALIZE_TO_LTZ:
-            df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
+        if dtype == "bigint" or (
+            dtype == "timestamp_ntz" and name in _NORMALIZE_TO_LTZ
+        ):
+            # Session-tz-independent wall-as-UTC LTZ (time.py rationale:
+            # to_utc_timestamp would shift by the session offset).
+            df = df.withColumn(c, wall_utc_timestamp(df, c))
     return df
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from optimal_parallel_fp_growth_spark.functions.time import wall_utc_timestamp
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
 
@@ -39,12 +40,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    dtype = dict(raw.dtypes)["ts"]
-    if dtype == "bigint":
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
-    if dtype == "timestamp_ntz":
-        return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
-    return raw
+    # Session-tz-independent wall-as-UTC normalization (see
+    # functions/time.py::wall_utc_timestamp — to_utc_timestamp would
+    # shift NTZ values by the session offset).
+    return raw.withColumn("ts", wall_utc_timestamp(raw, "ts"))
 
 
 def windowed_counts(

@@ -175,15 +175,16 @@ def heavy_hitters_stream(events: DataFrame, capacity: int = 8) -> DataFrame:
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    out_schema = "event_type string, user_id long, est_count long"
-    state_schema = "users array<long>, counts array<long>"
+    out_schema = "event_type string, user_id long, est_count long, max_count long"
+    state_schema = "users array<long>, counts array<long>, decrements long"
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            users, counts = state.get
+            users, counts, dec = state.get
             mg = dict(zip(list(users), list(counts)))
+            dec = int(dec)
         else:
-            mg = {}
+            mg, dec = {}, 0
         batch = []
         for pdf in pdfs:
             batch.extend(
@@ -197,14 +198,17 @@ def heavy_hitters_stream(events: DataFrame, capacity: int = 8) -> DataFrame:
             elif len(mg) < capacity:
                 mg[u] = 1
             else:
-                # decrement-all step; drop zeros
+                # decrement-all step; drop zeros. Each such step lowers
+                # any tracked key's stored count by at most 1, so `dec`
+                # bounds the total undercount of every candidate.
                 mg = {v: c - 1 for v, c in mg.items() if c > 1}
+                dec += 1
         if not mg:
             return
-        state.update((list(mg.keys()), list(mg.values())))
+        state.update((list(mg.keys()), list(mg.values()), dec))
         yield pd.DataFrame(
-            [(key[0], u, c) for u, c in sorted(mg.items())],
-            columns=["event_type", "user_id", "est_count"],
+            [(key[0], u, c, c + dec) for u, c in sorted(mg.items())],
+            columns=["event_type", "user_id", "est_count", "max_count"],
         )
 
     prepared = events.selectExpr(

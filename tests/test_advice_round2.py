@@ -86,21 +86,64 @@ def test_reserved_column_guards_raise(spark):
 
 
 def test_release_cached_inputs_unpersists(spark, sf_small):
-    from optimal_parallel_fp_growth_spark.functions.caching import (
-        release_cached_inputs,
-    )
+    from optimal_parallel_fp_growth_spark.functions import caching
     from optimal_parallel_fp_growth_spark.operators.dedup import minhash_lsh_pairs
     from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
+    caching.release_cached_inputs()  # clean slate
     docs = load_table(spark, sf_small, "documents")
     pairs = minhash_lsh_pairs(docs)
     pairs.count()  # materialize while the signature cache is warm
-    cached = getattr(pairs, "_opfpg_cached_inputs")
+    cached = [c for c in caching._PENDING if hasattr(c, "storageLevel")]
     assert cached and all(c.storageLevel.useMemory for c in cached)
-    released = release_cached_inputs(pairs)
-    assert released == len(cached)
+    released = caching.release_cached_inputs(pairs)
+    assert released >= len(cached)
     assert all(not c.storageLevel.useMemory for c in cached)
-    assert release_cached_inputs(pairs) == 0  # idempotent
+    assert caching.release_cached_inputs(pairs) == 0  # idempotent
+
+
+def test_release_survives_wrapped_outputs(spark, sf_small):
+    """Round-3 regression (VERDICT): dedup_clusters projects
+    minhash_lsh_pairs' output, which used to drop the attribute tag and
+    leak the persisted signature DataFrame. The registry survives any
+    wrapping: after materialize + release, the JVM holds NO persistent
+    RDDs at all (caches and localCheckpoint blocks both freed)."""
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        persistent_rdd_ids,
+        release_cached_inputs,
+    )
+    from optimal_parallel_fp_growth_spark.operators.dedup import dedup_clusters
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    release_cached_inputs()  # clean slate from other tests
+    baseline = persistent_rdd_ids(spark)
+    docs = load_table(spark, sf_small, "documents")
+    out = dedup_clusters(docs)
+    out.count()
+    assert release_cached_inputs(out) >= 1
+    leaked = persistent_rdd_ids(spark) - baseline
+    assert not leaked, f"leaked persistent RDDs: {leaked}"
+
+
+def test_release_covers_pagerank_blocks(spark, sf_small):
+    """pagerank's final-round localCheckpoint blocks join the same
+    tag/release lifecycle; after release nothing stays persisted."""
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        persistent_rdd_ids,
+        release_cached_inputs,
+    )
+    from optimal_parallel_fp_growth_spark.operators.graph import pagerank
+
+    release_cached_inputs()
+    baseline = persistent_rdd_ids(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    r = pagerank(edges, n_iter=3, redistribute_dangling=True)
+    r.count()
+    assert release_cached_inputs(r) >= 1
+    leaked = persistent_rdd_ids(spark) - baseline
+    assert not leaked, f"leaked persistent RDDs: {leaked}"
 
 
 def test_model_unpersist_releases_rules_and_itemsets(fpm_train):

@@ -1,10 +1,11 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (~50 rows). These tests guarantee that every
-entry the driver has not yet hash-verified (round-1 failures whose fixes
-landed in round 2, plus entries never sampled in rounds 1-2) sits inside
-the first 50 keys, ahead of already-green regression canaries.
+bounded per-round window (~50 rows). Round-4 rotation contract
+(VERDICT r3 task #5): the 36 entries whose last green driver row is
+r01/r02 lead the window, followed by entries added this round, then
+r03-green canaries — so after the r4 run every registry entry has a
+green row from r3 or r4 (staleness bounded to one round).
 """
 
 from __future__ import annotations
@@ -18,43 +19,74 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 
 WINDOW = 50
 
-# Entries with no green hash row in CORRECTNESS_r01/r02 (see VERDICT round 2).
+# Entries whose newest green driver row predates r03 (VERDICT round 3,
+# "What's missing" #2) plus entries added in round 4 — all must sit in
+# the r4 sampling window.
 MUST_BE_IN_WINDOW = {
-    # r01 hash-fails, fixed in round 2, never driver-re-run
-    "events_sessionize",
-    "events_interval_join",
-    "events_json_props",
-    # never sampled
-    "events_pivot",
-    "events_unpivot",
-    "events_user_quartiles",
-    "events_funnel",
-    "events_retention",
-    "events_top_users",
-    "events_resample",
-    "supplier_pagerank",
-    "nation_trade_volume",
-    "product_line_revenue",
-    "promo_revenue_share",
-    "brand_discount_revenue",
-    "shipping_priority",
-    "forecast_revenue",
-    "returned_item_report",
-    "large_orders",
-    "nation_revenue_share",
-    "small_qty_revenue",
-    "customer_order_counts",
-    "top_supplier",
-    "idle_rich_customers",
+    # green only in r01/r02
+    "count_rows",
+    "freq_items",
+    "tokenize_distinct",
+    "word_count",
+    "freq_itemsets_docs",
+    "revenue_by_nation",
+    "top_orders",
+    "dedup_lines",
+    "quality_classifier",
+    "text_stats",
+    "repetition_signals",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "pack_sequences",
+    "pii_stats",
+    "decontaminate",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "deduped_corpus",
+    "token_quantiles",
+    "deduped_corpus_cc",
+    "corpus_split",
+    "mix_sources",
+    "ngram_counts",
+    "inverted_index",
+    "source_ngram_overlap",
+    "stratified_sample",
+    "curate_corpus",
+    "dq_documents",
+    "knn_ann",
+    "knn_ivf",
+    "embedding_neardup",
+    "label_centroids",
+    # added in round 4, never driver-sampled
+    "kmeans_auto",
 }
 
 
-def test_unverified_entries_lead_the_registry():
+def test_stale_and_new_entries_lead_the_registry():
     head = list(Q.QUERIES)[:WINDOW]
     missing = MUST_BE_IN_WINDOW - set(head)
-    assert not missing, f"driver-unverified entries outside window: {sorted(missing)}"
-    # the three round-1 failures must be the very first rows
-    assert head[:3] == ["events_sessionize", "events_interval_join", "events_json_props"]
+    assert not missing, f"stale/new entries outside window: {sorted(missing)}"
+
+
+def test_window_keeps_regression_canaries():
+    # heaviest plans + core mining must stay driver-watched every round
+    head = set(list(Q.QUERIES)[:WINDOW])
+    canaries = {
+        "freq_itemsets",
+        "assoc_rules",
+        "transform",
+        "apriori_rules",
+        "freq_itemsets_pfp",
+        "dedup_minhash_lsh",
+        "dedup_clusters",
+        "kmeans_clusters",
+        "semdedup",
+        "supplier_pagerank",
+    }
+    assert canaries <= head, f"canaries outside window: {sorted(canaries - head)}"
 
 
 def test_queries_and_oracles_share_order_and_keys():
@@ -79,8 +111,9 @@ def test_entry_module_preserves_order():
     assert list(mod.oracle_sql()) == list(Q.ORACLES)
 
 
-def test_round2_correctness_rows_were_all_green():
+def test_prior_round_correctness_rows_were_all_green():
     # guards against regressing an already-driver-confirmed entry silently:
-    # if this file changes upstream, the canary tier should be revisited.
-    rows = json.loads((REPO / "CORRECTNESS_r02.json").read_text())
-    assert all(v.get("hash_match") for v in rows.values())
+    # if these files change upstream, the canary tier should be revisited.
+    for r in ("r02", "r03"):
+        rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
+        assert all(v.get("hash_match") for v in rows.values()), r

@@ -19,15 +19,27 @@ def _multi_batch_stream(spark, sf_small, tmp_path, n_parts: int):
 
     from pyspark.sql import functions as F_
 
+    from optimal_parallel_fp_growth_spark.functions.time import (
+        epoch_seconds,
+        wall_utc_timestamp,
+    )
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_small}/events.parquet")
     # time-ordered slices written SEQUENTIALLY: the file source orders
     # batches by modification time, so arrival order == event-time order,
-    # like a real stream.
-    qs = raw.approxQuantile("ts", [i / n_parts for i in range(1, n_parts)], 0.0)
+    # like a real stream. Quantile on a NUMERIC epoch projection —
+    # approxQuantile rejects timestamp dtypes (and the legacy generation
+    # stores bigint nanos, where epoch_seconds' cast("long") is a
+    # monotone proxy, which is all the split needs).
+    num = raw.withColumn("_ts_num", epoch_seconds(raw, "ts"))
+    probs = [i / n_parts for i in range(1, n_parts)]
+    qs = num.approxQuantile("_ts_num", probs, 0.0) if probs else []
     bounds = [float("-inf"), *qs, float("inf")]
     for lo, hi in zip(bounds, bounds[1:]):
-        chunk = raw.where((F_.col("ts") > lo) & (F_.col("ts") <= hi))
+        chunk = num.where(
+            (F_.col("_ts_num") > lo) & (F_.col("_ts_num") <= hi)
+        ).drop("_ts_num")
         chunk.coalesce(1).write.mode("append").parquet(str(tmp_path / "ev_parts"))
         _time.sleep(0.05)
     schema = raw.schema
@@ -36,7 +48,8 @@ def _multi_batch_stream(spark, sf_small, tmp_path, n_parts: int):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(tmp_path / "ev_parts"))
     )
-    return st.withColumn("ts", F_.timestamp_micros(F_.expr("`ts` div 1000")))
+    # Same per-generation dtype dispatch as streaming/events.py.
+    return st.withColumn("ts", wall_utc_timestamp(st, "ts"))
 
 
 def test_checkpoint_restart_is_exactly_once(spark, sf_small, tmp_path):
@@ -149,7 +162,14 @@ def test_heavy_hitters_exact_when_capacity_covers(spark, sf_small, tmp_path):
     )
     run_to_memory(st, "hh_stream", output_mode="update")
     # capacity >= distinct users: Misra-Gries never decrements, counts are
-    # exact and non-decreasing, so max emission per pair = final count.
+    # exact and non-decreasing, so max emission per pair = final count —
+    # and the certainty interval collapses (max_count == est_count).
+    assert (
+        spark.table("hh_stream")
+        .where(F.col("max_count") != F.col("est_count"))
+        .count()
+        == 0
+    )
     got = {
         (r.event_type, r.user_id): r.m
         for r in spark.table("hh_stream")
@@ -191,6 +211,43 @@ def test_heavy_hitters_bounded_state_undercounts(spark, sf_small, tmp_path):
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    # Misra-Gries stored counts never exceed true counts
+    # Misra-Gries stored counts never exceed true counts (valid for
+    # EVERY emission: est(t) <= true_so_far(t) <= true_final)
     for k, v in est.items():
         assert v <= true[k], (k, v, true[k])
+
+
+def test_heavy_hitters_interval_brackets_truth(spark, sf_small, tmp_path):
+    """Single micro-batch, bounded capacity: every emission IS the final
+    summary, so the tracked certainty interval must bracket the true
+    count: est_count <= true <= max_count (= est + decrements)."""
+    from optimal_parallel_fp_growth_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    st = heavy_hitters_stream(
+        _multi_batch_stream(spark, sf_small, tmp_path, 1), capacity=4
+    )
+    run_to_memory(st, "hh_interval", output_mode="update")
+    rows = spark.table("hh_interval").collect()
+    assert rows, "stream emitted nothing"
+    true = {
+        (r.event_type, r.user_id): r.n
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    some_decrement = False
+    for r in rows:
+        k = (r.event_type, r.user_id)
+        assert r.est_count <= true[k] <= r.max_count, (
+            k,
+            r.est_count,
+            true[k],
+            r.max_count,
+        )
+        some_decrement = some_decrement or r.max_count > r.est_count
+    # capacity=4 << distinct users: decrements must actually have fired,
+    # otherwise this test isn't exercising the interval at all.
+    assert some_decrement
