@@ -1,0 +1,47 @@
+"""Registry-wide cache-release hygiene (VERDICT r3 task #2).
+
+Every query whose operators persist intermediates or cut lineage with
+localCheckpoint must leave the JVM with ZERO new persistent RDDs after
+the bench/cli protocol (materialize → ``release_cached_inputs``) —
+leaked caches at 100 TB are an executor-storage incident, and the
+round-3 attribute-tag design leaked exactly this way when query
+wrappers projected operator outputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from optimal_parallel_fp_growth_spark.functions.caching import (
+    persistent_rdd_ids,
+    release_cached_inputs,
+)
+from optimal_parallel_fp_growth_spark.queries import QUERIES
+
+# every registry entry backed by tag_cached_inputs producers
+# (dedup persists shingle/signature/fingerprint frames; clustering
+# persists the prepared vectors; CC/pagerank leave final-round
+# checkpoint blocks)
+TAGGED_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "deduped_corpus",
+    "deduped_corpus_cc",
+    "curate_corpus",
+    "semdedup",
+    "kmeans_auto",
+    "supplier_pagerank",
+]
+
+
+@pytest.mark.parametrize("name", TAGGED_QUERIES)
+def test_tagged_query_releases_clean(spark, sf_small, name):
+    release_cached_inputs()  # clean slate from earlier tests
+    baseline = persistent_rdd_ids(spark)
+    out = QUERIES[name](spark, sf_small)
+    out.write.format("noop").mode("overwrite").save()
+    release_cached_inputs(out)
+    leaked = persistent_rdd_ids(spark) - baseline
+    assert not leaked, f"{name} leaked persistent RDDs: {leaked}"
