@@ -149,6 +149,9 @@ def main() -> None:
         "nation_trade_volume",
         "events_resample",
         "events_pivot",
+        # round-4 additions (scale-default auto-k paths; BASELINE.md §round-4)
+        "kmeans_auto",
+        "semdedup_auto",
     ):
         q = QUERIES[qname]
 

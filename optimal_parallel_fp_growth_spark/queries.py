@@ -478,7 +478,10 @@ _DRIVER_PRIORITY: list[str] = [
     "label_centroids",
     # tier 2 — added in round 4, never driver-sampled
     "kmeans_auto",
-    # tier 3 — r03-green canaries (core mining + heaviest plans)
+    "semdedup_auto",
+    # tier 3 — r03-green canaries (core mining + heaviest plans);
+    # knn_cosine ceded its slot to semdedup_auto (the knn family is
+    # already in tier 1 via knn_ann/knn_ivf)
     "freq_itemsets",
     "assoc_rules",
     "transform",
@@ -490,7 +493,6 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_clusters",
     "kmeans_clusters",
     "semdedup",
-    "knn_cosine",
     "supplier_pagerank",
 ]
 

@@ -176,6 +176,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-k twin of ``semdedup``: the sf1 scale probe (BASELINE.md
+    §sf1) measured pinned k=8 trending quadratic (cell sizes grow with
+    the corpus, pair volume with their square) while ``k=None`` keeps
+    cells at ``KMEANS_TARGET_CELL`` and scaled 1.9× for 10× data — this
+    entry keeps the scale default under driver verification."""
+    from optimal_parallel_fp_growth_spark.operators.clustering import semdedup
+
+    return semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=NEARDUP_THRESHOLD,
+        k=None,
+    )
+
+
 def q_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-k twin of ``kmeans_clusters``: ``k=None`` derives the
     cluster count from the corpus size (``kmeans_k_for`` — the scale
@@ -262,9 +277,7 @@ SELECT vec_id, cid AS cluster, dist2 FROM afin
 """
 )
 
-ORACLE_SEMDEDUP = (
-    _oracle_kmeans_cte(KMEANS_K, KMEANS_ITER)
-    + f""",
+_SEMDEDUP_TAIL = f""",
 dropped AS (SELECT DISTINCT b.vec_id
             FROM afin a JOIN afin b
               ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -273,7 +286,10 @@ dropped AS (SELECT DISTINCT b.vec_id
 SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NULL) AS kept
 FROM afin a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
-)
+
+ORACLE_SEMDEDUP = _oracle_kmeans_cte(KMEANS_K, KMEANS_ITER) + _SEMDEDUP_TAIL
+
+ORACLE_SEMDEDUP_AUTO = _oracle_kmeans_cte(_AUTO_K_LIMIT, KMEANS_ITER) + _SEMDEDUP_TAIL
 
 VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
@@ -284,6 +300,7 @@ VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans,
     "kmeans_auto": q_kmeans_auto,
     "semdedup": q_semdedup,
+    "semdedup_auto": q_semdedup_auto,
 }
 
 VEC_ORACLES: dict[str, str] = {
@@ -295,4 +312,5 @@ VEC_ORACLES: dict[str, str] = {
     "kmeans_clusters": ORACLE_KMEANS,
     "kmeans_auto": ORACLE_KMEANS_AUTO,
     "semdedup": ORACLE_SEMDEDUP,
+    "semdedup_auto": ORACLE_SEMDEDUP_AUTO,
 }

@@ -62,6 +62,7 @@ MUST_BE_IN_WINDOW = {
     "label_centroids",
     # added in round 4, never driver-sampled
     "kmeans_auto",
+    "semdedup_auto",
 }
 
 
