@@ -66,10 +66,15 @@ def main() -> None:
     from optimal_parallel_fp_growth_spark.queries import QUERIES
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Initial shuffle-partition count. AQE only coalesces DOWN from this,
+    # so at 10×–100× data the default (=cores) makes partitions outgrow
+    # executor memory and sort-spill; set SPARK_GRAFT_SHUFFLE_PARTS
+    # higher (the set-high-let-AQE-coalesce recipe a cluster deploy uses).
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     spark = (
         SparkSession.builder.appName("scale-probe")
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
