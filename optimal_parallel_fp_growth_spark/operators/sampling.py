@@ -181,6 +181,61 @@ def mix_by_temperature(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    by: Sequence[str] | str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``n`` rows (per group when
+    ``by`` is given, global otherwise), where a row's inclusion
+    probability is proportional to ``weight_col`` — the
+    Efraimidis–Spirakis A-ES scheme: draw u ~ U(0,1] per row, keep the
+    top-n by key u^(1/w) (ranked equivalently on ln(u)/w). → input
+    columns. Rows with weight ≤ 0 are excluded (they have probability 0
+    in the limit anyway).
+
+    u is md5-derived like every sampler here, so the sample is
+    deterministic, retry-safe, and oracle-checkable; the rank key is
+    rounded to 9 decimals with an id tiebreak so ordering is identical
+    across engines (the same rounded-key-plus-tiebreak contract the
+    k-means/cosine oracles use).
+
+    Scale: the grouped path ranks with ``row_number() <= n``, which
+    Spark rewrites two-phase via InferWindowGroupLimit — map tasks
+    pre-trim to their local n before the single group shuffle. The
+    global path is a distributed TakeOrdered (per-partition top-n, then
+    a driver merge of ≤ n·partitions rows), no full sort anywhere.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    # u in (0,1]; ln(u)/w is monotone in u^(1/w) for w>0
+    key = F.round(
+        F.log((h + 1.0) / 4294967296.0) / F.col(weight_col), 9
+    )
+    pos = df.where(F.col(weight_col) > 0).withColumn("__key", key)
+    if by is None:
+        out = pos.orderBy(F.desc("__key"), F.col(id_col)).limit(n)
+    else:
+        cols = [by] if isinstance(by, str) else list(by)
+        w = Window.partitionBy(*cols).orderBy(F.desc("__key"), F.col(id_col))
+        out = pos.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= n
+        ).drop("__rn")
+    return out.drop("__key")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -479,13 +479,14 @@ _DRIVER_PRIORITY: list[str] = [
     # tier 2 — added in round 4, never driver-sampled
     "kmeans_auto",
     "semdedup_auto",
+    "weighted_sample",
     # tier 3 — r03-green canaries (core mining + heaviest plans);
-    # knn_cosine ceded its slot to semdedup_auto (the knn family is
-    # already in tier 1 via knn_ann/knn_ivf)
+    # knn_cosine and transform_self ceded slots to the tier-2 additions
+    # (knn covered by knn_ann/knn_ivf in tier 1; transform_self's path
+    # is transform's plus the self-overload pinned by pytest)
     "freq_itemsets",
     "assoc_rules",
     "transform",
-    "transform_self",
     "apriori_rules",
     "freq_itemsets_pfp",
     "dedup_minhash_lsh",

@@ -175,6 +175,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sample: 10 docs per lang, inclusion probability
+    ∝ n_chars (longer docs favored — the "sample by token budget"
+    shape every mixture-weighting pipeline needs)."""
+    return sampling.weighted_sample(
+        load_table(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        n=10,
+        by="lang",
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimal_parallel_fp_growth_spark.plans.curate import curate_corpus
 
@@ -578,6 +590,21 @@ SELECT doc_id, source, n_tokens,
 FROM counted
 """
 
+# Same A-ES key as sampling.weighted_sample (salt 'wsample'): u from the
+# first 8 md5 hex digits, rank on round(ln(u)/w, 9) desc with id
+# tiebreak — the rounded-key contract keeps both engines' orderings
+# identical despite libm ulps.
+ORACLE_WEIGHTED_SAMPLE = """
+WITH k AS (SELECT doc_id, lang, n_chars,
+                  round(ln((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1.0)
+                           / 4294967296.0) / n_chars, 9) AS key
+           FROM documents WHERE n_chars > 0),
+r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rn
+      FROM k)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10
+"""
+
 # Same (md5, id) total order as sampling.stratified_sample (salt 'strat').
 ORACLE_STRATIFIED_SAMPLE = """
 WITH r AS (SELECT doc_id, source,
@@ -733,6 +760,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_ngram_overlap": q_source_ngram_overlap,
     "mix_temperature": q_mix_temperature,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "curate_corpus": q_curate_corpus,
     "dq_documents": q_dq_documents,
 }
@@ -765,6 +793,7 @@ DOC_ORACLES: dict[str, str] = {
     "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
     "mix_temperature": ORACLE_MIX_TEMPERATURE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "curate_corpus": ORACLE_CURATE_CORPUS,
     "dq_documents": ORACLE_DQ_DOCUMENTS,
 }

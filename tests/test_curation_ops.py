@@ -44,6 +44,48 @@ def test_stratified_sample_plan_two_phase(spark):
     assert plan.count("WindowGroupLimit") == 2 and "Partial" in plan
 
 
+def test_weighted_sample_counts_determinism_and_bias(spark):
+    from optimal_parallel_fp_growth_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "a", 1.0 if i < 500 else 100.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out = weighted_sample(df, "w", 50, by="lang")
+    got = [r.doc_id for r in out.collect()]
+    assert len(got) == 50
+    # A-ES: P(high-weight row ranks above low-weight row) = 100/101 —
+    # with 500 rows at weight 100 vs 500 at weight 1, the top-50 is
+    # overwhelmingly heavy rows (md5-u is effectively uniform)
+    heavy = sum(1 for d in got if d >= 500)
+    assert heavy >= 45, f"only {heavy}/50 heavy rows sampled"
+    # deterministic + partition-invariant
+    again = [r.doc_id for r in weighted_sample(df.repartition(17), "w", 50, by="lang").collect()]
+    assert sorted(got) == sorted(again)
+
+
+def test_weighted_sample_global_and_validation(spark):
+    from optimal_parallel_fp_growth_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(-5, 20)], "doc_id long, w double"
+    )
+    out = weighted_sample(df, "w", 10)  # global top-10, w<=0 excluded
+    ids = {r.doc_id for r in out.collect()}
+    assert len(ids) == 10 and all(i > 0 for i in ids)
+    with pytest.raises(ValueError, match="n must be"):
+        weighted_sample(df, "w", 0)
+
+
+def test_weighted_sample_grouped_plan_two_phase(spark):
+    from optimal_parallel_fp_growth_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, lang string, w double")
+    plan = (
+        weighted_sample(df, "w", 5, by="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("WindowGroupLimit") == 2 and "Partial" in plan
+
+
 def test_label_centroids_values(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0], 0), (2, [3.0, 2.0], 0), (3, [5.0, 5.0], 1)],

@@ -63,6 +63,7 @@ MUST_BE_IN_WINDOW = {
     # added in round 4, never driver-sampled
     "kmeans_auto",
     "semdedup_auto",
+    "weighted_sample",
 }
 
 
