@@ -31,6 +31,30 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = "seen int"
 
+_DURATION_UNIT_MS = {
+    "second": 1_000,
+    "seconds": 1_000,
+    "minute": 60_000,
+    "minutes": 60_000,
+    "hour": 3_600_000,
+    "hours": 3_600_000,
+    "day": 86_400_000,
+    "days": 86_400_000,
+}
+
+
+def _duration_ms(s: str) -> int:
+    """Parse a '<n> <unit>' Spark-style duration (PySpark's
+    GroupState.setTimeoutTimestamp takes a bare epoch-ms, unlike the
+    Scala overload that accepts an additionalDuration string)."""
+    try:
+        n, unit = s.strip().split()
+        return int(n) * _DURATION_UNIT_MS[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"bad duration {s!r}; expected '<n> <seconds|minutes|hours|days>'"
+        ) from None
+
 
 def _first_seen_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -57,18 +81,78 @@ def _first_seen_fn(
     )
 
 
-def first_seen_dedup(events: DataFrame) -> DataFrame:
+def first_seen_dedup(
+    events: DataFrame, ttl: str | None = None, watermark: str = "0 seconds"
+) -> DataFrame:
     """Streaming first-occurrence dedup per (user_id, event_type).
-    Input must be a streaming DataFrame with ts/event_id/value."""
+    Input must be a streaming DataFrame with ts/event_id/value.
+
+    ``ttl=None`` keeps every key's seen-flag forever — exact dedup, at
+    the price of state growing with |distinct keys|. At 100 TB the
+    keyspace is unbounded, so ``ttl="7 days"``-style expiry (event-time
+    timeout against the watermark: a key's flag drops once the
+    watermark passes its last event + ttl) bounds the state store to
+    the keys active inside one ttl window — the standard
+    exactness-for-boundedness trade: a key recurring AFTER the ttl gap
+    re-emits as a fresh first-seen. The ``watermark`` delay (how much
+    event-time lateness the stream tolerates before state may expire)
+    is applied here when ttl is set; production callers pass their own
+    lateness budget."""
+    if ttl is not None:
+        events = events.withWatermark("ts", watermark)
     prepared = events.selectExpr(
-        "user_id", "event_type", "cast(ts as long) AS ts_epoch", "event_id", "value"
+        "user_id", "event_type", "ts", "cast(ts as long) AS ts_epoch",
+        "event_id", "value"
     )
+    if ttl is None:
+        return prepared.groupBy("user_id", "event_type").applyInPandasWithState(
+            _first_seen_fn,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    ttl_ms = _duration_ms(ttl)
+
+    def fn_ttl(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last activity + ttl: drop the seen-flag
+            state.remove()
+            return
+        emitted = state.exists
+        best = None
+        last_ms = 0
+        for pdf in pdfs:
+            for ts_epoch, event_id, value in zip(
+                pdf["ts_epoch"], pdf["event_id"], pdf["value"]
+            ):
+                cand = (int(ts_epoch), int(event_id), float(value))
+                last_ms = max(last_ms, cand[0] * 1000)
+                if best is None or cand[:2] < best[:2]:
+                    best = cand
+        if best is None:
+            return
+        state.update((1,))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        if not emitted:
+            yield pd.DataFrame(
+                [(key[0], key[1], best[0], best[1], best[2])],
+                columns=[
+                    "user_id",
+                    "event_type",
+                    "first_ts_epoch",
+                    "first_event_id",
+                    "value",
+                ],
+            )
+
     return prepared.groupBy("user_id", "event_type").applyInPandasWithState(
-        _first_seen_fn,
+        fn_ttl,
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -120,6 +120,79 @@ def test_first_seen_dedup_matches_batch(spark, sf_small, tmp_path):
     assert len(want) < ev.count()
 
 
+def test_first_seen_dedup_ttl_huge_matches_exact(spark, sf_small, tmp_path):
+    """ttl far beyond the data's time span ⇒ no state ever expires and
+    the TTL path emits exactly the exact-path first-seen set."""
+    st = first_seen_dedup(
+        _multi_batch_stream(spark, sf_small, tmp_path, 4), ttl="3650 days"
+    )
+    run_to_memory(st, "first_seen_ttl", output_mode="update")
+    got = {tuple(r) for r in spark.table("first_seen_ttl").collect()}
+
+    ev = load_table(spark, sf_small, "events")
+    want = {
+        tuple(r)
+        for r in ev.select(
+            "user_id",
+            "event_type",
+            F.struct(
+                F.col("ts").cast("long").alias("first_ts_epoch"),
+                F.col("event_id").alias("first_event_id"),
+                "value",
+            ).alias("s"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "user_id", "event_type", "s.first_ts_epoch", "s.first_event_id", "s.value"
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_first_seen_dedup_ttl_expires_and_reemits(spark, sf_small, tmp_path):
+    """ttl smaller than the inter-batch event-time gaps ⇒ seen-flags
+    expire between micro-batches and recurring keys re-emit — the
+    bounded-state trade documented on the operator. First emissions
+    still match the exact path."""
+    st = first_seen_dedup(
+        _multi_batch_stream(spark, sf_small, tmp_path, 4), ttl="1 hour"
+    )
+    run_to_memory(st, "first_seen_exp", output_mode="update")
+    rows = spark.table("first_seen_exp").collect()
+    per_key: dict[tuple, list] = {}
+    for r in rows:
+        per_key.setdefault((r.user_id, r.event_type), []).append(
+            (r.first_ts_epoch, r.first_event_id, r.value)
+        )
+
+    ev = load_table(spark, sf_small, "events")
+    want_first = {
+        (r.user_id, r.event_type): (r.first_ts_epoch, r.first_event_id, r.value)
+        for r in ev.select(
+            "user_id",
+            "event_type",
+            F.struct(
+                F.col("ts").cast("long").alias("first_ts_epoch"),
+                F.col("event_id").alias("first_event_id"),
+                "value",
+            ).alias("s"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "user_id", "event_type", "s.first_ts_epoch", "s.first_event_id", "s.value"
+        )
+        .collect()
+    }
+    assert set(per_key) == set(want_first)
+    for k, emissions in per_key.items():
+        assert min(emissions) == want_first[k], k
+    # the point of the test: expiry actually fired somewhere
+    assert sum(len(v) for v in per_key.values()) > len(per_key)
+
+
 def test_funnel_progress_matches_batch(spark, sf_small, tmp_path):
     from optimal_parallel_fp_growth_spark.operators.funnels import funnel_counts
     from optimal_parallel_fp_growth_spark.streaming.stateful import funnel_progress
