@@ -128,13 +128,191 @@ def _assign(prepared: DataFrame, cents: list[_Centroid]) -> DataFrame:
     )
 
 
+def _py_dist2(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc += d * d
+    return acc
+
+
+def _coarse_groups(
+    cents: list[_Centroid], c: int, n_iter: int = 3
+) -> list[tuple[list[float], float, list[_Centroid]]]:
+    """Driver-side Lloyd over the k CENTROID vectors (k ≤ 65536 — a few
+    MB): c coarse cells, deterministic first-c seeds, empty cells
+    dropped. → [(coarse_coords, coarse_norm2, member_centroids)]."""
+    coords = [cv for _, cv, _ in cents]
+    seeds = [list(v) for v in coords[:c]]
+    assign = [0] * len(cents)
+    for _ in range(n_iter):
+        for i, v in enumerate(coords):
+            assign[i] = min(
+                range(len(seeds)), key=lambda s: (_py_dist2(v, seeds[s]), s)
+            )
+        for s in range(len(seeds)):
+            members = [coords[i] for i in range(len(coords)) if assign[i] == s]
+            if members:
+                seeds[s] = [sum(col) / len(members) for col in zip(*members)]
+    groups = []
+    for s in range(len(seeds)):
+        members = [cents[i] for i in range(len(cents)) if assign[i] == s]
+        if members:
+            groups.append((seeds[s], _fold_norm2(seeds[s]), members))
+    return groups
+
+
+def _assign_two_level(
+    prepared: DataFrame, cents: list[_Centroid], probe: int = 1
+) -> DataFrame:
+    """Approximate nearest-centroid assignment in O(√k) per row instead
+    of O(k) — the IVF/two-level-codebook recipe the sf10 probe
+    identified as the auto-k scale step (BASELINE.md §sf10): flat
+    assignment is n·k, and with k ∝ n (the SemDeDup operating point)
+    that is n²/cell.
+
+    The k fine centroids are grouped into c ≈ √k coarse cells by a
+    driver-side Lloyd over the centroids themselves; each vector argmins
+    over the c coarse centroids, then over only the fine centroids of
+    its ``probe`` nearest coarse cells (a when-chain — codegen evaluates
+    just the matched branches, so per-row work is c + probe·k/c ≈
+    (1+probe)·√k). Same zero-shuffle pure-codegen shape as ``_assign``;
+    deterministic; boundary vectors may land in a neighbouring cell
+    (raise ``probe`` to trade compute for recall, exactly like
+    ``ivf_topk``'s n_probe)."""
+    import math
+
+    c = max(1, int(round(math.sqrt(len(cents)))))
+    groups = _coarse_groups(cents, c)
+    if len(groups) == 1:
+        return _assign(prepared, cents)
+    probe = max(1, min(probe, len(groups)))
+    coarse_sorted = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _dist2_to(gc, gn).alias("dist2"), F.lit(g).alias("g")
+                )
+                for g, (gc, gn, _m) in enumerate(groups)
+            ]
+        )
+    )
+    # The probe-nearest coarse ids MUST be materialized behind a
+    # projection boundary before the when-chain touches them: the chain
+    # references them ~c times, HOFs evaluate interpreted with no CSE,
+    # and an inline reference would recompute the full c-fold coarse
+    # argmin per branch test — measured to erase the entire two-level
+    # win (the _doc_shingles lesson applied to centroids). The multi-
+    # reference also keeps CollapseProject from re-inlining the alias.
+    step1 = prepared.select(
+        "vec_id", "v", "norm2", F.slice(coarse_sorted, 1, probe).alias("__cg")
+    )
+    fine_best = []
+    for g, (_gc, _gn, members) in enumerate(groups):
+        fine_best.append(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _dist2_to(cv, cn).alias("dist2"),
+                            F.lit(cid).cast("long").alias("cid"),
+                        )
+                        for cid, cv, cn in members
+                    ]
+                )
+            )[0]
+        )
+    candidates = []
+    for j in range(probe):
+        gj = F.col("__cg")[j]["g"]
+        expr = fine_best[-1]
+        for g in range(len(groups) - 1):
+            expr = F.when(gj == g, fine_best[g]).otherwise(expr)
+        candidates.append(expr)
+    best = F.array_sort(F.array(*candidates))[0]
+    return step1.withColumn("__c", best).select(
+        "vec_id",
+        "v",
+        "norm2",
+        F.col("__c.cid").alias("cluster"),
+        F.col("__c.dist2").alias("dist2"),
+    )
+
+
+def _assign_arrow(
+    prepared: DataFrame, cents: list[_Centroid], with_v: bool = False
+) -> DataFrame:
+    """Arrow/numpy twin of ``_assign``: one BLAS matmul per batch
+    (dist² = |v|² − 2·V·Cᵀ + |c|², rounded like the SQL path, argmin
+    with cid tiebreak via a masked min). Per-row cost is a dense
+    n×k×d matmul instead of k interpreted HOF folds — the measured
+    fast path when k is large; the SQL path stays the oracle-exact
+    default (matmul reassociates the sum, so last-ulp dist2 values can
+    differ before rounding; cluster choice is round(6)-stable)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([cv for _, cv, _ in cents], dtype=np.float64)
+    cn = np.array([n for _, _, n in cents], dtype=np.float64)
+    cids = np.array([cid for cid, _, _ in cents], dtype=np.int64)
+    sentinel = cids.max() + 1
+    schema = (
+        "vec_id long, v array<double>, norm2 double, cluster long, dist2 double"
+        if with_v
+        else "vec_id long, cluster long, dist2 double"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            n2 = pdf["norm2"].to_numpy(dtype=np.float64)
+            D = np.round(n2[:, None] - 2.0 * (V @ C.T) + cn[None, :], DIST_DECIMALS)
+            dmin = D.min(axis=1, keepdims=True)
+            cand = np.where(D == dmin, cids[None, :], sentinel)
+            out = {
+                "vec_id": pdf["vec_id"],
+                "cluster": cand.min(axis=1),
+                "dist2": dmin[:, 0],
+            }
+            if with_v:
+                out = {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "norm2": pdf["norm2"],
+                    "cluster": cand.min(axis=1),
+                    "dist2": dmin[:, 0],
+                }
+            yield pd.DataFrame(out)
+
+    return prepared.mapInPandas(fn, schema)
+
+
 def _seed_centroids(prepared: DataFrame, k: int) -> list[_Centroid]:
     rows = prepared.orderBy("vec_id").limit(k).collect()  # tiny: k × dim
     return [(int(r.vec_id), list(r.v), _fold_norm2(list(r.v))) for r in rows]
 
 
+def _pick_assign(two_level: bool, probe: int, impl: str, with_v: bool):
+    if impl not in ("sql", "arrow"):
+        raise ValueError(f"impl must be 'sql' or 'arrow', got {impl!r}")
+    if impl == "arrow":
+        # BLAS matmul handles full k directly; two_level is a SQL-path
+        # mitigation and is ignored here
+        return lambda p, c: _assign_arrow(p, c, with_v=with_v)
+    if two_level:
+        return lambda p, c: _assign_two_level(p, c, probe)
+    return _assign
+
+
 def _lloyd_centroids(
-    prepared: DataFrame, k: int, n_iter: int
+    prepared: DataFrame,
+    k: int,
+    n_iter: int,
+    two_level: bool = False,
+    probe: int = 1,
+    impl: str = "sql",
 ) -> list[_Centroid]:
     """Run ``n_iter`` Lloyd updates from the deterministic seeds and
     return the final centroid set (driver-side, k × dim)."""
@@ -142,9 +320,10 @@ def _lloyd_centroids(
     if not cents:
         raise ValueError("k-means needs a non-empty corpus")
     dim = len(cents[0][1])
+    assign_fn = _pick_assign(two_level, probe, impl, with_v=True)
     for _ in range(n_iter):
         means = (
-            _assign(prepared, cents)
+            assign_fn(prepared, cents)
             .select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("val"), CENTROID_DECIMALS).alias("val"))
@@ -169,12 +348,28 @@ def kmeans_assign(
     n_iter: int = KMEANS_ITER,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
+    probe: int = 1,
+    impl: str = "sql",
 ) -> DataFrame:
     """Deterministic Lloyd k-means: ``n_iter`` centroid updates from
     first-``k``-by-id seeds, then the final assignment.
     → (vec_id, cluster, dist2); ``cluster`` is the seed vector's id.
     ``k=None`` derives the cluster count from the corpus size via
-    ``kmeans_k_for`` (one extra count job)."""
+    ``kmeans_k_for`` (one extra count job).
+
+    Scale paths for large k (where flat assignment is n·k interpreted
+    folds — n²/cell when k grows with n):
+
+    - ``impl="arrow"``: each assignment pass becomes one Arrow-batched
+      BLAS matmul (``_assign_arrow``) — same cluster choice (rounding-
+      stable), dense-compute speed, the deployment setting.
+    - ``two_level=True`` (SQL path): coarse→fine codebook assignment,
+      per-row O(k) → O((1+probe)·√k); approximate at cell boundaries
+      (raise ``probe`` for recall).
+
+    The oracle-checked queries keep the flat SQL path — bit-exact
+    left-to-right fold order against the DuckDB twin."""
     if k is not None and k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_iter < 0:
@@ -184,10 +379,11 @@ def kmeans_assign(
         prepared.persist()
     if k is None:
         k = kmeans_k_for(prepared.count())
-    cents = _lloyd_centroids(prepared, k, n_iter)
+    cents = _lloyd_centroids(prepared, k, n_iter, two_level, probe, impl)
     if prepared.is_cached:
         prepared.unpersist()
-    return _assign(prepared, cents).select("vec_id", "cluster", "dist2")
+    assign_fn = _pick_assign(two_level, probe, impl, with_v=False)
+    return assign_fn(prepared, cents).select("vec_id", "cluster", "dist2")
 
 
 def semdedup(

@@ -227,3 +227,85 @@ def test_semdedup_auto_k_bounds_observed_cells(spark, sf_small):
     assert sum(sizes) == emb.count()
     # generous skew slack: 8× the target expected size
     assert max(sizes) <= 8 * KMEANS_TARGET_CELL
+
+
+def _blobs(spark, n_blobs=16, per_blob=12, dim=8):
+    """Well-separated deterministic blobs: centers on a coarse integer
+    lattice (spacing 100), points jittered ±0.5 — every vector is
+    unambiguously nearest its own blob center, so approximate
+    assignment has no boundary cases to miss."""
+    rows = []
+    vid = 0
+    for b in range(n_blobs):
+        center = [100.0 * ((b >> (d % 4)) & 1) + 10.0 * b if d == 0 else 100.0 * ((b >> (d % 4)) & 1) for d in range(dim)]
+        for j in range(per_blob):
+            jit = [((vid * 7 + d * 3 + j) % 10) / 10.0 - 0.5 for d in range(dim)]
+            rows.append((vid, [c + e for c, e in zip(center, jit)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_two_level_assignment_agrees_with_flat_on_blobs(spark):
+    """On well-separated blobs the coarse→fine path has no boundary
+    ambiguity: it must reproduce the flat assignment exactly (probe=1
+    and probe=2), and be deterministic under repartitioning."""
+    emb = _blobs(spark)
+    flat = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=16).collect()}
+    p1 = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(emb, k=16, two_level=True).collect()
+    }
+    p2 = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(emb, k=16, two_level=True, probe=2).collect()
+    }
+    assert set(flat) == set(p1) == set(p2)
+    n = len(flat)
+    agree1 = sum(1 for v in flat if p1[v] == flat[v]) / n
+    agree2 = sum(1 for v in flat if p2[v] == flat[v]) / n
+    assert agree1 == 1.0, agree1
+    assert agree2 == 1.0, agree2
+    again = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(
+            emb.repartition(13), k=16, two_level=True
+        ).collect()
+    }
+    assert again == p1
+
+
+def test_two_level_falls_back_flat_for_tiny_k(tiny_vectors):
+    """k small enough that the coarse grouping collapses ⇒ the
+    two-level path matches the exact flat assignment."""
+    _, df = tiny_vectors
+    flat = kmeans_assign(df, k=2).orderBy("vec_id").collect()
+    two = (
+        kmeans_assign(df, k=2, two_level=True)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert flat == two
+
+
+def test_arrow_assignment_matches_sql(spark, sf_small):
+    """impl='arrow' (BLAS matmul) must pick the same clusters as the
+    SQL fold path — the round(6) grid absorbs matmul reassociation —
+    and dist2 must agree to the rounding grain."""
+    emb = load_table(spark, sf_small, "embeddings")
+    sql_rows = {r.vec_id: (r.cluster, r.dist2)
+                for r in kmeans_assign(emb, k=8).collect()}
+    arrow_rows = {r.vec_id: (r.cluster, r.dist2)
+                  for r in kmeans_assign(emb, k=8, impl="arrow").collect()}
+    assert set(sql_rows) == set(arrow_rows)
+    for vid, (c, d) in sql_rows.items():
+        ac, ad = arrow_rows[vid]
+        assert ac == c, (vid, c, ac)
+        assert abs(ad - d) <= 1e-6, (vid, d, ad)
+
+
+def test_arrow_impl_validation(tiny_vectors):
+    _, df = tiny_vectors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="impl"):
+        kmeans_assign(df, k=2, impl="nope")
