@@ -386,6 +386,37 @@ def kmeans_assign(
     return assign_fn(prepared, cents).select("vec_id", "cluster", "dist2")
 
 
+def _semdedup_prune_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster prune as one Gram matrix per cell: cosine =
+    round((V·Vᵀ)/√(n2⊗n2), 6) on id-sorted rows, drop every column with
+    a ≥-threshold entry strictly above the diagonal — the exact
+    keep-smallest-id rule of the SQL pair join, decided by the same
+    rounded values. Cells are ~target_cell_size rows, so each Gram
+    matrix is tiny; the one shuffle is the cluster groupBy (the SQL
+    path shuffles the same data twice, once per join side)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy()[order])
+        n2 = pdf["norm2"].to_numpy(dtype=np.float64)[order]
+        C = np.round((V @ V.T) / np.sqrt(np.outer(n2, n2)), DIST_DECIMALS)
+        dropped = np.triu(C >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy()[order],
+                "kept": ~dropped,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        fn, "vec_id long, cluster long, kept boolean"
+    )
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -393,6 +424,7 @@ def semdedup(
     n_iter: int = KMEANS_ITER,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "sql",
 ) -> DataFrame:
     """SemDeDup: k-means-cluster the embeddings, then inside each
     cluster drop every vector that has a smaller-id neighbour with
@@ -406,13 +438,23 @@ def semdedup(
     corpus grows. The keep-smallest-id rule is the greedy tier of
     ``dedup.deduped_corpus``; feed the pairs to
     ``dedup.connected_components`` instead when cluster-canonical
-    survivors are needed."""
+    survivors are needed. ``impl="arrow"`` runs every k-means pass as a
+    BLAS matmul (see ``kmeans_assign``) — at 100 TB with auto-k this is
+    the difference between the clustering stage dominating and it
+    disappearing under the pairwise prune (BASELINE.md round-4
+    addendum), and the prune becomes one Gram matmul per cell
+    (``applyInPandas`` grouped on cluster) instead of an interpreted
+    per-pair cosine join — same round-6 keep/drop decisions."""
     prepared = _prepared(emb, id_col, vec_col)
     prepared.persist()
     if k is None:
         k = kmeans_k_for(prepared.count())
-    cents = _lloyd_centroids(prepared, k, n_iter)
-    assigned = _assign(prepared, cents)
+    cents = _lloyd_centroids(prepared, k, n_iter, impl=impl)
+    assigned = _pick_assign(False, 1, impl, with_v=True)(prepared, cents)
+    if impl == "arrow":
+        return tag_cached_inputs(
+            _semdedup_prune_arrow(assigned, threshold), prepared
+        )
     a = assigned.select(
         "cluster",
         F.col("vec_id").alias("id_a"),

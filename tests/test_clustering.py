@@ -309,3 +309,14 @@ def test_arrow_impl_validation(tiny_vectors):
 
     with _pytest.raises(ValueError, match="impl"):
         kmeans_assign(df, k=2, impl="nope")
+
+
+def test_semdedup_arrow_matches_sql(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    a = sorted(map(tuple, semdedup(emb, threshold=0.4, k=None).collect()))
+    release_cached_inputs(None)
+    b = sorted(
+        map(tuple, semdedup(emb, threshold=0.4, k=None, impl="arrow").collect())
+    )
+    release_cached_inputs(None)
+    assert a == b and a
