@@ -223,3 +223,21 @@ def test_ivf_auto_cells_path(spark, sf_oracle):
         map(tuple, ivf_topk(emb, queries, k=5, n_cells=ivf_cells_for(emb.count())).collect())
     )
     assert auto == explicit and len(auto) > 0
+
+
+def test_ann_and_ivf_arrow_match_sql(spark, sf_small):
+    """impl='arrow' (per-query matmul scoring) must return identical
+    rows to the SQL window path for both bucketed variants."""
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        ann_topk,
+        ivf_topk,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    for fn in (ann_topk, ivf_topk):
+        a = sorted(map(tuple, fn(emb, queries, k=5).collect()))
+        b = sorted(map(tuple, fn(emb, queries, k=5, impl="arrow").collect()))
+        assert a == b and a, fn.__name__
