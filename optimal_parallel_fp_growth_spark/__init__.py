@@ -44,6 +44,7 @@ from optimal_parallel_fp_growth_spark.operators.similarity import (
     label_centroids,
 )
 from optimal_parallel_fp_growth_spark.functions.caching import (
+    cache_scope,
     release_cached_inputs,
 )
 from optimal_parallel_fp_growth_spark.operators.packing import (
@@ -102,6 +103,7 @@ __all__ = [
     "tfidf_top_terms",
     "chunk_documents",
     "pack_sequences",
+    "cache_scope",
     "release_cached_inputs",
     "pii_stats",
     "redact_pii",

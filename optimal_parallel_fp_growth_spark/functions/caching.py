@@ -23,28 +23,121 @@ wrapping; ``release_cached_inputs`` frees everything registered since
 the last release, which matches the run-one-query-then-release
 protocol of bench.py / cli.py exactly.
 
-Not calling it is safe — Spark's LRU storage eviction remains the
-backstop — but repeated pipeline invocations in one session should
-release explicitly.
+**Protocol**: build ONE query, materialize it, release, repeat. The
+registry-wide release is only safe under that sequencing — if two
+checkpoint-backed results (``RddBlockHandle`` entries from
+connected_components / pagerank) are both pending, releasing after the
+first frees the second's localCheckpoint blocks, and since a
+checkpoint's lineage is CUT the second result then fails irrecoverably
+instead of recomputing. Callers that genuinely interleave queries must
+isolate each build in a :func:`cache_scope`:
+
+    with cache_scope() as s1:
+        cc = dedup_clusters(docs)          # registrations land in s1
+    with cache_scope() as s2:
+        pr = pagerank(edges)               # registrations land in s2
+    cc.write.parquet(a); s1.release()      # frees only cc's inputs
+    pr.write.parquet(b); s2.release()      # pr's blocks were untouched
+
+All registry mutation is lock-guarded, so concurrent query threads
+sharing one SparkSession can each hold their own scope safely.
+
+Not calling release at all is safe for plain caches — Spark's LRU
+storage eviction remains the backstop — but repeated pipeline
+invocations in one session should release explicitly.
 """
 
 from __future__ import annotations
 
+import threading
+from contextlib import AbstractContextManager
+
 from pyspark.sql import DataFrame
+
+_LOCK = threading.RLock()
 
 # Persisted intermediates registered by operators, pending release.
 # Module-scoped (one interpreter == one SparkSession in this engine);
 # deliberately NOT keyed by output DataFrame — see module docstring.
-_PENDING: list[DataFrame] = []
+_PENDING: list = []
+
+# Active cache_scope stack (innermost last); registrations target the
+# innermost scope when one is open, else the global _PENDING list.
+_SCOPES: list["CacheScope"] = []
 
 
-def tag_cached_inputs(out: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Record ``cached`` (persisted upstream DataFrames) so
-    :func:`release_cached_inputs` can free them later. Returns ``out``
-    unchanged (pass-through so operators can tag in a return
+class CacheScope(AbstractContextManager):
+    """Collects the cache registrations made while it is the innermost
+    open scope, so they can be released independently of the global
+    registry (see module docstring). ``release()`` may be called after
+    the ``with`` block exits — exiting only stops *capturing*, it does
+    not free anything."""
+
+    def __init__(self) -> None:
+        self._caches: list = []
+
+    def __enter__(self) -> "CacheScope":
+        with _LOCK:
+            _SCOPES.append(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        with _LOCK:
+            if self in _SCOPES:
+                _SCOPES.remove(self)
+
+    def release(self) -> int:
+        """Unpersist everything captured by this scope. Idempotent."""
+        with _LOCK:
+            caches, self._caches = self._caches, []
+        for c in caches:
+            c.unpersist()
+        return len(caches)
+
+
+def cache_scope() -> CacheScope:
+    """Open an isolated registration scope — use one per query when
+    building several cache/checkpoint-backed results before
+    materializing any of them."""
+    return CacheScope()
+
+
+def tag_cached_inputs(out: DataFrame, *cached) -> DataFrame:
+    """Record ``cached`` (persisted upstream DataFrames or
+    :class:`RddBlockHandle` s) so :func:`release_cached_inputs` — or the
+    innermost open :class:`CacheScope` — can free them later. Returns
+    ``out`` unchanged (pass-through so operators can tag in a return
     expression)."""
-    _PENDING.extend(cached)
+    with _LOCK:
+        target = _SCOPES[-1]._caches if _SCOPES else _PENDING
+        target.extend(cached)
     return out
+
+
+def materialize_pending_caches() -> int:
+    """Force every pending *lazy* cache registration (global and open
+    scopes) to materialize now. Iterative operators call this BEFORE
+    snapshotting :func:`persistent_rdd_ids`: a persisted-but-
+    unmaterialized upstream cache would otherwise first materialize
+    inside the operator's own id-diff window, land in a
+    round-block-hygiene diff, and be unpersisted mid-operator —
+    silently defeating the multi-reference cache its operator
+    registered it for (e.g. the minhash signature cache under
+    ``dedup_clusters``). The work is not wasted: by protocol a pending
+    cache is referenced by the query being built, so it would have been
+    materialized by the first downstream action anyway. Returns the
+    number of caches counted."""
+    with _LOCK:
+        pend = list(_PENDING)
+        for s in _SCOPES:
+            pend.extend(s._caches)
+    n = 0
+    for c in pend:
+        if isinstance(c, DataFrame):
+            c.count()
+            n += 1
+        # RddBlockHandle entries are materialized by construction
+    return n
 
 
 def persistent_rdd_ids(spark) -> set[int]:
@@ -92,15 +185,20 @@ class RddBlockHandle:
 
 
 def release_cached_inputs(df: DataFrame | None = None) -> int:
-    """Unpersist every cached intermediate registered since the last
-    release (no-op when nothing is pending). Call AFTER materializing
-    the query's result — the cache is what makes the multi-reference
-    plan cheap. The ``df`` argument is accepted for call-site
-    compatibility and ignored: releasing is registry-wide, so wrapped /
-    projected results release their operators' caches too. Returns the
-    number of intermediates released."""
+    """Unpersist every cached intermediate registered (outside any
+    :func:`cache_scope`) since the last release — no-op when nothing is
+    pending. Call AFTER materializing the query's result — the cache is
+    what makes the multi-reference plan cheap, and checkpoint-backed
+    results (``RddBlockHandle``) CANNOT be re-executed after release.
+    The ``df`` argument is accepted for call-site compatibility and
+    ignored: releasing is registry-wide, so wrapped / projected results
+    release their operators' caches too (single-pending-query protocol;
+    interleaved builds need :func:`cache_scope`). Returns the number of
+    intermediates released."""
+    with _LOCK:
+        caches, _PENDING[:] = list(_PENDING), []
     n = 0
-    while _PENDING:
-        _PENDING.pop().unpersist()
+    for c in caches:
+        c.unpersist()
         n += 1
     return n

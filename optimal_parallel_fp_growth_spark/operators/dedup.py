@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.functions.caching import (
     RddBlockHandle,
+    materialize_pending_caches,
     persistent_rdd_ids,
     tag_cached_inputs,
     unpersist_blocks,
@@ -243,6 +244,15 @@ def connected_components(
     ).distinct()
     und = und.persist()
     spark = edges.sparkSession
+    # Materialize und (and, through the edge-plan scan, any upstream
+    # registry-pending caches such as the minhash signature cache under
+    # dedup_clusters) BEFORE snapshotting the persistent-id baseline.
+    # A lazy persist would otherwise first materialize inside the first
+    # localCheckpoint below, land its cache id in round 1's block diff,
+    # and be unpersisted after round 1 — silently recomputing the
+    # union+distinct edge list every later round.
+    materialize_pending_caches()
+    und.count()
     seen = persistent_rdd_ids(spark)
     labels = (
         und.select("u").distinct().withColumn("component", F.col("u"))
@@ -322,6 +332,10 @@ def _cc_star(
         .distinct()
     )
     spark = edges.sparkSession
+    # Upstream registry-pending caches must materialize before the id
+    # baseline, not inside the first checkpoint's diff window (same
+    # guard as the label variant — see comment there).
+    materialize_pending_caches()
     seen = persistent_rdd_ids(spark)
     e = e.localCheckpoint()
     n_edges = e.count()

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.functions.caching import (
     RddBlockHandle,
+    materialize_pending_caches,
     persistent_rdd_ids,
     tag_cached_inputs,
     unpersist_blocks,
@@ -127,6 +128,13 @@ def pagerank(
     # blocks survive, handed to the tag/release lifecycle. Under
     # reliable=True the cuts are file-backed checkpoints with no
     # persistent RDDs, so every id-diff is empty and this is a no-op.
+    # Registry-pending upstream caches must materialize BEFORE the
+    # baseline snapshot — a lazy one would first materialize inside the
+    # e-cut diff window, land in e_ids, and be unpersisted mid-operator,
+    # defeating the multi-reference cache its operator registered it
+    # for. (Caller-persisted frames NOT in the registry keep the same
+    # hazard — materialize them before calling, or register them.)
+    materialize_pending_caches()
     seen = persistent_rdd_ids(spark)
     e = _cut(e, reliable)
     e_ids = persistent_rdd_ids(spark) - seen
