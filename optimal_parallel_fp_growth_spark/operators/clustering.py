@@ -56,6 +56,38 @@ DIST_DECIMALS = 6
 KMEANS_TARGET_CELL = 512  # docs per cluster the auto-k path aims at
 KMEANS_MAX_K = 65536  # seed collect stays ≤ k × dim ≈ MBs at dim 64
 
+# impl="auto" switches assignment to the Arrow/BLAS matmul when the
+# per-row interpreted-HOF work (k·dim fold steps) crosses this line.
+# Measured at sf0.1 (n=2000, dim=64, local[8], round 5): SQL assignment
+# is linear in k (k=16: 2.6 s, k=64: 7.5 s, k=256: 28.9 s) while Arrow
+# is flat (~0.7 s from k=16 up, ~parity at k=8 where Arrow transfer
+# overhead balances the 512-step fold); sf10 auto-k measured 31×
+# (BASELINE.md §sf10). k·dim = 1024 is the first decade where Arrow's
+# win is unambiguous (≥3.5×) at dim 64.
+ARROW_CROSSOVER = 1024
+
+
+def _arrow_available() -> bool:
+    try:  # the deployment containers ship these; degrade to SQL if not
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _resolve_impl(impl: str, k: int, dim: int) -> str:
+    """``auto`` → ``arrow`` past the measured interpreted-HOF crossover
+    (and when the Arrow stack is importable), else ``sql``. Explicit
+    ``sql``/``arrow`` pass through — the oracle-checked queries pin
+    ``sql`` for bit-exact fold order against the DuckDB twin."""
+    if impl != "auto":
+        return impl
+    if k * dim >= ARROW_CROSSOVER and _arrow_available():
+        return "arrow"
+    return "sql"
+
 
 def kmeans_k_for(
     n_corpus: int,
@@ -313,13 +345,16 @@ def _lloyd_centroids(
     two_level: bool = False,
     probe: int = 1,
     impl: str = "sql",
-) -> list[_Centroid]:
+) -> tuple[list[_Centroid], str]:
     """Run ``n_iter`` Lloyd updates from the deterministic seeds and
-    return the final centroid set (driver-side, k × dim)."""
+    return ``(final centroids, resolved impl)`` — ``impl="auto"``
+    resolves here (first point where both k and dim are known) so the
+    caller's final assignment uses the same engine as the updates."""
     cents = _seed_centroids(prepared, k)
     if not cents:
         raise ValueError("k-means needs a non-empty corpus")
     dim = len(cents[0][1])
+    impl = _resolve_impl(impl, k, dim)
     assign_fn = _pick_assign(two_level, probe, impl, with_v=True)
     for _ in range(n_iter):
         means = (
@@ -339,7 +374,7 @@ def _lloyd_centroids(
             new = coords if got is None else [got[p] for p in range(dim)]
             nxt.append((cid, new, _fold_norm2(new)))
         cents = nxt
-    return cents
+    return cents, impl
 
 
 def kmeans_assign(
@@ -350,7 +385,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     two_level: bool = False,
     probe: int = 1,
-    impl: str = "sql",
+    impl: str = "auto",
 ) -> DataFrame:
     """Deterministic Lloyd k-means: ``n_iter`` centroid updates from
     first-``k``-by-id seeds, then the final assignment.
@@ -358,18 +393,19 @@ def kmeans_assign(
     ``k=None`` derives the cluster count from the corpus size via
     ``kmeans_k_for`` (one extra count job).
 
-    Scale paths for large k (where flat assignment is n·k interpreted
-    folds — n²/cell when k grows with n):
+    ``impl`` picks the assignment engine; the default ``"auto"``
+    dispatches on the measured crossover (``ARROW_CROSSOVER``) so a
+    user calling ``kmeans_assign(k=None)`` at scale gets the fast path
+    with no knob:
 
-    - ``impl="arrow"``: each assignment pass becomes one Arrow-batched
-      BLAS matmul (``_assign_arrow``) — same cluster choice (rounding-
-      stable), dense-compute speed, the deployment setting.
-    - ``two_level=True`` (SQL path): coarse→fine codebook assignment,
-      per-row O(k) → O((1+probe)·√k); approximate at cell boundaries
-      (raise ``probe`` for recall).
-
-    The oracle-checked queries keep the flat SQL path — bit-exact
-    left-to-right fold order against the DuckDB twin."""
+    - ``"arrow"``: each assignment pass is one Arrow-batched BLAS
+      matmul (``_assign_arrow``) — same cluster choice (rounding-
+      stable), dense-compute speed; measured 31× at sf10 auto-k.
+    - ``"sql"``: flat codegen'd fold — bit-exact left-to-right order
+      against the DuckDB twin; what the oracle-checked queries pin.
+    - ``two_level=True`` (SQL path only): coarse→fine codebook
+      assignment, per-row O(k) → O((1+probe)·√k); approximate at cell
+      boundaries (raise ``probe`` for recall)."""
     if k is not None and k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_iter < 0:
@@ -379,7 +415,7 @@ def kmeans_assign(
         prepared.persist()
     if k is None:
         k = kmeans_k_for(prepared.count())
-    cents = _lloyd_centroids(prepared, k, n_iter, two_level, probe, impl)
+    cents, impl = _lloyd_centroids(prepared, k, n_iter, two_level, probe, impl)
     if prepared.is_cached:
         prepared.unpersist()
     assign_fn = _pick_assign(two_level, probe, impl, with_v=False)
@@ -424,7 +460,7 @@ def semdedup(
     n_iter: int = KMEANS_ITER,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    impl: str = "sql",
+    impl: str = "auto",
 ) -> DataFrame:
     """SemDeDup: k-means-cluster the embeddings, then inside each
     cluster drop every vector that has a smaller-id neighbour with
@@ -444,12 +480,14 @@ def semdedup(
     disappearing under the pairwise prune (BASELINE.md round-4
     addendum), and the prune becomes one Gram matmul per cell
     (``applyInPandas`` grouped on cluster) instead of an interpreted
-    per-pair cosine join — same round-6 keep/drop decisions."""
+    per-pair cosine join — same round-6 keep/drop decisions. The
+    default ``impl="auto"`` picks arrow past the measured
+    ``ARROW_CROSSOVER`` (the oracle-checked queries pin ``sql``)."""
     prepared = _prepared(emb, id_col, vec_col)
     prepared.persist()
     if k is None:
         k = kmeans_k_for(prepared.count())
-    cents = _lloyd_centroids(prepared, k, n_iter, impl=impl)
+    cents, impl = _lloyd_centroids(prepared, k, n_iter, impl=impl)
     assigned = _pick_assign(False, 1, impl, with_v=True)(prepared, cents)
     if impl == "arrow":
         return tag_cached_inputs(

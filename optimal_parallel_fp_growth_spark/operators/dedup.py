@@ -24,6 +24,8 @@ similarities rounded to 1e-6.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +75,32 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+NGRAM_MAX_DF_FLOOR = 50
+
+
+def ngram_max_df_for(n_corpus: int, floor: int = NGRAM_MAX_DF_FLOOR) -> int:
+    """Stop-shingle cutoff for a corpus of ``n_corpus`` documents:
+    ``max(floor, ceil(sqrt(n)))`` — the ``kmeans_k_for`` /
+    ``ann_bits_for`` recipe applied to the posting join. A shingle with
+    document frequency df contributes ~df² candidate pairs, so a FROZEN
+    cutoff lets the vocabulary head (which occurs in a constant
+    FRACTION of documents — measured 7–9 % of docs at sf0.01/sf0.1)
+    go quadratic with corpus growth: the exact tier spilled 1.66 GB at
+    sf1 independent of partitioning (BASELINE.md §sf1). Capping df at
+    √n bounds per-hot-shingle pair work at n — head work then grows
+    LINEARLY with the corpus, the same rate as every other shuffle in
+    the engine. The floor keeps small corpora effectively exact (the
+    sf0.01 oracle corpus tops out at df 46 < 50 — identical pair set,
+    measured round 5); sf1 derives 224, bracketing the measured
+    no-spill max_df=200 probe (6.56 s vs 46.6 s exact)."""
+    if n_corpus <= 0:
+        return floor
+    r = math.isqrt(n_corpus)
+    if r * r < n_corpus:
+        r += 1  # ceil(sqrt(n)) in exact integer arithmetic
+    return max(floor, r)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -84,19 +112,29 @@ def ngram_jaccard_pairs(
     |A∩B| from a shingle-keyed self-join, sizes joined back.
     → (doc_a, doc_b, jaccard).
 
-    ``max_df=None`` is EXACT. With ``max_df=N`` (the 100 TB scale path),
-    candidate pairs must share at least one shingle whose document
-    frequency is ≤ N — the posting self-join skips the quadratic hot
-    lists of stop-shingles; jaccard for surviving candidates is still
-    computed exactly over the full shingle sets, so reported values are
-    identical to the exact tier and only recall (pairs overlapping
-    solely in ubiquitous shingles) is approximate.
+    ``max_df`` prunes stop-shingles from the candidate join — pairs
+    must share at least one shingle whose document frequency is ≤ the
+    cutoff, which skips the quadratic hot posting lists; jaccard for
+    surviving candidates is still computed exactly over the full
+    shingle sets, so reported values are identical to the exact tier
+    and only recall (pairs overlapping solely in ubiquitous shingles)
+    is approximate.
+
+    - ``None`` (default): derive the cutoff from the corpus size via
+      :func:`ngram_max_df_for` — the scale-safe default.
+    - ``0``: EXACT — no pruning; the oracle-exact tier. Spills at
+      sf1+ (BASELINE.md §sf1); keep for small corpora / verification.
+    - ``N > 0``: explicit cutoff.
     """
     sh = _doc_shingles(docs, text_col, k)
     sh.persist()
+    if max_df is None:
+        # one count over the (cached) shingle frame — the same
+        # one-extra-job pattern as kmeans_assign(k=None)
+        max_df = ngram_max_df_for(sh.count())
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    if max_df is not None:
+    if max_df:
         rare = (
             posting.groupBy("shingle")
             .count()

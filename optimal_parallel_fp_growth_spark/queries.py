@@ -431,69 +431,76 @@ QUERIES.update(REL_QUERIES)
 # Driver sampling order. The correctness harness samples the registry in
 # insertion order with a bounded per-round window (~50 rows), so entries
 # whose last green driver row is OLDEST must come FIRST — the rotation
-# contract that bounds staleness to one round. Round-4 tiers:
-#   1. entries green only in r01/r02 (outside the r03 window — the 36
-#      docs/text/sampling/vector family rows VERDICT r3 task #5 lists)
-#   2. entries added this round (never driver-sampled)
-#   3. r03-green regression canaries (core mining + heaviest plans)
+# contract that bounds staleness to one round. Round-5 tiers:
+#   1. entries added this round (never driver-sampled): the Arrow
+#      deployment paths (VERDICT r4 task #1)
+#   2. the 39 entries whose last green row is r03 (sampled out of the
+#      r04 window): events family, TPC-H/relational family, multimodal
+#      pair, knn_cosine, transform_self, freq_itemsets_by_lang,
+#      mix_temperature
+#   3. r04-green regression canaries (core mining + heaviest dedup);
+#      kmeans/semdedup ceded canary slots to their tier-1 Arrow twins
+#      (same oracles, and the SQL fold paths are pinned equal by
+#      pytest equality tests)
 # Everything else follows in original insertion order. Python dicts preserve
 # insertion order, so rebuilding the dict IS the sampling contract.
 _DRIVER_PRIORITY: list[str] = [
-    # tier 1 — last green row r01/r02; cycle back into the window
-    "count_rows",
-    "freq_items",
-    "tokenize_distinct",
-    "word_count",
-    "freq_itemsets_docs",
-    "revenue_by_nation",
-    "top_orders",
-    "dedup_lines",
-    "quality_classifier",
-    "text_stats",
-    "repetition_signals",
-    "tfidf_top_terms",
-    "chunk_documents",
-    "pack_sequences",
-    "pii_stats",
-    "decontaminate",
-    "quality_score",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
+    # tier 1 — added or semantics-changed in round 5: the Arrow
+    # deployment paths, the new exact-tier ngram row, and
+    # dedup_ngram_jaccard whose DEFAULT flipped to auto-max_df
+    "kmeans_arrow",
+    "semdedup_arrow",
     "dedup_ngram_jaccard",
-    "deduped_corpus",
-    "token_quantiles",
-    "deduped_corpus_cc",
-    "corpus_split",
-    "mix_sources",
-    "ngram_counts",
-    "inverted_index",
-    "source_ngram_overlap",
-    "stratified_sample",
-    "curate_corpus",
-    "dq_documents",
-    "knn_ann",
-    "knn_ivf",
-    "embedding_neardup",
-    "label_centroids",
-    # tier 2 — added in round 4, never driver-sampled
-    "kmeans_auto",
-    "semdedup_auto",
-    "weighted_sample",
-    # tier 3 — r03-green canaries (core mining + heaviest plans);
-    # knn_cosine and transform_self ceded slots to the tier-2 additions
-    # (knn covered by knn_ann/knn_ivf in tier 1; transform_self's path
-    # is transform's plus the self-overload pinned by pytest)
+    "dedup_ngram_exact",
+    # tier 2 — last green row r03; cycle back into the window
+    "freq_itemsets_by_lang",
+    "transform_self",
+    "mix_temperature",
+    "knn_cosine",
+    "events_pivot",
+    "events_unpivot",
+    "events_user_quartiles",
+    "events_sessionize",
+    "events_rolling",
+    "events_daily_rollup",
+    "events_asof_join",
+    "events_windowed_counts",
+    "events_interval_join",
+    "events_hourly_cube",
+    "events_json_props",
+    "events_funnel",
+    "events_retention",
+    "events_top_users",
+    "events_resample",
+    "multimodal_features",
+    "multimodal_frames",
+    "nation_trade_volume",
+    "product_line_revenue",
+    "promo_revenue_share",
+    "brand_discount_revenue",
+    "pricing_summary",
+    "customers_no_big_orders",
+    "top_suppliers_per_nation",
+    "order_priority_stats",
+    "segment_part_overlap",
+    "shipping_priority",
+    "forecast_revenue",
+    "returned_item_report",
+    "large_orders",
+    "nation_revenue_share",
+    "small_qty_revenue",
+    "customer_order_counts",
+    "top_supplier",
+    "idle_rich_customers",
+    # tier 3 — r04-green canaries (core mining + heaviest plans);
+    # apriori_rules/dedup_simhash ceded slots to the tier-1 ngram rows
+    # (both r04-green and pytest-pinned)
     "freq_itemsets",
     "assoc_rules",
     "transform",
-    "apriori_rules",
     "freq_itemsets_pfp",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
-    "kmeans_clusters",
-    "semdedup",
     "supplier_pagerank",
 ]
 

@@ -98,8 +98,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default (auto max_df) tier — the scale-safe path users get with
+    no knob; the oracle mirrors ``ngram_max_df_for`` as a scalar
+    subquery so the row stays green at every sf."""
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), k=2, threshold=0.2
+    )
+
+
+def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tier (``max_df=0``): no stop-shingle pruning — the
+    verification setting (spills at sf1+, BASELINE.md §sf1)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=2, threshold=0.2, max_df=0
     )
 
 
@@ -278,7 +289,8 @@ SELECT sha256(text) AS text_sha256, min(doc_id) AS doc_id_kept, count(*) AS n_du
 FROM documents GROUP BY 1
 """
 
-ORACLE_NGRAM_JACCARD = (
+# exact tier (max_df=0): every shingle joins, |A∩B| via posting count
+ORACLE_NGRAM_JACCARD_EXACT = (
     _SHINGLES_CTE
     + """,
 posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
@@ -293,6 +305,36 @@ FROM inter
 JOIN sizes sa ON inter.doc_a = sa.doc_id
 JOIN sizes sb ON inter.doc_b = sb.doc_id
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+"""
+)
+
+# auto-max_df default: candidates must share a shingle with
+# df <= ngram_max_df_for(n) = greatest(50, ceil(sqrt(n_docs))) — the
+# scalar-subquery mirror of operators/dedup.py::ngram_max_df_for, and
+# jaccard recomputed exactly over the full shingle sets (list_intersect
+# on the surviving candidates), matching the Spark pruned tier.
+_NGRAM_AUTO_MAX_DF = (
+    "(SELECT greatest(50, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM documents)"
+)
+
+ORACLE_NGRAM_JACCARD = (
+    _SHINGLES_CTE
+    + f""",
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+df AS (SELECT shingle, count(*) AS df FROM posting GROUP BY 1),
+rare AS (SELECT shingle FROM df WHERE df <= {_NGRAM_AUTO_MAX_DF}),
+rp AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM rp a JOIN rp b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.sh, sb.sh))
+             / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+FROM cand
+JOIN sh sa ON cand.doc_a = sa.doc_id
+JOIN sh sb ON cand.doc_b = sb.doc_id
+WHERE round(len(list_intersect(sa.sh, sb.sh))
+            / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.2
 """
 )
 
@@ -747,6 +789,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_exact": q_dedup_ngram_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "deduped_corpus": q_deduped_corpus,
@@ -781,6 +824,7 @@ DOC_ORACLES: dict[str, str] = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_ngram_exact": ORACLE_NGRAM_JACCARD_EXACT,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
     "token_quantiles": ORACLE_TOKEN_QUANTILES,

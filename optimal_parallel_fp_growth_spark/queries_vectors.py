@@ -165,14 +165,16 @@ FROM pe GROUP BY label, pos
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimal_parallel_fp_growth_spark.operators.clustering import kmeans_assign
 
-    return kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"), impl="sql")
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimal_parallel_fp_growth_spark.operators.clustering import semdedup
 
     return semdedup(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=NEARDUP_THRESHOLD,
+        impl="sql",
     )
 
 
@@ -188,6 +190,7 @@ def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         threshold=NEARDUP_THRESHOLD,
         k=None,
+        impl="sql",
     )
 
 
@@ -199,7 +202,38 @@ def q_kmeans_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned-k one."""
     from optimal_parallel_fp_growth_spark.operators.clustering import kmeans_assign
 
-    return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=None)
+    return kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=None, impl="sql"
+    )
+
+
+def q_kmeans_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS deployment path under driver verification: identical
+    auto-k setup to ``kmeans_auto`` but with ``impl="arrow"`` pinned, so
+    the 31×-at-sf10 matmul assignment (``_assign_arrow``) runs against
+    the SAME DuckDB oracle as the SQL path — cluster choice and round-6
+    dist2 are reassociation-stable (pinned by
+    ``test_arrow_assignment_matches_sql``), so the oracle transfers."""
+    from optimal_parallel_fp_growth_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=None, impl="arrow"
+    )
+
+
+def q_semdedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow twin of ``semdedup_auto`` (Gram-matmul within-cell prune +
+    matmul assignment, 29× at sf10) against the same oracle —
+    keep/drop decisions are made on the same round-6 cosines
+    (``test_semdedup_arrow_matches_sql``)."""
+    from optimal_parallel_fp_growth_spark.operators.clustering import semdedup
+
+    return semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=NEARDUP_THRESHOLD,
+        k=None,
+        impl="arrow",
+    )
 
 
 def _oracle_kmeans_cte(k: int | str, n_iter: int) -> str:
@@ -299,8 +333,10 @@ VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": q_label_centroids,
     "kmeans_clusters": q_kmeans,
     "kmeans_auto": q_kmeans_auto,
+    "kmeans_arrow": q_kmeans_arrow,
     "semdedup": q_semdedup,
     "semdedup_auto": q_semdedup_auto,
+    "semdedup_arrow": q_semdedup_arrow,
 }
 
 VEC_ORACLES: dict[str, str] = {
@@ -311,6 +347,8 @@ VEC_ORACLES: dict[str, str] = {
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "kmeans_clusters": ORACLE_KMEANS,
     "kmeans_auto": ORACLE_KMEANS_AUTO,
+    "kmeans_arrow": ORACLE_KMEANS_AUTO,
     "semdedup": ORACLE_SEMDEDUP,
     "semdedup_auto": ORACLE_SEMDEDUP_AUTO,
+    "semdedup_arrow": ORACLE_SEMDEDUP_AUTO,
 }

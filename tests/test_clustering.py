@@ -320,3 +320,34 @@ def test_semdedup_arrow_matches_sql(spark, sf_small):
     )
     release_cached_inputs(None)
     assert a == b and a
+
+
+def test_resolve_impl_auto_dispatch():
+    """impl='auto' must pick arrow past the measured k*dim crossover
+    (ARROW_CROSSOVER, sf0.1 round-5 measurement) and sql below it, so
+    kmeans_assign(k=None) at scale takes the fast path with no knob."""
+    from optimal_parallel_fp_growth_spark.operators.clustering import (
+        ARROW_CROSSOVER,
+        _resolve_impl,
+    )
+
+    dim = 64
+    assert _resolve_impl("auto", 8, dim) == "sql"  # 512 < crossover
+    assert _resolve_impl("auto", ARROW_CROSSOVER // dim, dim) == "arrow"
+    assert _resolve_impl("auto", 1024, dim) == "arrow"
+    # explicit settings pass through untouched
+    assert _resolve_impl("sql", 1024, dim) == "sql"
+    assert _resolve_impl("arrow", 2, dim) == "arrow"
+
+
+def test_auto_impl_matches_pinned_sql(spark, sf_small):
+    """Above the crossover the default engine switches to arrow; the
+    assignment must still equal the pinned-sql path (round-6 grid)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    # k=16, dim=64 -> k*dim=1024 == crossover -> auto resolves to arrow
+    auto = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=16).collect()}
+    sql = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(emb, k=16, impl="sql").collect()
+    }
+    assert auto == sql and auto

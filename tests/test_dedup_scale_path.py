@@ -12,7 +12,7 @@ def _pairs(df):
 
 def test_max_df_pruning_is_exact_on_values_subset_on_pairs(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
-    exact = _pairs(ngram_jaccard_pairs(docs, threshold=0.2))
+    exact = _pairs(ngram_jaccard_pairs(docs, threshold=0.2, max_df=0))
     huge = _pairs(ngram_jaccard_pairs(docs, threshold=0.2, max_df=10**9))
     pruned = _pairs(ngram_jaccard_pairs(docs, threshold=0.2, max_df=5))
 
@@ -20,6 +20,30 @@ def test_max_df_pruning_is_exact_on_values_subset_on_pairs(spark, sf_small):
     assert set(pruned) <= set(exact)  # pruning only loses pairs
     for pair, j in pruned.items():
         assert j == exact[pair]  # surviving values identical
+
+
+def test_default_max_df_is_auto_and_exact_at_small_scale(spark, sf_small):
+    """The DEFAULT is now the auto-derived cutoff (VERDICT r4 task #3);
+    at small corpora the floor (50) exceeds every shingle df, so the
+    default must reproduce the exact tier bit-for-bit."""
+    docs = load_table(spark, sf_small, "documents")
+    auto = _pairs(ngram_jaccard_pairs(docs, threshold=0.2))
+    exact = _pairs(ngram_jaccard_pairs(docs, threshold=0.2, max_df=0))
+    assert auto == exact and auto
+
+
+def test_ngram_max_df_recipe():
+    from optimal_parallel_fp_growth_spark.operators.dedup import (
+        NGRAM_MAX_DF_FLOOR,
+        ngram_max_df_for,
+    )
+
+    assert ngram_max_df_for(0) == NGRAM_MAX_DF_FLOOR
+    assert ngram_max_df_for(500) == 50       # floor: sf0.01 stays exact
+    assert ngram_max_df_for(2500) == 50      # ceil(sqrt)=50 == floor
+    assert ngram_max_df_for(2501) == 51      # first step past the floor
+    assert ngram_max_df_for(50_000) == 224   # sf1 ≈ measured max_df=200
+    assert ngram_max_df_for(500_000) == 708  # sf10: df² stays ≤ n
 
 
 # ---------------------------------------------------------------------------

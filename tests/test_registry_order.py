@@ -1,11 +1,11 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (~50 rows). Round-4 rotation contract
-(VERDICT r3 task #5): the 36 entries whose last green driver row is
-r01/r02 lead the window, followed by entries added this round, then
-r03-green canaries — so after the r4 run every registry entry has a
-green row from r3 or r4 (staleness bounded to one round).
+bounded per-round window (~50 rows). Round-5 rotation contract
+(VERDICT r4 task #2): the two Arrow entries added this round lead
+(never sampled), then the 39 entries whose last green driver row is
+r03, then r04-green canaries — so after the r5 run every registry
+entry has a green row from r4 or r5 (staleness bounded to one round).
 """
 
 from __future__ import annotations
@@ -19,51 +19,55 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 
 WINDOW = 50
 
-# Entries whose newest green driver row predates r03 (VERDICT round 3,
-# "What's missing" #2) plus entries added in round 4 — all must sit in
-# the r4 sampling window.
+# Entries with no driver row yet (added round 5) plus entries whose
+# newest green driver row is r03 (outside the r04 window) — all must
+# sit in the r5 sampling window.
 MUST_BE_IN_WINDOW = {
-    # green only in r01/r02
-    "count_rows",
-    "freq_items",
-    "tokenize_distinct",
-    "word_count",
-    "freq_itemsets_docs",
-    "revenue_by_nation",
-    "top_orders",
-    "dedup_lines",
-    "quality_classifier",
-    "text_stats",
-    "repetition_signals",
-    "tfidf_top_terms",
-    "chunk_documents",
-    "pack_sequences",
-    "pii_stats",
-    "decontaminate",
-    "quality_score",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
+    # added or semantics-changed in round 5
+    "kmeans_arrow",
+    "semdedup_arrow",
     "dedup_ngram_jaccard",
-    "deduped_corpus",
-    "token_quantiles",
-    "deduped_corpus_cc",
-    "corpus_split",
-    "mix_sources",
-    "ngram_counts",
-    "inverted_index",
-    "source_ngram_overlap",
-    "stratified_sample",
-    "curate_corpus",
-    "dq_documents",
-    "knn_ann",
-    "knn_ivf",
-    "embedding_neardup",
-    "label_centroids",
-    # added in round 4, never driver-sampled
-    "kmeans_auto",
-    "semdedup_auto",
-    "weighted_sample",
+    "dedup_ngram_exact",
+    # last green row r03
+    "freq_itemsets_by_lang",
+    "transform_self",
+    "mix_temperature",
+    "knn_cosine",
+    "events_pivot",
+    "events_unpivot",
+    "events_user_quartiles",
+    "events_sessionize",
+    "events_rolling",
+    "events_daily_rollup",
+    "events_asof_join",
+    "events_windowed_counts",
+    "events_interval_join",
+    "events_hourly_cube",
+    "events_json_props",
+    "events_funnel",
+    "events_retention",
+    "events_top_users",
+    "events_resample",
+    "multimodal_features",
+    "multimodal_frames",
+    "nation_trade_volume",
+    "product_line_revenue",
+    "promo_revenue_share",
+    "brand_discount_revenue",
+    "pricing_summary",
+    "customers_no_big_orders",
+    "top_suppliers_per_nation",
+    "order_priority_stats",
+    "segment_part_overlap",
+    "shipping_priority",
+    "forecast_revenue",
+    "returned_item_report",
+    "large_orders",
+    "nation_revenue_share",
+    "small_qty_revenue",
+    "customer_order_counts",
+    "top_supplier",
+    "idle_rich_customers",
 }
 
 
@@ -76,16 +80,15 @@ def test_stale_and_new_entries_lead_the_registry():
 def test_window_keeps_regression_canaries():
     # heaviest plans + core mining must stay driver-watched every round
     head = set(list(Q.QUERIES)[:WINDOW])
+    # kmeans/semdedup ceded canary slots to their Arrow twins in
+    # MUST_BE_IN_WINDOW (same oracles; SQL==Arrow pinned by pytest)
     canaries = {
         "freq_itemsets",
         "assoc_rules",
         "transform",
-        "apriori_rules",
         "freq_itemsets_pfp",
         "dedup_minhash_lsh",
         "dedup_clusters",
-        "kmeans_clusters",
-        "semdedup",
         "supplier_pagerank",
     }
     assert canaries <= head, f"canaries outside window: {sorted(canaries - head)}"
