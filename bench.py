@@ -152,6 +152,70 @@ def main() -> None:
         # round-4 additions (scale-default auto-k paths; BASELINE.md §round-4)
         "kmeans_auto",
         "semdedup_auto",
+        # round-5 additions: full-registry coverage (BASELINE.md §round-5).
+        # Appended AFTER the historical sequence so earlier per-query
+        # numbers stay comparable across rounds.
+        # -- core mining registry rows (pipeline twins above measure the
+        #    fused path; these measure the registry-entry path) --
+        "count_rows",
+        "tokenize_distinct",
+        "freq_itemsets",
+        "freq_itemsets_pfp",
+        "freq_itemsets_by_lang",
+        "assoc_rules",
+        "transform",
+        "apriori_rules",
+        # -- dedup scale-default + exact tier --
+        "dedup_ngram_jaccard",
+        "dedup_ngram_exact",
+        "deduped_corpus",
+        "deduped_corpus_cc",
+        # -- arrow scale twins (driver rows added round 5) --
+        "kmeans_arrow",
+        "semdedup_arrow",
+        # -- similarity family --
+        "knn_ann",
+        "knn_ivf",
+        "embedding_neardup",
+        # -- text/document family --
+        "lang_id",
+        "quality_score",
+        "doc_fingerprint",
+        "token_quantiles",
+        "pii_stats",
+        "decontaminate",
+        "dq_documents",
+        "weighted_sample",
+        # -- events family --
+        "events_windowed_counts",
+        "events_funnel",
+        "events_retention",
+        "events_daily_rollup",
+        "events_hourly_cube",
+        "events_rolling",
+        "events_unpivot",
+        "events_user_quartiles",
+        "events_interval_join",
+        "events_json_props",
+        # -- multimodal --
+        "multimodal_frames",
+        "multimodal_decode",
+        # -- TPC-H relational family --
+        "product_line_revenue",
+        "promo_revenue_share",
+        "brand_discount_revenue",
+        "customers_no_big_orders",
+        "top_suppliers_per_nation",
+        "order_priority_stats",
+        "segment_part_overlap",
+        "shipping_priority",
+        "returned_item_report",
+        "large_orders",
+        "nation_revenue_share",
+        "small_qty_revenue",
+        "customer_order_counts",
+        "top_supplier",
+        "idle_rich_customers",
     ):
         q = QUERIES[qname]
 

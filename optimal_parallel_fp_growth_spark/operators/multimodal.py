@@ -6,13 +6,15 @@ metadata struct alongside. Decode/feature-extract runs as Arrow-batched
 iteration, one-to-many expansion) is real and tested at scale semantics;
 only the innermost byte-decode is a STUB.
 
-STUB NOTICE: this container has no image/audio codecs (no PIL/ffmpeg/
-librosa). ``_decode_stub`` derives deterministic fake dimensions and
-features from the md5 of the payload bytes; ``decode_real`` raises
-``NotImplementedError`` and is the single hook to swap in a real codec.
-Because the fake is md5-deterministic, the whole pipeline still has an
-exact DuckDB oracle — the plumbing is verified end-to-end even though
-the decode is fake.
+CODEC STATUS: this container has no pixel/sample codecs (no PIL/
+ffmpeg/librosa), and ``decode_real`` remains the swap-in seam for
+them — but as of round 5 it REALLY parses the five container formats
+whose metadata is pure byte layout (PNG/GIF/BMP/JPEG dimensions, WAV
+sample-rate/channels) and raises ``NotImplementedError`` only for
+everything beyond that. ``build_payload`` constructs spec-valid files
+so the build→parse round trip is oracle-checked (`multimodal_decode`);
+``_decode_stub`` (md5-derived fake features) remains for the
+feature-extraction pipeline whose kernels genuinely need codecs.
 
 The test tables carry no media, so ``attach_payload`` manufactures the
 binary column from ``documents.text`` (utf-8 bytes) — stand-in payloads
@@ -57,11 +59,254 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_real(payload: bytes) -> dict:
-    """Swap-in point for a real codec (PIL.Image.open / soundfile /
-    pyav). Not available in this environment."""
+    """Real header decode for container formats whose metadata is pure
+    byte-layout (no codec library needed): PNG / GIF / BMP / JPEG
+    image dimensions and WAV sample-rate/channels, parsed from the
+    actual file bytes. Pixel/sample DECODE (and every other format)
+    still raises ``NotImplementedError`` — that part genuinely needs
+    PIL/ffmpeg/librosa, which this container lacks; this function is
+    the swap-in seam for them.
+
+    Returns ``{"format", "width", "height", "sample_rate",
+    "channels"}`` with ``None`` for inapplicable fields.
+    """
+    out = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "channels": None,
+    }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # signature, then IHDR must be first chunk: len(4) 'IHDR' w(4BE) h(4BE)
+        if payload[12:16] != b"IHDR" or len(payload) < 24:
+            raise NotImplementedError("corrupt PNG: IHDR not first chunk")
+        out["format"] = "png"
+        out["width"] = int.from_bytes(payload[16:20], "big")
+        out["height"] = int.from_bytes(payload[20:24], "big")
+        return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        out["format"] = "gif"
+        out["width"] = int.from_bytes(payload[6:8], "little")
+        out["height"] = int.from_bytes(payload[8:10], "little")
+        return out
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        # BITMAPINFOHEADER: signed little-endian dims at offsets 18/22
+        # (negative height encodes top-down row order)
+        out["format"] = "bmp"
+        out["width"] = abs(
+            int.from_bytes(payload[18:22], "little", signed=True)
+        )
+        out["height"] = abs(
+            int.from_bytes(payload[22:26], "little", signed=True)
+        )
+        return out
+    if payload[:2] == b"\xff\xd8":
+        # walk marker segments to the first SOF (C0-CF minus C4/C8/CC);
+        # dims live at +5 (height) / +7 (width), big-endian
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                out["format"] = "jpeg"
+                out["height"] = int.from_bytes(
+                    payload[pos + 5 : pos + 7], "big"
+                )
+                out["width"] = int.from_bytes(
+                    payload[pos + 7 : pos + 9], "big"
+                )
+                return out
+            pos += 2 + seg_len
+        raise NotImplementedError("JPEG without SOF marker")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # 'fmt ' chunk: channels at +10 (2LE), sample rate at +12 (4LE)
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                out["format"] = "wav"
+                out["channels"] = int.from_bytes(
+                    payload[pos + 10 : pos + 12], "little"
+                )
+                out["sample_rate"] = int.from_bytes(
+                    payload[pos + 12 : pos + 16], "little"
+                )
+                return out
+            pos += 8 + clen + (clen % 2)
+        raise NotImplementedError("WAV without fmt chunk")
     raise NotImplementedError(
-        "real media decode requires codec libraries not present in this "
-        "container; use the deterministic stub path"
+        "unsupported media format (PNG/GIF/BMP/JPEG headers and WAV fmt "
+        "are parsed natively; full pixel/sample decode requires codec "
+        "libraries not present in this container)"
+    )
+
+
+MEDIA_FORMATS = ("png", "gif", "bmp", "jpeg", "wav")
+
+DECODE_SCHEMA = (
+    "doc_id long, format string, width int, height int, "
+    "sample_rate int, channels int"
+)
+
+
+def build_payload(
+    fmt: str,
+    width: int = 0,
+    height: int = 0,
+    sample_rate: int = 0,
+    channels: int = 1,
+    filler: bytes = b"",
+) -> bytes:
+    """Construct REAL (spec-valid header) media bytes for the given
+    format — the independent twin of ``decode_real``'s parsers, used to
+    manufacture test payloads with known metadata. ``filler`` pads the
+    body so payload sizes are realistic."""
+    import struct
+    import zlib
+
+    if fmt == "png":
+        ihdr = struct.pack(">II5B", width, height, 8, 6, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+            + filler
+            + b"\x00\x00\x00\x00IEND\xaeB`\x82"
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00"
+            + filler
+            + b"\x3b"
+        )
+    if fmt == "bmp":
+        body = filler
+        header_len = 14 + 40
+        return (
+            b"BM"
+            + struct.pack("<IHHI", header_len + len(body), 0, 0, header_len)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                          len(body), 2835, 2835, 0, 0)
+            + body
+        )
+    if fmt == "jpeg":
+        sof0 = struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + b"\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xc0" + sof0
+            + filler
+            + b"\xff\xd9"
+        )
+    if fmt == "wav":
+        byte_rate = sample_rate * channels * 2
+        fmt_chunk = struct.pack(
+            "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+        )
+        data = filler if len(filler) % 2 == 0 else filler + b"\x00"
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def media_meta_for(doc_id: int) -> dict:
+    """The deterministic metadata recipe ``attach_media`` bakes into
+    each synthetic payload — mirrored by the DuckDB oracle SQL so the
+    build→parse round trip is checked value-by-value."""
+    fmt = MEDIA_FORMATS[doc_id % len(MEDIA_FORMATS)]
+    if fmt == "wav":
+        return {
+            "format": fmt,
+            "width": None,
+            "height": None,
+            "sample_rate": 8000 + (doc_id * 31) % 40000,
+            "channels": 1 + doc_id % 2,
+        }
+    return {
+        "format": fmt,
+        "width": 16 + (doc_id * 7919) % 2000,
+        "height": 16 + (doc_id * 104729) % 2000,
+        "sample_rate": None,
+        "channels": None,
+    }
+
+
+def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, payload: binary) where payload is a spec-valid media
+    file (format rotating by doc_id, metadata from `media_meta_for`,
+    the doc's utf-8 text as body filler). Arrow-batched construction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                m = media_meta_for(int(doc_id))
+                payloads.append(
+                    build_payload(
+                        m["format"],
+                        width=m["width"] or 0,
+                        height=m["height"] or 0,
+                        sample_rate=m["sample_rate"] or 0,
+                        channels=m["channels"] or 1,
+                        filler=str(text).encode("utf-8"),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def decode_media(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header decode: one metadata row per payload
+    via ``decode_real`` — the formerly-stubbed seam, now live for the
+    five natively-parsed container formats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_real(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        d["format"],
+                        d["width"],
+                        d["height"],
+                        d["sample_rate"],
+                        d["channels"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "width", "height",
+                    "sample_rate", "channels",
+                ],
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        run, DECODE_SCHEMA
     )
 
 

@@ -446,12 +446,14 @@ QUERIES.update(REL_QUERIES)
 # insertion order, so rebuilding the dict IS the sampling contract.
 _DRIVER_PRIORITY: list[str] = [
     # tier 1 — added or semantics-changed in round 5: the Arrow
-    # deployment paths, the new exact-tier ngram row, and
-    # dedup_ngram_jaccard whose DEFAULT flipped to auto-max_df
+    # deployment paths, the new exact-tier ngram row,
+    # dedup_ngram_jaccard whose DEFAULT flipped to auto-max_df, and
+    # the real-header-decode round trip
     "kmeans_arrow",
     "semdedup_arrow",
     "dedup_ngram_jaccard",
     "dedup_ngram_exact",
+    "multimodal_decode",
     # tier 2 — last green row r03; cycle back into the window
     "freq_itemsets_by_lang",
     "transform_self",
@@ -493,11 +495,10 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier",
     "idle_rich_customers",
     # tier 3 — r04-green canaries (core mining + heaviest plans);
-    # apriori_rules/dedup_simhash ceded slots to the tier-1 ngram rows
-    # (both r04-green and pytest-pinned)
+    # apriori_rules/dedup_simhash/transform ceded slots to the tier-1
+    # rows (all r04-green and pytest-pinned)
     "freq_itemsets",
     "assoc_rules",
-    "transform",
     "freq_itemsets_pfp",
     "dedup_minhash_lsh",
     "dedup_clusters",

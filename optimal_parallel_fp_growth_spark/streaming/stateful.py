@@ -14,7 +14,17 @@ Semantics note: within one micro-batch the winner is chosen by
 splits yields the same survivors as long as arrival order respects
 event time per key (guaranteed here by the single-file availableNow
 drive; in production the same guarantee comes from watermarked
-reordering upstream or is accepted as first-arrival-wins).
+reordering upstream or is accepted as first-arrival-wins). For feeds
+whose cross-batch order is NOT guaranteed, `first_seen_dedup_watermarked`
+/ `funnel_progress_watermarked` buffer per-key state until the
+watermark and are exact under any disorder bounded by the watermark
+delay.
+
+Compatibility (round 4): `heavy_hitters_stream` changed its state
+schema (added `decrements`) and output schema (added `max_count`).
+A streaming query restarted from a pre-round-4 checkpoint will fail
+state-schema validation — start a fresh checkpoint directory — and
+downstream consumers must accept the extra `max_count` column.
 """
 
 from __future__ import annotations
@@ -156,6 +166,89 @@ def first_seen_dedup(
     )
 
 
+def first_seen_dedup_watermarked(
+    events: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermark-delayed first-seen dedup: exact under ANY cross-batch
+    arrival order whose event-time disorder is bounded by ``delay`` —
+    the variant `first_seen_dedup` documents as the production guard
+    for disordered feeds.
+
+    Instead of committing the first arrival, each key BUFFERS its
+    current best (min (ts, event_id)) candidate in state and emits only
+    once the watermark passes the candidate's event time — at that
+    point no earlier event can still arrive (later ones are late and
+    dropped by the watermark), so the emission equals the batch
+    ``min(struct(ts, event_id, value))`` regardless of how events were
+    split or shuffled across micro-batches. Flushing with no new data
+    rides the event-time timeout: the no-data micro-batch Spark runs
+    after a watermark advance fires `hasTimedOut` for every key whose
+    candidate just became final.
+
+    State per key is one row (flag + candidate) — same bound as the
+    exact path. Emission latency is the price: nothing is emitted until
+    the watermark (driven by max observed event time minus ``delay``)
+    passes the candidate. A stream that simply stops may leave its last
+    ``delay`` of candidates unflushed — standard watermark semantics.
+    """
+    prepared = (
+        events.withWatermark("ts", delay)
+        .selectExpr(
+            "user_id", "event_type", "ts", "cast(ts as long) AS ts_epoch",
+            "event_id", "value",
+        )
+    )
+    state_schema = "emitted int, pend_ts long, pend_eid long, pend_val double"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            emitted, p_ts, p_eid, p_val = state.get
+            pend = None if emitted else (int(p_ts), int(p_eid), float(p_val))
+            emitted = bool(emitted)
+        else:
+            emitted, pend = False, None
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if emitted:
+                    continue  # drain: key already final
+                for ts_epoch, event_id, value in zip(
+                    pdf["ts_epoch"], pdf["event_id"], pdf["value"]
+                ):
+                    cand = (int(ts_epoch), int(event_id), float(value))
+                    if pend is None or cand[:2] < pend[:2]:
+                        pend = cand
+        if emitted or pend is None:
+            return
+        wm_ms = state.getCurrentWatermarkMs()
+        final_ms = pend[0] * 1000
+        if wm_ms > final_ms:
+            # no event with ts < watermark can still arrive: final.
+            state.update((1, pend[0], pend[1], pend[2]))
+            yield pd.DataFrame(
+                [(key[0], key[1], pend[0], pend[1], pend[2])],
+                columns=[
+                    "user_id",
+                    "event_type",
+                    "first_ts_epoch",
+                    "first_event_id",
+                    "value",
+                ],
+            )
+        else:
+            state.update((0, pend[0], pend[1], pend[2]))
+            # fires on the first micro-batch whose watermark passes the
+            # candidate (must be set strictly above the current wm)
+            state.setTimeoutTimestamp(max(final_ms, wm_ms) + 1)
+
+    return prepared.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        OUTPUT_SCHEMA,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def funnel_progress(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
     """Streaming ordered-funnel state machine per user: track the
     completion time of each step (step i completes at the first step-i
@@ -170,7 +263,9 @@ def funnel_progress(events: DataFrame, steps: tuple[str, ...] = ("view", "click"
     moment it is set (later batches only contain later timestamps), so
     the incremental machine never needs revision. State per user is
     len(steps) longs — the state store holds |users|·k longs at any
-    corpus size, never raw events.
+    corpus size, never raw events. For disordered feeds use
+    `funnel_progress_watermarked`, which buys order-independence with a
+    watermark-bounded buffer.
     """
     if len(steps) < 2 or len(set(steps)) != len(steps):
         raise ValueError("steps must be >= 2 distinct event types")
@@ -225,6 +320,106 @@ def funnel_progress(events: DataFrame, steps: tuple[str, ...] = ("view", "click"
         state_schema,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_progress_watermarked(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-delayed ordered funnel: `funnel_progress` semantics
+    made exact under ANY cross-batch arrival order whose event-time
+    disorder is bounded by ``delay``.
+
+    Each user's step events are BUFFERED in state until the watermark
+    passes them; only then are they applied to the step machine, in
+    event-time order, so the incremental walk replays the batch walk
+    (operators/funnels.py::funnel_counts) event-for-event no matter how
+    the feed was split or shuffled across micro-batches. Events at or
+    above the watermark stay buffered (an equal-timestamp event may
+    still arrive and would sort ahead by step index); an event-time
+    timeout at the earliest buffered timestamp re-invokes the key when
+    the watermark advances with no new data.
+
+    State per user is k completion longs + the buffered events inside
+    one ``delay`` window — bounded by delay x per-user event rate, the
+    standard cost of watermarked exactness (vs. k longs for the
+    order-assuming variant). Emissions carry the same schema and the
+    same monotone no-retraction contract as `funnel_progress`.
+    """
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError("steps must be >= 2 distinct event types")
+    k = len(steps)
+    out_schema = (
+        "user_id long, steps_completed int, last_step string, last_t_epoch long"
+    )
+    state_schema = (
+        ", ".join(f"t{i} long" for i in range(k))
+        + ", buf_ts array<long>, buf_step array<int>"
+    )
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            *ts_raw, buf_ts, buf_step = state.get
+            ts = [int(t) for t in ts_raw]
+            buf = sorted(zip((int(x) for x in buf_ts), (int(x) for x in buf_step)))
+        else:
+            ts, buf = [-1] * k, []
+        done_before = sum(1 for t in ts if t >= 0)
+        fresh = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                fresh.extend(
+                    (int(sec), step_idx[et])
+                    for et, sec in zip(pdf["event_type"], pdf["ts_epoch"])
+                    if et in step_idx
+                )
+            if fresh:
+                buf = sorted(buf + fresh)
+        wm_ms = state.getCurrentWatermarkMs()
+        # finalize the prefix strictly below the watermark: nothing that
+        # sorts before (or ties) it can still arrive
+        n_final = 0
+        for sec, i in buf:
+            if sec * 1000 >= wm_ms:
+                break
+            n_final += 1
+            if ts[i] >= 0:
+                continue
+            if i == 0 or (ts[i - 1] >= 0 and sec > ts[i - 1]):
+                ts[i] = sec
+        buf = buf[n_final:]
+        done_now = sum(1 for t in ts if t >= 0)
+        if fresh or n_final or not state.exists:
+            state.update(
+                (*ts, [s for s, _ in buf], [i for _, i in buf])
+            )
+        if buf:
+            state.setTimeoutTimestamp(max(buf[0][0] * 1000, wm_ms) + 1)
+        if done_now > done_before:
+            last = done_now - 1
+            yield pd.DataFrame(
+                [(key[0], done_now, steps[last], ts[last])],
+                columns=[
+                    "user_id",
+                    "steps_completed",
+                    "last_step",
+                    "last_t_epoch",
+                ],
+            )
+
+    prepared = (
+        events.withWatermark("ts", delay)
+        .selectExpr("user_id", "event_type", "ts", "cast(ts as long) AS ts_epoch")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -5,16 +5,73 @@ from __future__ import annotations
 import pytest
 
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
+    attach_media,
     attach_payload,
+    build_payload,
+    decode_media,
     decode_real,
+    media_meta_for,
     sample_frames,
 )
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
+# Real-world 1x1 files (public domain minimal fixtures), NOT built by
+# build_payload — parsing these checks decode_real against actual
+# encoder output, not just our own writer.
+_PNG_1x1 = (
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+    "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+_GIF_1x1 = "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
 
-def test_decode_real_is_a_stub():
-    with pytest.raises(NotImplementedError):
-        decode_real(b"\x89PNG")
+
+def test_decode_real_parses_real_encoder_output():
+    import base64
+
+    png = decode_real(base64.b64decode(_PNG_1x1))
+    assert (png["format"], png["width"], png["height"]) == ("png", 1, 1)
+    gif = decode_real(base64.b64decode(_GIF_1x1))
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 1, 1)
+
+
+@pytest.mark.parametrize(
+    "fmt,kw",
+    [
+        ("png", {"width": 640, "height": 480}),
+        ("gif", {"width": 320, "height": 200}),
+        ("bmp", {"width": 1024, "height": 768}),
+        ("jpeg", {"width": 1920, "height": 1080}),
+        ("wav", {"sample_rate": 44100, "channels": 2}),
+    ],
+)
+def test_build_decode_round_trip(fmt, kw):
+    payload = build_payload(fmt, filler=b"body-bytes" * 37, **kw)
+    got = decode_real(payload)
+    assert got["format"] == fmt
+    for k, v in kw.items():
+        assert got[k] == v, (fmt, k, got)
+
+
+def test_decode_real_unsupported_still_raises():
+    # the codec seam contract: anything beyond the five native header
+    # parsers raises NotImplementedError (incl. truncated magics)
+    for junk in (b"\x89PNG", b"\x00\x01\x02\x03garbage", b"RIFF1234AVI "):
+        with pytest.raises(NotImplementedError):
+            decode_real(junk)
+
+
+def test_attach_decode_media_matches_recipe(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    got = decode_media(attach_media(docs)).collect()
+    assert len(got) == docs.count() > 0
+    for r in got:
+        want = media_meta_for(r.doc_id)
+        assert (
+            r.format, r.width, r.height, r.sample_rate, r.channels
+        ) == (
+            want["format"], want["width"], want["height"],
+            want["sample_rate"], want["channels"],
+        ), r.doc_id
 
 
 def test_payload_schema_and_meta(spark, sf_small):

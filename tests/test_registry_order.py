@@ -28,6 +28,7 @@ MUST_BE_IN_WINDOW = {
     "semdedup_arrow",
     "dedup_ngram_jaccard",
     "dedup_ngram_exact",
+    "multimodal_decode",
     # last green row r03
     "freq_itemsets_by_lang",
     "transform_self",
@@ -82,10 +83,11 @@ def test_window_keeps_regression_canaries():
     head = set(list(Q.QUERIES)[:WINDOW])
     # kmeans/semdedup ceded canary slots to their Arrow twins in
     # MUST_BE_IN_WINDOW (same oracles; SQL==Arrow pinned by pytest)
+    # transform ceded its slot to tier-1 multimodal_decode (r04-green;
+    # string semantics pinned by test_transform_udf_parity + pipeline)
     canaries = {
         "freq_itemsets",
         "assoc_rules",
-        "transform",
         "freq_itemsets_pfp",
         "dedup_minhash_lsh",
         "dedup_clusters",

@@ -52,6 +52,140 @@ def _multi_batch_stream(spark, sf_small, tmp_path, n_parts: int):
     return st.withColumn("ts", wall_utc_timestamp(st, "ts"))
 
 
+def _disordered_multi_batch_stream(
+    spark, sf_small, tmp_path, order=(2, 0, 3, 1)
+):
+    """Time-quantile slices written DELIBERATELY OUT OF ORDER (arrival
+    order != event-time order across micro-batches), followed by a
+    far-future flush sentinel (user_id=-1, event_type='zzz_flush') that
+    pushes the watermark past every real event so watermark-buffered
+    state finalizes before availableNow terminates."""
+    import time as _time
+
+    from pyspark.sql import functions as F_
+
+    from optimal_parallel_fp_growth_spark.functions.time import (
+        epoch_seconds,
+        wall_utc_timestamp,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_small}/events.parquet")
+    n_parts = len(order)
+    num = raw.withColumn("_ts_num", epoch_seconds(raw, "ts"))
+    probs = [i / n_parts for i in range(1, n_parts)]
+    qs = num.approxQuantile("_ts_num", probs, 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    slices = list(zip(bounds, bounds[1:]))
+    dst = str(tmp_path / "ev_disorder")
+    for idx in order:
+        lo, hi = slices[idx]
+        chunk = num.where(
+            (F_.col("_ts_num") > lo) & (F_.col("_ts_num") <= hi)
+        ).drop("_ts_num")
+        chunk.coalesce(1).write.mode("append").parquet(dst)
+        _time.sleep(0.05)
+    ts_shift = (
+        F_.col("ts") + F_.expr("INTERVAL 8000 DAYS")
+        if dict(raw.dtypes)["ts"] != "bigint"
+        else F_.col("ts") + F_.lit(8000 * 86_400 * 10**9)
+    )
+    flush = (
+        raw.orderBy(F_.desc("ts"))
+        .limit(1)
+        .withColumn("ts", ts_shift)
+        .withColumn("user_id", F_.lit(-1).cast("long"))
+        .withColumn("event_type", F_.lit("zzz_flush"))
+    )
+    flush.coalesce(1).write.mode("append").parquet(dst)
+    _time.sleep(0.05)
+    st = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dst)
+    )
+    return st.withColumn("ts", wall_utc_timestamp(st, "ts"))
+
+
+def test_first_seen_watermarked_disordered_matches_batch(
+    spark, sf_small, tmp_path
+):
+    """Batches arrive OUT of event-time order — the contract the plain
+    operator documents as undefined. The watermarked variant must still
+    emit exactly the batch min(struct(ts, event_id, value)) per key."""
+    from optimal_parallel_fp_growth_spark.streaming.stateful import (
+        first_seen_dedup_watermarked,
+    )
+
+    st = first_seen_dedup_watermarked(
+        _disordered_multi_batch_stream(spark, sf_small, tmp_path),
+        delay="3650 days",
+    )
+    run_to_memory(st, "fs_wm", output_mode="update")
+    got = {
+        tuple(r)
+        for r in spark.table("fs_wm").where(F.col("user_id") >= 0).collect()
+    }
+
+    ev = load_table(spark, sf_small, "events")
+    want = {
+        tuple(r)
+        for r in ev.select(
+            "user_id",
+            "event_type",
+            F.struct(
+                F.col("ts").cast("long").alias("first_ts_epoch"),
+                F.col("event_id").alias("first_event_id"),
+                "value",
+            ).alias("s"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "user_id", "event_type", "s.first_ts_epoch", "s.first_event_id", "s.value"
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_funnel_watermarked_disordered_matches_batch(spark, sf_small, tmp_path):
+    """Shuffled micro-batches (later slices first): the plain funnel
+    machine would mis-set step times; the watermarked variant's final
+    per-user progress must equal the batch walk, with monotone
+    no-duplicate emissions."""
+    from optimal_parallel_fp_growth_spark.operators.funnels import funnel_counts
+    from optimal_parallel_fp_growth_spark.streaming.stateful import (
+        funnel_progress_watermarked,
+    )
+
+    steps = ("view", "click", "purchase")
+    st = funnel_progress_watermarked(
+        _disordered_multi_batch_stream(spark, sf_small, tmp_path),
+        steps,
+        delay="3650 days",
+    )
+    run_to_memory(st, "funnel_wm", output_mode="update")
+    prog = spark.table("funnel_wm").where(F.col("user_id") >= 0)
+    final = {
+        r.user_id: r.m
+        for r in prog.groupBy("user_id")
+        .agg(F.max("steps_completed").alias("m"))
+        .collect()
+    }
+    batch = {
+        r.step_idx: r.n_users
+        for r in funnel_counts(load_table(spark, sf_small, "events"), steps).collect()
+    }
+    for i in range(len(steps)):
+        stream_n = sum(1 for m in final.values() if m >= i + 1)
+        assert stream_n == batch[i], (i, stream_n, batch[i])
+    for r in (
+        prog.groupBy("user_id", "steps_completed").count().where(F.col("count") > 1)
+    ).collect():
+        raise AssertionError(f"duplicate progress emission: {r}")
+
+
 def test_checkpoint_restart_is_exactly_once(spark, sf_small, tmp_path):
     """File sink + checkpoint: stop after the first micro-batch, restart,
     feed more files — every input row lands in the sink exactly once."""
