@@ -165,9 +165,8 @@ def main() -> None:
         "assoc_rules",
         "transform",
         "apriori_rules",
-        # -- dedup scale-default + exact tier --
+        # -- dedup scale-default --
         "dedup_ngram_jaccard",
-        "dedup_ngram_exact",
         "deduped_corpus",
         "deduped_corpus_cc",
         # -- arrow scale twins (driver rows added round 5) --
@@ -200,6 +199,8 @@ def main() -> None:
         # -- multimodal --
         "multimodal_frames",
         "multimodal_decode",
+        # -- bucketed-edges pagerank twin --
+        "supplier_pagerank_bucketed",
         # -- TPC-H relational family --
         "product_line_revenue",
         "promo_revenue_share",
@@ -216,6 +217,11 @@ def main() -> None:
         "customer_order_counts",
         "top_supplier",
         "idle_rich_customers",
+        # -- LAST on purpose: the oracle-exact quadratic ngram tier
+        #    (~30 s at sf0.1) disturbs whatever runs in its wake
+        #    (measured: deduped_corpus spread 5.9-16.8 s when it ran
+        #    mid-sequence); at the tail it has no followers --
+        "dedup_ngram_exact",
     ):
         q = QUERIES[qname]
 

@@ -250,6 +250,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iterations: int = 25,
     algorithm: str = "label",
+    bucketed_edges: bool = False,
 ) -> DataFrame:
     """Distributed connected components. → (u, component) for every
     node appearing in ``edges``; component = smallest node id in the
@@ -269,8 +270,22 @@ def connected_components(
 
     Both checkpoint per round so plans stay flat regardless of
     iteration count.
+
+    ``bucketed_edges=True`` (label variant only): the loop-invariant
+    symmetrized edge list is written ONCE as a parquet table bucketed
+    on the join key ``v`` instead of block-manager persist — each
+    round's edges⋈labels join then reads the pre-partitioned scan, so
+    only the (small) label side is exchanged per round and the edge
+    working set never occupies executor storage. Same big-graph trade
+    as ``graph.pagerank(bucketed_edges=True)``.
     """
     if algorithm == "star":
+        if bucketed_edges:
+            raise ValueError(
+                "bucketed_edges applies to the label variant only: the "
+                "star algorithm REWRITES its edge set every round, so "
+                "there is no loop-invariant side to bucket"
+            )
         return _cc_star(edges, src, dst, max_iterations)
     if algorithm != "label":
         raise ValueError(f"unknown CC algorithm {algorithm!r} (label|star)")
@@ -280,8 +295,22 @@ def connected_components(
     und = und.union(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    und = und.persist()
     spark = edges.sparkSession
+    edge_table = None
+    if bucketed_edges:
+        from optimal_parallel_fp_growth_spark.operators.graph import (
+            _bucketed_edge_table,
+        )
+
+        materialize_pending_caches()
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # bucket on v — the per-round join key (labels are pulled from
+        # the neighbour side)
+        edge_table, und = _bucketed_edge_table(
+            spark, und, n_buckets, key="v"
+        )
+    else:
+        und = und.persist()
     # Materialize und (and, through the edge-plan scan, any upstream
     # registry-pending caches such as the minhash signature cache under
     # dedup_clusters) BEFORE snapshotting the persistent-id baseline.
@@ -328,6 +357,8 @@ def connected_components(
             break
     else:
         und.unpersist()
+        if edge_table is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {edge_table}")
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "rounds; the pair graph has a longer chain than near-dup "
@@ -335,6 +366,10 @@ def connected_components(
             "algorithm='star' (diameter-independent rounds)"
         )
     und.unpersist()
+    if edge_table is not None:
+        # labels' final plan derives from the last round's materialized
+        # checkpoint, never the table scan — safe to drop
+        spark.sql(f"DROP TABLE IF EXISTS {edge_table}")
     return tag_cached_inputs(labels, RddBlockHandle(spark, prev_ids))
 
 

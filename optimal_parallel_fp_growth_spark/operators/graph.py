@@ -45,6 +45,7 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import uuid
 import warnings
 
 from pyspark.sql import DataFrame
@@ -90,6 +91,29 @@ def _cut(df: DataFrame, reliable: bool) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _bucketed_edge_table(
+    spark, ed: DataFrame, n_buckets: int, key: str = "src"
+) -> tuple[str, DataFrame]:
+    """Persist a loop-invariant edge list as a table BUCKETED on its
+    per-round join key and hand back a scan of it. Every later
+    edges⋈(ranks|labels) join then satisfies the edge side's
+    distribution from the bucketed layout: only the (small) iterating
+    side is exchanged per round, and the edge list lives in
+    storage-format parquet instead of block-manager rows — the two
+    per-round costs the localCheckpoint/persist variants pay. The
+    repartition aligns write tasks with bucket ids (both murmur3 on
+    the key) so each bucket is a single sorted file."""
+    name = f"opfpg_pr_edges_{uuid.uuid4().hex}"
+    (
+        ed.repartition(n_buckets, key)
+        .write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return name, spark.table(name)
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = PR_DAMPING,
@@ -99,6 +123,8 @@ def pagerank(
     assume_distinct: bool = False,
     redistribute_dangling: bool = False,
     reliable: bool = False,
+    bucketed_edges: bool = False,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
     → (node, rank), one row per node appearing as src or dst,
@@ -107,7 +133,20 @@ def pagerank(
     ``assume_distinct=True`` skips the defensive edge dedup shuffle —
     pass it when the caller already produced a distinct edge list
     (e.g. a ``.distinct()``-ed join output plus its loss-free
-    reversal), saving one full-edge-list shuffle."""
+    reversal), saving one full-edge-list shuffle.
+
+    ``bucketed_edges=True`` is the big-graph path: the loop-invariant
+    degree-annotated edge list is written ONCE as a parquet table
+    bucketed on ``src`` (``n_buckets``, default the session's shuffle
+    partitions) instead of held as localCheckpoint blocks. Each
+    round's edges⋈ranks join then reads the pre-partitioned scan —
+    no per-round exchange of the edge side (the largest shuffle
+    component, saved (n_iter−1)× after the one-time bucketed write)
+    and no edge working set in the block manager. Costs one managed
+    table (dropped before returning; the returned ranks are
+    materialized first, so they never reference it). Numerics are
+    unchanged — the per-round 9-decimal rounding already absorbs
+    partial-aggregation order differences."""
     if not 0.0 <= damping <= 1.0:
         raise ValueError(f"damping must be in [0,1], got {damping}")
     if n_iter < 0:
@@ -140,9 +179,16 @@ def pagerank(
     e_ids = persistent_rdd_ids(spark) - seen
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # materialized once, read every round
-    seen = persistent_rdd_ids(spark)
-    ed = _cut(e.join(deg, "src"), reliable)
-    ed_ids = persistent_rdd_ids(spark) - seen
+    edge_table = None
+    if bucketed_edges:
+        if n_buckets is None:
+            n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edge_table, ed = _bucketed_edge_table(spark, e.join(deg, "src"), n_buckets)
+        ed_ids: set[int] = set()
+    else:
+        seen = persistent_rdd_ids(spark)
+        ed = _cut(e.join(deg, "src"), reliable)
+        ed_ids = persistent_rdd_ids(spark) - seen
     seen = persistent_rdd_ids(spark)
     nodes = _cut(
         e.select(F.col("src").alias("node"))
@@ -154,6 +200,8 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         unpersist_blocks(spark, e_ids | ed_ids)
+        if edge_table is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {edge_table}")
         return tag_cached_inputs(
             nodes.withColumn("rank", F.lit(0.0)),
             RddBlockHandle(spark, node_ids),
@@ -205,6 +253,10 @@ def pagerank(
         )
         unpersist_blocks(spark, prev_r_ids)
         prev_r_ids = persistent_rdd_ids(spark) - seen
+    if edge_table is not None:
+        # no live reader: either the last round's cut materialized the
+        # ranks, or (n_iter=0) the returned plan derives from nodes
+        spark.sql(f"DROP TABLE IF EXISTS {edge_table}")
     if n_iter > 0:
         # final plan is the last cut — loop-invariant blocks are dead
         unpersist_blocks(spark, loop_ids | node_ids)

@@ -630,13 +630,11 @@ WHERE {_Q19_ARMS}
 """
 
 
-def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the symmetrized customer–supplier trade graph
-    (edge: customer bought from supplier, via orders ⨝ lineitem).
-    Symmetrizing gives every node outdeg ≥ 1, so no dangling-mass
-    leak — see operators/graph.py."""
-    from optimal_parallel_fp_growth_spark.operators.graph import pagerank
-
+def _supplier_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer–supplier trade edge list (edge: customer
+    bought from supplier, via orders ⨝ lineitem). Distinct by
+    construction: cs is distinct and the 'c'/'s' prefixes make the
+    reversed copy disjoint from it."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cs = (
@@ -647,11 +645,34 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = cs.union(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # cs is distinct and the 'c'/'s' prefixes make the reversed copy
-    # disjoint from it, so sym is distinct by construction — skip the
-    # operator's defensive full-edge-list dedup shuffle
-    return pagerank(sym, assume_distinct=True)
+    return cs.union(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer–supplier trade graph.
+    Symmetrizing gives every node outdeg ≥ 1, so no dangling-mass
+    leak — see operators/graph.py."""
+    from optimal_parallel_fp_growth_spark.operators.graph import pagerank
+
+    # sym is distinct by construction — skip the operator's defensive
+    # full-edge-list dedup shuffle
+    return pagerank(_supplier_trade_graph(spark, sf_dir), assume_distinct=True)
+
+
+def q_supplier_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranks via the big-graph path: the loop-invariant edge list
+    is written once as an src-bucketed table, so no round re-shuffles
+    it and it never occupies the block manager (graph.py docstring).
+    Shares `supplier_pagerank`'s oracle — the two must agree exactly."""
+    from optimal_parallel_fp_growth_spark.operators.graph import pagerank
+
+    return pagerank(
+        _supplier_trade_graph(spark, sf_dir),
+        assume_distinct=True,
+        bucketed_edges=True,
+    )
 
 
 def _oracle_pagerank(damping: float, n_iter: int) -> str:
@@ -895,6 +916,7 @@ GROUP BY c_mktsegment
 
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
+    "supplier_pagerank_bucketed": q_supplier_pagerank_bucketed,
     "nation_trade_volume": q_nation_trade_volume,
     "product_line_revenue": q_product_line_revenue,
     "promo_revenue_share": q_promo_revenue_share,
@@ -917,6 +939,7 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 REL_ORACLES: dict[str, str] = {
     "supplier_pagerank": ORACLE_SUPPLIER_PAGERANK,
+    "supplier_pagerank_bucketed": ORACLE_SUPPLIER_PAGERANK,
     "nation_trade_volume": ORACLE_TRADE_VOLUME,
     "product_line_revenue": ORACLE_PRODUCT_LINE,
     "promo_revenue_share": ORACLE_PROMO_REVENUE,

@@ -265,3 +265,27 @@ def test_deduped_corpus_cc_policy(spark):
 
     with pytest.raises(ValueError, match="unknown dedup policy"):
         deduped_corpus(docs, policy="bogus")
+
+
+def test_cc_bucketed_edges_matches_default(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    before = {t.name for t in spark.catalog.listTables()}
+    got = {
+        (r["u"], r["component"])
+        for r in connected_components(edges, bucketed_edges=True).collect()
+    }
+    want = {
+        (r["u"], r["component"]) for r in connected_components(edges).collect()
+    }
+    assert got == want
+    # temp bucketed edge table dropped before returning
+    assert {t.name for t in spark.catalog.listTables()} == before
+
+
+def test_cc_bucketed_edges_rejects_star(spark):
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="label variant only"):
+        connected_components(edges, algorithm="star", bucketed_edges=True)

@@ -137,3 +137,47 @@ def test_pagerank_reliable_checkpoint_matches_local(web_graph):
     edges, df = web_graph
     got = {r.node: r.rank for r in pagerank(df, n_iter=2, reliable=True).collect()}
     assert got == _py_pagerank(edges, n_iter=2)
+
+
+def test_pagerank_bucketed_edges_matches_default(web_graph):
+    edges, df = web_graph
+    spark = df.sparkSession
+    before = {t.name for t in spark.catalog.listTables()}
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, bucketed_edges=True, n_buckets=4).collect()
+    }
+    assert got == _py_pagerank(edges)
+    # the temp bucketed edge table must be dropped before returning
+    assert {t.name for t in spark.catalog.listTables()} == before
+
+
+def test_bucketed_edge_join_exchanges_only_rank_side(spark):
+    """The point of bucketed_edges: an src-keyed join against the
+    bucketed scan must shuffle ONLY the rank side — the bucketed
+    layout satisfies the edge side's distribution requirement."""
+    from pyspark.sql import functions as F_
+
+    from optimal_parallel_fp_growth_spark.operators.graph import (
+        _bucketed_edge_table,
+    )
+
+    ed = spark.createDataFrame(
+        [(i % 7, i, 2) for i in range(100)], "src long, dst long, outdeg long"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    name = None
+    try:
+        name, scan = _bucketed_edge_table(spark, ed, 8)
+        r = spark.range(7).select(
+            F_.col("id").alias("node"), F_.lit(0.1).alias("rank")
+        )
+        joined = scan.join(r, scan.src == r.node)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        if name:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -29,6 +29,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_ngram_jaccard",
     "dedup_ngram_exact",
     "multimodal_decode",
+    "supplier_pagerank_bucketed",
     # last green row r03
     "freq_itemsets_by_lang",
     "transform_self",
@@ -83,11 +84,11 @@ def test_window_keeps_regression_canaries():
     head = set(list(Q.QUERIES)[:WINDOW])
     # kmeans/semdedup ceded canary slots to their Arrow twins in
     # MUST_BE_IN_WINDOW (same oracles; SQL==Arrow pinned by pytest)
-    # transform ceded its slot to tier-1 multimodal_decode (r04-green;
-    # string semantics pinned by test_transform_udf_parity + pipeline)
+    # transform/assoc_rules ceded slots to tier-1 multimodal_decode /
+    # supplier_pagerank_bucketed (both r04-green; semantics pinned by
+    # test_transform_udf_parity + the mllib rules crosscheck)
     canaries = {
         "freq_itemsets",
-        "assoc_rules",
         "freq_itemsets_pfp",
         "dedup_minhash_lsh",
         "dedup_clusters",
