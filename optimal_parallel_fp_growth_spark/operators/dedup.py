@@ -277,7 +277,11 @@ def connected_components(
     round's edges⋈labels join then reads the pre-partitioned scan, so
     only the (small) label side is exchanged per round and the edge
     working set never occupies executor storage. Same big-graph trade
-    as ``graph.pagerank(bucketed_edges=True)``.
+    as ``graph.pagerank(bucketed_edges=True)`` (measured 2.3x faster
+    at the 117 M-edge decade, ~1.2x slower below 12 M — BASELINE.md
+    §round-5 scale probe); opt-in here because near-dup pair graphs
+    are far smaller than their corpus — flip it when the pair list
+    approaches ``graph.BUCKETED_EDGE_CROSSOVER``.
     """
     if algorithm == "star":
         if bucketed_edges:

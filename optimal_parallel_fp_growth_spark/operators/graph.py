@@ -63,6 +63,15 @@ PR_DAMPING = 0.85
 PR_ITER = 3
 PR_DECIMALS = 9
 
+# bucketed_edges="auto" flips to the bucketed-table edge layout at this
+# many edges. Measured (BASELINE.md §round-5 scale probe, local[32]):
+# 11.7 M edges (sf1) — bucketed 1.19x SLOWER (one-time write dominates);
+# 117 M edges (sf10) — bucketed 2.3x FASTER (504.5 s → 218.0 s; the
+# block-manager working set the plain path pays is gone, shuffle −38%).
+# 30 M sits below the log-midpoint because the small-side penalty is
+# bounded (~1.2x) while the large-side win compounds with scale.
+BUCKETED_EDGE_CROSSOVER = 30_000_000
+
 
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
@@ -123,7 +132,7 @@ def pagerank(
     assume_distinct: bool = False,
     redistribute_dangling: bool = False,
     reliable: bool = False,
-    bucketed_edges: bool = False,
+    bucketed_edges: bool | str = "auto",
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
@@ -146,7 +155,13 @@ def pagerank(
     table (dropped before returning; the returned ranks are
     materialized first, so they never reference it). Numerics are
     unchanged — the per-round 9-decimal rounding already absorbs
-    partial-aggregation order differences."""
+    partial-aggregation order differences.
+
+    The default ``"auto"`` counts the materialized edge list (one
+    cheap job over local blocks) and flips to the bucketed layout at
+    ``BUCKETED_EDGE_CROSSOVER`` edges — measured 2.3x faster at the
+    117 M-edge decade, ~1.2x slower below 12 M (see the constant's
+    comment); explicit True/False skips the count."""
     if not 0.0 <= damping <= 1.0:
         raise ValueError(f"damping must be in [0,1], got {damping}")
     if n_iter < 0:
@@ -177,6 +192,8 @@ def pagerank(
     seen = persistent_rdd_ids(spark)
     e = _cut(e, reliable)
     e_ids = persistent_rdd_ids(spark) - seen
+    if bucketed_edges == "auto":
+        bucketed_edges = e.count() >= BUCKETED_EDGE_CROSSOVER
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # materialized once, read every round
     edge_table = None

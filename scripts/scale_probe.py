@@ -26,6 +26,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 DEFAULT_QUERIES = (
     "supplier_pagerank",
+    "supplier_pagerank_bucketed",
     "dedup_clusters",
     "kmeans_clusters",
     "kmeans_auto",

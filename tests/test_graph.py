@@ -181,3 +181,19 @@ def test_bucketed_edge_join_exchanges_only_rank_side(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         if name:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pagerank_auto_dispatch_crossover(web_graph, monkeypatch):
+    """auto counts the edge list and flips to the bucketed layout at
+    the crossover; ranks are identical either side of it."""
+    from optimal_parallel_fp_growth_spark.operators import graph as G
+
+    edges, df = web_graph
+    want = _py_pagerank(edges)
+    # 16 sym edges >= 1: auto takes the bucketed branch
+    monkeypatch.setattr(G, "BUCKETED_EDGE_CROSSOVER", 1)
+    spark = df.sparkSession
+    before = {t.name for t in spark.catalog.listTables()}
+    got = {r.node: r.rank for r in G.pagerank(df).collect()}
+    assert got == want
+    assert {t.name for t in spark.catalog.listTables()} == before
