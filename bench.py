@@ -169,6 +169,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "deduped_corpus",
         "deduped_corpus_cc",
+        "dedup_incremental",
         # -- arrow scale twins (driver rows added round 5) --
         "kmeans_arrow",
         "semdedup_arrow",

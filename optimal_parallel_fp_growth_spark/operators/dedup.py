@@ -244,13 +244,23 @@ def deduped_corpus(
 # Connected-components clustering over near-dup pairs
 
 
+def _graph_bucketed_crossover() -> int:
+    # function-level import: graph.py is independent of this module,
+    # and the constant (with its measurement rationale) lives there
+    from optimal_parallel_fp_growth_spark.operators.graph import (
+        BUCKETED_EDGE_CROSSOVER,
+    )
+
+    return BUCKETED_EDGE_CROSSOVER
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 25,
     algorithm: str = "label",
-    bucketed_edges: bool = False,
+    bucketed_edges: bool | str = "auto",
 ) -> DataFrame:
     """Distributed connected components. → (u, component) for every
     node appearing in ``edges``; component = smallest node id in the
@@ -279,12 +289,16 @@ def connected_components(
     working set never occupies executor storage. Same big-graph trade
     as ``graph.pagerank(bucketed_edges=True)`` (measured 2.3x faster
     at the 117 M-edge decade, ~1.2x slower below 12 M — BASELINE.md
-    §round-5 scale probe); opt-in here because near-dup pair graphs
-    are far smaller than their corpus — flip it when the pair list
-    approaches ``graph.BUCKETED_EDGE_CROSSOVER``.
+    §round-5 scale probe). The default ``"auto"`` rides the count the
+    operator already takes on the materialized edge list and flips at
+    ``graph.BUCKETED_EDGE_CROSSOVER`` — near-dup pair graphs rarely
+    reach it, so the common case stays on the persist path with zero
+    extra work.
     """
     if algorithm == "star":
-        if bucketed_edges:
+        if bucketed_edges is True:
+            # "auto" simply doesn't apply: star REWRITES its edge set
+            # every round, so there is no loop-invariant side to bucket
             raise ValueError(
                 "bucketed_edges applies to the label variant only: the "
                 "star algorithm REWRITES its edge set every round, so "
@@ -301,7 +315,7 @@ def connected_components(
     ).distinct()
     spark = edges.sparkSession
     edge_table = None
-    if bucketed_edges:
+    if bucketed_edges is True:
         from optimal_parallel_fp_growth_spark.operators.graph import (
             _bucketed_edge_table,
         )
@@ -313,17 +327,36 @@ def connected_components(
         edge_table, und = _bucketed_edge_table(
             spark, und, n_buckets, key="v"
         )
+        und.count()
     else:
+        # Materialize und (and, through the edge-plan scan, any
+        # upstream registry-pending caches such as the minhash
+        # signature cache under dedup_clusters) BEFORE snapshotting the
+        # persistent-id baseline. A lazy persist would otherwise first
+        # materialize inside the first localCheckpoint below, land its
+        # cache id in round 1's block diff, and be unpersisted after
+        # round 1 — silently recomputing the union+distinct edge list
+        # every later round.
         und = und.persist()
-    # Materialize und (and, through the edge-plan scan, any upstream
-    # registry-pending caches such as the minhash signature cache under
-    # dedup_clusters) BEFORE snapshotting the persistent-id baseline.
-    # A lazy persist would otherwise first materialize inside the first
-    # localCheckpoint below, land its cache id in round 1's block diff,
-    # and be unpersisted after round 1 — silently recomputing the
-    # union+distinct edge list every later round.
-    materialize_pending_caches()
-    und.count()
+        materialize_pending_caches()
+        n_edges = und.count()
+        if (
+            bucketed_edges == "auto"
+            and n_edges >= _graph_bucketed_crossover()
+        ):
+            from optimal_parallel_fp_growth_spark.operators.graph import (
+                _bucketed_edge_table,
+            )
+
+            persisted = und
+            n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            # the bucketed write reads from the persisted blocks, then
+            # those blocks are released — past the crossover the edge
+            # set must NOT stay resident for the whole iteration
+            edge_table, und = _bucketed_edge_table(
+                spark, persisted, n_buckets, key="v"
+            )
+            persisted.unpersist()
     seen = persistent_rdd_ids(spark)
     labels = (
         und.select("u").distinct().withColumn("component", F.col("u"))
@@ -632,6 +665,154 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold),
+        sigs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: persisted LSH index + new-batch probe
+
+
+def _band_key_col(num_bands: int, rows: int):
+    """Exploded (band, band_key) from a ``sig`` column: one md5 string
+    key per band, portable to the DuckDB oracle (no engine-specific
+    hash). Collisions across distinct band signatures are md5-rare and
+    only ever ADD candidates, which verification then scores."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws(
+                    ",",
+                    b.cast("string"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    name: str,
+    text_col: str = "text",
+    k: int = 2,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    n_buckets: int | None = None,
+) -> str:
+    """Persist a corpus's LSH dedup index ONCE as two bucketed tables,
+    so later batches dedup AGAINST the corpus without recomputing or
+    reshuffling it — the incremental shape a rolling 100 TB corpus
+    needs (each new crawl probes the standing index; rebuilding
+    signatures for the full corpus per batch would dwarf the batch):
+
+    - ``<name>_bands`` (doc_id, band_key) BUCKETED on band_key — the
+      candidate join key, so probe joins read it pre-partitioned with
+      no index-side exchange;
+    - ``<name>_sigs`` (doc_id, sig array<long>) BUCKETED on doc_id —
+      the verification payload (16 longs/doc, the minhash-estimator
+      tier of ``minhash_lsh_pairs``), likewise exchange-free on its
+      join key.
+
+    Returns ``name``. Same deterministic md5 hash family as
+    ``minhash_signatures`` — index and probe agree byte-for-byte with
+    the DuckDB oracle.
+    """
+    spark = docs.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows = num_hashes // num_bands
+    sigs = minhash_signatures(docs, text_col, k).select("doc_id", "sig")
+    sigs = sigs.persist()
+    sigs.count()
+    (
+        sigs.select("doc_id", _band_key_col(num_bands, rows).alias("band_key"))
+        .repartition(n_buckets, "band_key")
+        .write.bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .format("parquet")
+        .saveAsTable(f"{name}_bands")
+    )
+    (
+        sigs.repartition(n_buckets, "doc_id")
+        .write.bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(f"{name}_sigs")
+    )
+    sigs.unpersist()
+    return name
+
+
+def drop_minhash_index(spark, name: str) -> None:
+    for suffix in ("_bands", "_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    name: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 2,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Probe a new batch against a standing :func:`build_minhash_index`
+    → (doc_id, dup_of, jaccard_est): new docs estimated ≥ threshold
+    similar to an indexed corpus doc (minhash-estimator tier, stderr ≈
+    sqrt(j(1-j)/num_hashes)). Both index joins (band candidates, sig
+    verification) satisfy their distribution from the bucketed layout:
+    ONLY the new batch is exchanged — index-side shuffle is zero
+    regardless of corpus size. Doc-id spaces of batch and corpus are
+    assumed disjoint (same-id rows are filtered defensively)."""
+    spark = new_docs.sparkSession
+    rows = num_hashes // num_bands
+    sigs = minhash_signatures(new_docs, text_col, k).select("doc_id", "sig")
+    sigs = sigs.persist()
+    bands = sigs.select(
+        "doc_id", _band_key_col(num_bands, rows).alias("band_key")
+    )
+    idx_bands = spark.table(f"{name}_bands")
+    cand = (
+        bands.alias("n")
+        .join(idx_bands.alias("c"), "band_key")
+        .where(F.col("n.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    idx_sigs = spark.table(f"{name}_sigs").select(
+        F.col("doc_id").alias("dup_of"), F.col("sig").alias("sig_c")
+    )
+    new_sigs = sigs.select(
+        F.col("doc_id"), F.col("sig").alias("sig_n")
+    )
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                "sig_n", "sig_c", lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes),
+        6,
+    )
+    return tag_cached_inputs(
+        cand.join(idx_sigs, "dup_of")
+        .join(new_sigs, "doc_id")
+        .select("doc_id", "dup_of", est.alias("jaccard_est"))
+        .where(F.col("jaccard_est") >= threshold),
         sigs,
     )
 

@@ -455,6 +455,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_exact",
     "multimodal_decode",
     "supplier_pagerank_bucketed",
+    "dedup_incremental",
     # tier 2 — last green row r03; cycle back into the window
     "freq_itemsets_by_lang",
     "transform_self",
@@ -496,9 +497,8 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier",
     "idle_rich_customers",
     # tier 3 — r04-green canaries (core mining + heaviest plans);
-    # apriori_rules/dedup_simhash/transform/assoc_rules ceded slots to
-    # the tier-1 rows (all r04-green and pytest-pinned)
-    "freq_itemsets",
+    # apriori_rules/dedup_simhash/transform/assoc_rules/freq_itemsets
+    # ceded slots to the tier-1 rows (all r04-green and pytest-pinned)
     "freq_itemsets_pfp",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -120,6 +120,42 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by q_dedup_incremental and its oracle: docs with doc_id % 4 == 0
+# play the "new batch", the rest the standing corpus.
+INCREMENTAL_THRESHOLD = 0.25
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: build the corpus LSH index (two bucketed
+    tables, the artifact a rolling corpus keeps between crawls), probe
+    the new batch against it with zero index-side shuffle, then drop
+    the session-temp index after materializing the result — same
+    table-lifecycle hygiene as pagerank(bucketed_edges)."""
+    import uuid
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        RddBlockHandle,
+        persistent_rdd_ids,
+        release_cached_inputs,
+        tag_cached_inputs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    name = f"opfpg_inc_{uuid.uuid4().hex}"
+    dedup.build_minhash_index(corpus, name)
+    out = dedup.dedup_against_index(
+        batch, name, threshold=INCREMENTAL_THRESHOLD
+    )
+    seen = persistent_rdd_ids(spark)
+    res = out.localCheckpoint()
+    block_ids = persistent_rdd_ids(spark) - seen
+    release_cached_inputs(out)  # the probe's signature cache
+    dedup.drop_minhash_index(spark, name)
+    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
@@ -368,6 +404,40 @@ WHERE round(len(list_intersect(na.sh, nb.sh))
             / len(list_distinct(na.sh || nb.sh)), 6) >= 0.2
 """
 )
+
+# Incremental probe (q_dedup_incremental): same signature CTEs;
+# candidates restricted to new-batch x corpus; similarity is the
+# minhash-component agreement estimator (the signatures verify tier),
+# exactly as Spark computes it.
+ORACLE_DEDUP_INCREMENTAL = (
+    _SHINGLES_CTE
+    + f""",
+nz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+       FROM (SELECT doc_id, unnest(sh) AS s FROM nz)),
+mh AS (SELECT doc_id, seed, min((h * a + b) % {dedup.MINHASH_P}) AS mhv
+       FROM hs CROSS JOIN (VALUES {_AB_VALUES}) ab(seed, a, b)
+       GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(mhv ORDER BY seed) AS sig FROM mh GROUP BY 1),
+bands AS (SELECT doc_id, b,
+                 sig[b * {dedup.ROWS_PER_BAND} + 1 : b * {dedup.ROWS_PER_BAND} + {dedup.ROWS_PER_BAND}] AS band_sig
+          FROM sig CROSS JOIN range({dedup.NUM_BANDS}) r(b)),
+cand AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS dup_of
+         FROM bands n JOIN bands c
+           ON n.b = c.b AND n.band_sig = c.band_sig
+         WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 != 0)
+SELECT cand.doc_id, cand.dup_of,
+       round(sum(CASE WHEN mn.mhv = mc.mhv THEN 1 ELSE 0 END)
+             / {dedup.NUM_HASHES}.0, 6) AS jaccard_est
+FROM cand
+JOIN mh mn ON mn.doc_id = cand.doc_id
+JOIN mh mc ON mc.doc_id = cand.dup_of AND mc.seed = mn.seed
+GROUP BY 1, 2
+HAVING round(sum(CASE WHEN mn.mhv = mc.mhv THEN 1 ELSE 0 END)
+             / {dedup.NUM_HASHES}.0, 6) >= {INCREMENTAL_THRESHOLD}
+"""
+)
+
 
 ORACLE_SIMHASH = f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -791,6 +861,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_exact": q_dedup_ngram_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "deduped_corpus": q_deduped_corpus,
     "token_quantiles": q_token_quantiles,
@@ -826,6 +897,7 @@ DOC_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_ngram_exact": ORACLE_NGRAM_JACCARD_EXACT,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash": ORACLE_SIMHASH,
     "token_quantiles": ORACLE_TOKEN_QUANTILES,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

@@ -289,3 +289,28 @@ def test_cc_bucketed_edges_rejects_star(spark):
     edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="label variant only"):
         connected_components(edges, algorithm="star", bucketed_edges=True)
+
+
+def test_cc_auto_dispatch_crossover(spark, monkeypatch):
+    """auto rides the existing edge count and flips to the bucketed
+    layout at the crossover with identical components; star + auto is
+    fine (no loop-invariant side, auto just doesn't apply)."""
+    from optimal_parallel_fp_growth_spark.operators import dedup as D
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    want = {
+        (r["u"], r["component"])
+        for r in connected_components(edges, bucketed_edges=False).collect()
+    }
+    monkeypatch.setattr(D, "_graph_bucketed_crossover", lambda: 1)
+    before = {t.name for t in spark.catalog.listTables()}
+    got = {
+        (r["u"], r["component"]) for r in connected_components(edges).collect()
+    }
+    assert got == want
+    assert {t.name for t in spark.catalog.listTables()} == before
+    # star ignores auto instead of raising
+    assert connected_components(edges, algorithm="star").count() == 8

@@ -30,6 +30,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_ngram_exact",
     "multimodal_decode",
     "supplier_pagerank_bucketed",
+    "dedup_incremental",
     # last green row r03
     "freq_itemsets_by_lang",
     "transform_self",
@@ -88,7 +89,6 @@ def test_window_keeps_regression_canaries():
     # supplier_pagerank_bucketed (both r04-green; semantics pinned by
     # test_transform_udf_parity + the mllib rules crosscheck)
     canaries = {
-        "freq_itemsets",
         "freq_itemsets_pfp",
         "dedup_minhash_lsh",
         "dedup_clusters",
