@@ -169,7 +169,6 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "deduped_corpus",
         "deduped_corpus_cc",
-        "dedup_incremental",
         # -- arrow scale twins (driver rows added round 5) --
         "kmeans_arrow",
         "semdedup_arrow",
@@ -218,6 +217,9 @@ def main() -> None:
         "customer_order_counts",
         "top_supplier",
         "idle_rich_customers",
+        # appended at the tail AFTER the round-5 range recording so the
+        # mid-sequence envelopes stay valid
+        "dedup_incremental",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

@@ -16,9 +16,24 @@ from optimal_parallel_fp_growth_spark.operators.dedup import (
     simhash_pairs,
 )
 from optimal_parallel_fp_growth_spark.operators.dedup import (
+    build_minhash_index,
     connected_components,
+    dedup_against_index,
     dedup_clusters,
     deduped_corpus,
+    drop_minhash_index,
+)
+from optimal_parallel_fp_growth_spark.operators.graph import pagerank
+from optimal_parallel_fp_growth_spark.operators.multimodal import (
+    decode_media,
+    decode_real,
+)
+from optimal_parallel_fp_growth_spark.streaming.stateful import (
+    first_seen_dedup,
+    first_seen_dedup_watermarked,
+    funnel_progress,
+    funnel_progress_watermarked,
+    heavy_hitters_stream,
 )
 from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth, FPGrowthModel
 from optimal_parallel_fp_growth_spark.operators.ngrams import (
@@ -82,6 +97,17 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "deduped_corpus",
+    "build_minhash_index",
+    "dedup_against_index",
+    "drop_minhash_index",
+    "pagerank",
+    "decode_media",
+    "decode_real",
+    "first_seen_dedup",
+    "first_seen_dedup_watermarked",
+    "funnel_progress",
+    "funnel_progress_watermarked",
+    "heavy_hitters_stream",
     "corpus_split",
     "mix_sources",
     "mix_by_temperature",
