@@ -220,6 +220,7 @@ def main() -> None:
         # appended at the tail AFTER the round-5 range recording so the
         # mid-sequence envelopes stay valid
         "dedup_incremental",
+        "knn_ivf_index",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

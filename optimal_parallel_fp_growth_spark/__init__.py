@@ -53,9 +53,13 @@ from optimal_parallel_fp_growth_spark.operators.sessions import (
     sessionize,
 )
 from optimal_parallel_fp_growth_spark.operators.similarity import (
+    ann_against_index,
     ann_topk,
+    build_ivf_index,
     cosine_topk,
+    drop_ivf_index,
     embedding_neardup_pairs,
+    ivf_topk,
     label_centroids,
 )
 from optimal_parallel_fp_growth_spark.functions.caching import (
@@ -120,6 +124,10 @@ __all__ = [
     "token_quantiles",
     "cosine_topk",
     "ann_topk",
+    "ivf_topk",
+    "build_ivf_index",
+    "ann_against_index",
+    "drop_ivf_index",
     "embedding_neardup_pairs",
     "text_stats",
     "quality_score",

@@ -456,6 +456,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_decode",
     "supplier_pagerank_bucketed",
     "dedup_incremental",
+    "knn_ivf_index",
     # tier 2 — last green row r03; cycle back into the window
     "freq_itemsets_by_lang",
     "transform_self",
@@ -497,10 +498,13 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier",
     "idle_rich_customers",
     # tier 3 — r04-green canaries (core mining + heaviest plans);
-    # apriori_rules/dedup_simhash/transform/assoc_rules/freq_itemsets
-    # ceded slots to the tier-1 rows (all r04-green and pytest-pinned)
+    # apriori_rules/dedup_simhash/transform/assoc_rules/freq_itemsets/
+    # dedup_minhash_lsh ceded slots to the tier-1 rows (all r04-green
+    # and pytest-pinned; tier-1 dedup_incremental exercises the same
+    # minhash signature+band machinery under its own oracle).
+    # dedup_clusters stays — the CC default changed this round (auto
+    # bucketed dispatch) and must be driver-verified.
     "freq_itemsets_pfp",
-    "dedup_minhash_lsh",
     "dedup_clusters",
     "supplier_pagerank",
 ]

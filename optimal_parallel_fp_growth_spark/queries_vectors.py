@@ -51,6 +51,36 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=TOP_K)
 
 
+def q_knn_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index twin of `knn_ivf`: build the corpus IVF index
+    (centroids + cell-bucketed assignments), probe the query batch
+    against it, drop the session-temp index after materializing —
+    identical answers to `ivf_topk` by construction (same seeded
+    centroids over the same corpus), so it shares the same oracle."""
+    import uuid
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        RddBlockHandle,
+        persistent_rdd_ids,
+        tag_cached_inputs,
+    )
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        ann_against_index,
+        build_ivf_index,
+        drop_ivf_index,
+    )
+
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    name = f"opfpg_ivf_{uuid.uuid4().hex}"
+    build_ivf_index(emb, name)
+    out = ann_against_index(queries, name, k=TOP_K)
+    seen = persistent_rdd_ids(spark)
+    res = out.localCheckpoint()
+    block_ids = persistent_rdd_ids(spark) - seen
+    drop_ivf_index(spark, name)
+    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
@@ -329,6 +359,7 @@ VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "knn_ann": q_knn_ann,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_index": q_knn_ivf_index,
     "embedding_neardup": q_embedding_neardup,
     "label_centroids": q_label_centroids,
     "kmeans_clusters": q_kmeans,
@@ -343,6 +374,8 @@ VEC_ORACLES: dict[str, str] = {
     "knn_cosine": ORACLE_KNN_COSINE,
     "knn_ann": ORACLE_KNN_ANN,
     "knn_ivf": ORACLE_KNN_IVF,
+    # identical construction over the same corpus → same oracle
+    "knn_ivf_index": ORACLE_KNN_IVF,
     "embedding_neardup": ORACLE_NEARDUP,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "kmeans_clusters": ORACLE_KMEANS,

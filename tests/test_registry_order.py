@@ -31,6 +31,7 @@ MUST_BE_IN_WINDOW = {
     "multimodal_decode",
     "supplier_pagerank_bucketed",
     "dedup_incremental",
+    "knn_ivf_index",
     # last green row r03
     "freq_itemsets_by_lang",
     "transform_self",
@@ -88,9 +89,10 @@ def test_window_keeps_regression_canaries():
     # transform/assoc_rules ceded slots to tier-1 multimodal_decode /
     # supplier_pagerank_bucketed (both r04-green; semantics pinned by
     # test_transform_udf_parity + the mllib rules crosscheck)
+    # dedup_clusters stays a canary: the CC default changed this round
+    # (auto bucketed dispatch) and must be driver-verified
     canaries = {
         "freq_itemsets_pfp",
-        "dedup_minhash_lsh",
         "dedup_clusters",
         "supplier_pagerank",
     }

@@ -241,3 +241,45 @@ def test_ann_and_ivf_arrow_match_sql(spark, sf_small):
         a = sorted(map(tuple, fn(emb, queries, k=5).collect()))
         b = sorted(map(tuple, fn(emb, queries, k=5, impl="arrow").collect()))
         assert a == b and a, fn.__name__
+
+
+def test_ann_against_index_matches_ivf_topk(spark):
+    """Persisted-index probe reproduces the one-shot IVF exactly (same
+    seeded centroids over the same corpus), and drops nothing early:
+    the index survives multiple probes."""
+    import uuid
+
+    from pyspark.sql import functions as F_
+
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        ann_against_index,
+        build_ivf_index,
+        drop_ivf_index,
+        ivf_topk,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F_.col("vec_id") % 50 == 0)
+    want = {tuple(r) for r in ivf_topk(emb, queries, k=5).collect()}
+    name = f"opfpg_ivf_test_{uuid.uuid4().hex}"
+    try:
+        build_ivf_index(emb, name)
+        got = {tuple(r) for r in ann_against_index(queries, name, k=5).collect()}
+        assert got == want and len(want) > 0
+        # second probe against the SAME index (the amortization point)
+        q2 = emb.where(F_.col("vec_id") % 75 == 0)
+        got2 = {tuple(r) for r in ann_against_index(q2, name, k=5).collect()}
+        want2 = {tuple(r) for r in ivf_topk(emb, q2, k=5).collect()}
+        assert got2 == want2 and len(want2) > 0
+    finally:
+        drop_ivf_index(spark, name)
+
+
+def test_knn_ivf_index_registry_drops_tables(spark):
+    from optimal_parallel_fp_growth_spark.queries_vectors import q_knn_ivf_index
+
+    before = {t.name for t in spark.catalog.listTables()}
+    out = q_knn_ivf_index(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    assert {t.name for t in spark.catalog.listTables()} == before
