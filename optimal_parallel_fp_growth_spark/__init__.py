@@ -8,6 +8,11 @@ Reference parity citations use paths relative to /root/reference/.
 """
 
 from optimal_parallel_fp_growth_spark.operators.asof import asof_join_last_event
+from optimal_parallel_fp_growth_spark.operators.bloom import (
+    bloom_anti_join,
+    bloom_build,
+    bloom_semi_join,
+)
 from optimal_parallel_fp_growth_spark.operators.dedup import (
     decontaminate,
     dedup_exact,
@@ -95,6 +100,9 @@ __all__ = [
     "FPGrowthModel",
     "read_baskets_text",
     "dedup_exact",
+    "bloom_build",
+    "bloom_anti_join",
+    "bloom_semi_join",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

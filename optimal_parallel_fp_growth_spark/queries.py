@@ -449,6 +449,8 @@ _DRIVER_PRIORITY: list[str] = [
     # deployment paths, the new exact-tier ngram row,
     # dedup_ngram_jaccard whose DEFAULT flipped to auto-max_df, and
     # the real-header-decode round trip
+    "bloom_decontaminate",
+    "bloom_user_filter",
     "kmeans_arrow",
     "semdedup_arrow",
     "dedup_ngram_jaccard",
@@ -497,13 +499,16 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_order_counts",
     "top_supplier",
     "idle_rich_customers",
-    # tier 3 — r04-green canaries (core mining + heaviest plans);
-    # apriori_rules/dedup_simhash/transform/assoc_rules/freq_itemsets/
-    # dedup_minhash_lsh ceded slots to the tier-1 rows (all r04-green
-    # and pytest-pinned; tier-1 dedup_incremental exercises the same
-    # minhash signature+band machinery under its own oracle).
-    # dedup_clusters stays — the CC default changed this round (auto
-    # bucketed dispatch) and must be driver-verified.
+    # tier 3 — r04-green canary (core mining) + two just-past-window
+    # rows. apriori_rules/dedup_simhash/transform/assoc_rules/
+    # freq_itemsets/dedup_minhash_lsh ceded slots to the tier-1 rows
+    # (all r04-green and pytest-pinned; tier-1 dedup_incremental
+    # exercises the same minhash signature+band machinery under its
+    # own oracle). dedup_clusters / supplier_pagerank ceded their
+    # canary slots to the round-5 bloom entries: both r04-green
+    # (staleness ≤ 1 round holds without an r5 sample) and their
+    # changed defaults are pinned by bucketed-equality differential
+    # tests; at positions 51-52 they lead the r6 rotation.
     "freq_itemsets_pfp",
     "dedup_clusters",
     "supplier_pagerank",

@@ -81,6 +81,44 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as a bloom-pruned SEMI join: ids of training
+    documents (doc_id % 50 != 0) sharing at least one word trigram with
+    the eval set. The corpus-side posting stream is prefiltered by a
+    broadcast Bloom bitmap over the eval shingles — only suspect
+    postings reach the exact membership join, so the output is exact
+    for any fpp while the corpus never shuffles."""
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        tag_cached_inputs,
+    )
+    from optimal_parallel_fp_growth_spark.operators.bloom import bloom_semi_join
+
+    # Two load-bearing details. (1) The fixture is one parquet split,
+    # which would serialize the tokenize→shingle chain; a real 100 TB
+    # input fans out at the scan, so re-split the raw docs (a few MB
+    # here) to get the cluster-shaped stage. (2) Persist the shingle
+    # frame: it feeds three subtrees (train probe, bloom build,
+    # verify keys), and the persist barrier also stops
+    # InferFiltersFromGenerate from inlining the full shingle
+    # expression into a filter UNDER the exchange — which would
+    # re-tokenize quadratically inside the serial scan task (the
+    # `_doc_shingles` O(tokens²) hazard, measured 6.7 s of the
+    # original 15.9 s).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = dedup._doc_shingles(docs, "text", 3)
+    sh.persist()
+    train = sh.where(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    ev = sh.where(F.col("doc_id") % 50 == 0).select(
+        F.explode("sh").alias("shingle")
+    )
+    hit = bloom_semi_join(train, ev, "shingle", fpp=0.01, broadcast_verify=True)
+    return tag_cached_inputs(hit.select("doc_id").distinct(), sh)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -640,6 +678,19 @@ HAVING count(*) >= 2
 
 # trigrams: valid 1-based starts are 1..len-2, range() is end-exclusive,
 # greatest(...,1) makes short docs contribute an empty range.
+ORACLE_BLOOM_DECONTAMINATE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh3 AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                        FOR i IN range(1, len(toks) - 1)])
+                    ELSE [] END AS sh
+        FROM t),
+tp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh3 WHERE doc_id % 50 <> 0),
+ep AS (SELECT unnest(sh) AS shingle FROM sh3 WHERE doc_id % 50 = 0)
+SELECT DISTINCT doc_id FROM tp WHERE shingle IN (SELECT shingle FROM ep)
+"""
+
 ORACLE_NGRAM_COUNTS = """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 grams AS (SELECT array_to_string(t[i : i+2], ' ') AS gram
@@ -854,6 +905,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "pii_stats": q_pii_stats,
     "decontaminate": q_decontaminate,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -890,6 +942,7 @@ DOC_ORACLES: dict[str, str] = {
     "pack_sequences": ORACLE_PACKS,
     "pii_stats": ORACLE_PII_STATS,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

@@ -395,7 +395,43 @@ FROM t
 WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC, user_id ASC)
 """
 
+def q_bloom_user_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering as a bloom-pruned ANTI join: drop every
+    event of users who ever logged an error with value > 200, then
+    aggregate survivors per type. The event stream is prefiltered by a
+    broadcast Bloom bitmap over the blocked user ids; only
+    bloom-suspect rows reach the exact anti join, and false positives
+    are removed there — output exact for any fpp."""
+    from optimal_parallel_fp_growth_spark.operators.bloom import bloom_anti_join
+
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    blocked = ev.where(
+        (F.col("event_type") == "error") & (F.col("value") > 200)
+    ).select("user_id")
+    kept = bloom_anti_join(ev, blocked, "user_id", fpp=0.01)
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+ORACLE_BLOOM_USER_FILTER = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 6) AS sum_value
+FROM events
+WHERE user_id NOT IN (SELECT user_id FROM events
+                      WHERE event_type = 'error' AND value > 200)
+GROUP BY 1
+"""
+
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bloom_user_filter": q_bloom_user_filter,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "events_user_quartiles": q_events_user_quartiles,
@@ -436,6 +472,7 @@ GROUP BY CUBE (hour, event_type)
 """
 
 EVENT_ORACLES: dict[str, str] = {
+    "bloom_user_filter": ORACLE_BLOOM_USER_FILTER,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "events_user_quartiles": ORACLE_USER_QUARTILES,

