@@ -13,6 +13,11 @@ from optimal_parallel_fp_growth_spark.operators.bloom import (
     bloom_build,
     bloom_semi_join,
 )
+from optimal_parallel_fp_growth_spark.operators.sketches import (
+    sketch_distinct,
+    sketch_estimate,
+    sketch_rollup,
+)
 from optimal_parallel_fp_growth_spark.operators.dedup import (
     decontaminate,
     dedup_exact,
@@ -103,6 +108,9 @@ __all__ = [
     "bloom_build",
     "bloom_anti_join",
     "bloom_semi_join",
+    "sketch_distinct",
+    "sketch_rollup",
+    "sketch_estimate",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

@@ -451,6 +451,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the real-header-decode round trip
     "bloom_decontaminate",
     "bloom_user_filter",
+    "events_distinct_sketch",
     "kmeans_arrow",
     "semdedup_arrow",
     "dedup_ngram_jaccard",
@@ -499,16 +500,17 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_order_counts",
     "top_supplier",
     "idle_rich_customers",
-    # tier 3 — r04-green canary (core mining) + two just-past-window
-    # rows. apriori_rules/dedup_simhash/transform/assoc_rules/
-    # freq_itemsets/dedup_minhash_lsh ceded slots to the tier-1 rows
-    # (all r04-green and pytest-pinned; tier-1 dedup_incremental
-    # exercises the same minhash signature+band machinery under its
-    # own oracle). dedup_clusters / supplier_pagerank ceded their
-    # canary slots to the round-5 bloom entries: both r04-green
-    # (staleness ≤ 1 round holds without an r5 sample) and their
-    # changed defaults are pinned by bucketed-equality differential
-    # tests; at positions 51-52 they lead the r6 rotation.
+    # tier 3 — just past the window, leading the r6 rotation. All
+    # r04-green (staleness ≤ 1 round holds without an r5 sample):
+    # the canary slots (freq_itemsets_pfp core mining, dedup_clusters,
+    # supplier_pagerank) ceded to the round-5 entries above — the
+    # changed CC/pagerank defaults are pinned by bucketed-equality
+    # differential tests, and apriori_rules/dedup_simhash/transform/
+    # assoc_rules/freq_itemsets/dedup_minhash_lsh stay pytest-pinned
+    # (tier-1 dedup_incremental exercises the same minhash
+    # signature+band machinery under its own oracle). Any further
+    # operator added late in round 5 queues BEHIND these three so the
+    # 39 r03-stale rows above keep their window slots.
     "freq_itemsets_pfp",
     "dedup_clusters",
     "supplier_pagerank",

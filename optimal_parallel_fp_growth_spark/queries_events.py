@@ -430,8 +430,47 @@ GROUP BY 1
 """
 
 
+def q_events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user stats from a mergeable sketch table: fold events
+    into per-(event_type, day) HLL sketches, then roll the dailies up
+    to per-type totals WITHOUT rescanning rows — the incremental
+    corpus-stats pattern (daily sketch rows persist; any coarser
+    rollup is a union of bytes). At the driver's sf0.01 the user
+    cardinality (150) is under the Datasketches coupon threshold, so
+    the sketch is in exact mode and the oracle pins the TRUE distinct
+    count; the estimating regime is envelope-tested in
+    tests/test_sketches.py."""
+    from optimal_parallel_fp_growth_spark.operators.sketches import (
+        sketch_distinct,
+        sketch_rollup,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    dailies = sketch_distinct(ev, ["event_type", "day"], "user_id")
+    return sketch_rollup(dailies, ["event_type"]).select(
+        "event_type",
+        F.col("est_distinct").alias("est_users"),
+        "n_rows",
+        F.col("n_sketches").alias("n_days"),
+    )
+
+
+ORACLE_EVENTS_DISTINCT_SKETCH = """
+SELECT event_type,
+       count(DISTINCT user_id) AS est_users,
+       count(*) AS n_rows,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days
+FROM events
+GROUP BY 1
+"""
+
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_user_filter": q_bloom_user_filter,
+    "events_distinct_sketch": q_events_distinct_sketch,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "events_user_quartiles": q_events_user_quartiles,
@@ -473,6 +512,7 @@ GROUP BY CUBE (hour, event_type)
 
 EVENT_ORACLES: dict[str, str] = {
     "bloom_user_filter": ORACLE_BLOOM_USER_FILTER,
+    "events_distinct_sketch": ORACLE_EVENTS_DISTINCT_SKETCH,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "events_user_quartiles": ORACLE_USER_QUARTILES,

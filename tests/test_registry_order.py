@@ -26,6 +26,7 @@ MUST_BE_IN_WINDOW = {
     # added or semantics-changed in round 5
     "bloom_decontaminate",
     "bloom_user_filter",
+    "events_distinct_sketch",
     "kmeans_arrow",
     "semdedup_arrow",
     "dedup_ngram_jaccard",
@@ -83,23 +84,18 @@ def test_stale_and_new_entries_lead_the_registry():
     assert not missing, f"stale/new entries outside window: {sorted(missing)}"
 
 
-def test_window_keeps_regression_canaries():
-    # core mining stays driver-watched every round
-    head = set(list(Q.QUERIES)[:WINDOW])
-    # kmeans/semdedup ceded canary slots to their Arrow twins in
-    # MUST_BE_IN_WINDOW (same oracles; SQL==Arrow pinned by pytest)
-    # transform/assoc_rules ceded slots to tier-1 multimodal_decode /
-    # supplier_pagerank_bucketed (both r04-green; semantics pinned by
-    # test_transform_udf_parity + the mllib rules crosscheck)
-    # dedup_clusters / supplier_pagerank ceded their canary slots to
-    # the round-5 bloom entries: both are r04-green (staleness stays
-    # ≤ 1 round without an r5 sample) and their changed defaults are
-    # pinned by bucketed-equality differential tests; they rotate back
-    # in next round.
-    canaries = {
+def test_r04_green_trio_leads_r6_rotation():
+    # Every canary slot ceded to round-5 entries (all three are
+    # r04-green, so staleness stays ≤ 1 round without an r5 sample;
+    # changed CC/pagerank defaults are pinned by bucketed-equality
+    # differential tests). They must sit IMMEDIATELY past the window
+    # so they lead the r6 rotation.
+    order = list(Q.QUERIES)
+    assert order[WINDOW : WINDOW + 3] == [
         "freq_itemsets_pfp",
-    }
-    assert canaries <= head, f"canaries outside window: {sorted(canaries - head)}"
+        "dedup_clusters",
+        "supplier_pagerank",
+    ]
 
 
 def test_queries_and_oracles_share_order_and_keys():
