@@ -87,6 +87,7 @@ from optimal_parallel_fp_growth_spark.operators.funnels import (
     funnel_counts,
 )
 from optimal_parallel_fp_growth_spark.operators.textops import (
+    gopher_rules,
     doc_fingerprint,
     lang_id,
     quality_score,
@@ -146,6 +147,7 @@ __all__ = [
     "drop_ivf_index",
     "embedding_neardup_pairs",
     "text_stats",
+    "gopher_rules",
     "quality_score",
     "lang_id",
     "doc_fingerprint",

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.functions.text import (
+    EN_STOPWORDS,
     LANG_MARKERS,
     digit_ratio,
     marker_hits,
@@ -74,6 +75,57 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("__toks", tokens(text_col)).select(
         "doc_id",
         F.when(best["neg_hits"] < 0, best["lang"]).otherwise("und").alias("lang_pred"),
+    )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 25,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1
+    heuristics, adapted to whitespace tokens): per-rule verdicts plus
+    the conjunctive ``keep`` flag, one codegen'd projection — no
+    shuffle, no Python, applied before any expensive dedup stage.
+
+    Rules: word count in [min,max]; mean word length in [min,max];
+    ≥ ``min_alpha_ratio`` of words contain an alphabetic character;
+    ≥ ``min_stopword_hits`` English function words (the Gopher
+    "contains 2 of the/be/to/of/and/…" rule — language-gate English
+    corpora, or lower to 0 for multilingual); distinct-word ratio ≥
+    ``min_distinct_ratio`` (the cheap one-pass repetition rule; the
+    full top-k-gram family lives in :func:`repetition_signals`).
+    → (doc_id, n_words, pass_word_count, pass_word_len, pass_alpha,
+    pass_stopwords, pass_dup, keep)."""
+    t = F.col("__toks")
+    n = F.size(t)
+    mean_wl = (F.length(text_col) - n + 1) / F.greatest(n, F.lit(1))
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / F.greatest(
+        n, F.lit(1)
+    )
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1))
+    flags = {
+        "pass_word_count": (n >= min_words) & (n <= max_words),
+        "pass_word_len": (mean_wl >= min_word_len) & (mean_wl <= max_word_len),
+        "pass_alpha": alpha >= min_alpha_ratio,
+        "pass_stopwords": stop_hits >= min_stopword_hits,
+        "pass_dup": distinct_ratio >= min_distinct_ratio,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.withColumn("__toks", tokens(text_col)).select(
+        "doc_id",
+        n.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
     )
 
 

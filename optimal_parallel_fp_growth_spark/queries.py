@@ -514,6 +514,10 @@ _DRIVER_PRIORITY: list[str] = [
     "freq_itemsets_pfp",
     "dedup_clusters",
     "supplier_pagerank",
+    # tier 4 — operators added late in round 5 (after the window
+    # filled): oracle-gated and pytest-verified now, first driver
+    # sample in r6 right behind the trio above.
+    "gopher_rules",
 ]
 
 

@@ -119,6 +119,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_cached_inputs(hit.select("doc_id").distinct(), sh)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate over the corpus: per-rule verdicts +
+    conjunctive keep, one codegen'd projection."""
+    return textops.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -678,6 +684,31 @@ HAVING count(*) >= 2
 
 # trigrams: valid 1-based starts are 1..len-2, range() is end-exclusive,
 # greatest(...,1) makes short docs contribute an empty range.
+ORACLE_GOPHER_RULES = (
+    _TOKS_CTE
+    + f"""
+SELECT doc_id,
+       len(toks) AS n_words,
+       len(toks) >= 25 AND len(toks) <= 100000 AS pass_word_count,
+       (length(text) - len(toks) + 1) / greatest(len(toks), 1) >= 3.0
+         AND (length(text) - len(toks) + 1) / greatest(len(toks), 1) <= 10.0
+         AS pass_word_len,
+       len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         / greatest(len(toks), 1) >= 0.8 AS pass_alpha,
+       len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) >= 2
+         AS pass_stopwords,
+       len(list_distinct(toks)) / greatest(len(toks), 1) >= 0.3 AS pass_dup,
+       (len(toks) >= 25 AND len(toks) <= 100000)
+         AND ((length(text) - len(toks) + 1) / greatest(len(toks), 1) >= 3.0
+              AND (length(text) - len(toks) + 1) / greatest(len(toks), 1) <= 10.0)
+         AND (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              / greatest(len(toks), 1) >= 0.8)
+         AND (len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) >= 2)
+         AND (len(list_distinct(toks)) / greatest(len(toks), 1) >= 0.3) AS keep
+FROM t
+"""
+)
+
 ORACLE_BLOOM_DECONTAMINATE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh3 AS (SELECT doc_id,
@@ -906,6 +937,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_stats": q_pii_stats,
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "gopher_rules": q_gopher_rules,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -943,6 +975,7 @@ DOC_ORACLES: dict[str, str] = {
     "pii_stats": ORACLE_PII_STATS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
+    "gopher_rules": ORACLE_GOPHER_RULES,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
