@@ -96,7 +96,10 @@ from optimal_parallel_fp_growth_spark.operators.textops import (
     tfidf_top_terms,
     token_quantiles,
 )
-from optimal_parallel_fp_growth_spark.sources.sinks import write_sharded
+from optimal_parallel_fp_growth_spark.sources.sinks import (
+    write_sharded,
+    write_sorted,
+)
 from optimal_parallel_fp_growth_spark.session import get_session
 from optimal_parallel_fp_growth_spark.sources.text import read_baskets_text
 
@@ -138,6 +141,7 @@ __all__ = [
     "source_ngram_overlap",
     "label_centroids",
     "write_sharded",
+    "write_sorted",
     "token_quantiles",
     "cosine_topk",
     "ann_topk",

@@ -26,6 +26,38 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Data-skipping layout: global range partitioning on ``sort_cols``
+    + sort within each partition, one file per range. Files then carry
+    DISJOINT parquet min/max statistics on the sort columns, so a
+    selective re-read filter skips whole row groups/files instead of
+    scanning everything — the linear-clustering half of what Z-ordering
+    buys, for the dominant filter column (time, id range). At 100 TB
+    this is the difference between a range query touching one file
+    range and touching every shard; the range exchange samples the sort
+    key distribution, so skew produces balanced files without manual
+    bounds. Combine with hive ``partition_by`` (coarse pruning at
+    planning time) — this layer prunes WITHIN partitions at read time."""
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (native Spark format; same columnar statistics +
+    predicate-pushdown story as parquet, for ORC-standardized lakes)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV with header; arrays/structs are not CSV-representable — cast
     or json-encode them first."""
@@ -42,6 +74,8 @@ def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame
         return reader.option("header", "true").option("inferSchema", "true").csv(path)
     if fmt == "json":
         return reader.json(path)
+    if fmt == "orc":
+        return reader.orc(path)
     return reader.parquet(path)
 
 

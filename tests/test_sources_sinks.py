@@ -110,3 +110,56 @@ def test_write_sharded_layout_balance_and_determinism(spark, sf_small, tmp_path)
     b = {(r["doc_id"], r["shard"])
          for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
     assert a == b
+
+
+def test_write_sorted_disjoint_file_stats(spark, sf_small, tmp_path):
+    """write_sorted lays files out with DISJOINT min/max ranges on the
+    sort column (the property row-group/file skipping prunes on); a
+    plain write leaves ranges overlapping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from optimal_parallel_fp_growth_spark.sources.sinks import (
+        read_back,
+        write_sorted,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "sorted")
+    write_sorted(docs, out, ("doc_id",), num_files=4)
+
+    def ranges(path):
+        rs = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.read_metadata(f)
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+                "doc_id"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                rs.append((min(mins), max(maxs)))
+        return sorted(rs)
+
+    rs = ranges(out)
+    assert len(rs) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(rs, rs[1:]):
+        assert hi1 < lo2  # strictly disjoint, ascending file ranges
+
+    # roundtrip is lossless
+    back = read_back(spark, out)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+
+    # control: an unsorted multi-file write has overlapping ranges
+    out2 = str(tmp_path / "unsorted")
+    docs.repartition(4).write.parquet(out2)
+    rs2 = ranges(out2)
+    overlaps = sum(1 for (a, b), (c, d) in zip(rs2, rs2[1:]) if b >= c)
+    assert overlaps > 0
