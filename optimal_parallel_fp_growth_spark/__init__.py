@@ -45,6 +45,9 @@ from optimal_parallel_fp_growth_spark.streaming.stateful import (
     funnel_progress_watermarked,
     heavy_hitters_stream,
 )
+from optimal_parallel_fp_growth_spark.streaming.neardup import (
+    streaming_neardup,
+)
 from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth, FPGrowthModel
 from optimal_parallel_fp_growth_spark.operators.ngrams import (
     inverted_index,
@@ -132,6 +135,7 @@ __all__ = [
     "funnel_progress",
     "funnel_progress_watermarked",
     "heavy_hitters_stream",
+    "streaming_neardup",
     "corpus_split",
     "mix_sources",
     "mix_by_temperature",

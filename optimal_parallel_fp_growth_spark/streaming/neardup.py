@@ -1,0 +1,97 @@
+"""Streaming MinHash-LSH near-duplicate suppression
+(``applyInPandasWithState``; engine addition, SURVEY §2.8 family).
+
+The streaming twin of the incremental batch flow
+(``operators/dedup.py::dedup_against_index``): every arriving document
+computes its 16-component minhash signature and banded LSH keys with
+the SAME md5-derived hash family as the batch operators, then each
+band bucket keeps ONE admitted owner in state — later documents
+landing in an owned bucket emit a candidate row
+(doc_id, dup_of, n_agree, band_key), where ``n_agree`` is the count of
+agreeing signature components against the owner (the standard minhash
+estimator numerator: est_jaccard = n_agree / num_hashes). Downstream
+consumers threshold/aggregate candidates per doc (any band, est ≥ τ)
+— the same verify contract as the batch ``verify='signatures'`` tier.
+
+State per bucket is one (owner, 16-long signature) entry — bounded by
+|distinct band buckets|, never by stream length; the one exchange is
+the band-key groupBy. Owner choice is min(doc_id) within the first
+batch that touches a bucket, so a feed ordered by doc_id across
+batches reproduces the batch min-owner exactly
+(``tests/test_streaming_neardup.py`` pins stream == batch); unordered
+feeds get first-batch-wins owners — the usual arrival-order contract
+of streaming dedup (see ``stateful.first_seen_dedup`` notes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from optimal_parallel_fp_growth_spark.operators.dedup import (
+    NUM_BANDS,
+    NUM_HASHES,
+    _band_key_col,
+    minhash_signatures,
+)
+
+NEARDUP_OUTPUT_SCHEMA = "doc_id long, dup_of long, n_agree int, band_key string"
+NEARDUP_STATE_SCHEMA = "owner long, sig array<long>"
+
+
+def _neardup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows: list[tuple[int, list[int]]] = []
+    for pdf in pdfs:
+        for d, s in zip(pdf["doc_id"], pdf["sig"]):
+            rows.append((int(d), [int(x) for x in s]))
+    if not rows:
+        return
+    rows.sort(key=lambda r: r[0])
+    if state.exists:
+        owner, osig = state.get
+        osig = list(osig)
+    else:
+        owner, osig = rows[0]
+        state.update((owner, list(osig)))
+        rows = rows[1:]
+    if not rows:
+        return
+    out = [
+        (d, owner, sum(a == b for a, b in zip(s, osig)), key[0])
+        for d, s in rows
+    ]
+    yield pd.DataFrame(
+        out, columns=["doc_id", "dup_of", "n_agree", "band_key"]
+    )
+
+
+def streaming_neardup(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Near-dup candidate stream over a streaming documents frame
+    (must carry doc_id + ``text_col``). Signature/band computation is
+    the batch operators' codegen'd expression chain (no Python until
+    the per-bucket state step); output rows are LSH candidates with
+    their signature-agreement count — threshold downstream at
+    ``n_agree >= ceil(tau * num_hashes)``."""
+    rows = num_hashes // num_bands
+    sigs = minhash_signatures(docs, text_col, k)
+    bands = sigs.select(
+        "doc_id", "sig", _band_key_col(num_bands, rows).alias("band_key")
+    )
+    return bands.groupBy("band_key").applyInPandasWithState(
+        _neardup_fn,
+        NEARDUP_OUTPUT_SCHEMA,
+        NEARDUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
