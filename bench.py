@@ -225,6 +225,8 @@ def main() -> None:
         "bloom_user_filter",
         "events_distinct_sketch",
         "gopher_rules",
+        "late_order_priorities",
+        "sole_late_suppliers",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

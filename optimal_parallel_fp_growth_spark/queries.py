@@ -518,6 +518,8 @@ _DRIVER_PRIORITY: list[str] = [
     # filled): oracle-gated and pytest-verified now, first driver
     # sample in r6 right behind the trio above.
     "gopher_rules",
+    "late_order_priorities",
+    "sole_late_suppliers",
 ]
 
 

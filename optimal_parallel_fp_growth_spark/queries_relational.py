@@ -914,6 +914,105 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
 GROUP BY c_mktsegment
 """
 
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → semi join): count orders per priority
+    that have at least one lineitem shipped more than 60 days after
+    the order date. The correlated EXISTS (key equality + non-equi
+    date predicate) becomes a LEFT SEMI join with the compound
+    condition — one orderkey shuffle, lineitem projected to two
+    columns before the exchange, priority-bounded aggregate after.
+    Adapted to the trimmed schema (no l_commitdate/l_receiptdate):
+    lateness is shipdate vs orderdate + 60 days."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+ORACLE_LATE_ORDER_PRIORITIES = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+
+def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS pair): for
+    multi-supplier orders, find the supplier who ALONE shipped last —
+    there EXISTS another supplier on the order, and there does NOT
+    EXIST another supplier shipping as late. Decorrelated into two
+    aggregates over ONE orderkey shuffle domain:
+
+    - per-order stats (max shipdate, distinct-supplier count) replace
+      the EXISTS probe (``n_supp >= 2``);
+    - suppliers-at-max per order replace the NOT EXISTS probe
+      (``n_at_max == 1`` keeps exactly the sole-latest supplier —
+      ``max(l_suppkey)`` is then THE supplier).
+
+    The oracle states the literal correlated EXISTS/NOT EXISTS form,
+    so the driver run is a decorrelation differential. Supplier names
+    attach via broadcast; output is the top 20 by waiting count
+    (unique name tiebreak keeps the limit deterministic). Adapted to
+    the trimmed schema: 'kept waiting' is proxied by latest shipdate
+    (no l_receiptdate/commitdate)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    st = l.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    at_max = (
+        l.join(st.where(F.col("n_supp") >= 2), "l_orderkey")
+        .where(F.col("l_shipdate") == F.col("max_ship"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_at_max"),
+            F.max("l_suppkey").alias("l_suppkey"),
+        )
+        .where(F.col("n_at_max") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        at_max.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+ORACLE_SOLE_LATE_SUPPLIERS = """
+WITH sole AS (
+  SELECT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate >= l1.l_shipdate)
+)
+SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+FROM sole JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "supplier_pagerank_bucketed": q_supplier_pagerank_bucketed,
@@ -935,6 +1034,8 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_counts": q_customer_order_counts,
     "top_supplier": q_top_supplier,
     "idle_rich_customers": q_idle_rich_customers,
+    "late_order_priorities": q_late_order_priorities,
+    "sole_late_suppliers": q_sole_late_suppliers,
 }
 
 REL_ORACLES: dict[str, str] = {
@@ -958,4 +1059,6 @@ REL_ORACLES: dict[str, str] = {
     "customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "idle_rich_customers": ORACLE_IDLE_RICH,
+    "late_order_priorities": ORACLE_LATE_ORDER_PRIORITIES,
+    "sole_late_suppliers": ORACLE_SOLE_LATE_SUPPLIERS,
 }

@@ -273,3 +273,45 @@ def test_idle_rich_customers_anti_join_shrinks_build(spark, sf_small):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_late_order_priorities_exists_as_semi_join(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_late_order_priorities,
+    )
+
+    plan = _plan(q_late_order_priorities(spark, sf_small))
+    # the correlated EXISTS runs as ONE LeftSemi join keyed on
+    # orderkey; lineitem is pruned to the two needed columns
+    assert "LeftSemi" in plan
+    for line in plan.splitlines():
+        if "FileScan" in line and "lineitem" in line:
+            assert "l_shipdate" in line and "l_extendedprice" not in line
+
+
+def test_sole_late_suppliers_one_shuffle_domain(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_sole_late_suppliers,
+    )
+
+    plan = _plan(q_sole_late_suppliers(spark, sf_small))
+    # EXISTS/NOT EXISTS pair decorrelates to aggregates over the
+    # orderkey shuffle domain; no correlated re-scan joins survive,
+    # supplier names attach via broadcast
+    assert "BroadcastHashJoin" in plan
+    # the orderkey shuffle family stays bounded: each count(DISTINCT)
+    # expands two-phase ((orderkey,suppkey) pre-distinct + orderkey
+    # final), so two aggregates = 4 exchanges, all map-side combined;
+    # the per-order stats frame broadcasts into the at-max probe
+    # instead of forcing a sort-merge join
+    n_orderkey_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(l_orderkey" in line
+    )
+    assert n_orderkey_exchanges <= 4
+    assert "SortMergeJoin" not in plan
+    # lineitem scan pruned to the three needed columns
+    for line in plan.splitlines():
+        if "FileScan" in line and "lineitem" in line:
+            assert "l_suppkey" in line and "l_extendedprice" not in line
