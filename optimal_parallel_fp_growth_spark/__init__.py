@@ -99,6 +99,7 @@ from optimal_parallel_fp_growth_spark.operators.textops import (
     tfidf_top_terms,
     token_quantiles,
 )
+from optimal_parallel_fp_growth_spark.sources.compact import compact_files
 from optimal_parallel_fp_growth_spark.sources.sinks import (
     write_sharded,
     write_sorted,
@@ -146,6 +147,7 @@ __all__ = [
     "label_centroids",
     "write_sharded",
     "write_sorted",
+    "compact_files",
     "token_quantiles",
     "cosine_topk",
     "ann_topk",
