@@ -58,12 +58,15 @@ def _shingles_of(t: Column, k: int = 2) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _doc_shingles(docs: DataFrame, text_col: str, k: int = 2) -> DataFrame:
-    """→ (doc_id, sh) with tokens materialized behind a projection
-    boundary so the lambda sees an attribute, not the split expression."""
-    return docs.select("doc_id", tokens(text_col).alias("toks")).select(
-        "doc_id", _shingles_of(F.col("toks"), k).alias("sh")
-    )
+def _doc_shingles(
+    docs: DataFrame, text_col: str, k: int = 2, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """→ (doc_id, *keep_cols, sh) with tokens materialized behind a
+    projection boundary so the lambda sees an attribute, not the split
+    expression."""
+    return docs.select(
+        "doc_id", *keep_cols, tokens(text_col).alias("toks")
+    ).select("doc_id", *keep_cols, _shingles_of(F.col("toks"), k).alias("sh"))
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -541,11 +544,15 @@ MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", k: int = 2
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """→ (doc_id, sh: array<string>, sig: array<long>). The signature is
-    computed entirely array-side: zero shuffles, zero Python, one codegen
-    stage over the scan."""
+    """→ (doc_id, *keep_cols, sh: array<string>, sig: array<long>). The
+    signature is computed entirely array-side: zero shuffles, zero
+    Python, one codegen stage over the scan. ``keep_cols`` pass through
+    untouched (e.g. an event-time column for streaming watermarks)."""
     base = F.transform(
         F.col("sh"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
@@ -561,10 +568,10 @@ def minhash_signatures(
         ]
     )
     return (
-        _doc_shingles(docs, text_col, k)
+        _doc_shingles(docs, text_col, k, keep_cols)
         .where(F.size("sh") > 0)
         .withColumn("hs", base)
-        .select("doc_id", "sh", sig.alias("sig"))
+        .select("doc_id", *keep_cols, "sh", sig.alias("sig"))
     )
 
 

@@ -76,22 +76,87 @@ def streaming_neardup(
     k: int = 2,
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
+    ttl: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Near-dup candidate stream over a streaming documents frame
     (must carry doc_id + ``text_col``). Signature/band computation is
     the batch operators' codegen'd expression chain (no Python until
     the per-bucket state step); output rows are LSH candidates with
     their signature-agreement count — threshold downstream at
-    ``n_agree >= ceil(tau * num_hashes)``."""
+    ``n_agree >= ceil(tau * num_hashes)``.
+
+    ``ttl=None`` keeps every bucket owner forever — state grows with
+    |distinct band buckets|. For an unbounded crawl pass
+    ``ttl="30 days"``-style expiry (requires an event-time ``ts_col``):
+    a bucket's owner drops once the watermark passes its last activity
+    + ttl, bounding state to buckets active inside one ttl window —
+    the same exactness-for-boundedness trade as
+    ``first_seen_dedup(ttl=...)``: a near-dup arriving after the gap
+    re-admits as a fresh owner instead of being flagged."""
     rows = num_hashes // num_bands
-    sigs = minhash_signatures(docs, text_col, k)
+    if ttl is None:
+        sigs = minhash_signatures(docs, text_col, k)
+        bands = sigs.select(
+            "doc_id", "sig", _band_key_col(num_bands, rows).alias("band_key")
+        )
+        return bands.groupBy("band_key").applyInPandasWithState(
+            _neardup_fn,
+            NEARDUP_OUTPUT_SCHEMA,
+            NEARDUP_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    from optimal_parallel_fp_growth_spark.streaming.stateful import _duration_ms
+
+    ttl_ms = _duration_ms(ttl)
+    docs = docs.withWatermark(ts_col, watermark)
+    sigs = minhash_signatures(docs, text_col, k, keep_cols=(ts_col,))
     bands = sigs.select(
-        "doc_id", "sig", _band_key_col(num_bands, rows).alias("band_key")
+        "doc_id", ts_col, "sig", _band_key_col(num_bands, rows).alias("band_key")
     )
+
+    def fn_ttl(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last bucket activity + ttl: drop owner
+            state.remove()
+            return
+        rows_: list[tuple[int, list[int]]] = []
+        last_ms = 0
+        for pdf in pdfs:
+            for d, t, s in zip(pdf["doc_id"], pdf[ts_col], pdf["sig"]):
+                rows_.append((int(d), [int(x) for x in s]))
+                last_ms = max(last_ms, int(pd.Timestamp(t).value // 1_000_000))
+        if not rows_:
+            return
+        rows_.sort(key=lambda r: r[0])
+        if state.exists:
+            owner, osig = state.get
+            osig = list(osig)
+        else:
+            owner, osig = rows_[0]
+            rows_ = rows_[1:]
+        # refresh owner + timer on every batch that touches the bucket
+        state.update((owner, list(osig)))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        if not rows_:
+            return
+        out = [
+            (d, owner, sum(a == b for a, b in zip(s, osig)), key[0])
+            for d, s in rows_
+        ]
+        yield pd.DataFrame(
+            out, columns=["doc_id", "dup_of", "n_agree", "band_key"]
+        )
+
     return bands.groupBy("band_key").applyInPandasWithState(
-        _neardup_fn,
+        fn_ttl,
         NEARDUP_OUTPUT_SCHEMA,
         NEARDUP_STATE_SCHEMA,
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )

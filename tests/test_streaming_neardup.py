@@ -100,3 +100,62 @@ def test_cross_batch_state_carries(spark, tmp_path):
         .collect()
     )
     assert all(r["count"] == NUM_BANDS for r in per_clone)
+
+
+def _ts_doc_stream(spark, batches, tmp_path, name):
+    """batches: list of lists of (doc_id, text, ts_str); written as
+    sequential files so each becomes one micro-batch."""
+    dst = str(tmp_path / name)
+    schema = "doc_id long, text string, ts timestamp"
+    for rows in batches:
+        df = spark.createDataFrame(
+            [(d, t, ts) for d, t, ts in rows], "doc_id long, text string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(dst)
+        time.sleep(0.05)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dst)
+    )
+
+
+def _crafted(i):
+    return " ".join(f"w{i}x{j} tok{i}y{j}" for j in range(12))
+
+
+def test_ttl_huge_matches_plain(spark, tmp_path):
+    batches = [
+        [(i, _crafted(i), "2026-01-01 00:00:00") for i in range(6)],
+        [(i + 100, _crafted(i), "2026-01-01 01:00:00") for i in range(6)],
+    ]
+    st = streaming_neardup(
+        _ts_doc_stream(spark, batches, tmp_path, "ttl_huge"), ttl="3650 days"
+    )
+    run_to_memory(st, "neardup_ttl_huge", output_mode="update")
+    flagged = {
+        (r.doc_id, r.dup_of)
+        for r in spark.table("neardup_ttl_huge")
+        .where(F.col("n_agree") == NUM_HASHES)
+        .collect()
+    }
+    assert flagged == {(i + 100, i) for i in range(6)}
+
+
+def test_ttl_expires_and_readmits(spark, tmp_path):
+    """Owner admitted at t0; an unrelated batch at t0+5d advances the
+    watermark past t0+ttl; the NEXT unrelated batch fires the expired
+    timers (a group's timer only fires in a batch where it receives no
+    data); clones at t0+15d then re-admit as fresh owners — NO
+    candidate rows."""
+    batches = [
+        [(i, _crafted(i), "2026-01-01 00:00:00") for i in range(6)],
+        [(50 + i, _crafted(50 + i), "2026-01-06 00:00:00") for i in range(3)],
+        [(60 + i, _crafted(60 + i), "2026-01-11 00:00:00") for i in range(3)],
+        [(i + 100, _crafted(i), "2026-01-16 00:00:00") for i in range(6)],
+    ]
+    st = streaming_neardup(
+        _ts_doc_stream(spark, batches, tmp_path, "ttl_exp"), ttl="1 hour"
+    )
+    run_to_memory(st, "neardup_ttl_exp", output_mode="update")
+    assert spark.table("neardup_ttl_exp").count() == 0
