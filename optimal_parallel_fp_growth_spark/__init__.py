@@ -75,6 +75,10 @@ from optimal_parallel_fp_growth_spark.operators.similarity import (
     ivf_topk,
     label_centroids,
 )
+from optimal_parallel_fp_growth_spark.functions.skew import (
+    salted_agg,
+    salted_join,
+)
 from optimal_parallel_fp_growth_spark.functions.caching import (
     cache_scope,
     release_cached_inputs,
@@ -148,6 +152,8 @@ __all__ = [
     "write_sharded",
     "write_sorted",
     "compact_files",
+    "salted_agg",
+    "salted_join",
     "token_quantiles",
     "cosine_topk",
     "ann_topk",

@@ -53,3 +53,46 @@ def salted_agg(
         ]
     )
     return p2
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: a hot key on the BIG side funnels all its
+    rows through one reducer in a plain shuffle join. Salt the big side
+    (deterministic hash of the whole row's discriminator — here a
+    monotonic id is unnecessary: the join key + xxhash64 of the row's
+    partition offset would not be deterministic, so the salt hashes the
+    big row's OTHER columns via ``xxhash64(struct(*))``), and replicate
+    the small side ``salt_buckets``× so every (key, salt) pair finds
+    its match. The hot key's rows then spread over ``salt_buckets``
+    reducers at the cost of a ``salt_buckets``× small-side blowup —
+    cheap when the small side is dimension-sized but past the broadcast
+    ceiling (the broadcast join needs no salting at all; AQE's runtime
+    skew split handles sort-merge skew when statistics see it — this is
+    the explicit, plan-stable form).
+
+    Supports ``inner`` and ``left`` (big-preserving) joins; output
+    equals the plain join (salting is join-key-complete by
+    construction)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    other = [c for c in big.columns if c != on]
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in other])) if other else F.lit(0),
+        F.lit(salt_buckets),
+    )
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    small_s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    out = big_s.join(small_s, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -116,3 +116,31 @@ def test_plan_big_side_not_exchanged(big, keys):
     # broadcast build — the fact side never partitions
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_property_membership_arbitrary_keys(spark):
+    """Property: for arbitrary unicode key sets, bloom semi/anti joins
+    partition the fact side exactly like the plain joins."""
+    from hypothesis import given, settings, strategies as st
+
+    key_strat = st.lists(
+        st.text(min_size=0, max_size=12), min_size=1, max_size=30
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(members=key_strat, probes=key_strat)
+    def run(members, probes):
+        mdf = spark.createDataFrame([(m,) for m in members], "key string")
+        pdf = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(probes)], "row_id long, key string"
+        )
+        semi = bloom_semi_join(pdf, mdf, "key", fpp=0.05)
+        anti = bloom_anti_join(pdf, mdf, "key", fpp=0.05)
+        got_in = {r.row_id for r in semi.collect()}
+        got_out = {r.row_id for r in anti.collect()}
+        mset = set(members)
+        want_in = {i for i, p in enumerate(probes) if p in mset}
+        assert got_in == want_in
+        assert got_out == set(range(len(probes))) - want_in
+
+    run()

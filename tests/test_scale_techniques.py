@@ -69,3 +69,57 @@ def test_fit_validate_unique_raises(spark):
     except ValueError as e:
         raised = "unique" in str(e)
     assert raised
+
+
+def test_salted_join_matches_plain(spark):
+    from optimal_parallel_fp_growth_spark.functions.skew import salted_join
+
+    # hot key 'k0' carries 80% of the big side
+    big = spark.range(5000).selectExpr(
+        "CASE WHEN id % 5 < 4 THEN 'k0' ELSE concat('k', id % 50) END AS key",
+        "id AS payload",
+    )
+    small = spark.range(50).selectExpr(
+        "concat('k', id) AS key", "id * 10 AS dim_val"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(big, small, "key", salt_buckets=8, how=how)
+        want = big.join(small, "key", how)
+        assert got.count() == want.count()
+        assert (
+            got.select("key", "payload", "dim_val")
+            .exceptAll(want.select("key", "payload", "dim_val"))
+            .count()
+            == 0
+        )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from optimal_parallel_fp_growth_spark.functions.skew import (
+        deterministic_salt,
+        salted_join,
+    )
+    from pyspark.sql import functions as F
+
+    big = spark.range(4000).selectExpr("'hot' AS key", "id AS payload")
+    # the salt column actually fans the hot key over many buckets
+    salted = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.struct(F.col("payload"))), F.lit(8)).cast("int"),
+    )
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets == 8
+
+    small = spark.range(1).selectExpr("'hot' AS key", "id AS dim_val")
+    got = salted_join(big, small, "key", salt_buckets=8)
+    assert got.count() == 4000
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest as _pytest
+
+    from optimal_parallel_fp_growth_spark.functions.skew import salted_join
+
+    big = spark.range(10).selectExpr("'k' AS key", "id AS v")
+    with _pytest.raises(ValueError):
+        salted_join(big, big, "key", how="full")
