@@ -107,6 +107,8 @@ from optimal_parallel_fp_growth_spark.sources.compact import compact_files
 from optimal_parallel_fp_growth_spark.sources.sinks import (
     write_sharded,
     write_sorted,
+    write_zordered,
+    zorder_key,
 )
 from optimal_parallel_fp_growth_spark.session import get_session
 from optimal_parallel_fp_growth_spark.sources.text import read_baskets_text
@@ -151,6 +153,8 @@ __all__ = [
     "label_centroids",
     "write_sharded",
     "write_sorted",
+    "write_zordered",
+    "zorder_key",
     "compact_files",
     "salted_agg",
     "salted_join",

@@ -52,6 +52,74 @@ def write_sorted(
     )
 
 
+def zorder_key(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    bits: int = 10,
+):
+    """Morton (Z-order) interleave key over 2+ numeric columns as a
+    pure codegen expression: each column min-max-normalizes into a
+    ``bits``-bit bucket (one tiny driver-side agg for the bounds), and
+    the buckets' bits interleave into one long. Sorting by this key
+    clusters the data so EVERY listed column's per-file min/max range
+    is narrow — multi-dimensional data skipping, where a single-column
+    sort only clusters its first key. Equal-width bucketing is
+    deliberate (rank-based bucketing needs a global sort just to
+    bucket); heavy skew in a column costs resolution in that dimension
+    only."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs >= 2 columns; use write_sorted for 1")
+    if bits * n > 62:
+        raise ValueError(f"bits*len(cols) must fit a long, got {bits}*{n}")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    bucket_cols = []
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        norm = (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+        bucket_cols.append(
+            F.least(F.floor(norm * (top + 1)).cast("long"), F.lit(top))
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, bc in enumerate(bucket_cols):
+            z = z + F.shiftleft(
+                F.shiftright(bc, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    bits: int = 10,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet layout: range-partition + sort on the
+    Morton key of ``cols``, so selective filters on ANY of the listed
+    columns skip most files/row groups (each file covers a small
+    hyper-rectangle of the key space). The multi-column counterpart of
+    :func:`write_sorted`."""
+    z = zorder_key(df, cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (native Spark format; same columnar statistics +
     predicate-pushdown story as parquet, for ORC-standardized lakes)."""

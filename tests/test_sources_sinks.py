@@ -163,3 +163,63 @@ def test_write_sorted_disjoint_file_stats(spark, sf_small, tmp_path):
     rs2 = ranges(out2)
     overlaps = sum(1 for (a, b), (c, d) in zip(rs2, rs2[1:]) if b >= c)
     assert overlaps > 0
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    """Z-order files each cover a small rectangle of (x, y) space; a
+    plain x-sort leaves y unclustered (full-range per file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from optimal_parallel_fp_growth_spark.sources.sinks import (
+        write_sorted,
+        write_zordered,
+    )
+
+    grid = spark.range(10000).selectExpr(
+        "CAST(id % 100 AS LONG) AS x", "CAST(id DIV 100 AS LONG) AS y"
+    )
+
+    def coverage(path, col):
+        fracs = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            mins = [md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)]
+            fracs.append((max(maxs) - min(mins)) / 99.0)
+        return sum(fracs) / len(fracs)
+
+    zp = str(tmp_path / "zord")
+    write_zordered(grid, zp, ("x", "y"), bits=7, num_files=16)
+    sp = str(tmp_path / "xsort")
+    write_sorted(grid, sp, ("x",), num_files=16)
+
+    # both dimensions cluster under z-order…
+    assert coverage(zp, "x") < 0.6
+    assert coverage(zp, "y") < 0.6
+    # …while the x-sort clusters x tightly but leaves y full-range
+    assert coverage(sp, "x") < 0.2
+    assert coverage(sp, "y") > 0.9
+
+    # lossless
+    back = spark.read.parquet(zp)
+    assert back.count() == 10000
+    assert back.selectExpr("sum(x) AS s").collect()[0].s == grid.selectExpr(
+        "sum(x) AS s"
+    ).collect()[0].s
+
+
+def test_zorder_key_validation(spark):
+    import pytest as _pytest
+
+    from optimal_parallel_fp_growth_spark.sources.sinks import zorder_key
+
+    df = spark.range(10).selectExpr("id AS x", "id AS y")
+    with _pytest.raises(ValueError):
+        zorder_key(df, ("x",))
+    with _pytest.raises(ValueError):
+        zorder_key(df, ("x", "y"), bits=40)
