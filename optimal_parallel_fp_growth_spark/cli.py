@@ -16,6 +16,10 @@ baskets, mine, print timing + rules to stdout.
         --quality-min 0.5 --threshold 0.5 --budget 256
     python -m optimal_parallel_fp_growth_spark.cli cluster emb.parquet out.parquet \
         --k 8 --n-iter 2 [--semdedup-threshold 0.4]
+    python -m optimal_parallel_fp_growth_spark.cli compact table_dir \
+        --target-mb 128 [--sorted-by col1,col2]
+    python -m optimal_parallel_fp_growth_spark.cli quality in.parquet out.parquet \
+        --min-words 25 [--keep-only]
 
 ``recommend`` is the reference's ``transform(spark)`` demo overload
 (pfp/FPGrowth.scala:124-148): predict over the distinct antecedents of
@@ -73,6 +77,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--quality-min", type=float, default=0.5)
     c.add_argument("--threshold", type=float, default=0.5)
     c.add_argument("--budget", type=int, default=256)
+    cp = sub.add_parser("compact")
+    cp.add_argument("path")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--sorted-by", default=None,
+                    help="comma-separated sort columns for a clustered rewrite")
+    q = sub.add_parser("quality")
+    q.add_argument("input")
+    q.add_argument("output")
+    q.add_argument("--text-col", default="text")
+    q.add_argument("--min-words", type=int, default=25)
+    q.add_argument("--keep-only", action="store_true",
+                   help="write only keep=true rows (default: annotate all)")
     k = sub.add_parser("cluster")
     k.add_argument("input")
     k.add_argument("output")
@@ -127,6 +143,50 @@ def main(argv: list[str] | None = None) -> int:
             n_in, n_out = docs.count(), out.count()
             print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
             print(f"packed {n_out} / {n_in} documents")
+            return 0
+
+        if args.cmd == "compact":
+            from optimal_parallel_fp_growth_spark.sources.compact import (
+                compact_files,
+            )
+
+            t0 = time.perf_counter()
+            stats = compact_files(
+                spark,
+                args.path,
+                target_mb=args.target_mb,
+                sorted_by=tuple(args.sorted_by.split(","))
+                if args.sorted_by
+                else (),
+            )
+            print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
+            print(
+                f"compacted {stats['files_before']} -> {stats['files_after']} "
+                f"files ({stats['bytes']} bytes)"
+            )
+            return 0
+
+        if args.cmd == "quality":
+            from optimal_parallel_fp_growth_spark.operators.textops import (
+                gopher_rules,
+            )
+
+            docs = spark.read.parquet(args.input)
+            t0 = time.perf_counter()
+            verdicts = gopher_rules(
+                docs, text_col=args.text_col, min_words=args.min_words
+            )
+            if args.keep_only:
+                out = docs.join(
+                    verdicts.where("keep").select("doc_id"), "doc_id", "left_semi"
+                )
+            else:
+                out = docs.join(verdicts.drop("n_words"), "doc_id")
+            out.write.mode("overwrite").parquet(args.output)
+            n_in = docs.count()
+            n_keep = verdicts.where("keep").count()
+            print(f"Elapsed time: {int((time.perf_counter() - t0) * 1000)} ms")
+            print(f"keep {n_keep} / {n_in} documents")
             return 0
 
         if args.cmd == "cluster":

@@ -131,3 +131,36 @@ def test_cli_cluster_semdedup(spark, sf_small, tmp_path, capsys):
     out = spark.read.parquet(dst)
     assert out.columns == ["vec_id", "cluster", "kept"]
     assert out.where("NOT kept").count() > 0
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    import glob
+
+    from optimal_parallel_fp_growth_spark.cli import main
+
+    src = str(tmp_path / "frag_table")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(
+        20
+    ).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 20
+    rc = main(["compact", src, "--target-mb", "128"])
+    assert rc == 0
+    assert len(glob.glob(f"{src}/*.parquet")) <= 2
+    assert spark.read.parquet(src).count() == 1000
+    assert "compacted 20 ->" in capsys.readouterr().out
+
+
+def test_cli_quality(spark, tmp_path, capsys):
+    from optimal_parallel_fp_growth_spark.cli import main
+
+    src = str(tmp_path / "q_in.parquet")
+    dst = str(tmp_path / "q_out.parquet")
+    good = ("the quick brown fox jumps over the lazy dog and it is glad " * 3).strip()
+    spark.createDataFrame(
+        [(1, good), (2, "too short")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(src)
+    rc = main(["quality", src, dst, "--keep-only"])
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(dst).collect()}
+    assert kept == {1}
+    assert "keep 1 / 2" in capsys.readouterr().out
