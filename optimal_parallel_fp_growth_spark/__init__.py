@@ -74,6 +74,7 @@ from optimal_parallel_fp_growth_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     label_centroids,
+    random_projection,
 )
 from optimal_parallel_fp_growth_spark.functions.skew import (
     salted_agg,
@@ -164,6 +165,7 @@ __all__ = [
     "ivf_topk",
     "build_ivf_index",
     "ann_against_index",
+    "random_projection",
     "drop_ivf_index",
     "embedding_neardup_pairs",
     "text_stats",

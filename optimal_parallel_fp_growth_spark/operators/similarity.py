@@ -547,3 +547,46 @@ def label_centroids(
     return pe.groupBy("label", "pos").agg(
         F.avg("v").alias("mean_val"), F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimension reduction: project each vector
+    through a deterministic ±1/sqrt(out_dim) sign matrix (Achlioptas
+    2003 — JL guarantees hold with the sign ensemble, no Gaussians
+    needed). → (vec_id, *keep_cols, proj: array<double>).
+
+    Scale stance: the reduced vectors are what ANN/dedup stages then
+    SHUFFLE — at 100 TB cutting 64→16 dims cuts every downstream
+    vector exchange 4×, while JL bounds pairwise-distance distortion
+    by ~sqrt(log n / out_dim). The projection itself is a shuffle-free
+    codegen projection: out_dim dot products against broadcast-literal
+    sign rows (same driver-side-literals pattern as k-means
+    centroids); the matrix is seeded-deterministic, so re-runs, task
+    retries, and the DuckDB twin all see the same R."""
+    import numpy as np
+
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("random_projection: empty input")
+    in_dim = first["d"]
+    rng = np.random.default_rng(seed)
+    scale = 1.0 / float(np.sqrt(out_dim))
+    R = rng.choice((-scale, scale), size=(out_dim, in_dim))
+    v = _as_double(F.col(vec_col))
+    prepared = emb.select(
+        F.col(id_col).alias("vec_id"), *keep_cols, v.alias("__v")
+    )
+    proj = F.array(
+        *[
+            _dot(F.col("__v"), F.array(*[F.lit(float(x)) for x in row]))
+            for row in R
+        ]
+    )
+    return prepared.select("vec_id", *keep_cols, proj.alias("proj"))

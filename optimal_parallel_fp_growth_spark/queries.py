@@ -520,6 +520,7 @@ _DRIVER_PRIORITY: list[str] = [
     "gopher_rules",
     "late_order_priorities",
     "sole_late_suppliers",
+    "random_projection",
 ]
 
 

@@ -355,7 +355,55 @@ ORACLE_SEMDEDUP = _oracle_kmeans_cte(KMEANS_K, KMEANS_ITER) + _SEMDEDUP_TAIL
 
 ORACLE_SEMDEDUP_AUTO = _oracle_kmeans_cte(_AUTO_K_LIMIT, KMEANS_ITER) + _SEMDEDUP_TAIL
 
+RP_DIM = 8
+RP_SEED = 5
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-matrix projection 64→8 dims, long layout (vec_id, pos,
+    val rounded to 1e-6) so the float compare is oracle-safe. The
+    DuckDB twin embeds the SAME seeded sign matrix as literals, so the
+    comparison pins the whole transform including R."""
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        random_projection,
+    )
+
+    proj = random_projection(
+        load_table(spark, sf_dir, "embeddings"), RP_DIM, seed=RP_SEED
+    )
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("pos", "val")
+    ).select("vec_id", "pos", F.round("val", 6).alias("val"))
+
+
+def _rp_matrix_sql() -> str:
+    """The same R as random_projection(seed=RP_SEED) — numpy is the
+    single source of truth; literals are exact (±1/sqrt(8) renders as
+    repr of the double)."""
+    import numpy as np
+
+    rng = np.random.default_rng(RP_SEED)
+    scale = 1.0 / float(np.sqrt(RP_DIM))
+    R = rng.choice((-scale, scale), size=(RP_DIM, 64))
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in R
+    )
+    return "[" + rows + "]"
+
+
+ORACLE_RANDOM_PROJECTION = f"""
+WITH p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+r AS (SELECT {_rp_matrix_sql()} AS m),
+proj AS (SELECT vec_id, g.pos - 1 AS pos,
+                round(list_dot_product(v, m[g.pos]), 6) AS val
+         FROM p, r, LATERAL (SELECT unnest(range(1, {RP_DIM} + 1)) AS pos) g)
+SELECT vec_id, pos::INT AS pos, val FROM proj
+"""
+
+
 VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "random_projection": q_random_projection,
     "knn_cosine": q_knn_cosine,
     "knn_ann": q_knn_ann,
     "knn_ivf": q_knn_ivf,
@@ -371,6 +419,7 @@ VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 VEC_ORACLES: dict[str, str] = {
+    "random_projection": ORACLE_RANDOM_PROJECTION,
     "knn_cosine": ORACLE_KNN_COSINE,
     "knn_ann": ORACLE_KNN_ANN,
     "knn_ivf": ORACLE_KNN_IVF,

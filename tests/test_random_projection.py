@@ -1,0 +1,84 @@
+"""JL random projection (operators/similarity.py::random_projection):
+determinism, numpy ground-truth equality, distance-distortion
+envelope, and the shuffle-free plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.operators.similarity import (
+    random_projection,
+)
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings")
+
+
+def _np_vectors(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    return {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+
+def test_matches_numpy_ground_truth(emb):
+    got = {
+        r.vec_id: np.array(r.proj)
+        for r in random_projection(emb, 16, seed=7).collect()
+    }
+    vecs = _np_vectors(emb)
+    rng = np.random.default_rng(7)
+    scale = 1.0 / np.sqrt(16)
+    R = rng.choice((-scale, scale), size=(16, 64))
+    for vid, v in vecs.items():
+        np.testing.assert_allclose(got[vid], R @ v, rtol=1e-9, atol=1e-9)
+
+
+def test_deterministic_across_runs(emb):
+    a = {r.vec_id: tuple(r.proj) for r in random_projection(emb, 8, seed=3).collect()}
+    b = {r.vec_id: tuple(r.proj) for r in random_projection(emb, 8, seed=3).collect()}
+    assert a == b
+    c = {r.vec_id: tuple(r.proj) for r in random_projection(emb, 8, seed=4).collect()}
+    assert a != c
+
+
+def test_distance_distortion_envelope(emb):
+    """JL: pairwise distances survive 64→24 dims within modest
+    distortion for most pairs (sampled)."""
+    vecs = _np_vectors(emb)
+    got = {
+        r.vec_id: np.array(r.proj)
+        for r in random_projection(emb, 24, seed=1).collect()
+    }
+    ids = sorted(vecs)[:40]
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = np.linalg.norm(vecs[a] - vecs[b])
+        d1 = np.linalg.norm(got[a] - got[b])
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    med = float(np.median(ratios))
+    assert 0.7 < med < 1.3
+    assert sum(1 for r in ratios if 0.5 < r < 1.5) >= 0.9 * len(ratios)
+
+
+def test_plan_is_shuffle_free(emb):
+    plan = (
+        random_projection(emb, 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        random_projection(df, 8)
