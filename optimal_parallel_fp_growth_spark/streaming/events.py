@@ -67,6 +67,61 @@ def windowed_counts(
     )
 
 
+def windowed_distinct_sketch(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 day",
+    lgk: int = 12,
+) -> DataFrame:
+    """Tumbling-window APPROX distinct users per event_type via the
+    same mergeable HLL sketches as ``operators/sketches.py`` — the
+    streaming member of the sketch-table family. State per open window
+    is one ~2^lgk-byte sketch per (window, event_type), merged
+    incrementally across micro-batches by the streaming aggregation;
+    an exact streaming count(DISTINCT) would instead have to hold the
+    full per-window user SET in state (unbounded per key) — which
+    Structured Streaming rejects outright. Below the coupon threshold
+    the estimate is exact (same property the batch oracle pins).
+    → (window_start_epoch, event_type, est_users, n_events)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(lgk))
+            ).alias("est_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "est_users",
+            "n_events",
+        )
+    )
+
+
+def batch_windowed_distinct(
+    events: DataFrame, window: str = "6 hours"
+) -> DataFrame:
+    """Batch twin of :func:`windowed_distinct_sketch` with EXACT
+    distinct counts — equality holds wherever the sketch is in its
+    exact regime (small per-window cardinalities)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("est_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "est_users",
+            "n_events",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
 ) -> DataFrame:

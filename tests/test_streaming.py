@@ -60,3 +60,22 @@ def test_sampling_ops_are_streaming_compatible(spark, sf_small):
     ).select("doc_id", "split")
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_windowed_distinct_sketch_matches_exact_batch(spark, sf_small):
+    """Per-window user cardinalities at sf0.001 sit in the sketch's
+    exact regime, so the streaming HLL estimate equals the exact batch
+    count(DISTINCT) — and the stream aggregates sketches, never user
+    sets."""
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+    from optimal_parallel_fp_growth_spark.streaming.events import (
+        batch_windowed_distinct,
+        windowed_distinct_sketch,
+    )
+
+    st = windowed_distinct_sketch(stream_events(spark, sf_small))
+    run_to_memory(st, "wds_stream")
+    got = {tuple(r) for r in spark.table("wds_stream").collect()}
+    ev = load_table(spark, sf_small, "events")
+    want = {tuple(r) for r in batch_windowed_distinct(ev).collect()}
+    assert got == want and len(want) > 0
