@@ -75,6 +75,7 @@ from optimal_parallel_fp_growth_spark.operators.similarity import (
     ivf_topk,
     label_centroids,
     random_projection,
+    ann_topk_hyperplane,
 )
 from optimal_parallel_fp_growth_spark.functions.skew import (
     salted_agg,
@@ -166,6 +167,7 @@ __all__ = [
     "build_ivf_index",
     "ann_against_index",
     "random_projection",
+    "ann_topk_hyperplane",
     "drop_ivf_index",
     "embedding_neardup_pairs",
     "text_stats",

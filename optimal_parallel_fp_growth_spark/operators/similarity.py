@@ -590,3 +590,71 @@ def random_projection(
         ]
     )
     return prepared.select("vec_id", *keep_cols, proj.alias("proj"))
+
+
+def _hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket from the signs of dots against random ±1 hyperplane
+    normals — the textbook random-hyperplane family for cosine, vs
+    :func:`_sign_bucket`'s coordinate signs (axis-aligned planes, which
+    under-spread buckets when coordinates are correlated). Plane rows
+    are driver-side literals so the DuckDB oracle reproduces buckets
+    bit-for-bit (same L2R dot fold)."""
+    b = F.lit(0)
+    for j, row in enumerate(planes):
+        d = _dot(vec, F.array(*[F.lit(float(x)) for x in row]))
+        b = b + F.when(d > 0, F.lit(1 << j)).otherwise(0)
+    return b
+
+
+def hyperplane_planes(bits: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """Seeded ±1 hyperplane normals (sign ensemble — same LSH family
+    guarantee as Gaussian normals, exactly representable as SQL
+    literals)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.choice((-1.0, 1.0), size=(bits, dim)).tolist()
+
+
+def ann_topk_hyperplane(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int | None = ANN_BITS,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "sql",
+) -> DataFrame:
+    """:func:`ann_topk` with random-hyperplane buckets instead of
+    coordinate signs: candidates restricted to the query's bucket and
+    its hamming-1 neighbors (multi-probe), then EXACT cosine rank in
+    the original space. Decorrelated planes spread skewed corpora over
+    buckets more evenly — same candidate-join shape and cost as
+    ``ann_topk``, one seeded matrix of literals extra."""
+    bits = _resolve_bits(emb, vec_col, bits)
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("ann_topk_hyperplane: empty corpus")
+    planes = hyperplane_planes(bits, first["d"], seed)
+    corpus = _prepared(emb, id_col, vec_col).withColumn(
+        "bucket", _hyperplane_bucket(F.col("v"), planes)
+    )
+    qb = _hyperplane_bucket(F.col("v"), planes)
+    q = (
+        _prepared(queries, id_col, vec_col)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm2").alias("qnorm2"),
+            F.explode(
+                F.array_distinct(
+                    F.array(qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
+                )
+            ).alias("bucket"),
+        )
+    )
+    cand = corpus.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    return _pick_score_topk(impl)(cand, k)

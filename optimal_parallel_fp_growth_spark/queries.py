@@ -521,6 +521,7 @@ _DRIVER_PRIORITY: list[str] = [
     "late_order_priorities",
     "sole_late_suppliers",
     "random_projection",
+    "knn_hyperplane",
 ]
 
 

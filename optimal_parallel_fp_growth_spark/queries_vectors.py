@@ -355,6 +355,37 @@ ORACLE_SEMDEDUP = _oracle_kmeans_cte(KMEANS_K, KMEANS_ITER) + _SEMDEDUP_TAIL
 
 ORACLE_SEMDEDUP_AUTO = _oracle_kmeans_cte(_AUTO_K_LIMIT, KMEANS_ITER) + _SEMDEDUP_TAIL
 
+HYP_SEED = 9
+
+
+def q_knn_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane multi-probe ANN (same candidate contract as
+    `knn_ann`, decorrelated buckets); oracle embeds the same seeded
+    ±1 plane matrix."""
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        ann_topk_hyperplane,
+    )
+
+    emb, q = _emb_and_queries(spark, sf_dir)
+    return ann_topk_hyperplane(emb, q, k=TOP_K, bits=ANN_BITS, seed=HYP_SEED)
+
+
+def _hyp_bucket_sql(prefix: str = "v") -> str:
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        hyperplane_planes,
+    )
+
+    planes = hyperplane_planes(ANN_BITS, 64, HYP_SEED)
+    terms = []
+    for j, row in enumerate(planes):
+        lits = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({prefix}, {lits}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 RP_DIM = 8
 RP_SEED = 5
 
@@ -402,8 +433,36 @@ SELECT vec_id, pos::INT AS pos, val FROM proj
 """
 
 
+ORACLE_KNN_HYPERPLANE_TEMPLATE = """
+{prep},
+b AS (SELECT vec_id, v, norm2, {bucket} AS bucket FROM p),
+q AS (SELECT vec_id AS query_id, qv, qnorm2, unnest(probes) AS bucket
+      FROM (SELECT vec_id, v AS qv, norm2 AS qnorm2,
+                   list_distinct({probes}) AS probes
+            FROM b WHERE vec_id % {stride} = 0)),
+scored AS (SELECT query_id, c.vec_id,
+                  round(list_dot_product(qv, c.v) / sqrt(qnorm2 * c.norm2), 6) AS cosine
+           FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM scored)
+SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= {k}
+"""
+
+
+def _oracle_knn_hyperplane() -> str:
+    return ORACLE_KNN_HYPERPLANE_TEMPLATE.format(
+        prep=_PREP_CTE.rstrip(),
+        bucket=_hyp_bucket_sql(),
+        probes=_PROBES_SQL,
+        stride=QUERY_STRIDE,
+        k=TOP_K,
+    )
+
+
 VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection": q_random_projection,
+    "knn_hyperplane": q_knn_hyperplane,
     "knn_cosine": q_knn_cosine,
     "knn_ann": q_knn_ann,
     "knn_ivf": q_knn_ivf,
@@ -420,6 +479,7 @@ VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 VEC_ORACLES: dict[str, str] = {
     "random_projection": ORACLE_RANDOM_PROJECTION,
+    "knn_hyperplane": _oracle_knn_hyperplane(),
     "knn_cosine": ORACLE_KNN_COSINE,
     "knn_ann": ORACLE_KNN_ANN,
     "knn_ivf": ORACLE_KNN_IVF,

@@ -82,3 +82,48 @@ def test_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         random_projection(df, 8)
+
+
+def test_hyperplane_ann_scores_are_exact_cosines(spark, emb):
+    """Every returned row's cosine equals the exact cosine of that pair
+    (candidate generation is approximate; SCORING is exact)."""
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        ann_topk_hyperplane,
+        cosine_topk,
+    )
+
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    hyp = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in ann_topk_hyperplane(emb, q, k=10, bits=6, seed=2).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, q, k=10**6).collect()
+    }
+    assert hyp and all(exact[p] == c for p, c in hyp.items())
+
+
+def test_hyperplane_ann_recall_floor(spark, emb):
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        ann_topk_hyperplane,
+        cosine_topk,
+    )
+
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    want = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(got & want) / len(want)
+
+    # wide buckets: sane absolute recall (measured 0.34-0.42 here)
+    assert recall(ann_topk_hyperplane(emb, q, k=10, bits=4, seed=0)) > 0.25
+    # narrow buckets are where decorrelation pays: coordinate signs
+    # collapse to 0.05 recall on this corpus, hyperplanes hold ~3x that
+    # (deterministic: fixed data + fixed seed)
+    from optimal_parallel_fp_growth_spark.operators.similarity import ann_topk
+
+    r_hyp = recall(ann_topk_hyperplane(emb, q, k=10, bits=8, seed=0))
+    r_coord = recall(ann_topk(emb, q, k=10, bits=8))
+    assert r_hyp > r_coord
