@@ -106,6 +106,15 @@ from optimal_parallel_fp_growth_spark.operators.textops import (
     token_quantiles,
 )
 from optimal_parallel_fp_growth_spark.sources.compact import compact_files
+from optimal_parallel_fp_growth_spark.sources.versioned import (
+    append_table,
+    compact_table,
+    create_table,
+    overwrite_table,
+    read_table,
+    table_history,
+    vacuum_table,
+)
 from optimal_parallel_fp_growth_spark.sources.sinks import (
     write_sharded,
     write_sorted,
@@ -158,6 +167,13 @@ __all__ = [
     "write_zordered",
     "zorder_key",
     "compact_files",
+    "create_table",
+    "append_table",
+    "overwrite_table",
+    "compact_table",
+    "read_table",
+    "table_history",
+    "vacuum_table",
     "salted_agg",
     "salted_join",
     "token_quantiles",

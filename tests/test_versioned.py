@@ -1,0 +1,105 @@
+"""Versioned manifest-committed tables (sources/versioned.py):
+create/append/overwrite/compact/time-travel/vacuum semantics and the
+atomic-visibility property."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.sources.versioned import (
+    append_table,
+    compact_table,
+    create_table,
+    overwrite_table,
+    read_table,
+    table_history,
+    vacuum_table,
+)
+
+
+def _batch(spark, start, n):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    assert create_table(_batch(spark, 0, 100), path) == 1
+    return path
+
+
+def test_create_and_read(spark, table):
+    assert read_table(spark, table).count() == 100
+    with pytest.raises(FileExistsError):
+        create_table(_batch(spark, 0, 1), table)
+
+
+def test_append_versions_and_time_travel(spark, table):
+    assert append_table(_batch(spark, 100, 50), table) == 2
+    assert append_table(_batch(spark, 150, 25), table) == 3
+    assert read_table(spark, table).count() == 175
+    assert read_table(spark, table, version=1).count() == 100
+    assert read_table(spark, table, version=2).count() == 150
+    ids = {r.doc_id for r in read_table(spark, table, version=2).collect()}
+    assert ids == set(range(150))
+    ops = [h["op"] for h in table_history(table)]
+    assert ops == ["create", "append", "append"]
+
+
+def test_overwrite_keeps_history(spark, table):
+    append_table(_batch(spark, 100, 50), table)
+    overwrite_table(_batch(spark, 1000, 10), table)
+    assert read_table(spark, table).count() == 10
+    assert read_table(spark, table, version=2).count() == 150
+
+
+def test_compact_preserves_rows_and_history(spark, table):
+    for i in range(4):
+        append_table(_batch(spark, 100 + i * 10, 10), table)
+    before = read_table(spark, table)
+    n_before = before.count()
+    h_before = table_history(table)[-1]
+    v = compact_table(spark, table, target_mb=128)
+    assert v == h_before["version"] + 1
+    after = read_table(spark, table)
+    assert after.count() == n_before
+    assert {r.doc_id for r in after.collect()} == {
+        r.doc_id for r in before.collect()
+    }
+    # compacted into fewer files; pre-compaction version still reads
+    hist = {h["version"]: h for h in table_history(table)}
+    assert hist[v]["n_files"] < h_before["n_files"] or h_before["n_files"] == 1
+    assert read_table(spark, table, version=h_before["version"]).count() == n_before
+
+
+def test_vacuum_reclaims_and_expires(spark, table):
+    append_table(_batch(spark, 100, 50), table)
+    overwrite_table(_batch(spark, 1000, 10), table)
+    deleted = vacuum_table(table, keep_last=1)
+    assert deleted > 0
+    # latest still reads; expired versions are gone
+    assert read_table(spark, table).count() == 10
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, version=1)
+
+
+def test_commit_conflict_raises(spark, table):
+    """Two writers racing the same next version: the second manifest
+    rename must fail, not corrupt."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _commit,
+        _load_manifest,
+        _versions,
+    )
+
+    cur = _versions(table)[-1]
+    files = _load_manifest(table, cur)["files"]
+    assert _commit(table, cur + 1, files, "append") == cur + 1
+    with pytest.raises(FileExistsError):
+        _commit(table, cur + 1, files, "append")
+    # table still consistent
+    assert read_table(spark, table, version=cur + 1).count() == 100
