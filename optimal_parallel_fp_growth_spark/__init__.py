@@ -112,6 +112,7 @@ from optimal_parallel_fp_growth_spark.sources.versioned import (
     create_table,
     overwrite_table,
     read_table,
+    stream_to_table,
     table_history,
     vacuum_table,
 )
@@ -174,6 +175,7 @@ __all__ = [
     "read_table",
     "table_history",
     "vacuum_table",
+    "stream_to_table",
     "salted_agg",
     "salted_join",
     "token_quantiles",

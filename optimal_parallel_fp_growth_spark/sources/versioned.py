@@ -45,6 +45,7 @@ __all__ = [
     "read_table",
     "table_history",
     "vacuum_table",
+    "stream_to_table",
 ]
 
 _MANIFEST_DIR = "_manifests"
@@ -166,6 +167,36 @@ def read_table(
     if not files:
         raise ValueError(f"version {v} has no files")
     return spark.read.parquet(*[str(pathlib.Path(path) / f) for f in files])
+
+
+def stream_to_table(stream_df: DataFrame, path: str, checkpoint: str):
+    """Streaming sink: commit each non-empty micro-batch as one atomic
+    table version via ``foreachBatch`` + :func:`append_table` (first
+    batch creates the table). Readers always see a committed prefix of
+    the stream — never a half-written batch — and any historical
+    version replays exactly. Combined with the checkpoint, restarts
+    re-deliver only unprocessed batches (the batch→version mapping is
+    monotone; a batch retried AFTER its append committed would
+    duplicate, the standard at-least-once caveat of side-effecting
+    foreachBatch sinks — deduplicate upstream by key or accept
+    at-least-once, as with any external-commit sink).
+
+    Returns the started ``StreamingQuery``."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            append_table(batch_df, path)
+        except FileNotFoundError:
+            create_table(batch_df, path)
+
+    return (
+        stream_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def table_history(path: str) -> list[dict]:

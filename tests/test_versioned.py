@@ -103,3 +103,41 @@ def test_commit_conflict_raises(spark, table):
         _commit(table, cur + 1, files, "append")
     # table still consistent
     assert read_table(spark, table, version=cur + 1).count() == 100
+
+
+def test_stream_to_table_versions_per_batch(spark, sf_small, tmp_path):
+    """Each micro-batch commits as one atomic version; the final table
+    equals the full input and intermediate versions are readable."""
+    import time
+
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        stream_to_table,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    src = str(tmp_path / "feed")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    third = len(ids) // 3
+    bounds = [ids[third], ids[2 * third]]
+    lo = float("-inf")
+    for hi in [*bounds, float("inf")]:
+        docs.where((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        lo = hi
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tbl = str(tmp_path / "vtable")
+    q = stream_to_table(stream, tbl, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    hist = table_history(tbl)
+    assert [h["op"] for h in hist] == ["create", "append", "append"]
+    assert read_table(spark, tbl).count() == docs.count()
+    v1 = read_table(spark, tbl, version=1).count()
+    v2 = read_table(spark, tbl, version=2).count()
+    assert 0 < v1 < v2 < docs.count()
