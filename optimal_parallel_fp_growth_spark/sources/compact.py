@@ -64,6 +64,11 @@ def compact_files(
     df: DataFrame = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
+    # a crashed previous run may have left either sibling behind; the
+    # live table at `path` is authoritative, so both are safe to clear
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     if sorted_by:
         write_sorted(df, tmp, sorted_by, num_files=target)
     else:

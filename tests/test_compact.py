@@ -78,3 +78,17 @@ def test_empty_dir_raises(spark, tmp_path):
     os.makedirs(p)
     with pytest.raises(ValueError):
         compact_files(spark, p)
+
+
+def test_stale_tmp_dirs_from_crash_are_cleared(spark, fragmented):
+    import os
+
+    docs, out = fragmented
+    # simulate a crashed prior run leaving both siblings behind
+    os.makedirs(out + "._compact_tmp/junk", exist_ok=True)
+    os.makedirs(out + "._compact_old/junk", exist_ok=True)
+    stats = compact_files(spark, out, target_mb=128)
+    assert stats["files_after"] <= 2
+    assert not os.path.exists(out + "._compact_tmp")
+    assert not os.path.exists(out + "._compact_old")
+    assert spark.read.parquet(out).count() == docs.count()
