@@ -81,6 +81,10 @@ from optimal_parallel_fp_growth_spark.functions.skew import (
     salted_agg,
     salted_join,
 )
+from optimal_parallel_fp_growth_spark.functions.planview import (
+    PlanReport,
+    plan_report,
+)
 from optimal_parallel_fp_growth_spark.functions.caching import (
     cache_scope,
     release_cached_inputs,
@@ -178,6 +182,8 @@ __all__ = [
     "stream_to_table",
     "salted_agg",
     "salted_join",
+    "plan_report",
+    "PlanReport",
     "token_quantiles",
     "cosine_topk",
     "ann_topk",
