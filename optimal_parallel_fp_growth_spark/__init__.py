@@ -23,6 +23,7 @@ from optimal_parallel_fp_growth_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_prefix,
     simhash_pairs,
 )
 from optimal_parallel_fp_growth_spark.operators.dedup import (
@@ -142,6 +143,7 @@ __all__ = [
     "sketch_rollup",
     "sketch_estimate",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "connected_components",

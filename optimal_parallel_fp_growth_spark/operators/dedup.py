@@ -196,6 +196,114 @@ def ngram_jaccard_pairs(
     return tag_cached_inputs(out, sh)
 
 
+def ngram_jaccard_prefix(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT ≥ τ jaccard pairs via PREFIX FILTERING (the
+    Chaudhuri/Bayardo ppjoin family) — same output contract as
+    ``ngram_jaccard_pairs(max_df=0)`` with a candidate volume that
+    scales: each document indexes only its ``|sh| − ⌈τ·|sh|⌉ + 1``
+    RAREST shingles (global (df, shingle) order), and the prefix
+    theorem guarantees any pair with J ≥ τ shares a prefix shingle
+    under a common total order — no pair is lost, but the hot
+    vocabulary head (max df) sorts to the END of every document and
+    almost never enters a prefix, which removes the df² pair blowup
+    that made the all-postings exact tier spill (BASELINE.md §sf1:
+    1.66 GB, partition-independent) WHEN the vocabulary is Zipfian —
+    i.e. most shingles rare, as in real text. A symmetric length
+    filter (τ·na ≤ nb ≤ na/τ) prunes candidates further; survivors
+    verify with the same exact jaccard formula, so results equal the
+    exact tier's bit-for-bit (oracle transfers).
+
+    MEASURED VERDICT on the benchmark fixture (BASELINE.md round-5
+    prefix probe): the synthetic corpus has only 931 distinct
+    2-gram shingles at sf0.1 (mean df ≈ 275 — NO rare tail), so
+    prefixes stay hot and the candidate join loses to the postings
+    tier at every τ tried (τ=0.2: 9.2 M candidates; even τ=0.8 only
+    ties). Use this operator for real corpora whose shingle
+    vocabulary grows with the text (the usual case); on dense-vocab
+    inputs prefer ``max_df`` pruning or the minhash tier. The win
+    case is pinned by ``tests/test_ngram_prefix.py``'s hot-token
+    corpus (sparse tail + one stop shingle: candidate volume
+    collapses 4×+ while results stay exact).
+
+    Boundary care: τ is a double, so every ⌈τ·n⌉ / τ·n comparison
+    subtracts 1e-9 first — mathematical boundary pairs (J exactly τ)
+    stay INCLUDED even when the product lands an ulp high.
+
+    Implementation notes (the measured version — a first cut paid its
+    win back in overhead): shingles travel the candidate machinery as
+    64-bit md5-derived longs, not strings (16-byte exchange rows; a
+    collision merges two shingles' identities, which is
+    ~2⁻⁶⁰-per-pair and the same md5-rare caveat as
+    :func:`_band_key_col` — verification stays exact either way), and
+    the per-doc prefix comes from ``sort_array(collect_list(...))`` +
+    ``slice`` (one doc-keyed exchange, per-doc array sorts) instead of
+    a ``row_number`` window, whose whole-partition sort spilled 3.2 GB
+    at sf1. → (doc_a, doc_b, jaccard)."""
+    eps = 1e-9
+    sh = _doc_shingles(docs, text_col, k).where(F.size("sh") > 0)
+    sh.persist()
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    dfreq = posting.groupBy("h").agg(F.count("*").alias("df"))
+    plen = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(eps))
+        + 1
+    ).cast("int")
+    pref = (
+        posting.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("o"))
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.explode(F.slice(F.col("o"), F.lit(1), plen)).alias("e"),
+        )
+        .select("doc_id", "n_sh", F.col("e.h").alias("h"))
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("n_sh").alias("na")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("n_sh").alias("nb")
+    )
+    cand = (
+        a.join(
+            b,
+            (a.h == b.h)
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(eps))
+            & (F.col("na") >= F.lit(threshold) * F.col("nb") - F.lit(eps)),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na = F.size("sh_a")
+    nb = F.size("sh_b")
+    jac = F.round(n_inter / (na + nb - n_inter), 6)
+    out = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return tag_cached_inputs(out, sh)
+
+
 def deduped_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -522,6 +522,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sole_late_suppliers",
     "random_projection",
     "knn_hyperplane",
+    "dedup_ngram_prefix",
 ]
 
 

@@ -158,6 +158,16 @@ def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filter exact near-dup tier at τ=0.8 (the high-τ regime
+    prefix filtering is FOR; operator docstring records the measured
+    verdict on this dense-vocab fixture). Same shingle/jaccard
+    contract as the exact tier, thresholded at 0.8."""
+    return dedup.ngram_jaccard_prefix(
+        load_table(spark, sf_dir, "documents"), k=2, threshold=0.8
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), k=2, threshold=0.2
@@ -944,6 +954,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_exact": q_dedup_ngram_exact,
+    "dedup_ngram_prefix": q_dedup_ngram_prefix,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
@@ -982,6 +993,8 @@ DOC_ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_ngram_exact": ORACLE_NGRAM_JACCARD_EXACT,
+    # identical contract by the prefix-filter theorem; high-τ cut
+    "dedup_ngram_prefix": ORACLE_NGRAM_JACCARD_EXACT.replace(">= 0.2", ">= 0.8"),
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash": ORACLE_SIMHASH,
