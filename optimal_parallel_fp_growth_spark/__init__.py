@@ -59,6 +59,7 @@ from optimal_parallel_fp_growth_spark.operators.sampling import (
     corpus_split,
     mix_by_temperature,
     mix_sources,
+    negative_pairs,
     stratified_sample,
 )
 from optimal_parallel_fp_growth_spark.operators.sessions import (
@@ -165,6 +166,7 @@ __all__ = [
     "mix_sources",
     "mix_by_temperature",
     "stratified_sample",
+    "negative_pairs",
     "ngram_counts",
     "inverted_index",
     "source_ngram_overlap",

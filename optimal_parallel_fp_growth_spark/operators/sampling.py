@@ -264,3 +264,86 @@ def stratified_sample(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def negative_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+    n_buckets: int | None = None,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """K deterministic pseudo-random NEGATIVE partners per document —
+    the contrastive-training counterpart of the near-dup miners:
+    positives come from LSH/SemDeDup, negatives from here, and the
+    pairing is md5-derived so re-runs, task retries, and the DuckDB
+    oracle all agree row-for-row (no ``rand()``).
+
+    Mechanics: each document probes ``k`` pseudo-random buckets
+    (md5(salt:p:j:id) mod B); every document owns one target bucket
+    (md5(salt:t:id) mod B); a probe pairs with the bucket member that
+    minimizes an (i, j, t)-keyed md5 tiebreak. One bucket-keyed
+    shuffle; with the default B = n/8, expected bucket occupancy is 8,
+    so candidate volume is ~8·k·n (linear) and the probability a probe
+    finds an empty bucket is e⁻⁸ ≈ 3·10⁻⁴ (those pairs are simply
+    absent — expected pairs-per-doc is marginally under k).
+
+    ``exclude`` (doc_a, doc_b near-dup pairs, either orientation)
+    removes accidental positives BEFORE the tiebreak pick, so excluded
+    probes fall back to the next-best bucket member rather than
+    dropping the pair. → (doc_id, pair_idx, neg_id)."""
+    n = docs.count()
+    B = n_buckets if n_buckets is not None else max(1, n // 8)
+    i = F.col(id_col).cast("string")
+
+    def bucket_of(prefix: str, *cols: Column) -> Column:
+        h = F.md5(F.concat(F.lit(salt + ":" + prefix + ":"), *cols))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % B
+
+    probes = (
+        docs.select(F.col(id_col).alias("i"))
+        .select("i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"))
+        .withColumn(
+            "bucket",
+            bucket_of(
+                "p",
+                F.col("j").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            ),
+        )
+    )
+    targets = docs.select(F.col(id_col).alias("t")).withColumn(
+        "bucket", bucket_of("t", F.col("t").cast("string"))
+    )
+    cand = probes.join(targets, "bucket").where(F.col("t") != F.col("i"))
+    if exclude is not None:
+        ex = exclude.select(
+            F.col("doc_a").alias("i"), F.col("doc_b").alias("t")
+        ).unionByName(
+            exclude.select(
+                F.col("doc_b").alias("i"), F.col("doc_a").alias("t")
+            )
+        )
+        cand = cand.join(ex, ["i", "t"], "left_anti")
+    tb = F.md5(
+        F.concat(
+            F.lit(salt + ":x:"),
+            F.col("i").cast("string"),
+            F.lit(":"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("t").cast("string"),
+        )
+    )
+    return (
+        cand.withColumn("tb", tb)
+        .groupBy("i", "j")
+        .agg(F.min_by("t", "tb").alias("neg_id"))
+        .select(
+            F.col("i").alias(id_col),
+            F.col("j").alias("pair_idx"),
+            "neg_id",
+        )
+    )

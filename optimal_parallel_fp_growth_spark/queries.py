@@ -523,6 +523,7 @@ _DRIVER_PRIORITY: list[str] = [
     "random_projection",
     "knn_hyperplane",
     "dedup_ngram_prefix",
+    "negative_pairs",
 ]
 
 

@@ -125,6 +125,31 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair mining, k=2 per document (md5
+    bucket probe + tiebreak pick — no rand(), oracle reproduces every
+    pair)."""
+    return sampling.negative_pairs(load_table(spark, sf_dir, "documents"), k=2)
+
+
+ORACLE_NEGATIVE_PAIRS = """
+WITH bsz AS (SELECT greatest(1, count(*) // 8) AS b FROM documents),
+probes AS (SELECT doc_id AS i, j,
+                  ('0x' || substr(md5('neg:p:' || j::VARCHAR || ':' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  % (SELECT b FROM bsz) AS bucket
+           FROM documents, (SELECT unnest(range(2)) AS j)),
+targets AS (SELECT doc_id AS t,
+                   ('0x' || substr(md5('neg:t:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % (SELECT b FROM bsz) AS bucket
+            FROM documents),
+cand AS (SELECT i, j, t,
+                md5('neg:x:' || i::VARCHAR || ':' || j::VARCHAR || ':' || t::VARCHAR) AS tb
+         FROM probes JOIN targets USING (bucket) WHERE t <> i)
+SELECT i AS doc_id, j::INT AS pair_idx, min_by(t, tb) AS neg_id
+FROM cand GROUP BY 1, 2
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -948,6 +973,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
     "gopher_rules": q_gopher_rules,
+    "negative_pairs": q_negative_pairs,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -987,6 +1013,7 @@ DOC_ORACLES: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "gopher_rules": ORACLE_GOPHER_RULES,
+    "negative_pairs": ORACLE_NEGATIVE_PAIRS,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
