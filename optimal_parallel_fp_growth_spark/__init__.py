@@ -78,6 +78,7 @@ from optimal_parallel_fp_growth_spark.operators.similarity import (
     label_centroids,
     random_projection,
     ann_topk_hyperplane,
+    hard_negatives,
 )
 from optimal_parallel_fp_growth_spark.functions.skew import (
     salted_agg,
@@ -196,6 +197,7 @@ __all__ = [
     "ann_against_index",
     "random_projection",
     "ann_topk_hyperplane",
+    "hard_negatives",
     "drop_ivf_index",
     "embedding_neardup_pairs",
     "text_stats",

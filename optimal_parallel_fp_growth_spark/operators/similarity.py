@@ -658,3 +658,63 @@ def ann_topk_hyperplane(
         F.col("query_id") != F.col("vec_id")
     )
     return _pick_score_topk(impl)(cand, k)
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    lo: float = 0.2,
+    hi: float = 0.45,
+    k: int = 10,
+    bits: int | None = ANN_BITS,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-``k`` candidates whose EXACT cosine lands in the
+    similar-but-not-duplicate band [lo, hi] — close enough to be
+    informative negatives, below the near-dup zone that would poison
+    the label. Candidates come from the random-hyperplane multi-probe
+    buckets (:func:`ann_topk_hyperplane`'s generator — biased toward
+    high similarity, exactly the region hard negatives live in);
+    scoring is exact, so the band test never misclassifies a
+    candidate. Pairs the LSH buckets miss are, by construction, the
+    easy negatives :func:`~..sampling.negative_pairs` supplies.
+    → (query_id, vec_id, cosine, rn) with rn ranked by cosine DESC
+    inside the band."""
+    bits = _resolve_bits(emb, vec_col, bits)
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("hard_negatives: empty corpus")
+    planes = hyperplane_planes(bits, first["d"], seed)
+    corpus = _prepared(emb, id_col, vec_col).withColumn(
+        "bucket", _hyperplane_bucket(F.col("v"), planes)
+    )
+    qb = _hyperplane_bucket(F.col("v"), planes)
+    q = (
+        _prepared(queries, id_col, vec_col)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm2").alias("qnorm2"),
+            F.explode(
+                F.array_distinct(
+                    F.array(qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
+                )
+            ).alias("bucket"),
+        )
+    )
+    cand = corpus.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cosine = F.round(
+        _dot(F.col("qv"), F.col("v")) / F.sqrt(F.col("qnorm2") * F.col("norm2")),
+        6,
+    )
+    # no pair-dedup needed: probes are distinct and each corpus row
+    # owns ONE bucket, so a (query, vec) pair matches at most once
+    banded = cand.select("query_id", "vec_id", cosine.alias("cosine")).where(
+        (F.col("cosine") >= lo) & (F.col("cosine") <= hi)
+    )
+    return _rank_topk(banded, k)

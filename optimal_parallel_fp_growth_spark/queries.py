@@ -524,6 +524,7 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_hyperplane",
     "dedup_ngram_prefix",
     "negative_pairs",
+    "hard_negatives",
 ]
 
 

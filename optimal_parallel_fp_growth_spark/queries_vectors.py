@@ -386,6 +386,44 @@ def _hyp_bucket_sql(prefix: str = "v") -> str:
     return " + ".join(terms)
 
 
+HN_LO = 0.2
+HN_HI = 0.45
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: top-k per query among hyperplane-bucket
+    candidates whose exact cosine sits in the informative
+    [0.2, 0.45] band (the synthetic corpus tops out near 0.51, so the
+    band is genuinely sub-near-dup)."""
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb, q = _emb_and_queries(spark, sf_dir)
+    return hard_negatives(
+        emb, q, lo=HN_LO, hi=HN_HI, k=TOP_K, bits=ANN_BITS, seed=HYP_SEED
+    )
+
+
+def _oracle_hard_negatives() -> str:
+    return f"""
+{_PREP_CTE.rstrip()},
+b AS (SELECT vec_id, v, norm2, {_hyp_bucket_sql()} AS bucket FROM p),
+q AS (SELECT vec_id AS query_id, qv, qnorm2, unnest(probes) AS bucket
+      FROM (SELECT vec_id, v AS qv, norm2 AS qnorm2,
+                   list_distinct({_PROBES_SQL}) AS probes
+            FROM b WHERE vec_id % {QUERY_STRIDE} = 0)),
+scored AS (SELECT query_id, c.vec_id,
+                  round(list_dot_product(qv, c.v) / sqrt(qnorm2 * c.norm2), 6) AS cosine
+           FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id),
+banded AS (SELECT * FROM scored WHERE cosine >= {HN_LO} AND cosine <= {HN_HI}),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM banded)
+SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= {TOP_K}
+"""
+
+
 RP_DIM = 8
 RP_SEED = 5
 
@@ -463,6 +501,7 @@ def _oracle_knn_hyperplane() -> str:
 VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection": q_random_projection,
     "knn_hyperplane": q_knn_hyperplane,
+    "hard_negatives": q_hard_negatives,
     "knn_cosine": q_knn_cosine,
     "knn_ann": q_knn_ann,
     "knn_ivf": q_knn_ivf,
@@ -480,6 +519,7 @@ VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 VEC_ORACLES: dict[str, str] = {
     "random_projection": ORACLE_RANDOM_PROJECTION,
     "knn_hyperplane": _oracle_knn_hyperplane(),
+    "hard_negatives": _oracle_hard_negatives(),
     "knn_cosine": ORACLE_KNN_COSINE,
     "knn_ann": ORACLE_KNN_ANN,
     "knn_ivf": ORACLE_KNN_IVF,

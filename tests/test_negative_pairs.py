@@ -59,3 +59,26 @@ def test_exclusion_falls_back_not_drops(spark):
         if j == 0:
             assert n != winners[(d, j)]  # fallback engaged
             assert n != d
+
+
+def test_hard_negatives_band_and_exactness(spark, sf_small):
+    """Every returned cosine is exact, inside the band, ranked, and
+    below the near-dup zone (cross-checked against exact top-k)."""
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = hard_negatives(emb, q, lo=0.2, hi=0.45, k=5, bits=6, seed=2)
+    rows = out.collect()
+    assert rows
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, q, k=10**6).collect()
+    }
+    for r in rows:
+        assert 0.2 <= r.cosine <= 0.45
+        assert exact[(r.query_id, r.vec_id)] == r.cosine
+        assert 1 <= r.rn <= 5
