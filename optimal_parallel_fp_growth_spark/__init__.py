@@ -37,7 +37,9 @@ from optimal_parallel_fp_growth_spark.operators.dedup import (
 from optimal_parallel_fp_growth_spark.operators.graph import pagerank
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
     decode_media,
+    decode_pixels,
     decode_real,
+    extract_pixel_stats,
 )
 from optimal_parallel_fp_growth_spark.streaming.stateful import (
     first_seen_dedup,
@@ -157,6 +159,8 @@ __all__ = [
     "pagerank",
     "decode_media",
     "decode_real",
+    "decode_pixels",
+    "extract_pixel_stats",
     "first_seen_dedup",
     "first_seen_dedup_watermarked",
     "funnel_progress",

@@ -362,3 +362,97 @@ def sample_frames(with_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
 
     return with_payload.select("doc_id", "payload").mapInPandas(run, FRAMES_SCHEMA)
+
+
+PIXEL_SCHEMA = (
+    "doc_id long, format string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_pixels(payload: bytes) -> dict:
+    """FULL pixel decode for the binary netpbm family — P5 (raw
+    grayscale) and P6 (raw RGB) — the one image family decodable with
+    ZERO codec libraries: a whitespace/comment-tolerant ASCII header
+    (magic, width, height, maxval) followed by raw samples. Returns
+    ``{"format", "width", "height", "mean_r", "mean_g", "mean_b"}``
+    (grayscale reports its mean on all three channels). Every other
+    format still raises ``NotImplementedError`` — the documented
+    codec seam (see :func:`decode_real` for header-only parsing of
+    PNG/GIF/BMP/JPEG/WAV)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            "pixel decode supports raw netpbm (P5/P6) only; other codecs "
+            "need PIL/ffmpeg (the documented seam)"
+        )
+    # header tokenizer: fields separated by whitespace, '#' comments
+    # run to end-of-line; the single whitespace byte after maxval is
+    # the pixel-data delimiter
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise NotImplementedError("truncated netpbm header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single delimiter byte
+    width, height, maxval = fields
+    if maxval >= 256:
+        raise NotImplementedError("16-bit netpbm samples not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    need = width * height * ch
+    data = payload[pos : pos + need]
+    if len(data) != need:
+        raise NotImplementedError(
+            f"truncated netpbm pixel data: want {need}, have {len(data)}"
+        )
+    if ch == 3:
+        means = [
+            sum(data[c::3]) / (width * height) for c in range(3)
+        ]
+    else:
+        m = sum(data) / (width * height)
+        means = [m, m, m]
+    return {
+        "format": "ppm" if ch == 3 else "pgm",
+        "width": width,
+        "height": height,
+        "mean_r": means[0],
+        "mean_g": means[1],
+        "mean_b": means[2],
+    }
+
+
+def extract_pixel_stats(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel statistics over netpbm payloads
+    (columns: doc_id, payload). → PIXEL_SCHEMA rows; non-netpbm
+    payloads raise (filter by format first, or catch at the seam)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_pixels(bytes(payload))
+                rows.append(
+                    (
+                        doc_id, d["format"], d["width"], d["height"],
+                        d["mean_r"], d["mean_g"], d["mean_b"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return with_payload.mapInPandas(run, PIXEL_SCHEMA)

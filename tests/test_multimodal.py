@@ -89,3 +89,41 @@ def test_frame_fanout_bounds(spark, sf_small):
     n_frames = frames.count()
     assert n_docs <= n_frames <= 4 * n_docs
     assert frames.select("doc_id").distinct().count() == n_docs
+
+
+def test_decode_pixels_netpbm_real(spark):
+    """REAL pixel decode: hand-built P6/P5 payloads with known means,
+    comment-tolerant headers, and honest failures elsewhere."""
+    import pytest as _pytest
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        decode_pixels,
+        extract_pixel_stats,
+    )
+
+    p6 = b"P6\n# a comment\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    d = decode_pixels(p6)
+    assert (d["format"], d["width"], d["height"]) == ("ppm", 2, 2)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (127.5, 127.5, 127.5)
+
+    p5 = b"P5 3 1 255\n" + bytes([0, 128, 255])
+    d5 = decode_pixels(p5)
+    assert d5["format"] == "pgm" and d5["mean_r"] == d5["mean_b"]
+
+    with _pytest.raises(NotImplementedError):
+        decode_pixels(b"\x89PNG\r\n\x1a\nrest")  # png = header-only tier
+    with _pytest.raises(NotImplementedError):
+        decode_pixels(b"P6 2 2 255\n" + bytes(3))  # truncated pixels
+
+    # distributed: the mapInPandas op reproduces the local decode
+    rows = [
+        (1, bytearray(p6)),
+        (2, bytearray(b"P6 1 1 255\n" + bytes([10, 20, 30]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_pixel_stats(df).collect()}
+    assert got[1].mean_r == 127.5
+    assert (got[2].mean_r, got[2].mean_g, got[2].mean_b) == (10.0, 20.0, 30.0)
+    assert got[2].format == "ppm" and got[2].width == 1
