@@ -517,6 +517,18 @@ _DRIVER_PRIORITY: list[str] = [
     # tier 4 — operators added late in round 5 (after the window
     # filled): oracle-gated and pytest-verified now, first driver
     # sample in r6 right behind the trio above.
+    #
+    # R6 ROTATION PLAN (written round 5 for the next builder): after
+    # the r5 driver run the must-sample set is ~57 entries (these 8
+    # tier-4 rows + the trio + ~46 entries whose last green row is
+    # r04) against a ~50-row window — for the FIRST time the stale
+    # set alone overflows the window. Resolution: the ~12 r04-green
+    # entries that are pytest-differential-pinned to an
+    # already-sampled twin (kmeans_clusters/semdedup vs their Arrow
+    # rows, knn_ivf vs knn_ivf_index, supplier_pagerank vs _bucketed,
+    # freq_itemsets vs freq_itemsets_pfp, …) can run at 2-round
+    # staleness for one round; everything else rotates. Verify with
+    # tests/test_registry_order.py when re-tiering.
     "gopher_rules",
     "late_order_priorities",
     "sole_late_suppliers",
