@@ -99,6 +99,11 @@ from optimal_parallel_fp_growth_spark.operators.packing import (
     pack_sequences,
 )
 from optimal_parallel_fp_growth_spark.operators.pii import pii_stats, redact_pii
+from optimal_parallel_fp_growth_spark.operators.quality_checks import (
+    check_suite,
+    documents_quality_suite,
+    events_quality_suite,
+)
 from optimal_parallel_fp_growth_spark.plans.curate import curate_corpus
 from optimal_parallel_fp_growth_spark.operators.funnels import (
     cohort_retention,
@@ -217,6 +222,9 @@ __all__ = [
     "release_cached_inputs",
     "pii_stats",
     "redact_pii",
+    "check_suite",
+    "documents_quality_suite",
+    "events_quality_suite",
     "curate_corpus",
     "funnel_counts",
     "cohort_retention",

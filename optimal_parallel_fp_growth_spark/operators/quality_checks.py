@@ -127,3 +127,35 @@ def documents_quality_suite(docs: DataFrame) -> DataFrame:
             Check("min_chars", min_of("n_chars"), 1.0, ">="),
         ],
     )
+
+
+EVENT_TYPES_ACCEPTED = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_quality_suite(events: DataFrame) -> DataFrame:
+    """The event-stream gate (``dq_events`` query): key integrity,
+    timestamp/payload completeness, type membership, the positive-value
+    invariant the revenue aggregates rely on, and an event-time sanity
+    window (a clock-skewed producer shows up here before it poisons
+    watermarks downstream)."""
+    return check_suite(
+        events,
+        [
+            Check("event_id_unique", uniqueness("event_id"), 1.0, "=="),
+            Check("ts_complete", completeness("ts"), 1.0, "=="),
+            Check("user_complete", completeness("user_id"), 1.0, "=="),
+            Check(
+                "type_accepted",
+                membership("event_type", EVENT_TYPES_ACCEPTED),
+                1.0,
+                "==",
+            ),
+            Check("value_positive", consistency(F.col("value") > 0), 1.0, "=="),
+            Check(
+                "ts_in_window",
+                consistency(F.year("ts").between(2020, 2030)),
+                1.0,
+                "==",
+            ),
+        ],
+    )

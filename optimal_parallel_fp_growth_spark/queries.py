@@ -537,6 +537,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_prefix",
     "negative_pairs",
     "hard_negatives",
+    "dq_events",
 ]
 
 

@@ -468,9 +468,43 @@ GROUP BY 1
 """
 
 
+def q_dq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream data-quality gate: one aggregation job over one
+    scan, long verdict table (check, observed, passed)."""
+    from optimal_parallel_fp_growth_spark.operators.quality_checks import (
+        events_quality_suite,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    return events_quality_suite(load_table(spark, sf_dir, "events"))
+
+
+# Mirrors events_quality_suite constraint-for-constraint (lock-step).
+ORACLE_DQ_EVENTS = """
+WITH m AS (
+  SELECT round(count(DISTINCT event_id)::DOUBLE / count(event_id), 9) AS event_id_unique,
+         round(avg((ts IS NOT NULL)::INT), 9)                         AS ts_complete,
+         round(avg((user_id IS NOT NULL)::INT), 9)                    AS user_complete,
+         round(avg((event_type IN ('click','error','purchase','signup','view'))::INT), 9)
+                                                                      AS type_accepted,
+         round(avg((value > 0)::INT), 9)                              AS value_positive,
+         round(avg((year(ts) BETWEEN 2020 AND 2030)::INT), 9)         AS ts_in_window
+  FROM events)
+SELECT u.check, u.observed, u.observed = 1.0 AS passed
+FROM (
+  SELECT 'event_id_unique' AS check, event_id_unique AS observed FROM m
+  UNION ALL SELECT 'ts_complete', ts_complete FROM m
+  UNION ALL SELECT 'user_complete', user_complete FROM m
+  UNION ALL SELECT 'type_accepted', type_accepted FROM m
+  UNION ALL SELECT 'value_positive', value_positive FROM m
+  UNION ALL SELECT 'ts_in_window', ts_in_window FROM m) u
+"""
+
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_user_filter": q_bloom_user_filter,
     "events_distinct_sketch": q_events_distinct_sketch,
+    "dq_events": q_dq_events,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "events_user_quartiles": q_events_user_quartiles,
@@ -513,6 +547,7 @@ GROUP BY CUBE (hour, event_type)
 EVENT_ORACLES: dict[str, str] = {
     "bloom_user_filter": ORACLE_BLOOM_USER_FILTER,
     "events_distinct_sketch": ORACLE_EVENTS_DISTINCT_SKETCH,
+    "dq_events": ORACLE_DQ_EVENTS,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "events_user_quartiles": ORACLE_USER_QUARTILES,
