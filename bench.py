@@ -232,6 +232,7 @@ def main() -> None:
         "negative_pairs",
         "hard_negatives",
         "dq_events",
+        "events_hopping",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

@@ -48,6 +48,7 @@ from optimal_parallel_fp_growth_spark.streaming.stateful import (
     funnel_progress_watermarked,
     heavy_hitters_stream,
 )
+from optimal_parallel_fp_growth_spark.streaming.events import enrich_stream
 from optimal_parallel_fp_growth_spark.streaming.neardup import (
     streaming_neardup,
 )
@@ -172,6 +173,7 @@ __all__ = [
     "funnel_progress_watermarked",
     "heavy_hitters_stream",
     "streaming_neardup",
+    "enrich_stream",
     "corpus_split",
     "mix_sources",
     "mix_by_temperature",

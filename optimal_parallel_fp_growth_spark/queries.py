@@ -538,6 +538,7 @@ _DRIVER_PRIORITY: list[str] = [
     "negative_pairs",
     "hard_negatives",
     "dq_events",
+    "events_hopping",
 ]
 
 

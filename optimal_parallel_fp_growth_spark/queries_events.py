@@ -468,6 +468,50 @@ GROUP BY 1
 """
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) window aggregate: 1-day windows every 6 hours
+    — each event lands in 4 overlapping windows (Spark's
+    ``window(ts, "1 day", "6 hours")``; the tumbling twin is
+    `events_windowed_counts`). The oracle reconstructs window
+    membership with an explicit 4-offset expansion, pinning Spark's
+    epoch-aligned window-start semantics."""
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day", "6 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Spark's hopping windows start on slide boundaries aligned to the
+# epoch; an event at t belongs to windows with start in
+# (t - 1 day, t] ∩ {epoch-aligned 6h marks} — exactly the 4 starts
+# floor_6h(t) - {0, 6, 12, 18} hours.
+ORACLE_EVENTS_HOPPING = """
+WITH x AS (
+  SELECT event_type, value,
+         to_timestamp((epoch(ts)::BIGINT // 21600) * 21600
+                      - off.o * 21600) AS wstart
+  FROM events, (SELECT unnest(range(4)) AS o) off),
+f AS (SELECT epoch(wstart)::BIGINT AS window_start_epoch, event_type,
+             count(*) AS n_events, round(sum(value), 6) AS sum_value
+      FROM x GROUP BY 1, 2)
+SELECT * FROM f
+"""
+
+
 def q_dq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream data-quality gate: one aggregation job over one
     scan, long verdict table (check, observed, passed)."""
@@ -505,6 +549,7 @@ EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_user_filter": q_bloom_user_filter,
     "events_distinct_sketch": q_events_distinct_sketch,
     "dq_events": q_dq_events,
+    "events_hopping": q_events_hopping,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "events_user_quartiles": q_events_user_quartiles,
@@ -548,6 +593,7 @@ EVENT_ORACLES: dict[str, str] = {
     "bloom_user_filter": ORACLE_BLOOM_USER_FILTER,
     "events_distinct_sketch": ORACLE_EVENTS_DISTINCT_SKETCH,
     "dq_events": ORACLE_DQ_EVENTS,
+    "events_hopping": ORACLE_EVENTS_HOPPING,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "events_user_quartiles": ORACLE_USER_QUARTILES,

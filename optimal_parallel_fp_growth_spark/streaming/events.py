@@ -122,6 +122,24 @@ def batch_windowed_distinct(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach a static dimension frame
+    to a streaming fact frame. Structured Streaming plans this as a
+    per-micro-batch broadcast/hash join against the static side — no
+    stream state, no watermark needed (unlike stream-stream joins),
+    and the static side is re-resolvable per batch, so a dimension
+    table backed by a path sees updates between batches. The standard
+    shape for user/geo/catalog attribute attachment before windowed
+    aggregation at any scale — the stream side never exchanges for
+    the join when the dimension broadcasts."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
 ) -> DataFrame:

@@ -79,3 +79,31 @@ def test_windowed_distinct_sketch_matches_exact_batch(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     want = {tuple(r) for r in batch_windowed_distinct(ev).collect()}
     assert got == want and len(want) > 0
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_small):
+    """Stream-static broadcast enrichment == the batch join, across
+    micro-batches, including windowed aggregation downstream."""
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.streaming.events import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(u, f"seg{u % 3}") for u in range(200)], "user_id long, segment string"
+    )
+    st = enrich_stream(stream_events(spark, sf_small), dim, "user_id")
+    agg = st.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv")
+    )
+    run_to_memory(agg, "enriched_stream")
+    got = {tuple(r) for r in spark.table("enriched_stream").collect()}
+
+    ev = load_table(spark, sf_small, "events")
+    want = {
+        tuple(r)
+        for r in ev.join(dim, "user_id", "left")
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
