@@ -48,7 +48,10 @@ from optimal_parallel_fp_growth_spark.streaming.stateful import (
     funnel_progress_watermarked,
     heavy_hitters_stream,
 )
-from optimal_parallel_fp_growth_spark.streaming.events import enrich_stream
+from optimal_parallel_fp_growth_spark.streaming.events import (
+    correlate_streams,
+    enrich_stream,
+)
 from optimal_parallel_fp_growth_spark.streaming.neardup import (
     streaming_neardup,
 )
@@ -174,6 +177,7 @@ __all__ = [
     "heavy_hitters_stream",
     "streaming_neardup",
     "enrich_stream",
+    "correlate_streams",
     "corpus_split",
     "mix_sources",
     "mix_by_temperature",

@@ -140,6 +140,57 @@ def enrich_stream(
     return events.join(F.broadcast(dim), on, how)
 
 
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Native STREAM-STREAM interval join: correlate two event streams
+    per user where the right event follows the left within
+    ``max_gap`` (e.g. purchases attributed to the preceding view).
+    Both sides carry watermarks and the join condition bounds right.ts
+    to [left.ts, left.ts + max_gap], so Structured Streaming can
+    evict buffered rows once the watermark passes their join window —
+    bounded state, the requirement stream-stream joins add over
+    stream-static ones. → (user_id, left_event_id, right_event_id,
+    left_ts, right_ts, gap_seconds).
+
+    Inputs must expose (user_id, event_id, ts); pre-filter each side
+    to its event type before calling."""
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("left_event_id"),
+            F.col("ts").alias("left_ts"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("right_event_id"),
+            F.col("ts").alias("right_ts"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond).select(
+        "user_id",
+        "left_event_id",
+        "right_event_id",
+        F.col("left_ts").cast("long").alias("left_ts"),
+        F.col("right_ts").cast("long").alias("right_ts"),
+        (F.col("right_ts").cast("long") - F.col("left_ts").cast("long")).alias(
+            "gap_seconds"
+        ),
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
 ) -> DataFrame:

@@ -107,3 +107,50 @@ def test_enrich_stream_matches_batch_join(spark, sf_small):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_correlate_streams_matches_batch_interval_join(spark, sf_small):
+    """Native stream-stream interval join (views→purchases within 1h
+    per user) == the batch interval join over the same data."""
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.streaming.events import (
+        correlate_streams,
+    )
+
+    st = stream_events(spark, sf_small)
+    views = st.where(F.col("event_type") == "view")
+    buys = st.where(F.col("event_type") == "purchase")
+    out = correlate_streams(views, buys, max_gap="1 hour")
+    run_to_memory(out, "corr_stream", output_mode="append")
+    got = {tuple(r) for r in spark.table("corr_stream").collect()}
+
+    ev = load_table(spark, sf_small, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("left_event_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("right_event_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    want = {
+        tuple(r)
+        for r in v.join(
+            b,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("right_ts") >= F.col("left_ts"))
+            & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            "user_id", "left_event_id", "right_event_id",
+            F.col("left_ts").cast("long").alias("left_ts"),
+            F.col("right_ts").cast("long").alias("right_ts"),
+            (
+                F.col("right_ts").cast("long") - F.col("left_ts").cast("long")
+            ).alias("gap_seconds"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
