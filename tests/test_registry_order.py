@@ -126,3 +126,20 @@ def test_prior_round_correctness_rows_were_all_green():
     for r in ("r02", "r03"):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         assert all(v.get("hash_match") for v in rows.values()), r
+
+
+def test_bench_query_names_all_resolve():
+    """Every registry-query name bench.py times must exist in the
+    registry — a typo would crash the driver's per-round bench run."""
+    import re
+
+    src = (REPO / "bench.py").read_text()
+    # the timed-loop tuple is the only place bare query names appear
+    # as "name", lines; collect all string literals that match registry
+    # naming and appear in the for-loop tuple section
+    loop = src.split("# ---- headline analytic queries")[1]
+    loop = loop.split("q = QUERIES[qname]")[0]
+    names = re.findall(r'"([a-z][a-z0-9_]+)"', loop)
+    assert len(names) > 50  # the tuple is really being scanned
+    unknown = [n for n in names if n not in Q.QUERIES]
+    assert not unknown, f"bench.py names not in registry: {unknown}"
