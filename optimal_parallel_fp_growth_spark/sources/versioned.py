@@ -80,7 +80,32 @@ def _write_data(df: DataFrame, path: str, version: int) -> list[str]:
     return rel
 
 
-def _commit(path: str, version: int, files: list[str], op: str) -> int:
+def _schema_fields(df: DataFrame) -> list[list[str]]:
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _check_schema(df: DataFrame, path: str, version: int) -> None:
+    """Appends must match the table schema exactly (name + type, in
+    order): a silently divergent append would poison every later read
+    with missing/ambiguous columns. Overwrite resets the schema."""
+    want = _load_manifest(path, version).get("schema")
+    if want is None:
+        return  # pre-schema manifest: nothing to enforce
+    got = _schema_fields(df)
+    if got != want:
+        raise ValueError(
+            f"append schema mismatch at {path}: table has {want}, "
+            f"append has {got} (use overwrite_table to change schema)"
+        )
+
+
+def _commit(
+    path: str,
+    version: int,
+    files: list[str],
+    op: str,
+    schema: list[list[str]] | None = None,
+) -> int:
     """Atomically birth ``version`` via manifest rename; raises
     FileExistsError on a concurrent commit of the same version (the
     caller retries on a fresh snapshot)."""
@@ -90,6 +115,7 @@ def _commit(path: str, version: int, files: list[str], op: str) -> int:
         "version": version,
         "op": op,
         "files": files,
+        "schema": schema,
         "committed_at": time.time(),
     }
     tmp = mdir / f".v{version:08d}.json.tmp.{os.getpid()}"
@@ -108,7 +134,7 @@ def create_table(df: DataFrame, path: str) -> int:
     if _versions(path):
         raise FileExistsError(f"versioned table already exists at {path}")
     files = _write_data(df, path, 1)
-    return _commit(path, 1, files, "create")
+    return _commit(path, 1, files, "create", _schema_fields(df))
 
 
 def append_table(df: DataFrame, path: str) -> int:
@@ -117,9 +143,13 @@ def append_table(df: DataFrame, path: str) -> int:
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
+    _check_schema(df, path, cur)
     files = _write_data(df, path, cur + 1)
-    prev = _load_manifest(path, cur)["files"]
-    return _commit(path, cur + 1, prev + files, "append")
+    man = _load_manifest(path, cur)
+    return _commit(
+        path, cur + 1, man["files"] + files, "append",
+        man.get("schema") or _schema_fields(df),
+    )
 
 
 def overwrite_table(df: DataFrame, path: str) -> int:
@@ -130,7 +160,7 @@ def overwrite_table(df: DataFrame, path: str) -> int:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     files = _write_data(df, path, cur + 1)
-    return _commit(path, cur + 1, files, "overwrite")
+    return _commit(path, cur + 1, files, "overwrite", _schema_fields(df))
 
 
 def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
@@ -149,7 +179,10 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     target = max(1, -(-total // (target_mb * 1024 * 1024)))
     df = read_table(spark, path, version=cur).coalesce(target)
     files = _write_data(df, path, cur + 1)
-    return _commit(path, cur + 1, files, "compact")
+    return _commit(
+        path, cur + 1, files, "compact",
+        man.get("schema") or _schema_fields(df),
+    )
 
 
 def read_table(

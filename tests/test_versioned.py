@@ -189,3 +189,20 @@ def test_property_random_op_sequences_keep_invariants(spark, tmp_path):
             assert read_table(spark, path, version=v).count() == want
 
     run()
+
+
+def test_append_schema_mismatch_rejected(spark, table):
+    wrong = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("v")  # v: string
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_table(wrong, table)
+    # overwrite legitimately changes the schema; appends then follow it
+    overwrite_table(wrong, table)
+    append_table(
+        spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit("y").alias("v")
+        ),
+        table,
+    )
+    assert read_table(spark, table).count() == 8
