@@ -256,13 +256,46 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # The driver captures only a ~2000-char tail of stdout, so the final
+    # JSON line must stay small (BENCH_r05 was truncated to unparseable).
+    # Full per-stage timings go to BENCH_FULL.json; the stdout line carries
+    # e2e plus the four headline pipeline stages and a pointer.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "e2e_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+
+    headline = {
+        k: timings[k]
+        for k in (
+            "baseline_mllib_pipeline",
+            "engine_pipeline",
+            "engine_pipeline_pandas",
+            "events_pipeline",
+        )
+        if k in timings
+    }
     print(
         json.dumps(
             {
                 "metric": "e2e_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
+                "full": "BENCH_FULL.json",
+                "n_stages": len(timings),
                 "sf": sf_val,
             }
         )

@@ -429,26 +429,112 @@ QUERIES.update(REL_QUERIES)
 
 # ---------------------------------------------------------------------------
 # Driver sampling order. The correctness harness samples the registry in
-# insertion order with a bounded per-round window (~50 rows), so entries
-# whose last green driver row is OLDEST must come FIRST — the rotation
-# contract that bounds staleness to one round. Round-5 tiers:
-#   1. entries added this round (never driver-sampled): the Arrow
-#      deployment paths (VERDICT r4 task #1)
-#   2. the 39 entries whose last green row is r03 (sampled out of the
-#      r04 window): events family, TPC-H/relational family, multimodal
-#      pair, knn_cosine, transform_self, freq_itemsets_by_lang,
-#      mix_temperature
-#   3. r04-green regression canaries (core mining + heaviest dedup);
-#      kmeans/semdedup ceded canary slots to their tier-1 Arrow twins
-#      (same oracles, and the SQL fold paths are pinned equal by
-#      pytest equality tests)
-# Everything else follows in original insertion order. Python dicts preserve
-# insertion order, so rebuilding the dict IS the sampling contract.
+# insertion order with a bounded per-round window (exactly 50 rows in r4
+# and r5), so entries whose last green driver row is OLDEST must come
+# FIRST — the rotation contract that bounds staleness. Round-6 tiers:
+#   1. the 10 entries added in round 5 that have NEVER had a driver row
+#      (VERDICT r5 task #2), plus the new-this-round versioned-table
+#      entry (VERDICT r5 task #3)
+#   2. the r04-green entries cycling back in (staleness would hit 2
+#      rounds otherwise) — 39 of the 49, in families
+#   3. ten r04-green entries deliberately deferred ONE extra round
+#      because each is pytest-differential-pinned to a twin that is
+#      either r05-green or in this window (see tier-3 comment) —
+#      resolving the first window overflow exactly as the r5 plan
+#      prescribed
+#   4. the 50 r05-green entries, freshest last
+# Python dicts preserve insertion order, so rebuilding the dict IS the
+# sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
-    # tier 1 — added or semantics-changed in round 5: the Arrow
-    # deployment paths, the new exact-tier ngram row,
-    # dedup_ngram_jaccard whose DEFAULT flipped to auto-max_df, and
-    # the real-header-decode round trip
+    # tier 1 — never driver-sampled (added round 5) + new round-6 rows
+    "gopher_rules",
+    "late_order_priorities",
+    "sole_late_suppliers",
+    "random_projection",
+    "knn_hyperplane",
+    "dedup_ngram_prefix",
+    "negative_pairs",
+    "hard_negatives",
+    "dq_events",
+    "events_hopping",
+    "versioned_read",
+    # tier 2 — last green row r04; cycle back into the window.
+    # Core mining family first (the reference-parity canaries), then
+    # dedup, docs/text, vectors, relational, sampling.
+    "count_rows",
+    "tokenize_distinct",
+    "freq_items",
+    "word_count",
+    "freq_itemsets_pfp",
+    "freq_itemsets_docs",
+    "assoc_rules",
+    "transform",
+    "apriori_rules",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_lines",
+    "deduped_corpus",
+    "embedding_neardup",
+    "decontaminate",
+    "source_ngram_overlap",
+    "lang_id",
+    "quality_score",
+    "quality_classifier",
+    "doc_fingerprint",
+    "token_quantiles",
+    "text_stats",
+    "pii_stats",
+    "dq_documents",
+    "ngram_counts",
+    "repetition_signals",
+    "tfidf_top_terms",
+    "inverted_index",
+    "chunk_documents",
+    "pack_sequences",
+    "curate_corpus",
+    "corpus_split",
+    "mix_sources",
+    "stratified_sample",
+    "weighted_sample",
+    "label_centroids",
+    "revenue_by_nation",
+    "top_orders",
+    # tier 3 — r04-green entries deferred one extra round (2-round
+    # staleness, allowed once per the r5 plan) because each is pinned
+    # by a pytest differential test to a twin with a fresher or
+    # in-window driver row:
+    #   kmeans_clusters/kmeans_auto  ↔ kmeans_arrow (r05)
+    #       tests/test_clustering.py::test_arrow_assignment_matches_sql
+    #   semdedup/semdedup_auto       ↔ semdedup_arrow (r05)
+    #       tests/test_clustering.py::test_semdedup_arrow_matches_sql
+    #   knn_ivf                      ↔ knn_ivf_index (r05)
+    #       tests/test_similarity.py::test_ann_against_index_matches_ivf_topk
+    #   knn_ann                      ↔ knn_cosine (r05, exact scorer)
+    #       tests/test_similarity.py::test_ann_cosines_agree_with_exact
+    #   supplier_pagerank            ↔ supplier_pagerank_bucketed (r05)
+    #       tests/test_graph.py::test_pagerank_bucketed_edges_matches_default
+    #   dedup_minhash_lsh            ↔ dedup_incremental (r05)
+    #       tests/test_incremental_dedup.py::test_incremental_matches_full_lsh_cut
+    #   freq_itemsets (mllib kernel) ↔ freq_itemsets_pfp (tier 2 above)
+    #       tests/test_pfp_kernel.py::test_kernels_agree_on_*
+    #   deduped_corpus_cc ↔ deduped_corpus (tier 2) on the shared LSH
+    #       candidate set (tests/test_cc_sampling.py::
+    #       test_deduped_corpus_cc_policy) and ↔ dedup_clusters
+    #       (tier 2) for the CC machinery (test_dedup_clusters_matches_
+    #       union_find, test_cc_star_matches_label_on_hand_and_random_graphs)
+    # These MUST lead the r7 window.
+    "kmeans_clusters",
+    "kmeans_auto",
+    "semdedup",
+    "semdedup_auto",
+    "knn_ivf",
+    "knn_ann",
+    "supplier_pagerank",
+    "dedup_minhash_lsh",
+    "freq_itemsets",
+    "deduped_corpus_cc",
+    # tier 4 — r05-green (freshest; sampled only if the window grows)
     "bloom_decontaminate",
     "bloom_user_filter",
     "events_distinct_sketch",
@@ -460,85 +546,10 @@ _DRIVER_PRIORITY: list[str] = [
     "supplier_pagerank_bucketed",
     "dedup_incremental",
     "knn_ivf_index",
-    # tier 2 — last green row r03; cycle back into the window
     "freq_itemsets_by_lang",
     "transform_self",
     "mix_temperature",
     "knn_cosine",
-    "events_pivot",
-    "events_unpivot",
-    "events_user_quartiles",
-    "events_sessionize",
-    "events_rolling",
-    "events_daily_rollup",
-    "events_asof_join",
-    "events_windowed_counts",
-    "events_interval_join",
-    "events_hourly_cube",
-    "events_json_props",
-    "events_funnel",
-    "events_retention",
-    "events_top_users",
-    "events_resample",
-    "multimodal_features",
-    "multimodal_frames",
-    "nation_trade_volume",
-    "product_line_revenue",
-    "promo_revenue_share",
-    "brand_discount_revenue",
-    "pricing_summary",
-    "customers_no_big_orders",
-    "top_suppliers_per_nation",
-    "order_priority_stats",
-    "segment_part_overlap",
-    "shipping_priority",
-    "forecast_revenue",
-    "returned_item_report",
-    "large_orders",
-    "nation_revenue_share",
-    "small_qty_revenue",
-    "customer_order_counts",
-    "top_supplier",
-    "idle_rich_customers",
-    # tier 3 — just past the window, leading the r6 rotation. All
-    # r04-green (staleness ≤ 1 round holds without an r5 sample):
-    # the canary slots (freq_itemsets_pfp core mining, dedup_clusters,
-    # supplier_pagerank) ceded to the round-5 entries above — the
-    # changed CC/pagerank defaults are pinned by bucketed-equality
-    # differential tests, and apriori_rules/dedup_simhash/transform/
-    # assoc_rules/freq_itemsets/dedup_minhash_lsh stay pytest-pinned
-    # (tier-1 dedup_incremental exercises the same minhash
-    # signature+band machinery under its own oracle). Any further
-    # operator added late in round 5 queues BEHIND these three so the
-    # 39 r03-stale rows above keep their window slots.
-    "freq_itemsets_pfp",
-    "dedup_clusters",
-    "supplier_pagerank",
-    # tier 4 — operators added late in round 5 (after the window
-    # filled): oracle-gated and pytest-verified now, first driver
-    # sample in r6 right behind the trio above.
-    #
-    # R6 ROTATION PLAN (written round 5 for the next builder): after
-    # the r5 driver run the must-sample set is ~57 entries (these 8
-    # tier-4 rows + the trio + ~46 entries whose last green row is
-    # r04) against a ~50-row window — for the FIRST time the stale
-    # set alone overflows the window. Resolution: the ~12 r04-green
-    # entries that are pytest-differential-pinned to an
-    # already-sampled twin (kmeans_clusters/semdedup vs their Arrow
-    # rows, knn_ivf vs knn_ivf_index, supplier_pagerank vs _bucketed,
-    # freq_itemsets vs freq_itemsets_pfp, …) can run at 2-round
-    # staleness for one round; everything else rotates. Verify with
-    # tests/test_registry_order.py when re-tiering.
-    "gopher_rules",
-    "late_order_priorities",
-    "sole_late_suppliers",
-    "random_projection",
-    "knn_hyperplane",
-    "dedup_ngram_prefix",
-    "negative_pairs",
-    "hard_negatives",
-    "dq_events",
-    "events_hopping",
 ]
 
 

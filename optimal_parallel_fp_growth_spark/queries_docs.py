@@ -235,6 +235,69 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
 
 
+# Shared by q_versioned_read and its oracle: v1 = doc_id%3==0,
+# v2 appends doc_id%3==1, v3 OVERWRITES with doc_id%3==2; the query
+# time-travels to v2 with a pruning predicate. If time travel silently
+# read the latest version the result would be the %3==2 rows and the
+# oracle would mismatch; if manifest min/max pruning dropped a live
+# file, rows would be missing.
+VERSIONED_MIN_DOC_ID = 100
+
+
+def q_versioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full versioned-table lifecycle under the oracle gate
+    (sources/versioned.py): create → append → overwrite → time-travel
+    read of the pinned pre-overwrite version, with the manifest's
+    per-file min/max stats pruning the doc_id predicate. Files are
+    range-partitioned on doc_id at write so the ranges are disjoint
+    and the prune actually skips files (pytest asserts the count via
+    files_scanned). Session-temp table, dropped after materializing —
+    same lifecycle hygiene as dedup_incremental/knn_ivf_index."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        RddBlockHandle,
+        persistent_rdd_ids,
+        tag_cached_inputs,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tdir = tempfile.mkdtemp(prefix=f"opfpg_vt_{uuid.uuid4().hex}_")
+    path = os.path.join(tdir, "tbl")
+    try:
+        by_range = lambda df: df.repartitionByRange(4, "doc_id")  # noqa: E731
+        V.create_table(by_range(docs.where(F.col("doc_id") % 3 == 0)), path)
+        V.append_table(by_range(docs.where(F.col("doc_id") % 3 == 1)), path)
+        V.overwrite_table(by_range(docs.where(F.col("doc_id") % 3 == 2)), path)
+        pinned = V.read_table(
+            spark, path, version=2, prune=("doc_id", ">=", VERSIONED_MIN_DOC_ID)
+        )
+        out = pinned.groupBy("lang", "source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        seen = persistent_rdd_ids(spark)
+        res = out.localCheckpoint()
+        block_ids = persistent_rdd_ids(spark) - seen
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+
+
+ORACLE_VERSIONED_READ = f"""
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE doc_id % 3 < 2 AND doc_id >= {VERSIONED_MIN_DOC_ID}
+GROUP BY lang, source
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
@@ -998,6 +1061,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "curate_corpus": q_curate_corpus,
     "dq_documents": q_dq_documents,
+    "versioned_read": q_versioned_read,
 }
 
 DOC_ORACLES: dict[str, str] = {
@@ -1038,4 +1102,5 @@ DOC_ORACLES: dict[str, str] = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "curate_corpus": ORACLE_CURATE_CORPUS,
     "dq_documents": ORACLE_DQ_DOCUMENTS,
+    "versioned_read": ORACLE_VERSIONED_READ,
 }

@@ -43,6 +43,7 @@ __all__ = [
     "overwrite_table",
     "compact_table",
     "read_table",
+    "files_scanned",
     "table_history",
     "vacuum_table",
     "stream_to_table",
@@ -80,6 +81,64 @@ def _write_data(df: DataFrame, path: str, version: int) -> list[str]:
     return rel
 
 
+def _file_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
+    """Per-file min/max column ranges, read from the parquet FOOTERS of
+    the just-written files (no data scan — the writer already computed
+    row-group statistics). Only scalar-typed columns with complete
+    stats in every row group are recorded; a file with no usable stats
+    gets ``{}`` and is never pruned. At cluster scale this is the
+    manifest-level pruning index every table format keeps (Iceberg
+    ``lower_bounds``/``upper_bounds``): a time-travel read with a
+    predicate opens only the files whose range intersects it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rel_files:
+        stats: dict[str, list] = {}
+        try:
+            meta = pq.ParquetFile(str(pathlib.Path(path) / rel)).metadata
+            schema = meta.schema.to_arrow_schema()
+            for ci in range(meta.num_columns):
+                col = meta.schema.column(ci)
+                if "." in col.path:
+                    continue  # nested field — no file-level scalar range
+                name = col.path
+                typ = schema.field(name).type
+                if not (
+                    pa.types.is_integer(typ)
+                    or pa.types.is_floating(typ)
+                    or pa.types.is_string(typ)
+                    or pa.types.is_large_string(typ)
+                    or pa.types.is_date(typ)
+                    or pa.types.is_timestamp(typ)
+                    or pa.types.is_boolean(typ)
+                ):
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(meta.num_row_groups):
+                    s = meta.row_group(rg).column(ci).statistics
+                    if s is None or not s.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = s.min, s.max
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                if ok and lo is not None:
+                    if pa.types.is_date(typ) or pa.types.is_timestamp(typ):
+                        lo, hi = str(lo), str(hi)
+                    stats[name] = [lo, hi]
+        except (OSError, pa.ArrowException):
+            # unreadable/corrupt footer → file stays unprunable, not
+            # broken. Programming errors must NOT be swallowed here —
+            # a silent {} turns every prune into a full scan (this
+            # exact failure shipped once via a pyarrow API rename).
+            stats = {}
+        out[rel] = stats
+    return out
+
+
 def _schema_fields(df: DataFrame) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
@@ -105,10 +164,18 @@ def _commit(
     files: list[str],
     op: str,
     schema: list[list[str]] | None = None,
+    file_stats: dict[str, dict] | None = None,
 ) -> int:
-    """Atomically birth ``version`` via manifest rename; raises
-    FileExistsError on a concurrent commit of the same version (the
-    caller retries on a fresh snapshot)."""
+    """Atomically birth ``version`` via an ATOMIC-CREATE-EXCLUSIVE
+    primitive; raises FileExistsError on a concurrent commit of the
+    same version (the caller retries on a fresh snapshot).
+
+    ``os.link(tmp, target)`` fails with EEXIST if the target exists —
+    unlike ``os.rename``, which silently REPLACES on POSIX, so an
+    exists()-then-rename sequence would let two concurrent writers
+    both "win" and one manifest be lost (TOCTOU). The exists() check
+    below is kept only as a fast path; the link is the guarantee. On
+    object stores, swap for conditional-put (If-None-Match)."""
     mdir = pathlib.Path(path) / _MANIFEST_DIR
     mdir.mkdir(parents=True, exist_ok=True)
     manifest = {
@@ -116,6 +183,7 @@ def _commit(
         "op": op,
         "files": files,
         "schema": schema,
+        "file_stats": file_stats or {},
         "committed_at": time.time(),
     }
     tmp = mdir / f".v{version:08d}.json.tmp.{os.getpid()}"
@@ -124,7 +192,14 @@ def _commit(
     if target.exists():
         tmp.unlink()
         raise FileExistsError(f"version {version} already committed at {path}")
-    os.rename(tmp, target)
+    try:
+        os.link(tmp, target)  # atomic: EEXIST if a racer got there first
+    except FileExistsError:
+        raise FileExistsError(
+            f"version {version} already committed at {path}"
+        ) from None
+    finally:
+        tmp.unlink(missing_ok=True)
     return version
 
 
@@ -134,7 +209,9 @@ def create_table(df: DataFrame, path: str) -> int:
     if _versions(path):
         raise FileExistsError(f"versioned table already exists at {path}")
     files = _write_data(df, path, 1)
-    return _commit(path, 1, files, "create", _schema_fields(df))
+    return _commit(
+        path, 1, files, "create", _schema_fields(df), _file_stats(path, files)
+    )
 
 
 def append_table(df: DataFrame, path: str) -> int:
@@ -146,9 +223,12 @@ def append_table(df: DataFrame, path: str) -> int:
     _check_schema(df, path, cur)
     files = _write_data(df, path, cur + 1)
     man = _load_manifest(path, cur)
+    stats = dict(man.get("file_stats") or {})
+    stats.update(_file_stats(path, files))
     return _commit(
         path, cur + 1, man["files"] + files, "append",
         man.get("schema") or _schema_fields(df),
+        stats,
     )
 
 
@@ -160,7 +240,10 @@ def overwrite_table(df: DataFrame, path: str) -> int:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     files = _write_data(df, path, cur + 1)
-    return _commit(path, cur + 1, files, "overwrite", _schema_fields(df))
+    return _commit(
+        path, cur + 1, files, "overwrite", _schema_fields(df),
+        _file_stats(path, files),
+    )
 
 
 def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
@@ -182,24 +265,111 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     return _commit(
         path, cur + 1, files, "compact",
         man.get("schema") or _schema_fields(df),
+        _file_stats(path, files),
     )
 
 
+_PRUNE_OPS = ("==", ">=", "<=", ">", "<")
+
+
+def _file_survives(stats: dict, col: str, op: str, val) -> bool:
+    """Can any row in a file with range stats satisfy ``col op val``?
+    Missing stats → True (never prune on ignorance)."""
+    rng = (stats or {}).get(col)
+    if not rng:
+        return True
+    lo, hi = rng
+    if op == "==":
+        return lo <= val <= hi
+    if op == ">=":
+        return hi >= val
+    if op == ">":
+        return hi > val
+    if op == "<=":
+        return lo <= val
+    if op == "<":
+        return lo < val
+    raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
+
+
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple[str, str, object] | None = None,
 ) -> DataFrame:
     """Read a committed version (None = latest). Time travel: the file
-    list is exactly what that version's manifest pinned."""
+    list is exactly what that version's manifest pinned.
+
+    ``prune=(col, op, value)`` (op in ==, >=, <=, >, <) uses the
+    manifest's per-file min/max ranges to SKIP files whose range
+    cannot contain a matching row, then applies the same predicate as
+    a DataFrame filter so results are exact regardless of how many
+    files the stats eliminated. This is the manifest-level pruning a
+    100 TB time-travel read needs: parquet footer pushdown only helps
+    after a file is opened; the manifest check avoids listing/opening
+    the file at all."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
-    files = _load_manifest(path, v)["files"]
+    man = _load_manifest(path, v)
+    files = man["files"]
     if not files:
         raise ValueError(f"version {v} has no files")
-    return spark.read.parquet(*[str(pathlib.Path(path) / f) for f in files])
+    if prune is not None:
+        col, op, val = prune
+        fstats = man.get("file_stats") or {}
+        files = [f for f in files if _file_survives(fstats.get(f), col, op, val)]
+        if not files:
+            # every file pruned: empty result with the table schema
+            schema = man.get("schema")
+            if schema:
+                from pyspark.sql.types import _parse_datatype_string
+
+                ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+                return spark.createDataFrame([], _parse_datatype_string(ddl))
+            files = man["files"][:1]  # pre-schema manifest: read one file
+    df = spark.read.parquet(*[str(pathlib.Path(path) / f) for f in files])
+    if prune is not None:
+        col, op, val = prune
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        c: Column = F.col(col)
+        cond = {
+            "==": c == val,
+            ">=": c >= val,
+            ">": c > val,
+            "<=": c <= val,
+            "<": c < val,
+        }[op]
+        df = df.where(cond)
+    return df
+
+
+def files_scanned(
+    path: str, version: int | None = None,
+    prune: tuple[str, str, object] | None = None,
+) -> int:
+    """How many data files :func:`read_table` would open for this
+    version/predicate — the observable for pruning tests and ops
+    dashboards."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    v = vs[-1] if version is None else version
+    man = _load_manifest(path, v)
+    files = man["files"]
+    if prune is None:
+        return len(files)
+    col, op, val = prune
+    fstats = man.get("file_stats") or {}
+    return sum(
+        1 for f in files if _file_survives(fstats.get(f), col, op, val)
+    )
 
 
 def stream_to_table(stream_df: DataFrame, path: str, checkpoint: str):

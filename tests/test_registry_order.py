@@ -1,11 +1,13 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (~50 rows). Round-5 rotation contract
-(VERDICT r4 task #2): the two Arrow entries added this round lead
-(never sampled), then the 39 entries whose last green driver row is
-r03, then r04-green canaries — so after the r5 run every registry
-entry has a green row from r4 or r5 (staleness bounded to one round).
+bounded per-round window (exactly 50 rows in r4 and r5). Round-6
+rotation contract (VERDICT r5 tasks #2 and #3): the 10 round-5 entries
+with no driver row EVER lead, plus the new ``versioned_read`` row, then
+the 39 r04-green entries cycling back in — together exactly filling the
+window. Ten r04-green entries are deferred ONE extra round (each
+pytest-differential-pinned to a twin that is r05-green or in-window)
+and must lead the r7 rotation.
 """
 
 from __future__ import annotations
@@ -19,63 +21,83 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 
 WINDOW = 50
 
-# Entries with no driver row yet (added round 5) plus entries whose
-# newest green driver row is r03 (outside the r04 window) — all must
-# sit in the r5 sampling window.
-MUST_BE_IN_WINDOW = {
-    # added or semantics-changed in round 5
-    "bloom_decontaminate",
-    "bloom_user_filter",
-    "events_distinct_sketch",
-    "kmeans_arrow",
-    "semdedup_arrow",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_exact",
-    "multimodal_decode",
-    "supplier_pagerank_bucketed",
-    "dedup_incremental",
-    "knn_ivf_index",
-    # last green row r03
-    "freq_itemsets_by_lang",
-    "transform_self",
-    "mix_temperature",
-    "knn_cosine",
-    "events_pivot",
-    "events_unpivot",
-    "events_user_quartiles",
-    "events_sessionize",
-    "events_rolling",
-    "events_daily_rollup",
-    "events_asof_join",
-    "events_windowed_counts",
-    "events_interval_join",
-    "events_hourly_cube",
-    "events_json_props",
-    "events_funnel",
-    "events_retention",
-    "events_top_users",
-    "events_resample",
-    "multimodal_features",
-    "multimodal_frames",
-    "nation_trade_volume",
-    "product_line_revenue",
-    "promo_revenue_share",
-    "brand_discount_revenue",
-    "pricing_summary",
-    "customers_no_big_orders",
-    "top_suppliers_per_nation",
-    "order_priority_stats",
-    "segment_part_overlap",
-    "shipping_priority",
-    "forecast_revenue",
-    "returned_item_report",
-    "large_orders",
-    "nation_revenue_share",
-    "small_qty_revenue",
-    "customer_order_counts",
-    "top_supplier",
-    "idle_rich_customers",
+# Tier 1: never driver-sampled (added round 5) + the new round-6
+# versioned-table row. These have the highest staleness risk.
+NEVER_SAMPLED = {
+    "gopher_rules",
+    "late_order_priorities",
+    "sole_late_suppliers",
+    "random_projection",
+    "knn_hyperplane",
+    "dedup_ngram_prefix",
+    "negative_pairs",
+    "hard_negatives",
+    "dq_events",
+    "events_hopping",
+    "versioned_read",
 }
+
+# Tier 2: last green driver row is r04 — staleness would hit 2 rounds
+# without an r6 sample.
+R04_GREEN_ROTATING = {
+    "count_rows",
+    "tokenize_distinct",
+    "freq_items",
+    "word_count",
+    "freq_itemsets_pfp",
+    "freq_itemsets_docs",
+    "assoc_rules",
+    "transform",
+    "apriori_rules",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_lines",
+    "deduped_corpus",
+    "embedding_neardup",
+    "decontaminate",
+    "source_ngram_overlap",
+    "lang_id",
+    "quality_score",
+    "quality_classifier",
+    "doc_fingerprint",
+    "token_quantiles",
+    "text_stats",
+    "pii_stats",
+    "dq_documents",
+    "ngram_counts",
+    "repetition_signals",
+    "tfidf_top_terms",
+    "inverted_index",
+    "chunk_documents",
+    "pack_sequences",
+    "curate_corpus",
+    "corpus_split",
+    "mix_sources",
+    "stratified_sample",
+    "weighted_sample",
+    "label_centroids",
+    "revenue_by_nation",
+    "top_orders",
+}
+
+MUST_BE_IN_WINDOW = NEVER_SAMPLED | R04_GREEN_ROTATING
+
+# Tier 3: r04-green, deferred one extra round because each is pinned by
+# a pytest differential test to a twin with a fresher or in-window
+# driver row (see the tier-3 comment in queries.py). MUST lead r7.
+DEFERRED_TO_R7 = [
+    "kmeans_clusters",
+    "kmeans_auto",
+    "semdedup",
+    "semdedup_auto",
+    "knn_ivf",
+    "knn_ann",
+    "supplier_pagerank",
+    "dedup_minhash_lsh",
+    "freq_itemsets",
+    "deduped_corpus_cc",
+]
 
 
 def test_stale_and_new_entries_lead_the_registry():
@@ -84,18 +106,17 @@ def test_stale_and_new_entries_lead_the_registry():
     assert not missing, f"stale/new entries outside window: {sorted(missing)}"
 
 
-def test_r04_green_trio_leads_r6_rotation():
-    # Every canary slot ceded to round-5 entries (all three are
-    # r04-green, so staleness stays ≤ 1 round without an r5 sample;
-    # changed CC/pagerank defaults are pinned by bucketed-equality
-    # differential tests). They must sit IMMEDIATELY past the window
-    # so they lead the r6 rotation.
+def test_window_is_exactly_the_must_sample_set():
+    # tier1 + tier2 is sized to EXACTLY fill the 50-row window — a
+    # drift here means either a stale entry got pushed out or a fresh
+    # one is wasting a window slot.
+    assert len(MUST_BE_IN_WINDOW) == WINDOW
+    assert set(list(Q.QUERIES)[:WINDOW]) == MUST_BE_IN_WINDOW
+
+
+def test_deferred_entries_lead_r7_rotation():
     order = list(Q.QUERIES)
-    assert order[WINDOW : WINDOW + 3] == [
-        "freq_itemsets_pfp",
-        "dedup_clusters",
-        "supplier_pagerank",
-    ]
+    assert order[WINDOW : WINDOW + len(DEFERRED_TO_R7)] == DEFERRED_TO_R7
 
 
 def test_queries_and_oracles_share_order_and_keys():
@@ -123,7 +144,7 @@ def test_entry_module_preserves_order():
 def test_prior_round_correctness_rows_were_all_green():
     # guards against regressing an already-driver-confirmed entry silently:
     # if these files change upstream, the canary tier should be revisited.
-    for r in ("r02", "r03"):
+    for r in ("r02", "r03", "r04", "r05"):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         assert all(v.get("hash_match") for v in rows.values()), r
 

@@ -206,3 +206,141 @@ def test_append_schema_mismatch_rejected(spark, table):
         table,
     )
     assert read_table(spark, table).count() == 8
+
+
+# ---------------------------------------------------------------------
+# round-6: manifest file-level min/max stats + pruned reads + the
+# atomic create-exclusive commit (ADVICE r5 TOCTOU fix)
+# ---------------------------------------------------------------------
+
+
+def _ranged(spark, n=400, files=4):
+    # disjoint doc_id ranges per file so manifest stats can prune
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(files, "doc_id")
+    )
+
+
+def test_manifest_stats_prune_files_and_keep_rows(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        files_scanned,
+    )
+
+    path = str(tmp_path / "ptbl")
+    create_table(_ranged(spark), path)
+    total = files_scanned(path)
+    assert total >= 3  # range partitioning really produced several files
+    pruned = files_scanned(path, prune=("doc_id", ">=", 300))
+    assert pruned < total  # stats actually skipped files
+    # exactness: pruned read == unpruned read + DataFrame filter
+    got = {
+        r.doc_id
+        for r in read_table(spark, path, prune=("doc_id", ">=", 300)).collect()
+    }
+    want = {
+        r.doc_id
+        for r in read_table(spark, path).where(F.col("doc_id") >= 300).collect()
+    }
+    assert got == want and len(got) == 100
+
+
+def test_prune_survives_append_and_time_travel(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        files_scanned,
+    )
+
+    path = str(tmp_path / "atbl")
+    create_table(_ranged(spark, 200, 2), path)
+    append_table(
+        spark.range(1000, 1200)
+        .select(F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(2, "doc_id"),
+        path,
+    )
+    # v2 prune: only the appended files can hold doc_id >= 1000
+    assert files_scanned(path, version=2, prune=("doc_id", ">=", 1000)) < \
+        files_scanned(path, version=2)
+    assert read_table(
+        spark, path, version=2, prune=("doc_id", ">=", 1000)
+    ).count() == 200
+    # time travel to v1 under the same prune: nothing matches
+    assert read_table(
+        spark, path, version=1, prune=("doc_id", ">=", 1000)
+    ).count() == 0
+
+
+def test_prune_all_files_returns_empty_with_table_schema(spark, tmp_path):
+    path = str(tmp_path / "etbl")
+    create_table(_ranged(spark, 100, 2), path)
+    out = read_table(spark, path, prune=("doc_id", ">", 10_000))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "v"]
+
+
+def test_prune_missing_stats_never_drops_rows(spark, tmp_path):
+    """A manifest without file_stats (legacy / unreadable footers) must
+    fall back to scanning every file — prune on ignorance is a
+    correctness bug."""
+    import json as _json
+    import pathlib as _pl
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _MANIFEST_DIR,
+        files_scanned,
+    )
+
+    path = str(tmp_path / "ltbl")
+    create_table(_ranged(spark, 100, 2), path)
+    mpath = next((_pl.Path(path) / _MANIFEST_DIR).glob("v*.json"))
+    man = _json.loads(mpath.read_text())
+    man.pop("file_stats", None)
+    mpath.write_text(_json.dumps(man))
+    assert files_scanned(path, prune=("doc_id", ">=", 90)) == files_scanned(path)
+    assert read_table(spark, path, prune=("doc_id", ">=", 90)).count() == 10
+
+
+def test_file_survives_operator_table():
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _file_survives,
+    )
+
+    stats = {"k": [10, 20]}
+    cases = [
+        ("==", 15, True), ("==", 9, False), ("==", 21, False),
+        (">=", 20, True), (">=", 21, False),
+        (">", 19, True), (">", 20, False),
+        ("<=", 10, True), ("<=", 9, False),
+        ("<", 11, True), ("<", 10, False),
+    ]
+    for op, val, want in cases:
+        assert _file_survives(stats, "k", op, val) is want, (op, val)
+    assert _file_survives({}, "k", "==", 1) is True  # no stats → keep
+    assert _file_survives(stats, "other", "==", 1) is True
+    with pytest.raises(ValueError, match="unsupported prune op"):
+        _file_survives(stats, "k", "!=", 1)
+
+
+def test_commit_is_atomic_even_when_exists_fastpath_misses(
+    spark, table, monkeypatch
+):
+    """The TOCTOU guarantee: even if a racer lands the target BETWEEN
+    the exists() fast path and the final step, the second committer
+    must fail (os.link raises EEXIST; os.rename would silently replace
+    and lose a manifest). Simulated by blinding the fast path."""
+    import pathlib as _pl
+
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    cur = V._versions(table)[-1]
+    files = V._load_manifest(table, cur)["files"]
+    assert V._commit(table, cur + 1, files, "append") == cur + 1
+    monkeypatch.setattr(_pl.Path, "exists", lambda self: False)
+    with pytest.raises(FileExistsError):
+        V._commit(table, cur + 1, files, "append")
+    monkeypatch.undo()
+    # loser's tmp file was cleaned up; table still consistent
+    mdir = _pl.Path(table) / V._MANIFEST_DIR
+    assert not list(mdir.glob(".*.tmp.*"))
+    assert read_table(spark, table, version=cur + 1).count() == 100
