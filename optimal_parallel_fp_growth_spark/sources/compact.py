@@ -57,15 +57,23 @@ def compact_files(
     range-partitioned sorted layout when ``sorted_by`` is given).
     Returns {"files_before", "files_after", "bytes", "target_files"}.
     """
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # crash recovery FIRST: the swap below has a window where `path`
+    # does not exist (between its two renames). A crash there strands
+    # the table at `old` — if we find that state, roll it back before
+    # anything else (in particular before the stale-sibling sweep,
+    # which would otherwise delete the only copy of the data).
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     total, before = _dir_bytes(path)
     if before == 0:
         raise ValueError(f"no parquet files under {path!r}")
     target = max(1, -(-total // (target_mb * 1024 * 1024)))
     df: DataFrame = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
     # a crashed previous run may have left either sibling behind; the
-    # live table at `path` is authoritative, so both are safe to clear
+    # live table at `path` is authoritative (recovered above if
+    # needed), so both are safe to clear
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)
@@ -73,6 +81,14 @@ def compact_files(
         write_sorted(df, tmp, sorted_by, num_files=target)
     else:
         df.coalesce(target).write.mode("overwrite").parquet(tmp)
+    # Swap window: between these two renames NO directory exists at
+    # `path` — a concurrent reader listing in that instant errors (the
+    # "old or new, never mixed" guarantee holds only for readers that
+    # opened the directory before/after the window), and a crash here
+    # strands the table at `old`. Both are bounded by the rename pair
+    # (microseconds, no data copy) and the crash case is healed by the
+    # rollback at the top of this function on the next run. True
+    # read-isolation needs a manifest commit (sources/versioned.py).
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

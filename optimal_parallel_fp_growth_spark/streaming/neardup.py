@@ -61,10 +61,18 @@ def _neardup_fn(
         rows = rows[1:]
     if not rows:
         return
+    # d != owner: an at-least-once re-delivery of the admitted owner in
+    # a LATER micro-batch would otherwise emit a perfect self-candidate
+    # (n_agree == len(sig)) and downstream thresholding would suppress
+    # the document as a duplicate of itself — the batch tier excludes
+    # self-pairs via doc_a < doc_b, so the stream must too.
     out = [
         (d, owner, sum(a == b for a, b in zip(s, osig)), key[0])
         for d, s in rows
+        if d != owner
     ]
+    if not out:
+        return
     yield pd.DataFrame(
         out, columns=["doc_id", "dup_of", "n_agree", "band_key"]
     )
@@ -95,6 +103,19 @@ def streaming_neardup(
     the same exactness-for-boundedness trade as
     ``first_seen_dedup(ttl=...)``: a near-dup arriving after the gap
     re-admits as a fresh owner instead of being flagged."""
+    # minhash_signatures always emits the fixed NUM_HASHES-component
+    # signature; a different num_hashes would make _band_key_col slice
+    # past (or short of) the signature and silently produce degenerate
+    # band keys. Fail loudly until the hash family is parameterized.
+    if num_hashes != NUM_HASHES:
+        raise ValueError(
+            f"num_hashes={num_hashes} unsupported: minhash_signatures "
+            f"emits exactly {NUM_HASHES} components"
+        )
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_bands={num_bands} must divide num_hashes={num_hashes}"
+        )
     rows = num_hashes // num_bands
     if ttl is None:
         sigs = minhash_signatures(docs, text_col, k)
@@ -145,10 +166,14 @@ def streaming_neardup(
         state.setTimeoutTimestamp(last_ms + ttl_ms)
         if not rows_:
             return
+        # same self-candidate guard as _neardup_fn (owner re-delivery)
         out = [
             (d, owner, sum(a == b for a, b in zip(s, osig)), key[0])
             for d, s in rows_
+            if d != owner
         ]
+        if not out:
+            return
         yield pd.DataFrame(
             out, columns=["doc_id", "dup_of", "n_agree", "band_key"]
         )

@@ -92,3 +92,18 @@ def test_stale_tmp_dirs_from_crash_are_cleared(spark, fragmented):
     assert not os.path.exists(out + "._compact_tmp")
     assert not os.path.exists(out + "._compact_old")
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_crash_between_swap_renames_recovers(spark, fragmented):
+    """A crash in the swap window leaves the table stranded at
+    ._compact_old with `path` missing; the next run must roll it back
+    and proceed instead of erroring or deleting the only copy
+    (ADVICE r5)."""
+    import os
+
+    _, path = fragmented
+    before = spark.read.parquet(path).count()
+    os.rename(path, path.rstrip("/") + "._compact_old")
+    stats = compact_files(spark, path, target_mb=128)
+    assert stats["files_after"] <= stats["files_before"]
+    assert spark.read.parquet(path).count() == before

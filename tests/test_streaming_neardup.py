@@ -159,3 +159,43 @@ def test_ttl_expires_and_readmits(spark, tmp_path):
     )
     run_to_memory(st, "neardup_ttl_exp", output_mode="update")
     assert spark.table("neardup_ttl_exp").count() == 0
+
+
+def test_num_hashes_mismatch_rejected(spark, tmp_path):
+    """minhash_signatures emits exactly NUM_HASHES components, so any
+    other num_hashes must fail loudly rather than slice degenerate band
+    keys (ADVICE r5)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="num_hashes"):
+        streaming_neardup(docs, num_hashes=NUM_HASHES * 2)
+    with pytest.raises(ValueError, match="must divide"):
+        streaming_neardup(docs, num_bands=5)  # 5 does not divide 16
+
+
+def test_owner_redelivery_emits_no_self_candidate(spark, tmp_path):
+    """At-least-once redelivery: the admitted bucket owner re-arriving
+    in a later micro-batch must NOT emit (owner, owner, 16) — the batch
+    tier excludes self-pairs via doc_a < doc_b (ADVICE r5)."""
+    rows = [(i, _crafted(i)) for i in range(6)]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    # batch 1 admits owners; batch 2 redelivers the SAME docs
+    st = streaming_neardup(_doc_stream(spark, base.unionByName(base), tmp_path, 2))
+    run_to_memory(st, "neardup_redeliver", output_mode="update")
+    out = spark.table("neardup_redeliver").collect()
+    assert all(r.doc_id != r.dup_of for r in out)
+
+
+def test_owner_redelivery_no_self_candidate_ttl(spark, tmp_path):
+    """Same redelivery guard on the TTL state handler."""
+    b = [(i, _crafted(i), "2026-01-01 00:00:00") for i in range(6)]
+    st = streaming_neardup(
+        _ts_doc_stream(spark, [b, b], tmp_path, "redeliver_ttl"),
+        ttl="3650 days",
+    )
+    run_to_memory(st, "neardup_redeliver_ttl", output_mode="update")
+    out = spark.table("neardup_redeliver_ttl").collect()
+    assert all(r.doc_id != r.dup_of for r in out)
