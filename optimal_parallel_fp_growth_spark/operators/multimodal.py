@@ -6,15 +6,19 @@ metadata struct alongside. Decode/feature-extract runs as Arrow-batched
 iteration, one-to-many expansion) is real and tested at scale semantics;
 only the innermost byte-decode is a STUB.
 
-CODEC STATUS: this container has no pixel/sample codecs (no PIL/
-ffmpeg/librosa), and ``decode_real`` remains the swap-in seam for
-them — but as of round 5 it REALLY parses the five container formats
-whose metadata is pure byte layout (PNG/GIF/BMP/JPEG dimensions, WAV
-sample-rate/channels) and raises ``NotImplementedError`` only for
-everything beyond that. ``build_payload`` constructs spec-valid files
-so the build→parse round trip is oracle-checked (`multimodal_decode`);
-``_decode_stub`` (md5-derived fake features) remains for the
-feature-extraction pipeline whose kernels genuinely need codecs.
+CODEC STATUS: this container has no codec libraries (no PIL/
+ffmpeg/librosa), but the pure-Python/stdlib decode surface now covers
+(a) header metadata for PNG/GIF/BMP/JPEG/WAV (``decode_real``, round
+5), (b) FULL pixel decode for raw netpbm P5/P6 (round 5) and for
+8-bit non-interlaced PNG — real zlib inflate + all five scanline
+filters, color types 0/2/3/4/6 (``decode_png_pixels``, round 6).
+``NotImplementedError`` now marks only the genuinely library-bound
+seam: 16-bit/interlaced PNG, JPEG DCT, GIF LZW, audio/video samples.
+``build_payload``/``build_png_pixels`` construct spec-valid files so
+the build→parse round trips are oracle-checked (`multimodal_decode`,
+`multimodal_pixels`); ``_decode_stub`` (md5-derived fake features)
+remains for the feature-extraction pipeline whose kernels genuinely
+need codecs.
 
 The test tables carry no media, so ``attach_payload`` manufactures the
 binary column from ``documents.text`` (utf-8 bytes) — stand-in payloads
@@ -376,14 +380,19 @@ def decode_pixels(payload: bytes) -> dict:
     ZERO codec libraries: a whitespace/comment-tolerant ASCII header
     (magic, width, height, maxval) followed by raw samples. Returns
     ``{"format", "width", "height", "mean_r", "mean_g", "mean_b"}``
-    (grayscale reports its mean on all three channels). Every other
-    format still raises ``NotImplementedError`` — the documented
-    codec seam (see :func:`decode_real` for header-only parsing of
-    PNG/GIF/BMP/JPEG/WAV)."""
+    (grayscale reports its mean on all three channels). PNG payloads
+    dispatch to :func:`decode_png_pixels` (real zlib inflate +
+    unfiltering). Every other format still raises
+    ``NotImplementedError`` — the documented codec seam, now narrowed
+    to lossy/complex codecs (JPEG/GIF-LZW/audio/video) that genuinely
+    need PIL/ffmpeg (see :func:`decode_real` for their header-only
+    parsing)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(payload)
     if payload[:2] not in (b"P5", b"P6"):
         raise NotImplementedError(
-            "pixel decode supports raw netpbm (P5/P6) only; other codecs "
-            "need PIL/ffmpeg (the documented seam)"
+            "pixel decode supports raw netpbm (P5/P6) and 8-bit PNG; other "
+            "codecs need PIL/ffmpeg (the documented seam)"
         )
     # header tokenizer: fields separated by whitespace, '#' comments
     # run to end-of-line; the single whitespace byte after maxval is
@@ -431,10 +440,249 @@ def decode_pixels(payload: bytes) -> dict:
     }
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9 Filtering): pick whichever of
+    left/up/up-left is closest to a + b - c, ties a > b > c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(payload: bytes) -> dict:
+    """FULL PNG pixel decode with ZERO codec libraries: chunk walk,
+    stdlib ``zlib`` inflate of the concatenated IDAT stream, and
+    per-scanline unfiltering (all five PNG filter types: None/Sub/Up/
+    Average/Paeth). Supports 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
+    the full baseline-PNG matrix minus 16-bit and Adam7, which raise
+    ``NotImplementedError`` (the documented codec seam, now narrowed
+    to exactly those two). Returns the same shape as
+    :func:`decode_pixels`; alpha is ignored for the channel means,
+    grayscale reports its mean on all three channels."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise NotImplementedError("corrupt PNG: missing IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type} not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise NotImplementedError(
+            f"PNG pixel data length mismatch: want {(stride + 1) * height}, "
+            f"have {len(raw)}"
+        )
+    # unfilter scanline by scanline; bpp = channels at 8-bit depth
+    bpp = channels
+    prior = bytearray(stride)
+    sum_r = sum_g = sum_b = 0
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"PNG filter type {ftype} invalid")
+        # accumulate channel sums from the reconstructed scanline
+        if color_type == 2 or color_type == 6:
+            sum_r += sum(line[0::channels])
+            sum_g += sum(line[1::channels])
+            sum_b += sum(line[2::channels])
+        elif color_type == 3:
+            for idx in line:
+                base = idx * 3
+                sum_r += plte[base]
+                sum_g += plte[base + 1]
+                sum_b += plte[base + 2]
+        else:  # 0 or 4: grayscale (+alpha)
+            g = sum(line[0::channels])
+            sum_r += g
+            sum_g += g
+            sum_b += g
+        prior = line
+    n = width * height
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "mean_r": sum_r / n,
+        "mean_g": sum_g / n,
+        "mean_b": sum_b / n,
+    }
+
+
+def build_png_pixels(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 2,
+    palette: bytes = b"",
+) -> bytes:
+    """Construct a REAL PNG from raw 8-bit pixel bytes (row-major,
+    ``channels`` interleaved) — the independent build twin of
+    :func:`decode_png_pixels`. Each scanline gets filter type
+    ``y % 5``, so a round trip exercises ALL FIVE filters; the
+    deflate stream is real stdlib zlib."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dims")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    bpp = channels
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        if ftype == 0:
+            raw.extend(line)
+        elif ftype == 1:  # Sub
+            raw.extend(
+                (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ftype == 2:  # Up
+            raw.extend((line[x] - prior[x]) & 0xFF for x in range(stride))
+        elif ftype == 3:  # Average
+            raw.extend(
+                (line[x] - (((line[x - bpp] if x >= bpp else 0) + prior[x]) >> 1))
+                & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            raw.extend(
+                (
+                    line[x]
+                    - _paeth(
+                        line[x - bpp] if x >= bpp else 0,
+                        prior[x],
+                        prior[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def pixel_meta_for(doc_id: int) -> dict:
+    """Deterministic pixel recipe for `attach_pixel_media`, chosen so
+    the channel means have a CLOSED FORM a SQL oracle can recompute:
+    every pixel in row ``y`` has channel value ``base_c + y`` (no
+    byte wraparound: base < 128, h ≤ 14), so
+    ``mean_c = base_c + (h - 1) / 2`` exactly. Formats alternate PNG
+    (even doc_id — exercising inflate + unfiltering) and raw P6
+    netpbm (odd)."""
+    w = 4 + doc_id % 13
+    h = 4 + doc_id % 11
+    return {
+        "format": "png" if doc_id % 2 == 0 else "ppm",
+        "width": w,
+        "height": h,
+        "base": (
+            (doc_id * 37) % 128,
+            (doc_id * 59) % 128,
+            (doc_id * 83) % 128,
+        ),
+    }
+
+
+def attach_pixel_media(docs: DataFrame) -> DataFrame:
+    """→ (doc_id, payload: binary) where payload is a real decodable
+    image (PNG with per-row filters 0-4, or raw P6 netpbm) whose pixel
+    data follows `pixel_meta_for`. Arrow-batched construction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                m = pixel_meta_for(int(doc_id))
+                w, h = m["width"], m["height"]
+                br, bg, bb = m["base"]
+                pixels = bytes(
+                    v
+                    for y in range(h)
+                    for _x in range(w)
+                    for v in (br + y, bg + y, bb + y)
+                )
+                if m["format"] == "png":
+                    payloads.append(build_png_pixels(w, h, pixels, color_type=2))
+                else:
+                    payloads.append(
+                        b"P6\n" + f"{w} {h}\n255\n".encode() + pixels
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
 def extract_pixel_stats(with_payload: DataFrame) -> DataFrame:
-    """Arrow-batched REAL pixel statistics over netpbm payloads
-    (columns: doc_id, payload). → PIXEL_SCHEMA rows; non-netpbm
-    payloads raise (filter by format first, or catch at the seam)."""
+    """Arrow-batched REAL pixel statistics over netpbm/PNG payloads
+    (columns: doc_id, payload). → PIXEL_SCHEMA rows; unsupported
+    codecs raise (filter by format first, or catch at the seam)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -458,13 +458,13 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_events",
     "events_hopping",
     "versioned_read",
+    "multimodal_pixels",
     # tier 2 — last green row r04; cycle back into the window.
     # Core mining family first (the reference-parity canaries), then
     # dedup, docs/text, vectors, relational, sampling.
     "count_rows",
     "tokenize_distinct",
     "freq_items",
-    "word_count",
     "freq_itemsets_pfp",
     "freq_itemsets_docs",
     "assoc_rules",
@@ -518,12 +518,18 @@ _DRIVER_PRIORITY: list[str] = [
     #       tests/test_incremental_dedup.py::test_incremental_matches_full_lsh_cut
     #   freq_itemsets (mllib kernel) ↔ freq_itemsets_pfp (tier 2 above)
     #       tests/test_pfp_kernel.py::test_kernels_agree_on_*
+    #   word_count ↔ freq_items (tier 2): same explode→groupBy→count→
+    #       orderBy kernel (operators/itemcount.py); freq_items adds
+    #       only the HAVING, so the in-window row exercises a strict
+    #       superset of word_count's plan. Ceded its slot to the new
+    #       multimodal_pixels row (real PNG/netpbm pixel decode).
     #   deduped_corpus_cc ↔ deduped_corpus (tier 2) on the shared LSH
     #       candidate set (tests/test_cc_sampling.py::
     #       test_deduped_corpus_cc_policy) and ↔ dedup_clusters
     #       (tier 2) for the CC machinery (test_dedup_clusters_matches_
     #       union_find, test_cc_star_matches_label_on_hand_and_random_graphs)
     # These MUST lead the r7 window.
+    "word_count",
     "kmeans_clusters",
     "kmeans_auto",
     "semdedup",

@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
     attach_media,
     attach_payload,
+    attach_pixel_media,
     decode_media,
     extract_features,
+    extract_pixel_stats,
     sample_frames,
 )
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
@@ -46,6 +48,26 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(c), F.lit(0)).alias(c)
             for c in ("width", "height", "sample_rate", "channels")
         ],
+    )
+
+
+def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel round trip (round 6): per doc, build a real image —
+    8-bit RGB PNG with scanline filters cycling through all five types
+    (even doc_id) or raw P6 netpbm (odd) — whose pixel values follow
+    `pixel_meta_for`'s closed-form recipe, then FULLY decode it
+    (zlib inflate + unfiltering / netpbm parse) and report per-channel
+    means. The oracle recomputes the closed form in SQL: any bug in
+    chunk walking, inflate framing, any of the five filters, or the
+    netpbm parser shifts a mean and breaks equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_pixel_stats(attach_pixel_media(docs))
+    return out.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        *[F.round(F.col(c), 6).alias(c) for c in ("mean_r", "mean_g", "mean_b")],
     )
 
 
@@ -86,14 +108,30 @@ SELECT doc_id,
 FROM documents
 """
 
+# pixel_meta_for mirrored in SQL: w = 4 + doc_id%13, h = 4 + doc_id%11,
+# base_c = doc_id*{37,59,83} % 128; every pixel in row y is base_c + y,
+# so mean_c = base_c + (h-1)/2 exactly (no byte wrap: base<128, h<=14).
+ORACLE_PIXELS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'ppm' END AS format,
+       (4 + doc_id % 13)::INT AS width,
+       (4 + doc_id % 11)::INT AS height,
+       round((doc_id * 37) % 128 + (4 + doc_id % 11 - 1) / 2.0, 6) AS mean_r,
+       round((doc_id * 59) % 128 + (4 + doc_id % 11 - 1) / 2.0, 6) AS mean_g,
+       round((doc_id * 83) % 128 + (4 + doc_id % 11 - 1) / 2.0, 6) AS mean_b
+FROM documents
+"""
+
 MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_pixels": q_multimodal_pixels,
 }
 
 MM_ORACLES: dict[str, str] = {
     "multimodal_features": ORACLE_FEATURES,
     "multimodal_frames": ORACLE_FRAMES,
     "multimodal_decode": ORACLE_DECODE,
+    "multimodal_pixels": ORACLE_PIXELS,
 }

@@ -127,3 +127,196 @@ def test_decode_pixels_netpbm_real(spark):
     assert got[1].mean_r == 127.5
     assert (got[2].mean_r, got[2].mean_g, got[2].mean_b) == (10.0, 20.0, 30.0)
     assert got[2].format == "ppm" and got[2].width == 1
+
+
+# ---------------------------------------------------------------------
+# round 6: full PNG pixel decode (stdlib zlib + scanline unfiltering)
+# ---------------------------------------------------------------------
+
+
+def test_png_golden_hand_assembled():
+    """Decode a PNG assembled BY HAND from the spec (no build twin):
+    2x2 RGB, filter type 0, known bytes — pins signature/chunk/inflate
+    framing independently of build_png_pixels."""
+    import struct
+    import zlib
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    # pixels: (10,20,30) (40,50,60) / (70,80,90) (100,110,120)
+    raw = bytes([0, 10, 20, 30, 40, 50, 60, 0, 70, 80, 90, 100, 110, 120])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_png_pixels(png)
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["mean_r"] == (10 + 40 + 70 + 100) / 4
+    assert d["mean_g"] == (20 + 50 + 80 + 110) / 4
+    assert d["mean_b"] == (30 + 60 + 90 + 120) / 4
+
+
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_round_trip_all_color_types_and_filters(color_type, channels):
+    """build (filters cycling 0-4 across rows) → decode → means equal
+    numpy's, for every supported color type. 7 rows so every filter
+    type appears at least once."""
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+    )
+
+    rng = np.random.default_rng(42 + color_type)
+    w, h = 11, 7
+    px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    png = build_png_pixels(w, h, px.tobytes(), color_type=color_type)
+    d = decode_png_pixels(png)
+    assert (d["format"], d["width"], d["height"]) == ("png", w, h)
+    if channels >= 3:
+        want = [px[:, :, c].mean() for c in range(3)]
+    else:
+        want = [px[:, :, 0].mean()] * 3
+    for got, exp in zip((d["mean_r"], d["mean_g"], d["mean_b"]), want):
+        assert abs(got - exp) < 1e-9
+
+
+def test_png_palette_round_trip():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+    )
+
+    palette = bytes(range(256 * 3 % 768)) + bytes(768 - (256 * 3 % 768))
+    palette = bytes((i * 7) % 256 for i in range(768))
+    rng = np.random.default_rng(7)
+    w, h = 6, 6
+    idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    png = build_png_pixels(w, h, idx.tobytes(), color_type=3, palette=palette)
+    d = decode_png_pixels(png)
+    for c, key in enumerate(("mean_r", "mean_g", "mean_b")):
+        want = np.array(
+            [[palette[3 * v + c] for v in row] for row in idx]
+        ).mean()
+        assert abs(d[key] - want) < 1e-9
+
+
+def test_png_property_random_pixels_exact_means():
+    from hypothesis import given, settings, strategies as st
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        data=st.data(),
+    )
+    def run(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        d = decode_png_pixels(build_png_pixels(w, h, px, color_type=2))
+        n = w * h
+        assert abs(d["mean_r"] - sum(px[0::3]) / n) < 1e-9
+        assert abs(d["mean_g"] - sum(px[1::3]) / n) < 1e-9
+        assert abs(d["mean_b"] - sum(px[2::3]) / n) < 1e-9
+
+    run()
+
+
+def test_png_unsupported_seams_raise():
+    import struct
+    import zlib
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+    )
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth
+    png16 = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png_pixels(png16)
+    # Adam7 interlace
+    png_i = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png_pixels(png_i)
+    # truncated pixel stream
+    good = build_png_pixels(3, 3, bytes(27), color_type=2)
+    # corrupt: drop the IEND and shrink IDAT by rebuilding with short raw
+    short = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(bytes(5))) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="length mismatch"):
+        decode_png_pixels(short)
+    assert decode_png_pixels(good)["mean_r"] == 0.0
+
+
+def test_decode_pixels_dispatches_png():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        decode_pixels,
+    )
+
+    png = build_png_pixels(2, 2, bytes([100] * 12), color_type=2)
+    d = decode_pixels(png)
+    assert d["format"] == "png" and d["mean_r"] == 100.0
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        decode_pixels(b"\xff\xd8jpegdata")
+
+
+def test_attach_pixel_media_closed_form(spark, sf_small):
+    """The registry entry's recipe: decoded means equal
+    base_c + (h-1)/2 for both the PNG and netpbm halves."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        attach_pixel_media,
+        extract_pixel_stats,
+        pixel_meta_for,
+    )
+
+    docs = load_table(spark, sf_small, "documents").limit(40)
+    out = extract_pixel_stats(attach_pixel_media(docs)).collect()
+    assert len(out) == 40
+    saw = set()
+    for r in out:
+        m = pixel_meta_for(r.doc_id)
+        saw.add(m["format"])
+        assert r.format == m["format"]
+        assert (r.width, r.height) == (m["width"], m["height"])
+        half = (m["height"] - 1) / 2.0
+        assert abs(r.mean_r - (m["base"][0] + half)) < 1e-9
+        assert abs(r.mean_g - (m["base"][1] + half)) < 1e-9
+        assert abs(r.mean_b - (m["base"][2] + half)) < 1e-9
+    assert saw == {"png", "ppm"}  # both decoders really exercised

@@ -35,6 +35,7 @@ NEVER_SAMPLED = {
     "dq_events",
     "events_hopping",
     "versioned_read",
+    "multimodal_pixels",
 }
 
 # Tier 2: last green driver row is r04 — staleness would hit 2 rounds
@@ -43,7 +44,6 @@ R04_GREEN_ROTATING = {
     "count_rows",
     "tokenize_distinct",
     "freq_items",
-    "word_count",
     "freq_itemsets_pfp",
     "freq_itemsets_docs",
     "assoc_rules",
@@ -87,6 +87,7 @@ MUST_BE_IN_WINDOW = NEVER_SAMPLED | R04_GREEN_ROTATING
 # a pytest differential test to a twin with a fresher or in-window
 # driver row (see the tier-3 comment in queries.py). MUST lead r7.
 DEFERRED_TO_R7 = [
+    "word_count",
     "kmeans_clusters",
     "kmeans_auto",
     "semdedup",
