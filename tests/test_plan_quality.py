@@ -315,3 +315,118 @@ def test_sole_late_suppliers_one_shuffle_domain(spark, sf_small):
     for line in plan.splitlines():
         if "FileScan" in line and "lineitem" in line:
             assert "l_suppkey" in line and "l_extendedprice" not in line
+
+
+# ---------------------------------------------------------------------
+# round 6 (VERDICT r5 task #9): plan_report contracts for the round-5
+# operator family — exchange budgets, broadcast presence, Python-stage
+# bounds — so plan regressions in the new family fail fast like the
+# old one's do.
+# ---------------------------------------------------------------------
+
+
+def _report(df):
+    from optimal_parallel_fp_growth_spark.functions.planview import plan_report
+
+    return plan_report(df)
+
+
+def test_bloom_user_filter_plan_contract(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_events import (
+        q_bloom_user_filter,
+    )
+
+    r = _report(q_bloom_user_filter(spark, sf_small))
+    # the probe side joins via broadcast (the bloom bitmap + survivors
+    # dim), never sort-merge; exchanges bounded by the build-side agg
+    assert r.broadcast_exchanges >= 1
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+    assert r.hash_exchanges <= 3
+    # Python appears ONLY in the per-partition bitmap build/merge
+    # (bounded m_bits/8 × partitions), never on the fact hot path
+    assert r.python_stages <= 3
+
+
+def test_bloom_decontaminate_plan_contract(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_docs import (
+        q_bloom_decontaminate,
+    )
+
+    r = _report(q_bloom_decontaminate(spark, sf_small))
+    assert r.broadcast_exchanges >= 1
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+    assert r.hash_exchanges <= 2
+    assert r.python_stages <= 2
+
+
+def test_events_distinct_sketch_plan_contract(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_events import (
+        q_events_distinct_sketch,
+    )
+
+    r = _report(q_events_distinct_sketch(spark, sf_small))
+    # sketch build + rollup union: two hash exchanges (partial-agg
+    # combined), zero joins, zero Python — pure JVM sketch aggregation
+    assert r.hash_exchanges <= 2
+    assert r.python_free
+    assert (
+        r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins == 0
+    )
+
+
+def test_random_projection_plan_is_shuffle_and_python_free(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_vectors import (
+        q_random_projection,
+    )
+
+    r = _report(q_random_projection(spark, sf_small))
+    # broadcast-literal sign matrix: a pure codegen projection
+    assert r.shuffle_free
+    assert r.python_free
+    assert (
+        r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins == 0
+    )
+
+
+def test_knn_hyperplane_plan_contract(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_vectors import (
+        q_knn_hyperplane,
+    )
+
+    r = _report(q_knn_hyperplane(spark, sf_small))
+    # bucketed candidates join via broadcast on band keys — NEVER a
+    # nested-loop all-pairs and never sort-merge; one bucket shuffle
+    assert r.broadcast_hash_joins >= 1
+    assert r.nested_loop_joins == 0 and r.sort_merge_joins == 0
+    assert r.hash_exchanges <= 1
+    assert r.python_free
+
+
+def test_negative_and_hard_negative_mining_plan_contract(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_docs import q_negative_pairs
+    from optimal_parallel_fp_growth_spark.queries_vectors import (
+        q_hard_negatives,
+    )
+
+    for q in (q_negative_pairs, q_hard_negatives):
+        r = _report(q(spark, sf_small))
+        # LSH-bucketed candidates: one bucket-keyed shuffle, broadcast
+        # probe join, no all-pairs, no Python
+        assert r.broadcast_hash_joins >= 1, q.__name__
+        assert r.nested_loop_joins == 0 and r.sort_merge_joins == 0, q.__name__
+        assert r.hash_exchanges <= 1, q.__name__
+        assert r.python_free, q.__name__
+
+
+def test_knn_cosine_plan_contract(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_vectors import q_knn_cosine
+
+    r = _report(q_knn_cosine(spark, sf_small))
+    # exact scorer: the (small) query set broadcasts into a nested-loop
+    # scoring pass (the deliberate brute-force baseline — fine because
+    # the broadcast side is k queries, not the corpus); one top-k
+    # shuffle; all scoring in codegen, no Python
+    assert r.broadcast_exchanges >= 1
+    assert r.nested_loop_joins <= 1 and r.sort_merge_joins == 0
+    assert r.hash_exchanges <= 1
+    assert r.python_free
