@@ -233,6 +233,10 @@ def main() -> None:
         "hard_negatives",
         "dq_events",
         "events_hopping",
+        # round-6 additions (appended at the tail, before the
+        # quadratic closer, so prior envelopes stay valid)
+        "versioned_read",
+        "multimodal_pixels",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

@@ -528,7 +528,11 @@ _DRIVER_PRIORITY: list[str] = [
     #       test_deduped_corpus_cc_policy) and ↔ dedup_clusters
     #       (tier 2) for the CC machinery (test_dedup_clusters_matches_
     #       union_find, test_cc_star_matches_label_on_hand_and_random_graphs)
-    # These MUST lead the r7 window.
+    # These MUST lead the r7 window, together with any entry added
+    # late in round 6 after the window filled (currently:
+    # versioned_merge — oracle-gated and pytest-verified now, first
+    # driver sample in r7).
+    "versioned_merge",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",

@@ -298,6 +298,75 @@ GROUP BY lang, source
 """
 
 
+def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE under the oracle gate: create the table from
+    documents (range-partitioned on doc_id so file ranges are
+    disjoint), upsert a source that UPDATES every doc_id % 10 == 0 row
+    (n_chars -> -1) and INSERTS shifted twins (doc_id + 10^9), then
+    aggregate the merged table. The manifest's per-file key ranges
+    mean only intersecting files rewrite; the oracle recomputes the
+    post-merge row set relationally — a lost update, ghost insert, or
+    double-applied row breaks equality."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        RddBlockHandle,
+        persistent_rdd_ids,
+        tag_cached_inputs,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tdir = tempfile.mkdtemp(prefix=f"opfpg_vm_{uuid.uuid4().hex}_")
+    path = os.path.join(tdir, "tbl")
+    try:
+        V.create_table(docs.repartitionByRange(4, "doc_id"), path)
+        updates = docs.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id", "lang", "source", F.lit(-1).cast("long").alias("n_chars")
+        )
+        inserts = docs.where(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        V.merge_table(updates.unionByName(inserts), path, "doc_id")
+        out = V.read_table(spark, path).groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum((F.col("doc_id") >= 1_000_000_000).cast("long")).alias(
+                "n_inserted"
+            ),
+        )
+        seen = persistent_rdd_ids(spark)
+        res = out.localCheckpoint()
+        block_ids = persistent_rdd_ids(spark) - seen
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+
+
+ORACLE_VERSIONED_MERGE = """
+WITH merged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars END AS n_chars,
+         0 AS inserted
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, lang, n_chars, 1 AS inserted
+  FROM documents WHERE doc_id % 10 = 5
+)
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       sum(inserted) AS n_inserted
+FROM merged GROUP BY lang
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
@@ -1062,6 +1131,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "dq_documents": q_dq_documents,
     "versioned_read": q_versioned_read,
+    "versioned_merge": q_versioned_merge,
 }
 
 DOC_ORACLES: dict[str, str] = {
@@ -1103,4 +1173,5 @@ DOC_ORACLES: dict[str, str] = {
     "curate_corpus": ORACLE_CURATE_CORPUS,
     "dq_documents": ORACLE_DQ_DOCUMENTS,
     "versioned_read": ORACLE_VERSIONED_READ,
+    "versioned_merge": ORACLE_VERSIONED_MERGE,
 }

@@ -42,6 +42,8 @@ __all__ = [
     "append_table",
     "overwrite_table",
     "compact_table",
+    "merge_table",
+    "delete_where",
     "read_table",
     "files_scanned",
     "table_history",
@@ -369,6 +371,122 @@ def files_scanned(
     fstats = man.get("file_stats") or {}
     return sum(
         1 for f in files if _file_survives(fstats.get(f), col, op, val)
+    )
+
+
+def _split_files_by_stats(
+    man: dict, col: str, lo, hi
+) -> tuple[list[str], list[str]]:
+    """Partition the manifest's files into (untouched, affected) for a
+    copy-on-write rewrite targeting rows with ``col`` in [lo, hi]: a
+    file whose recorded [min, max] range cannot intersect the target
+    range carries FORWARD BY REFERENCE (zero I/O); a file that might
+    contain a target row — or has no stats — must be rewritten. This
+    is why the manifest keeps per-file ranges: at 100 TB a point
+    upsert touches a handful of files, not the table."""
+    fstats = man.get("file_stats") or {}
+    untouched, affected = [], []
+    for f in man["files"]:
+        rng = (fstats.get(f) or {}).get(col)
+        if rng is not None and (rng[1] < lo or rng[0] > hi):
+            untouched.append(f)
+        else:
+            affected.append(f)
+    return untouched, affected
+
+
+def merge_table(df: DataFrame, path: str, key: str) -> int:
+    """Copy-on-write UPSERT (the table-format MERGE core): rows of
+    ``df`` REPLACE current rows with the same ``key`` value; keys not
+    present insert. Only data files whose manifest [min, max] range of
+    ``key`` intersects ``df``'s key range are rewritten — every other
+    file carries into the new version by reference, untouched on disk
+    (old versions keep reading the old files; time travel is
+    unaffected). ``df`` must have at most one row per key (the upsert
+    is otherwise ambiguous); enforce upstream with dropDuplicates.
+
+    Rewrite plan: read the affected files, anti-join their rows out on
+    ``key`` (Catalyst/AQE picks broadcast when ``df`` is small — the
+    common CDC case), union ``df``, write as the new version's files.
+    One shuffle-or-broadcast join over ONLY the affected bytes."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    cur = vs[-1]
+    _check_schema(df, path, cur)
+    spark = df.sparkSession
+    man = _load_manifest(path, cur)
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(F.min(key), F.max(key)).collect()[0]
+    if bounds[0] is None:
+        raise ValueError("merge source has no rows (or all-null keys)")
+    untouched, affected = _split_files_by_stats(man, key, bounds[0], bounds[1])
+    new_files: list[str] = []
+    if affected:
+        old = spark.read.parquet(
+            *[str(pathlib.Path(path) / f) for f in affected]
+        )
+        survivors = old.join(df.select(key).distinct(), key, "left_anti")
+        merged = survivors.unionByName(df)
+    else:
+        merged = df
+    new_files = _write_data(merged, path, cur + 1)
+    stats = {
+        f: s
+        for f, s in (man.get("file_stats") or {}).items()
+        if f in set(untouched)
+    }
+    stats.update(_file_stats(path, new_files))
+    return _commit(
+        path, cur + 1, untouched + new_files, "merge",
+        man.get("schema") or _schema_fields(df),
+        stats,
+    )
+
+
+def delete_where(
+    spark: SparkSession, path: str, predicate: tuple[str, str, object]
+) -> int:
+    """Copy-on-write row-level DELETE: commit a new version without the
+    rows matching ``predicate`` (same (col, op, value) triple as
+    ``read_table``'s prune). Files whose manifest range cannot contain
+    a matching row carry forward by reference; only files that might
+    match are rewritten with the matching rows filtered out. A file
+    whose rows ALL match is simply dropped from the manifest."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    cur = vs[-1]
+    man = _load_manifest(path, cur)
+    col, op, val = predicate
+    if op not in _PRUNE_OPS:
+        raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
+    fstats = man.get("file_stats") or {}
+    untouched = [
+        f
+        for f in man["files"]
+        if not _file_survives(fstats.get(f), col, op, val)
+    ]
+    affected = [f for f in man["files"] if f not in set(untouched)]
+    new_files: list[str] = []
+    if affected:
+        from pyspark.sql import functions as F
+
+        c = F.col(col)
+        cond = {
+            "==": c == val, ">=": c >= val, ">": c > val,
+            "<=": c <= val, "<": c < val,
+        }[op]
+        kept = spark.read.parquet(
+            *[str(pathlib.Path(path) / f) for f in affected]
+        ).where(~cond)
+        new_files = _write_data(kept, path, cur + 1)
+    stats = {f: s for f, s in fstats.items() if f in set(untouched)}
+    stats.update(_file_stats(path, new_files))
+    return _commit(
+        path, cur + 1, untouched + new_files, "delete",
+        man.get("schema"), stats,
     )
 
 

@@ -87,6 +87,7 @@ MUST_BE_IN_WINDOW = NEVER_SAMPLED | R04_GREEN_ROTATING
 # a pytest differential test to a twin with a fresher or in-window
 # driver row (see the tier-3 comment in queries.py). MUST lead r7.
 DEFERRED_TO_R7 = [
+    "versioned_merge",  # added late in r6 (never sampled)
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",
