@@ -49,6 +49,7 @@ __all__ = [
     "table_history",
     "vacuum_table",
     "stream_to_table",
+    "stream_merge_to_table",
 ]
 
 _MANIFEST_DIR = "_manifests"
@@ -511,6 +512,41 @@ def stream_to_table(stream_df: DataFrame, path: str, checkpoint: str):
             append_table(batch_df, path)
         except FileNotFoundError:
             create_table(batch_df, path)
+
+    return (
+        stream_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_merge_to_table(
+    stream_df: DataFrame, path: str, checkpoint: str, key: str
+):
+    """Streaming CDC sink: upsert each non-empty micro-batch into the
+    versioned table by ``key`` (first batch creates the table). Within
+    a batch, later rows win per key (``dropDuplicates`` keeps an
+    arbitrary row among exact ties, so feeds should carry a version/ts
+    column and pre-aggregate if intra-batch order matters). Combined
+    with :func:`merge_table`'s stats-driven copy-on-write, a steady
+    CDC trickle rewrites only the files its keys touch — the
+    table-format upsert loop (Hudi/Delta streaming MERGE, filesystem
+    edition). Same at-least-once caveat as :func:`stream_to_table`:
+    a batch retried after its merge committed re-applies — which for
+    an UPSERT is idempotent per key, the reason CDC sinks prefer
+    merge over append.
+
+    Returns the started ``StreamingQuery``."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src = batch_df.dropDuplicates([key])
+        try:
+            merge_table(src, path, key)
+        except FileNotFoundError:
+            create_table(src, path)
 
     return (
         stream_df.writeStream.foreachBatch(commit)

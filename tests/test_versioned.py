@@ -454,3 +454,43 @@ def test_delete_where_all_matching_file_is_dropped_not_rewritten(
     assert read_table(spark, path).count() == 100
     man = _load_manifest(path, 2)
     assert man["op"] == "delete"
+
+
+def test_stream_merge_to_table_upserts_per_batch(spark, tmp_path):
+    """CDC stream: batch 1 creates, batch 2 updates half the keys and
+    inserts new ones; final table is the merged state and v1 still
+    replays the pre-merge rows."""
+    import time as _time
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        stream_merge_to_table,
+    )
+
+    src = str(tmp_path / "cdc_feed")
+    b1 = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+    b2 = spark.range(50, 150).select(
+        F.col("id").alias("doc_id"), F.lit(-5).cast("long").alias("v")
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.05)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tbl = str(tmp_path / "cdc_tbl")
+    q = stream_merge_to_table(stream, tbl, str(tmp_path / "cdc_ckpt"), "doc_id")
+    q.awaitTermination()
+    hist = table_history(tbl)
+    assert [h["op"] for h in hist] == ["create", "merge"]
+    got = {r.doc_id: r.v for r in read_table(spark, tbl).collect()}
+    assert len(got) == 150
+    assert got[10] == 20          # untouched batch-1 row
+    assert got[60] == -5          # updated
+    assert got[120] == -5         # inserted
+    # time travel to the pre-merge state
+    v1 = {r.doc_id: r.v for r in read_table(spark, tbl, version=1).collect()}
+    assert len(v1) == 100 and v1[60] == 120
