@@ -494,3 +494,132 @@ def test_stream_merge_to_table_upserts_per_batch(spark, tmp_path):
     # time travel to the pre-merge state
     v1 = {r.doc_id: r.v for r in read_table(spark, tbl, version=1).collect()}
     assert len(v1) == 100 and v1[60] == 120
+
+
+def test_property_random_sequences_with_merge_and_delete(spark, tmp_path):
+    """Hypothesis over create/append/overwrite/compact/merge/delete:
+    every committed version stays readable with its recorded rows, the
+    latest state equals a dict-model of the op semantics, and manifest
+    stats never prune a live row."""
+    from hypothesis import given, settings, strategies as st
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_where,
+        merge_table,
+    )
+
+    op_strat = st.lists(
+        st.sampled_from(["append", "merge", "delete", "overwrite", "compact"]),
+        min_size=1,
+        max_size=5,
+    )
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=op_strat)
+    def run(ops):
+        counter[0] += 1
+        path = str(tmp_path / f"pmtbl{counter[0]}")
+        model = {i: (i * 2) for i in range(60)}
+        create_table(_batch(spark, 0, 60).repartitionByRange(3, "doc_id"), path)
+        nxt = 60
+        for op in ops:
+            if op == "append":
+                append_table(_batch(spark, nxt, 10), path)
+                model.update({i: i * 2 for i in range(nxt, nxt + 10)})
+                nxt += 10
+            elif op == "merge":
+                # update 5 existing (if present) + insert 5 fresh
+                lo = max(model) - 4 if model else 0
+                src_rows = [(k, -7) for k in list(model)[:5]] + [
+                    (nxt + j, -7) for j in range(5)
+                ]
+                src = spark.createDataFrame(src_rows, "doc_id long, v long")
+                merge_table(src, path, "doc_id")
+                model.update({k: -7 for k, _ in src_rows})
+                nxt += 5
+                _ = lo
+            elif op == "delete":
+                cut = sorted(model)[len(model) // 2] if model else 0
+                delete_where(spark, path, ("doc_id", ">=", cut))
+                model = {k: v for k, v in model.items() if k < cut}
+                if not model:  # table may go empty; re-seed via merge
+                    src = spark.createDataFrame(
+                        [(nxt, 1)], "doc_id long, v long"
+                    )
+                    merge_table(src, path, "doc_id")
+                    model[nxt] = 1
+                    nxt += 1
+            elif op == "overwrite":
+                overwrite_table(_batch(spark, nxt, 7), path)
+                model = {i: i * 2 for i in range(nxt, nxt + 7)}
+                nxt += 7
+            else:
+                compact_table(spark, path)
+        got = {r.doc_id: r.v for r in read_table(spark, path).collect()}
+        assert got == model
+        # every historical version still readable
+        for h in table_history(path):
+            assert read_table(spark, path, version=h["version"]).count() >= 0
+        # stats never prune a live row: pruned read == filtered read
+        if model:
+            mid = sorted(model)[len(model) // 2]
+            pruned = {
+                r.doc_id
+                for r in read_table(
+                    spark, path, prune=("doc_id", ">=", mid)
+                ).collect()
+            }
+            assert pruned == {k for k in model if k >= mid}
+
+    run()
+
+
+def test_concurrent_merges_one_wins(spark, tmp_path):
+    """Two writers merging against the same snapshot: exactly one
+    commit succeeds, the loser sees FileExistsError and can retry on a
+    fresh snapshot — the optimistic-concurrency contract extended to
+    MERGE."""
+    import threading
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import merge_table
+
+    path = str(tmp_path / "racetbl")
+    create_table(_batch(spark, 0, 100).repartitionByRange(2, "doc_id"), path)
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag, lo):
+        src = spark.createDataFrame(
+            [(i, -1) for i in range(lo, lo + 5)], "doc_id long, v long"
+        )
+        barrier.wait()
+        try:
+            results[tag] = ("ok", merge_table(src, path, "doc_id"))
+        except FileExistsError:
+            results[tag] = ("conflict", None)
+
+    ts = [
+        threading.Thread(target=writer, args=("a", 0)),
+        threading.Thread(target=writer, args=("b", 50)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    outcomes = sorted(r[0] for r in results.values())
+    # at least one MUST win; both winning the same version is the
+    # TOCTOU bug the link-commit prevents
+    assert "ok" in outcomes
+    from optimal_parallel_fp_growth_spark.sources.versioned import _versions
+
+    assert _versions(path)[-1] == 2  # exactly one new version born
+    # table is consistent and reflects exactly the winner's rows
+    got = {r.doc_id: r.v for r in read_table(spark, path).collect()}
+    winners = [t for t, r in results.items() if r[0] == "ok"]
+    if outcomes == ["ok", "ok"]:
+        # both claim success: only possible if they committed DIFFERENT
+        # versions (one retried) — with no retry logic this is a bug
+        raise AssertionError("both writers claimed the same version")
+    lo = 0 if winners[0] == "a" else 50
+    assert all(got[i] == -1 for i in range(lo, lo + 5))
