@@ -9,13 +9,16 @@ only the innermost byte-decode is a STUB.
 CODEC STATUS: this container has no codec libraries (no PIL/
 ffmpeg/librosa), but the pure-Python/stdlib decode surface now covers
 (a) header metadata for PNG/GIF/BMP/JPEG/WAV (``decode_real``, round
-5), (b) FULL pixel decode for raw netpbm P5/P6 (round 5) and for
-8-bit non-interlaced PNG — real zlib inflate + all five scanline
-filters, color types 0/2/3/4/6 (``decode_png_pixels``, round 6).
+5), (b) FULL pixel decode for raw netpbm P5/P6 (round 5), for 8- and
+16-bit non-interlaced PNG — real zlib inflate + all five scanline
+filters, color types 0/2/3/4/6 (``decode_png_pixels``, round 6) —
+and for GIF, with a real variable-width LZW decoder (CLEAR/EOI,
+KwKwK, 12-bit overflow; ``decode_gif_pixels``, round 6).
 ``NotImplementedError`` now marks only the genuinely library-bound
-seam: 16-bit/interlaced PNG, JPEG DCT, GIF LZW, audio/video samples.
-``build_payload``/``build_png_pixels`` construct spec-valid files so
-the build→parse round trips are oracle-checked (`multimodal_decode`,
+seam: Adam7-interlaced PNG, JPEG DCT, audio/video sample codecs.
+``build_payload``/``build_png_pixels``/``build_gif_pixels`` construct
+spec-valid files (the GIF twin runs a real LZW ENCODER) so the
+build→parse round trips are oracle-checked (`multimodal_decode`,
 `multimodal_pixels`); ``_decode_stub`` (md5-derived fake features)
 remains for the feature-extraction pipeline whose kernels genuinely
 need codecs.
@@ -389,10 +392,12 @@ def decode_pixels(payload: bytes) -> dict:
     parsing)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
     if payload[:2] not in (b"P5", b"P6"):
         raise NotImplementedError(
-            "pixel decode supports raw netpbm (P5/P6) and 8-bit PNG; other "
-            "codecs need PIL/ffmpeg (the documented seam)"
+            "pixel decode supports raw netpbm (P5/P6), 8/16-bit PNG, and "
+            "GIF; other codecs need PIL/ffmpeg (the documented seam)"
         )
     # header tokenizer: fields separated by whitespace, '#' comments
     # run to end-of-line; the single whitespace byte after maxval is
@@ -456,13 +461,15 @@ def decode_png_pixels(payload: bytes) -> dict:
     """FULL PNG pixel decode with ZERO codec libraries: chunk walk,
     stdlib ``zlib`` inflate of the concatenated IDAT stream, and
     per-scanline unfiltering (all five PNG filter types: None/Sub/Up/
-    Average/Paeth). Supports 8-bit depth, color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
-    the full baseline-PNG matrix minus 16-bit and Adam7, which raise
-    ``NotImplementedError`` (the documented codec seam, now narrowed
-    to exactly those two). Returns the same shape as
-    :func:`decode_pixels`; alpha is ignored for the channel means,
-    grayscale reports its mean on all three channels."""
+    Average/Paeth). Supports 8-bit AND 16-bit depths, color types
+    0 (gray), 2 (RGB), 3 (palette; 8-bit only per spec), 4
+    (gray+alpha), 6 (RGBA), non-interlaced — the full baseline-PNG
+    matrix minus Adam7 interlace, which raises ``NotImplementedError``
+    (the documented codec seam, now narrowed to exactly that plus
+    sub-byte depths). Returns the same shape as :func:`decode_pixels`;
+    alpha is ignored for the channel means, grayscale reports its mean
+    on all three channels; 16-bit means are over the 0–65535 sample
+    range (no 8-bit downscale — the caller sees full precision)."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -489,22 +496,30 @@ def decode_png_pixels(payload: bytes) -> dict:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} not supported (8 and 16 only)"
+        )
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth == 16 and color_type == 3:
+        raise NotImplementedError("16-bit palette PNG is not valid per spec")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color_type} not supported")
+    if not idat:
+        raise NotImplementedError("corrupt PNG: no IDAT data")
+    sample_bytes = depth // 8
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    stride = width * channels * sample_bytes
     if len(raw) != (stride + 1) * height:
         raise NotImplementedError(
             f"PNG pixel data length mismatch: want {(stride + 1) * height}, "
             f"have {len(raw)}"
         )
-    # unfilter scanline by scanline; bpp = channels at 8-bit depth
-    bpp = channels
+    # unfilter scanline by scanline; the filters operate on BYTES with
+    # bpp = bytes-per-pixel stride regardless of depth (spec §9)
+    bpp = channels * sample_bytes
     prior = bytearray(stride)
     sum_r = sum_g = sum_b = 0
     for y in range(height):
@@ -528,19 +543,26 @@ def decode_png_pixels(payload: bytes) -> dict:
                 line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
         elif ftype != 0:
             raise NotImplementedError(f"PNG filter type {ftype} invalid")
-        # accumulate channel sums from the reconstructed scanline
+        # accumulate channel sums from the reconstructed scanline;
+        # 16-bit samples are big-endian byte pairs (spec §7.1)
+        if depth == 16:
+            vals: list[int] | bytearray = [
+                (line[i] << 8) | line[i + 1] for i in range(0, stride, 2)
+            ]
+        else:
+            vals = line
         if color_type == 2 or color_type == 6:
-            sum_r += sum(line[0::channels])
-            sum_g += sum(line[1::channels])
-            sum_b += sum(line[2::channels])
+            sum_r += sum(vals[0::channels])
+            sum_g += sum(vals[1::channels])
+            sum_b += sum(vals[2::channels])
         elif color_type == 3:
-            for idx in line:
+            for idx in vals:
                 base = idx * 3
                 sum_r += plte[base]
                 sum_g += plte[base + 1]
                 sum_b += plte[base + 2]
         else:  # 0 or 4: grayscale (+alpha)
-            g = sum(line[0::channels])
+            g = sum(vals[0::channels])
             sum_r += g
             sum_g += g
             sum_b += g
@@ -562,9 +584,11 @@ def build_png_pixels(
     pixels: bytes,
     color_type: int = 2,
     palette: bytes = b"",
+    depth: int = 8,
 ) -> bytes:
-    """Construct a REAL PNG from raw 8-bit pixel bytes (row-major,
-    ``channels`` interleaved) — the independent build twin of
+    """Construct a REAL PNG from raw pixel bytes (row-major,
+    ``channels`` interleaved; for ``depth=16`` each sample is a
+    big-endian byte pair) — the independent build twin of
     :func:`decode_png_pixels`. Each scanline gets filter type
     ``y % 5``, so a round trip exercises ALL FIVE filters; the
     deflate stream is real stdlib zlib."""
@@ -572,7 +596,7 @@ def build_png_pixels(
     import zlib
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = width * channels
+    stride = width * channels * (depth // 8)
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dims")
 
@@ -584,7 +608,7 @@ def build_png_pixels(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    bpp = channels
+    bpp = channels * (depth // 8)
     raw = bytearray()
     prior = bytes(stride)
     for y in range(height):
@@ -620,7 +644,7 @@ def build_png_pixels(
                 for x in range(stride)
             )
         prior = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += chunk(b"PLTE", palette)
@@ -628,18 +652,234 @@ def build_png_pixels(
     return out + chunk(b"IEND", b"")
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW decode (variable-width codes growing
+    ``min_code_size+1`` → 12 bits, CLEAR resets the dictionary, EOI
+    terminates; LSB-first bit packing per GIF spec appendix F).
+    Returns the index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader state
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int | None:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return None
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            if byte >> ((bitpos + i) & 7) & 1:
+                v |= 1 << i
+        bitpos += width
+        return v
+
+    def fresh_table() -> dict[int, list[int]]:
+        return {i: [i] for i in range(clear)}
+
+    table = fresh_table()
+    width = min_code_size + 1
+    next_code = eoi + 1
+    prev: list[int] | None = None
+    while True:
+        code = read_code(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = fresh_table()
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise NotImplementedError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Real GIF LZW encoder (the build twin of :func:`_lzw_decode`):
+    dictionary of index tuples, variable width growing to 12 bits,
+    CLEAR emitted when the table fills. LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    cur: tuple[int, ...] = ()
+    for idx in indices:
+        cand = cur + (idx,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        if next_code == (1 << 12):
+            # table full: CLEAR (at the current width) and restart
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        else:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder adds its matching entry one code LATER, so
+            # its next_code lags ours by one: it hits 2^width (and
+            # widens) exactly when ours hits 2^width + 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = (idx,)
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    # pack LSB-first into bytes
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            b |= bit << j
+        out.append(b)
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> dict:
+    """FULL GIF pixel decode with ZERO codec libraries: logical-screen
+    / image-descriptor walk, global or local color table, and a real
+    variable-width LZW decode of the first image's index stream
+    (CLEAR/EOI, KwKwK case, 12-bit cap). Channel means come from the
+    color-table lookup of every decoded index; row order is
+    irrelevant to a mean, so interlaced images decode correctly too.
+    Animated GIFs report the FIRST frame."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF signature")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + n]
+        pos += n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                ct = payload[pos : pos + n]
+                pos += n
+            if not ct:
+                raise NotImplementedError("GIF image without a color table")
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                n = payload[pos]
+                lzw.extend(payload[pos + 1 : pos + 1 + n])
+                pos += 1 + n
+            indices = _lzw_decode(bytes(lzw), min_code_size)
+            if len(indices) < iw * ih:
+                raise NotImplementedError(
+                    f"truncated GIF pixel data: want {iw * ih}, "
+                    f"have {len(indices)}"
+                )
+            indices = indices[: iw * ih]
+            sr = sg = sb = 0
+            for idx in indices:
+                base = idx * 3
+                sr += ct[base]
+                sg += ct[base + 1]
+                sb += ct[base + 2]
+            n_px = iw * ih
+            return {
+                "format": "gif",
+                "width": width or iw,
+                "height": height or ih,
+                "mean_r": sr / n_px,
+                "mean_g": sg / n_px,
+                "mean_b": sb / n_px,
+            }
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{b:02x}")
+    raise NotImplementedError("GIF without an image block")
+
+
+def build_gif_pixels(
+    width: int, height: int, indices: list[int], palette: bytes
+) -> bytes:
+    """Construct a REAL single-frame GIF from palette indices — the
+    build twin of :func:`decode_gif_pixels`, with a genuine LZW
+    stream (dictionary growth, width escalation, CLEAR on overflow)."""
+    import struct
+
+    n_colors = len(palette) // 3
+    size_field = max(1, (n_colors - 1).bit_length()) - 1
+    table_n = 2 << size_field
+    pal = palette + bytes(3 * (table_n - n_colors))
+    min_code_size = max(2, (table_n - 1).bit_length())
+    lzw = _lzw_encode(indices, min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x80 | size_field, 0, 0])
+        + pal
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + bytes([min_code_size])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 def pixel_meta_for(doc_id: int) -> dict:
     """Deterministic pixel recipe for `attach_pixel_media`, chosen so
     the channel means have a CLOSED FORM a SQL oracle can recompute:
     every pixel in row ``y`` has channel value ``base_c + y`` (no
     byte wraparound: base < 128, h ≤ 14), so
-    ``mean_c = base_c + (h - 1) / 2`` exactly. Formats alternate PNG
-    (even doc_id — exercising inflate + unfiltering) and raw P6
-    netpbm (odd)."""
+    ``mean_c = base_c + (h - 1) / 2`` exactly. Formats rotate by
+    doc_id % 3: PNG (exercising inflate + unfiltering), raw P6
+    netpbm, and GIF (exercising the LZW codec pair — row ``y`` maps
+    to palette entry ``y`` holding exactly (base_r+y, base_g+y,
+    base_b+y))."""
     w = 4 + doc_id % 13
     h = 4 + doc_id % 11
     return {
-        "format": "png" if doc_id % 2 == 0 else "ppm",
+        "format": ("png", "ppm", "gif")[doc_id % 3],
         "width": w,
         "height": h,
         "base": (
@@ -662,6 +902,13 @@ def attach_pixel_media(docs: DataFrame) -> DataFrame:
                 m = pixel_meta_for(int(doc_id))
                 w, h = m["width"], m["height"]
                 br, bg, bb = m["base"]
+                if m["format"] == "gif":
+                    palette = bytes(
+                        v for y in range(h) for v in (br + y, bg + y, bb + y)
+                    )
+                    indices = [y for y in range(h) for _x in range(w)]
+                    payloads.append(build_gif_pixels(w, h, indices, palette))
+                    continue
                 pixels = bytes(
                     v
                     for y in range(h)

@@ -53,13 +53,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel round trip (round 6): per doc, build a real image —
-    8-bit RGB PNG with scanline filters cycling through all five types
-    (even doc_id) or raw P6 netpbm (odd) — whose pixel values follow
-    `pixel_meta_for`'s closed-form recipe, then FULLY decode it
-    (zlib inflate + unfiltering / netpbm parse) and report per-channel
-    means. The oracle recomputes the closed form in SQL: any bug in
-    chunk walking, inflate framing, any of the five filters, or the
-    netpbm parser shifts a mean and breaks equality."""
+    8-bit RGB PNG with scanline filters cycling through all five
+    types, raw P6 netpbm, or GIF (real LZW encode), rotating by
+    doc_id % 3 — whose pixel values follow `pixel_meta_for`'s
+    closed-form recipe, then FULLY decode it (zlib inflate +
+    unfiltering / netpbm parse / LZW decode + palette lookup) and
+    report per-channel means. The oracle recomputes the closed form
+    in SQL: any bug in chunk walking, inflate framing, any of the
+    five filters, the netpbm parser, or either side of the LZW codec
+    shifts a mean and breaks equality."""
     docs = load_table(spark, sf_dir, "documents")
     out = extract_pixel_stats(attach_pixel_media(docs))
     return out.select(
@@ -113,7 +115,7 @@ FROM documents
 # so mean_c = base_c + (h-1)/2 exactly (no byte wrap: base<128, h<=14).
 ORACLE_PIXELS = """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'ppm' END AS format,
+       ['png', 'ppm', 'gif'][(doc_id % 3)::INT + 1] AS format,
        (4 + doc_id % 13)::INT AS width,
        (4 + doc_id % 11)::INT AS height,
        round((doc_id * 37) % 128 + (4 + doc_id % 11 - 1) / 2.0, 6) AS mean_r,

@@ -261,12 +261,12 @@ def test_png_unsupported_seams_raise():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # 16-bit depth
-    png16 = sig + chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    # sub-byte depth (16-bit became supported in round 6)
+    png4 = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
     )
     with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png_pixels(png16)
+        decode_png_pixels(png4)
     # Adam7 interlace
     png_i = sig + chunk(
         b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
@@ -319,4 +319,148 @@ def test_attach_pixel_media_closed_form(spark, sf_small):
         assert abs(r.mean_r - (m["base"][0] + half)) < 1e-9
         assert abs(r.mean_g - (m["base"][1] + half)) < 1e-9
         assert abs(r.mean_b - (m["base"][2] + half)) < 1e-9
-    assert saw == {"png", "ppm"}  # both decoders really exercised
+    assert saw == {"png", "ppm", "gif"}  # all three decoders exercised
+
+
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_16bit_round_trip(color_type, channels):
+    """16-bit PNG: big-endian byte-pair samples, filters operate on
+    bytes with bpp = channels*2; decoded means are over the 0-65535
+    range and must equal numpy's."""
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+    )
+
+    rng = np.random.default_rng(1000 + color_type)
+    w, h = 9, 7
+    px = rng.integers(0, 65536, size=(h, w, channels), dtype=np.uint16)
+    png = build_png_pixels(
+        w, h, px.astype(">u2").tobytes(), color_type=color_type, depth=16
+    )
+    d = decode_png_pixels(png)
+    assert (d["format"], d["width"], d["height"]) == ("png", w, h)
+    if channels >= 3:
+        want = [px[:, :, c].mean() for c in range(3)]
+    else:
+        want = [px[:, :, 0].mean()] * 3
+    for got, exp in zip((d["mean_r"], d["mean_g"], d["mean_b"]), want):
+        assert abs(got - exp) < 1e-6
+
+
+def test_png_16bit_palette_rejected():
+    import struct
+    import zlib as _zlib
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", _zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    png = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError, match="not valid per spec"):
+        decode_png_pixels(png)
+
+
+def test_gif_lzw_round_trip_random_images():
+    """build (real LZW: dict growth, width escalation, CLEAR on
+    overflow) → decode → channel means equal numpy's color-table
+    lookup, across palette sizes."""
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_gif_pixels,
+        decode_gif_pixels,
+    )
+
+    rng = np.random.default_rng(5)
+    for n_colors in (4, 16, 256):
+        palette = bytes(rng.integers(0, 256, size=n_colors * 3, dtype=np.uint8))
+        w, h = 23, 17
+        idx = rng.integers(0, n_colors, size=w * h, dtype=np.int64).tolist()
+        gif = build_gif_pixels(w, h, idx, palette)
+        d = decode_gif_pixels(gif)
+        assert (d["format"], d["width"], d["height"]) == ("gif", w, h)
+        for c, key in enumerate(("mean_r", "mean_g", "mean_b")):
+            want = sum(palette[3 * i + c] for i in idx) / len(idx)
+            assert abs(d[key] - want) < 1e-9, (n_colors, key)
+
+
+def test_gif_lzw_overflow_clear_round_trip():
+    """An image big enough to overflow the 12-bit LZW table forces the
+    encoder's CLEAR path; the decode must resynchronize."""
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_gif_pixels,
+        decode_gif_pixels,
+    )
+
+    rng = np.random.default_rng(9)
+    palette = bytes(rng.integers(0, 256, size=8 * 3, dtype=np.uint8))
+    w, h = 120, 90  # 10800 px: random 8-color noise overflows 4096 codes
+    idx = rng.integers(0, 8, size=w * h, dtype=np.int64).tolist()
+    d = decode_gif_pixels(build_gif_pixels(w, h, idx, palette))
+    for c, key in enumerate(("mean_r", "mean_g", "mean_b")):
+        want = sum(palette[3 * i + c] for i in idx) / len(idx)
+        assert abs(d[key] - want) < 1e-9
+
+
+def test_gif_decode_skips_extensions_and_uses_local_table():
+    """GIF89a with a graphic-control extension before the image and a
+    LOCAL color table overriding the global one."""
+    import struct
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _lzw_encode,
+        decode_gif_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    lct = bytes(rng.integers(0, 256, size=4 * 3, dtype=np.uint8))
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 1]
+    lzw = _lzw_encode(idx, 2)
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 3, 3)
+        + bytes([0x00, 0, 0])  # no global color table
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 3)
+        + bytes([0x81])  # local color table flag, size field 1 (4 colors)
+        + lct
+        + bytes([2, len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    d = decode_gif_pixels(gif)
+    for c, key in enumerate(("mean_r", "mean_g", "mean_b")):
+        want = sum(lct[3 * i + c] for i in idx) / len(idx)
+        assert abs(d[key] - want) < 1e-9
+
+
+def test_gif_seams_raise():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_pixels,
+    )
+
+    with pytest.raises(NotImplementedError, match="not a GIF"):
+        decode_gif_pixels(b"JUNK")
+    # GIF with no image block
+    with pytest.raises(NotImplementedError, match="without an image"):
+        decode_gif_pixels(b"GIF89a" + bytes(7) + b"\x3b")
+    # dispatch: decode_pixels routes GIF
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_gif_pixels,
+    )
+
+    gif = build_gif_pixels(2, 2, [0, 1, 1, 0], bytes([0, 0, 0, 255, 255, 255]))
+    assert decode_pixels(gif)["format"] == "gif"
+    assert abs(decode_pixels(gif)["mean_r"] - 127.5) < 1e-9
