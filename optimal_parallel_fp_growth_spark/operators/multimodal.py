@@ -10,12 +10,13 @@ CODEC STATUS: this container has no codec libraries (no PIL/
 ffmpeg/librosa), but the pure-Python/stdlib decode surface now covers
 (a) header metadata for PNG/GIF/BMP/JPEG/WAV (``decode_real``, round
 5), (b) FULL pixel decode for raw netpbm P5/P6 (round 5), for 8- and
-16-bit non-interlaced PNG — real zlib inflate + all five scanline
-filters, color types 0/2/3/4/6 (``decode_png_pixels``, round 6) —
-and for GIF, with a real variable-width LZW decoder (CLEAR/EOI,
-KwKwK, 12-bit overflow; ``decode_gif_pixels``, round 6).
-``NotImplementedError`` now marks only the genuinely library-bound
-seam: Adam7-interlaced PNG, JPEG DCT, audio/video sample codecs.
+16-bit PNG in BOTH interlace methods — real zlib inflate + all five
+scanline filters + per-pass Adam7 unfiltering, color types 0/2/3/4/6
+(``decode_png_pixels``, round 6) — and for GIF, with a real
+variable-width LZW decoder (CLEAR/EOI, KwKwK, 12-bit overflow;
+``decode_gif_pixels``, round 6). ``NotImplementedError`` now marks
+only the genuinely library-bound seam: sub-byte PNG depths, JPEG
+DCT, audio/video sample codecs.
 ``build_payload``/``build_png_pixels``/``build_gif_pixels`` construct
 spec-valid files (the GIF twin runs a real LZW ENCODER) so the
 build→parse round trips are oracle-checked (`multimodal_decode`,
@@ -445,6 +446,18 @@ def decode_pixels(payload: bytes) -> dict:
     }
 
 
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """PNG Paeth predictor (spec §9 Filtering): pick whichever of
     left/up/up-left is closest to a + b - c, ties a > b > c."""
@@ -463,13 +476,14 @@ def decode_png_pixels(payload: bytes) -> dict:
     per-scanline unfiltering (all five PNG filter types: None/Sub/Up/
     Average/Paeth). Supports 8-bit AND 16-bit depths, color types
     0 (gray), 2 (RGB), 3 (palette; 8-bit only per spec), 4
-    (gray+alpha), 6 (RGBA), non-interlaced — the full baseline-PNG
-    matrix minus Adam7 interlace, which raises ``NotImplementedError``
-    (the documented codec seam, now narrowed to exactly that plus
-    sub-byte depths). Returns the same shape as :func:`decode_pixels`;
-    alpha is ignored for the channel means, grayscale reports its mean
-    on all three channels; 16-bit means are over the 0–65535 sample
-    range (no 8-bit downscale — the caller sees full precision)."""
+    (gray+alpha), 6 (RGBA), and BOTH interlace methods — Adam7's
+    seven passes are each unfiltered independently per spec §8.2,
+    which is all a channel MEAN needs (pixel position is irrelevant
+    to a sum). Only sub-byte depths (1/2/4) raise
+    ``NotImplementedError``. Returns the same shape as
+    :func:`decode_pixels`; alpha is ignored for the channel means,
+    grayscale reports its mean on all three channels; 16-bit means
+    are over the 0–65535 sample range (no 8-bit downscale)."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -500,8 +514,8 @@ def decode_png_pixels(payload: bytes) -> dict:
         raise NotImplementedError(
             f"PNG bit depth {depth} not supported (8 and 16 only)"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace method {interlace} invalid")
     if depth == 16 and color_type == 3:
         raise NotImplementedError("16-bit palette PNG is not valid per spec")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
@@ -511,62 +525,76 @@ def decode_png_pixels(payload: bytes) -> dict:
         raise NotImplementedError("corrupt PNG: no IDAT data")
     sample_bytes = depth // 8
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels * sample_bytes
-    if len(raw) != (stride + 1) * height:
+    # Region plan: a non-interlaced image is ONE filtered region; an
+    # Adam7 image is up to SEVEN (each pass filtered independently,
+    # spec §8.2). Channel MEANS are order-independent, so summing the
+    # passes' reconstructed samples equals summing the deinterlaced
+    # image — no pixel rearrangement needed.
+    if interlace == 0:
+        regions = [(width, height)]
+    else:
+        regions = []
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw > 0 and ph > 0:
+                regions.append((pw, ph))
+    want = sum((w_ * channels * sample_bytes + 1) * h_ for w_, h_ in regions)
+    if len(raw) != want:
         raise NotImplementedError(
-            f"PNG pixel data length mismatch: want {(stride + 1) * height}, "
-            f"have {len(raw)}"
+            f"PNG pixel data length mismatch: want {want}, have {len(raw)}"
         )
-    # unfilter scanline by scanline; the filters operate on BYTES with
-    # bpp = bytes-per-pixel stride regardless of depth (spec §9)
     bpp = channels * sample_bytes
-    prior = bytearray(stride)
     sum_r = sum_g = sum_b = 0
-    for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prior[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                ul = prior[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
-        elif ftype != 0:
-            raise NotImplementedError(f"PNG filter type {ftype} invalid")
-        # accumulate channel sums from the reconstructed scanline;
-        # 16-bit samples are big-endian byte pairs (spec §7.1)
-        if depth == 16:
-            vals: list[int] | bytearray = [
-                (line[i] << 8) | line[i + 1] for i in range(0, stride, 2)
-            ]
-        else:
-            vals = line
-        if color_type == 2 or color_type == 6:
-            sum_r += sum(vals[0::channels])
-            sum_g += sum(vals[1::channels])
-            sum_b += sum(vals[2::channels])
-        elif color_type == 3:
-            for idx in vals:
-                base = idx * 3
-                sum_r += plte[base]
-                sum_g += plte[base + 1]
-                sum_b += plte[base + 2]
-        else:  # 0 or 4: grayscale (+alpha)
-            g = sum(vals[0::channels])
-            sum_r += g
-            sum_g += g
-            sum_b += g
-        prior = line
+    off = 0
+    for rw, rh in regions:
+        stride = rw * channels * sample_bytes
+        prior = bytearray(stride)
+        for _y in range(rh):
+            ftype = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            off += 1 + stride
+            if ftype == 1:  # Sub
+                for x in range(bpp, stride):
+                    line[x] = (line[x] + line[x - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prior[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    left = line[x - bpp] if x >= bpp else 0
+                    line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    left = line[x - bpp] if x >= bpp else 0
+                    ul = prior[x - bpp] if x >= bpp else 0
+                    line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
+            elif ftype != 0:
+                raise NotImplementedError(f"PNG filter type {ftype} invalid")
+            # accumulate channel sums from the reconstructed scanline;
+            # 16-bit samples are big-endian byte pairs (spec §7.1)
+            if depth == 16:
+                vals: list[int] | bytearray = [
+                    (line[i] << 8) | line[i + 1] for i in range(0, stride, 2)
+                ]
+            else:
+                vals = line
+            if color_type == 2 or color_type == 6:
+                sum_r += sum(vals[0::channels])
+                sum_g += sum(vals[1::channels])
+                sum_b += sum(vals[2::channels])
+            elif color_type == 3:
+                for idx in vals:
+                    base = idx * 3
+                    sum_r += plte[base]
+                    sum_g += plte[base + 1]
+                    sum_b += plte[base + 2]
+            else:  # 0 or 4: grayscale (+alpha)
+                g = sum(vals[0::channels])
+                sum_r += g
+                sum_g += g
+                sum_b += g
+            prior = line
     n = width * height
     return {
         "format": "png",
@@ -585,18 +613,23 @@ def build_png_pixels(
     color_type: int = 2,
     palette: bytes = b"",
     depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """Construct a REAL PNG from raw pixel bytes (row-major,
     ``channels`` interleaved; for ``depth=16`` each sample is a
     big-endian byte pair) — the independent build twin of
     :func:`decode_png_pixels`. Each scanline gets filter type
     ``y % 5``, so a round trip exercises ALL FIVE filters; the
-    deflate stream is real stdlib zlib."""
+    deflate stream is real stdlib zlib. ``interlace=True`` writes a
+    genuine Adam7 layout: pixels rearranged into the seven passes,
+    each pass filtered independently."""
     import struct
     import zlib
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = width * channels * (depth // 8)
+    sample_bytes = depth // 8
+    px_b = channels * sample_bytes
+    stride = width * px_b
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dims")
 
@@ -608,43 +641,75 @@ def build_png_pixels(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    bpp = channels * (depth // 8)
+    # regions: list of row-lists; each region is filtered independently
+    # (prior resets at a region start — exactly how the decoder resets
+    # per pass)
+    if interlace:
+        regions: list[list[bytes]] = []
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            rows: list[bytes] = []
+            for j in range(ph):
+                y = y0 + j * dy
+                row = bytearray()
+                for i in range(pw):
+                    x = x0 + i * dx
+                    base = y * stride + x * px_b
+                    row.extend(pixels[base : base + px_b])
+                rows.append(bytes(row))
+            regions.append(rows)
+    else:
+        regions = [
+            [pixels[y * stride : (y + 1) * stride] for y in range(height)]
+        ]
+
+    bpp = px_b
     raw = bytearray()
-    prior = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride : (y + 1) * stride]
-        ftype = y % 5
-        raw.append(ftype)
-        if ftype == 0:
-            raw.extend(line)
-        elif ftype == 1:  # Sub
-            raw.extend(
-                (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
-                for x in range(stride)
-            )
-        elif ftype == 2:  # Up
-            raw.extend((line[x] - prior[x]) & 0xFF for x in range(stride))
-        elif ftype == 3:  # Average
-            raw.extend(
-                (line[x] - (((line[x - bpp] if x >= bpp else 0) + prior[x]) >> 1))
-                & 0xFF
-                for x in range(stride)
-            )
-        else:  # Paeth
-            raw.extend(
-                (
-                    line[x]
-                    - _paeth(
-                        line[x - bpp] if x >= bpp else 0,
-                        prior[x],
-                        prior[x - bpp] if x >= bpp else 0,
-                    )
+    for region in regions:
+        prior = bytes(len(region[0]))
+        for y, line in enumerate(region):
+            ftype = y % 5
+            raw.append(ftype)
+            stride = len(line)
+            if ftype == 0:
+                raw.extend(line)
+            elif ftype == 1:  # Sub
+                raw.extend(
+                    (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
+                    for x in range(stride)
                 )
-                & 0xFF
-                for x in range(stride)
-            )
-        prior = line
-    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+            elif ftype == 2:  # Up
+                raw.extend((line[x] - prior[x]) & 0xFF for x in range(stride))
+            elif ftype == 3:  # Average
+                raw.extend(
+                    (
+                        line[x]
+                        - (((line[x - bpp] if x >= bpp else 0) + prior[x]) >> 1)
+                    )
+                    & 0xFF
+                    for x in range(stride)
+                )
+            else:  # Paeth
+                raw.extend(
+                    (
+                        line[x]
+                        - _paeth(
+                            line[x - bpp] if x >= bpp else 0,
+                            prior[x],
+                            prior[x - bpp] if x >= bpp else 0,
+                        )
+                    )
+                    & 0xFF
+                    for x in range(stride)
+                )
+            prior = line
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0,
+        1 if interlace else 0,
+    )
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += chunk(b"PLTE", palette)

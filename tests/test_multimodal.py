@@ -267,11 +267,11 @@ def test_png_unsupported_seams_raise():
     )
     with pytest.raises(NotImplementedError, match="bit depth"):
         decode_png_pixels(png4)
-    # Adam7 interlace
+    # invalid interlace method (Adam7 itself is supported since r6)
     png_i = sig + chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 9)
     )
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(NotImplementedError, match="interlace method"):
         decode_png_pixels(png_i)
     # truncated pixel stream
     good = build_png_pixels(3, 3, bytes(27), color_type=2)
@@ -464,3 +464,49 @@ def test_gif_seams_raise():
     gif = build_gif_pixels(2, 2, [0, 1, 1, 0], bytes([0, 0, 0, 255, 255, 255]))
     assert decode_pixels(gif)["format"] == "gif"
     assert abs(decode_pixels(gif)["mean_r"] - 127.5) < 1e-9
+
+
+def test_png_adam7_interlaced_round_trip():
+    """Adam7: the builder writes a genuine seven-pass layout (each
+    pass filtered independently); the decoder unfilters per pass and
+    the means equal the non-interlaced image's — including edge sizes
+    where some passes are empty (w or h < pass origin)."""
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+    )
+
+    rng = np.random.default_rng(77)
+    for w, h in [(1, 1), (2, 3), (7, 5), (16, 16), (13, 21)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        gold = decode_png_pixels(
+            build_png_pixels(w, h, px.tobytes(), color_type=2)
+        )
+        inter = decode_png_pixels(
+            build_png_pixels(w, h, px.tobytes(), color_type=2, interlace=True)
+        )
+        for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+            assert abs(gold[k] - inter[k]) < 1e-9, (w, h, k)
+
+
+def test_png_adam7_16bit_gray_alpha():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+    )
+
+    rng = np.random.default_rng(78)
+    w, h = 10, 9
+    px = rng.integers(0, 65536, size=(h, w, 2), dtype=np.uint16)
+    d = decode_png_pixels(
+        build_png_pixels(
+            w, h, px.astype(">u2").tobytes(), color_type=4, depth=16,
+            interlace=True,
+        )
+    )
+    assert abs(d["mean_r"] - px[:, :, 0].mean()) < 1e-6
+    assert d["mean_r"] == d["mean_g"] == d["mean_b"]
