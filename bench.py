@@ -237,6 +237,13 @@ def main() -> None:
         # quadratic closer, so prior envelopes stay valid)
         "versioned_read",
         "multimodal_pixels",
+        "versioned_merge",
+        # round-6 batch-5 TPC-H shapes (Q2/Q11/Q12/Q16/Q20)
+        "min_cost_part_supplier",
+        "important_parts",
+        "returnflag_priority_lines",
+        "supplier_variety",
+        "recent_concentration_suppliers",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

@@ -531,8 +531,17 @@ _DRIVER_PRIORITY: list[str] = [
     # These MUST lead the r7 window, together with any entry added
     # late in round 6 after the window filled (currently:
     # versioned_merge — oracle-gated and pytest-verified now, first
-    # driver sample in r7).
+    # driver sample in r7 — and the batch-5 TPC-H shapes
+    # min_cost_part_supplier / important_parts /
+    # returnflag_priority_lines / supplier_variety /
+    # recent_concentration_suppliers, added after the r6 window
+    # filled; all five locally oracle-verified at sf0.01).
     "versioned_merge",
+    "min_cost_part_supplier",
+    "important_parts",
+    "returnflag_priority_lines",
+    "supplier_variety",
+    "recent_concentration_suppliers",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",

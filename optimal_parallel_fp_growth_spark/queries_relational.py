@@ -1013,6 +1013,337 @@ LIMIT 20
 """
 
 
+# --- Batch 5 (round 6) — the last five TPC-H optimizer shapes the pack
+# was missing: Q2 (correlated scalar MIN), Q11 (HAVING vs a global
+# scalar), Q12 (conditional aggregation over a join), Q16 (NOT IN
+# exclusion + multi-key COUNT DISTINCT), Q20 (nested IN with a
+# correlated two-aggregate threshold). The testdata schema is trimmed
+# (no partsupp / l_shipmode / comment columns), so each query re-bases
+# the reference predicate onto lineitem's observed part-supplier
+# relation while keeping the decorrelation shape intact; every oracle
+# states the LITERAL correlated/nested form so the driver run is a
+# decorrelation differential, exactly like Q4/Q17/Q21/Q22 above.
+
+Q2_SIZE = 15
+Q11_NATION = "NATION_3"
+Q11_FRACTION = "0.001"  # decimal literal — exact on both engines
+Q12_START, Q12_END = "1997-01-01", "1998-01-01"
+Q16_BRAND = "Brand#45"
+Q16_TYPE_PREFIX = "MEDIUM"
+Q16_SIZES = [1, 4, 7, 10, 15, 22, 25, 49]
+Q20_NATION = "NATION_1"
+Q20_NAME_PREFIX = "small "
+Q20_RECENT = "1999-01-01"
+
+
+def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar MIN): for each size-15 part,
+    the supplier(s) who charged the minimum price ever observed for
+    that part. The correlated subquery ``l_extendedprice = (SELECT
+    min(...) WHERE l2.l_partkey = p_partkey)`` decorrelates into ONE
+    per-partkey MIN aggregate joined back on (partkey, price) — the
+    lineitem fact is scanned once, restricted FIRST by a broadcast
+    semi join on the filtered part dim (40 of 2000 parts survive
+    ``p_size = 15``), so both the aggregate and the join-back run on
+    the pruned slice. Supplier and nation attach via broadcast.
+
+    Scale shape: no repeated subquery execution (the naive plan is
+    one scan per outer row); the only exchange is the partkey
+    aggregate over an already-filtered fact."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") == Q2_SIZE)
+        .select("p_partkey", "p_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    priced = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    min_price = priced.groupBy("p_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        priced.join(
+            F.broadcast(min_price.withColumnRenamed("p_partkey", "mp_partkey")),
+            (F.col("p_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_MIN_COST = f"""
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, lineitem, supplier, nation
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND s_nationkey = n_nationkey AND p_size = {Q2_SIZE}
+  AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = p_partkey)
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group HAVING vs a global scalar aggregate):
+    the parts that concentrate more than ``Q11_FRACTION`` of one
+    nation's total traded value. The scalar subquery — the SAME
+    filtered sum, ungrouped — decorrelates into a one-row aggregate
+    broadcast into the HAVING filter: the nation-restricted slice is
+    computed ONCE (suppliers of the nation found via two broadcast
+    hops), reused by both the per-part aggregate and the global
+    total, and only the one-row total crosses the plan.
+
+    Sums run in DECIMAL(18,6) on both engines so the threshold
+    comparison is exact — no float-associativity flake at the HAVING
+    boundary."""
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == Q11_NATION)
+        .select("n_nationkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    value = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    sliced = li.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(F.col("l_partkey"), value.alias("val"))
+    per_part = sliced.groupBy("l_partkey").agg(F.sum("val").alias("part_value"))
+    total = sliced.agg(
+        (F.sum("val") * F.expr(f"CAST({Q11_FRACTION} AS DECIMAL(10,6))")).alias(
+            "threshold"
+        )
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+ORACLE_IMPORTANT_PARTS = f"""
+SELECT l_partkey,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+         AS part_value
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q11_NATION}'
+GROUP BY l_partkey
+HAVING sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))
+     > (SELECT sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))
+               * {Q11_FRACTION}::DECIMAL(10,6)
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = '{Q11_NATION}')
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_returnflag_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional aggregation over a join): per
+    return-flag class, how many 1997-shipped line items belong to
+    high- vs low-priority orders. The CASE sums fold into ONE
+    aggregate pass after the join — no per-priority re-scan. The
+    trimmed schema has no l_shipmode, so l_returnflag stands in as
+    the mode-like class column; the priority CASE is verbatim Q12.
+
+    Scale shape: the date filter pushes to the lineitem scan
+    (pruning ~6/7 of rows before the orderkey shuffle), orders is
+    projected to two columns, and the final agg is 3-group bounded."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= Q12_START) & (F.col("l_shipdate") < Q12_END)
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_RETURNFLAG_PRIORITY = f"""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_START}'
+  AND l_shipdate <  TIMESTAMP '{Q12_END}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN exclusion + multi-key COUNT DISTINCT):
+    how many distinct suppliers serve each surviving (brand, type,
+    size) part family. The part-supplier relation is lineitem's
+    observed distinct (l_partkey, l_suppkey) — the trimmed schema's
+    stand-in for partsupp. ``NOT IN (complaint suppliers)`` becomes a
+    LEFT ANTI join against the (tiny, broadcast) negative-balance
+    supplier set; the IN-list size predicate and the <>/NOT LIKE
+    predicates push to the part scan.
+
+    Scale shape: the pair relation is deduped BEFORE the part join
+    shrinks fan-out; the count-distinct shuffles on the 3-part group
+    key only."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != Q16_BRAND)
+            & (~F.col("p_type").startswith(Q16_TYPE_PREFIX))
+            & (F.col("p_size").isin(Q16_SIZES))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(
+            F.broadcast(complaints),
+            pairs.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_SUPPLIER_VARIETY = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_BRAND}'
+  AND p_type NOT LIKE '{Q16_TYPE_PREFIX}%'
+  AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_recent_concentration_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested IN with a correlated two-aggregate
+    threshold): suppliers in one nation who, for some 'small *' part,
+    shipped MORE than half that part's lifetime quantity in the
+    recent window — Q20's ``availqty > 0.5 * correlated shipped-qty``
+    re-based onto two aggregates of the same fact at different date
+    filters (the trimmed schema has no partsupp.availqty). The
+    correlated pair decorrelates into ONE conditional-aggregation
+    pass over (suppkey, partkey): ``sum(CASE recent)`` vs
+    ``0.5 * sum(all)`` — a single scan where the naive plan re-scans
+    per pair. The part-name IN pushes down via a broadcast semi join;
+    the qualifying suppkey set then semi-joins the (broadcast-sized)
+    nation-filtered supplier dim.
+
+    Quantity sums run in DECIMAL(18,6) on both engines so the
+    half-threshold comparison is exact."""
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    recent_qty = F.when(F.col("l_shipdate") >= Q20_RECENT, qty).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    qualifying = (
+        li.join(
+            F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(recent_qty).alias("recent"),
+            F.sum(qty).alias("lifetime"),
+        )
+        .where(
+            F.col("recent")
+            > F.col("lifetime") * F.expr("CAST(0.5 AS DECIMAL(10,6))")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == Q20_NATION)
+        .select("n_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_RECENT_CONCENTRATION = f"""
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q20_NATION}'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '{Q20_RECENT}'
+                    THEN l_quantity::DECIMAL(18,6)
+                    ELSE 0::DECIMAL(18,6) END)
+         > sum(l_quantity::DECIMAL(18,6)) * 0.5::DECIMAL(10,6))
+ORDER BY s_name
+"""
+
+
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "supplier_pagerank_bucketed": q_supplier_pagerank_bucketed,
@@ -1036,6 +1367,11 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "late_order_priorities": q_late_order_priorities,
     "sole_late_suppliers": q_sole_late_suppliers,
+    "min_cost_part_supplier": q_min_cost_part_supplier,
+    "important_parts": q_important_parts,
+    "returnflag_priority_lines": q_returnflag_priority_lines,
+    "supplier_variety": q_supplier_variety,
+    "recent_concentration_suppliers": q_recent_concentration_suppliers,
 }
 
 REL_ORACLES: dict[str, str] = {
@@ -1061,4 +1397,9 @@ REL_ORACLES: dict[str, str] = {
     "idle_rich_customers": ORACLE_IDLE_RICH,
     "late_order_priorities": ORACLE_LATE_ORDER_PRIORITIES,
     "sole_late_suppliers": ORACLE_SOLE_LATE_SUPPLIERS,
+    "min_cost_part_supplier": ORACLE_MIN_COST,
+    "important_parts": ORACLE_IMPORTANT_PARTS,
+    "returnflag_priority_lines": ORACLE_RETURNFLAG_PRIORITY,
+    "supplier_variety": ORACLE_SUPPLIER_VARIETY,
+    "recent_concentration_suppliers": ORACLE_RECENT_CONCENTRATION,
 }

@@ -88,6 +88,13 @@ MUST_BE_IN_WINDOW = NEVER_SAMPLED | R04_GREEN_ROTATING
 # driver row (see the tier-3 comment in queries.py). MUST lead r7.
 DEFERRED_TO_R7 = [
     "versioned_merge",  # added late in r6 (never sampled)
+    # batch-5 TPC-H shapes (Q2/Q11/Q12/Q16/Q20), added after the r6
+    # window filled — never sampled, locally oracle-verified:
+    "min_cost_part_supplier",
+    "important_parts",
+    "returnflag_priority_lines",
+    "supplier_variety",
+    "recent_concentration_suppliers",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",
