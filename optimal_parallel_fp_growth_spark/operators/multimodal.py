@@ -14,13 +14,17 @@ ffmpeg/librosa), but the pure-Python/stdlib decode surface now covers
 scanline filters + per-pass Adam7 unfiltering, color types 0/2/3/4/6
 (``decode_png_pixels``, round 6) — and for GIF, with a real
 variable-width LZW decoder (CLEAR/EOI, KwKwK, 12-bit overflow;
-``decode_gif_pixels``, round 6). ``NotImplementedError`` now marks
-only the genuinely library-bound seam: sub-byte PNG depths, JPEG
-DCT, audio/video sample codecs.
-``build_payload``/``build_png_pixels``/``build_gif_pixels`` construct
-spec-valid files (the GIF twin runs a real LZW ENCODER) so the
-build→parse round trips are oracle-checked (`multimodal_decode`,
-`multimodal_pixels`); ``_decode_stub`` (md5-derived fake features)
+``decode_gif_pixels``, round 6) — plus (c) FULL WAV sample decode:
+unsigned-8 / signed-16/24/32 PCM and IEEE float32 frames parsed and
+reduced to exact mean/rms/peak/duration (``decode_wav_samples``,
+round 6). ``NotImplementedError`` now marks only the genuinely
+library-bound seam: sub-byte PNG depths, JPEG DCT, compressed audio
+(ADPCM/MP3/AAC), video streams.
+``build_payload``/``build_png_pixels``/``build_gif_pixels``/
+``build_wav_samples`` construct spec-valid files (the GIF twin runs
+a real LZW ENCODER) so the build→parse round trips are
+oracle-checked (`multimodal_decode`, `multimodal_pixels`,
+`multimodal_audio`); ``_decode_stub`` (md5-derived fake features)
 remains for the feature-extraction pipeline whose kernels genuinely
 need codecs.
 
@@ -1016,3 +1020,232 @@ def extract_pixel_stats(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(run, PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# REAL audio sample decode (round 6) — raw PCM needs no codec library:
+# a WAV data chunk is struct-parseable integers (or IEEE floats), so
+# the "audio samples" half of the codec seam closes for every
+# uncompressed fmt tag. The seam now holds only genuinely compressed
+# audio (ADPCM/MP3/AAC) and video streams.
+# ---------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "doc_id long, format string, codec string, sample_rate int, "
+    "channels int, bits int, n_frames long, duration_sec double, "
+    "mean double, rms double, peak double"
+)
+
+_WAV_CODECS = {(1, 8): "pcm8", (1, 16): "pcm16", (1, 24): "pcm24",
+               (1, 32): "pcm32", (3, 32): "f32"}
+
+
+def decode_wav_samples(payload: bytes) -> dict:
+    """FULL WAV sample decode — RIFF chunk walk, then every PCM frame
+    parsed from the data chunk: unsigned 8-bit (offset-binary per
+    spec), signed 16/24/32-bit little-endian, and IEEE float32
+    (fmt tag 3). Returns sample statistics computed EXACTLY — integer
+    sums (or exact small-int floats) divided once at the end — so a
+    closed-form oracle can reproduce them bit-for-bit:
+    ``mean``, ``rms`` (sqrt of mean square), ``peak`` (max |sample|),
+    ``n_frames`` (per channel), ``duration_sec``.
+    ``NotImplementedError`` marks the remaining genuinely-compressed
+    seam: ADPCM/a-law/mu-law/MP3 fmt tags."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise NotImplementedError("truncated WAV fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if len(body) < clen:
+                raise NotImplementedError("truncated WAV data chunk")
+            data = body
+        pos += 8 + clen + (clen % 2)
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV without fmt/data chunks")
+    tag, channels, rate, _byte_rate, _block_align, bits = fmt
+    codec = _WAV_CODECS.get((tag, bits))
+    if codec is None:
+        raise NotImplementedError(
+            f"WAV fmt tag {tag}/{bits}-bit not supported (uncompressed "
+            "PCM 8/16/24/32 and float32 decode natively; compressed "
+            "codecs need libraries)"
+        )
+    step = bits // 8
+    if channels <= 0 or len(data) % (step * channels):
+        raise NotImplementedError("WAV data chunk not frame-aligned")
+    n = len(data) // step
+    if codec == "f32":
+        vals = list(struct.unpack(f"<{n}f", data))
+        total = sum(vals)
+        total_sq = sum(v * v for v in vals)
+        peak = max((abs(v) for v in vals), default=0.0)
+    else:
+        total = 0
+        total_sq = 0
+        peak = 0
+        if codec == "pcm8":
+            for b in data:
+                v = b - 128  # offset-binary per spec
+                total += v
+                total_sq += v * v
+                if v > peak or -v > peak:
+                    peak = abs(v)
+        else:
+            for i in range(0, len(data), step):
+                v = int.from_bytes(data[i : i + step], "little", signed=True)
+                total += v
+                total_sq += v * v
+                if v > peak or -v > peak:
+                    peak = abs(v)
+    n_frames = n // channels
+    return {
+        "format": "wav",
+        "codec": codec,
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_sec": n_frames / rate if rate else 0.0,
+        "mean": total / n if n else 0.0,
+        "rms": (total_sq / n) ** 0.5 if n else 0.0,
+        "peak": float(peak),
+    }
+
+
+def build_wav_samples(
+    samples: list,
+    sample_rate: int,
+    channels: int = 1,
+    bits: int = 16,
+    float32: bool = False,
+) -> bytes:
+    """Construct a REAL WAV from a flat interleaved sample list — the
+    independent build twin of :func:`decode_wav_samples`. Integer PCM
+    at 8 (offset-binary), 16, 24, or 32 bits, or IEEE float32 when
+    ``float32=True``."""
+    import struct
+
+    if len(samples) % channels:
+        raise ValueError("sample count not divisible by channels")
+    if float32:
+        if bits != 32:
+            raise ValueError("float32 WAV is 32-bit")
+        tag = 3
+        data = struct.pack(f"<{len(samples)}f", *samples)
+    else:
+        tag = 1
+        step = bits // 8
+        if bits == 8:
+            data = bytes(int(v) + 128 for v in samples)
+        else:
+            data = b"".join(
+                int(v).to_bytes(step, "little", signed=True) for v in samples
+            )
+    block_align = channels * bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    # RIFF word alignment: an odd-length data chunk is followed by one
+    # pad byte that is NOT counted in the chunk length
+    pad = b"\x00" if len(data) % 2 else b""
+    return (
+        b"RIFF"
+        + struct.pack(
+            "<I", 4 + 8 + len(fmt_chunk) + 8 + len(data) + len(pad)
+        )
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(data)) + data + pad
+    )
+
+
+def audio_meta_for(doc_id: int) -> dict:
+    """Deterministic sample recipe for `attach_audio_media`, chosen so
+    every statistic has a CLOSED FORM a SQL oracle can recompute:
+    flat (interleaved) sample ``k`` holds ``base + amp * (k % m)``,
+    and the total sample count is a multiple of ``m``, so over the
+    whole file
+    ``mean    = base + amp*(m-1)/2``
+    ``rms     = sqrt(base^2 + base*amp*(m-1) + amp^2*(m-1)*(2m-1)/6)``
+    ``peak    = max(|base|, |base + amp*(m-1)|)``
+    exactly (integer sums, one division — both engines do the same
+    double ops). Codec rotates doc_id % 5 over all five uncompressed
+    encodings; |sample| ≤ 40 + 7*11 = 117 fits 8-bit PCM."""
+    m = 4 + doc_id % 9
+    return {
+        "codec": ("pcm8", "pcm16", "pcm24", "pcm32", "f32")[doc_id % 5],
+        "sample_rate": 8000 + (doc_id * 31) % 32000,
+        "channels": 1 + doc_id % 2,
+        "m": m,
+        "base": -40 + (doc_id * 17) % 81,
+        "amp": 1 + doc_id % 7,
+        "n_frames": m * (3 + doc_id % 5),
+    }
+
+
+_AUDIO_BITS = {"pcm8": 8, "pcm16": 16, "pcm24": 24, "pcm32": 32, "f32": 32}
+
+
+def attach_audio_media(docs: DataFrame) -> DataFrame:
+    """→ (doc_id, payload: binary) where payload is a real decodable
+    WAV whose samples follow `audio_meta_for`. Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                a = audio_meta_for(int(doc_id))
+                n = a["n_frames"] * a["channels"]
+                samples = [a["base"] + a["amp"] * (k % a["m"]) for k in range(n)]
+                payloads.append(
+                    build_wav_samples(
+                        samples,
+                        a["sample_rate"],
+                        channels=a["channels"],
+                        bits=_AUDIO_BITS[a["codec"]],
+                        float32=a["codec"] == "f32",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def extract_audio_stats(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio statistics over WAV payloads (columns:
+    doc_id, payload). → AUDIO_SCHEMA rows; compressed codecs raise at
+    the documented seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav_samples(bytes(payload))
+                rows.append(
+                    (
+                        doc_id, d["format"], d["codec"], d["sample_rate"],
+                        d["channels"], d["bits"], d["n_frames"],
+                        d["duration_sec"], d["mean"], d["rms"], d["peak"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "codec", "sample_rate", "channels",
+                    "bits", "n_frames", "duration_sec", "mean", "rms", "peak",
+                ],
+            )
+
+    return with_payload.mapInPandas(run, AUDIO_SCHEMA)

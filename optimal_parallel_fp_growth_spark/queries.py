@@ -542,6 +542,7 @@ _DRIVER_PRIORITY: list[str] = [
     "returnflag_priority_lines",
     "supplier_variety",
     "recent_concentration_suppliers",
+    "multimodal_audio",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",

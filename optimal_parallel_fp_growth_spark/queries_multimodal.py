@@ -11,10 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
+    attach_audio_media,
     attach_media,
     attach_payload,
     attach_pixel_media,
     decode_media,
+    extract_audio_stats,
     extract_features,
     extract_pixel_stats,
     sample_frames,
@@ -73,6 +75,34 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio round trip (round 6): per doc, build a real WAV —
+    codec rotating doc_id % 5 over unsigned-8 / signed-16 / 24 / 32
+    PCM and IEEE float32 — whose flat sample ``k`` holds
+    ``base + amp * (k % m)`` per `audio_meta_for`, then FULLY decode
+    every frame and report mean / rms / peak / duration. The oracle
+    recomputes the closed forms in SQL: any bug in the RIFF walk,
+    chunk-length/pad handling, offset-binary 8-bit decode, 24-bit
+    sign extension, or float unpacking shifts a statistic and breaks
+    equality (rms rounds to 6 — the two engines order the mean-square
+    arithmetic differently by one ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_audio_stats(attach_audio_media(docs))
+    return out.select(
+        "doc_id",
+        "codec",
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_frames",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("duration_sec", "mean", "rms")
+        ],
+        "peak",
+    )
+
+
 _H8 = "('0x' || substr(md5(text), 1, 8))::BIGINT"
 
 ORACLE_FEATURES = f"""
@@ -124,11 +154,41 @@ SELECT doc_id,
 FROM documents
 """
 
+# audio_meta_for mirrored in SQL: m = 4 + doc_id%9, base =
+# -40 + doc_id*17 % 81, amp = 1 + doc_id%7, n_frames = m*(3+doc_id%5);
+# flat sample k = base + amp*(k%m) and the sample count is a multiple
+# of m, so mean/rms/peak have the closed forms below.
+ORACLE_AUDIO = """
+SELECT doc_id,
+       ['pcm8', 'pcm16', 'pcm24', 'pcm32', 'f32'][(doc_id % 5)::INT + 1]
+         AS codec,
+       (8000 + (doc_id * 31) % 32000)::INT AS sample_rate,
+       (1 + doc_id % 2)::INT AS channels,
+       [8, 16, 24, 32, 32][(doc_id % 5)::INT + 1] AS bits,
+       ((4 + doc_id % 9) * (3 + doc_id % 5))::BIGINT AS n_frames,
+       round((4 + doc_id % 9) * (3 + doc_id % 5)
+             / (8000.0 + (doc_id * 31) % 32000), 6) AS duration_sec,
+       round((-40 + (doc_id * 17) % 81)
+             + (1 + doc_id % 7) * (4 + doc_id % 9 - 1) / 2.0, 6) AS mean,
+       round(sqrt(
+         (-40 + (doc_id * 17) % 81) * (-40 + (doc_id * 17) % 81)
+         + (-40 + (doc_id * 17) % 81) * (1 + doc_id % 7)
+           * (4 + doc_id % 9 - 1)
+         + (1 + doc_id % 7) * (1 + doc_id % 7) * (4 + doc_id % 9 - 1)
+           * (2 * (4 + doc_id % 9) - 1) / 6.0), 6) AS rms,
+       greatest(abs(-40 + (doc_id * 17) % 81),
+                abs((-40 + (doc_id * 17) % 81)
+                    + (1 + doc_id % 7) * (4 + doc_id % 9 - 1)))::DOUBLE
+         AS peak
+FROM documents
+"""
+
 MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pixels": q_multimodal_pixels,
+    "multimodal_audio": q_multimodal_audio,
 }
 
 MM_ORACLES: dict[str, str] = {
@@ -136,4 +196,5 @@ MM_ORACLES: dict[str, str] = {
     "multimodal_frames": ORACLE_FRAMES,
     "multimodal_decode": ORACLE_DECODE,
     "multimodal_pixels": ORACLE_PIXELS,
+    "multimodal_audio": ORACLE_AUDIO,
 }

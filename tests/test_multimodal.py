@@ -510,3 +510,159 @@ def test_png_adam7_16bit_gray_alpha():
     )
     assert abs(d["mean_r"] - px[:, :, 0].mean()) < 1e-6
     assert d["mean_r"] == d["mean_g"] == d["mean_b"]
+
+
+# ---------------------------------------------------------------------
+# round 6: real WAV sample decode (PCM 8/16/24/32 + float32)
+# ---------------------------------------------------------------------
+
+
+def test_wav_property_random_samples_exact_stats():
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_wav_samples,
+        decode_wav_samples,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bits=st.sampled_from([8, 16, 24, 32]),
+        channels=st.integers(1, 3),
+        frames=st.integers(1, 40),
+        data=st.data(),
+    )
+    def run(bits, channels, frames, data):
+        lo, hi = (-128, 127) if bits == 8 else (-(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
+        n = frames * channels
+        s = data.draw(st.lists(st.integers(lo, hi), min_size=n, max_size=n))
+        d = decode_wav_samples(
+            build_wav_samples(s, 44100, channels=channels, bits=bits)
+        )
+        assert d["bits"] == bits and d["channels"] == channels
+        assert d["n_frames"] == frames
+        assert d["mean"] == sum(s) / n
+        assert math.isclose(
+            d["rms"], math.sqrt(sum(v * v for v in s) / n), rel_tol=1e-12
+        )
+        assert d["peak"] == max(abs(v) for v in s)
+        assert d["duration_sec"] == frames / 44100
+
+    run()
+
+
+def test_wav_float32_round_trip():
+    import math
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_wav_samples,
+        decode_wav_samples,
+    )
+
+    # small integers and dyadic fractions are exact in float32
+    s = [0.5, -1.25, 3.0, -0.75, 2.5, 1.0]
+    d = decode_wav_samples(
+        build_wav_samples(s, 16000, channels=2, bits=32, float32=True)
+    )
+    assert d["codec"] == "f32" and d["bits"] == 32
+    assert d["n_frames"] == 3 and d["channels"] == 2
+    assert d["mean"] == sum(s) / len(s)
+    assert math.isclose(
+        d["rms"], math.sqrt(sum(v * v for v in s) / len(s)), rel_tol=1e-12
+    )
+    assert d["peak"] == 3.0
+
+
+def test_wav_24bit_sign_extension_and_odd_pad():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_wav_samples,
+        decode_wav_samples,
+    )
+
+    # negative 24-bit values must sign-extend; 3 samples * 3 bytes = 9
+    # (odd) exercises the RIFF pad byte being OUTSIDE the chunk length
+    s = [-(2 ** 23), 2 ** 23 - 1, -1]
+    d = decode_wav_samples(build_wav_samples(s, 8000, channels=1, bits=24))
+    assert d["n_frames"] == 3
+    assert d["peak"] == 2 ** 23
+    assert d["mean"] == sum(s) / 3
+
+
+def test_wav_8bit_offset_binary():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_wav_samples,
+        decode_wav_samples,
+    )
+
+    # stored bytes are value+128; silence (0) must decode to 0, not 128
+    d = decode_wav_samples(build_wav_samples([0, 0, 0, 0], 8000, bits=8))
+    assert d["mean"] == 0.0 and d["rms"] == 0.0 and d["peak"] == 0.0
+
+
+def test_wav_seams_raise():
+    import struct
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_payload,
+        build_wav_samples,
+        decode_wav_samples,
+    )
+
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        decode_wav_samples(b"not audio at all")
+    # compressed fmt tag (2 = ADPCM) stays a documented seam
+    good = build_wav_samples([1, 2, 3, 4], 8000, bits=16)
+    adpcm = bytearray(good)
+    adpcm[20:22] = struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError, match="fmt tag"):
+        decode_wav_samples(bytes(adpcm))
+    # build_payload's header-only WAV carries an EMPTY data chunk:
+    # zero samples decode to zero stats, not garbage and not a raise
+    empty = decode_wav_samples(
+        build_payload("wav", sample_rate=8000, channels=1)
+    )
+    assert empty["n_frames"] == 0 and empty["rms"] == 0.0
+    # a payload truly missing its data chunk raises
+    with pytest.raises(NotImplementedError, match="fmt/data"):
+        decode_wav_samples(good[:36])
+    # torn payload (data chunk shorter than its declared length) raises
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(good[:-1])
+
+
+def test_attach_audio_media_closed_form(spark, sf_small):
+    """The registry entry's recipe end-to-end on Spark: decoded stats
+    equal the closed forms for all five codecs."""
+    import math
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        attach_audio_media,
+        audio_meta_for,
+        extract_audio_stats,
+    )
+
+    docs = load_table(spark, sf_small, "documents").limit(40)
+    out = extract_audio_stats(attach_audio_media(docs)).collect()
+    assert len(out) == 40
+    saw = set()
+    for r in out:
+        a = audio_meta_for(r.doc_id)
+        saw.add(a["codec"])
+        m, base, amp = a["m"], a["base"], a["amp"]
+        assert r.codec == a["codec"]
+        assert (r.sample_rate, r.channels) == (a["sample_rate"], a["channels"])
+        assert r.n_frames == a["n_frames"]
+        assert r.mean == base + amp * (m - 1) / 2
+        assert math.isclose(
+            r.rms,
+            math.sqrt(
+                base * base
+                + base * amp * (m - 1)
+                + amp * amp * (m - 1) * (2 * m - 1) / 6
+            ),
+            rel_tol=1e-12,
+        )
+        assert r.peak == max(abs(base), abs(base + amp * (m - 1)))
+    assert saw == {"pcm8", "pcm16", "pcm24", "pcm32", "f32"}

@@ -95,6 +95,9 @@ DEFERRED_TO_R7 = [
     "returnflag_priority_lines",
     "supplier_variety",
     "recent_concentration_suppliers",
+    # real WAV PCM/float32 sample decode (r6) — never sampled,
+    # locally oracle-verified:
+    "multimodal_audio",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",
