@@ -390,19 +390,22 @@ def decode_pixels(payload: bytes) -> dict:
     ``{"format", "width", "height", "mean_r", "mean_g", "mean_b"}``
     (grayscale reports its mean on all three channels). PNG payloads
     dispatch to :func:`decode_png_pixels` (real zlib inflate +
-    unfiltering). Every other format still raises
-    ``NotImplementedError`` — the documented codec seam, now narrowed
-    to lossy/complex codecs (JPEG/GIF-LZW/audio/video) that genuinely
-    need PIL/ffmpeg (see :func:`decode_real` for their header-only
+    unfiltering), GIF to :func:`decode_gif_pixels` (real LZW), JPEG
+    to :func:`decode_jpeg_pixels` (real Huffman + IDCT, baseline).
+    Every other format still raises ``NotImplementedError`` — the
+    documented codec seam (see :func:`decode_real` for header-only
     parsing)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(payload)
     if payload[:2] not in (b"P5", b"P6"):
         raise NotImplementedError(
-            "pixel decode supports raw netpbm (P5/P6), 8/16-bit PNG, and "
-            "GIF; other codecs need PIL/ffmpeg (the documented seam)"
+            "pixel decode supports raw netpbm (P5/P6), 8/16-bit PNG, GIF, "
+            "and baseline JPEG; other codecs need PIL/ffmpeg (the "
+            "documented seam)"
         )
     # header tokenizer: fields separated by whitespace, '#' comments
     # run to end-of-line; the single whitespace byte after maxval is
@@ -1249,3 +1252,505 @@ def extract_audio_stats(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(run, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# REAL baseline JPEG decode (round 6) — the last image codec behind
+# the seam. Pure Python/numpy: marker walk, DQT/DHT/SOF0/SOS parsing,
+# canonical Huffman decode with byte unstuffing and restart markers,
+# dequantize + dezigzag, separable float IDCT, YCbCr→RGB. The build
+# twin is a REAL encoder (FDCT, quantize, zigzag, Huffman with the
+# spec Annex K luminance tables) so round trips are self-contained.
+# Scope: baseline sequential (SOF0), 8-bit, grayscale or 4:4:4 color —
+# progressive and chroma-subsampled files stay behind
+# ``NotImplementedError`` (with arithmetic coding and 12-bit depth).
+# ---------------------------------------------------------------------
+
+
+def _jpeg_zigzag() -> list:
+    """Spec zigzag order as flat y*8+x indices, generated (not
+    transcribed): diagonals s = x + y; even diagonals walk row-
+    decreasing, odd ones row-increasing."""
+    out = []
+    for s in range(15):
+        ys = range(min(s, 7), max(0, s - 7) - 1, -1)
+        out.extend(
+            (y * 8 + (s - y)) for y in (ys if s % 2 == 0 else reversed(list(ys)))
+        )
+    return out
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# Annex K (spec Table K.3/K.5) luminance Huffman tables — used for
+# every component we emit; the decoder never assumes them (it reads
+# whatever DHT declares).
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _jpeg_canonical(bits, vals):
+    """Canonical Huffman walk shared by both directions: yields
+    (length, code, value) in code order; raises if the counts overflow
+    the code space (a corrupt DHT)."""
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise NotImplementedError("corrupt JPEG Huffman table")
+            yield length, code, vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+
+
+def _idct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0, :] /= np.sqrt(2.0)
+    return c  # C[u, x]; spatial = C.T @ coeff @ C
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; restart markers surface as events (the MCU loop resets
+    DC predictors), anything else 0xFFxx ends or rejects the scan."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _JpegRestart(self.pos)
+            else:
+                raise NotImplementedError(
+                    f"unexpected marker 0xFF{nxt:02X} inside JPEG scan"
+                )
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise NotImplementedError("invalid JPEG Huffman code in scan")
+
+    def align_after_restart(self) -> None:
+        # byte-align and step over the 2-byte RST marker
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+class _JpegRestart(Exception):
+    def __init__(self, pos):
+        self.pos = pos
+
+
+def _jpeg_extend(r: int, t: int) -> int:
+    return r - (1 << t) + 1 if t and r < (1 << (t - 1)) else r
+
+
+def decode_jpeg_pixels(payload: bytes) -> dict:
+    """FULL baseline JPEG decode: marker walk, quant/Huffman tables
+    from DQT/DHT (never assumed), interleaved or single-component
+    SOF0 scans at 1x1 sampling, restart-interval support, dequantize
+    + dezigzag, separable float IDCT, BT.601 YCbCr→RGB. Returns the
+    same shape as :func:`decode_pixels`. Progressive (SOF2),
+    arithmetic coding, 12-bit depth, and chroma-subsampled files
+    raise ``NotImplementedError`` — the documented remaining seam."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload (no SOI)")
+    quant: dict[int, list] = {}
+    huff: dict[tuple, dict] = {}  # (class, id) -> {(len, code): val}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker stream out of sync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if prec == 0:
+                    quant[tid] = list(body[i : i + 64])
+                    i += 64
+                else:
+                    quant[tid] = [
+                        struct.unpack(">H", body[i + 2 * k : i + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = {
+                    (ln, code): v for ln, code, v in _jpeg_canonical(bits, vals)
+                }
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise NotImplementedError(f"JPEG bit depth {depth} not supported")
+            comps = []
+            for k in range(ncomp):
+                cid, samp, tq = body[6 + 3 * k : 9 + 3 * k]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG not supported (1x1 only)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF type 0xFF{marker:02X} not supported (baseline "
+                "SOF0 only; progressive/arithmetic are the documented seam)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise NotImplementedError("JPEG SOS before SOF")
+            w, h, comps = sof
+            ns = body[0]
+            scan = []
+            for k in range(ns):
+                cs, tables = body[1 + 2 * k : 3 + 2 * k]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append(
+                    (comp, huff[(0, tables >> 4)], huff[(1, tables & 0xF)])
+                )
+            data_start = pos + 2 + seg_len
+            return _jpeg_decode_scan(
+                payload, data_start, w, h, scan, quant, restart_interval, np
+            )
+        pos += 2 + seg_len
+    raise NotImplementedError("JPEG without SOS scan")
+
+
+def _jpeg_decode_scan(payload, start, w, h, scan, quant, restart_interval, np):
+    C = _idct_matrix()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in scan]
+    preds = [0] * len(scan)
+    reader = _JpegBitReader(payload, start)
+    mcus_done = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcus_done == restart_interval:
+                reader.align_after_restart()
+                preds = [0] * len(scan)
+                mcus_done = 0
+            try:
+                for ci, (comp, dc_tab, ac_tab) in enumerate(scan):
+                    zz = [0] * 64
+                    t = reader.read_huffman(dc_tab)
+                    preds[ci] += _jpeg_extend(reader.receive(t), t)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_huffman(ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise NotImplementedError("JPEG AC index overflow")
+                        zz[k] = _jpeg_extend(reader.receive(s), s)
+                        k += 1
+                    q = quant[scan[ci][0]["tq"]]
+                    coeff = np.zeros(64)
+                    for i, idx in enumerate(_JPEG_ZZ):
+                        coeff[idx] = zz[i] * q[i]
+                    block = C.T @ coeff.reshape(8, 8) @ C
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            except _JpegRestart:
+                raise NotImplementedError("JPEG restart interval mismatch")
+            mcus_done += 1
+    planes = [
+        np.clip(np.rint(p[:h, :w] + 128.0), 0, 255) for p in planes
+    ]
+    if len(planes) == 1:
+        m = float(planes[0].mean())
+        means = (m, m, m)
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        r = np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)
+        g = np.clip(
+            np.rint(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+            0, 255,
+        )
+        b = np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)
+        means = (float(r.mean()), float(g.mean()), float(b.mean()))
+    else:
+        raise NotImplementedError(
+            f"JPEG with {len(planes)} components not supported"
+        )
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "mean_r": means[0],
+        "mean_g": means[1],
+        "mean_b": means[2],
+    }
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nacc += length
+        while self.nacc >= 8:
+            self.nacc -= 8
+            b = (self.acc >> self.nacc) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> bytes:
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def build_jpeg_pixels(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    dc_quant: int = 8,
+    ac_quant: int = 16,
+) -> bytes:
+    """Construct a REAL baseline JPEG — the independent encoder twin
+    of :func:`decode_jpeg_pixels`: float FDCT, rounding quantization
+    (DC step ``dc_quant``, AC step ``ac_quant``), zigzag, DPCM DC,
+    and Huffman entropy coding with the Annex K luminance tables
+    (declared in DHT, as any table must be). ``channels=1`` encodes
+    grayscale; ``channels=3`` takes interleaved RGB and encodes
+    4:4:4 YCbCr (BT.601). Images whose 8x8 blocks are FLAT and whose
+    values satisfy ``dc_quant | 8*(v-128)`` round-trip EXACTLY —
+    the property the closed-form oracle recipe uses."""
+    import struct
+
+    import numpy as np
+
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dims")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.float64)
+    if channels == 1:
+        planes = [arr.reshape(height, width)]
+        comp_ids = [1]
+    elif channels == 3:
+        rgb = arr.reshape(height, width, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [np.clip(np.rint(p), 0, 255) for p in (y, cb, cr)]
+        comp_ids = [1, 2, 3]
+    else:
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+
+    # pad to block multiples by edge replication
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1 : width]
+        padded.append(pp)
+
+    q = [dc_quant] + [ac_quant] * 63
+    C = _idct_matrix()
+    dc_enc = {
+        v: (code, ln)
+        for ln, code, v in _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    }
+    ac_enc = {
+        v: (code, ln)
+        for ln, code, v in _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    }
+    writer = _JpegBitWriter()
+    preds = [0] * len(padded)
+
+    def emit_mag(v: int) -> tuple:
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        r = v if v >= 0 else v + (1 << t) - 1
+        return t, r
+
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, p in enumerate(padded):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeff = C @ block @ C.T
+                zz = [
+                    int(np.rint(coeff.flat[idx] / q[i]))
+                    for i, idx in enumerate(_JPEG_ZZ)
+                ]
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                t, r = emit_mag(diff)
+                code, ln = dc_enc[t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(r, t)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    t, r = emit_mag(zz[k])
+                    code, ln = ac_enc[(run << 4) | t]
+                    writer.write(code, ln)
+                    writer.write(r, t)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_enc[0x00]
+                    writer.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(q))
+    sof_body = struct.pack(">BHHB", 8, height, width, len(padded)) + b"".join(
+        bytes([cid, 0x11, 0]) for cid in comp_ids
+    )
+    sof = seg(0xC0, sof_body)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos_body = bytes([len(padded)]) + b"".join(
+        bytes([cid, 0x00]) for cid in comp_ids
+    ) + bytes([0, 63, 0])
+    sos = seg(0xDA, sos_body)
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + writer.flush() + b"\xff\xd9"
+    )
+
+
+def jpeg_meta_for(doc_id: int) -> dict:
+    """Deterministic JPEG recipe for `attach_jpeg_media`, built so the
+    LOSSY codec still round-trips EXACTLY and a SQL oracle can state
+    the answer in closed form: every 8x8 block is FLAT (block ``k``
+    in raster order holds ``base + s*k``), so only the DC coefficient
+    survives the FDCT, and with the encoder's DC step of 8 the value
+    ``8*(v-128)`` quantizes without remainder — the decoded image IS
+    the input, and ``mean = base + s*(nb-1)/2`` over ``nb`` equal-
+    sized blocks."""
+    bw = 1 + doc_id % 4
+    bh = 1 + doc_id % 3
+    return {
+        "width": 8 * bw,
+        "height": 8 * bh,
+        "base": 16 + (doc_id * 13) % 64,
+        "step": 1 + doc_id % 5,
+        "n_blocks": bw * bh,
+    }
+
+
+def attach_jpeg_media(docs: DataFrame) -> DataFrame:
+    """→ (doc_id, payload: binary) where payload is a real baseline
+    JPEG whose flat-block pixels follow `jpeg_meta_for`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                m = jpeg_meta_for(int(doc_id))
+                w, h = m["width"], m["height"]
+                bw = w // 8
+                px = bytes(
+                    m["base"] + m["step"] * ((y // 8) * bw + (x // 8))
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(build_jpeg_pixels(w, h, px, channels=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")

@@ -543,6 +543,7 @@ _DRIVER_PRIORITY: list[str] = [
     "supplier_variety",
     "recent_concentration_suppliers",
     "multimodal_audio",
+    "multimodal_jpeg",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",

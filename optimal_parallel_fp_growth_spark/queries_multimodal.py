@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
     attach_audio_media,
+    attach_jpeg_media,
     attach_media,
     attach_payload,
     attach_pixel_media,
@@ -103,6 +104,27 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG round trip (round 6): per doc, ENCODE a real baseline
+    JPEG (float FDCT, quantization, zigzag, DPCM, Annex K Huffman)
+    and FULLY DECODE it (marker walk, canonical Huffman, dequantize,
+    IDCT). The recipe uses flat 8x8 blocks whose DC values quantize
+    without remainder, so the lossy codec round-trips EXACTLY and the
+    oracle states the mean in closed form — any bug in either side of
+    the entropy coder, the zigzag, the DPCM chain, byte
+    stuffing/unstuffing, or the (I)DCT shifts the mean and breaks
+    equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_pixel_stats(attach_jpeg_media(docs))
+    return out.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        *[F.round(F.col(c), 6).alias(c) for c in ("mean_r", "mean_g", "mean_b")],
+    )
+
+
 _H8 = "('0x' || substr(md5(text), 1, 8))::BIGINT"
 
 ORACLE_FEATURES = f"""
@@ -183,12 +205,33 @@ SELECT doc_id,
 FROM documents
 """
 
+# jpeg_meta_for mirrored in SQL: bw = 1 + doc_id%4, bh = 1 + doc_id%3,
+# base = 16 + doc_id*13 % 64, step = 1 + doc_id%5; all nb = bw*bh
+# blocks are equal-sized, so mean = base + step*(nb-1)/2 exactly.
+ORACLE_JPEG = """
+SELECT doc_id,
+       'jpeg' AS format,
+       (8 * (1 + doc_id % 4))::INT AS width,
+       (8 * (1 + doc_id % 3))::INT AS height,
+       round(16 + (doc_id * 13) % 64
+             + (1 + doc_id % 5)
+               * ((1 + doc_id % 4) * (1 + doc_id % 3) - 1) / 2.0, 6) AS mean_r,
+       round(16 + (doc_id * 13) % 64
+             + (1 + doc_id % 5)
+               * ((1 + doc_id % 4) * (1 + doc_id % 3) - 1) / 2.0, 6) AS mean_g,
+       round(16 + (doc_id * 13) % 64
+             + (1 + doc_id % 5)
+               * ((1 + doc_id % 4) * (1 + doc_id % 3) - 1) / 2.0, 6) AS mean_b
+FROM documents
+"""
+
 MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_pixels": q_multimodal_pixels,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_jpeg": q_multimodal_jpeg,
 }
 
 MM_ORACLES: dict[str, str] = {
@@ -197,4 +240,5 @@ MM_ORACLES: dict[str, str] = {
     "multimodal_decode": ORACLE_DECODE,
     "multimodal_pixels": ORACLE_PIXELS,
     "multimodal_audio": ORACLE_AUDIO,
+    "multimodal_jpeg": ORACLE_JPEG,
 }

@@ -666,3 +666,124 @@ def test_attach_audio_media_closed_form(spark, sf_small):
         )
         assert r.peak == max(abs(base), abs(base + amp * (m - 1)))
     assert saw == {"pcm8", "pcm16", "pcm24", "pcm32", "f32"}
+
+
+# ---------------------------------------------------------------------
+# round 6: real baseline JPEG codec pair
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_flat_blocks_round_trip_exactly():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    w, h = 32, 16
+    bw = w // 8
+    vals = [30 + 9 * k for k in range((w // 8) * (h // 8))]
+    px = bytes(
+        vals[(y // 8) * bw + (x // 8)] for y in range(h) for x in range(w)
+    )
+    d = decode_jpeg_pixels(build_jpeg_pixels(w, h, px, channels=1))
+    assert (d["width"], d["height"]) == (w, h)
+    want = sum(vals) / len(vals)
+    assert d["mean_r"] == want == d["mean_g"] == d["mean_b"]
+
+
+def test_jpeg_property_random_gray_close_means():
+    from hypothesis import given, settings, strategies as st
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 20),
+        data=st.data(),
+    )
+    def run(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+            )
+        )
+        # near-lossless quantization: the full entropy-coding pipeline
+        # (including edge-padded partial blocks) must reproduce the
+        # mean to within IDCT rounding
+        d = decode_jpeg_pixels(
+            build_jpeg_pixels(w, h, px, channels=1, dc_quant=1, ac_quant=1)
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(d["mean_r"] - sum(px) / (w * h)) <= 1.0
+
+    run()
+
+
+def test_jpeg_color_flat_image_within_conversion_rounding():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    w, h = 16, 8
+    px = bytes(c for _ in range(w * h) for c in (200, 30, 90))
+    d = decode_jpeg_pixels(build_jpeg_pixels(w, h, px, channels=3))
+    # RGB->YCbCr->RGB costs at most +-2 per channel on a flat image
+    assert abs(d["mean_r"] - 200) <= 2
+    assert abs(d["mean_g"] - 30) <= 2
+    assert abs(d["mean_b"] - 90) <= 2
+
+
+def test_jpeg_seams_raise():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    good = build_jpeg_pixels(8, 8, bytes(64), channels=1)
+    with pytest.raises(NotImplementedError, match="SOI"):
+        decode_jpeg_pixels(b"not a jpeg")
+    # progressive (SOF2) stays a documented seam
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_pixels(prog)
+    # chroma-subsampled sampling factors stay a documented seam
+    sub = bytearray(build_jpeg_pixels(8, 8, bytes(192), channels=3))
+    i = sub.index(b"\xff\xc0")
+    sub[i + 11] = 0x22  # first component h=v=2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg_pixels(bytes(sub))
+    # truncated scan data
+    with pytest.raises((NotImplementedError, IndexError)):
+        decode_jpeg_pixels(good[: len(good) // 2])
+
+
+def test_decode_pixels_dispatches_jpeg():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_pixels,
+    )
+
+    d = decode_pixels(build_jpeg_pixels(8, 8, bytes([77]) * 64, channels=1))
+    assert d["format"] == "jpeg" and d["mean_r"] == 77.0
+
+
+def test_attach_jpeg_media_closed_form(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        attach_jpeg_media,
+        extract_pixel_stats,
+        jpeg_meta_for,
+    )
+
+    docs = load_table(spark, sf_small, "documents").limit(30)
+    out = extract_pixel_stats(attach_jpeg_media(docs)).collect()
+    assert len(out) == 30
+    for r in out:
+        m = jpeg_meta_for(r.doc_id)
+        assert (r.width, r.height) == (m["width"], m["height"])
+        want = m["base"] + m["step"] * (m["n_blocks"] - 1) / 2
+        assert r.mean_r == want == r.mean_g == r.mean_b

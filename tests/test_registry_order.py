@@ -95,9 +95,10 @@ DEFERRED_TO_R7 = [
     "returnflag_priority_lines",
     "supplier_variety",
     "recent_concentration_suppliers",
-    # real WAV PCM/float32 sample decode (r6) — never sampled,
-    # locally oracle-verified:
+    # real WAV PCM/float32 sample decode + baseline JPEG codec pair
+    # (r6) — never sampled, locally oracle-verified:
     "multimodal_audio",
+    "multimodal_jpeg",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",
