@@ -1405,12 +1405,13 @@ def _jpeg_extend(r: int, t: int) -> int:
 
 def decode_jpeg_pixels(payload: bytes) -> dict:
     """FULL baseline JPEG decode: marker walk, quant/Huffman tables
-    from DQT/DHT (never assumed), interleaved or single-component
-    SOF0 scans at 1x1 sampling, restart-interval support, dequantize
-    + dezigzag, separable float IDCT, BT.601 YCbCr→RGB. Returns the
-    same shape as :func:`decode_pixels`. Progressive (SOF2),
-    arithmetic coding, 12-bit depth, and chroma-subsampled files
-    raise ``NotImplementedError`` — the documented remaining seam."""
+    from DQT/DHT (never assumed), interleaved SOF0 scans at ANY
+    integer sampling-factor grid (4:4:4, 4:2:2, 4:2:0, …; chroma
+    planes upsample by block replication), restart-interval support,
+    dequantize + dezigzag, separable float IDCT, BT.601 YCbCr→RGB.
+    Returns the same shape as :func:`decode_pixels`. Progressive
+    (SOF2), arithmetic coding, and 12-bit depth raise
+    ``NotImplementedError`` — the documented remaining seam."""
     import struct
 
     import numpy as np
@@ -1462,11 +1463,12 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             comps = []
             for k in range(ncomp):
                 cid, samp, tq = body[6 + 3 * k : 9 + 3 * k]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG not supported (1x1 only)"
+                        f"JPEG sampling factors {hs}x{vs} out of range"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -1498,49 +1500,77 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
 
 def _jpeg_decode_scan(payload, start, w, h, scan, quant, restart_interval, np):
     C = _idct_matrix()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in scan]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c, _, _ in scan
+    ]
     preds = [0] * len(scan)
     reader = _JpegBitReader(payload, start)
     mcus_done = 0
-    for by in range(bh):
-        for bx in range(bw):
+
+    def read_block(dc_tab, ac_tab, ci):
+        zz = [0] * 64
+        t = reader.read_huffman(dc_tab)
+        preds[ci] += _jpeg_extend(reader.receive(t), t)
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = reader.read_huffman(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise NotImplementedError("JPEG AC index overflow")
+            zz[k] = _jpeg_extend(reader.receive(s), s)
+            k += 1
+        q = quant[scan[ci][0]["tq"]]
+        coeff = np.zeros(64)
+        for i, idx in enumerate(_JPEG_ZZ):
+            coeff[idx] = zz[i] * q[i]
+        return C.T @ coeff.reshape(8, 8) @ C
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcus_done == restart_interval:
                 reader.align_after_restart()
                 preds = [0] * len(scan)
                 mcus_done = 0
             try:
+                # MCU layout (spec A.2.3): each component contributes
+                # its v x h block grid, row-major, components in scan
+                # order
                 for ci, (comp, dc_tab, ac_tab) in enumerate(scan):
-                    zz = [0] * 64
-                    t = reader.read_huffman(dc_tab)
-                    preds[ci] += _jpeg_extend(reader.receive(t), t)
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.read_huffman(ac_tab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise NotImplementedError("JPEG AC index overflow")
-                        zz[k] = _jpeg_extend(reader.receive(s), s)
-                        k += 1
-                    q = quant[scan[ci][0]["tq"]]
-                    coeff = np.zeros(64)
-                    for i, idx in enumerate(_JPEG_ZZ):
-                        coeff[idx] = zz[i] * q[i]
-                    block = C.T @ coeff.reshape(8, 8) @ C
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            block = read_block(dc_tab, ac_tab, ci)
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             except _JpegRestart:
                 raise NotImplementedError("JPEG restart interval mismatch")
             mcus_done += 1
-    planes = [
-        np.clip(np.rint(p[:h, :w] + 128.0), 0, 255) for p in planes
-    ]
+    # upsample subsampled planes by block replication to full
+    # resolution, then crop everything to the true image rect
+    up = []
+    for (comp, _, _), p in zip(scan, planes):
+        fx, fy = hmax // comp["h"], vmax // comp["v"]
+        if hmax % comp["h"] or vmax % comp["v"]:
+            raise NotImplementedError(
+                "non-integer JPEG upsampling ratio not supported"
+            )
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        up.append(p)
+    planes = [np.clip(np.rint(p[:h, :w] + 128.0), 0, 255) for p in up]
     if len(planes) == 1:
         m = float(planes[0].mean())
         means = (m, m, m)
@@ -1598,6 +1628,7 @@ def build_jpeg_pixels(
     channels: int = 1,
     dc_quant: int = 8,
     ac_quant: int = 16,
+    subsampling: str = "444",
 ) -> bytes:
     """Construct a REAL baseline JPEG — the independent encoder twin
     of :func:`decode_jpeg_pixels`: float FDCT, rounding quantization
@@ -1605,9 +1636,11 @@ def build_jpeg_pixels(
     and Huffman entropy coding with the Annex K luminance tables
     (declared in DHT, as any table must be). ``channels=1`` encodes
     grayscale; ``channels=3`` takes interleaved RGB and encodes
-    4:4:4 YCbCr (BT.601). Images whose 8x8 blocks are FLAT and whose
-    values satisfy ``dc_quant | 8*(v-128)`` round-trip EXACTLY —
-    the property the closed-form oracle recipe uses."""
+    YCbCr (BT.601) at ``subsampling`` "444", "422", or "420"
+    (chroma mean-downsampled, Y at 2x1/2x2 sampling factors).
+    Images whose 8x8 blocks are FLAT and whose values satisfy
+    ``dc_quant | 8*(v-128)`` round-trip EXACTLY — the property the
+    closed-form oracle recipe uses."""
     import struct
 
     import numpy as np
@@ -1629,15 +1662,45 @@ def build_jpeg_pixels(
     else:
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
 
-    # pad to block multiples by edge replication
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+    samp = {
+        "444": [(1, 1), (1, 1), (1, 1)],
+        "422": [(2, 1), (1, 1), (1, 1)],
+        "420": [(2, 2), (1, 1), (1, 1)],
+    }.get(subsampling)
+    if samp is None:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    samp = samp[: len(planes)]
+    if channels == 1:
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def _pad_to(p, ph, pw):
+        hh, ww = p.shape
+        pp = np.empty((ph, pw))
+        pp[:hh, :ww] = p
+        pp[hh:, :ww] = p[-1:, :]
+        pp[:, ww:] = pp[:, ww - 1 : ww]
+        return pp
+
     padded = []
-    for p in planes:
-        pp = np.empty((bh * 8, bw * 8))
-        pp[:height, :width] = p
-        pp[height:, :width] = p[-1:, :]
-        pp[:, width:] = pp[:, width - 1 : width]
-        padded.append(pp)
+    for (hs, vs), p in zip(samp, planes):
+        fx, fy = hmax // hs, vmax // vs
+        if fx > 1 or fy > 1:
+            # chroma downsample: mean over fx x fy cells (pad to a
+            # cell multiple first so edges average real samples)
+            p = _pad_to(
+                p,
+                (p.shape[0] + fy - 1) // fy * fy,
+                (p.shape[1] + fx - 1) // fx * fx,
+            )
+            p = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+            p = np.clip(np.rint(p), 0, 255)
+        padded.append(_pad_to(p, mcuy * vs * 8, mcux * hs * 8))
 
     q = [dc_quant] + [ac_quant] * 63
     C = _idct_matrix()
@@ -1657,47 +1720,55 @@ def build_jpeg_pixels(
         r = v if v >= 0 else v + (1 << t) - 1
         return t, r
 
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, p in enumerate(padded):
-                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coeff = C @ block @ C.T
-                zz = [
-                    int(np.rint(coeff.flat[idx] / q[i]))
-                    for i, idx in enumerate(_JPEG_ZZ)
-                ]
-                diff = zz[0] - preds[ci]
-                preds[ci] = zz[0]
-                t, r = emit_mag(diff)
-                code, ln = dc_enc[t]
+    def emit_block(p, ci, y0, x0):
+        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coeff = C @ block @ C.T
+        zz = [
+            int(np.rint(coeff.flat[idx] / q[i]))
+            for i, idx in enumerate(_JPEG_ZZ)
+        ]
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        t, r = emit_mag(diff)
+        code, ln = dc_enc[t]
+        writer.write(code, ln)
+        if t:
+            writer.write(r, t)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
                 writer.write(code, ln)
-                if t:
-                    writer.write(r, t)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_enc[0xF0]
-                        writer.write(code, ln)
-                        run -= 16
-                    t, r = emit_mag(zz[k])
-                    code, ln = ac_enc[(run << 4) | t]
-                    writer.write(code, ln)
-                    writer.write(r, t)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_enc[0x00]
-                    writer.write(code, ln)
+                run -= 16
+            t, r = emit_mag(zz[k])
+            code, ln = ac_enc[(run << 4) | t]
+            writer.write(code, ln)
+            writer.write(r, t)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_enc[0x00]
+            writer.write(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hs, vs), p) in enumerate(zip(samp, padded)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        emit_block(
+                            p, ci, (my * vs + by) * 8, (mx * hs + bx) * 8
+                        )
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(q))
     sof_body = struct.pack(">BHHB", 8, height, width, len(padded)) + b"".join(
-        bytes([cid, 0x11, 0]) for cid in comp_ids
+        bytes([cid, (hs << 4) | vs, 0])
+        for cid, (hs, vs) in zip(comp_ids, samp)
     )
     sof = seg(0xC0, sof_body)
     dht = seg(

@@ -293,8 +293,13 @@ def test_decode_pixels_dispatches_png():
     png = build_png_pixels(2, 2, bytes([100] * 12), color_type=2)
     d = decode_pixels(png)
     assert d["format"] == "png" and d["mean_r"] == 100.0
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+    # JPEG magic now dispatches to the real decoder (round 6), which
+    # rejects a corrupt marker stream; formats with no decoder at all
+    # still name the seam
+    with pytest.raises(NotImplementedError, match="marker"):
         decode_pixels(b"\xff\xd8jpegdata")
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        decode_pixels(b"II*\x00tiffdata")
 
 
 def test_attach_pixel_media_closed_form(spark, sf_small):
@@ -751,11 +756,11 @@ def test_jpeg_seams_raise():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg_pixels(prog)
-    # chroma-subsampled sampling factors stay a documented seam
+    # out-of-range sampling factors reject cleanly
     sub = bytearray(build_jpeg_pixels(8, 8, bytes(192), channels=3))
     i = sub.index(b"\xff\xc0")
-    sub[i + 11] = 0x22  # first component h=v=2
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[i + 11] = 0x55  # first component h=v=5 (spec max is 4)
+    with pytest.raises(NotImplementedError, match="sampling"):
         decode_jpeg_pixels(bytes(sub))
     # truncated scan data
     with pytest.raises((NotImplementedError, IndexError)):
@@ -787,3 +792,73 @@ def test_attach_jpeg_media_closed_form(spark, sf_small):
         assert (r.width, r.height) == (m["width"], m["height"])
         want = m["base"] + m["step"] * (m["n_blocks"] - 1) / 2
         assert r.mean_r == want == r.mean_g == r.mean_b
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_jpeg_subsampled_flat_color_round_trip(sub):
+    """4:2:2/4:2:0: chroma planes are mean-downsampled at encode and
+    block-replicated at decode — on a flat image both are identity, so
+    every subsampling mode lands within YCbCr conversion rounding."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    w, h = 20, 12  # deliberately NOT MCU-aligned (16x16 MCUs at 420)
+    px = bytes(c for _ in range(w * h) for c in (180, 60, 120))
+    d = decode_jpeg_pixels(
+        build_jpeg_pixels(w, h, px, channels=3, subsampling=sub)
+    )
+    assert (d["width"], d["height"]) == (w, h)
+    assert abs(d["mean_r"] - 180) <= 2
+    assert abs(d["mean_g"] - 60) <= 2
+    assert abs(d["mean_b"] - 120) <= 2
+
+
+def test_jpeg_420_random_image_tracks_means():
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    random.seed(11)
+    w, h = 24, 17
+    px = bytes(random.randrange(256) for _ in range(w * h * 3))
+    true = [sum(px[c::3]) / (w * h) for c in range(3)]
+    d = decode_jpeg_pixels(
+        build_jpeg_pixels(
+            w, h, px, channels=3, dc_quant=1, ac_quant=1, subsampling="420"
+        )
+    )
+    # chroma is genuinely lossy at 420 on noise — means still track
+    for got, t in zip((d["mean_r"], d["mean_g"], d["mean_b"]), true):
+        assert abs(got - t) <= 6.0
+
+
+def test_jpeg_422_vs_444_gray_identical():
+    """Grayscale ignores subsampling (single component is always 1x1),
+    and a 4:2:2 color file of a grayscale-valued image must agree with
+    the 4:4:4 encode to within rounding."""
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    random.seed(5)
+    w, h = 16, 16
+    gray = [random.randrange(256) for _ in range(w * h)]
+    px = bytes(v for v in gray for _ in range(3))
+    d444 = decode_jpeg_pixels(
+        build_jpeg_pixels(w, h, px, channels=3, dc_quant=1, ac_quant=1)
+    )
+    d422 = decode_jpeg_pixels(
+        build_jpeg_pixels(
+            w, h, px, channels=3, dc_quant=1, ac_quant=1, subsampling="422"
+        )
+    )
+    for c in ("mean_r", "mean_g", "mean_b"):
+        assert abs(d444[c] - d422[c]) <= 1.5
