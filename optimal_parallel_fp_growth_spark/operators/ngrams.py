@@ -166,3 +166,80 @@ def source_ngram_overlap(
                       F.col("p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Cross-document repeated-substring signal — the "deduplicate
+    long repeated spans" scope of substring-level training-data dedup
+    (Lee et al. 2022), re-based from suffix arrays (inherently
+    single-machine) to n-gram postings (inherently distributed): an
+    n-token gram occurring in >= ``min_docs`` DISTINCT documents marks
+    every one of its occurrences as cross-corpus repeated text.
+    → (doc_id, n_grams, repeated_occ, repeat_frac) for EVERY document
+    (zero-repeat docs included; short docs report 0 grams, frac 0).
+
+    Scale shape: explode once; the (doc, gram) occurrence aggregate is
+    ONE map-side-combined shuffle; the gram-level doc-frequency
+    aggregate reuses that exchange's partitioning (already keyed by
+    gram after the pivot), and the repeated-gram filter joins back on
+    the SAME gram key — no second posting explosion. The final per-doc
+    rollup is a doc_id shuffle of at most one row per (doc, repeated
+    gram). No step ever materializes a suffix structure or an
+    uncombined posting list; stop-gram skew is bounded by the
+    (doc,gram) pre-aggregation (a gram contributes one row per doc,
+    not one per occurrence, to every stage past the first)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.greatest(F.size("toks") - (n - 1), F.lit(0)).alias("n_grams"),
+        F.col("toks"),
+    )
+    occ = (
+        base.select(
+            "doc_id", F.explode(_ngram_array(F.col("toks"), n, sep)).alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    rep = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    per_doc = (
+        occ.join(rep, "gram")
+        .groupBy("doc_id")
+        .agg(F.sum("occ").alias("repeated_occ"))
+    )
+    return (
+        base.select("doc_id", "n_grams")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("repeated_occ"), F.lit(0)).alias("repeated_occ"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("repeated_occ"), F.lit(0))
+                    / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("repeat_frac"),
+        )
+    )

@@ -544,6 +544,7 @@ _DRIVER_PRIORITY: list[str] = [
     "recent_concentration_suppliers",
     "multimodal_audio",
     "multimodal_jpeg",
+    "repeated_spans",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",

@@ -411,6 +411,17 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring signal (round 6): per doc,
+    how many of its 6-token gram positions occur in >= 2 distinct
+    documents — the distributed re-basing of substring-level dedup
+    (suffix arrays → n-gram postings). The oracle recomputes the full
+    postings pipeline in SQL."""
+    return ngrams.repeated_spans(
+        load_table(spark, sf_dir, "documents"), n=6, min_docs=2
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngrams.inverted_index(
         load_table(spark, sf_dir, "documents"), max_postings=10, min_df=2
@@ -896,6 +907,22 @@ grams AS (SELECT array_to_string(t[i : i+2], ' ') AS gram
 SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY 1 HAVING COUNT(*) >= 2
 """
 
+ORACLE_REPEATED_SPANS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, greatest(len(t) - 5, 0) AS n_grams FROM toks),
+pos AS (SELECT doc_id, array_to_string(t[i : i+5], ' ') AS gram
+        FROM toks, UNNEST(range(1, greatest(len(t)-4, 1))) AS u(i)),
+occ AS (SELECT doc_id, gram, count(*) AS occ FROM pos GROUP BY 1, 2),
+rep AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+per_doc AS (SELECT doc_id, sum(occ) AS r
+            FROM occ JOIN rep USING (gram) GROUP BY 1)
+SELECT b.doc_id, b.n_grams,
+       coalesce(r, 0)::BIGINT AS repeated_occ,
+       round(CASE WHEN b.n_grams > 0 THEN coalesce(r, 0) / b.n_grams
+                  ELSE 0.0 END, 6) AS repeat_frac
+FROM base b LEFT JOIN per_doc USING (doc_id)
+"""
+
 ORACLE_INVERTED_INDEX = """
 WITH pairs AS (SELECT DISTINCT doc_id,
                       unnest(list_distinct(string_split(text, ' '))) AS token
@@ -1123,6 +1150,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split": q_corpus_split,
     "mix_sources": q_mix_sources,
     "ngram_counts": q_ngram_counts,
+    "repeated_spans": q_repeated_spans,
     "inverted_index": q_inverted_index,
     "source_ngram_overlap": q_source_ngram_overlap,
     "mix_temperature": q_mix_temperature,
@@ -1165,6 +1193,7 @@ DOC_ORACLES: dict[str, str] = {
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "mix_sources": ORACLE_MIX_SOURCES,
     "ngram_counts": ORACLE_NGRAM_COUNTS,
+    "repeated_spans": ORACLE_REPEATED_SPANS,
     "inverted_index": ORACLE_INVERTED_INDEX,
     "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
     "mix_temperature": ORACLE_MIX_TEMPERATURE,

@@ -139,3 +139,76 @@ def test_plan_pins(spark, tiny_docs):
     # upstream of the Exchange bounds per-token posting shipping at 100 TB.
     assert idx_plan.count("WindowGroupLimit") == 2
     assert "Partial" in idx_plan
+
+
+# ---------------------------------------------------------------------
+# round 6: cross-document repeated-substring signal
+# ---------------------------------------------------------------------
+
+
+def test_repeated_spans_hand_case(spark):
+    from optimal_parallel_fp_growth_spark.operators.ngrams import repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t"),      # shares gram "p q r" with doc 2
+            (2, "z p q r s"),      # shares "p q r" AND "q r s" w/ doc 1
+            (3, "m m m m"),        # within-doc repeats only ("m m m" x2)
+            (4, "u v"),            # shorter than a 3-gram
+            (5, "lone gram here"), # one gram, unshared
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.repeated_occ, r.repeat_frac)
+        for r in repeated_spans(docs, n=3, min_docs=2).collect()
+    }
+    # doc 1: grams {p q r, q r s, r s t}; p q r + q r s shared -> 2/3
+    assert got[1] == (3, 2, round(2 / 3, 6))
+    # doc 2: grams {z p q, p q r, q r s}; 2 shared -> 2/3
+    assert got[2] == (3, 2, round(2 / 3, 6))
+    # doc 3: "m m m" occurs twice but only in ONE document — min_docs
+    # counts DISTINCT docs, so nothing is cross-corpus repeated
+    assert got[3] == (2, 0, 0.0)
+    # short and unshared docs report zeros, but ARE present
+    assert got[4] == (0, 0, 0.0)
+    assert got[5] == (1, 0, 0.0)
+
+
+def test_repeated_spans_counts_occurrences_not_grams(spark):
+    from optimal_parallel_fp_growth_spark.operators.ngrams import repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a")],  # "a b a" in both docs
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.repeated_occ)
+        for r in repeated_spans(docs, n=3, min_docs=2).collect()
+    }
+    # doc 1 grams: a b a, b a b, a b a, b a b -> "a b a" occurs TWICE
+    # and is shared; "b a b" occurs twice but only in doc 1
+    assert got[1] == (4, 2)
+    assert got[2] == (1, 1)
+
+
+def test_repeated_spans_validation(spark, tiny_docs):
+    import pytest as _pytest
+
+    from optimal_parallel_fp_growth_spark.operators.ngrams import repeated_spans
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        repeated_spans(tiny_docs, min_docs=1)
+    with _pytest.raises(ValueError, match="n must"):
+        repeated_spans(tiny_docs, n=0)
+
+
+def test_repeated_spans_plan_map_side_combined(spark, tiny_docs):
+    from optimal_parallel_fp_growth_spark.operators.ngrams import repeated_spans
+
+    plan = (
+        repeated_spans(tiny_docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the (doc, gram) occurrence aggregate must partial-combine before
+    # its exchange — the stage that bounds stop-gram skew at 100 TB
+    assert "partial_count" in plan

@@ -99,6 +99,9 @@ DEFERRED_TO_R7 = [
     # (r6) — never sampled, locally oracle-verified:
     "multimodal_audio",
     "multimodal_jpeg",
+    # cross-doc repeated-substring signal (r6) — never sampled,
+    # locally oracle-verified:
+    "repeated_spans",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",
