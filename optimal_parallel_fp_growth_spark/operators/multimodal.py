@@ -1040,20 +1040,76 @@ AUDIO_SCHEMA = (
 )
 
 _WAV_CODECS = {(1, 8): "pcm8", (1, 16): "pcm16", (1, 24): "pcm24",
-               (1, 32): "pcm32", (3, 32): "f32"}
+               (1, 32): "pcm32", (3, 32): "f32",
+               (6, 8): "alaw", (7, 8): "ulaw"}
+
+
+def ulaw_to_linear(b: int) -> int:
+    """G.711 mu-law byte → 14-bit linear sample (pure table math —
+    the ITU formula, no codec library): complement, then
+    ``((mantissa << 3) + 0x84) << exponent`` re-biased by 0x84."""
+    b = ~b & 0xFF
+    t = (((b & 0x0F) << 3) + 0x84) << ((b >> 4) & 7)
+    return 0x84 - t if b & 0x80 else t - 0x84
+
+
+def linear_to_ulaw(v: int) -> int:
+    """G.711 mu-law encoder twin at 16-bit input scale — the classic
+    sndlib/CPython-audioop formulation: arithmetic >>2 to the 14-bit
+    domain (this, not a sign-magnitude shift, decides the boundary
+    codes on negatives), clip at 8159, bias 33, segment search."""
+    v >>= 2  # arithmetic: 16-bit → 14-bit domain
+    if v < 0:
+        v = -v
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    v = min(v, 8159) + 33
+    exp = max(v.bit_length() - 6, 0)  # segment: 0 while v <= 0x3F
+    if exp > 7:
+        return 0x7F ^ mask
+    mant = (v >> (exp + 1)) & 0x0F
+    return ((exp << 4) | mant) ^ mask
+
+
+def alaw_to_linear(b: int) -> int:
+    """G.711 A-law byte → 13-bit linear sample (ITU formula; even
+    bits inverted on the wire, sign bit SET means positive)."""
+    b ^= 0x55
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    t = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return t if b & 0x80 else -t
+
+
+def linear_to_alaw(v: int) -> int:
+    """G.711 A-law encoder twin (16-bit input scale; the classic
+    sndlib segment search over the 13-bit magnitude)."""
+    v >>= 3  # 16-bit → 13-bit magnitude domain
+    if v >= 0:
+        mask = 0xD5  # sign bit set (positive) + even-bit inversion
+    else:
+        mask = 0x55
+        v = -v - 1
+    v = min(v, 0xFFF)
+    exp = max(v.bit_length() - 5, 0)  # segment: 0 while v < 0x20
+    mant = (v >> 1) & 0x0F if exp < 2 else (v >> exp) & 0x0F
+    return ((exp << 4) | mant) ^ mask
 
 
 def decode_wav_samples(payload: bytes) -> dict:
     """FULL WAV sample decode — RIFF chunk walk, then every PCM frame
     parsed from the data chunk: unsigned 8-bit (offset-binary per
-    spec), signed 16/24/32-bit little-endian, and IEEE float32
-    (fmt tag 3). Returns sample statistics computed EXACTLY — integer
-    sums (or exact small-int floats) divided once at the end — so a
-    closed-form oracle can reproduce them bit-for-bit:
+    spec), signed 16/24/32-bit little-endian, IEEE float32 (fmt
+    tag 3), and the G.711 companded pair — mu-law (tag 7) and A-law
+    (tag 6) expanded through the ITU formulas (pure table math, no
+    codec library). Returns sample statistics computed EXACTLY —
+    integer sums (or exact small-int floats) divided once at the
+    end — so a closed-form oracle can reproduce them bit-for-bit:
     ``mean``, ``rms`` (sqrt of mean square), ``peak`` (max |sample|),
     ``n_frames`` (per channel), ``duration_sec``.
     ``NotImplementedError`` marks the remaining genuinely-compressed
-    seam: ADPCM/a-law/mu-law/MP3 fmt tags."""
+    seam: ADPCM/MP3/AAC fmt tags."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1097,9 +1153,14 @@ def decode_wav_samples(payload: bytes) -> dict:
         total = 0
         total_sq = 0
         peak = 0
-        if codec == "pcm8":
+        if codec in ("pcm8", "ulaw", "alaw"):
+            expand = {
+                "pcm8": lambda b: b - 128,  # offset-binary per spec
+                "ulaw": ulaw_to_linear,
+                "alaw": alaw_to_linear,
+            }[codec]
             for b in data:
-                v = b - 128  # offset-binary per spec
+                v = expand(b)
                 total += v
                 total_sq += v * v
                 if v > peak or -v > peak:
@@ -1132,16 +1193,25 @@ def build_wav_samples(
     channels: int = 1,
     bits: int = 16,
     float32: bool = False,
+    codec: str | None = None,
 ) -> bytes:
     """Construct a REAL WAV from a flat interleaved sample list — the
     independent build twin of :func:`decode_wav_samples`. Integer PCM
-    at 8 (offset-binary), 16, 24, or 32 bits, or IEEE float32 when
-    ``float32=True``."""
+    at 8 (offset-binary), 16, 24, or 32 bits, IEEE float32 when
+    ``float32=True``, or G.711 companded bytes when ``codec`` is
+    "ulaw"/"alaw" (samples are LINEAR values run through the real
+    encoder)."""
     import struct
 
     if len(samples) % channels:
         raise ValueError("sample count not divisible by channels")
-    if float32:
+    if codec in ("ulaw", "alaw"):
+        if bits != 8:
+            raise ValueError("G.711 WAV is 8-bit")
+        tag = 7 if codec == "ulaw" else 6
+        enc = linear_to_ulaw if codec == "ulaw" else linear_to_alaw
+        data = bytes(enc(int(v)) for v in samples)
+    elif float32:
         if bits != 32:
             raise ValueError("float32 WAV is 32-bit")
         tag = 3

@@ -862,3 +862,76 @@ def test_jpeg_422_vs_444_gray_identical():
     )
     for c in ("mean_r", "mean_g", "mean_b"):
         assert abs(d444[c] - d422[c]) <= 1.5
+
+
+def test_g711_codec_pair_identity_and_anchors():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        alaw_to_linear,
+        linear_to_alaw,
+        linear_to_ulaw,
+        ulaw_to_linear,
+    )
+
+    # ITU anchor values
+    assert ulaw_to_linear(0xFF) == 0
+    assert ulaw_to_linear(0x00) == -32124  # most negative level
+    assert alaw_to_linear(0xD5) == 8 and alaw_to_linear(0x55) == -8
+    # every code is a fixed point of encode(decode(.)) — except mu-law
+    # negative zero 0x7F, which canonically re-encodes to 0xFF
+    for c in range(256):
+        if c != 0x7F:
+            assert linear_to_ulaw(ulaw_to_linear(c)) == c, c
+        assert linear_to_alaw(alaw_to_linear(c)) == c, c
+    assert linear_to_ulaw(ulaw_to_linear(0x7F)) == 0xFF
+
+
+def test_g711_matches_stdlib_audioop_if_present():
+    """Differential vs CPython's audioop (removed in 3.13): decode
+    must match byte-for-byte and encode over the full 16-bit range."""
+    import struct
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+    except ImportError:
+        pytest.skip("audioop not in this Python")
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        alaw_to_linear,
+        linear_to_alaw,
+        linear_to_ulaw,
+        ulaw_to_linear,
+    )
+
+    for c in range(256):
+        assert struct.unpack("<h", audioop.ulaw2lin(bytes([c]), 2))[0] \
+            == ulaw_to_linear(c)
+        assert struct.unpack("<h", audioop.alaw2lin(bytes([c]), 2))[0] \
+            == alaw_to_linear(c)
+    for v in range(-32768, 32768, 7):  # ~9400 probes incl. negatives
+        assert audioop.lin2ulaw(struct.pack("<h", v), 2)[0] == linear_to_ulaw(v)
+        assert audioop.lin2alaw(struct.pack("<h", v), 2)[0] == linear_to_alaw(v)
+
+
+def test_g711_wav_round_trip_exact_on_table_levels():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        alaw_to_linear,
+        build_wav_samples,
+        decode_wav_samples,
+        ulaw_to_linear,
+    )
+
+    for codec, table in (
+        ("ulaw", [ulaw_to_linear(c) for c in range(256)]),
+        ("alaw", [alaw_to_linear(c) for c in range(256)]),
+    ):
+        # samples ON the companding grid survive encode->decode exactly
+        s = [table[(i * 37) % 256] for i in range(120)]
+        d = decode_wav_samples(
+            build_wav_samples(s, 8000, channels=2, bits=8, codec=codec)
+        )
+        assert d["codec"] == codec and d["bits"] == 8
+        assert d["n_frames"] == 60
+        assert d["mean"] == sum(s) / len(s)
+        assert d["peak"] == max(abs(v) for v in s)
