@@ -149,7 +149,9 @@ def _schema_fields(df: DataFrame) -> list[list[str]]:
 def _check_schema(df: DataFrame, path: str, version: int) -> None:
     """Appends must match the table schema exactly (name + type, in
     order): a silently divergent append would poison every later read
-    with missing/ambiguous columns. Overwrite resets the schema."""
+    with missing/ambiguous columns. Overwrite resets the schema;
+    ``append_table(evolve=True)`` relaxes this to ADDITIVE evolution
+    via :func:`_merge_schema`."""
     want = _load_manifest(path, version).get("schema")
     if want is None:
         return  # pre-schema manifest: nothing to enforce
@@ -157,8 +159,45 @@ def _check_schema(df: DataFrame, path: str, version: int) -> None:
     if got != want:
         raise ValueError(
             f"append schema mismatch at {path}: table has {want}, "
-            f"append has {got} (use overwrite_table to change schema)"
+            f"append has {got} (use overwrite_table to change schema, "
+            "or append_table(evolve=True) for additive evolution)"
         )
+
+
+def _merge_schema(
+    want: list[list[str]], got: list[list[str]]
+) -> list[list[str]]:
+    """Iceberg-style ADDITIVE schema evolution, name-matched: columns
+    shared by table and append must agree on type (a silent type
+    change corrupts every reader); append-only columns join the schema
+    at the end; table columns missing from the append stay (old AND
+    new files simply lack some columns — reads fill nulls). Column
+    order in the append is irrelevant: identity is the NAME."""
+    want_types = {n: t for n, t in want}
+    for n, t in got:
+        if n in want_types and want_types[n] != t:
+            raise ValueError(
+                f"schema evolution cannot change column {n!r} from "
+                f"{want_types[n]} to {t} (only adding columns is allowed)"
+            )
+    return [list(f) for f in want] + [
+        [n, t] for n, t in got if n not in want_types
+    ]
+
+
+def _align_to_schema(df: DataFrame, schema: list[list[str]]) -> DataFrame:
+    """Project ``df`` to the manifest schema: columns in manifest
+    order, absent ones as typed nulls — how a reader sees files
+    written before a column existed."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[
+            (F.col(n) if n in have else F.lit(None)).cast(t).alias(n)
+            for n, t in schema
+        ]
+    )
 
 
 def _commit(
@@ -217,20 +256,30 @@ def create_table(df: DataFrame, path: str) -> int:
     )
 
 
-def append_table(df: DataFrame, path: str) -> int:
-    """Append rows as a new version (old files + new files)."""
+def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
+    """Append rows as a new version (old files + new files).
+
+    ``evolve=True`` permits ADDITIVE schema evolution (Iceberg
+    semantics, name-matched): the append may carry columns the table
+    lacks (they join the schema; older files read as null) and may
+    omit columns the table has (the new files read as null there).
+    Type changes to an existing column are always rejected."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
-    _check_schema(df, path, cur)
-    files = _write_data(df, path, cur + 1)
     man = _load_manifest(path, cur)
+    if evolve and man.get("schema") is not None:
+        schema = _merge_schema(man["schema"], _schema_fields(df))
+    else:
+        _check_schema(df, path, cur)
+        schema = man.get("schema") or _schema_fields(df)
+    files = _write_data(df, path, cur + 1)
     stats = dict(man.get("file_stats") or {})
     stats.update(_file_stats(path, files))
     return _commit(
         path, cur + 1, man["files"] + files, "append",
-        man.get("schema") or _schema_fields(df),
+        schema,
         stats,
     )
 
@@ -295,6 +344,24 @@ def _file_survives(stats: dict, col: str, op: str, val) -> bool:
     raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
 
 
+def _read_files(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: list[list[str]] | None,
+) -> DataFrame:
+    """Read a manifest's file list under its MANIFEST schema: files
+    written before a schema-evolving append lack the newer columns, so
+    the read merges file schemas and aligns to the manifest (missing
+    columns become typed nulls). For a never-evolved table this is the
+    plain read plus a no-op projection."""
+    paths = [str(pathlib.Path(path) / f) for f in files]
+    if schema is None:
+        return spark.read.parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _align_to_schema(df, schema)
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -335,7 +402,7 @@ def read_table(
                 ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
                 return spark.createDataFrame([], _parse_datatype_string(ddl))
             files = man["files"][:1]  # pre-schema manifest: read one file
-    df = spark.read.parquet(*[str(pathlib.Path(path) / f) for f in files])
+    df = _read_files(spark, path, files, man.get("schema"))
     if prune is not None:
         col, op, val = prune
         from pyspark.sql import Column
@@ -425,9 +492,7 @@ def merge_table(df: DataFrame, path: str, key: str) -> int:
     untouched, affected = _split_files_by_stats(man, key, bounds[0], bounds[1])
     new_files: list[str] = []
     if affected:
-        old = spark.read.parquet(
-            *[str(pathlib.Path(path) / f) for f in affected]
-        )
+        old = _read_files(spark, path, affected, man.get("schema"))
         survivors = old.join(df.select(key).distinct(), key, "left_anti")
         merged = survivors.unionByName(df)
     else:
@@ -479,9 +544,9 @@ def delete_where(
             "==": c == val, ">=": c >= val, ">": c > val,
             "<=": c <= val, "<": c < val,
         }[op]
-        kept = spark.read.parquet(
-            *[str(pathlib.Path(path) / f) for f in affected]
-        ).where(~cond)
+        kept = _read_files(spark, path, affected, man.get("schema")).where(
+            ~cond
+        )
         new_files = _write_data(kept, path, cur + 1)
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
     stats.update(_file_stats(path, new_files))

@@ -623,3 +623,105 @@ def test_concurrent_merges_one_wins(spark, tmp_path):
         raise AssertionError("both writers claimed the same version")
     lo = 0 if winners[0] == "a" else 50
     assert all(got[i] == -1 for i in range(lo, lo + 5))
+
+
+# ---------------------------------------------------------------------
+# round 6: additive schema evolution (Iceberg semantics, name-matched)
+# ---------------------------------------------------------------------
+
+
+def test_evolve_append_adds_column_old_files_read_null(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        append_table,
+        read_table,
+    )
+
+    newer = _batch(spark, 100, 50).withColumn("lang", F.lit("en"))
+    v2 = append_table(newer, table, evolve=True)
+    df = read_table(spark, table)
+    assert df.columns == ["doc_id", "v", "lang"]
+    assert df.count() == 150
+    # rows from v1 files (written before `lang` existed) read as null
+    assert df.where(F.col("lang").isNull()).count() == 100
+    assert df.where(F.col("lang") == "en").count() == 50
+    # time travel to v1 shows the ORIGINAL schema (its manifest)
+    assert read_table(spark, table, version=1).columns == ["doc_id", "v"]
+    assert v2 == 2
+
+
+def test_evolve_append_may_omit_columns(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        append_table,
+        read_table,
+    )
+
+    # append with only doc_id: table's `v` fills null for the new rows
+    only_ids = spark.range(100, 130).select(F.col("id").alias("doc_id"))
+    append_table(only_ids, table, evolve=True)
+    df = read_table(spark, table)
+    assert df.columns == ["doc_id", "v"]
+    assert df.count() == 130
+    assert df.where(F.col("v").isNull()).count() == 30
+
+
+def test_evolve_rejects_type_change(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import append_table
+
+    bad = _batch(spark, 0, 5).withColumn("v", F.col("v").cast("string"))
+    with pytest.raises(ValueError, match="cannot change column"):
+        append_table(bad, table, evolve=True)
+
+
+def test_strict_append_still_rejects_without_evolve(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import append_table
+
+    wider = _batch(spark, 0, 5).withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError, match="evolve=True"):
+        append_table(wider, table)
+
+
+def test_merge_and_delete_work_across_evolution(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        append_table,
+        delete_where,
+        merge_table,
+        read_table,
+    )
+
+    append_table(
+        _batch(spark, 100, 20).withColumn("lang", F.lit("fr")),
+        table,
+        evolve=True,
+    )
+    # merge touches keys on BOTH sides of the evolution boundary
+    src = spark.createDataFrame(
+        [(5, 999, "de"), (110, 888, "de"), (200, 777, "de")],
+        "doc_id long, v long, lang string",
+    )
+    merge_table(src, table, key="doc_id")
+    df = read_table(spark, table)
+    assert df.count() == 121  # 120 existing + 1 inserted
+    got = {r.doc_id: (r.v, r.lang) for r in df.where(F.col("lang") == "de").collect()}
+    assert got == {5: (999, "de"), 110: (888, "de"), 200: (777, "de")}
+    # delete across the boundary
+    delete_where(spark, table, ("doc_id", ">=", 100))
+    df = read_table(spark, table)
+    assert df.count() == 100 and df.columns == ["doc_id", "v", "lang"]
+
+
+def test_evolve_prune_on_new_column_keeps_old_files(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        append_table,
+        read_table,
+    )
+
+    append_table(
+        _batch(spark, 100, 10).withColumn("score", F.lit(5).cast("bigint")),
+        table,
+        evolve=True,
+    )
+    # pruning on the evolved column: old files carry no stats for it,
+    # so they conservatively survive; results stay exact
+    df = read_table(spark, table, prune=("score", "==", 5))
+    assert df.count() == 10
+    assert df.columns == ["doc_id", "v", "score"]
