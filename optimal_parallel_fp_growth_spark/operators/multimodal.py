@@ -9,16 +9,19 @@ only the innermost byte-decode is a STUB.
 CODEC STATUS: this container has no codec libraries (no PIL/
 ffmpeg/librosa), but the pure-Python/stdlib decode surface now covers
 (a) header metadata for PNG/GIF/BMP/JPEG/WAV (``decode_real``, round
-5), (b) FULL pixel decode for raw netpbm P5/P6 (round 5), for 8- and
-16-bit PNG in BOTH interlace methods — real zlib inflate + all five
-scanline filters + per-pass Adam7 unfiltering, color types 0/2/3/4/6
-(``decode_png_pixels``, round 6) — and for GIF, with a real
+5), (b) FULL pixel decode for raw netpbm P5/P6 (round 5), for PNG
+at EVERY legal depth/color combination (1/2/4/8/16-bit) in BOTH
+interlace methods — real zlib inflate + all five scanline filters +
+per-pass Adam7 unfiltering + MSB-first sub-byte unpacking
+(``decode_png_pixels``, round 6) — for GIF, with a real
 variable-width LZW decoder (CLEAR/EOI, KwKwK, 12-bit overflow;
-``decode_gif_pixels``, round 6) — plus (c) FULL WAV sample decode:
-unsigned-8 / signed-16/24/32 PCM and IEEE float32 frames parsed and
-reduced to exact mean/rms/peak/duration (``decode_wav_samples``,
-round 6). ``NotImplementedError`` now marks only the genuinely
-library-bound seam: sub-byte PNG depths, JPEG DCT, compressed audio
+``decode_gif_pixels``, round 6), and for BASELINE JPEG, grayscale
+through 4:2:0 (``decode_jpeg_pixels``, round 6) — plus (c) FULL WAV
+sample decode: unsigned-8 / signed-16/24/32 PCM, IEEE float32, and
+G.711 mu-law/A-law frames parsed and reduced to exact
+mean/rms/peak/duration (``decode_wav_samples``, round 6).
+``NotImplementedError`` now marks only the genuinely library-bound
+seam: progressive/arithmetic JPEG, compressed audio
 (ADPCM/MP3/AAC), video streams.
 ``build_payload``/``build_png_pixels``/``build_gif_pixels``/
 ``build_wav_samples`` construct spec-valid files (the GIF twin runs
@@ -481,16 +484,18 @@ def decode_png_pixels(payload: bytes) -> dict:
     """FULL PNG pixel decode with ZERO codec libraries: chunk walk,
     stdlib ``zlib`` inflate of the concatenated IDAT stream, and
     per-scanline unfiltering (all five PNG filter types: None/Sub/Up/
-    Average/Paeth). Supports 8-bit AND 16-bit depths, color types
-    0 (gray), 2 (RGB), 3 (palette; 8-bit only per spec), 4
-    (gray+alpha), 6 (RGBA), and BOTH interlace methods — Adam7's
-    seven passes are each unfiltered independently per spec §8.2,
-    which is all a channel MEAN needs (pixel position is irrelevant
-    to a sum). Only sub-byte depths (1/2/4) raise
-    ``NotImplementedError``. Returns the same shape as
-    :func:`decode_pixels`; alpha is ignored for the channel means,
-    grayscale reports its mean on all three channels; 16-bit means
-    are over the 0–65535 sample range (no 8-bit downscale)."""
+    Average/Paeth). Supports EVERY legal depth/color combination:
+    1/2/4/8/16-bit for color types 0 (gray) and 3 (palette —
+    1/2/4/8 per spec), 8/16-bit for 2 (RGB), 4 (gray+alpha), 6
+    (RGBA); and BOTH interlace methods — Adam7's seven passes are
+    each unfiltered independently per spec §8.2, which is all a
+    channel MEAN needs (pixel position is irrelevant to a sum).
+    Sub-byte scanlines unpack MSB-first with pad bits dropped, and
+    gray samples scale to 0–255 by the exact 255/(2^d−1) factor.
+    Returns the same shape as :func:`decode_pixels`; alpha is
+    ignored for the channel means, grayscale reports its mean on all
+    three channels; 16-bit means are over the 0–65535 sample range
+    (no 8-bit downscale)."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -517,9 +522,11 @@ def decode_png_pixels(payload: bytes) -> dict:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if depth not in (8, 16):
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} invalid")
+    if depth < 8 and color_type not in (0, 3):
         raise NotImplementedError(
-            f"PNG bit depth {depth} not supported (8 and 16 only)"
+            f"PNG depth {depth} is only legal for gray/palette (spec 11.2.2)"
         )
     if interlace not in (0, 1):
         raise NotImplementedError(f"PNG interlace method {interlace} invalid")
@@ -546,16 +553,19 @@ def decode_png_pixels(payload: bytes) -> dict:
             ph = (height - y0 + dy - 1) // dy if height > y0 else 0
             if pw > 0 and ph > 0:
                 regions.append((pw, ph))
-    want = sum((w_ * channels * sample_bytes + 1) * h_ for w_, h_ in regions)
+    def _stride(w_: int) -> int:
+        return (w_ * channels * depth + 7) // 8  # spec: pad bits per line
+
+    want = sum((_stride(w_) + 1) * h_ for w_, h_ in regions)
     if len(raw) != want:
         raise NotImplementedError(
             f"PNG pixel data length mismatch: want {want}, have {len(raw)}"
         )
-    bpp = channels * sample_bytes
+    bpp = max(channels * sample_bytes, 1)  # filters see >=1 byte/pixel
     sum_r = sum_g = sum_b = 0
     off = 0
     for rw, rh in regions:
-        stride = rw * channels * sample_bytes
+        stride = _stride(rw)
         prior = bytearray(stride)
         for _y in range(rh):
             ftype = raw[off]
@@ -579,11 +589,24 @@ def decode_png_pixels(payload: bytes) -> dict:
             elif ftype != 0:
                 raise NotImplementedError(f"PNG filter type {ftype} invalid")
             # accumulate channel sums from the reconstructed scanline;
-            # 16-bit samples are big-endian byte pairs (spec §7.1)
+            # 16-bit samples are big-endian byte pairs (spec §7.1),
+            # sub-byte samples unpack MSB-first with pad bits dropped
             if depth == 16:
                 vals: list[int] | bytearray = [
                     (line[i] << 8) | line[i + 1] for i in range(0, stride, 2)
                 ]
+            elif depth < 8:
+                per = 8 // depth
+                mask = (1 << depth) - 1
+                vals = [
+                    (b >> ((per - 1 - k) * depth)) & mask
+                    for b in line
+                    for k in range(per)
+                ][:rw]
+                if color_type == 0:
+                    # exact gray scaling: 255/(2^d - 1) is an integer
+                    scale = 255 // mask
+                    vals = [v * scale for v in vals]
             else:
                 vals = line
             if color_type == 2 or color_type == 6:
@@ -624,18 +647,22 @@ def build_png_pixels(
 ) -> bytes:
     """Construct a REAL PNG from raw pixel bytes (row-major,
     ``channels`` interleaved; for ``depth=16`` each sample is a
-    big-endian byte pair) — the independent build twin of
-    :func:`decode_png_pixels`. Each scanline gets filter type
-    ``y % 5``, so a round trip exercises ALL FIVE filters; the
-    deflate stream is real stdlib zlib. ``interlace=True`` writes a
-    genuine Adam7 layout: pixels rearranged into the seven passes,
-    each pass filtered independently."""
+    big-endian byte pair; for sub-byte depths 1/2/4 one INPUT byte
+    per sample holding 0..2^d−1, packed MSB-first into scanlines
+    here) — the independent build twin of :func:`decode_png_pixels`.
+    Each scanline gets filter type ``y % 5``, so a round trip
+    exercises ALL FIVE filters; the deflate stream is real stdlib
+    zlib. ``interlace=True`` writes a genuine Adam7 layout: pixels
+    rearranged into the seven passes, each pass filtered
+    independently."""
     import struct
     import zlib
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    sample_bytes = depth // 8
-    px_b = channels * sample_bytes
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError("sub-byte depth is only legal for gray/palette")
+    sub = depth < 8
+    px_b = 1 if sub else channels * (depth // 8)
     stride = width * px_b
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dims")
@@ -647,6 +674,19 @@ def build_png_pixels(
             + body
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
+
+    def pack_row(row: bytes) -> bytes:
+        """Sub-byte: one input byte per sample → MSB-first bit packing
+        with zero pad bits (spec 7.2)."""
+        if not sub:
+            return bytes(row)
+        per = 8 // depth
+        out = bytearray((len(row) + per - 1) // per)
+        for i, v in enumerate(row):
+            out[i // per] |= (v & ((1 << depth) - 1)) << (
+                (per - 1 - i % per) * depth
+            )
+        return bytes(out)
 
     # regions: list of row-lists; each region is filtered independently
     # (prior resets at a region start — exactly how the decoder resets
@@ -666,11 +706,14 @@ def build_png_pixels(
                     x = x0 + i * dx
                     base = y * stride + x * px_b
                     row.extend(pixels[base : base + px_b])
-                rows.append(bytes(row))
+                rows.append(pack_row(bytes(row)))
             regions.append(rows)
     else:
         regions = [
-            [pixels[y * stride : (y + 1) * stride] for y in range(height)]
+            [
+                pack_row(pixels[y * stride : (y + 1) * stride])
+                for y in range(height)
+            ]
         ]
 
     bpp = px_b

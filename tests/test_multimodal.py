@@ -261,12 +261,18 @@ def test_png_unsupported_seams_raise():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # sub-byte depth (16-bit became supported in round 6)
+    # every legal depth now decodes; an ILLEGAL depth/color combo
+    # (4-bit RGB, spec 11.2.2) and a nonsense depth still reject
     png4 = sig + chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError, match="gray/palette"):
+        decode_png_pixels(png4)
+    png3 = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 3, 0, 0, 0, 0)
     )
     with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png_pixels(png4)
+        decode_png_pixels(png3)
     # invalid interlace method (Adam7 itself is supported since r6)
     png_i = sig + chunk(
         b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 9)
@@ -935,3 +941,35 @@ def test_g711_wav_round_trip_exact_on_table_levels():
         assert d["n_frames"] == 60
         assert d["mean"] == sum(s) / len(s)
         assert d["peak"] == max(abs(v) for v in s)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub_byte_round_trips(depth):
+    """1/2/4-bit gray and palette PNGs (round 6): MSB-first packing
+    with pad bits, exact 255/(2^d-1) gray scaling, both interlace
+    modes, widths that do NOT fill the last byte."""
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        decode_png_pixels,
+    )
+
+    random.seed(40 + depth)
+    mask = (1 << depth) - 1
+    scale = 255 // mask
+    w, h = 11, 6  # 11 samples/row never fills the final byte cleanly
+    px = bytes(random.randrange(mask + 1) for _ in range(w * h))
+    for interlace in (False, True):
+        d = decode_png_pixels(
+            build_png_pixels(
+                w, h, px, color_type=0, depth=depth, interlace=interlace
+            )
+        )
+        want = sum(v * scale for v in px) / (w * h)
+        assert d["mean_r"] == want == d["mean_g"] == d["mean_b"]
+    pal = bytes((i * 13) % 256 for i in range(768))
+    d = decode_png_pixels(
+        build_png_pixels(w, h, px, color_type=3, palette=pal, depth=depth)
+    )
+    assert d["mean_g"] == sum(pal[v * 3 + 1] for v in px) / (w * h)
