@@ -18,11 +18,10 @@ variable-width LZW decoder (CLEAR/EOI, KwKwK, 12-bit overflow;
 ``decode_gif_pixels``, round 6), and for BASELINE JPEG, grayscale
 through 4:2:0 (``decode_jpeg_pixels``, round 6) — plus (c) FULL WAV
 sample decode: unsigned-8 / signed-16/24/32 PCM, IEEE float32, and
-G.711 mu-law/A-law frames parsed and reduced to exact
-mean/rms/peak/duration (``decode_wav_samples``, round 6).
+G.711 mu-law/A-law, and IMA ADPCM frames parsed and reduced to
+exact mean/rms/peak/duration (``decode_wav_samples``, round 6).
 ``NotImplementedError`` now marks only the genuinely library-bound
-seam: progressive/arithmetic JPEG, compressed audio
-(ADPCM/MP3/AAC), video streams.
+seam: progressive/arithmetic JPEG, MP3/AAC audio, video streams.
 ``build_payload``/``build_png_pixels``/``build_gif_pixels``/
 ``build_wav_samples`` construct spec-valid files (the GIF twin runs
 a real LZW ENCODER) so the build→parse round trips are
@@ -1084,7 +1083,8 @@ AUDIO_SCHEMA = (
 
 _WAV_CODECS = {(1, 8): "pcm8", (1, 16): "pcm16", (1, 24): "pcm24",
                (1, 32): "pcm32", (3, 32): "f32",
-               (6, 8): "alaw", (7, 8): "ulaw"}
+               (6, 8): "alaw", (7, 8): "ulaw",
+               (0x11, 4): "ima_adpcm"}
 
 
 def ulaw_to_linear(b: int) -> int:
@@ -1175,16 +1175,39 @@ def decode_wav_samples(payload: bytes) -> dict:
         pos += 8 + clen + (clen % 2)
     if fmt is None or data is None:
         raise NotImplementedError("WAV without fmt/data chunks")
-    tag, channels, rate, _byte_rate, _block_align, bits = fmt
+    tag, channels, rate, _byte_rate, block_align, bits = fmt
     codec = _WAV_CODECS.get((tag, bits))
     if codec is None:
         raise NotImplementedError(
-            f"WAV fmt tag {tag}/{bits}-bit not supported (uncompressed "
-            "PCM 8/16/24/32 and float32 decode natively; compressed "
-            "codecs need libraries)"
+            f"WAV fmt tag {tag}/{bits}-bit not supported (PCM 8/16/24/32, "
+            "float32, G.711, and IMA ADPCM decode natively; MP3/AAC "
+            "need libraries)"
         )
+    if channels <= 0:
+        raise NotImplementedError("WAV with no channels")
+    if codec == "ima_adpcm":
+        if block_align <= 4 * channels or len(data) % block_align:
+            raise NotImplementedError("WAV IMA ADPCM blocks not aligned")
+        ima_vals = decode_ima_adpcm_wav(data, channels, block_align)
+        n = len(ima_vals)
+        total = sum(ima_vals)
+        total_sq = sum(v * v for v in ima_vals)
+        peak = max((abs(v) for v in ima_vals), default=0)
+        n_frames = n // channels
+        return {
+            "format": "wav",
+            "codec": codec,
+            "sample_rate": rate,
+            "channels": channels,
+            "bits": bits,
+            "n_frames": n_frames,
+            "duration_sec": n_frames / rate if rate else 0.0,
+            "mean": total / n if n else 0.0,
+            "rms": (total_sq / n) ** 0.5 if n else 0.0,
+            "peak": float(peak),
+        }
     step = bits // 8
-    if channels <= 0 or len(data) % (step * channels):
+    if len(data) % (step * channels):
         raise NotImplementedError("WAV data chunk not frame-aligned")
     n = len(data) // step
     if codec == "f32":
@@ -1248,6 +1271,33 @@ def build_wav_samples(
 
     if len(samples) % channels:
         raise ValueError("sample count not divisible by channels")
+    if codec == "ima_adpcm":
+        if bits != 4:
+            raise ValueError("IMA ADPCM WAV is 4-bit")
+        n_frames = len(samples) // channels
+        if (n_frames - 1) % 8:
+            raise ValueError(
+                "IMA ADPCM frame count must be 1 + multiple of 8"
+            )
+        data, block_align = encode_ima_adpcm_wav(samples, channels, n_frames)
+        fmt_chunk = struct.pack(
+            "<HHIIHHHH", 0x11, channels, sample_rate,
+            sample_rate * block_align // n_frames, block_align, 4,
+            2, n_frames,  # cbSize=2 + samples_per_block extension
+        )
+        fact = b"fact" + struct.pack("<II", 4, n_frames)
+        pad = b"\x00" if len(data) % 2 else b""
+        return (
+            b"RIFF"
+            + struct.pack(
+                "<I",
+                4 + 8 + len(fmt_chunk) + len(fact) + 8 + len(data) + len(pad),
+            )
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + fact
+            + b"data" + struct.pack("<I", len(data)) + data + pad
+        )
     if codec in ("ulaw", "alaw"):
         if bits != 8:
             raise ValueError("G.711 WAV is 8-bit")
@@ -1938,3 +1988,138 @@ def attach_jpeg_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+# IMA/DVI ADPCM step tables (public IMA spec; identical tables in
+# every implementation incl. CPython's audioop)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibble(nib: int, pred: int, index: int) -> tuple:
+    """One IMA ADPCM step: nibble + (predictor, step index) → new
+    (sample, index). The shift cascade computes
+    ``step*(mantissa)/4 + step/8`` exactly as the spec's integer
+    flowchart does (order matters for the truncation)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    if nib & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nib]))
+    return pred, index
+
+
+def _ima_encode_sample(v: int, pred: int, index: int) -> tuple:
+    """One IMA ADPCM encode step → (nibble, new predictor, new
+    index); the predictor update REPLAYS the decoder so both sides
+    stay in lockstep (the property the round-trip tests pin)."""
+    step = _IMA_STEPS[index]
+    diff = v - pred
+    nib = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    pred, index = _ima_decode_nibble(nib, pred, index)
+    return nib, pred, index
+
+
+def decode_ima_adpcm_wav(
+    data: bytes, channels: int, block_align: int
+) -> list:
+    """Expand a WAV IMA-ADPCM (fmt tag 0x11) data chunk to linear
+    samples (flat, interleaved). Block layout per spec: a 4-byte
+    per-channel header (int16 predictor, step index, reserved), then
+    channel-interleaved 4-byte nibble groups, LOW nibble first."""
+    out: list = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4 * channels:
+            raise NotImplementedError("truncated IMA ADPCM block")
+        preds = []
+        idxs = []
+        for c in range(channels):
+            p = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+            ix = block[4 * c + 2]
+            if ix > 88:
+                raise NotImplementedError("corrupt IMA ADPCM step index")
+            preds.append(p)
+            idxs.append(ix)
+        # the header predictor IS the block's first sample per channel
+        out.extend(preds)
+        body = block[4 * channels :]
+        # walk channel-interleaved 4-byte groups
+        chans: list[list] = [[] for _ in range(channels)]
+        for g0 in range(0, len(body), 4 * channels):
+            for c in range(channels):
+                for byte in body[g0 + 4 * c : g0 + 4 * c + 4]:
+                    for nib in (byte & 0xF, byte >> 4):  # LOW first
+                        preds[c], idxs[c] = _ima_decode_nibble(
+                            nib, preds[c], idxs[c]
+                        )
+                        chans[c].append(preds[c])
+        for frame in zip(*chans) if channels > 1 else [(v,) for v in chans[0]]:
+            out.extend(frame)
+    return out
+
+
+def encode_ima_adpcm_wav(
+    samples: list, channels: int, samples_per_block: int
+) -> tuple:
+    """Encode linear samples (flat, interleaved) as WAV IMA-ADPCM
+    blocks — the build twin of :func:`decode_ima_adpcm_wav`. Returns
+    (data bytes, block_align). ``samples_per_block`` must be
+    1 + a multiple of 8 (whole 4-byte nibble groups)."""
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    n_frames = len(samples) // channels
+    if n_frames % samples_per_block:
+        raise ValueError("sample count must fill whole blocks")
+    block_align = 4 * channels + (samples_per_block - 1) // 2 * channels
+    data = bytearray()
+    idxs = [0] * channels
+    for f0 in range(0, n_frames, samples_per_block):
+        preds = [
+            int(samples[(f0 * channels) + c]) for c in range(channels)
+        ]
+        for c in range(channels):
+            data += preds[c].to_bytes(2, "little", signed=True)
+            data += bytes([idxs[c], 0])
+        nibs: list[list] = [[] for _ in range(channels)]
+        for j in range(1, samples_per_block):
+            for c in range(channels):
+                v = int(samples[(f0 + j) * channels + c])
+                nib, preds[c], idxs[c] = _ima_encode_sample(
+                    v, preds[c], idxs[c]
+                )
+                nibs[c].append(nib)
+        for g0 in range(0, len(nibs[0]), 8):
+            for c in range(channels):
+                grp = nibs[c][g0 : g0 + 8]
+                for k in range(0, 8, 2):
+                    data.append(grp[k] | (grp[k + 1] << 4))  # LOW first
+    return bytes(data), block_align

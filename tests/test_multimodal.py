@@ -973,3 +973,84 @@ def test_png_sub_byte_round_trips(depth):
         build_png_pixels(w, h, px, color_type=3, palette=pal, depth=depth)
     )
     assert d["mean_g"] == sum(pal[v * 3 + 1] for v in px) / (w * h)
+
+
+def test_ima_adpcm_core_matches_stdlib_audioop_if_present():
+    """Our IMA/DVI step loop vs CPython's audioop over thousands of
+    random nibbles — the same step/index tables, so the decoded
+    predictor sequence must match exactly."""
+    import random
+    import struct
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+    except ImportError:
+        pytest.skip("audioop not in this Python")
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _ima_decode_nibble,
+    )
+
+    random.seed(17)
+    vals = [random.randrange(-32768, 32768) for _ in range(3000)]
+    adp, _ = audioop.lin2adpcm(struct.pack(f"<{len(vals)}h", *vals), 2, None)
+    pred, idx = 0, 0
+    ours = []
+    for byte in adp:
+        for nib in (byte >> 4, byte & 0xF):  # audioop packs HIGH first
+            pred, idx = _ima_decode_nibble(nib, pred, idx)
+            ours.append(pred)
+    ref = struct.unpack(
+        f"<{len(vals)}h", audioop.adpcm2lin(adp, 2, None)[0]
+    )
+    assert ours == list(ref)
+
+
+def test_ima_adpcm_wav_round_trip_tracks_signal():
+    import math
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_wav_samples,
+        decode_ima_adpcm_wav,
+        decode_wav_samples,
+        encode_ima_adpcm_wav,
+    )
+
+    n = 1 + 8 * 30
+    sig = [int(6000 * math.sin(i / 35)) for i in range(n)]
+    d = decode_wav_samples(
+        build_wav_samples(sig, 8000, channels=1, bits=4, codec="ima_adpcm")
+    )
+    assert (d["codec"], d["bits"], d["n_frames"]) == ("ima_adpcm", 4, n)
+    # WAV-level stats equal an independent block decode
+    data, ba = encode_ima_adpcm_wav(sig, 1, n)
+    dec = decode_ima_adpcm_wav(data, 1, ba)
+    assert d["mean"] == sum(dec) / len(dec)
+    assert d["peak"] == max(abs(v) for v in dec)
+    # the lossy codec tracks a slow signal within one adaptive step
+    # once warmed up
+    assert max(abs(a - b) for a, b in zip(sig[20:], dec[20:])) < 600
+
+
+def test_ima_adpcm_stereo_blocks_and_validation():
+    import math
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_wav_samples,
+        decode_wav_samples,
+        encode_ima_adpcm_wav,
+    )
+
+    spb = 1 + 8 * 5
+    st = [int(2000 * math.sin(i / 20)) for i in range(2 * spb * 3)]
+    data, ba = encode_ima_adpcm_wav(st, 2, spb)
+    assert len(data) % ba == 0 and len(data) // ba == 3  # three blocks
+    d = decode_wav_samples(
+        build_wav_samples(st[: 2 * spb], 16000, channels=2, bits=4,
+                          codec="ima_adpcm")
+    )
+    assert d["channels"] == 2 and d["n_frames"] == spb
+    with pytest.raises(ValueError, match="multiple of 8"):
+        build_wav_samples([0] * 10, 8000, bits=4, codec="ima_adpcm")
