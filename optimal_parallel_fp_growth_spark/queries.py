@@ -545,6 +545,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_audio",
     "multimodal_jpeg",
     "repeated_spans",
+    "zorder_layout_read",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",

@@ -1350,6 +1350,70 @@ ORDER BY s_name
 """
 
 
+def q_zorder_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustered-layout lifecycle under the oracle gate
+    (sources/sinks.py::write_zordered): lineitem written clustered on
+    (l_orderkey, l_partkey) via the Morton interleave key, read back,
+    and range-filtered on BOTH clustered dimensions. The layout must
+    be LOSSLESS (every row lands in exactly one file) — a dropped or
+    duplicated row under the repartitionByRange+sort rewrite breaks
+    equality with the oracle's direct filter. File-level pruning
+    behavior itself is pinned by tests/test_sources_sinks.py (both
+    dimensions' per-file ranges narrow vs a single-sort control);
+    session-temp dir, dropped after materializing."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        RddBlockHandle,
+        persistent_rdd_ids,
+        tag_cached_inputs,
+    )
+    from optimal_parallel_fp_growth_spark.sources.sinks import (
+        read_back,
+        write_zordered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    tdir = tempfile.mkdtemp(prefix=f"opfpg_zo_{uuid.uuid4().hex}_")
+    path = os.path.join(tdir, "zo")
+    try:
+        write_zordered(li, path, ("l_orderkey", "l_partkey"), bits=10)
+        back = read_back(spark, path).where(
+            (F.col("l_orderkey") <= 1000) & (F.col("l_partkey") <= 300)
+        )
+        out = back.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+        seen = persistent_rdd_ids(spark)
+        res = out.localCheckpoint()
+        block_ids = persistent_rdd_ids(spark) - seen
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+
+
+ORACLE_ZORDER_LAYOUT = """
+SELECT count(*) AS n_rows,
+       round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,6)), 2)::DOUBLE AS sum_price
+FROM lineitem
+WHERE l_orderkey <= 1000 AND l_partkey <= 300
+"""
+
+
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "supplier_pagerank_bucketed": q_supplier_pagerank_bucketed,
@@ -1378,6 +1442,7 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returnflag_priority_lines": q_returnflag_priority_lines,
     "supplier_variety": q_supplier_variety,
     "recent_concentration_suppliers": q_recent_concentration_suppliers,
+    "zorder_layout_read": q_zorder_layout_read,
 }
 
 REL_ORACLES: dict[str, str] = {
@@ -1408,4 +1473,5 @@ REL_ORACLES: dict[str, str] = {
     "returnflag_priority_lines": ORACLE_RETURNFLAG_PRIORITY,
     "supplier_variety": ORACLE_SUPPLIER_VARIETY,
     "recent_concentration_suppliers": ORACLE_RECENT_CONCENTRATION,
+    "zorder_layout_read": ORACLE_ZORDER_LAYOUT,
 }

@@ -99,9 +99,10 @@ DEFERRED_TO_R7 = [
     # (r6) — never sampled, locally oracle-verified:
     "multimodal_audio",
     "multimodal_jpeg",
-    # cross-doc repeated-substring signal (r6) — never sampled,
-    # locally oracle-verified:
+    # cross-doc repeated-substring signal + Z-order layout lifecycle
+    # (r6) — never sampled, locally oracle-verified:
     "repeated_spans",
+    "zorder_layout_read",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",
