@@ -15,13 +15,15 @@ interlace methods — real zlib inflate + all five scanline filters +
 per-pass Adam7 unfiltering + MSB-first sub-byte unpacking
 (``decode_png_pixels``, round 6) — for GIF, with a real
 variable-width LZW decoder (CLEAR/EOI, KwKwK, 12-bit overflow;
-``decode_gif_pixels``, round 6), and for BASELINE JPEG, grayscale
-through 4:2:0 (``decode_jpeg_pixels``, round 6) — plus (c) FULL WAV
+``decode_gif_pixels``, round 6), and for JPEG — baseline AND progressive (SOF2 spectral selection +
+DC successive approximation), grayscale through 4:2:0
+(``decode_jpeg_pixels``, round 6) — plus (c) FULL WAV
 sample decode: unsigned-8 / signed-16/24/32 PCM, IEEE float32, and
 G.711 mu-law/A-law, and IMA ADPCM frames parsed and reduced to
 exact mean/rms/peak/duration (``decode_wav_samples``, round 6).
 ``NotImplementedError`` now marks only the genuinely library-bound
-seam: progressive/arithmetic JPEG, MP3/AAC audio, video streams.
+seam: progressive AC-refinement scans, hierarchical/arithmetic
+JPEG, MP3/AAC audio, video streams.
 ``build_payload``/``build_png_pixels``/``build_gif_pixels``/
 ``build_wav_samples`` construct spec-valid files (the GIF twin runs
 a real LZW ENCODER) so the build→parse round trips are
@@ -1567,14 +1569,18 @@ def _jpeg_extend(r: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> dict:
-    """FULL baseline JPEG decode: marker walk, quant/Huffman tables
-    from DQT/DHT (never assumed), interleaved SOF0 scans at ANY
-    integer sampling-factor grid (4:4:4, 4:2:2, 4:2:0, …; chroma
-    planes upsample by block replication), restart-interval support,
-    dequantize + dezigzag, separable float IDCT, BT.601 YCbCr→RGB.
-    Returns the same shape as :func:`decode_pixels`. Progressive
-    (SOF2), arithmetic coding, and 12-bit depth raise
-    ``NotImplementedError`` — the documented remaining seam."""
+    """FULL JPEG decode, baseline AND progressive: marker walk,
+    quant/Huffman tables from DQT/DHT (never assumed), any integer
+    sampling-factor grid (4:4:4, 4:2:2, 4:2:0, …; chroma upsamples by
+    block replication), restart intervals, multi-scan SOF2 with
+    spectral selection (interleaved DC scans, per-component AC scans
+    with EOBRUN block skipping) and DC successive approximation
+    (point transform + refinement bits). Every scan accumulates into
+    per-component coefficient buffers; dequantize + IDCT + BT.601
+    color run once at the end. Returns the same shape as
+    :func:`decode_pixels`. The remaining seam: AC successive-
+    approximation refinement scans (Ss>0, Ah>0), arithmetic coding,
+    and 12-bit depth raise ``NotImplementedError``."""
     import struct
 
     import numpy as np
@@ -1585,6 +1591,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     huff: dict[tuple, dict] = {}  # (class, id) -> {(len, code): val}
     sof = None
     restart_interval = 0
+    coeffs: list = []  # per comp: {(by, bx): list[64] in zigzag order}
+    geom = None
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1619,7 +1627,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                     (ln, code): v for ln, code, v in _jpeg_canonical(bits, vals)
                 }
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"JPEG bit depth {depth} not supported")
@@ -1632,99 +1640,189 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                         f"JPEG sampling factors {hs}x{vs} out of range"
                     )
                 comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
-            sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            sof = (w, h, comps, marker == 0xC2)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            geom = {
+                "hmax": hmax,
+                "vmax": vmax,
+                "mcux": (w + 8 * hmax - 1) // (8 * hmax),
+                "mcuy": (h + 8 * vmax - 1) // (8 * vmax),
+            }
+            for c in comps:
+                # non-interleaved block grid (spec A.2.2): over the
+                # component's own sample rectangle
+                cw = (w * c["h"] + hmax - 1) // hmax
+                ch = (h * c["v"] + vmax - 1) // vmax
+                c["nbw"] = (cw + 7) // 8
+                c["nbh"] = (ch + 7) // 8
+            coeffs = [dict() for _ in comps]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF type 0xFF{marker:02X} not supported (baseline "
-                "SOF0 only; progressive/arithmetic are the documented seam)"
+                "SOF0 and progressive SOF2 decode; hierarchical/"
+                "arithmetic are the documented seam)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise NotImplementedError("JPEG SOS before SOF")
-            w, h, comps = sof
+            w, h, comps, progressive = sof
             ns = body[0]
             scan = []
             for k in range(ns):
                 cs, tables = body[1 + 2 * k : 3 + 2 * k]
-                comp = next(c for c in comps if c["id"] == cs)
-                scan.append(
-                    (comp, huff[(0, tables >> 4)], huff[(1, tables & 0xF)])
+                ci = next(i for i, c in enumerate(comps) if c["id"] == cs)
+                scan.append((ci, tables >> 4, tables & 0xF))
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            if ss > 0 and ah != 0:
+                raise NotImplementedError(
+                    "progressive JPEG AC successive-approximation "
+                    "refinement not supported (the documented seam)"
                 )
-            data_start = pos + 2 + seg_len
-            return _jpeg_decode_scan(
-                payload, data_start, w, h, scan, quant, restart_interval, np
+            pos = _jpeg_decode_scan_into(
+                payload, pos + 2 + seg_len, comps, geom, huff, coeffs,
+                scan, ss, se, ah, al, restart_interval,
             )
+            continue
         pos += 2 + seg_len
-    raise NotImplementedError("JPEG without SOS scan")
+    if sof is None or not coeffs or not any(coeffs):
+        raise NotImplementedError("JPEG without a decoded scan")
+    w, h, comps, _prog = sof
+    return _jpeg_reconstruct(w, h, comps, geom, quant, coeffs, np)
 
 
-def _jpeg_decode_scan(payload, start, w, h, scan, quant, restart_interval, np):
-    C = _idct_matrix()
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c, _, _ in scan
-    ]
-    preds = [0] * len(scan)
+def _jpeg_decode_scan_into(
+    payload, start, comps, geom, huff, coeffs, scan, ss, se, ah, al,
+    restart_interval,
+):
+    """Decode ONE entropy-coded scan into the coefficient buffers and
+    return the payload offset of the next marker. Handles interleaved
+    (multi-component) and non-interleaved (single-component) MCU
+    geometry, progressive spectral windows [ss, se], DC point
+    transform/refinement (ah, al), EOBRUN block skipping, and restart
+    markers."""
     reader = _JpegBitReader(payload, start)
-    mcus_done = 0
+    preds = {ci: 0 for ci, _, _ in scan}
+    state = {"eobrun": 0}
 
-    def read_block(dc_tab, ac_tab, ci):
-        zz = [0] * 64
-        t = reader.read_huffman(dc_tab)
-        preds[ci] += _jpeg_extend(reader.receive(t), t)
-        zz[0] = preds[ci]
-        k = 1
-        while k < 64:
+    def block_coef(ci, by, bx):
+        c = coeffs[ci].get((by, bx))
+        if c is None:
+            c = [0] * 64
+            coeffs[ci][(by, bx)] = c
+        return c
+
+    def decode_block(ci, dc_tab, ac_tab, coef):
+        if ss == 0:
+            if ah == 0:
+                t = reader.read_huffman(dc_tab)
+                preds[ci] += _jpeg_extend(reader.receive(t), t)
+                coef[0] = preds[ci] << al
+            else:  # DC refinement: one correction bit at al
+                if reader.read_bit():
+                    coef[0] |= 1 << al
+            if se == 0:
+                return
+            k = 1
+        else:
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+        while k <= se:
             rs = reader.read_huffman(ac_tab)
             r, s = rs >> 4, rs & 0xF
             if s == 0:
                 if r == 15:  # ZRL
                     k += 16
                     continue
-                break  # EOB
+                # EOBn: run of (2^r - 1 + extra) blocks ends here
+                # (baseline's EOB is the r == 0 case of the same rule)
+                state["eobrun"] = (1 << r) - 1 + (
+                    reader.receive(r) if r else 0
+                )
+                break
             k += r
-            if k > 63:
+            if k > se:
                 raise NotImplementedError("JPEG AC index overflow")
-            zz[k] = _jpeg_extend(reader.receive(s), s)
+            coef[k] = _jpeg_extend(reader.receive(s), s) << al
             k += 1
-        q = quant[scan[ci][0]["tq"]]
-        coeff = np.zeros(64)
-        for i, idx in enumerate(_JPEG_ZZ):
-            coeff[idx] = zz[i] * q[i]
-        return C.T @ coeff.reshape(8, 8) @ C
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcus_done == restart_interval:
-                reader.align_after_restart()
-                preds = [0] * len(scan)
-                mcus_done = 0
-            try:
-                # MCU layout (spec A.2.3): each component contributes
-                # its v x h block grid, row-major, components in scan
-                # order
-                for ci, (comp, dc_tab, ac_tab) in enumerate(scan):
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            block = read_block(dc_tab, ac_tab, ci)
-                            y0 = (my * comp["v"] + by) * 8
-                            x0 = (mx * comp["h"] + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            except _JpegRestart:
-                raise NotImplementedError("JPEG restart interval mismatch")
-            mcus_done += 1
-    # upsample subsampled planes by block replication to full
-    # resolution, then crop everything to the true image rect
+    tabs = {
+        ci: (huff.get((0, td)), huff.get((1, ta))) for ci, td, ta in scan
+    }
+    units = []  # iteration plan: list of (ci, by, bx) per MCU
+    if len(scan) > 1:  # interleaved: the full MCU grid
+        n_units = geom["mcux"] * geom["mcuy"]
+
+        def unit_blocks(u):
+            my, mx = divmod(u, geom["mcux"])
+            for ci, _td, _ta in scan:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield ci, my * c["v"] + by, mx * c["h"] + bx
+    else:  # non-interleaved: the component's own block grid
+        ci0 = scan[0][0]
+        c0 = comps[ci0]
+        n_units = c0["nbw"] * c0["nbh"]
+
+        def unit_blocks(u):
+            yield ci0, u // c0["nbw"], u % c0["nbw"]
+
+    done = 0
+    for u in range(n_units):
+        if restart_interval and done == restart_interval:
+            reader.align_after_restart()
+            preds.update({ci: 0 for ci in preds})
+            state["eobrun"] = 0
+            done = 0
+        try:
+            for ci, by, bx in unit_blocks(u):
+                dc_tab, ac_tab = tabs[ci]
+                decode_block(ci, dc_tab, ac_tab, block_coef(ci, by, bx))
+        except _JpegRestart:
+            raise NotImplementedError("JPEG restart interval mismatch")
+        done += 1
+    # step to the next marker (skip pad bits / stuffed bytes)
+    p = reader.pos
+    d = payload
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 and not (
+            0xD0 <= d[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(d) - 2
+
+
+def _jpeg_reconstruct(w, h, comps, geom, quant, coeffs, np):
+    C = _idct_matrix()
+    planes = []
+    for ci, c in enumerate(comps):
+        bw = geom["mcux"] * c["h"]
+        bh = geom["mcuy"] * c["v"]
+        plane = np.zeros((bh * 8, bw * 8))
+        q = quant[c["tq"]]
+        for (by, bx), zz in coeffs[ci].items():
+            nat = np.zeros(64)
+            for i, idx in enumerate(_JPEG_ZZ):
+                nat[idx] = zz[i] * q[i]
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                C.T @ nat.reshape(8, 8) @ C
+            )
+        planes.append(plane)
+    hmax, vmax = geom["hmax"], geom["vmax"]
     up = []
-    for (comp, _, _), p in zip(scan, planes):
-        fx, fy = hmax // comp["h"], vmax // comp["v"]
-        if hmax % comp["h"] or vmax % comp["v"]:
+    for c, p in zip(comps, planes):
+        fx, fy = hmax // c["h"], vmax // c["v"]
+        if hmax % c["h"] or vmax % c["v"]:
             raise NotImplementedError(
                 "non-integer JPEG upsampling ratio not supported"
             )
@@ -1792,15 +1890,21 @@ def build_jpeg_pixels(
     dc_quant: int = 8,
     ac_quant: int = 16,
     subsampling: str = "444",
+    progressive: bool = False,
+    dc_split: bool = False,
 ) -> bytes:
-    """Construct a REAL baseline JPEG — the independent encoder twin
-    of :func:`decode_jpeg_pixels`: float FDCT, rounding quantization
+    """Construct a REAL JPEG — the independent encoder twin of
+    :func:`decode_jpeg_pixels`: float FDCT, rounding quantization
     (DC step ``dc_quant``, AC step ``ac_quant``), zigzag, DPCM DC,
     and Huffman entropy coding with the Annex K luminance tables
     (declared in DHT, as any table must be). ``channels=1`` encodes
     grayscale; ``channels=3`` takes interleaved RGB and encodes
     YCbCr (BT.601) at ``subsampling`` "444", "422", or "420"
     (chroma mean-downsampled, Y at 2x1/2x2 sampling factors).
+    ``progressive=True`` emits a genuine SOF2 multi-scan file:
+    an interleaved DC scan (Ss=Se=0) followed by one NON-interleaved
+    AC scan per component (Ss=1, Se=63) over its own block grid —
+    spectral selection, the structural core of progressive JPEG.
     Images whose 8x8 blocks are FLAT and whose values satisfy
     ``dc_quant | 8*(v-128)`` round-trip EXACTLY — the property the
     closed-form oracle recipe uses."""
@@ -1875,21 +1979,20 @@ def build_jpeg_pixels(
         v: (code, ln)
         for ln, code, v in _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     }
-    writer = _JpegBitWriter()
-    preds = [0] * len(padded)
-
     def emit_mag(v: int) -> tuple:
         t = int(v).bit_length() if v > 0 else int(-v).bit_length()
         r = v if v >= 0 else v + (1 << t) - 1
         return t, r
 
-    def emit_block(p, ci, y0, x0):
+    def block_zz(p, y0, x0):
         block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
         coeff = C @ block @ C.T
-        zz = [
+        return [
             int(np.rint(coeff.flat[idx] / q[i]))
             for i, idx in enumerate(_JPEG_ZZ)
         ]
+
+    def write_dc(writer, zz, preds, ci):
         diff = zz[0] - preds[ci]
         preds[ci] = zz[0]
         t, r = emit_mag(diff)
@@ -1897,6 +2000,8 @@ def build_jpeg_pixels(
         writer.write(code, ln)
         if t:
             writer.write(r, t)
+
+    def write_ac(writer, zz):
         run = 0
         last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
         for k in range(1, last_nz + 1):
@@ -1913,39 +2018,110 @@ def build_jpeg_pixels(
             writer.write(r, t)
             run = 0
         if last_nz < 63:
-            code, ln = ac_enc[0x00]
+            code, ln = ac_enc[0x00]  # EOB (== EOB0 in progressive)
             writer.write(code, ln)
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, ((hs, vs), p) in enumerate(zip(samp, padded)):
-                for by in range(vs):
-                    for bx in range(hs):
-                        emit_block(
-                            p, ci, (my * vs + by) * 8, (mx * hs + bx) * 8
-                        )
+    # every block's quantized coefficients, computed once
+    zz_store = [
+        {
+            (by, bx): block_zz(p, by * 8, bx * 8)
+            for by in range(mcuy * vs)
+            for bx in range(mcux * hs)
+        }
+        for (hs, vs), p in zip(samp, padded)
+    ]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos_seg(comp_idx, ss, se, ah=0, al=0):
+        body = bytes([len(comp_idx)]) + b"".join(
+            bytes([comp_ids[ci], 0x00]) for ci in comp_idx
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    scans = []
+    if not progressive:
+        writer = _JpegBitWriter()
+        preds = [0] * len(padded)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs) in enumerate(samp):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            zz = zz_store[ci][(my * vs + by, mx * hs + bx)]
+                            write_dc(writer, zz, preds, ci)
+                            write_ac(writer, zz)
+        scans.append(sos_seg(range(len(padded)), 0, 63) + writer.flush())
+    else:
+        # DC with successive approximation when dc_split: a first scan
+        # of (dc >> 1) DPCM diffs at Al=1, then a refinement scan of
+        # one low bit per block (spec G.1.2.1) — exercising the
+        # decoder's point-transform and refinement paths for real
+        def dc_scan(al):
+            writer = _JpegBitWriter()
+            preds = [0] * len(padded)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (hs, vs) in enumerate(samp):
+                        for by in range(vs):
+                            for bx in range(hs):
+                                zz = zz_store[ci][
+                                    (my * vs + by, mx * hs + bx)
+                                ]
+                                write_dc(
+                                    writer,
+                                    [zz[0] >> al] + zz[1:],
+                                    preds,
+                                    ci,
+                                )
+            return writer
+
+        if dc_split:
+            scans.append(
+                sos_seg(range(len(padded)), 0, 0, 0, 1) + dc_scan(1).flush()
+            )
+            writer = _JpegBitWriter()
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (hs, vs) in enumerate(samp):
+                        for by in range(vs):
+                            for bx in range(hs):
+                                zz = zz_store[ci][
+                                    (my * vs + by, mx * hs + bx)
+                                ]
+                                writer.write(zz[0] & 1, 1)
+            scans.append(
+                sos_seg(range(len(padded)), 0, 0, 1, 0) + writer.flush()
+            )
+        else:
+            scans.append(
+                sos_seg(range(len(padded)), 0, 0) + dc_scan(0).flush()
+            )
+        # per-component AC scans (Ss=1..Se=63, NON-interleaved: the
+        # component's own block grid per spec A.2.2)
+        for ci, (hs, vs) in enumerate(samp):
+            cw = (width * hs + hmax - 1) // hmax
+            ch = (height * vs + vmax - 1) // vmax
+            nbw, nbh = (cw + 7) // 8, (ch + 7) // 8
+            writer = _JpegBitWriter()
+            for by in range(nbh):
+                for bx in range(nbw):
+                    write_ac(writer, zz_store[ci][(by, bx)])
+            scans.append(sos_seg([ci], 1, 63) + writer.flush())
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(q))
     sof_body = struct.pack(">BHHB", 8, height, width, len(padded)) + b"".join(
         bytes([cid, (hs << 4) | vs, 0])
         for cid, (hs, vs) in zip(comp_ids, samp)
     )
-    sof = seg(0xC0, sof_body)
+    sof = seg(0xC2 if progressive else 0xC0, sof_body)
     dht = seg(
         0xC4,
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
-    sos_body = bytes([len(padded)]) + b"".join(
-        bytes([cid, 0x00]) for cid in comp_ids
-    ) + bytes([0, 63, 0])
-    sos = seg(0xDA, sos_body)
-    return (
-        b"\xff\xd8" + dqt + sof + dht + sos + writer.flush() + b"\xff\xd9"
-    )
+    return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
 
 
 def jpeg_meta_for(doc_id: int) -> dict:

@@ -758,10 +758,15 @@ def test_jpeg_seams_raise():
     good = build_jpeg_pixels(8, 8, bytes(64), channels=1)
     with pytest.raises(NotImplementedError, match="SOI"):
         decode_jpeg_pixels(b"not a jpeg")
-    # progressive (SOF2) stays a documented seam
+    # a baseline file relabeled SOF2 is a LEGAL single-scan
+    # progressive file (full spectral window) — it must now DECODE
+    # identically, not raise
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_pixels(prog)["mean_r"] == 0.0
+    # lossless/hierarchical SOF types stay a documented seam
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(NotImplementedError, match="SOF"):
-        decode_jpeg_pixels(prog)
+        decode_jpeg_pixels(lossless)
     # out-of-range sampling factors reject cleanly
     sub = bytearray(build_jpeg_pixels(8, 8, bytes(192), channels=3))
     i = sub.index(b"\xff\xc0")
@@ -1054,3 +1059,100 @@ def test_ima_adpcm_stereo_blocks_and_validation():
     assert d["channels"] == 2 and d["n_frames"] == spb
     with pytest.raises(ValueError, match="multiple of 8"):
         build_wav_samples([0] * 10, 8000, bits=4, codec="ima_adpcm")
+
+
+# ---------------------------------------------------------------------
+# round 6: progressive JPEG (SOF2 spectral selection + DC successive
+# approximation)
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_progressive_flat_blocks_exact():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    w, h = 24, 16
+    bw = w // 8
+    vals = [30 + 9 * k for k in range((w // 8) * (h // 8))]
+    px = bytes(
+        vals[(y // 8) * bw + (x // 8)] for y in range(h) for x in range(w)
+    )
+    d = decode_jpeg_pixels(
+        build_jpeg_pixels(w, h, px, channels=1, progressive=True)
+    )
+    assert d["mean_r"] == sum(vals) / len(vals)
+
+
+@pytest.mark.parametrize(
+    "ch,sub", [(1, "444"), (3, "444"), (3, "422"), (3, "420")]
+)
+def test_jpeg_progressive_decodes_identically_to_baseline(ch, sub):
+    """Spectral selection only reframes the SAME coefficients into
+    multiple scans (interleaved DC, per-component AC with their
+    non-interleaved block grids) — decode must be bit-identical to
+    the single-scan baseline file."""
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    random.seed(23 + ch)
+    w, h = 20, 12  # not MCU-aligned at 420
+    px = bytes(random.randrange(256) for _ in range(w * h * ch))
+    kw = dict(channels=ch, dc_quant=1, ac_quant=1, subsampling=sub)
+    b = decode_jpeg_pixels(build_jpeg_pixels(w, h, px, **kw))
+    p = decode_jpeg_pixels(
+        build_jpeg_pixels(w, h, px, progressive=True, **kw)
+    )
+    assert b == p
+
+
+def test_jpeg_progressive_dc_successive_approximation():
+    """dc_split=True emits a (dc >> 1) first scan at Al=1 plus a
+    one-bit refinement scan at Ah=1 — the decoder's point-transform
+    and refinement-bit paths must reassemble the exact DC values
+    (including negatives, where the arithmetic shift matters)."""
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    random.seed(29)
+    w, h = 16, 16
+    px = bytes(random.randrange(256) for _ in range(w * h))
+    b = decode_jpeg_pixels(
+        build_jpeg_pixels(w, h, px, channels=1, dc_quant=1, ac_quant=1)
+    )
+    p = decode_jpeg_pixels(
+        build_jpeg_pixels(
+            w, h, px, channels=1, dc_quant=1, ac_quant=1,
+            progressive=True, dc_split=True,
+        )
+    )
+    assert b == p
+
+
+def test_jpeg_progressive_ac_refinement_stays_a_seam():
+    import struct
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    prog = bytearray(
+        build_jpeg_pixels(8, 8, bytes(64), channels=1, progressive=True)
+    )
+    # patch the AC scan's approximation byte to Ah=1 (a refinement
+    # scan) — the documented remaining seam must reject, not garble
+    i = prog.rindex(b"\xff\xda")
+    ln = struct.unpack(">H", prog[i + 2 : i + 4])[0]
+    prog[i + 2 + ln - 1] = 0x10
+    with pytest.raises(NotImplementedError, match="refinement"):
+        decode_jpeg_pixels(bytes(prog))
