@@ -2145,8 +2145,13 @@ def jpeg_meta_for(doc_id: int) -> dict:
 
 
 def attach_jpeg_media(docs: DataFrame) -> DataFrame:
-    """→ (doc_id, payload: binary) where payload is a real baseline
-    JPEG whose flat-block pixels follow `jpeg_meta_for`."""
+    """→ (doc_id, payload: binary) where payload is a real JPEG whose
+    flat-block pixels follow `jpeg_meta_for`. Framing rotates so the
+    driver gate exercises every decode path: odd doc_ids get
+    PROGRESSIVE files (SOF2 spectral selection; doc_id % 4 == 3 also
+    splits the DC scan into a successive-approximation pair) — flat
+    blocks decode exactly under every framing, so the closed-form
+    oracle is framing-invariant."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2160,7 +2165,13 @@ def attach_jpeg_media(docs: DataFrame) -> DataFrame:
                     for y in range(h)
                     for x in range(w)
                 )
-                payloads.append(build_jpeg_pixels(w, h, px, channels=1))
+                payloads.append(
+                    build_jpeg_pixels(
+                        w, h, px, channels=1,
+                        progressive=doc_id % 2 == 1,
+                        dc_split=doc_id % 4 == 3,
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")

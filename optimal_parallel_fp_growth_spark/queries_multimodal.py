@@ -105,10 +105,13 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL JPEG round trip (round 6): per doc, ENCODE a real baseline
-    JPEG (float FDCT, quantization, zigzag, DPCM, Annex K Huffman)
-    and FULLY DECODE it (marker walk, canonical Huffman, dequantize,
-    IDCT). The recipe uses flat 8x8 blocks whose DC values quantize
+    """REAL JPEG round trip (round 6): per doc, ENCODE a real JPEG
+    (float FDCT, quantization, zigzag, DPCM, Annex K Huffman; odd
+    doc_ids get PROGRESSIVE SOF2 framing — spectral-selection scans,
+    and every fourth doc a split DC scan with a successive-
+    approximation refinement pass) and FULLY DECODE it (marker walk,
+    canonical Huffman, multi-scan coefficient accumulation,
+    dequantize, IDCT). The recipe uses flat 8x8 blocks whose DC values quantize
     without remainder, so the lossy codec round-trips EXACTLY and the
     oracle states the mean in closed form — any bug in either side of
     the entropy coder, the zigzag, the DPCM chain, byte
