@@ -248,6 +248,7 @@ def main() -> None:
         "multimodal_jpeg",
         "repeated_spans",
         "zorder_layout_read",
+        "local_supplier_revenue",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

@@ -546,6 +546,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_jpeg",
     "repeated_spans",
     "zorder_layout_read",
+    "local_supplier_revenue",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",

@@ -1350,6 +1350,86 @@ ORDER BY s_name
 """
 
 
+Q5_REGION = "ASIA"
+Q5_START, Q5_END = "1996-01-01", "1997-01-01"
+
+
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (the 6-way join with a cross-dimension equality):
+    revenue per nation from orders where the CUSTOMER and the line's
+    SUPPLIER share that nation (``c_nationkey = s_nationkey`` — the
+    condition that distinguishes Q5 from a plain rollup), restricted
+    to one region and one order-date year.
+
+    Scale shape: all four dimension hops (customer, supplier, nation,
+    region) broadcast — the only shuffle is the lineitem⋈orders
+    orderkey join, with the date filter pushed to the orders scan and
+    the same-nation equality applied as a post-broadcast filter, not
+    another exchange. Completes the full 22-query TPC-H shape
+    coverage."""
+    region = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == Q5_REGION)
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= Q5_START) & (F.col("o_orderdate") < Q5_END)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE_LOCAL_SUPPLIER = f"""
+SELECT n_name,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+         AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_START}'
+  AND o_orderdate <  TIMESTAMP '{Q5_END}'
+GROUP BY 1
+ORDER BY revenue DESC, n_name
+"""
+
+
 def q_zorder_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Z-order clustered-layout lifecycle under the oracle gate
     (sources/sinks.py::write_zordered): lineitem written clustered on
@@ -1442,6 +1522,7 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returnflag_priority_lines": q_returnflag_priority_lines,
     "supplier_variety": q_supplier_variety,
     "recent_concentration_suppliers": q_recent_concentration_suppliers,
+    "local_supplier_revenue": q_local_supplier_revenue,
     "zorder_layout_read": q_zorder_layout_read,
 }
 
@@ -1473,5 +1554,6 @@ REL_ORACLES: dict[str, str] = {
     "returnflag_priority_lines": ORACLE_RETURNFLAG_PRIORITY,
     "supplier_variety": ORACLE_SUPPLIER_VARIETY,
     "recent_concentration_suppliers": ORACLE_RECENT_CONCENTRATION,
+    "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER,
     "zorder_layout_read": ORACLE_ZORDER_LAYOUT,
 }

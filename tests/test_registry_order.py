@@ -103,6 +103,8 @@ DEFERRED_TO_R7 = [
     # (r6) — never sampled, locally oracle-verified:
     "repeated_spans",
     "zorder_layout_read",
+    # Q5 shape completing the 22-query TPC-H matrix (r6):
+    "local_supplier_revenue",
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",
