@@ -528,3 +528,21 @@ def test_recent_concentration_suppliers_plan_contract(spark, sf_small):
     # ONE lineitem scan (identified by its quantity column) — the
     # correlated two-aggregate threshold never forks the fact read
     assert sum("l_quantity" in s["schema"] for s in r.scans) == 1
+
+
+def test_local_supplier_revenue_plan_contract(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_local_supplier_revenue,
+    )
+
+    r = _report(q_local_supplier_revenue(spark, sf_small))
+    # Q5: all four dim hops broadcast; the same-nation equality is a
+    # post-broadcast filter, never another exchange; no sort-merge
+    assert r.broadcast_hash_joins >= 3
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+    assert r.python_free
+    # the order-date window pushes to the orders scan
+    assert any(
+        any("GreaterThanOrEqual(o_orderdate" in p for p in s["pushed"])
+        for s in r.scans
+    )
