@@ -1,0 +1,172 @@
+"""Byte-pair-encoding tokenizer training and application — the
+vocabulary-building step of an LLM data pipeline (Sennrich et al.
+2016; no reference counterpart).
+
+Scale architecture
+------------------
+Classic BPE needs only the WORD-FREQUENCY table, not the raw corpus:
+the pair statistics of "the" appearing 10^9 times are 10^9 × the pair
+statistics of one "the". So the heavy lift is ONE distributed
+aggregation (explode → groupBy word → count — linear, map-side
+combined), capped to the ``top_words`` most frequent words (the
+standard practice: the frequency mass beyond a few hundred thousand
+types is negligible and every production trainer subsamples). The
+merge loop then runs on that BOUNDED table driver-side — at 100 TB the
+corpus pass is the cluster's job and the loop's input is no larger
+than it is at 100 MB. A fully-distributed merge loop (N merges = N
+shuffles over the corpus) would be strictly worse: same result,
+10^4 × the exchanges.
+
+Determinism: ties in pair frequency break lexicographically, so the
+merge table is a pure function of the corpus.
+
+``apply_bpe`` tokenizes documents with a trained merge table as an
+Arrow-batched ``mapInPandas`` (the merge list broadcasts via closure;
+application is inherently per-row string surgery — the honest Python
+seam, like the codec kernels).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EOW = "</w>"  # end-of-word marker (standard BPE)
+
+
+def _word_symbols(word: str) -> tuple:
+    return tuple(word) + (_EOW,)
+
+
+def _merge_loop(word_freq: list, num_merges: int) -> list:
+    """Classic BPE on a (word, freq) list: repeatedly merge the most
+    frequent adjacent symbol pair (lexicographic tie-break). Returns
+    [(rank, left, right)] — pure Python on BOUNDED input."""
+    vocab = {_word_symbols(w): f for w, f in word_freq}
+    merges = []
+    for rank in range(num_merges):
+        pairs: dict = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        # max on (count, pair) breaks count ties by the LARGEST pair;
+        # flip to smallest-lexicographic for the conventional order
+        top = best[1]
+        best_pair = min(p for p, c in pairs.items() if c == top)
+        if top < 2:
+            break  # nothing left that repeats — stop early
+        a, b = best_pair
+        merged = a + b
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+        merges.append((rank, a, b))
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 50,
+    top_words: int = 5000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a BPE merge table over the corpus. → (rank, left, right,
+    merged) with ranks in merge order. The corpus pass is the one
+    distributed stage; the loop input is capped at ``top_words``
+    (frequency-desc, word-asc tie-break — deterministic)."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if top_words < 1:
+        raise ValueError(f"top_words must be >= 1, got {top_words}")
+    wf = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), "w")
+        .limit(top_words)  # bounded: TakeOrdered, no global sort
+        .collect()
+    )
+    merges = _merge_loop([(r.w, r.f) for r in wf], num_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(rank, a, b, a + b) for rank, a, b in merges],
+        "rank int, left string, right string, merged string",
+    )
+
+
+def _apply_merges(word: str, ranks: dict) -> list:
+    """Tokenize one word with a trained merge table: repeatedly apply
+    the LOWEST-rank applicable merge (the standard greedy order)."""
+    syms = list(_word_symbols(word))
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents with a trained merge table. → (doc_id,
+    n_words, n_bpe_tokens, compression): BPE token count per doc and
+    the chars-per-token compression the vocab achieves — the metric a
+    tokenizer-training pipeline actually monitors. The merge table is
+    collected once (bounded by num_merges) and closes over the Arrow
+    UDF — no join, no shuffle."""
+    rank_list = [
+        ((r.left, r.right), r.rank) for r in merges.collect()
+    ]
+    ranks = dict(rank_list)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text).split(" ") if w]
+                n_tok = sum(len(_apply_merges(w, ranks)) for w in words)
+                n_chars = sum(len(w) for w in words)
+                rows.append(
+                    (
+                        doc_id,
+                        len(words),
+                        n_tok,
+                        round(n_chars / n_tok, 6) if n_tok else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_words", "n_bpe_tokens", "compression"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        "doc_id long, n_words long, n_bpe_tokens long, compression double",
+    )
