@@ -223,3 +223,14 @@ def test_zorder_key_validation(spark):
         zorder_key(df, ("x",))
     with _pytest.raises(ValueError):
         zorder_key(df, ("x", "y"), bits=40)
+
+
+def test_clustered_writers_derive_file_count(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.sources.sinks import _auto_num_files
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    n = _auto_num_files(li)
+    # floored at 8; grows one file per input partition past that —
+    # the shape that keeps per-partition sort bytes CONSTANT at 100x
+    assert n == max(8, li.rdd.getNumPartitions())
