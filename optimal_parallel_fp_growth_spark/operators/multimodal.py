@@ -22,8 +22,8 @@ sample decode: unsigned-8 / signed-16/24/32 PCM, IEEE float32, and
 G.711 mu-law/A-law, and IMA ADPCM frames parsed and reduced to
 exact mean/rms/peak/duration (``decode_wav_samples``, round 6).
 ``NotImplementedError`` now marks only the genuinely library-bound
-seam: progressive AC-refinement scans, hierarchical/arithmetic
-JPEG, MP3/AAC audio, video streams.
+seam: hierarchical/arithmetic JPEG, 12-bit depth, MP3/AAC audio,
+video streams.
 ``build_payload``/``build_png_pixels``/``build_gif_pixels``/
 ``build_wav_samples`` construct spec-valid files (the GIF twin runs
 a real LZW ENCODER) so the build→parse round trips are
@@ -1472,6 +1472,18 @@ _JPEG_AC_VALS = (
 )
 
 
+# AC table for refinement scans: Annex K has no EOBn (n>=1) symbols —
+# progressive refinement needs them, so we declare our own table in
+# DHT (as any table must be): the 32 symbols refinement can emit, all
+# at 6 bits (a valid canonical set: 32 < 2^6, no shorter codes).
+_JPEG_ACR_BITS = (0, 0, 0, 0, 0, 32, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_ACR_VALS = tuple(
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(run << 4) | 1 for run in range(16)]
+)
+
+
 def _jpeg_canonical(bits, vals):
     """Canonical Huffman walk shared by both directions: yields
     (length, code, value) in code order; raises if the counts overflow
@@ -1578,9 +1590,11 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     (point transform + refinement bits). Every scan accumulates into
     per-component coefficient buffers; dequantize + IDCT + BT.601
     color run once at the end. Returns the same shape as
-    :func:`decode_pixels`. The remaining seam: AC successive-
-    approximation refinement scans (Ss>0, Ah>0), arithmetic coding,
-    and 12-bit depth raise ``NotImplementedError``."""
+    :func:`decode_pixels`. AC successive-approximation refinement decodes too (newly-visible
+    coefficients, correction bits, EOB runs that still carry
+    correction bits). The remaining seam: arithmetic coding,
+    hierarchical SOFs, and 12-bit depth raise
+    ``NotImplementedError``."""
     import struct
 
     import numpy as np
@@ -1680,11 +1694,6 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             ah, al = a >> 4, a & 0xF
             if not progressive:
                 ss, se, ah, al = 0, 63, 0, 0
-            if ss > 0 and ah != 0:
-                raise NotImplementedError(
-                    "progressive JPEG AC successive-approximation "
-                    "refinement not supported (the documented seam)"
-                )
             pos = _jpeg_decode_scan_into(
                 payload, pos + 2 + seg_len, comps, geom, huff, coeffs,
                 scan, ss, se, ah, al, restart_interval,
@@ -1718,7 +1727,63 @@ def _jpeg_decode_scan_into(
             coeffs[ci][(by, bx)] = c
         return c
 
+    def correct(coef, k, p1):
+        """One AC correction bit (spec G.1.2.3): a set bit nudges an
+        already-nonzero coefficient one quantum away from zero at the
+        current bit position — unless that bit is already set."""
+        if reader.read_bit() and (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else -p1
+
+    def decode_block_ac_refine(ac_tab, coef):
+        p1 = 1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.read_huffman(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:  # EOBn: correction-only from here on
+                        state["eobrun"] = (1 << r) + (
+                            reader.receive(r) if r else 0
+                        )
+                        break
+                    new = 0  # ZRL: skip 16 zero-history positions
+                elif s == 1:
+                    new = p1 if reader.read_bit() else -p1
+                else:
+                    raise NotImplementedError(
+                        "JPEG refinement coefficient magnitude > 1"
+                    )
+                # advance past r zero-history positions, correcting
+                # every nonzero-history coefficient on the way
+                while k <= se:
+                    if coef[k] != 0:
+                        correct(coef, k, p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s == 1:
+                    if k > se:
+                        raise NotImplementedError(
+                            "JPEG refinement AC index overflow"
+                        )
+                    coef[k] = new
+                k += 1
+        if state["eobrun"] > 0:
+            # blocks inside an EOB run still carry correction bits for
+            # their nonzero-history coefficients in the window
+            while k <= se:
+                if coef[k] != 0:
+                    correct(coef, k, p1)
+                k += 1
+            state["eobrun"] -= 1
+
     def decode_block(ci, dc_tab, ac_tab, coef):
+        if ss > 0 and ah != 0:
+            decode_block_ac_refine(ac_tab, coef)
+            return
         if ss == 0:
             if ah == 0:
                 t = reader.read_huffman(dc_tab)
@@ -1892,6 +1957,7 @@ def build_jpeg_pixels(
     subsampling: str = "444",
     progressive: bool = False,
     dc_split: bool = False,
+    ac_split: bool = False,
 ) -> bytes:
     """Construct a REAL JPEG — the independent encoder twin of
     :func:`decode_jpeg_pixels`: float FDCT, rounding quantization
@@ -1979,6 +2045,10 @@ def build_jpeg_pixels(
         v: (code, ln)
         for ln, code, v in _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     }
+    acr_enc = {
+        v: (code, ln)
+        for ln, code, v in _jpeg_canonical(_JPEG_ACR_BITS, _JPEG_ACR_VALS)
+    }
     def emit_mag(v: int) -> tuple:
         t = int(v).bit_length() if v > 0 else int(-v).bit_length()
         r = v if v >= 0 else v + (1 << t) - 1
@@ -2034,9 +2104,9 @@ def build_jpeg_pixels(
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    def sos_seg(comp_idx, ss, se, ah=0, al=0):
+    def sos_seg(comp_idx, ss, se, ah=0, al=0, tables=0x00):
         body = bytes([len(comp_idx)]) + b"".join(
-            bytes([comp_ids[ci], 0x00]) for ci in comp_idx
+            bytes([comp_ids[ci], tables]) for ci in comp_idx
         ) + bytes([ss, se, (ah << 4) | al])
         return seg(0xDA, body)
 
@@ -2099,16 +2169,95 @@ def build_jpeg_pixels(
                 sos_seg(range(len(padded)), 0, 0) + dc_scan(0).flush()
             )
         # per-component AC scans (Ss=1..Se=63, NON-interleaved: the
-        # component's own block grid per spec A.2.2)
+        # component's own block grid per spec A.2.2). With ac_split,
+        # each component gets TWO scans: the top bits at Al=1
+        # (magnitudes integer-divided toward zero, spec G.1.2.2),
+        # then a refinement scan at Ah=1/Al=0 — newly-visible
+        # coefficients as (run, 1)+sign, already-sent ones as
+        # correction bits buffered and flushed after each symbol,
+        # fully-silent blocks accumulated into EOBn runs.
+        def flush_eobrun(writer, pending):
+            # EOBn with symbol r covers runs in [2^r, 2^(r+1)-1];
+            # longer runs split across symbols
+            while pending[0] > 0:
+                n = pending[0]
+                r = min(n.bit_length() - 1, 14)
+                run = min(n, (1 << (r + 1)) - 1)
+                code, ln = acr_enc[r << 4]
+                writer.write(code, ln)
+                if r:
+                    writer.write(run - (1 << r), r)
+                pending[0] -= run
+
+        def write_ac_refinement(writer, zz, pending):
+            mag = [abs(v) for v in zz]
+            eobpos = max((k for k in range(1, 64) if mag[k] == 1), default=0)
+            hist_after = [k for k in range(eobpos + 1, 64) if mag[k] > 1]
+            if eobpos == 0 and not any(mag[k] > 1 for k in range(1, 64)):
+                pending[0] += 1  # nothing to say: join the EOB run
+                return
+            flush_eobrun(writer, pending)
+            run = 0
+            br: list = []
+            for k in range(1, eobpos + 1):
+                if mag[k] == 0:
+                    run += 1
+                elif mag[k] > 1:
+                    br.append(mag[k] & 1)  # correction bit (Al = 0)
+                else:  # newly visible at this bit position
+                    while run > 15:
+                        code, ln = acr_enc[0xF0]
+                        writer.write(code, ln)
+                        for b in br:
+                            writer.write(b, 1)
+                        br = []
+                        run -= 16
+                    code, ln = acr_enc[(run << 4) | 1]
+                    writer.write(code, ln)
+                    writer.write(1 if zz[k] > 0 else 0, 1)
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                    run = 0
+            if eobpos < 63:
+                code, ln = acr_enc[0x00]  # EOB0: remainder is
+                writer.write(code, ln)  # correction-only
+                for k in hist_after:
+                    writer.write(mag[k] & 1, 1)
+
         for ci, (hs, vs) in enumerate(samp):
             cw = (width * hs + hmax - 1) // hmax
             ch = (height * vs + vmax - 1) // vmax
             nbw, nbh = (cw + 7) // 8, (ch + 7) // 8
+            blocks = [
+                zz_store[ci][(by, bx)]
+                for by in range(nbh)
+                for bx in range(nbw)
+            ]
+            if not ac_split:
+                writer = _JpegBitWriter()
+                for zz in blocks:
+                    write_ac(writer, zz)
+                scans.append(sos_seg([ci], 1, 63) + writer.flush())
+                continue
+            # scan A: magnitudes >> 1, sign preserved (toward zero)
             writer = _JpegBitWriter()
-            for by in range(nbh):
-                for bx in range(nbw):
-                    write_ac(writer, zz_store[ci][(by, bx)])
-            scans.append(sos_seg([ci], 1, 63) + writer.flush())
+            for zz in blocks:
+                shifted = [zz[0]] + [
+                    (abs(v) >> 1) * (1 if v >= 0 else -1) for v in zz[1:]
+                ]
+                write_ac(writer, shifted)
+            scans.append(sos_seg([ci], 1, 63, 0, 1) + writer.flush())
+            # scan B: the low bit, refinement-coded
+            writer = _JpegBitWriter()
+            pending = [0]
+            for zz in blocks:
+                write_ac_refinement(writer, zz, pending)
+            # trailing silent blocks: flush the EOB run
+            flush_eobrun(writer, pending)
+            scans.append(
+                sos_seg([ci], 1, 63, 1, 0, tables=0x01) + writer.flush()
+            )
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(q))
     sof_body = struct.pack(">BHHB", 8, height, width, len(padded)) + b"".join(
@@ -2116,11 +2265,15 @@ def build_jpeg_pixels(
         for cid, (hs, vs) in zip(comp_ids, samp)
     )
     sof = seg(0xC2 if progressive else 0xC0, sof_body)
-    dht = seg(
-        0xC4,
+    dht_body = (
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
+    if progressive and ac_split:
+        dht_body += (
+            bytes([0x11]) + bytes(_JPEG_ACR_BITS) + bytes(_JPEG_ACR_VALS)
+        )
+    dht = seg(0xC4, dht_body)
     return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
 
 
@@ -2149,9 +2302,11 @@ def attach_jpeg_media(docs: DataFrame) -> DataFrame:
     flat-block pixels follow `jpeg_meta_for`. Framing rotates so the
     driver gate exercises every decode path: odd doc_ids get
     PROGRESSIVE files (SOF2 spectral selection; doc_id % 4 == 3 also
-    splits the DC scan into a successive-approximation pair) — flat
-    blocks decode exactly under every framing, so the closed-form
-    oracle is framing-invariant."""
+    splits the DC scan into a successive-approximation pair, and
+    doc_id % 8 == 5 splits the AC scans into top-bits + refinement
+    passes with the dedicated EOBn Huffman table) — flat blocks
+    decode exactly under every framing, so the closed-form oracle is
+    framing-invariant."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2170,6 +2325,7 @@ def attach_jpeg_media(docs: DataFrame) -> DataFrame:
                         w, h, px, channels=1,
                         progressive=doc_id % 2 == 1,
                         dc_split=doc_id % 4 == 3,
+                        ac_split=doc_id % 8 == 5,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

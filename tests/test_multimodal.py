@@ -1138,7 +1138,13 @@ def test_jpeg_progressive_dc_successive_approximation():
     assert b == p
 
 
-def test_jpeg_progressive_ac_refinement_stays_a_seam():
+def test_jpeg_refinement_rejects_wide_magnitudes():
+    """AC refinement symbols carry magnitude 0 or 1 only (spec
+    G.1.2.3). A first-scan bitstream relabeled as a refinement scan
+    (Ah=1) contains wider sizes and must reject cleanly — refinement
+    itself is SUPPORTED since round 6, so only genuinely malformed
+    streams raise."""
+    import random
     import struct
 
     from optimal_parallel_fp_growth_spark.operators.multimodal import (
@@ -1146,13 +1152,67 @@ def test_jpeg_progressive_ac_refinement_stays_a_seam():
         decode_jpeg_pixels,
     )
 
+    random.seed(3)
+    px = bytes(random.randrange(256) for _ in range(64))
     prog = bytearray(
-        build_jpeg_pixels(8, 8, bytes(64), channels=1, progressive=True)
+        build_jpeg_pixels(
+            8, 8, px, channels=1, dc_quant=1, ac_quant=1, progressive=True
+        )
     )
-    # patch the AC scan's approximation byte to Ah=1 (a refinement
-    # scan) — the documented remaining seam must reject, not garble
     i = prog.rindex(b"\xff\xda")
     ln = struct.unpack(">H", prog[i + 2 : i + 4])[0]
-    prog[i + 2 + ln - 1] = 0x10
-    with pytest.raises(NotImplementedError, match="refinement"):
+    prog[i + 2 + ln - 1] = 0x10  # Ah=1: now claims to be refinement
+    with pytest.raises(NotImplementedError, match="magnitude"):
         decode_jpeg_pixels(bytes(prog))
+
+
+@pytest.mark.parametrize("ch,sub", [(1, "444"), (3, "420")])
+def test_jpeg_progressive_ac_refinement_round_trip(ch, sub):
+    """Full successive approximation: AC scans split into a top-bits
+    pass (Al=1, magnitudes divided toward zero) and a refinement pass
+    (Ah=1: newly-visible coefficients as (run,1)+sign, correction
+    bits for already-sent ones — including inside EOB runs). Decode
+    must be bit-identical to the baseline file."""
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    random.seed(41 + ch)
+    for w, h in ((16, 16), (20, 12), (11, 7)):
+        px = bytes(random.randrange(256) for _ in range(w * h * ch))
+        for dq, aq in ((1, 1), (8, 16)):
+            kw = dict(channels=ch, dc_quant=dq, ac_quant=aq,
+                      subsampling=sub)
+            b = decode_jpeg_pixels(build_jpeg_pixels(w, h, px, **kw))
+            p = decode_jpeg_pixels(
+                build_jpeg_pixels(
+                    w, h, px, progressive=True, ac_split=True,
+                    dc_split=True, **kw,
+                )
+            )
+            assert b == p, (w, h, dq, aq)
+
+
+def test_jpeg_ac_refinement_eob_run_spans_silent_blocks():
+    """A mostly-flat image quantized hard produces runs of blocks with
+    nothing to refine — the encoder accumulates them into EOBn runs
+    and the decoder must walk them (consuming correction bits only
+    where history exists)."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    w, h = 48, 24  # 18 blocks, almost all silent in the refinement
+    px = bytearray([100] * (w * h))
+    px[0] = 180  # one busy corner block
+    b = decode_jpeg_pixels(build_jpeg_pixels(w, h, bytes(px), channels=1))
+    p = decode_jpeg_pixels(
+        build_jpeg_pixels(
+            w, h, bytes(px), channels=1, progressive=True, ac_split=True
+        )
+    )
+    assert b == p
