@@ -1822,7 +1822,6 @@ def _jpeg_decode_scan_into(
     tabs = {
         ci: (huff.get((0, td)), huff.get((1, ta))) for ci, td, ta in scan
     }
-    units = []  # iteration plan: list of (ci, by, bx) per MCU
     if len(scan) > 1:  # interleaved: the full MCU grid
         n_units = geom["mcux"] * geom["mcuy"]
 
