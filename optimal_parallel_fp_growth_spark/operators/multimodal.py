@@ -74,6 +74,35 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _parse_guard(fn):
+    """Decoder entry points promise exactly one failure mode for bytes
+    they cannot handle: ``NotImplementedError`` naming the seam. A
+    corrupt or truncated payload must not leak parser internals
+    (IndexError off a short buffer, zlib/struct errors, int() on
+    garbage) — inside a mapInPandas batch that distinction is the
+    difference between a documented seam and an opaque task failure."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload, *a, **kw):
+        import struct
+        import zlib
+
+        try:
+            return fn(payload, *a, **kw)
+        except NotImplementedError:
+            raise
+        except (IndexError, KeyError, ValueError, OverflowError,
+                struct.error, zlib.error) as e:
+            raise NotImplementedError(
+                f"corrupt or unsupported payload ({fn.__name__}: "
+                f"{type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
+
+@_parse_guard
 def decode_real(payload: bytes) -> dict:
     """Real header decode for container formats whose metadata is pure
     byte-layout (no codec library needed): PNG / GIF / BMP / JPEG
@@ -386,6 +415,7 @@ PIXEL_SCHEMA = (
 )
 
 
+@_parse_guard
 def decode_pixels(payload: bytes) -> dict:
     """FULL pixel decode for the binary netpbm family — P5 (raw
     grayscale) and P6 (raw RGB) — the one image family decodable with
@@ -481,6 +511,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+@_parse_guard
 def decode_png_pixels(payload: bytes) -> dict:
     """FULL PNG pixel decode with ZERO codec libraries: chunk walk,
     stdlib ``zlib`` inflate of the concatenated IDAT stream, and
@@ -876,6 +907,7 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     return bytes(out)
 
 
+@_parse_guard
 def decode_gif_pixels(payload: bytes) -> dict:
     """FULL GIF pixel decode with ZERO codec libraries: logical-screen
     / image-descriptor walk, global or local color table, and a real
@@ -1142,6 +1174,7 @@ def linear_to_alaw(v: int) -> int:
     return ((exp << 4) | mant) ^ mask
 
 
+@_parse_guard
 def decode_wav_samples(payload: bytes) -> dict:
     """FULL WAV sample decode — RIFF chunk walk, then every PCM frame
     parsed from the data chunk: unsigned 8-bit (offset-binary per
@@ -1580,6 +1613,7 @@ def _jpeg_extend(r: int, t: int) -> int:
     return r - (1 << t) + 1 if t and r < (1 << (t - 1)) else r
 
 
+@_parse_guard
 def decode_jpeg_pixels(payload: bytes) -> dict:
     """FULL JPEG decode, baseline AND progressive: marker walk,
     quant/Huffman tables from DQT/DHT (never assumed), any integer

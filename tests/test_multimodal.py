@@ -1216,3 +1216,55 @@ def test_jpeg_ac_refinement_eob_run_spans_silent_blocks():
         )
     )
     assert b == p
+
+
+def test_decoders_fail_closed_on_fuzzed_bytes():
+    """Every decoder entry point raises ONLY NotImplementedError on
+    bytes it cannot handle — random garbage, truncations of valid
+    payloads, and single-byte mutations must never leak IndexError/
+    zlib.error/struct.error out of the parse seam."""
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_gif_pixels,
+        build_jpeg_pixels,
+        build_png_pixels,
+        build_wav_samples,
+        decode_jpeg_pixels,
+        decode_pixels,
+        decode_real,
+        decode_wav_samples,
+    )
+
+    random.seed(77)
+    w, h = 8, 8
+    seeds = [
+        build_png_pixels(w, h, bytes(range(192)), color_type=2),
+        build_gif_pixels(
+            2, 2, [0, 1, 2, 3], bytes((i * 31) % 256 for i in range(768))
+        ),
+        build_jpeg_pixels(w, h, bytes(64), channels=1),
+        build_jpeg_pixels(
+            w, h, bytes(64), channels=1, progressive=True, ac_split=True
+        ),
+        build_wav_samples([1, -2, 3, -4], 8000, bits=16),
+    ]
+    cases = []
+    for s in seeds:
+        for cut in (3, len(s) // 3, len(s) - 1):
+            cases.append(s[:cut])  # truncations
+        for _ in range(20):  # point mutations
+            b = bytearray(s)
+            b[random.randrange(len(b))] ^= 1 << random.randrange(8)
+            cases.append(bytes(b))
+    for _ in range(30):  # pure garbage
+        cases.append(bytes(random.randrange(256) for _ in range(random.randrange(1, 200))))
+
+    for payload in cases:
+        for dec in (decode_pixels, decode_real, decode_wav_samples,
+                    decode_jpeg_pixels):
+            try:
+                dec(payload)
+            except NotImplementedError:
+                pass  # the one allowed failure mode
+            # any other exception type propagates and fails the test
