@@ -1074,16 +1074,30 @@ def attach_pixel_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
 
 
-def extract_pixel_stats(with_payload: DataFrame) -> DataFrame:
-    """Arrow-batched REAL pixel statistics over netpbm/PNG payloads
-    (columns: doc_id, payload). → PIXEL_SCHEMA rows; unsupported
-    codecs raise (filter by format first, or catch at the seam)."""
+def extract_pixel_stats(
+    with_payload: DataFrame, on_error: str = "raise"
+) -> DataFrame:
+    """Arrow-batched REAL pixel statistics over image payloads
+    (columns: doc_id, payload). → PIXEL_SCHEMA rows. ``on_error``:
+    "raise" (default — an undecodable payload fails the task, the
+    right mode when payloads are expected-valid) or "null" — the row
+    survives with null stats, the mode a 100 TB ingest needs where
+    one corrupt file among billions must not kill the job (the seam
+    fails CLOSED either way; "null" just quarantines per row)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_pixels(bytes(payload))
+                try:
+                    d = decode_pixels(bytes(payload))
+                except NotImplementedError:
+                    if on_error == "raise":
+                        raise
+                    rows.append((doc_id, None, None, None, None, None, None))
+                    continue
                 rows.append(
                     (
                         doc_id, d["format"], d["width"], d["height"],
@@ -1424,16 +1438,27 @@ def attach_audio_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
 
 
-def extract_audio_stats(with_payload: DataFrame) -> DataFrame:
+def extract_audio_stats(
+    with_payload: DataFrame, on_error: str = "raise"
+) -> DataFrame:
     """Arrow-batched REAL audio statistics over WAV payloads (columns:
-    doc_id, payload). → AUDIO_SCHEMA rows; compressed codecs raise at
-    the documented seam."""
+    doc_id, payload). → AUDIO_SCHEMA rows; ``on_error`` as in
+    :func:`extract_pixel_stats` ("null" quarantines undecodable rows
+    instead of failing the task)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_wav_samples(bytes(payload))
+                try:
+                    d = decode_wav_samples(bytes(payload))
+                except NotImplementedError:
+                    if on_error == "raise":
+                        raise
+                    rows.append((doc_id,) + (None,) * 10)
+                    continue
                 rows.append(
                     (
                         doc_id, d["format"], d["codec"], d["sample_rate"],

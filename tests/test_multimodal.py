@@ -1268,3 +1268,31 @@ def test_decoders_fail_closed_on_fuzzed_bytes():
             except NotImplementedError:
                 pass  # the one allowed failure mode
             # any other exception type propagates and fails the test
+
+
+def test_extract_stats_on_error_null_quarantines_rows(spark):
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_wav_samples,
+        extract_audio_stats,
+        extract_pixel_stats,
+    )
+
+    rows = [
+        (1, bytearray(b"P6 1 1 255\n" + bytes([10, 20, 30]))),
+        (2, bytearray(b"garbage, not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_pixel_stats(df, on_error="null").collect()}
+    assert got[1].mean_r == 10.0
+    assert got[2].format is None and got[2].mean_r is None
+    # default mode still fails the task on the bad row
+    with pytest.raises(Exception):
+        extract_pixel_stats(df).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_pixel_stats(df, on_error="skip")
+
+    wav = build_wav_samples([1, 2, 3, 4], 8000, bits=16)
+    rows = [(1, bytearray(wav)), (2, bytearray(b"not audio"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_audio_stats(df, on_error="null").collect()}
+    assert got[1].n_frames == 4 and got[2].codec is None
