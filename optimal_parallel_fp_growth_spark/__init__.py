@@ -36,10 +36,17 @@ from optimal_parallel_fp_growth_spark.operators.dedup import (
 )
 from optimal_parallel_fp_growth_spark.operators.graph import pagerank
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
+    decode_jpeg_pixels,
     decode_media,
     decode_pixels,
     decode_real,
+    decode_wav_samples,
+    extract_audio_stats,
     extract_pixel_stats,
+)
+from optimal_parallel_fp_growth_spark.operators.bpe import (
+    apply_bpe,
+    train_bpe,
 )
 from optimal_parallel_fp_growth_spark.streaming.stateful import (
     first_seen_dedup,
@@ -59,6 +66,7 @@ from optimal_parallel_fp_growth_spark.operators.fpgrowth import FPGrowth, FPGrow
 from optimal_parallel_fp_growth_spark.operators.ngrams import (
     inverted_index,
     ngram_counts,
+    repeated_spans,
     source_ngram_overlap,
 )
 from optimal_parallel_fp_growth_spark.operators.sampling import (
@@ -169,6 +177,12 @@ __all__ = [
     "decode_media",
     "decode_real",
     "decode_pixels",
+    "repeated_spans",
+    "train_bpe",
+    "apply_bpe",
+    "extract_audio_stats",
+    "decode_wav_samples",
+    "decode_jpeg_pixels",
     "extract_pixel_stats",
     "first_seen_dedup",
     "first_seen_dedup_watermarked",
