@@ -151,7 +151,7 @@ def test_property_random_op_sequences_keep_invariants(spark, tmp_path):
     from hypothesis import given, settings, strategies as st
 
     op_strat = st.lists(
-        st.sampled_from(["append", "overwrite", "compact"]),
+        st.sampled_from(["append", "overwrite", "compact", "evolve"]),
         min_size=1,
         max_size=5,
     )
@@ -166,16 +166,26 @@ def test_property_random_op_sequences_keep_invariants(spark, tmp_path):
         expected = [100]  # rows per version
         create_table(_batch(spark, 0, 100), path)
         nxt = 100
+        evolved = 0  # extra columns added so far
         for op in ops:
             if op == "append":
                 create = _batch(spark, nxt, 10)
-                append_table(create, path)
+                append_table(create, path, evolve=evolved > 0)
                 expected.append(expected[-1] + 10)
                 nxt += 10
             elif op == "overwrite":
                 overwrite_table(_batch(spark, nxt, 7), path)
                 expected.append(7)
+                evolved = 0  # overwrite resets the schema
                 nxt += 7
+            elif op == "evolve":
+                evolved += 1
+                wider = _batch(spark, nxt, 5).withColumn(
+                    f"x{evolved}", F.lit(evolved)
+                )
+                append_table(wider, path, evolve=True)
+                expected.append(expected[-1] + 5)
+                nxt += 5
             else:
                 from optimal_parallel_fp_growth_spark.sources.versioned import (
                     compact_table,
@@ -187,6 +197,10 @@ def test_property_random_op_sequences_keep_invariants(spark, tmp_path):
         assert [h["version"] for h in hist] == list(range(1, len(expected) + 1))
         for v, want in enumerate(expected, start=1):
             assert read_table(spark, path, version=v).count() == want
+        # the latest schema carries every evolved column still in force
+        latest = read_table(spark, path)
+        for i in range(1, evolved + 1):
+            assert f"x{i}" in latest.columns
 
     run()
 
