@@ -9,7 +9,7 @@ only the innermost byte-decode is a STUB.
 CODEC STATUS: this container has no codec libraries (no PIL/
 ffmpeg/librosa), but the pure-Python/stdlib decode surface now covers
 (a) header metadata for PNG/GIF/BMP/JPEG/WAV (``decode_real``, round
-5), (b) FULL pixel decode for raw netpbm P5/P6 (round 5), for PNG
+5) and MP4/ISO-BMFF box-tree track dims (round 6), (b) FULL pixel decode for raw netpbm P5/P6 (round 5), for PNG
 at EVERY legal depth/color combination (1/2/4/8/16-bit) in BOTH
 interlace methods — real zlib inflate + all five scanline filters +
 per-pass Adam7 unfiltering + MSB-first sub-byte unpacking
@@ -186,14 +186,54 @@ def decode_real(payload: bytes) -> dict:
                 return out
             pos += 8 + clen + (clen % 2)
         raise NotImplementedError("WAV without fmt chunk")
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # MP4/ISO-BMFF (round 6): the container is a pure box tree —
+        # [size:4 BE][type:4][payload] — so track metadata is struct
+        # walking, no codec. Video dims come from the first trak's
+        # tkhd (16.16 fixed point); only the SAMPLE data (H.264 etc.)
+        # genuinely needs codec libraries.
+        def boxes(buf, pos, end):
+            while pos + 8 <= end:
+                size = int.from_bytes(buf[pos : pos + 4], "big")
+                if size < 8 or pos + size > end:
+                    raise NotImplementedError("corrupt MP4 box size")
+                yield buf[pos + 4 : pos + 8], pos + 8, pos + size
+                pos += size
+
+        def find(buf, pos, end, name):
+            for t, s, e in boxes(buf, pos, end):
+                if t == name:
+                    return s, e
+            return None
+
+        moov = find(payload, 0, len(payload), b"moov")
+        if moov is None:
+            raise NotImplementedError("MP4 without moov box")
+        out["format"] = "mp4"
+        for t, s, e in boxes(payload, *moov):
+            if t == b"trak":
+                tkhd = find(payload, s, e, b"tkhd")
+                if tkhd is None:
+                    continue
+                ts = tkhd[0]
+                # tkhd v0: ver/flags 4 + times 8 + id 4 + rsvd 4 +
+                # duration 4 + rsvd 8 + layer/alt/vol/rsvd 8 +
+                # matrix 36 → width at +76, height at +80 (16.16)
+                w = int.from_bytes(payload[ts + 76 : ts + 80], "big") >> 16
+                h = int.from_bytes(payload[ts + 80 : ts + 84], "big") >> 16
+                if w and h:
+                    out["width"] = w
+                    out["height"] = h
+                    return out
+        return out  # audio-only / metadata-only MP4: format alone
     raise NotImplementedError(
-        "unsupported media format (PNG/GIF/BMP/JPEG headers and WAV fmt "
-        "are parsed natively; full pixel/sample decode requires codec "
-        "libraries not present in this container)"
+        "unsupported media format (PNG/GIF/BMP/JPEG/MP4 headers and WAV "
+        "fmt are parsed natively; full pixel/sample decode requires "
+        "codec libraries not present in this container)"
     )
 
 
-MEDIA_FORMATS = ("png", "gif", "bmp", "jpeg", "wav")
+MEDIA_FORMATS = ("png", "gif", "bmp", "jpeg", "wav", "mp4")
 
 DECODE_SCHEMA = (
     "doc_id long, format string, width int, height int, "
@@ -268,6 +308,36 @@ def build_payload(
             + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
             + b"data" + struct.pack("<I", len(data)) + data
         )
+    if fmt == "mp4":
+        # minimal spec-valid ISO-BMFF: ftyp + moov(mvhd + trak(tkhd))
+        # + mdat filler; tkhd carries the 16.16 fixed-point dims
+        def box(t: bytes, body: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(body)) + t + body
+
+        mvhd = box(
+            b"mvhd",
+            bytes(4)                      # version/flags
+            + bytes(8)                    # creation/modification
+            + struct.pack(">II", 1000, 0)  # timescale, duration
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + bytes(10)                   # rate, volume, reserved
+            + bytes(36)                   # matrix
+            + bytes(24)                   # predefined
+            + struct.pack(">I", 2),       # next track id
+        )
+        tkhd = box(
+            b"tkhd",
+            bytes(4) + bytes(8)           # version/flags, times
+            + struct.pack(">I", 1)        # track id
+            + bytes(4)                    # reserved
+            + struct.pack(">I", 0)        # duration
+            + bytes(8) + bytes(8)         # reserved, layer/alt/vol/rsvd
+            + bytes(36)                   # matrix
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        moov = box(b"moov", mvhd + box(b"trak", tkhd))
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        return ftyp + moov + box(b"mdat", filler)
     raise ValueError(f"unknown format {fmt!r}")
 
 

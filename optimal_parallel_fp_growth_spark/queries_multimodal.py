@@ -149,19 +149,21 @@ FROM documents CROSS JOIN range(4) r(i)
 WHERE i < 1 + ({_H8} % 4)
 """
 
-# media_meta_for mirrored in SQL: format rotates doc_id % 5; images get
+# media_meta_for mirrored in SQL: format rotates doc_id % 6 (round 6
+# adds MP4 ISO-BMFF box parsing); images AND mp4 get
 # (16 + doc_id*7919 % 2000, 16 + doc_id*104729 % 2000), wav gets
 # (8000 + doc_id*31 % 40000, 1 + doc_id % 2).
 ORACLE_DECODE = """
 SELECT doc_id,
-       ['png', 'gif', 'bmp', 'jpeg', 'wav'][(doc_id % 5)::INT + 1] AS format,
-       CASE WHEN doc_id % 5 = 4 THEN 0
+       ['png', 'gif', 'bmp', 'jpeg', 'wav', 'mp4'][(doc_id % 6)::INT + 1]
+         AS format,
+       CASE WHEN doc_id % 6 = 4 THEN 0
             ELSE (16 + (doc_id * 7919) % 2000)::INT END AS width,
-       CASE WHEN doc_id % 5 = 4 THEN 0
+       CASE WHEN doc_id % 6 = 4 THEN 0
             ELSE (16 + (doc_id * 104729) % 2000)::INT END AS height,
-       CASE WHEN doc_id % 5 = 4
+       CASE WHEN doc_id % 6 = 4
             THEN (8000 + (doc_id * 31) % 40000)::INT ELSE 0 END AS sample_rate,
-       CASE WHEN doc_id % 5 = 4 THEN (1 + doc_id % 2)::INT ELSE 0 END AS channels
+       CASE WHEN doc_id % 6 = 4 THEN (1 + doc_id % 2)::INT ELSE 0 END AS channels
 FROM documents
 """
 

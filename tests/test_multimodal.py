@@ -1296,3 +1296,55 @@ def test_extract_stats_on_error_null_quarantines_rows(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in extract_audio_stats(df, on_error="null").collect()}
     assert got[1].n_frames == 4 and got[2].codec is None
+
+
+def test_mp4_box_walk_golden_and_seams():
+    """MP4 parse against a HAND-BUILT box tree (independent of the
+    build twin), plus the seams: missing moov, corrupt box size,
+    audio-only files report format without dims."""
+    import struct
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_payload,
+        decode_real,
+    )
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", 0) + bytes(16) + bytes(36)
+        + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    golden = (
+        box(b"ftyp", b"isom" + bytes(4))
+        + box(b"moov", box(b"trak", tkhd))
+    )
+    d = decode_real(golden)
+    assert (d["format"], d["width"], d["height"]) == ("mp4", 640, 360)
+
+    # build twin round trip at a different size
+    d2 = decode_real(build_payload("mp4", width=320, height=240))
+    assert (d2["width"], d2["height"]) == (320, 240)
+
+    # audio-only (trak without dims): format reported, dims absent
+    tkhd0 = box(
+        b"tkhd",
+        bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", 0) + bytes(16) + bytes(36)
+        + struct.pack(">II", 0, 0),
+    )
+    audio = box(b"ftyp", b"isom" + bytes(4)) + box(
+        b"moov", box(b"trak", tkhd0)
+    )
+    da = decode_real(audio)
+    assert da["format"] == "mp4" and da["width"] is None
+
+    with pytest.raises(NotImplementedError, match="moov"):
+        decode_real(box(b"ftyp", b"isom" + bytes(4)) + box(b"free", b""))
+    corrupt = bytearray(golden)
+    corrupt[0:4] = struct.pack(">I", 3)  # impossible box size
+    with pytest.raises(NotImplementedError):
+        decode_real(bytes(corrupt))
