@@ -93,7 +93,11 @@ def _parse_guard(fn):
         except NotImplementedError:
             raise
         except (IndexError, KeyError, ValueError, OverflowError,
-                struct.error, zlib.error) as e:
+                ZeroDivisionError, struct.error, zlib.error) as e:
+            # ZeroDivisionError: zero-dimension headers (0x0 PNG/GIF,
+            # 'P6 0 0') reach the channel-mean divide if a decoder
+            # misses its explicit zero-dim reject — quarantine, never
+            # fail the whole mapInPandas task (ADVICE r6).
             raise NotImplementedError(
                 f"corrupt or unsupported payload ({fn.__name__}: "
                 f"{type(e).__name__}: {e})"
@@ -531,6 +535,8 @@ def decode_pixels(payload: bytes) -> dict:
         fields.append(int(payload[start:pos]))
     pos += 1  # the single delimiter byte
     width, height, maxval = fields
+    if width == 0 or height == 0:
+        raise NotImplementedError("zero-dimension netpbm image")
     if maxval >= 256:
         raise NotImplementedError("16-bit netpbm samples not supported")
     ch = 3 if payload[:2] == b"P6" else 1
@@ -623,6 +629,8 @@ def decode_png_pixels(payload: bytes) -> dict:
         raise NotImplementedError("corrupt PNG: missing IHDR")
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
+    if width == 0 or height == 0:
+        raise NotImplementedError("zero-dimension PNG (spec requires > 0)")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
     if depth not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} invalid")
@@ -1007,6 +1015,8 @@ def decode_gif_pixels(payload: bytes) -> dict:
         elif b == 0x2C:  # image descriptor
             iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
             ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            if iw == 0 or ih == 0:
+                raise NotImplementedError("zero-dimension GIF image descriptor")
             ipacked = payload[pos + 9]
             pos += 10
             ct = gct
@@ -1774,6 +1784,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"JPEG bit depth {depth} not supported")
+            if w == 0 or h == 0:
+                raise NotImplementedError("zero-dimension JPEG frame")
             comps = []
             for k in range(ncomp):
                 cid, samp, tq = body[6 + 3 * k : 9 + 3 * k]

@@ -429,24 +429,109 @@ QUERIES.update(REL_QUERIES)
 
 # ---------------------------------------------------------------------------
 # Driver sampling order. The correctness harness samples the registry in
-# insertion order with a bounded per-round window (exactly 50 rows in r4
-# and r5), so entries whose last green driver row is OLDEST must come
-# FIRST — the rotation contract that bounds staleness. Round-6 tiers:
-#   1. the 10 entries added in round 5 that have NEVER had a driver row
-#      (VERDICT r5 task #2), plus the new-this-round versioned-table
-#      entry (VERDICT r5 task #3)
-#   2. the r04-green entries cycling back in (staleness would hit 2
-#      rounds otherwise) — 39 of the 49, in families
-#   3. ten r04-green entries deliberately deferred ONE extra round
-#      because each is pytest-differential-pinned to a twin that is
-#      either r05-green or in this window (see tier-3 comment) —
-#      resolving the first window overflow exactly as the r5 plan
-#      prescribed
-#   4. the 50 r05-green entries, freshest last
+# insertion order with a bounded per-round window (exactly 50 rows in
+# r4-r6), so entries whose last green driver row is OLDEST must come
+# FIRST — the rotation contract that bounds staleness. Round-7 tiers
+# (staleness computed from CORRECTNESS_r0{1..6}.json; the invariant is
+# enforced data-driven by tests/test_registry_order.py):
+#   1. the 12 entries with NO driver-green row ever: versioned_read
+#      (the r6 red row — rows+schema matched, hash did not; VERDICT r6
+#      task #1 says it must lead) and the 11 entries added after the r6
+#      window filled (versioned_merge, batch-5 TPC-H, multimodal
+#      audio/jpeg, repeated_spans, zorder, Q5).
+#   2. the 11 entries whose last green row is r04 (3 rounds stale) —
+#      the twice-deferred set; VERDICT r6 task #2 mandates rows now.
+#   3. 27 of the 50 r05-green entries (2 rounds stale): the 9
+#      events/multimodal entries WITHOUT a pytest differential twin,
+#      plus all 18 relational TPC-H shapes. Exactly fills the window.
+#   4. the 23 remaining r05-green entries, each pytest-differential-
+#      pinned to a twin that is fresher or in this window (the TWINS
+#      map in tests/test_registry_order.py names each pinning test) —
+#      deferred to lead r8 together with tier-4's own twins.
+#   5. the 49 r06-green entries, freshest last.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
-    # tier 1 — never driver-sampled (added round 5) + new round-6 rows
+    # tier 1 — never driver-green (versioned_read leads: VERDICT r6 #1)
+    "versioned_read",
+    "versioned_merge",
+    "min_cost_part_supplier",
+    "important_parts",
+    "returnflag_priority_lines",
+    "supplier_variety",
+    "recent_concentration_suppliers",
+    "multimodal_audio",
+    "multimodal_jpeg",
+    "repeated_spans",
+    "zorder_layout_read",
+    "local_supplier_revenue",
+    # tier 2 — last green r04, twice deferred; rows mandated this round
+    "word_count",
+    "kmeans_clusters",
+    "kmeans_auto",
+    "semdedup",
+    "semdedup_auto",
+    "knn_ivf",
+    "knn_ann",
+    "supplier_pagerank",
+    "dedup_minhash_lsh",
+    "freq_itemsets",
+    "deduped_corpus_cc",
+    # tier 3 — last green r05, no differential twin: events family
+    # first, then the multimodal frame walk, then the 18 TPC-H shapes
+    "events_user_quartiles",
+    "events_rolling",
+    "events_daily_rollup",
+    "events_asof_join",
+    "events_hourly_cube",
+    "events_json_props",
+    "events_retention",
+    "events_top_users",
+    "multimodal_frames",
+    "nation_trade_volume",
+    "product_line_revenue",
+    "promo_revenue_share",
+    "brand_discount_revenue",
+    "pricing_summary",
+    "customers_no_big_orders",
+    "top_suppliers_per_nation",
+    "order_priority_stats",
+    "segment_part_overlap",
+    "shipping_priority",
+    "forecast_revenue",
+    "returned_item_report",
+    "large_orders",
+    "nation_revenue_share",
+    "small_qty_revenue",
+    "customer_order_counts",
+    "top_supplier",
+    "idle_rich_customers",
+    # tier 4 — last green r05 but twin-pinned (see TWINS in
+    # tests/test_registry_order.py); these MUST lead the r8 window
+    "bloom_decontaminate",
+    "bloom_user_filter",
+    "events_distinct_sketch",
+    "kmeans_arrow",
+    "semdedup_arrow",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_exact",
+    "multimodal_decode",
+    "supplier_pagerank_bucketed",
+    "dedup_incremental",
+    "knn_ivf_index",
+    "freq_itemsets_by_lang",
+    "transform_self",
+    "mix_temperature",
+    "knn_cosine",
+    "events_pivot",
+    "events_unpivot",
+    "events_sessionize",
+    "events_windowed_counts",
+    "events_interval_join",
+    "events_funnel",
+    "events_resample",
+    "multimodal_features",
+    # tier 5 — r06-green, freshest
     "gopher_rules",
     "late_order_priorities",
     "sole_late_suppliers",
@@ -457,11 +542,7 @@ _DRIVER_PRIORITY: list[str] = [
     "hard_negatives",
     "dq_events",
     "events_hopping",
-    "versioned_read",
     "multimodal_pixels",
-    # tier 2 — last green row r04; cycle back into the window.
-    # Core mining family first (the reference-parity canaries), then
-    # dedup, docs/text, vectors, relational, sampling.
     "count_rows",
     "tokenize_distinct",
     "freq_items",
@@ -500,80 +581,6 @@ _DRIVER_PRIORITY: list[str] = [
     "label_centroids",
     "revenue_by_nation",
     "top_orders",
-    # tier 3 — r04-green entries deferred one extra round (2-round
-    # staleness, allowed once per the r5 plan) because each is pinned
-    # by a pytest differential test to a twin with a fresher or
-    # in-window driver row:
-    #   kmeans_clusters/kmeans_auto  ↔ kmeans_arrow (r05)
-    #       tests/test_clustering.py::test_arrow_assignment_matches_sql
-    #   semdedup/semdedup_auto       ↔ semdedup_arrow (r05)
-    #       tests/test_clustering.py::test_semdedup_arrow_matches_sql
-    #   knn_ivf                      ↔ knn_ivf_index (r05)
-    #       tests/test_similarity.py::test_ann_against_index_matches_ivf_topk
-    #   knn_ann                      ↔ knn_cosine (r05, exact scorer)
-    #       tests/test_similarity.py::test_ann_cosines_agree_with_exact
-    #   supplier_pagerank            ↔ supplier_pagerank_bucketed (r05)
-    #       tests/test_graph.py::test_pagerank_bucketed_edges_matches_default
-    #   dedup_minhash_lsh            ↔ dedup_incremental (r05)
-    #       tests/test_incremental_dedup.py::test_incremental_matches_full_lsh_cut
-    #   freq_itemsets (mllib kernel) ↔ freq_itemsets_pfp (tier 2 above)
-    #       tests/test_pfp_kernel.py::test_kernels_agree_on_*
-    #   word_count ↔ freq_items (tier 2): same explode→groupBy→count→
-    #       orderBy kernel (operators/itemcount.py); freq_items adds
-    #       only the HAVING, so the in-window row exercises a strict
-    #       superset of word_count's plan. Ceded its slot to the new
-    #       multimodal_pixels row (real PNG/netpbm pixel decode).
-    #   deduped_corpus_cc ↔ deduped_corpus (tier 2) on the shared LSH
-    #       candidate set (tests/test_cc_sampling.py::
-    #       test_deduped_corpus_cc_policy) and ↔ dedup_clusters
-    #       (tier 2) for the CC machinery (test_dedup_clusters_matches_
-    #       union_find, test_cc_star_matches_label_on_hand_and_random_graphs)
-    # These MUST lead the r7 window, together with any entry added
-    # late in round 6 after the window filled (currently:
-    # versioned_merge — oracle-gated and pytest-verified now, first
-    # driver sample in r7 — and the batch-5 TPC-H shapes
-    # min_cost_part_supplier / important_parts /
-    # returnflag_priority_lines / supplier_variety /
-    # recent_concentration_suppliers, added after the r6 window
-    # filled; all five locally oracle-verified at sf0.01).
-    "versioned_merge",
-    "min_cost_part_supplier",
-    "important_parts",
-    "returnflag_priority_lines",
-    "supplier_variety",
-    "recent_concentration_suppliers",
-    "multimodal_audio",
-    "multimodal_jpeg",
-    "repeated_spans",
-    "zorder_layout_read",
-    "local_supplier_revenue",
-    "word_count",
-    "kmeans_clusters",
-    "kmeans_auto",
-    "semdedup",
-    "semdedup_auto",
-    "knn_ivf",
-    "knn_ann",
-    "supplier_pagerank",
-    "dedup_minhash_lsh",
-    "freq_itemsets",
-    "deduped_corpus_cc",
-    # tier 4 — r05-green (freshest; sampled only if the window grows)
-    "bloom_decontaminate",
-    "bloom_user_filter",
-    "events_distinct_sketch",
-    "kmeans_arrow",
-    "semdedup_arrow",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_exact",
-    "multimodal_decode",
-    "supplier_pagerank_bucketed",
-    "dedup_incremental",
-    "knn_ivf_index",
-    "freq_itemsets_by_lang",
-    "transform_self",
-    "mix_temperature",
-    "knn_cosine",
 ]
 
 

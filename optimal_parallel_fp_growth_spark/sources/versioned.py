@@ -75,9 +75,25 @@ def _load_manifest(path: str, version: int) -> dict:
 
 def _write_data(df: DataFrame, path: str, version: int) -> list[str]:
     """Write immutable data files under data/v<N>/ and return their
-    table-relative paths."""
+    table-relative paths.
+
+    Timestamps are written as INT64 TIMESTAMP_MICROS, not Spark's
+    legacy INT96 default: INT96 columns carry NO parquet min/max
+    statistics, so every timestamp-keyed manifest stat would be empty
+    and time-range pruning — the single most common prune at scale —
+    would silently degrade to a full scan."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
     ddir = pathlib.Path(path) / _DATA_DIR / f"v{version:08d}"
-    df.write.mode("error").parquet(str(ddir))
+    try:
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        df.write.mode("error").parquet(str(ddir))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     rel = []
     for f in sorted(ddir.glob("*.parquet")):
         rel.append(str(f.relative_to(path)))
@@ -130,7 +146,13 @@ def _file_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
                     hi = mx if hi is None or mx > hi else hi
                 if ok and lo is not None:
                     if pa.types.is_date(typ) or pa.types.is_timestamp(typ):
-                        lo, hi = str(lo), str(hi)
+                        # ISO strings: lexicographic == chronological.
+                        # Timestamp stats come back tz-aware (parquet
+                        # marks them adjusted-to-UTC); drop to naive
+                        # UTC so they compare cleanly against naive
+                        # probe values (_stat_probe) — a trailing
+                        # '+00:00' would break the <=/>= boundary.
+                        lo, hi = _iso_naive(lo), _iso_naive(hi)
                     stats[name] = [lo, hi]
         except (OSError, pa.ArrowException):
             # unreadable/corrupt footer → file stays unprunable, not
@@ -324,6 +346,32 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
 _PRUNE_OPS = ("==", ">=", "<=", ">", "<")
 
 
+def _iso_naive(val) -> str:
+    """date/datetime → ISO string with any tzinfo folded into UTC and
+    dropped, so every recorded stat and probe lives in one string
+    domain where lexicographic order == chronological order."""
+    import datetime
+
+    if isinstance(val, datetime.datetime) and val.tzinfo is not None:
+        val = val.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return str(val)
+
+
+def _stat_probe(val):
+    """Normalize a caller-side probe value to the manifest's stat
+    domain: date/timestamp stats are recorded as naive-UTC ISO strings
+    (``_file_stats``), so the probe must be stringified the same way —
+    comparing a ``datetime`` against the stored string raises
+    TypeError (ADVICE r6). Naive datetimes are taken as already-UTC
+    (Spark collect() returns naive UTC under the UTC session this
+    engine pins); aware ones are converted."""
+    import datetime
+
+    if isinstance(val, (datetime.date, datetime.datetime)):
+        return _iso_naive(val)
+    return val
+
+
 def _file_survives(stats: dict, col: str, op: str, val) -> bool:
     """Can any row in a file with range stats satisfy ``col op val``?
     Missing stats → True (never prune on ignorance)."""
@@ -331,6 +379,7 @@ def _file_survives(stats: dict, col: str, op: str, val) -> bool:
     if not rng:
         return True
     lo, hi = rng
+    val = _stat_probe(val)
     if op == "==":
         return lo <= val <= hi
     if op == ">=":
@@ -453,6 +502,7 @@ def _split_files_by_stats(
     is why the manifest keeps per-file ranges: at 100 TB a point
     upsert touches a handful of files, not the table."""
     fstats = man.get("file_stats") or {}
+    lo, hi = _stat_probe(lo), _stat_probe(hi)
     untouched, affected = [], []
     for f in man["files"]:
         rng = (fstats.get(f) or {}).get(col)
@@ -486,9 +536,23 @@ def merge_table(df: DataFrame, path: str, key: str) -> int:
     man = _load_manifest(path, cur)
     from pyspark.sql import functions as F
 
-    bounds = df.agg(F.min(key), F.max(key)).collect()[0]
+    # one pass computes bounds AND detects null keys: a null-key row
+    # would pass the bounds check, never match the left_anti join
+    # (null equality), and be re-inserted as a fresh duplicate on
+    # EVERY retry — breaking the at-least-once idempotency contract
+    # of stream_merge_to_table (ADVICE r6). Fail loudly instead.
+    bounds = df.agg(
+        F.min(key), F.max(key), F.count(F.lit(1)), F.count(key)
+    ).collect()[0]
     if bounds[0] is None:
         raise ValueError("merge source has no rows (or all-null keys)")
+    if bounds[2] != bounds[3]:
+        raise ValueError(
+            f"merge source has {bounds[2] - bounds[3]} null {key!r} rows - "
+            "an upsert key must be non-null (null never equi-joins, so "
+            "such rows would duplicate on every retried application); "
+            "drop or key them upstream"
+        )
     untouched, affected = _split_files_by_stats(man, key, bounds[0], bounds[1])
     new_files: list[str] = []
     if affected:

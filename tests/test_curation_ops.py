@@ -135,3 +135,46 @@ def test_curate_corpus_invariants(spark, sf_oracle):
     for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
         assert by_src.get(r.source, 0) <= r.pack_id
         by_src[r.source] = r.pack_id
+
+
+def test_mix_temperature_matches_reference(spark, sf_oracle):
+    """Twin differential for the `mix_temperature` registry entry
+    (tests/test_registry_order.py::TWINS): the full keep-rate formula
+    and md5-bucket keep rule recomputed independently in pure Python
+    must select EXACTLY the rows the Spark plan selects."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from optimal_parallel_fp_growth_spark.operators.sampling import (
+        BUCKETS,
+        mix_by_temperature,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    target, alpha = 300, 0.5
+    got = {
+        r.doc_id
+        for r in mix_by_temperature(docs, target, alpha=alpha).collect()
+    }
+
+    rows = docs.select("doc_id", "source").collect()
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r.source] = counts.get(r.source, 0) + 1
+    tot = sum(c**alpha for c in counts.values())
+    keep_below = {
+        s: int(
+            Decimal(min(1.0, target * (c**alpha) / tot / c) * BUCKETS)
+            .quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+        for s, c in counts.items()
+    }
+    want = {
+        r.doc_id
+        for r in rows
+        if int(hashlib.md5(f"mixtemp:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        % BUCKETS
+        < keep_below[r.source]
+    }
+    assert got == want and got

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import pytest
 
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
@@ -10,6 +12,7 @@ from optimal_parallel_fp_growth_spark.operators.multimodal import (
     build_payload,
     decode_media,
     decode_real,
+    extract_features,
     media_meta_for,
     sample_frames,
 )
@@ -1348,3 +1351,100 @@ def test_mp4_box_walk_golden_and_seams():
     corrupt[0:4] = struct.pack(">I", 3)  # impossible box size
     with pytest.raises(NotImplementedError):
         decode_real(bytes(corrupt))
+
+
+def test_extract_features_matches_recipe(spark, sf_small):
+    """Twin differential for the `multimodal_features` registry entry
+    (tests/test_registry_order.py::TWINS): width/height/f0..f3 are an
+    md5-derived recipe over the payload bytes; recompute it inline
+    (NOT via _decode_stub) and demand exact equality per doc."""
+    docs = load_table(spark, sf_small, "documents")
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in attach_payload(docs).select("doc_id", "payload").collect()
+    }
+    out = extract_features(attach_payload(docs)).collect()
+    assert len(out) == len(payloads) > 0
+    for r in out:
+        b = payloads[r.doc_id]
+        hx = hashlib.md5(b).hexdigest()
+        h8 = int(hx[:8], 16)
+        assert r.n_bytes == len(b)
+        assert r.width == 16 + h8 % 1008
+        assert r.height == 16 + (h8 // 1008) % 1008
+        for j, f in enumerate((r.f0, r.f1, r.f2, r.f3)):
+            assert f == round(int(hx[4 * j : 4 * j + 4], 16) / 65535.0, 6)
+
+
+def _zero_dim_payloads() -> list[bytes]:
+    """Spec-shaped payloads whose header dimensions are zero — the
+    ADVICE r6 escape: these used to raise ZeroDivisionError at the
+    channel-mean divide instead of NotImplementedError."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    png_0x0 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    gif_0x0 = (
+        b"GIF89a"
+        + struct.pack("<HH", 0, 0)  # logical screen 0x0
+        + bytes([0xF0, 0, 0])  # gct flag, 2-entry table
+        + bytes(6)  # gct: 2 rgb entries
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 0, 0) + b"\x00"  # 0x0 image
+        + b"\x02\x00"  # lzw min code size, empty data
+        + b"\x00\x3b"
+    )
+    netpbm_0x0 = b"P6\n0 0\n255\n"
+    jpeg_0x0 = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 3, 8, 0, 0, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    return [png_0x0, gif_0x0, netpbm_0x0, jpeg_0x0]
+
+
+def test_zero_dimension_payloads_raise_not_implemented():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        decode_pixels,
+    )
+
+    for payload in _zero_dim_payloads():
+        with pytest.raises(NotImplementedError):
+            decode_pixels(payload)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(_zero_dim_payloads()[3])
+
+
+def test_on_error_null_quarantines_zero_dim_rows(spark):
+    """extract_pixel_stats(on_error='null') must absorb zero-dim rows
+    as null-stat rows, not fail the task (the exact ADVICE r6 repro)."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_png_pixels,
+        extract_pixel_stats,
+    )
+
+    good = build_png_pixels(2, 2, bytes(range(12)), color_type=2)
+    rows = [(1, bytearray(good))] + [
+        (i + 2, bytearray(p)) for i, p in enumerate(_zero_dim_payloads())
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in extract_pixel_stats(df, on_error="null").collect()}
+    assert len(out) == len(rows)
+    assert out[1].width == 2 and out[1].mean_r is not None
+    for i in range(2, len(rows) + 1):
+        assert out[i].width is None and out[i].mean_r is None

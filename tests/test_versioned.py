@@ -739,3 +739,128 @@ def test_evolve_prune_on_new_column_keeps_old_files(spark, table):
     df = read_table(spark, table, prune=("score", "==", 5))
     assert df.count() == 10
     assert df.columns == ["doc_id", "v", "score"]
+
+
+def test_merge_rejects_null_keys(spark, tmp_path):
+    """A null upsert key would never equi-join, so a retried merge
+    would re-insert it forever (at-least-once idempotency breach,
+    ADVICE r6) - reject loudly instead."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import merge_table
+
+    path = str(tmp_path / "tbl")
+    create_table(_batch(spark, 0, 20), path)
+    src = spark.createDataFrame(
+        [(5, 99), (None, 7), (21, 42)], "doc_id long, v long"
+    )
+    with pytest.raises(ValueError, match="null 'doc_id'"):
+        merge_table(src, path, "doc_id")
+    # table unchanged - the reject happened before any commit
+    assert read_table(spark, path).count() == 20
+
+
+def test_date_keyed_table_prune_and_merge(spark, tmp_path):
+    """Date/timestamp stats are recorded as ISO strings; pruning and
+    merging with datetime probes must not TypeError and must stay
+    exact (ADVICE r6)."""
+    import datetime
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        files_scanned,
+        merge_table,
+    )
+
+    path = str(tmp_path / "dtbl")
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), i, f"s{i}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "d date, v long, tag string")
+    # several files so the range stats can actually prune some
+    create_table(df.repartitionByRange(3, "d"), path)
+
+    probe = base + datetime.timedelta(days=25)
+    got = read_table(spark, path, prune=("d", ">=", probe)).collect()
+    assert sorted(r.v for r in got) == list(range(25, 30))
+    # the prune really skips range-disjoint files, not just filters
+    assert files_scanned(path, prune=("d", ">=", probe)) < 3
+
+    # COW merge keyed on the date column: datetime bounds vs string stats
+    upd = spark.createDataFrame(
+        [(probe, 999, "upd"), (base + datetime.timedelta(days=40), 40, "new")],
+        "d date, v long, tag string",
+    )
+    merge_table(upd, path, "d")
+    after = {r.d: (r.v, r.tag) for r in read_table(spark, path).collect()}
+    assert len(after) == 31
+    assert after[probe] == (999, "upd")
+    assert after[base + datetime.timedelta(days=40)] == (40, "new")
+    assert after[base] == (0, "s0")
+
+
+def test_timestamp_keyed_prune_no_typeerror(spark, tmp_path):
+    import datetime
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import files_scanned
+
+    path = str(tmp_path / "tstbl")
+    base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [(base + datetime.timedelta(hours=i), i) for i in range(24)]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    create_table(df.repartitionByRange(4, "ts"), path)
+    probe = base + datetime.timedelta(hours=20)
+    got = read_table(spark, path, prune=("ts", ">", probe)).collect()
+    assert sorted(r.v for r in got) == [21, 22, 23]
+    assert files_scanned(path, prune=("ts", ">", probe)) < 4
+
+
+def test_driver_canonical_hash_versioned_family(spark, sf_oracle):
+    """Replay the driver's correctness canonicalization (sort columns
+    by name, round floats to 1e-9, sort row tuples, hash the rendered
+    rows) for the versioned registry entries, Spark vs DuckDB, TWICE -
+    so a driver-side hash divergence like the r6 `versioned_read` red
+    row (rows+schema matched, hash did not; never reproduced locally)
+    cannot recur silently. Asserts value-hash equality AND cross-run
+    determinism of the Spark side."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from optimal_parallel_fp_growth_spark.sources.catalog import TABLES
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def cv(v):
+            if isinstance(v, bool):
+                return ("b", int(v))
+            if isinstance(v, float):
+                return ("f", "NaN" if math.isnan(v) else round(v, 9))
+            if isinstance(v, int):
+                return ("i", v)
+            return ("s", str(v))
+
+        return sorted(tuple(cv(r[i]) for i in order) for r in rows)
+
+    def vhash(rows, cols):
+        return hashlib.md5(repr(canon(rows, cols)).encode()).hexdigest()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_oracle}/{t}.parquet')"
+        )
+    qs, oracles = em.queries(), em.oracle_sql()
+    for name in ("versioned_read", "versioned_merge"):
+        sdf1 = qs[name](spark, sf_oracle)
+        h1 = vhash([tuple(r) for r in sdf1.collect()], sdf1.columns)
+        sdf2 = qs[name](spark, sf_oracle)
+        h2 = vhash([tuple(r) for r in sdf2.collect()], sdf2.columns)
+        assert h1 == h2, f"{name}: Spark result not run-deterministic"
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        ho = vhash(res.fetchall(), dcols)
+        assert h1 == ho, f"{name}: Spark/oracle canonical hash diverged"
+    con.close()
