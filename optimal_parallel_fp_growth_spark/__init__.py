@@ -36,13 +36,18 @@ from optimal_parallel_fp_growth_spark.operators.dedup import (
 )
 from optimal_parallel_fp_growth_spark.operators.graph import pagerank
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
+    build_avi_mjpeg,
+    build_mp3_frames,
+    decode_avi_frames,
     decode_jpeg_pixels,
     decode_media,
+    decode_mp3_frames,
     decode_pixels,
     decode_real,
     decode_wav_samples,
     extract_audio_stats,
     extract_pixel_stats,
+    extract_video_frames,
 )
 from optimal_parallel_fp_growth_spark.operators.bpe import (
     apply_bpe,
@@ -182,7 +187,12 @@ __all__ = [
     "apply_bpe",
     "extract_audio_stats",
     "decode_wav_samples",
+    "build_avi_mjpeg",
+    "build_mp3_frames",
+    "decode_avi_frames",
     "decode_jpeg_pixels",
+    "decode_mp3_frames",
+    "extract_video_frames",
     "extract_pixel_stats",
     "first_seen_dedup",
     "first_seen_dedup_watermarked",

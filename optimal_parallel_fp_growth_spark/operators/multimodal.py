@@ -93,7 +93,8 @@ def _parse_guard(fn):
         except NotImplementedError:
             raise
         except (IndexError, KeyError, ValueError, OverflowError,
-                ZeroDivisionError, struct.error, zlib.error) as e:
+                ZeroDivisionError, StopIteration, struct.error,
+                zlib.error) as e:
             # ZeroDivisionError: zero-dimension headers (0x0 PNG/GIF,
             # 'P6 0 0') reach the channel-mean divide if a decoder
             # misses its explicit zero-dim reject — quarantine, never
@@ -230,14 +231,522 @@ def decode_real(payload: bytes) -> dict:
                     out["height"] = h
                     return out
         return out  # audio-only / metadata-only MP4: format alone
+    if payload[:3] == b"ID3" or _mp3_sync_at(payload, 0):
+        # MPEG-1/2/2.5 Layer III (round 7): the frame-header walk is
+        # pure byte layout — sample rate / channel mode live in every
+        # 4-byte frame header. Sample DECODE (Huffman + IMDCT +
+        # polyphase synthesis) genuinely needs a codec library; the
+        # walk is the honest native tier (see decode_mp3_frames for
+        # frame counts / duration / bitrate).
+        info = decode_mp3_frames(payload)
+        out["format"] = "mp3"
+        out["sample_rate"] = info["sample_rate"]
+        out["channels"] = info["channels"]
+        return out
     raise NotImplementedError(
-        "unsupported media format (PNG/GIF/BMP/JPEG/MP4 headers and WAV "
-        "fmt are parsed natively; full pixel/sample decode requires "
+        "unsupported media format (PNG/GIF/BMP/JPEG/MP4/MP3 headers and "
+        "WAV fmt are parsed natively; full pixel/sample decode requires "
         "codec libraries not present in this container)"
     )
 
 
-MEDIA_FORMATS = ("png", "gif", "bmp", "jpeg", "wav", "mp4")
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio Layer III) frame walk — round 7. Public spec byte
+# layout (ISO/IEC 11172-3 §2.4.1 / 13818-3): every frame starts with a
+# 4-byte header — 11-bit syncword, version, layer, bitrate index,
+# sample-rate index, padding bit, channel mode — and its byte length is
+# fully determined by (version, bitrate, sample rate, padding), so a
+# strict walk yields frame count, duration, and average bitrate with no
+# codec. Reference parity: the reference engine has no audio codecs at
+# all; this extends the engine's media-metadata surface (SURVEY.md
+# north-star), mirroring decode_real's other container walks.
+# ---------------------------------------------------------------------------
+
+# bitrate tables (kbps) for Layer III; index 0 = "free format" (frame
+# length not derivable from the header alone → documented seam),
+# index 15 invalid.
+_MP3_BITRATES_KBPS = {
+    # version key: 1 = MPEG-1; 2 = MPEG-2 and MPEG-2.5 (shared table)
+    1: (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_SAMPLERATES = {
+    # header version bits (b1>>3)&3 → sample-rate table (index 3 invalid)
+    0: (11025, 12000, 8000),   # MPEG-2.5
+    2: (22050, 24000, 16000),  # MPEG-2
+    3: (44100, 48000, 32000),  # MPEG-1
+}
+
+
+def _mp3_sync_at(payload: bytes, pos: int) -> bool:
+    """11 set bits + a non-reserved version + Layer III at ``pos``?"""
+    if pos + 4 > len(payload):
+        return False
+    b1 = payload[pos + 1]
+    return (
+        payload[pos] == 0xFF
+        and (b1 & 0xE0) == 0xE0
+        and ((b1 >> 3) & 3) != 1  # version 1 = reserved
+        and ((b1 >> 1) & 3) == 1  # layer bits 01 = Layer III
+    )
+
+
+def _mp3_frame_at(payload: bytes, pos: int) -> dict:
+    """Parse the 4-byte frame header at ``pos`` → dict with
+    sample_rate, channels, bitrate_kbps, samples (per frame), and the
+    full frame byte length. Raises NotImplementedError for reserved /
+    free-format / invalid field values."""
+    if not _mp3_sync_at(payload, pos):
+        raise NotImplementedError(f"MP3 sync lost at byte {pos}")
+    b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    vbits = (b1 >> 3) & 3
+    vkey = 1 if vbits == 3 else 2
+    br_idx = (b2 >> 4) & 0xF
+    if br_idx == 15:
+        raise NotImplementedError("MP3 bitrate index 15 is invalid")
+    bitrate = _MP3_BITRATES_KBPS[vkey][br_idx]
+    if bitrate is None:
+        raise NotImplementedError(
+            "MP3 free-format bitrate (index 0) not supported: frame "
+            "length is not derivable from the header alone"
+        )
+    sr_idx = (b2 >> 2) & 3
+    if sr_idx == 3:
+        raise NotImplementedError("MP3 sample-rate index 3 is reserved")
+    sample_rate = _MP3_SAMPLERATES[vbits][sr_idx]
+    padding = (b2 >> 1) & 1
+    mode = (b3 >> 6) & 3
+    samples = 1152 if vkey == 1 else 576  # Layer III per-frame samples
+    length = (samples // 8) * bitrate * 1000 // sample_rate + padding
+    return {
+        "version": "1" if vbits == 3 else ("2" if vbits == 2 else "2.5"),
+        "sample_rate": sample_rate,
+        "channels": 1 if mode == 3 else 2,
+        "bitrate_kbps": bitrate,
+        "samples": samples,
+        "length": length,
+    }
+
+
+def _skip_id3v2(payload: bytes) -> int:
+    """Byte offset of the first audio frame past an ID3v2 tag (0 if
+    none): 'ID3' + version(2) + flags(1) + synchsafe size(4), plus a
+    10-byte footer when flag bit 4 is set."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    flags = payload[5]
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise NotImplementedError("ID3v2 size bytes must be synchsafe")
+        size = (size << 7) | b
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+@_parse_guard
+def decode_mp3_frames(payload: bytes) -> dict:
+    """Strict whole-stream MP3 frame walk: skip any leading ID3v2 tag,
+    then require back-to-back valid Layer III frames until end of
+    buffer (a trailing 128-byte ID3v1 'TAG' block is allowed). Every
+    frame's (version, sample rate, channel mode) must agree — a
+    mid-stream change means a corrupt or concatenated file. Returns
+    ``{"format", "version", "sample_rate", "channels", "n_frames",
+    "duration_ms", "bitrate_kbps", "vbr", "xing_frames"}``: duration
+    is frames x samples-per-frame / rate; bitrate_kbps is the
+    byte-weighted average (== the constant rate for CBR); vbr is True
+    when frame bitrates vary OR the first frame carries a 'Xing' (as
+    opposed to 'Info') header, whose frame count — when present — is
+    cross-checked against the walked count."""
+    pos = _skip_id3v2(payload)
+    end = len(payload)
+    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    first = _mp3_frame_at(payload, pos)
+    n_frames = 0
+    audio_bytes = 0
+    rates = set()
+    xing_frames = None
+    vbr_magic = False
+    while pos < end:
+        fr = _mp3_frame_at(payload, pos)
+        if (fr["version"], fr["sample_rate"], fr["channels"]) != (
+            first["version"], first["sample_rate"], first["channels"]
+        ):
+            raise NotImplementedError(
+                "MP3 stream parameters change mid-stream (corrupt or "
+                "concatenated file)"
+            )
+        if pos + fr["length"] > end:
+            raise NotImplementedError("truncated final MP3 frame")
+        if n_frames == 0:
+            # Xing/Info header sits after the side-info block: 32 bytes
+            # for MPEG-1 stereo, 17 mono; MPEG-2/2.5 halve to 17/9.
+            side = (
+                (17 if fr["channels"] == 1 else 32)
+                if fr["version"] == "1"
+                else (9 if fr["channels"] == 1 else 17)
+            )
+            tag_at = pos + 4 + side
+            magic = payload[tag_at : tag_at + 4]
+            if magic in (b"Xing", b"Info"):
+                vbr_magic = magic == b"Xing"
+                flags = int.from_bytes(
+                    payload[tag_at + 4 : tag_at + 8], "big"
+                )
+                if flags & 1:
+                    xing_frames = int.from_bytes(
+                        payload[tag_at + 8 : tag_at + 12], "big"
+                    )
+        rates.add(fr["bitrate_kbps"])
+        audio_bytes += fr["length"]
+        n_frames += 1
+        pos += fr["length"]
+    if n_frames == 0:
+        raise NotImplementedError("no MP3 frames found")
+    if xing_frames is not None and xing_frames != n_frames:
+        raise NotImplementedError(
+            f"Xing frame count {xing_frames} != walked {n_frames}"
+        )
+    duration_s = n_frames * first["samples"] / first["sample_rate"]
+    return {
+        "format": "mp3",
+        "version": first["version"],
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "n_frames": n_frames,
+        "duration_ms": int(round(duration_s * 1000)),
+        "bitrate_kbps": round(audio_bytes * 8 / duration_s / 1000, 3),
+        "vbr": len(rates) > 1 or vbr_magic,
+        "xing_frames": xing_frames,
+    }
+
+
+def build_mp3_frames(
+    n_frames: int,
+    sample_rate: int = 44100,
+    bitrate_kbps: int | list[int] = 128,
+    channels: int = 2,
+    padding: list[int] | None = None,
+    id3_text: bytes = b"",
+    xing: bool = False,
+    filler: bytes = b"\x00",
+) -> bytes:
+    """Builder twin for :func:`decode_mp3_frames`: spec-valid MPEG
+    Layer III frame sequences with exact header-derived lengths (frame
+    bodies are filler bytes — a header walk never reads them), an
+    optional ID3v2 wrapper around ``id3_text``, per-frame padding
+    bits, per-frame bitrates (pass a list for VBR), and an optional
+    Xing header carrying the frame count."""
+    if n_frames <= 0:
+        raise ValueError("n_frames must be positive")
+    for tbl_key, srs in _MP3_SAMPLERATES.items():
+        if sample_rate in srs:
+            vbits = tbl_key
+            break
+    else:
+        raise ValueError(f"no MPEG version has sample rate {sample_rate}")
+    vkey = 1 if vbits == 3 else 2
+    rates = (
+        list(bitrate_kbps)
+        if isinstance(bitrate_kbps, (list, tuple))
+        else [bitrate_kbps] * n_frames
+    )
+    if len(rates) != n_frames:
+        raise ValueError("bitrate list length must equal n_frames")
+    pads = padding or [0] * n_frames
+    out = bytearray()
+    if id3_text:
+        body = b"TXXX" + id3_text
+        size = len(body)
+        ss = bytes(
+            (size >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        out += b"ID3\x04\x00\x00" + ss + body
+    samples = 1152 if vkey == 1 else 576
+    for i in range(n_frames):
+        br_idx = _MP3_BITRATES_KBPS[vkey].index(rates[i])
+        sr_idx = _MP3_SAMPLERATES[vbits].index(sample_rate)
+        b1 = 0xE0 | (vbits << 3) | (1 << 1) | 1  # sync|ver|layer III|no CRC
+        b2 = (br_idx << 4) | (sr_idx << 2) | (pads[i] << 1)
+        b3 = (0xC0 if channels == 1 else 0x00)
+        header = bytes((0xFF, b1, b2, b3))
+        length = (samples // 8) * rates[i] * 1000 // sample_rate + pads[i]
+        body = bytearray(
+            filler[j % len(filler)] for j in range(length - 4)
+        )
+        if i == 0 and xing:
+            side = (
+                (17 if channels == 1 else 32)
+                if vkey == 1
+                else (9 if channels == 1 else 17)
+            )
+            at = side  # offset within body (header already excluded)
+            tag = b"Xing" + (1).to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+            body[at : at + len(tag)] = tag
+        out += header + bytes(body)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG video frame decode — round 7. Motion JPEG in an AVI (RIFF)
+# container is the one video format whose PIXELS decode with what this
+# container already has: the RIFF walk is pure byte layout and every
+# '00dc' chunk is a complete baseline JPEG, which decode_jpeg_pixels
+# (round 6) fully decodes. This closes the "video is metadata-only"
+# seam for one honest format; inter-frame codecs (H.264 etc.) remain
+# the documented NotImplementedError seam.
+# ---------------------------------------------------------------------------
+
+
+def build_avi_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 25,
+    with_index: bool = True,
+) -> bytes:
+    """Builder twin for :func:`decode_avi_frames`: a spec-valid AVI
+    RIFF container — LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' +
+    strf BITMAPINFOHEADER)) + LIST movi of '00dc' chunks (one complete
+    JPEG each, word-aligned) + an idx1 index. ``frames`` are encoded
+    JPEG byte strings (see build_jpeg_pixels)."""
+    import struct
+
+    if not frames:
+        raise ValueError("at least one frame required")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # microseconds per frame
+        0, 0,
+        0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, 0,
+        width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        # flags, priority, language, initialFrames, scale, rate (fps =
+        # rate/scale), start, length, suggestedBuffer, quality,
+        # sampleSize, then the 8-byte rcFrame rect → 56 bytes total
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for f in frames:
+        offsets.append(len(movi_body))  # offset from 'movi' fourcc
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx = b""
+    if with_index:
+        entries = b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, len(f))
+            for off, f in zip(offsets, frames)
+        )
+        idx = chunk(b"idx1", entries)
+    riff_body = b"AVI " + hdrl + movi + idx
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+@_parse_guard
+def decode_avi_frames(payload: bytes) -> dict:
+    """REAL video frame decode: walk the AVI RIFF tree, validate the
+    avih main header against the stream, and fully pixel-decode every
+    MJPEG '00dc'/'00db' chunk with :func:`decode_jpeg_pixels`. Strict:
+    the declared frame count must equal the walked count, every
+    frame's JPEG dims must equal the container dims, and an idx1
+    index — when present — must have one entry per frame. Non-MJPEG
+    streams raise NotImplementedError (inter-frame codecs genuinely
+    need ffmpeg — the documented seam). Returns ``{"format", "width",
+    "height", "fps", "n_frames", "frames": [{"frame_idx", "mean_r",
+    "mean_g", "mean_b"}, ...]}``."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI (RIFF/'AVI ') container")
+
+    def walk(buf, pos, end):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            if pos + 8 + clen > end:
+                raise NotImplementedError("truncated AVI chunk")
+            yield cid, pos + 8, pos + 8 + clen
+            pos += 8 + clen + (clen % 2)
+
+    avih = None
+    handler = None
+    movi = None
+    idx_entries = None
+    for cid, s, e in walk(payload, 12, len(payload)):
+        if cid == b"LIST":
+            kind = payload[s : s + 4]
+            if kind == b"hdrl":
+                for c2, s2, e2 in walk(payload, s + 4, e):
+                    if c2 == b"avih":
+                        avih = struct.unpack("<10I", payload[s2 : s2 + 40])
+                    elif c2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                        for c3, s3, e3 in walk(payload, s2 + 4, e2):
+                            if c3 == b"strh" and payload[s3 : s3 + 4] == b"vids":
+                                handler = payload[s3 + 4 : s3 + 8]
+            elif kind == b"movi":
+                movi = (s + 4, e)
+        elif cid == b"idx1":
+            idx_entries = (e - s) // 16
+    if avih is None:
+        raise NotImplementedError("AVI without avih main header")
+    if movi is None:
+        raise NotImplementedError("AVI without movi LIST")
+    if handler is not None and handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"AVI video handler {handler!r} needs a codec library; only "
+            "MJPG decodes natively"
+        )
+    us_per_frame, _, _, _, total_frames, _, _, _, width, height = avih
+    frames = []
+    for cid, s, e in walk(payload, *movi):
+        if cid[2:4] not in (b"dc", b"db"):
+            continue  # non-video chunks (audio '01wb', subtitles) skip
+        d = decode_jpeg_pixels(payload[s:e])
+        if (d["width"], d["height"]) != (width, height):
+            raise NotImplementedError(
+                f"frame {len(frames)} dims {d['width']}x{d['height']} != "
+                f"container {width}x{height}"
+            )
+        frames.append(
+            {
+                "frame_idx": len(frames),
+                "mean_r": d["mean_r"],
+                "mean_g": d["mean_g"],
+                "mean_b": d["mean_b"],
+            }
+        )
+    if total_frames != len(frames):
+        raise NotImplementedError(
+            f"avih declares {total_frames} frames, movi holds {len(frames)}"
+        )
+    if idx_entries is not None and idx_entries != len(frames):
+        raise NotImplementedError(
+            f"idx1 holds {idx_entries} entries for {len(frames)} frames"
+        )
+    if not frames:
+        raise NotImplementedError("AVI with no video frames")
+    return {
+        "format": "avi-mjpeg",
+        "width": width,
+        "height": height,
+        "fps": round(1_000_000 / us_per_frame, 3) if us_per_frame else None,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def video_meta_for(doc_id: int) -> dict:
+    """Deterministic AVI/MJPEG recipe for the oracle-gated frame
+    query: 1 + doc_id%4 flat-gray frames (value ``16 + (doc_id*7 +
+    i*19) % 200`` for frame i — flat blocks with dc_quant=8 JPEG-
+    round-trip EXACTLY), dims 8*(1+doc_id%3) x 8*(1+doc_id%2)."""
+    return {
+        "n_frames": 1 + doc_id % 4,
+        "width": 8 * (1 + doc_id % 3),
+        "height": 8 * (1 + doc_id % 2),
+        "fps": 5 + doc_id % 26,
+    }
+
+
+def _video_frame_value(doc_id: int, i: int) -> int:
+    return 16 + (doc_id * 7 + i * 19) % 200
+
+
+def attach_video_media(docs: DataFrame) -> DataFrame:
+    """→ (doc_id, payload: binary) where payload is a real AVI/MJPEG
+    file following `video_meta_for` — every frame a genuine baseline
+    JPEG from the round-6 encoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                m = video_meta_for(int(doc_id))
+                w, h = m["width"], m["height"]
+                frames = [
+                    build_jpeg_pixels(
+                        w, h,
+                        bytes([_video_frame_value(int(doc_id), i)]) * (w * h),
+                        channels=1,
+                    )
+                    for i in range(m["n_frames"])
+                ]
+                payloads.append(build_avi_mjpeg(frames, w, h, fps=m["fps"]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def extract_video_frames(
+    with_payload: DataFrame, on_error: str = "raise"
+) -> DataFrame:
+    """Arrow-batched one-to-many video expansion: each payload row
+    fans out to one row per DECODED frame (the real-codec successor
+    of the md5-fake ``sample_frames`` shape). ``on_error='null'``
+    quarantines undecodable payloads as a single null-stat row, as
+    extract_pixel_stats does."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_avi_frames(bytes(payload))
+                except NotImplementedError:
+                    if on_error == "raise":
+                        raise
+                    rows.append((doc_id, None, None, None, None, None, None))
+                    continue
+                for fr in d["frames"]:
+                    rows.append(
+                        (
+                            doc_id, fr["frame_idx"], d["width"], d["height"],
+                            fr["mean_r"], fr["mean_g"], fr["mean_b"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return with_payload.mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+MEDIA_FORMATS = ("png", "gif", "bmp", "jpeg", "wav", "mp4", "mp3")
 
 DECODE_SCHEMA = (
     "doc_id long, format string, width int, height int, "
@@ -342,6 +851,17 @@ def build_payload(
         moov = box(b"moov", mvhd + box(b"trak", tkhd))
         ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
         return ftyp + moov + box(b"mdat", filler)
+    if fmt == "mp3":
+        # CBR 128 kbps MPEG-1 Layer III (sample_rate must be from the
+        # MPEG-1 table); the filler rides in an ID3v2 tag so payload
+        # sizes stay text-proportional like the other formats.
+        return build_mp3_frames(
+            n_frames=2 + len(filler) % 4,
+            sample_rate=sample_rate,
+            bitrate_kbps=128,
+            channels=channels,
+            id3_text=filler,
+        )
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -356,6 +876,15 @@ def media_meta_for(doc_id: int) -> dict:
             "width": None,
             "height": None,
             "sample_rate": 8000 + (doc_id * 31) % 40000,
+            "channels": 1 + doc_id % 2,
+        }
+    if fmt == "mp3":
+        return {
+            "format": fmt,
+            "width": None,
+            "height": None,
+            # must come from the MPEG-1 sample-rate table
+            "sample_rate": (44100, 48000, 32000)[doc_id % 3],
             "channels": 1 + doc_id % 2,
         }
     return {
@@ -1829,7 +2358,13 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             scan = []
             for k in range(ns):
                 cs, tables = body[1 + 2 * k : 3 + 2 * k]
-                ci = next(i for i, c in enumerate(comps) if c["id"] == cs)
+                ci = next(
+                    (i for i, c in enumerate(comps) if c["id"] == cs), None
+                )
+                if ci is None:
+                    raise NotImplementedError(
+                        f"JPEG scan references unknown component id {cs}"
+                    )
                 scan.append((ci, tables >> 4, tables & 0xF))
             ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = a >> 4, a & 0xF

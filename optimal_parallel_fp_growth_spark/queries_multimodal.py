@@ -1,7 +1,9 @@
-"""Multimodal query registry. `multimodal_features`/`multimodal_frames`
-run the md5-derived stub decode (codec-free, fully oracle-checkable —
-see operators/multimodal.py CODEC STATUS); `multimodal_decode` runs the
-REAL header parsers over spec-valid constructed media bytes."""
+"""Multimodal query registry. `multimodal_features` runs the
+md5-derived stub decode (codec-free, fully oracle-checkable — see
+operators/multimodal.py CODEC STATUS); `multimodal_decode` runs the
+REAL header parsers over spec-valid constructed media bytes;
+`multimodal_frames` (round 7) FULLY pixel-decodes MJPEG frames out of
+real AVI containers."""
 
 from __future__ import annotations
 
@@ -16,11 +18,12 @@ from optimal_parallel_fp_growth_spark.operators.multimodal import (
     attach_media,
     attach_payload,
     attach_pixel_media,
+    attach_video_media,
     decode_media,
     extract_audio_stats,
     extract_features,
     extract_pixel_stats,
-    sample_frames,
+    extract_video_frames,
 )
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
@@ -31,15 +34,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video round trip (round 7): per doc, build an AVI/MJPEG
+    container (`video_meta_for`: 1 + doc_id%4 flat-gray frames, each a
+    genuine baseline JPEG), then walk the RIFF tree and FULLY decode
+    every frame (operators/multimodal.py::decode_avi_frames). Flat
+    blocks with dc_quant=8 round-trip exactly, so the oracle is the
+    closed form `16 + (doc_id*7 + i*19) % 200` per frame — any bug in
+    the RIFF walk, idx1/avih cross-checks, or the JPEG decode shifts a
+    mean and breaks equality."""
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(attach_payload(docs))
+    out = extract_video_frames(attach_video_media(docs))
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        *[F.round(F.col(c), 6).alias(c) for c in ("mean_r", "mean_g", "mean_b")],
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL round trip: spec-valid PNG/GIF/BMP/JPEG/WAV bytes built per
-    doc (operators/multimodal.py::build_payload), then header-parsed by
-    the live ``decode_real`` seam. The oracle recomputes the metadata
-    recipe (`media_meta_for`) in SQL — a decode bug breaks equality."""
+    """REAL round trip: spec-valid PNG/GIF/BMP/JPEG/WAV/MP4/MP3 bytes
+    built per doc (operators/multimodal.py::build_payload), then
+    header-parsed by the live ``decode_real`` seam (MP3 runs the full
+    Layer III frame walk). The oracle recomputes the metadata recipe
+    (`media_meta_for`) in SQL — a decode bug breaks equality."""
     docs = load_table(spark, sf_dir, "documents")
     out = decode_media(attach_media(docs))
     # inapplicable fields → 0 (not NULL): keeps every comparator's row
@@ -143,27 +159,41 @@ SELECT doc_id,
 FROM documents
 """
 
-ORACLE_FRAMES = f"""
-SELECT doc_id, i::INT AS frame_idx, md5(text || i) AS frame_md5
-FROM documents CROSS JOIN range(4) r(i)
-WHERE i < 1 + ({_H8} % 4)
+# video_meta_for mirrored in SQL: n_frames = 1 + doc_id%4, dims
+# 8*(1+doc_id%3) x 8*(1+doc_id%2); frame i is flat gray value
+# 16 + (doc_id*7 + i*19) % 200, which JPEG-round-trips exactly.
+ORACLE_FRAMES = """
+SELECT d.doc_id,
+       u.i::INT AS frame_idx,
+       (8 * (1 + d.doc_id % 3))::INT AS width,
+       (8 * (1 + d.doc_id % 2))::INT AS height,
+       round((16 + (d.doc_id * 7 + u.i * 19) % 200)::DOUBLE, 6) AS mean_r,
+       round((16 + (d.doc_id * 7 + u.i * 19) % 200)::DOUBLE, 6) AS mean_g,
+       round((16 + (d.doc_id * 7 + u.i * 19) % 200)::DOUBLE, 6) AS mean_b
+FROM documents d,
+     LATERAL (SELECT UNNEST(generate_series(0, d.doc_id % 4)) AS i) u
 """
 
-# media_meta_for mirrored in SQL: format rotates doc_id % 6 (round 6
-# adds MP4 ISO-BMFF box parsing); images AND mp4 get
-# (16 + doc_id*7919 % 2000, 16 + doc_id*104729 % 2000), wav gets
-# (8000 + doc_id*31 % 40000, 1 + doc_id % 2).
+# media_meta_for mirrored in SQL: format rotates doc_id % 7 (round 6
+# adds MP4 ISO-BMFF box parsing, round 7 the MP3 frame walk); images
+# AND mp4 get (16 + doc_id*7919 % 2000, 16 + doc_id*104729 % 2000),
+# wav gets (8000 + doc_id*31 % 40000, 1 + doc_id % 2), mp3 gets an
+# MPEG-1-legal sample rate [44100,48000,32000][doc_id%3] and the same
+# channel rule as wav.
 ORACLE_DECODE = """
 SELECT doc_id,
-       ['png', 'gif', 'bmp', 'jpeg', 'wav', 'mp4'][(doc_id % 6)::INT + 1]
-         AS format,
-       CASE WHEN doc_id % 6 = 4 THEN 0
+       ['png', 'gif', 'bmp', 'jpeg', 'wav', 'mp4', 'mp3']
+         [(doc_id % 7)::INT + 1] AS format,
+       CASE WHEN doc_id % 7 IN (4, 6) THEN 0
             ELSE (16 + (doc_id * 7919) % 2000)::INT END AS width,
-       CASE WHEN doc_id % 6 = 4 THEN 0
+       CASE WHEN doc_id % 7 IN (4, 6) THEN 0
             ELSE (16 + (doc_id * 104729) % 2000)::INT END AS height,
-       CASE WHEN doc_id % 6 = 4
-            THEN (8000 + (doc_id * 31) % 40000)::INT ELSE 0 END AS sample_rate,
-       CASE WHEN doc_id % 6 = 4 THEN (1 + doc_id % 2)::INT ELSE 0 END AS channels
+       CASE WHEN doc_id % 7 = 4 THEN (8000 + (doc_id * 31) % 40000)::INT
+            WHEN doc_id % 7 = 6
+            THEN [44100, 48000, 32000][(doc_id % 3)::INT + 1]
+            ELSE 0 END AS sample_rate,
+       CASE WHEN doc_id % 7 IN (4, 6) THEN (1 + doc_id % 2)::INT
+            ELSE 0 END AS channels
 FROM documents
 """
 

@@ -1448,3 +1448,268 @@ def test_on_error_null_quarantines_zero_dim_rows(spark):
     assert out[1].width == 2 and out[1].mean_r is not None
     for i in range(2, len(rows) + 1):
         assert out[i].width is None and out[i].mean_r is None
+
+
+# ---------------------------------------------------------------------
+# round 7: MP3 (MPEG Layer III) frame walk
+# ---------------------------------------------------------------------
+
+
+def test_mp3_cbr_round_trip():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_mp3_frames,
+        decode_mp3_frames,
+    )
+
+    b = build_mp3_frames(10, sample_rate=44100, bitrate_kbps=128, channels=2)
+    d = decode_mp3_frames(b)
+    assert d["format"] == "mp3" and d["version"] == "1"
+    assert (d["sample_rate"], d["channels"], d["n_frames"]) == (44100, 2, 10)
+    assert d["vbr"] is False and d["xing_frames"] is None
+    # 10 frames x 1152 samples at 44100 Hz = 261.224 ms
+    assert d["duration_ms"] == round(10 * 1152 / 44100 * 1000)
+    # CBR without padding: avg bitrate just under nominal (floor'd frames)
+    assert abs(d["bitrate_kbps"] - 128) < 1
+
+
+def test_mp3_padding_and_exact_frame_lengths():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_mp3_frames,
+        decode_mp3_frames,
+    )
+
+    pads = [0, 1, 0, 1, 1]
+    b = build_mp3_frames(
+        5, sample_rate=44100, bitrate_kbps=128, channels=1, padding=pads
+    )
+    # spec: frame length = floor(144 * 128000 / 44100) + pad = 417 + pad
+    assert len(b) == 5 * 417 + sum(pads)
+    d = decode_mp3_frames(b)
+    assert d["n_frames"] == 5 and d["channels"] == 1
+
+
+def test_mp3_vbr_id3_and_xing():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_mp3_frames,
+        decode_mp3_frames,
+    )
+
+    rates = [96, 128, 160, 128]
+    b = build_mp3_frames(
+        4,
+        sample_rate=32000,
+        bitrate_kbps=rates,
+        channels=2,
+        id3_text=b"hello metadata",
+        xing=True,
+    )
+    d = decode_mp3_frames(b)
+    assert d["vbr"] is True and d["xing_frames"] == 4 and d["n_frames"] == 4
+    # byte-weighted average sits strictly between min and max rate
+    assert 96 < d["bitrate_kbps"] < 160
+
+    # ID3v1 'TAG' trailer is tolerated
+    d2 = decode_mp3_frames(b + b"TAG" + bytes(125))
+    assert d2["n_frames"] == 4
+
+
+def test_mp3_mpeg2_and_mono_side_info():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_mp3_frames,
+        decode_mp3_frames,
+    )
+
+    b = build_mp3_frames(
+        6, sample_rate=22050, bitrate_kbps=64, channels=1, xing=True
+    )
+    d = decode_mp3_frames(b)
+    assert d["version"] == "2" and d["sample_rate"] == 22050
+    assert d["duration_ms"] == round(6 * 576 / 22050 * 1000)
+    assert d["xing_frames"] == 6
+
+
+def test_mp3_strictness_fail_closed():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_mp3_frames,
+        decode_mp3_frames,
+        decode_real,
+    )
+
+    good = build_mp3_frames(3, sample_rate=48000, bitrate_kbps=192)
+    for bad in (
+        good[: len(good) - 5],          # truncated final frame
+        good + b"\x00\x01\x02",         # trailing garbage, not a frame
+        b"\xff\xfb\x00\x00" + bytes(100),  # free-format bitrate
+        b"ID3\x04\x00\x00\x00\x00\x00\x7f",  # ID3 then nothing
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_mp3_frames(bad)
+    # mid-stream parameter change = corrupt/concatenated
+    a = build_mp3_frames(2, sample_rate=44100, bitrate_kbps=128)
+    c = build_mp3_frames(2, sample_rate=48000, bitrate_kbps=128)
+    with pytest.raises(NotImplementedError):
+        decode_mp3_frames(a + c)
+    # decode_real surfaces MP3 sample_rate/channels
+    meta = decode_real(good)
+    assert (meta["format"], meta["sample_rate"], meta["channels"]) == (
+        "mp3", 48000, 2,
+    )
+    assert meta["width"] is None
+
+
+def test_mp3_fuzz_fail_closed():
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_mp3_frames,
+        decode_mp3_frames,
+    )
+
+    random.seed(177)
+    seed = build_mp3_frames(
+        4, sample_rate=44100, bitrate_kbps=128, id3_text=b"x" * 40, xing=True
+    )
+    cases = [seed[:cut] for cut in (3, 9, len(seed) // 2, len(seed) - 1)]
+    for _ in range(40):
+        b = bytearray(seed)
+        b[random.randrange(len(b))] ^= 1 << random.randrange(8)
+        cases.append(bytes(b))
+    for _ in range(20):
+        cases.append(bytes(random.randrange(256) for _ in range(random.randrange(1, 64))))
+    ok = 0
+    for payload in cases:
+        try:
+            d = decode_mp3_frames(payload)
+            ok += 1  # a mutation that leaves the stream valid is fine
+        except NotImplementedError:
+            pass
+    # most mutations must be caught; none may raise anything else
+    assert ok < len(cases)
+
+
+# ---------------------------------------------------------------------
+# round 7: AVI/MJPEG container walk + real frame decode
+# ---------------------------------------------------------------------
+
+
+def test_avi_mjpeg_round_trip_exact():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_avi_mjpeg,
+        build_jpeg_pixels,
+        decode_avi_frames,
+    )
+
+    w, h = 16, 8
+    values = [30, 77, 128, 201]
+    frames = [
+        build_jpeg_pixels(w, h, bytes([v]) * (w * h), channels=1)
+        for v in values
+    ]
+    d = decode_avi_frames(build_avi_mjpeg(frames, w, h, fps=24))
+    assert (d["format"], d["width"], d["height"]) == ("avi-mjpeg", w, h)
+    assert d["n_frames"] == 4 and abs(d["fps"] - 24.0) < 0.02
+    for fr, v in zip(d["frames"], values):
+        # flat blocks with dc_quant=8 decode EXACTLY
+        assert (fr["mean_r"], fr["mean_g"], fr["mean_b"]) == (v, v, v)
+
+
+def test_avi_mjpeg_rgb_frames_decode():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_avi_mjpeg,
+        build_jpeg_pixels,
+        decode_avi_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    w, h = 8, 8
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    fr = build_jpeg_pixels(w, h, px.tobytes(), channels=3)
+    d = decode_avi_frames(build_avi_mjpeg([fr], w, h))
+    # lossy color JPEG: means within a few counts of the source means
+    for got, want in zip(
+        (d["frames"][0]["mean_r"], d["frames"][0]["mean_g"],
+         d["frames"][0]["mean_b"]),
+        (px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean()),
+    ):
+        assert abs(got - want) < 8.0
+
+
+def test_avi_strictness_fail_closed():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_avi_mjpeg,
+        build_jpeg_pixels,
+        decode_avi_frames,
+    )
+
+    w, h = 8, 8
+    f = build_jpeg_pixels(w, h, bytes([50]) * (w * h), channels=1)
+    good = build_avi_mjpeg([f, f], w, h)
+
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(good[:30])  # truncated
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")  # wrong RIFF kind
+    # frame dims disagree with the container dims
+    wrong = build_jpeg_pixels(16, 8, bytes([50]) * 128, channels=1)
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(build_avi_mjpeg([wrong], w, h))
+    # declared frame count != movi contents
+    import struct
+    tampered = bytearray(good)
+    at = tampered.index(b"avih") + 8 + 16  # total_frames field
+    struct.pack_into("<I", tampered, at, 5)
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(bytes(tampered))
+    # a non-MJPG vids handler names the codec seam
+    tampered2 = bytearray(good)
+    at2 = tampered2.index(b"vids") + 4
+    tampered2[at2 : at2 + 4] = b"H264"
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(bytes(tampered2))
+
+
+def test_avi_fuzz_fail_closed():
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_avi_mjpeg,
+        build_jpeg_pixels,
+        decode_avi_frames,
+    )
+
+    random.seed(277)
+    f = build_jpeg_pixels(8, 8, bytes([90]) * 64, channels=1)
+    seed = build_avi_mjpeg([f, f, f], 8, 8)
+    cases = [seed[:cut] for cut in (5, 40, len(seed) // 2, len(seed) - 1)]
+    for _ in range(40):
+        b = bytearray(seed)
+        b[random.randrange(len(b))] ^= 1 << random.randrange(8)
+        cases.append(bytes(b))
+    for payload in cases:
+        try:
+            decode_avi_frames(payload)
+        except NotImplementedError:
+            pass  # only allowed failure mode
+
+
+def test_extract_video_frames_distributed_and_quarantine(spark):
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_avi_mjpeg,
+        build_jpeg_pixels,
+        extract_video_frames,
+    )
+
+    f1 = build_jpeg_pixels(8, 8, bytes([40]) * 64, channels=1)
+    f2 = build_jpeg_pixels(8, 8, bytes([200]) * 64, channels=1)
+    good = build_avi_mjpeg([f1, f2], 8, 8)
+    rows = [(1, bytearray(good)), (2, bytearray(b"not a video"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    with pytest.raises(Exception):
+        extract_video_frames(df).collect()
+    out = extract_video_frames(df, on_error="null").collect()
+    got = sorted(((r.doc_id, r.frame_idx, r.mean_r) for r in out))
+    assert got == [(1, 0, 40.0), (1, 1, 200.0), (2, None, None)]

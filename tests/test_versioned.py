@@ -864,3 +864,170 @@ def test_driver_canonical_hash_versioned_family(spark, sf_oracle):
         ho = vhash(res.fetchall(), dcols)
         assert h1 == ho, f"{name}: Spark/oracle canonical hash diverged"
     con.close()
+
+
+def test_reader_during_merge_sees_pinned_snapshot(spark, table):
+    """Snapshot isolation under COW merge: a DataFrame opened before
+    (or while) a merge commits keeps reading its pinned version's
+    files — merge writes NEW files and never mutates old ones."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import merge_table
+
+    before_latest = read_table(spark, table)          # resolves to v1 now
+    before_pinned = read_table(spark, table, version=1)
+    want = {r.doc_id: r.v for r in before_pinned.collect()}
+
+    src = spark.createDataFrame(
+        [(5, -1), (17, -1), (200, -1)], "doc_id long, v long"
+    )
+    merge_table(src, table, "doc_id")
+
+    # both handles still see the pre-merge snapshot, row for row
+    for df in (before_latest, before_pinned):
+        got = {r.doc_id: r.v for r in df.collect()}
+        assert got == want
+    # a fresh read sees the merge
+    after = {r.doc_id: r.v for r in read_table(spark, table).collect()}
+    assert after[5] == -1 and after[200] == -1 and len(after) == 101
+
+
+def test_reader_during_evolving_merge_keeps_old_schema(spark, table):
+    """The race the r6 schema-evolution work left untested: a reader
+    opened pre-evolution collects AFTER an evolve-append + merge land;
+    its schema and rows must be the pinned version's, not the new
+    manifest's."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import merge_table
+
+    old_reader = read_table(spark, table)
+    append_table(
+        spark.createDataFrame([(500, 1, "x")], "doc_id long, v long, tag string"),
+        table,
+        evolve=True,
+    )
+    merge_table(
+        spark.createDataFrame([(5, -1, "y")], "doc_id long, v long, tag string"),
+        table,
+        "doc_id",
+    )
+    rows = old_reader.collect()
+    assert old_reader.columns == ["doc_id", "v"]  # pre-evolution schema
+    assert {r.doc_id for r in rows} == set(range(100))
+    new_rows = {r.doc_id: r.tag for r in read_table(spark, table).collect()}
+    assert new_rows[500] == "x" and new_rows[5] == "y"
+    assert new_rows[6] is None  # old files read null for the new column
+
+
+def test_vacuum_during_time_travel_fails_closed(spark, table):
+    """Vacuum drops expired manifests WITH their files: time travel to
+    a vacuumed version must raise FileNotFoundError (not return
+    partial data), surviving versions must stay exact, and a vacuum
+    must never delete a file the kept manifests reference."""
+    append_table(_batch(spark, 100, 50), table)   # v2
+    overwrite_table(_batch(spark, 1000, 10), table)  # v3
+    v2 = {r.doc_id for r in read_table(spark, table, version=2).collect()}
+    assert len(v2) == 150
+
+    deleted = vacuum_table(table, keep_last=1)
+    assert deleted > 0
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, version=2)
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, version=1)
+    # the kept version is untouched
+    assert {r.doc_id for r in read_table(spark, table).collect()} == set(
+        range(1000, 1010)
+    )
+
+
+def test_property_reader_and_vacuum_interleavings(spark, tmp_path):
+    """Hypothesis over append/evolve-append/merge/overwrite/vacuum
+    with snapshot readers opened at random points: every reader whose
+    version survives vacuums collects EXACTLY its snapshot rows later;
+    every vacuumed version raises FileNotFoundError on time travel;
+    the latest read always equals the op-semantics model."""
+    from hypothesis import given, settings, strategies as st
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import merge_table
+
+    op_strat = st.lists(
+        st.sampled_from(
+            ["append", "evolve", "merge", "overwrite", "vacuum", "reader"]
+        ),
+        min_size=2,
+        max_size=6,
+    )
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=op_strat)
+    def run(ops):
+        counter[0] += 1
+        path = str(tmp_path / f"race{counter[0]}")
+        create_table(_batch(spark, 0, 30).repartitionByRange(2, "doc_id"), path)
+        model = {i: i * 2 for i in range(30)}
+        version = 1
+        nxt = 30
+        readers = []  # (version, snapshot-of-model at open time)
+        min_live = 1  # oldest non-vacuumed version
+        for op in ops:
+            if op == "append":
+                append_table(_batch(spark, nxt, 5), path)
+                model.update({i: i * 2 for i in range(nxt, nxt + 5)})
+                nxt += 5
+                version += 1
+            elif op == "evolve":
+                df = spark.createDataFrame(
+                    [(nxt, 0, "t")], "doc_id long, v long, tag string"
+                )
+                append_table(df, path, evolve=True)
+                model[nxt] = 0
+                nxt += 1
+                version += 1
+            elif op == "merge":
+                src = spark.createDataFrame(
+                    [(k, -9) for k in list(model)[:3]] + [(nxt, -9)],
+                    "doc_id long, v long",
+                )
+                src = src.select(
+                    "doc_id", "v"
+                )  # merge aligns to current schema internally
+                try:
+                    merge_table(src, path, "doc_id")
+                except ValueError:
+                    # schema evolved to 3 columns: merge needs them all
+                    src3 = spark.createDataFrame(
+                        [(k, -9, None) for k in list(model)[:3]]
+                        + [(nxt, -9, None)],
+                        "doc_id long, v long, tag string",
+                    )
+                    merge_table(src3, path, "doc_id")
+                for k in list(model)[:3]:
+                    model[k] = -9
+                model[nxt] = -9
+                nxt += 1
+                version += 1
+            elif op == "overwrite":
+                overwrite_table(_batch(spark, nxt, 8), path)
+                model = {i: i * 2 for i in range(nxt, nxt + 8)}
+                nxt += 8
+                version += 1
+            elif op == "vacuum":
+                vacuum_table(path, keep_last=1)
+                min_live = version
+            else:  # reader
+                readers.append((version, dict(model)))
+        # latest state equals the model
+        got = {r.doc_id: r.v for r in read_table(spark, path).collect()}
+        assert got == model
+        # snapshot readers: survivors exact, vacuumed fail closed
+        for v, snap in readers:
+            if v >= min_live:
+                rows = {
+                    r.doc_id: r.v
+                    for r in read_table(spark, path, version=v).collect()
+                }
+                assert rows == snap, f"version {v} snapshot drifted"
+            else:
+                with pytest.raises(FileNotFoundError):
+                    read_table(spark, path, version=v)
+
+    run()
