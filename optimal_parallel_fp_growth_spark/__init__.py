@@ -36,9 +36,13 @@ from optimal_parallel_fp_growth_spark.operators.dedup import (
 )
 from optimal_parallel_fp_growth_spark.operators.graph import pagerank
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
+    build_aac_adts,
     build_avi_mjpeg,
+    build_jpeg_lossless,
     build_mp3_frames,
+    decode_aac_adts,
     decode_avi_frames,
+    decode_jpeg_lossless,
     decode_jpeg_pixels,
     decode_media,
     decode_mp3_frames,
@@ -187,8 +191,12 @@ __all__ = [
     "apply_bpe",
     "extract_audio_stats",
     "decode_wav_samples",
+    "build_aac_adts",
     "build_avi_mjpeg",
+    "build_jpeg_lossless",
     "build_mp3_frames",
+    "decode_aac_adts",
+    "decode_jpeg_lossless",
     "decode_avi_frames",
     "decode_jpeg_pixels",
     "decode_mp3_frames",

@@ -174,25 +174,29 @@ FROM documents d,
      LATERAL (SELECT UNNEST(generate_series(0, d.doc_id % 4)) AS i) u
 """
 
-# media_meta_for mirrored in SQL: format rotates doc_id % 7 (round 6
-# adds MP4 ISO-BMFF box parsing, round 7 the MP3 frame walk); images
-# AND mp4 get (16 + doc_id*7919 % 2000, 16 + doc_id*104729 % 2000),
-# wav gets (8000 + doc_id*31 % 40000, 1 + doc_id % 2), mp3 gets an
-# MPEG-1-legal sample rate [44100,48000,32000][doc_id%3] and the same
-# channel rule as wav.
+# media_meta_for mirrored in SQL: format rotates doc_id % 8 (round 6
+# adds MP4 ISO-BMFF box parsing, round 7 the MP3 frame walk and the
+# AAC ADTS walk); images AND mp4 get (16 + doc_id*7919 % 2000,
+# 16 + doc_id*104729 % 2000), wav gets (8000 + doc_id*31 % 40000,
+# 1 + doc_id % 2), mp3 gets an MPEG-1-legal sample rate
+# [44100,48000,32000][doc_id%3], aac an ADTS-table rate
+# [...][doc_id%12]; both audio codecs share wav's channel rule.
 ORACLE_DECODE = """
 SELECT doc_id,
-       ['png', 'gif', 'bmp', 'jpeg', 'wav', 'mp4', 'mp3']
-         [(doc_id % 7)::INT + 1] AS format,
-       CASE WHEN doc_id % 7 IN (4, 6) THEN 0
+       ['png', 'gif', 'bmp', 'jpeg', 'wav', 'mp4', 'mp3', 'aac']
+         [(doc_id % 8)::INT + 1] AS format,
+       CASE WHEN doc_id % 8 IN (4, 6, 7) THEN 0
             ELSE (16 + (doc_id * 7919) % 2000)::INT END AS width,
-       CASE WHEN doc_id % 7 IN (4, 6) THEN 0
+       CASE WHEN doc_id % 8 IN (4, 6, 7) THEN 0
             ELSE (16 + (doc_id * 104729) % 2000)::INT END AS height,
-       CASE WHEN doc_id % 7 = 4 THEN (8000 + (doc_id * 31) % 40000)::INT
-            WHEN doc_id % 7 = 6
+       CASE WHEN doc_id % 8 = 4 THEN (8000 + (doc_id * 31) % 40000)::INT
+            WHEN doc_id % 8 = 6
             THEN [44100, 48000, 32000][(doc_id % 3)::INT + 1]
+            WHEN doc_id % 8 = 7
+            THEN [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+                  16000, 12000, 11025, 8000][(doc_id % 12)::INT + 1]
             ELSE 0 END AS sample_rate,
-       CASE WHEN doc_id % 7 IN (4, 6) THEN (1 + doc_id % 2)::INT
+       CASE WHEN doc_id % 8 IN (4, 6, 7) THEN (1 + doc_id % 2)::INT
             ELSE 0 END AS channels
 FROM documents
 """
@@ -245,7 +249,8 @@ FROM documents
 # blocks are equal-sized, so mean = base + step*(nb-1)/2 exactly.
 ORACLE_JPEG = """
 SELECT doc_id,
-       'jpeg' AS format,
+       CASE WHEN doc_id % 8 = 2 THEN 'jpeg-lossless' ELSE 'jpeg' END
+         AS format,
        (8 * (1 + doc_id % 4))::INT AS width,
        (8 * (1 + doc_id % 3))::INT AS height,
        round(16 + (doc_id * 13) % 64

@@ -766,10 +766,16 @@ def test_jpeg_seams_raise():
     # identically, not raise
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg_pixels(prog)["mean_r"] == 0.0
-    # lossless/hierarchical SOF types stay a documented seam
+    # SOF3 now dispatches to the real lossless decoder (round 7); a
+    # relabeled DCT file is not a valid lossless stream — its baseline
+    # SOS declares predictor 0 — and must fail closed there
     lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
-    with pytest.raises(NotImplementedError, match="SOF"):
+    with pytest.raises(NotImplementedError, match="predictor"):
         decode_jpeg_pixels(lossless)
+    # hierarchical SOF types stay a documented seam
+    hier = good.replace(b"\xff\xc0", b"\xff\xc5", 1)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_pixels(hier)
     # out-of-range sampling factors reject cleanly
     sub = bytearray(build_jpeg_pixels(8, 8, bytes(192), channels=3))
     i = sub.index(b"\xff\xc0")
@@ -1713,3 +1719,287 @@ def test_extract_video_frames_distributed_and_quarantine(spark):
     out = extract_video_frames(df, on_error="null").collect()
     got = sorted(((r.doc_id, r.frame_idx, r.mean_r) for r in out))
     assert got == [(1, 0, 40.0), (1, 1, 200.0), (2, None, None)]
+
+
+# ---------------------------------------------------------------------
+# round 7: AAC ADTS frame walk
+# ---------------------------------------------------------------------
+
+
+def test_aac_adts_round_trip():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_aac_adts,
+        decode_aac_adts,
+    )
+
+    b = build_aac_adts(8, sample_rate=48000, channels=2, frame_payload=300)
+    d = decode_aac_adts(b)
+    assert (d["format"], d["profile"]) == ("aac-adts", "lc")
+    assert (d["sample_rate"], d["channels"], d["n_frames"]) == (48000, 2, 8)
+    assert d["n_samples"] == 8 * 1024
+    assert d["duration_ms"] == round(8 * 1024 / 48000 * 1000)
+    # 8 frames x 307 bytes over 170.7ms
+    want_kbps = len(b) * 8 / (8 * 1024 / 48000) / 1000
+    assert abs(d["bitrate_kbps"] - want_kbps) < 0.01
+
+
+def test_aac_adts_crc_blocks_and_profiles():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_aac_adts,
+        decode_aac_adts,
+    )
+
+    b = build_aac_adts(
+        3, sample_rate=22050, channels=6, profile="main",
+        frame_payload=64, crc=True, blocks_per_frame=4,
+    )
+    d = decode_aac_adts(b)
+    assert d["profile"] == "main" and d["channels"] == 6
+    assert d["n_frames"] == 3 and d["n_samples"] == 3 * 4 * 1024
+
+
+def test_aac_adts_fail_closed():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_aac_adts,
+        decode_aac_adts,
+        decode_real,
+    )
+
+    good = build_aac_adts(4, sample_rate=44100, channels=1)
+    for bad in (
+        good[: len(good) - 3],      # truncated final frame
+        good + b"\x00\x01",         # trailing garbage
+        b"",                        # empty
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_aac_adts(bad)
+    # mid-stream parameter change
+    other = build_aac_adts(2, sample_rate=32000, channels=1)
+    with pytest.raises(NotImplementedError):
+        decode_aac_adts(good + other)
+    # reserved sampling index / zero channel config
+    hdr = bytearray(good[:7])
+    hdr[2] = (hdr[2] & 0xC3) | (13 << 2)
+    with pytest.raises(NotImplementedError):
+        decode_aac_adts(bytes(hdr) + good[7:])
+    # decode_real reports AAC metadata and never confuses it with MP3
+    meta = decode_real(good)
+    assert (meta["format"], meta["sample_rate"], meta["channels"]) == (
+        "aac", 44100, 1,
+    )
+
+
+def test_aac_and_mp3_syncs_disjoint():
+    """An ADTS header (layer 00) must never parse as MP3 (layer 01)
+    and vice versa."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _adts_sync_at,
+        _mp3_sync_at,
+        build_aac_adts,
+        build_mp3_frames,
+    )
+
+    aac = build_aac_adts(1, sample_rate=44100)
+    mp3 = build_mp3_frames(1, sample_rate=44100)
+    assert _adts_sync_at(aac, 0) and not _mp3_sync_at(aac, 0)
+    assert _mp3_sync_at(mp3, 0) and not _adts_sync_at(mp3, 0)
+
+
+def test_aac_fuzz_fail_closed():
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_aac_adts,
+        decode_aac_adts,
+    )
+
+    random.seed(377)
+    seed = build_aac_adts(5, sample_rate=16000, channels=2, crc=True)
+    cases = [seed[:cut] for cut in (2, 8, len(seed) // 2, len(seed) - 1)]
+    for _ in range(40):
+        b = bytearray(seed)
+        b[random.randrange(len(b))] ^= 1 << random.randrange(8)
+        cases.append(bytes(b))
+    for payload in cases:
+        try:
+            decode_aac_adts(payload)
+        except NotImplementedError:
+            pass  # only allowed failure mode
+
+
+# ---------------------------------------------------------------------
+# round 7: 12-bit JPEG (extended sequential SOF1)
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_12bit_flat_round_trip_exact():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    w, h = 16, 8
+    for v in (0, 1000, 2048, 3000, 4095):
+        px = np.full((h, w), v, dtype="<u2")
+        d = decode_jpeg_pixels(
+            build_jpeg_pixels(w, h, px.tobytes(), channels=1, precision=12)
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["mean_r"] == d["mean_g"] == d["mean_b"] == v
+
+
+def test_jpeg_12bit_extended_dc_categories():
+    """Alternating 0/4095 flat blocks force DC diffs past category 11,
+    exercising the extended (categories 12..15) DC table on both
+    sides of the codec."""
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    w, h = 32, 8  # four 8x8 blocks: 0, 4095, 0, 4095
+    px = np.zeros((h, w), dtype="<u2")
+    px[:, 8:16] = 4095
+    px[:, 24:32] = 4095
+    d = decode_jpeg_pixels(
+        build_jpeg_pixels(w, h, px.tobytes(), channels=1, precision=12)
+    )
+    assert d["mean_r"] == float(px.mean())
+
+
+def test_jpeg_12bit_random_content_close():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(41)
+    w, h = 24, 16
+    px = rng.integers(0, 4096, size=(h, w), dtype="<u2")
+    d = decode_jpeg_pixels(
+        build_jpeg_pixels(w, h, px.tobytes(), channels=1, precision=12)
+    )
+    # quantization noise scales with the 0..4095 domain: |err| well
+    # under 1.5% of range on the mean
+    assert abs(d["mean_r"] - px.mean()) < 60
+
+
+def test_jpeg_12bit_validation_and_sof_rules():
+    import struct
+
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+
+    px = np.full((8, 8), 9, dtype="<u2").tobytes()
+    with pytest.raises(ValueError):
+        build_jpeg_pixels(8, 8, px, channels=1, precision=12, progressive=True)
+    with pytest.raises(ValueError):
+        build_jpeg_pixels(8, 8, px, channels=3, precision=12)
+    with pytest.raises(ValueError):
+        build_jpeg_pixels(8, 8, bytes(64), channels=1, precision=10)
+
+    good = build_jpeg_pixels(8, 8, px, channels=1, precision=12)
+    assert b"\xff\xc1" in good  # SOF1, not SOF0
+    # 12-bit inside baseline SOF0 is rejected by the decoder
+    tampered = bytearray(good)
+    tampered[good.index(b"\xff\xc1") + 1] = 0xC0
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(tampered))
+    # and a depth the spec doesn't allow at all
+    t2 = bytearray(good)
+    t2[good.index(b"\xff\xc1") + 4] = 10
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(t2))
+
+
+# ---------------------------------------------------------------------
+# round 7: lossless JPEG (SOF3, Annex H predictors)
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_lossless_bit_exact_all_predictors():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_lossless,
+        decode_jpeg_lossless,
+        decode_jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h = 13, 6
+    for predictor in range(1, 8):
+        px = rng.integers(0, 256, size=h * w, dtype=np.uint8)
+        b = build_jpeg_lossless(w, h, px.tobytes(), predictor=predictor)
+        d = decode_jpeg_lossless(b)
+        assert d["format"] == "jpeg-lossless"
+        assert d["mean_r"] == float(px.mean())  # EXACT: process is lossless
+        # dispatch through the general pixel decoder too
+        assert decode_jpeg_pixels(b)["mean_r"] == float(px.mean())
+
+
+def test_jpeg_lossless_high_precision_and_rgb():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_lossless,
+        decode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(13)
+    w, h = 7, 5
+    for P in (12, 16):
+        px = rng.integers(0, 1 << P, size=h * w).astype("<u2")
+        d = decode_jpeg_lossless(
+            build_jpeg_lossless(w, h, px.tobytes(), precision=P, predictor=4)
+        )
+        assert d["mean_r"] == float(px.astype(float).mean())
+    rgb = rng.integers(0, 256, size=h * w * 3, dtype=np.uint8)
+    d = decode_jpeg_lossless(
+        build_jpeg_lossless(w, h, rgb.tobytes(), channels=3, predictor=7)
+    )
+    a = rgb.astype(float).reshape(h, w, 3)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(
+        a[:, :, c].mean() for c in range(3)
+    )
+
+
+def test_jpeg_lossless_fail_closed():
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_lossless,
+        decode_jpeg_lossless,
+    )
+
+    with pytest.raises(ValueError):
+        build_jpeg_lossless(4, 4, bytes(16), predictor=0)
+    with pytest.raises(ValueError):
+        build_jpeg_lossless(4, 4, bytes(15))
+    good = build_jpeg_lossless(8, 8, bytes(range(64)), predictor=4)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_lossless(good[: len(good) // 2])
+    # a baseline file is not a lossless one
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_pixels,
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_lossless(build_jpeg_pixels(8, 8, bytes(64), channels=1))
+    random.seed(477)
+    for _ in range(40):
+        b = bytearray(good)
+        b[random.randrange(len(b))] ^= 1 << random.randrange(8)
+        try:
+            decode_jpeg_lossless(bytes(b))
+        except NotImplementedError:
+            pass  # only allowed failure mode
