@@ -249,6 +249,9 @@ def main() -> None:
         "repeated_spans",
         "zorder_layout_read",
         "local_supplier_revenue",
+        # round-7 additions (appended at the tail per the protocol)
+        "html_extract",
+        "lm_perplexity",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

@@ -57,6 +57,14 @@ from optimal_parallel_fp_growth_spark.operators.bpe import (
     apply_bpe,
     train_bpe,
 )
+from optimal_parallel_fp_growth_spark.operators.html import (
+    attach_html,
+    extract_main_text,
+)
+from optimal_parallel_fp_growth_spark.operators.lm import (
+    score_perplexity,
+    train_bigram_lm,
+)
 from optimal_parallel_fp_growth_spark.streaming.stateful import (
     first_seen_dedup,
     first_seen_dedup_watermarked,
@@ -191,12 +199,16 @@ __all__ = [
     "apply_bpe",
     "extract_audio_stats",
     "decode_wav_samples",
+    "attach_html",
     "build_aac_adts",
     "build_avi_mjpeg",
     "build_jpeg_lossless",
     "build_mp3_frames",
     "decode_aac_adts",
     "decode_jpeg_lossless",
+    "extract_main_text",
+    "score_perplexity",
+    "train_bigram_lm",
     "decode_avi_frames",
     "decode_jpeg_pixels",
     "decode_mp3_frames",

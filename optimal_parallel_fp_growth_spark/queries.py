@@ -581,6 +581,11 @@ _DRIVER_PRIORITY: list[str] = [
     "label_centroids",
     "revenue_by_nation",
     "top_orders",
+    # --- added mid-round-7 (the window was already full): first
+    # driver sample MUST lead r8 (tests/test_registry_order.py
+    # whitelists NEW_THIS_ROUND until then) ---
+    "html_extract",
+    "lm_perplexity",
 ]
 
 

@@ -1120,6 +1120,98 @@ SELECT doc_id, n_tokens, score, score >= 0.5 AS label FROM s
 """
 
 
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML main-content extraction (round 7): wrap each doc's
+    text in a deterministic page — link-dense nav/sidebar/footer
+    boilerplate around the lone escaped article paragraph, built
+    entirely in JVM codegen — then run the stdlib-HTMLParser
+    link-density extractor (operators/html.py). The oracle restates
+    the template's block census in closed form: 5 text blocks, only
+    the article paragraph survives the 0.33 link-density gate, its
+    text is the original doc text, and the page-level link density is
+    (37 + 2*len(str(doc_id))) / (52 + 2*len(str(doc_id)) + len(text))
+    — any parser/gate bug shifts a count or the density and breaks
+    equality."""
+    from optimal_parallel_fp_growth_spark.operators.html import (
+        attach_html,
+        extract_main_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_main_text(attach_html(docs))
+
+
+ORACLE_HTML_EXTRACT = """
+SELECT doc_id,
+       5::INT AS n_blocks,
+       1::INT AS n_kept,
+       text AS main_text,
+       length(text)::INT AS n_chars,
+       round((37.0 + 2 * length(doc_id::VARCHAR))
+             / (52.0 + 2 * length(doc_id::VARCHAR) + length(text)),
+             6) AS link_density
+FROM documents
+"""
+
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter, self-scored (round 7): train the
+    add-alpha bigram model on the documents corpus (operators/lm.py —
+    pure Catalyst: split/posexplode/lead window, map-side-combined
+    counts, broadcast probability join) and score every document's
+    perplexity under it. The oracle restates the whole estimator in
+    SQL — tokenize with positions, lead() bigrams, (c+α)/(c1+α·V)
+    conditionals, per-doc mean NLL — so any drift in tokenization,
+    the smoothing arithmetic, or the join fallbacks breaks equality."""
+    from optimal_parallel_fp_growth_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs)
+    return score_perplexity(docs, lm)
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS w1
+  FROM documents,
+       LATERAL (SELECT UNNEST(generate_series(1,
+                  len(string_split(text, ' ')))) AS i) u
+),
+bigrams AS (
+  SELECT doc_id, w1,
+         lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bg AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c
+  FROM bigrams WHERE w2 IS NOT NULL GROUP BY 1, 2
+),
+ctx AS (SELECT w1, sum(c) AS c1 FROM bg GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT t)::DOUBLE AS v FROM (
+    SELECT w1 AS t FROM bigrams WHERE w2 IS NOT NULL
+    UNION SELECT w2 FROM bigrams WHERE w2 IS NOT NULL
+  )
+),
+probs AS (
+  SELECT bg.w1, bg.w2, ln((bg.c + 0.5) / (ctx.c1 + 0.5 * v.v)) AS logp
+  FROM bg, ctx, v WHERE bg.w1 = ctx.w1
+)
+SELECT b.doc_id,
+       count(*)::INT AS n_bigrams,
+       round(-avg(p.logp), 6) AS avg_nll,
+       round(exp(-avg(p.logp)), 4) AS ppl
+FROM bigrams b JOIN probs p ON b.w1 = p.w1 AND b.w2 = p.w2
+WHERE b.w2 IS NOT NULL
+GROUP BY b.doc_id
+"""
+
+
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lines": q_dedup_lines,
     "quality_classifier": q_quality_classifier,
@@ -1160,6 +1252,8 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_documents": q_dq_documents,
     "versioned_read": q_versioned_read,
     "versioned_merge": q_versioned_merge,
+    "html_extract": q_html_extract,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 DOC_ORACLES: dict[str, str] = {
@@ -1203,4 +1297,6 @@ DOC_ORACLES: dict[str, str] = {
     "dq_documents": ORACLE_DQ_DOCUMENTS,
     "versioned_read": ORACLE_VERSIONED_READ,
     "versioned_merge": ORACLE_VERSIONED_MERGE,
+    "html_extract": ORACLE_HTML_EXTRACT,
+    "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

@@ -546,3 +546,43 @@ def test_local_supplier_revenue_plan_contract(spark, sf_small):
         any("GreaterThanOrEqual(o_orderdate" in p for p in s["pushed"])
         for s in r.scans
     )
+
+
+def test_codec_stages_spread_across_cores(spark, sf_small):
+    """Compute-bound mapInPandas codec stages must not inherit a
+    single-file scan's partitioning (the round-7 serial-decode bug):
+    every attach/extract pipeline runs with at least the session's
+    default parallelism."""
+    from optimal_parallel_fp_growth_spark.operators.html import (
+        attach_html,
+        extract_main_text,
+    )
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        attach_jpeg_media,
+        attach_video_media,
+        extract_pixel_stats,
+        extract_video_frames,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    target = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < target  # the hazard is real here
+    for df in (
+        extract_video_frames(attach_video_media(docs)),
+        extract_pixel_stats(attach_jpeg_media(docs)),
+        extract_main_text(attach_html(docs)),
+    ):
+        assert df.rdd.getNumPartitions() >= target
+
+
+def test_lm_bigram_extraction_is_shuffle_free(spark, sf_small):
+    """train/score must not exchange before the count aggregation:
+    the in-row zip_with extraction replaces the lead() window (which
+    shuffled and sorted the whole token stream by doc_id)."""
+    from optimal_parallel_fp_growth_spark.operators.lm import _bigrams
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    plan = _bigrams(docs, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
