@@ -64,6 +64,7 @@ from optimal_parallel_fp_growth_spark.operators.html import (
 from optimal_parallel_fp_growth_spark.operators.lm import (
     score_perplexity,
     train_bigram_lm,
+    train_ngram_lm,
 )
 from optimal_parallel_fp_growth_spark.streaming.stateful import (
     first_seen_dedup,
@@ -209,6 +210,7 @@ __all__ = [
     "extract_main_text",
     "score_perplexity",
     "train_bigram_lm",
+    "train_ngram_lm",
     "decode_avi_frames",
     "decode_jpeg_pixels",
     "decode_mp3_frames",

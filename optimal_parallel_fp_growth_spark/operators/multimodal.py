@@ -72,6 +72,10 @@ def _spread_for_codec(df: "DataFrame") -> "DataFrame":
     serializing the codec costs the whole stage. Only widens — never
     shrinks — the partition count, so cluster-scale inputs with
     healthy partitioning pass through untouched."""
+    if df.isStreaming:
+        # .rdd is illegal on a stream, and micro-batch partitioning is
+        # the source's concern (maxFilesPerTrigger etc.) — pass through
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -22,7 +22,7 @@ def tiny(spark):
 
 def test_hand_computed_probabilities(spark, tiny):
     lm = {
-        (r.w1, r.w2): r.logp for r in train_bigram_lm(tiny).collect()
+        (r.ctx, r.w): r.logp for r in train_bigram_lm(tiny).collect()
     }
     # bigrams: doc1: ab, ba, ab; doc2: ab, bc → c(a,b)=3, c(b,a)=1,
     # c(b,c)=1; c1(a)=3, c1(b)=2; V = |{a,b,c}| = 3, alpha = 0.5
@@ -64,7 +64,7 @@ def test_out_of_domain_fallbacks_are_total(spark, tiny):
 def test_min_count_prunes_to_fallback(spark, tiny):
     lm2 = train_bigram_lm(tiny, min_count=2)
     pairs = {
-        (r.w1, r.w2) for r in lm2.where("w2 IS NOT NULL").collect()
+        (r.ctx, r.w) for r in lm2.where("w IS NOT NULL").collect()
     }
     assert pairs == {("a", "b")}  # the only bigram with count >= 2
     got = {r.doc_id: r for r in score_perplexity(tiny, lm2).collect()}
@@ -76,10 +76,56 @@ def test_min_count_prunes_to_fallback(spark, tiny):
 
 
 def test_validation(spark, tiny):
+    from optimal_parallel_fp_growth_spark.operators.lm import train_ngram_lm
+
     with pytest.raises(ValueError):
         train_bigram_lm(tiny, alpha=0.0)
     with pytest.raises(ValueError):
         train_bigram_lm(tiny, min_count=0)
+    with pytest.raises(ValueError):
+        train_ngram_lm(tiny, n=5)
+
+
+def test_trigram_hand_math_and_short_doc_guard(spark):
+    from optimal_parallel_fp_growth_spark.operators.lm import train_ngram_lm
+
+    rows = [(1, "a b c a b c"), (2, "a b"), (3, "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm3 = train_ngram_lm(docs, n=3)
+    probs = {(r.ctx, r.w): r.logp for r in lm3.where("w IS NOT NULL").collect()}
+    # doc1 trigrams: (a b→c) x2, (b c→a), (c a→b); docs 2 and 3 are
+    # SHORTER than the order and must contribute nothing (the
+    # sequence-descends guard) — but their tokens still count in V?
+    # V counts only tokens inside emitted grams: {a, b, c} = 3
+    assert set(probs) == {("a b", "c"), ("b c", "a"), ("c a", "b")}
+    V = 3.0
+    assert probs[("a b", "c")] == pytest.approx(
+        math.log((2 + 0.5) / (2 + 0.5 * V))
+    )
+    assert probs[("b c", "a")] == pytest.approx(
+        math.log((1 + 0.5) / (1 + 0.5 * V))
+    )
+    got = {r.doc_id: r for r in score_perplexity(docs, lm3).collect()}
+    assert got[1].n_bigrams == 4
+    assert 2 not in got and 3 not in got  # no trigrams → no score rows
+
+
+def test_unigram_model_is_smoothed_frequency(spark, tiny):
+    from optimal_parallel_fp_growth_spark.operators.lm import train_ngram_lm
+
+    lm1 = train_ngram_lm(tiny, n=1)
+    probs = {r.w: r.logp for r in lm1.where("w IS NOT NULL").collect()}
+    # tokens: a x3, b x3, c x1 → 7 total; V = 3
+    assert probs["a"] == pytest.approx(math.log((3 + 0.5) / (7 + 1.5)))
+    assert probs["c"] == pytest.approx(math.log((1 + 0.5) / (7 + 1.5)))
+
+
+def test_order2_wrapper_equals_general(spark, tiny):
+    from optimal_parallel_fp_growth_spark.operators.lm import train_ngram_lm
+
+    a = sorted(map(tuple, train_bigram_lm(tiny).collect()), key=repr)
+    b = sorted(map(tuple, train_ngram_lm(tiny, n=2).collect()), key=repr)
+    assert a == b
 
 
 def test_fluent_vs_shuffled_text_separates(spark, sf_small):

@@ -580,9 +580,13 @@ def test_lm_bigram_extraction_is_shuffle_free(spark, sf_small):
     """train/score must not exchange before the count aggregation:
     the in-row zip_with extraction replaces the lead() window (which
     shuffled and sorted the whole token stream by doc_id)."""
-    from optimal_parallel_fp_growth_spark.operators.lm import _bigrams
+    from optimal_parallel_fp_growth_spark.operators.lm import _ngram_pairs
     from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
     docs = load_table(spark, sf_small, "documents")
-    plan = _bigrams(docs, "text")._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan and "Window" not in plan
+    for n in (1, 2, 3):
+        plan = (
+            _ngram_pairs(docs, "text", n)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Window" not in plan, n

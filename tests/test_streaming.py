@@ -154,3 +154,59 @@ def test_correlate_streams_matches_batch_interval_join(spark, sf_small):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_html_extract_is_streaming_compatible(spark, sf_small):
+    """extract_main_text is a stateless Arrow map (mapInPandas runs
+    unchanged under Structured Streaming in append mode) — a streamed
+    corpus must extract exactly what the batch plan extracts."""
+    from optimal_parallel_fp_growth_spark.operators.html import (
+        attach_html,
+        extract_main_text,
+    )
+
+    schema = spark.read.parquet(f"{sf_small}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_small)
+    )
+    st = extract_main_text(attach_html(stream)).select(
+        "doc_id", "n_kept", "n_chars"
+    )
+    run_to_memory(st, "html_stream", output_mode="append")
+    got = {tuple(r) for r in spark.table("html_stream").collect()}
+
+    batch = extract_main_text(
+        attach_html(load_table(spark, sf_small, "documents"))
+    ).select("doc_id", "n_kept", "n_chars")
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_perplexity_scoring_is_streaming_compatible(spark, sf_small):
+    """Scoring a stream against a STATIC pre-trained LM: stream-static
+    left joins + a per-doc aggregation (complete mode — each doc's
+    n-grams come from one row, so the agg state is bounded by the
+    batch's doc count). Must equal the batch scorer."""
+    from optimal_parallel_fp_growth_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    lm = train_bigram_lm(docs).cache()
+    lm.count()
+
+    schema = spark.read.parquet(f"{sf_small}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_small)
+    )
+    st = score_perplexity(stream, lm)
+    run_to_memory(st, "ppl_stream", output_mode="complete")
+    got = {tuple(r) for r in spark.table("ppl_stream").collect()}
+    want = {tuple(r) for r in score_perplexity(docs, lm).collect()}
+    lm.unpersist()
+    assert got == want and len(want) > 0
