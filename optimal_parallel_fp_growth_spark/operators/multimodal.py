@@ -520,6 +520,13 @@ def build_mp3_frames(
             )
             at = side  # offset within body (header already excluded)
             tag = b"Xing" + (1).to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+            if at + len(tag) > len(body):
+                # slice assignment would EXTEND the body and corrupt
+                # every frame boundary after it — fail loudly instead
+                raise ValueError(
+                    "first frame too small to hold a Xing header at "
+                    f"{rates[0]} kbps / {sample_rate} Hz"
+                )
             body[at : at + len(tag)] = tag
         out += header + bytes(body)
     return bytes(out)

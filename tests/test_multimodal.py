@@ -2003,3 +2003,16 @@ def test_jpeg_lossless_fail_closed():
             decode_jpeg_lossless(bytes(b))
         except NotImplementedError:
             pass  # only allowed failure mode
+
+
+def test_mp3_xing_rejects_frames_too_small_for_the_tag():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_mp3_frames,
+    )
+
+    # MPEG-2 8 kbps / 24 kHz mono: 24-byte frames — a 21-byte
+    # side+Xing region cannot fit the 20-byte body
+    with pytest.raises(ValueError, match="Xing"):
+        build_mp3_frames(
+            3, sample_rate=24000, bitrate_kbps=8, channels=1, xing=True
+        )
