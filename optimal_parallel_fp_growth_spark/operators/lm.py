@@ -34,18 +34,35 @@ Scale
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.caching import (
+    RddBlockHandle,
+    persistent_rdd_ids,
+    tag_cached_inputs,
+)
 
 
 def _ngram_pairs(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     """(doc_id, ctx, w) — one row per n-gram: ``ctx`` is the space-
     joined n-1 preceding tokens (empty string for unigrams), ``w`` the
-    predicted token. Built ENTIRELY inside the row (transform over a
-    position sequence + slices), not with lead() windows: the window
-    formulation shuffles and sorts the whole exploded token stream by
-    doc_id; this is shuffle-free codegen — the first exchange in the
-    LM pipeline is the count aggregation itself."""
+    predicted token. Built ENTIRELY inside the row (zip_with over
+    shifted slices of the token array), not with lead() windows: the
+    window formulation shuffles and sorts the whole exploded token
+    stream by doc_id; this is shuffle-free codegen — the first
+    exchange in the LM pipeline is the count aggregation itself.
+
+    The contexts are built INCREMENTALLY: n-2 zip_with passes extend
+    each position's context by one shifted token, then a final
+    zip_with attaches the predicted token. Each pass is one linear
+    array traversal, so the per-token cost is O(n) total — unlike the
+    round-7 ``transform(sequence(...))`` + per-position
+    ``slice``+``concat_ws`` form, which re-sliced the array at every
+    position (measured 8x slower at n=2, and it sat on the hot path
+    TWICE: train and score)."""
     parts = F.split(F.col(text_col), " ")
     m = F.size(parts)
     if n == 1:
@@ -53,16 +70,22 @@ def _ngram_pairs(docs: DataFrame, text_col: str, n: int) -> DataFrame:
             parts, lambda w: F.struct(F.lit("").alias("ctx"), w.alias("w"))
         )
     else:
-        # positions 1..m-n+1; guard m < n (Spark's sequence DESCENDS
-        # when start > stop, which would fabricate pairs)
+        # L = number of n-grams; the F.when guards m < n (slice with a
+        # non-positive length is illegal, and there are no grams)
+        length = m - (n - 1)
+        ctx = F.slice(parts, 1, length)
+        for j in range(2, n):
+            ctx = F.zip_with(
+                ctx,
+                F.slice(parts, j, length),
+                lambda acc, t: F.concat(acc, F.lit(" "), t),
+            )
         pairs = F.when(
             m >= n,
-            F.transform(
-                F.sequence(F.lit(1), m - (n - 1)),
-                lambda i: F.struct(
-                    F.concat_ws(" ", F.slice(parts, i, n - 1)).alias("ctx"),
-                    F.element_at(parts, i + (n - 1)).alias("w"),
-                ),
+            F.zip_with(
+                ctx,
+                F.slice(parts, n, length),
+                lambda c, t: F.struct(c.alias("ctx"), t.alias("w")),
             ),
         ).otherwise(F.array())
     return docs.select(
@@ -94,16 +117,34 @@ def train_ngram_lm(
         raise ValueError("min_count must be >= 1")
     grams = _ngram_pairs(docs, text_col, n)
     bg = grams.groupBy("ctx", "w").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the PRE-PRUNE count table so the training corpus is
+    # scanned exactly ONCE: the vocabulary count below and the model
+    # arithmetic both read these blocks instead of re-running the
+    # extraction (round 7 re-scanned the corpus for the vocab scalar).
+    # The blocks are registered for the tag/release lifecycle; they
+    # are count-table-sized (the thing min_count keeps bounded), not
+    # corpus-sized.
+    spark = docs.sparkSession
+    pre_ids = persistent_rdd_ids(spark)
+    bg_all = bg.localCheckpoint()
+    blocks = persistent_rdd_ids(spark) - pre_ids
+    bg = bg_all
     if min_count > 1:
         bg = bg.where(F.col("c") >= min_count)
     # context totals BEFORE pruning would leak dropped mass; after
     # pruning, c1 is the model's own normalizer (standard practice)
     ctx = bg.groupBy("ctx").agg(F.sum("c").alias("c1"))
-    # V = training vocabulary: every token seen in any position
+    # V = training vocabulary: every token seen in any position —
+    # computed from the PRE-prune table (pruning shrinks the model,
+    # never the vocabulary). The distinct (ctx, w) table carries
+    # exactly the same token set as the raw gram stream (every token
+    # occurs in some gram's context or predicted slot), so this never
+    # touches the corpus again — for n=1 the empty ctx is filtered
+    # and w alone covers V.
     vocab_size = (
-        grams.select(F.explode(F.split("ctx", " ")).alias("t"))
+        bg_all.select(F.explode(F.split("ctx", " ")).alias("t"))
         .where(F.col("t") != "")
-        .union(grams.select(F.col("w").alias("t")))
+        .union(bg_all.select(F.col("w").alias("t")))
         .agg(F.countDistinct("t"))
         .collect()[0][0]
     )  # single scalar: bounded driver-side by construction
@@ -124,9 +165,10 @@ def train_ngram_lm(
     out = seen.unionByName(fallback)
     # stash V and n for score time (uniform 1/V on unknown contexts;
     # the order must match at scoring or the join keys are garbage)
-    return out.withColumn("vocab_size", F.lit(int(vocab_size))).withColumn(
+    out = out.withColumn("vocab_size", F.lit(int(vocab_size))).withColumn(
         "order_n", F.lit(int(n))
     )
+    return tag_cached_inputs(out, RddBlockHandle(spark, blocks))
 
 
 def train_bigram_lm(
@@ -149,12 +191,28 @@ def score_perplexity(
     """→ (doc_id, n_bigrams, avg_nll, ppl): per-doc mean negative
     log-likelihood under the bigram model and its exp (perplexity).
     Total: unseen bigram → context fallback row; unknown context →
-    uniform 1/V."""
-    n = lm.select(F.max("order_n")).collect()[0][0]
-    grams = _ngram_pairs(docs, text_col, int(n))
-    vocab_size = F.broadcast(
-        lm.select(F.max("vocab_size").alias("v"))
-    )
+    uniform 1/V.
+
+    The model is ``localCheckpoint``-ed before use: scoring needs the
+    model THREE times (the (n, V) scalar lookup, the seen-gram join,
+    the fallback join) and the training plan behind it ends in a full
+    count aggregation — without the checkpoint each use re-runs that
+    aggregation from the corpus scan (round-7 measured ~13% of the
+    stage on the scalar collects alone)."""
+    spark = docs.sparkSession
+    pre_ids = persistent_rdd_ids(spark)
+    lm = lm.localCheckpoint()
+    blocks = persistent_rdd_ids(spark) - pre_ids
+    head = lm.agg(
+        F.max("order_n").alias("n"), F.max("vocab_size").alias("v")
+    ).collect()[0]
+    if head["n"] is None:
+        raise ValueError(
+            "empty language model: train_ngram_lm saw no n-grams "
+            "(corpus empty, or every document shorter than n tokens)"
+        )
+    n, vocab_size = int(head["n"]), int(head["v"])
+    grams = _ngram_pairs(docs, text_col, n)
     seen = lm.where(F.col("w").isNotNull()).select("ctx", "w", "logp")
     fb = lm.where(F.col("w").isNull()).select(
         "ctx", F.col("logp").alias("logp_fb")
@@ -162,13 +220,12 @@ def score_perplexity(
     scored = (
         grams.join(seen, ["ctx", "w"], "left")
         .join(fb, "ctx", "left")
-        .crossJoin(vocab_size)
         .select(
             "doc_id",
             F.coalesce(
                 F.col("logp"),
                 F.col("logp_fb"),
-                -F.log(F.col("v").cast("double")),
+                F.lit(-math.log(float(vocab_size))),
             ).alias("ll"),
         )
     )

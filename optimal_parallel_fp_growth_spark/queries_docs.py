@@ -291,7 +291,7 @@ def q_versioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_VERSIONED_READ = f"""
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents
 WHERE doc_id % 3 < 2 AND doc_id >= {VERSIONED_MIN_DOC_ID}
 GROUP BY lang, source
@@ -361,8 +361,8 @@ WITH merged AS (
   SELECT doc_id + 1000000000 AS doc_id, lang, n_chars, 1 AS inserted
   FROM documents WHERE doc_id % 10 = 5
 )
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       sum(inserted) AS n_inserted
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       sum(inserted)::BIGINT AS n_inserted
 FROM merged GROUP BY lang
 """
 
@@ -1157,14 +1157,18 @@ FROM documents
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality filter, self-scored (round 7): train the
-    add-alpha bigram model on the documents corpus (operators/lm.py —
-    pure Catalyst: split/posexplode/lead window, map-side-combined
-    counts, broadcast probability join) and score every document's
-    perplexity under it. The oracle restates the whole estimator in
-    SQL — tokenize with positions, lead() bigrams, (c+α)/(c1+α·V)
-    conditionals, per-doc mean NLL — so any drift in tokenization,
-    the smoothing arithmetic, or the join fallbacks breaks equality."""
+    """CCNet-style LM quality filter, self-scored (round 7; extraction
+    rebuilt round 8): train the add-alpha bigram model on the documents
+    corpus (operators/lm.py — pure Catalyst: IN-ROW zip_with of the
+    token array with its own shifted tail, no lead() window and no
+    doc_id exchange, then ONE map-side-combined count aggregation and a
+    broadcast probability join; the count table is localCheckpoint-ed
+    so train + score scan the corpus once each) and score every
+    document's perplexity under it. The oracle restates the whole
+    estimator in SQL — tokenize with positions, lead() bigrams (the
+    oracle MAY shuffle; the engine must not), (c+α)/(c1+α·V)
+    conditionals, per-doc mean NLL — so any drift in tokenization, the
+    smoothing arithmetic, or the join fallbacks breaks equality."""
     from optimal_parallel_fp_growth_spark.operators.lm import (
         score_perplexity,
         train_bigram_lm,

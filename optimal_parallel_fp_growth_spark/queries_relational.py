@@ -1198,9 +1198,9 @@ def q_returnflag_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RETURNFLAG_PRIORITY = f"""
 SELECT l_returnflag,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '{Q12_START}'
   AND l_shipdate <  TIMESTAMP '{Q12_END}'

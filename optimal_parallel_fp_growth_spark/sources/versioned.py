@@ -169,20 +169,36 @@ def _schema_fields(df: DataFrame) -> list[list[str]]:
 
 
 def _check_schema(df: DataFrame, path: str, version: int) -> None:
-    """Appends must match the table schema exactly (name + type, in
-    order): a silently divergent append would poison every later read
-    with missing/ambiguous columns. Overwrite resets the schema;
-    ``append_table(evolve=True)`` relaxes this to ADDITIVE evolution
-    via :func:`_merge_schema`."""
+    """Appends/merges must be a NAME-MATCHED SUBSET of the table schema
+    (Iceberg's writer contract, pinned round 8): the batch may omit
+    table columns (readers fill typed nulls via
+    :func:`_align_to_schema`, exactly as they do for files written
+    before a column evolved in) and column order is irrelevant
+    (identity is the name), but a column the table lacks or a type
+    change on a shared column is rejected — a renamed column shows up
+    as omit+add and still fails loudly, so a silently divergent append
+    cannot poison later reads. Overwrite resets the schema;
+    ``append_table(evolve=True)`` additionally permits NEW columns via
+    :func:`_merge_schema`."""
     want = _load_manifest(path, version).get("schema")
     if want is None:
         return  # pre-schema manifest: nothing to enforce
     got = _schema_fields(df)
-    if got != want:
+    want_types = {n: t for n, t in want}
+    problems = []
+    for n, t in got:
+        if n not in want_types:
+            problems.append(f"batch column {n!r} not in table")
+        elif want_types[n] != t:
+            problems.append(
+                f"column {n!r} type {t} != table type {want_types[n]}"
+            )
+    if problems:
         raise ValueError(
             f"append schema mismatch at {path}: table has {want}, "
-            f"append has {got} (use overwrite_table to change schema, "
-            "or append_table(evolve=True) for additive evolution)"
+            f"append has {got} ({'; '.join(problems)}; use "
+            "overwrite_table to change schema, or "
+            "append_table(evolve=True) for additive evolution)"
         )
 
 
@@ -281,11 +297,14 @@ def create_table(df: DataFrame, path: str) -> int:
 def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
     """Append rows as a new version (old files + new files).
 
-    ``evolve=True`` permits ADDITIVE schema evolution (Iceberg
-    semantics, name-matched): the append may carry columns the table
-    lacks (they join the schema; older files read as null) and may
-    omit columns the table has (the new files read as null there).
-    Type changes to an existing column are always rejected."""
+    Plain appends follow Iceberg's writer contract (round-8 pin): the
+    batch may OMIT table columns (new files read as null there) and
+    order columns freely — identity is the name — but may not add
+    columns or change a shared column's type. ``evolve=True``
+    additionally permits ADDITIVE schema evolution: the append may
+    carry columns the table lacks (they join the schema; older files
+    read as null). Type changes to an existing column are always
+    rejected."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -558,7 +577,11 @@ def merge_table(df: DataFrame, path: str, key: str) -> int:
     if affected:
         old = _read_files(spark, path, affected, man.get("schema"))
         survivors = old.join(df.select(key).distinct(), key, "left_anti")
-        merged = survivors.unionByName(df)
+        # the source may omit table columns (_check_schema's Iceberg
+        # subset contract): replacement is whole-row, so a replaced
+        # row's omitted columns become null, same as a reader sees
+        # pre-evolution files
+        merged = survivors.unionByName(df, allowMissingColumns=True)
     else:
         merged = df
     new_files = _write_data(merged, path, cur + 1)

@@ -75,3 +75,27 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"antecedent", "consequent", "confidence", "lift", "support"}
+
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_output_types_are_hashable(name, duck):
+    """No oracle may emit DuckDB HUGEINT/UHUGEINT output columns.
+
+    The external driver's value-hasher distinguishes int128 from int64 even
+    when values are equal, so a bare integer ``sum()`` (HUGEINT in DuckDB,
+    int64 in Spark) hash-reds a value-correct query. ``fetchall()`` converts
+    HUGEINT to plain Python int, which is why the value-compare test above
+    cannot catch this — only DESCRIBE sees the wire type. Round-7 verdict:
+    the only 3 red driver rows ever were exactly the 3 HUGEINT oracles.
+    Fix pattern: ``sum(x)::BIGINT AS alias`` in the oracle SQL.
+    """
+    sql = entry_mod.oracle_sql()[name]
+    types = duck.execute(f"DESCRIBE ({sql})").fetchall()
+    bad = [(col, typ) for col, typ, *_ in types if "HUGEINT" in typ.upper()]
+    assert not bad, (
+        f"{name}: oracle emits HUGEINT column(s) {bad}; cast with ::BIGINT "
+        "so the driver's hash matches Spark's int64"
+    )

@@ -222,6 +222,45 @@ def test_append_schema_mismatch_rejected(spark, table):
     assert read_table(spark, table).count() == 8
 
 
+def test_append_may_omit_and_reorder_columns_iceberg_contract(spark, table):
+    """Round-8 contract pin (Iceberg writer semantics): a plain append
+    may OMIT table columns (readers see typed nulls) and order columns
+    freely — but may not ADD a column or change a shared type without
+    evolve=True. The exact hypothesis counterexample from round 7
+    (evolve, then plain 2-column append) must succeed."""
+    # evolve: widen with tag
+    append_table(
+        spark.createDataFrame([(100, 0, "t")], "doc_id long, v long, tag string"),
+        table,
+        evolve=True,
+    )
+    # the round-7 failure: plain append that omits the evolved column
+    append_table(_batch(spark, 200, 3), table)
+    got = read_table(spark, table)
+    assert set(got.columns) == {"doc_id", "v", "tag"}
+    rows = {r.doc_id: (r.v, r.tag) for r in got.collect() if r.doc_id >= 100}
+    assert rows == {100: (0, "t"), 200: (400, None), 201: (402, None),
+                    202: (404, None)}
+    # reordered columns append by NAME, not position
+    append_table(
+        spark.createDataFrame([("u", 300, 7)], "tag string, doc_id long, v long"),
+        table,
+    )
+    r = read_table(spark, table).where(F.col("doc_id") == 300).collect()[0]
+    assert (r.v, r.tag) == (7, "u")
+    # a NEW column still requires evolve=True
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_table(
+            spark.createDataFrame([(400, 1, 2)], "doc_id long, v long, extra long"),
+            table,
+        )
+    # a type change on a shared column is always rejected
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_table(
+            spark.createDataFrame([(401, "s")], "doc_id long, v string"), table
+        )
+
+
 # ---------------------------------------------------------------------
 # round-6: manifest file-level min/max stats + pruned reads + the
 # atomic create-exclusive commit (ADVICE r5 TOCTOU fix)
