@@ -229,8 +229,12 @@ def score_perplexity(
             ).alias("ll"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_bigrams"),
         F.round(-F.avg("ll"), 6).alias("avg_nll"),
         F.round(F.exp(-F.avg("ll")), 4).alias("ppl"),
     )
+    # the checkpointed model blocks join the tag/release lifecycle just
+    # like train_ngram_lm's — otherwise every score call leaks its
+    # model-sized RDD blocks for the session lifetime (ADVICE r8)
+    return tag_cached_inputs(out, RddBlockHandle(spark, blocks))

@@ -28,8 +28,20 @@ ADTS (``decode_aac_adts``), and (e) REAL VIDEO FRAME DECODE (round
 7): AVI/MJPEG RIFF walk with every '00dc' chunk pixel-decoded
 through the JPEG decoder (``decode_avi_frames``).
 ``NotImplementedError`` now marks only the genuinely library-bound
-seam: lossless/hierarchical/arithmetic JPEG, MP3/AAC SAMPLE decode
-(filterbank synthesis), and inter-frame video codecs (H.264 etc.).
+seam: lossless/hierarchical/arithmetic JPEG, MP3/AAC SAMPLE decode,
+and inter-frame video codecs (H.264 etc.). The MP3/AAC seam was
+re-evaluated round 9 and is TABLE-bound, not effort-bound: every
+MPEG-1 audio layer's PCM path ends in the polyphase synthesis
+whose 512-tap prototype window is a normative spec TABLE (ISO
+11172-3 Table B.3 — quantized by hand, no closed form), and AAC-LC
+needs the 11 spectral huffman codebooks (13818-7 normative tables);
+this container has no spec text, codec library, or network to source
+them from, and re-deriving ~1500 published constants from memory
+risks silently-wrong PCM — strictly worse than a loud seam. All
+closed-form stages around the seam ARE real (frame walk, side-info
+geometry, Xing cross-check); the moment a table source is available
+the remaining work is requantize → IMDCT (closed-form cosines) →
+windowed overlap-add.
 ``build_payload``/``build_png_pixels``/``build_gif_pixels``/
 ``build_wav_samples`` construct spec-valid files (the GIF twin runs
 a real LZW ENCODER) so the build→parse round trips are

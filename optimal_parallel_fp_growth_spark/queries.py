@@ -429,30 +429,107 @@ QUERIES.update(REL_QUERIES)
 
 # ---------------------------------------------------------------------------
 # Driver sampling order. The correctness harness samples the registry in
-# insertion order with a bounded per-round window (exactly 50 rows in
-# r4-r6), so entries whose last green driver row is OLDEST must come
-# FIRST — the rotation contract that bounds staleness. Round-7 tiers
-# (staleness computed from CORRECTNESS_r0{1..6}.json; the invariant is
+# insertion order with a bounded per-round window (exactly 50 rows since
+# r4), so entries whose last green driver row is OLDEST must come FIRST —
+# the rotation contract that bounds staleness. Round-9 tiers (staleness
+# computed from CORRECTNESS_r0{1..8}.json; round 8 never rotated, so the
+# debt exceeded one window — VERDICT r8 tasks #1/#2; the invariant is
 # enforced data-driven by tests/test_registry_order.py):
-#   1. the 12 entries with NO driver-green row ever: versioned_read
-#      (the r6 red row — rows+schema matched, hash did not; VERDICT r6
-#      task #1 says it must lead) and the 11 entries added after the r6
-#      window filled (versioned_merge, batch-5 TPC-H, multimodal
-#      audio/jpeg, repeated_spans, zorder, Q5).
-#   2. the 11 entries whose last green row is r04 (3 rounds stale) —
-#      the twice-deferred set; VERDICT r6 task #2 mandates rows now.
-#   3. 27 of the 50 r05-green entries (2 rounds stale): the 9
-#      events/multimodal entries WITHOUT a pytest differential twin,
-#      plus all 18 relational TPC-H shapes. Exactly fills the window.
-#   4. the 23 remaining r05-green entries, each pytest-differential-
-#      pinned to a twin that is fresher or in this window (the TWINS
-#      map in tests/test_registry_order.py names each pinning test) —
-#      deferred to lead r8 together with tier-4's own twins.
-#   5. the 49 r06-green entries, freshest last.
+#   1. the 2 entries with NO driver row ever (added mid-r7, mandated to
+#      lead r8, missed): html_extract, lm_perplexity.
+#   2. the 23 r05-green twin-pinned entries, at their 4-round twin cap.
+#   3. 25 of the 49 r06-green untwinned entries — exactly fills the
+#      window. Chosen: the entries WITHOUT an honest differential pin
+#      (the ones that can only be verified by the driver gate itself).
+#   4. the other 24 r06-green entries, each newly pinned by an
+#      entry-twin or ground-truth differential (TWINS /
+#      GROUND_TRUTH_PINS in tests/test_registry_order.py) that holds
+#      them at the 4-round cap through r10's head — they MUST lead the
+#      r10 window.
+#   5. the 50 r08-green entries, freshest last.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
-    # tier 1 — never driver-green (versioned_read leads: VERDICT r6 #1)
+    # tier 1 — never driver-sampled (VERDICT r8 task #1: lead r9)
+    "html_extract",
+    "lm_perplexity",
+    # tier 2 — r05-green, twin-pinned, at the 4-round cap
+    "bloom_decontaminate",
+    "bloom_user_filter",
+    "events_distinct_sketch",
+    "kmeans_arrow",
+    "semdedup_arrow",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_exact",
+    "multimodal_decode",
+    "supplier_pagerank_bucketed",
+    "dedup_incremental",
+    "knn_ivf_index",
+    "freq_itemsets_by_lang",
+    "transform_self",
+    "mix_temperature",
+    "knn_cosine",
+    "events_pivot",
+    "events_unpivot",
+    "events_sessionize",
+    "events_windowed_counts",
+    "events_interval_join",
+    "events_funnel",
+    "events_resample",
+    "multimodal_features",
+    # tier 3 — r06-green, no differential pin: fills the window
+    "gopher_rules",
+    "late_order_priorities",
+    "sole_late_suppliers",
+    "negative_pairs",
+    "hard_negatives",
+    "events_hopping",
+    "multimodal_pixels",
+    "count_rows",
+    "tokenize_distinct",
+    "freq_items",
+    "freq_itemsets_docs",
+    "apriori_rules",
+    "dedup_simhash",
+    "lang_id",
+    "doc_fingerprint",
+    "pii_stats",
+    "repetition_signals",
+    "source_ngram_overlap",
+    "chunk_documents",
+    "pack_sequences",
+    "curate_corpus",
+    "corpus_split",
+    "label_centroids",
+    "revenue_by_nation",
+    "top_orders",
+    # tier 4 — r06-green, newly differential-pinned (round 9); these
+    # MUST lead the r10 window
+    "random_projection",
+    "knn_hyperplane",
+    "dedup_ngram_prefix",
+    "freq_itemsets_pfp",
+    "assoc_rules",
+    "transform",
+    "dedup_exact",
+    "dedup_lines",
+    "dedup_clusters",
+    "deduped_corpus",
+    "embedding_neardup",
+    "decontaminate",
+    "quality_score",
+    "quality_classifier",
+    "token_quantiles",
+    "text_stats",
+    "dq_documents",
+    "dq_events",
+    "ngram_counts",
+    "tfidf_top_terms",
+    "inverted_index",
+    "mix_sources",
+    "stratified_sample",
+    "weighted_sample",
+    # tier 5 — r08-green, freshest
     "versioned_read",
     "versioned_merge",
     "min_cost_part_supplier",
@@ -465,7 +542,6 @@ _DRIVER_PRIORITY: list[str] = [
     "repeated_spans",
     "zorder_layout_read",
     "local_supplier_revenue",
-    # tier 2 — last green r04, twice deferred; rows mandated this round
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",
@@ -477,8 +553,6 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "freq_itemsets",
     "deduped_corpus_cc",
-    # tier 3 — last green r05, no differential twin: events family
-    # first, then the multimodal frame walk, then the 18 TPC-H shapes
     "events_user_quartiles",
     "events_rolling",
     "events_daily_rollup",
@@ -506,86 +580,6 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_order_counts",
     "top_supplier",
     "idle_rich_customers",
-    # tier 4 — last green r05 but twin-pinned (see TWINS in
-    # tests/test_registry_order.py); these MUST lead the r8 window
-    "bloom_decontaminate",
-    "bloom_user_filter",
-    "events_distinct_sketch",
-    "kmeans_arrow",
-    "semdedup_arrow",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_exact",
-    "multimodal_decode",
-    "supplier_pagerank_bucketed",
-    "dedup_incremental",
-    "knn_ivf_index",
-    "freq_itemsets_by_lang",
-    "transform_self",
-    "mix_temperature",
-    "knn_cosine",
-    "events_pivot",
-    "events_unpivot",
-    "events_sessionize",
-    "events_windowed_counts",
-    "events_interval_join",
-    "events_funnel",
-    "events_resample",
-    "multimodal_features",
-    # tier 5 — r06-green, freshest
-    "gopher_rules",
-    "late_order_priorities",
-    "sole_late_suppliers",
-    "random_projection",
-    "knn_hyperplane",
-    "dedup_ngram_prefix",
-    "negative_pairs",
-    "hard_negatives",
-    "dq_events",
-    "events_hopping",
-    "multimodal_pixels",
-    "count_rows",
-    "tokenize_distinct",
-    "freq_items",
-    "freq_itemsets_pfp",
-    "freq_itemsets_docs",
-    "assoc_rules",
-    "transform",
-    "apriori_rules",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_lines",
-    "deduped_corpus",
-    "embedding_neardup",
-    "decontaminate",
-    "source_ngram_overlap",
-    "lang_id",
-    "quality_score",
-    "quality_classifier",
-    "doc_fingerprint",
-    "token_quantiles",
-    "text_stats",
-    "pii_stats",
-    "dq_documents",
-    "ngram_counts",
-    "repetition_signals",
-    "tfidf_top_terms",
-    "inverted_index",
-    "chunk_documents",
-    "pack_sequences",
-    "curate_corpus",
-    "corpus_split",
-    "mix_sources",
-    "stratified_sample",
-    "weighted_sample",
-    "label_centroids",
-    "revenue_by_nation",
-    "top_orders",
-    # --- added mid-round-7 (the window was already full): first
-    # driver sample MUST lead r8 (tests/test_registry_order.py
-    # whitelists NEW_THIS_ROUND until then) ---
-    "html_extract",
-    "lm_perplexity",
 ]
 
 

@@ -186,6 +186,12 @@ def _check_schema(df: DataFrame, path: str, version: int) -> None:
     got = _schema_fields(df)
     want_types = {n: t for n, t in want}
     problems = []
+    # duplicate batch column names would each pass the per-column
+    # subset checks below and only blow up later inside the Spark
+    # write/union with an opaque error — reject them here by name
+    names = [n for n, _ in got]
+    for n in sorted({n for n in names if names.count(n) > 1}):
+        problems.append(f"batch column {n!r} appears {names.count(n)} times")
     for n, t in got:
         if n not in want_types:
             problems.append(f"batch column {n!r} not in table")

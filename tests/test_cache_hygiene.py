@@ -33,6 +33,9 @@ TAGGED_QUERIES = [
     "semdedup",
     "kmeans_auto",
     "supplier_pagerank",
+    # score_perplexity's localCheckpoint-ed model blocks join the
+    # lifecycle too (ADVICE r8 medium: they leaked before round 9)
+    "lm_perplexity",
 ]
 
 

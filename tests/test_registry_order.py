@@ -1,20 +1,30 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (exactly 50 rows in r4-r6). Round-7 rotation
-contract (VERDICT r6 tasks #1/#2/#6):
+bounded per-round window (exactly 50 rows since r4). Round-9 rotation
+contract (VERDICT r8 tasks #1/#2/#3):
 
-* ``versioned_read`` (the r6 red row) leads, then every entry that has
-  NEVER had a green driver row, then the twice-deferred r04-green set,
-  then the untwinned r05-green entries — exactly filling the window.
-* Entries pinned by a pytest differential to a twin (the ``TWINS`` map
-  below) may defer past the 2-round staleness floor; everything else
-  may not. This is the formalized twin policy: with 122 entries and a
-  50-row window the untwinned rotation set must stay ≤ 2×WINDOW so no
-  untwinned entry is ever more than 2 rounds stale.
-* The staleness invariant is DATA-DRIVEN: we recompute each entry's
-  last green round from the CORRECTNESS_r*.json files at test time, so
-  forgetting to rotate the list next round fails this suite loudly.
+* ``html_extract`` / ``lm_perplexity`` (added mid-r7, never sampled)
+  lead, then the 23 r05-green twin-pinned entries at their 4-round cap,
+  then 25 of the 49 r06-green untwinned entries — exactly filling the
+  window. The other 24 r06-green entries were each given an honest
+  differential pin this round (``TWINS`` / ``GROUND_TRUTH_PINS``) and
+  MUST lead the r10 window.
+* A pinned entry (entry-twin differential in ``TWINS``, or an
+  independent-recomputation ground truth in ``GROUND_TRUTH_PINS``) may
+  defer to a 4-round staleness cap; everything else holds the 2-round
+  floor.
+* The staleness invariant is DATA-DRIVEN: each entry's last green round
+  is recomputed from the CORRECTNESS_r*.json files at test time, so
+  forgetting to rotate the list next round fails this suite loudly —
+  exactly what caught the skipped r8 rotation.
+* Steady-state capacity (the re-derivation VERDICT r8 task #2 asked
+  for): an untwinned entry needs a window slot every 3 rounds (sampled
+  at N, staleness 1/2 at N+1/N+2 heads, must re-enter at N+3); a
+  pinned entry every 5. With U untwinned and P pinned entries the
+  per-round slot demand is U/3 + P/5, which must stay ≤ WINDOW —
+  asserted below, replacing the old (insufficient) ``U ≤ 2·WINDOW``
+  bound.
 """
 
 from __future__ import annotations
@@ -29,9 +39,9 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 WINDOW = 50
 
 # entry -> (twin entry, pytest differential that pins them together).
-# A twinned entry may skip rotation while its twin (or the chain it
-# heads) holds a fresher/in-window driver row; the test names are real
-# collected tests so a rename breaks this file.
+# A pinned entry may skip rotation up to the 4-round cap while its twin
+# (or the chain it heads) holds a fresher/in-window driver row; the
+# test names are real collected tests so a rename breaks this file.
 TWINS: dict[str, tuple[str, str]] = {
     "kmeans_arrow": (
         "kmeans_clusters",
@@ -66,7 +76,7 @@ TWINS: dict[str, tuple[str, str]] = {
         "test_ngram_prefix.py::test_matches_exact_tier_on_fixture_corpus",
     ),
     "dedup_ngram_jaccard": (
-        "dedup_ngram_exact",  # chain: jaccard ↔ exact ↔ prefix (r6 green)
+        "dedup_ngram_exact",  # chain: jaccard ↔ exact ↔ prefix
         "test_dedup_scale_path.py::test_default_max_df_is_auto_and_exact_at_small_scale",
     ),
     "freq_itemsets_by_lang": (
@@ -125,14 +135,98 @@ TWINS: dict[str, tuple[str, str]] = {
         "events_rolling",
         "test_resample.py::test_hand_values",
     ),
+    # --- added round 9 (VERDICT r8 task #2: pin the rotation residue) ---
+    "freq_itemsets_pfp": (
+        "freq_itemsets",
+        "test_pfp_kernel.py::test_kernels_agree_on_lineitem",
+    ),
+    "assoc_rules": (
+        "freq_itemsets",  # rules derived from the same fitted itemsets
+        "test_mllib_rules_crosscheck.py::test_rules_match_mllib_events",
+    ),
+    "transform": (
+        "transform_self",
+        "test_advice_round2.py::test_transform_self_matches_manual",
+    ),
+    "dedup_ngram_prefix": (
+        "dedup_ngram_exact",  # the same differential pins both sides
+        "test_ngram_prefix.py::test_matches_exact_tier_on_fixture_corpus",
+    ),
+    "dedup_clusters": (
+        "dedup_minhash_lsh",  # clusters == union-find over the lsh pairs
+        "test_cc_sampling.py::test_dedup_clusters_matches_union_find",
+    ),
+    "deduped_corpus": (
+        "deduped_corpus_cc",  # greedy vs cc policy related + cc vs union-find
+        "test_cc_sampling.py::test_deduped_corpus_cc_policy",
+    ),
+    "decontaminate": (
+        "bloom_decontaminate",  # exact anti-join == bloom+verify
+        "test_bloom.py::test_anti_join_exact",
+    ),
+    "mix_sources": (
+        "mix_temperature",
+        "test_curation_ops.py::test_mix_temperature_matches_reference",
+    ),
+    "knn_hyperplane": (
+        "knn_cosine",  # surfaced pairs score identical cosines
+        "test_similarity.py::test_hyperplane_cosines_agree_with_exact",
+    ),
+}
+
+# entry -> pytest test that recomputes the entry's semantics
+# INDEPENDENTLY (pure python / numpy / hashlib brute force, or
+# hand-pinned values on crafted input). Same 4-round cap as TWINS —
+# a ground-truth differential is at least as strong as an entry twin.
+# Policy: a pin here must be a full-semantics recomputation, never a
+# shape/smoke test.
+GROUND_TRUTH_PINS: dict[str, str] = {
+    "random_projection": (
+        "test_random_projection.py::test_matches_numpy_ground_truth"
+    ),
+    "ngram_counts": (
+        "test_property_ngrams.py::test_ngram_counts_match_brute_force"
+    ),
+    "inverted_index": (
+        "test_property_ngrams.py::test_inverted_index_matches_brute_force"
+    ),
+    "quality_classifier": (
+        "test_classifier.py::test_score_matches_hand_computation"
+    ),
+    "tfidf_top_terms": "test_packing.py::test_tfidf_hand_values",
+    "dedup_lines": "test_linededup.py::test_remove_repeated_lines",
+    "stratified_sample": (
+        "test_curation_ops.py::test_stratified_sample_exact_counts_and_small_strata"
+    ),
+    "weighted_sample": (
+        "test_curation_ops.py::test_weighted_sample_counts_determinism_and_bias"
+    ),
+    # dq_documents/dq_events are thin declarative constraint lists over
+    # the SAME check_suite kernel, hand-value-pinned on dirty data
+    "dq_documents": "test_quality_checks.py::test_dirty_data_verdicts",
+    "dq_events": "test_quality_checks.py::test_dirty_data_verdicts",
+    "quality_score": "test_rotation_pins.py::test_quality_score_hand_values",
+    "text_stats": "test_rotation_pins.py::test_text_stats_hand_values",
+    "token_quantiles": (
+        "test_rotation_pins.py::test_token_quantiles_match_numpy_brute_force"
+    ),
+    "dedup_exact": (
+        "test_rotation_pins.py::test_dedup_exact_matches_brute_force"
+    ),
+    "embedding_neardup": (
+        "test_rotation_pins.py::test_embedding_neardup_cosines_exact_and_recall"
+    ),
 }
 
 
-# entries created after this round's window filled: exempt from the
-# staleness invariant until their first driver sample, which MUST lead
-# the NEXT round's window (move them to the head and empty this set
-# when rotating for r8).
-NEW_THIS_ROUND: set[str] = {"html_extract", "lm_perplexity"}
+# entries created after a round's window filled: entry -> the round it
+# was added in. Exempt from the staleness invariant ONLY while
+# ``current_round <= added_round`` (the window they could first lead is
+# the NEXT round's); the moment a CORRECTNESS file postdates the
+# addition the exemption EXPIRES and the entry must be in the window or
+# have a row — closing the loophole that let r8 skip html_extract/
+# lm_perplexity silently (VERDICT r8 task #3).
+NEW_THIS_ROUND: dict[str, int] = {}
 
 
 def _last_green_by_entry() -> tuple[dict[str, int], int]:
@@ -153,110 +247,151 @@ def _last_green_by_entry() -> tuple[dict[str, int], int]:
     return last, (rounds[-1] + 1 if rounds else 1)
 
 
+def _staleness_violations(
+    order: list[str],
+    last: dict[str, int],
+    current: int,
+    pinned: set[str],
+    new_this_round: dict[str, int],
+) -> list[str]:
+    """The rotation invariant as a pure function (unit-testable against
+    synthetic histories): never-sampled entries and any unpinned entry
+    ≥3 rounds stale MUST be in the first WINDOW positions; pinned
+    entries get a 4-round cap so they still rotate eventually."""
+    head = set(order[:WINDOW])
+    violations = []
+    for name in order:
+        if name in head:
+            continue
+        if name in new_this_round and current <= new_this_round[name]:
+            continue  # window was contractually full when it was added
+        staleness = current - last.get(name, 0)
+        if name not in last:
+            violations.append(f"{name}: never driver-green, outside window")
+        elif name in pinned:
+            if staleness > 4:
+                violations.append(
+                    f"{name}: pinned but {staleness} rounds stale (cap 4)"
+                )
+        elif staleness > 2:
+            violations.append(f"{name}: unpinned, {staleness} rounds stale")
+    return violations
+
+
+def _pinned() -> set[str]:
+    return set(TWINS) | set(GROUND_TRUTH_PINS)
+
+
 def test_twins_reference_real_tests():
     here = pathlib.Path(__file__).parent
-    for entry, (twin, testref) in TWINS.items():
+    refs = [(e, t) for e, (_, t) in TWINS.items()]
+    refs += list(GROUND_TRUTH_PINS.items())
+    for entry, testref in refs:
         assert entry in Q.QUERIES, entry
-        assert twin in Q.QUERIES, twin
         fname, tname = testref.split("::")
         src = (here / fname).read_text()
         assert f"def {tname.split('[')[0]}(" in src, (
             f"{entry}: pinning test {testref} not found"
         )
+    for entry, (twin, _) in TWINS.items():
+        assert twin in Q.QUERIES, twin
 
 
-def test_untwinned_rotation_set_fits_two_windows():
-    # NEW_THIS_ROUND entries are exempt until their first sample (they
-    # lead the next window by construction); once they're in rotation
-    # they count, so every addition eventually demands either a twin
-    # differential somewhere or a bigger window — this test is the
-    # early-warning that forces that conversation before staleness
-    # actually slips.
-    untwinned = [
-        k for k in Q.QUERIES if k not in TWINS and k not in NEW_THIS_ROUND
-    ]
-    assert len(untwinned) <= 2 * WINDOW, (
-        f"{len(untwinned)} untwinned entries > {2 * WINDOW}: some entry "
-        "would exceed 2-round staleness — add a twin differential or "
+def test_rotation_capacity_is_sustainable():
+    """Steady-state slot demand must fit the window (see module
+    docstring for the derivation): U/3 + P/5 ≤ WINDOW. This replaces
+    the old U ≤ 2·WINDOW bound, which ignored the pinned entries' own
+    cap-4 rotation demand."""
+    pinned = _pinned()
+    u = len([k for k in Q.QUERIES if k not in pinned])
+    p = len(pinned)
+    assert u / 3 + p / 5 <= WINDOW, (
+        f"registry outgrew the window: {u} unpinned + {p} pinned need "
+        f"{u / 3 + p / 5:.1f} slots/round > {WINDOW} — add pins or "
         "negotiate a bigger driver window"
     )
 
 
-def test_window_covers_every_stale_untwinned_entry():
-    """The data-driven rotation invariant. Never-green entries and any
-    untwinned entry whose last green row is ≥2 rounds old MUST be in
-    the first WINDOW positions; twinned entries get a 4-round cap so
-    they still rotate eventually."""
+def test_window_covers_every_stale_unpinned_entry():
     last, current = _last_green_by_entry()
-    head = set(list(Q.QUERIES)[:WINDOW])
-    violations = []
-    for name in Q.QUERIES:
-        if name in head:
-            continue
-        staleness = current - last.get(name, 0)
-        if name in NEW_THIS_ROUND:
-            continue  # added after the window filled; must lead next round
-        if name not in last:
-            violations.append(f"{name}: never driver-green, outside window")
-        elif name in TWINS:
-            if staleness > 4:
-                violations.append(
-                    f"{name}: twinned but {staleness} rounds stale (cap 4)"
-                )
-        elif staleness > 2:
-            violations.append(f"{name}: untwinned, {staleness} rounds stale")
+    violations = _staleness_violations(
+        list(Q.QUERIES), last, current, _pinned(), NEW_THIS_ROUND
+    )
     assert not violations, "\n".join(violations)
 
 
-def test_window_leads_with_versioned_read():
-    # VERDICT r6 task #1: the one red r6 row must be re-sampled first.
-    assert next(iter(Q.QUERIES)) == "versioned_read"
+def test_new_this_round_exemption_expires():
+    """The loophole that let round 8 skip html_extract/lm_perplexity:
+    the old exemption never expired, so a never-sampled entry outside
+    the window stayed legal forever. Reproduce the r8 head state
+    synthetically and require the invariant to FAIL there."""
+    order = ["fresh_entry"] * 0 + [f"e{i}" for i in range(WINDOW)] + ["late_add"]
+    last = {f"e{i}": 7 for i in range(WINDOW)}
+    # added mid-round 7; at the r7 head (current == 7) it is exempt...
+    ok = _staleness_violations(order, last, 7, set(), {"late_add": 7})
+    assert not ok
+    # ...but at the r8 head (current == 8, a CORRECTNESS file postdates
+    # the addition) the exemption has expired: outside window + no row
+    # MUST violate — this is exactly the state r8 shipped in.
+    bad = _staleness_violations(order, last, 8, set(), {"late_add": 7})
+    assert bad == ["late_add: never driver-green, outside window"]
+    # and a driver row clears it, exemption or not
+    last["late_add"] = 8
+    assert not _staleness_violations(order, last, 9, set(), {"late_add": 7})
 
 
-def test_r7_window_composition():
+def test_simulated_r10_rotation_is_feasible():
+    """VERDICT r8 task #2 'done' bar: the invariant must provably hold
+    through a simulated r10 with no new rows beyond the r9 window.
+    Simulate: every entry in the CURRENT head-50 goes green in r9, the
+    r10 builder rotates greedily (most-stale first, pinned entries
+    after unpinned at equal staleness), and the invariant is evaluated
+    at the r10 head."""
+    order = list(Q.QUERIES)
+    last, current = _last_green_by_entry()
+    assert current == 9  # this simulation is written against the r9 head
+    sim_last = dict(last)
+    for name in order[:WINDOW]:
+        sim_last[name] = 9
+    pinned = _pinned()
+    r10_order = sorted(
+        order,
+        key=lambda n: (
+            sim_last.get(n, -1),  # most stale first; never-sampled lead
+            n in pinned,  # unpinned before pinned at equal staleness
+        ),
+    )
+    violations = _staleness_violations(r10_order, sim_last, 10, pinned, {})
+    assert not violations, "\n".join(violations)
+
+
+def test_window_leads_with_never_sampled_entries():
+    # VERDICT r8 task #1: the two entries with no driver row ever lead.
+    order = list(Q.QUERIES)
+    assert order[:2] == ["html_extract", "lm_perplexity"]
+
+
+def test_r9_window_composition():
     """Pin the exact tiers so a mid-round insertion can't silently push
     a stale entry out of the window."""
     order = list(Q.QUERIES)
-    tier1 = [
-        "versioned_read",
-        "versioned_merge",
-        "min_cost_part_supplier",
-        "important_parts",
-        "returnflag_priority_lines",
-        "supplier_variety",
-        "recent_concentration_suppliers",
-        "multimodal_audio",
-        "multimodal_jpeg",
-        "repeated_spans",
-        "zorder_layout_read",
-        "local_supplier_revenue",
-    ]
-    tier2 = [
-        "word_count",
-        "kmeans_clusters",
-        "kmeans_auto",
-        "semdedup",
-        "semdedup_auto",
-        "knn_ivf",
-        "knn_ann",
-        "supplier_pagerank",
-        "dedup_minhash_lsh",
-        "freq_itemsets",
-        "deduped_corpus_cc",
-    ]
-    assert order[: len(tier1)] == tier1
-    assert order[len(tier1) : len(tier1) + len(tier2)] == tier2
-    # tier 3 fills the window with untwinned r05-green entries only
-    tier3 = order[len(tier1) + len(tier2) : WINDOW]
-    assert all(name not in TWINS for name in tier3), tier3
-    # new-this-round entries sit at the very tail
-    assert set(order[len(order) - len(NEW_THIS_ROUND):]) == NEW_THIS_ROUND
-    # and the deferred tier-4 block is exactly the twinned r05 set
     last, _ = _last_green_by_entry()
-    deferred = order[WINDOW : WINDOW + 23]
-    assert all(last.get(n) == 5 for n in deferred), deferred
-    assert all(n in TWINS for n in deferred), [
-        n for n in deferred if n not in TWINS
+    pinned = _pinned()
+    tier1 = ["html_extract", "lm_perplexity"]
+    assert order[: len(tier1)] == tier1
+    # tier 2: the 23 r05-green twin-pinned entries, all at the cap
+    tier2 = order[len(tier1) : len(tier1) + 23]
+    assert all(last.get(n) == 5 and n in TWINS for n in tier2), tier2
+    # tier 3 fills the window with r06-green unpinned entries only
+    tier3 = order[len(tier1) + 23 : WINDOW]
+    assert all(last.get(n) == 6 and n not in pinned for n in tier3), tier3
+    # tier 4: the 24 newly pinned r06-green entries — MUST lead r10
+    tier4 = order[WINDOW : WINDOW + 24]
+    assert all(last.get(n) == 6 and n in pinned for n in tier4), tier4
+    # tier 5: the r08-green tail
+    tier5 = order[WINDOW + 24 :]
+    assert all(last.get(n) == 8 for n in tier5), [
+        n for n in tier5 if last.get(n) != 8
     ]
 
 
@@ -286,12 +421,17 @@ def test_entry_module_preserves_order():
 def test_prior_round_correctness_rows_were_all_green():
     # guards against regressing an already-driver-confirmed entry silently:
     # if these files change upstream, the canary tier should be revisited.
-    # r06's one red row (versioned_read, hash-only; judge-exonerated and
-    # re-led in r7) is the documented exception.
-    for r in ("r02", "r03", "r04", "r05", "r06"):
+    # Documented exceptions: r06's one red row (versioned_read, hash-only;
+    # judge-exonerated, re-led r7) and r07's three HUGEINT oracle-cast
+    # mismatches (root-caused r7, fixed r8, all green in r08).
+    known_red = {
+        "r06": ["versioned_read"],
+        "r07": ["returnflag_priority_lines", "versioned_merge", "versioned_read"],
+    }
+    for r in ("r02", "r03", "r04", "r05", "r06", "r07", "r08"):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
-        red = [k for k, v in rows.items() if not v.get("hash_match")]
-        assert red == ([] if r != "r06" else ["versioned_read"]), (r, red)
+        red = sorted(k for k, v in rows.items() if not v.get("hash_match"))
+        assert red == known_red.get(r, []), (r, red)
 
 
 def test_bench_query_names_all_resolve():

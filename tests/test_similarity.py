@@ -283,3 +283,25 @@ def test_knn_ivf_index_registry_drops_tables(spark):
     out = q_knn_ivf_index(spark, "/root/testdata/sf0.001")
     assert out.count() > 0
     assert {t.name for t in spark.catalog.listTables()} == before
+
+
+def test_hyperplane_cosines_agree_with_exact(spark, sf_oracle, exact_and_ann):
+    """knn_hyperplane's ground-truth pin (round-9 rotation): for pairs
+    surfaced by both the hyperplane tier and the exact tier the scored
+    cosine is identical, and recall holds the ANN floor — the
+    hyperplane family approximates the candidate set, never the
+    metric."""
+    from optimal_parallel_fp_growth_spark.queries_vectors import (
+        q_knn_hyperplane,
+    )
+
+    exact, _ = exact_and_ann
+    e = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    hyp = q_knn_hyperplane(spark, sf_oracle).collect()
+    assert hyp
+    for r in hyp:
+        key = (r.query_id, r.vec_id)
+        if key in e:
+            assert e[key] == r.cosine
+    recall = len(e.keys() & {(r.query_id, r.vec_id) for r in hyp}) / len(e)
+    assert recall >= 0.15, f"hyperplane recall collapsed: {recall:.3f}"

@@ -222,6 +222,19 @@ def test_append_schema_mismatch_rejected(spark, table):
     assert read_table(spark, table).count() == 8
 
 
+def test_append_rejects_duplicate_column_names(spark, table):
+    """The round-8 subset relaxation must not re-admit duplicate batch
+    column names: each dup matches the table schema individually, so
+    without an explicit check the failure would surface later as an
+    opaque Spark write/union error (ADVICE r8 low)."""
+    dup = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").alias("doc_id"),
+    )
+    with pytest.raises(ValueError, match="appears 2 times"):
+        append_table(dup, table)
+
+
 def test_append_may_omit_and_reorder_columns_iceberg_contract(spark, table):
     """Round-8 contract pin (Iceberg writer semantics): a plain append
     may OMIT table columns (readers see typed nulls) and order columns
