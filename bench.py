@@ -252,6 +252,8 @@ def main() -> None:
         # round-7 additions (appended at the tail per the protocol)
         "html_extract",
         "lm_perplexity",
+        # round-9 addition: real FLAC encode+decode round trip
+        "multimodal_flac",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

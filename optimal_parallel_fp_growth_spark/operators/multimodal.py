@@ -273,6 +273,20 @@ def decode_real(payload: bytes) -> dict:
                     out["height"] = h
                     return out
         return out  # audio-only / metadata-only MP4: format alone
+    if payload[:4] == b"fLaC":
+        # FLAC (round 9): FULL sample decode — the codec is table-free
+        # (operators/flac.py), so unlike MP3/AAC the real PCM path is
+        # implementable here; header fields come from the verified
+        # decode, not a shallow peek.
+        from optimal_parallel_fp_growth_spark.operators.flac import (
+            decode_flac_samples,
+        )
+
+        info = decode_flac_samples(payload)
+        out["format"] = "flac"
+        out["sample_rate"] = info["sample_rate"]
+        out["channels"] = info["channels"]
+        return out
     if payload[:3] == b"ID3" or _mp3_sync_at(payload, 0):
         # MPEG-1/2/2.5 Layer III (round 7): the frame-header walk is
         # pure byte layout — sample rate / channel mode live in every
@@ -2574,6 +2588,119 @@ def extract_audio_stats(
             )
 
     return with_payload.mapInPandas(run, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# REAL FLAC round trip (round 9) — compressed audio with FULL sample
+# decode. Codec core in operators/flac.py; this section is the recipe
+# + Spark plumbing, mirroring the WAV entry above.
+
+FLAC_SCHEMA = (
+    "doc_id long, codec string, sample_rate int, channels int, "
+    "bits int, n_frames long, n_flac_frames int, duration_sec double, "
+    "mean double, rms double, peak long, md5_ok boolean"
+)
+
+_FLAC_BLOCK = 48  # small enough that most docs span several frames
+
+
+def flac_meta_for(doc_id: int) -> dict:
+    """Deterministic FLAC recipe with the `audio_meta_for` closed
+    forms, amplified x100 so residuals exercise non-trivial rice
+    params: flat interleaved sample ``k`` holds
+    ``100*(base + amp*(k % m))`` and the total count is a multiple of
+    ``m``, so mean/rms/peak scale the WAV-entry forms by 100 exactly.
+    Stereo docs rotate the three decorrelation modes; peak ≤ 11700
+    fits 16-bit PCM."""
+    m = 4 + doc_id % 9
+    return {
+        "sample_rate": 8000 + (doc_id * 31) % 32000,
+        "channels": 1 + doc_id % 2,
+        "m": m,
+        "base": 100 * (-40 + (doc_id * 17) % 81),
+        "amp": 100 * (1 + doc_id % 7),
+        "n_frames": m * (6 + doc_id % 7),
+        "stereo_mode": (
+            "independent"
+            if doc_id % 2 == 0
+            else ("left_side", "right_side", "mid_side")[doc_id % 3]
+        ),
+    }
+
+
+def attach_flac_media(docs: DataFrame) -> DataFrame:
+    """→ (doc_id, payload: binary) where payload is a REAL FLAC file
+    (rice-coded fixed-predictor frames, stereo decorrelation, CRC-8/16,
+    PCM MD5) whose samples follow `flac_meta_for`. Arrow-batched."""
+    from optimal_parallel_fp_growth_spark.operators.flac import (
+        build_flac_samples,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                a = flac_meta_for(int(doc_id))
+                n = a["n_frames"] * a["channels"]
+                samples = [a["base"] + a["amp"] * (k % a["m"]) for k in range(n)]
+                payloads.append(
+                    build_flac_samples(
+                        samples,
+                        a["sample_rate"],
+                        channels=a["channels"],
+                        block_size=_FLAC_BLOCK,
+                        stereo_mode=a["stereo_mode"],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_for_codec(docs.select("doc_id")).mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def extract_flac_stats(
+    with_payload: DataFrame, on_error: str = "raise"
+) -> DataFrame:
+    """Arrow-batched FULL FLAC decode over payload rows → FLAC_SCHEMA
+    (exact integer-sum statistics plus the CRC/MD5 verification
+    verdict); ``on_error`` as in :func:`extract_pixel_stats`."""
+    from optimal_parallel_fp_growth_spark.operators.flac import (
+        decode_flac_samples,
+    )
+
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_flac_samples(bytes(payload))
+                except NotImplementedError:
+                    if on_error == "raise":
+                        raise
+                    rows.append((doc_id,) + (None,) * 11)
+                    continue
+                rows.append(
+                    (
+                        doc_id, d["codec"], d["sample_rate"], d["channels"],
+                        d["bits"], d["n_frames"], d["n_flac_frames"],
+                        d["duration_sec"], d["mean"], d["rms"], d["peak"],
+                        d["md5_ok"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "sample_rate", "channels", "bits",
+                    "n_frames", "n_flac_frames", "duration_sec", "mean",
+                    "rms", "peak", "md5_ok",
+                ],
+            )
+
+    return with_payload.mapInPandas(run, FLAC_SCHEMA)
 
 
 # ---------------------------------------------------------------------

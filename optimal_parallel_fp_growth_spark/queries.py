@@ -580,6 +580,12 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_order_counts",
     "top_supplier",
     "idle_rich_customers",
+    # --- added mid-round-9 (the window was already committed to the
+    # mandated r9 tiers): first driver sample MUST lead r10 together
+    # with the deferred tier-4 block (tests/test_registry_order.py
+    # NEW_THIS_ROUND expires the exemption at the first r9-postdating
+    # CORRECTNESS file) ---
+    "multimodal_flac",
 ]
 
 

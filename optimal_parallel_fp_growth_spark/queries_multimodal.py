@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
     attach_audio_media,
+    attach_flac_media,
     attach_jpeg_media,
     attach_media,
     attach_payload,
@@ -21,6 +22,7 @@ from optimal_parallel_fp_growth_spark.operators.multimodal import (
     attach_video_media,
     decode_media,
     extract_audio_stats,
+    extract_flac_stats,
     extract_features,
     extract_pixel_stats,
     extract_video_frames,
@@ -265,6 +267,72 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC round trip (round 9): per doc, ENCODE a real FLAC
+    file — rice-coded fixed-predictor subframes, rotating stereo
+    decorrelation (independent / left-side / right-side / mid-side),
+    CRC-8 header + CRC-16 frame footers, STREAMINFO PCM MD5 — whose
+    flat sample ``k`` holds ``100*(base + amp*(k % m))`` per
+    `flac_meta_for`, then FULLY DECODE it (bit reader, coded frame
+    numbers, rice/escape residuals, predictor reconstruction, channel
+    recorrelation, every CRC and the MD5 verified) and report exact
+    statistics. FLAC is LOSSLESS, so the oracle states every column in
+    closed form — any bug on either side of the entropy coder, the
+    predictors, or the stereo math shifts a statistic or trips a
+    checksum and breaks equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_flac_stats(attach_flac_media(docs))
+    return out.select(
+        "doc_id",
+        "codec",
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_frames",
+        "n_flac_frames",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("duration_sec", "mean", "rms")
+        ],
+        "peak",
+        "md5_ok",
+    )
+
+
+# flac_meta_for mirrored in SQL: m = 4 + doc_id%9, base/amp are the
+# audio recipe x100, n_frames = m*(6 + doc_id%7), 48-sample FLAC
+# blocks; lossless decode means the WAV-entry closed forms hold
+# exactly and md5_ok is constitutionally TRUE (a corrupt stream raises
+# in the engine instead of reporting FALSE).
+ORACLE_FLAC = """
+SELECT doc_id,
+       'flac16' AS codec,
+       (8000 + (doc_id * 31) % 32000)::INT AS sample_rate,
+       (1 + doc_id % 2)::INT AS channels,
+       16 AS bits,
+       ((4 + doc_id % 9) * (6 + doc_id % 7))::BIGINT AS n_frames,
+       (((4 + doc_id % 9) * (6 + doc_id % 7) + 47) // 48)::INT
+         AS n_flac_frames,
+       round((4 + doc_id % 9) * (6 + doc_id % 7)
+             / (8000.0 + (doc_id * 31) % 32000), 6) AS duration_sec,
+       round(100 * (-40 + (doc_id * 17) % 81)
+             + 100 * (1 + doc_id % 7) * (4 + doc_id % 9 - 1) / 2.0, 6)
+         AS mean,
+       round(100 * sqrt(
+         (-40 + (doc_id * 17) % 81) * (-40 + (doc_id * 17) % 81)
+         + (-40 + (doc_id * 17) % 81) * (1 + doc_id % 7)
+           * (4 + doc_id % 9 - 1)
+         + (1 + doc_id % 7) * (1 + doc_id % 7) * (4 + doc_id % 9 - 1)
+           * (2 * (4 + doc_id % 9) - 1) / 6.0), 6) AS rms,
+       (100 * greatest(abs(-40 + (doc_id * 17) % 81),
+                       abs((-40 + (doc_id * 17) % 81)
+                           + (1 + doc_id % 7) * (4 + doc_id % 9 - 1))))::BIGINT
+         AS peak,
+       TRUE AS md5_ok
+FROM documents
+"""
+
+
 MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -272,6 +340,7 @@ MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_pixels": q_multimodal_pixels,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_flac": q_multimodal_flac,
 }
 
 MM_ORACLES: dict[str, str] = {
@@ -281,4 +350,5 @@ MM_ORACLES: dict[str, str] = {
     "multimodal_pixels": ORACLE_PIXELS,
     "multimodal_audio": ORACLE_AUDIO,
     "multimodal_jpeg": ORACLE_JPEG,
+    "multimodal_flac": ORACLE_FLAC,
 }

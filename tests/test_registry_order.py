@@ -226,7 +226,7 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # addition the exemption EXPIRES and the entry must be in the window or
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
-NEW_THIS_ROUND: dict[str, int] = {}
+NEW_THIS_ROUND: dict[str, int] = {"multimodal_flac": 9}
 
 
 def _last_green_by_entry() -> tuple[dict[str, int], int]:
@@ -388,11 +388,13 @@ def test_r9_window_composition():
     # tier 4: the 24 newly pinned r06-green entries — MUST lead r10
     tier4 = order[WINDOW : WINDOW + 24]
     assert all(last.get(n) == 6 and n in pinned for n in tier4), tier4
-    # tier 5: the r08-green tail
-    tier5 = order[WINDOW + 24 :]
+    # tier 5: the r08-green tail, then any mid-round additions last
+    tail = order[WINDOW + 24 :]
+    tier5 = [n for n in tail if n not in NEW_THIS_ROUND]
     assert all(last.get(n) == 8 for n in tier5), [
         n for n in tier5 if last.get(n) != 8
     ]
+    assert set(tail[len(tier5) :]) == set(NEW_THIS_ROUND)
 
 
 def test_queries_and_oracles_share_order_and_keys():
