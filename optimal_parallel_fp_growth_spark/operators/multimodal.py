@@ -1228,7 +1228,9 @@ def extract_video_frames(
     return with_payload.mapInPandas(run, VIDEO_FRAMES_SCHEMA)
 
 
-MEDIA_FORMATS = ("png", "gif", "bmp", "jpeg", "wav", "mp4", "mp3", "aac")
+MEDIA_FORMATS = (
+    "png", "gif", "bmp", "jpeg", "wav", "mp4", "mp3", "aac", "flac",
+)
 
 DECODE_SCHEMA = (
     "doc_id long, format string, width int, height int, "
@@ -1351,6 +1353,21 @@ def build_payload(
             channels=channels,
             frame_payload=50 + len(filler) % 200,
         )
+    if fmt == "flac":
+        # a REAL (fully decodable, CRC+MD5-verified) FLAC stream; the
+        # filler sets the sample count so payload sizes stay
+        # text-proportional like the other formats
+        from optimal_parallel_fp_growth_spark.operators.flac import (
+            build_flac_samples,
+        )
+
+        n = (64 + len(filler) % 256) * channels
+        return build_flac_samples(
+            [100 * (k % 9) for k in range(n)],
+            sample_rate,
+            channels=channels,
+            block_size=48,
+        )
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -1383,6 +1400,15 @@ def media_meta_for(doc_id: int) -> dict:
             "height": None,
             # must come from the ADTS sampling-frequency table
             "sample_rate": _ADTS_SAMPLERATES[doc_id % 12],
+            "channels": 1 + doc_id % 2,
+        }
+    if fmt == "flac":
+        return {
+            "format": fmt,
+            "width": None,
+            "height": None,
+            # free-form, but must fit the 16-bit-Hz frame-header code
+            "sample_rate": 8000 + (doc_id * 31) % 40000,
             "channels": 1 + doc_id % 2,
         }
     return {
