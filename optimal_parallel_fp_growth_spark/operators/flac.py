@@ -19,7 +19,7 @@ left/side, right/side, mid/side), CONSTANT / VERBATIM / FIXED 0-4 /
 LPC 1-32 subframes, wasted bits, both rice methods incl. the escape
 partitions, partition orders 0-15, and CRC-8 / CRC-16 / PCM-MD5
 verification (any mismatch raises — fail-closed like every decoder in
-multimodal.py). Encoder (builder twin): 4-16 bit PCM, mono/stereo,
+multimodal.py). Encoder (builder twin): 4-24 bit PCM, mono/stereo,
 CONSTANT detection, best-of fixed orders 0-4 with exact-cost rice
 params (escape when raw is cheaper), VERBATIM fallback, and the three
 stereo decorrelations.
@@ -308,8 +308,8 @@ def build_flac_samples(
     decorrelation, CRC-8/CRC-16 footers, and the STREAMINFO PCM MD5."""
     if channels not in (1, 2):
         raise ValueError("channels must be 1 or 2")
-    if not 4 <= bps <= 16:
-        raise ValueError("bps out of the supported 4-16 range")
+    if not 4 <= bps <= 24:
+        raise ValueError("bps out of the supported 4-24 range")
     if len(samples) % channels:
         raise ValueError("sample count not a multiple of channels")
     if stereo_mode not in ("independent", "left_side", "right_side", "mid_side"):
@@ -362,7 +362,7 @@ def build_flac_samples(
                       "right_side": 9, "mid_side": 10}[stereo_mode]
         bw.write(assign, 4)
         # sample-size code when bps has one, else 0 = from STREAMINFO
-        bw.write({8: 1, 12: 2, 16: 4}.get(bps, 0), 3)
+        bw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}.get(bps, 0), 3)
         bw.write(0, 1)
         for b in _utf8_number(frame_no):
             bw.write(b, 8)

@@ -315,3 +315,21 @@ def test_extract_quarantines_on_null_mode(spark):
         extract_flac_stats(df).collect()
     with pytest.raises(ValueError):
         extract_flac_stats(df, on_error="skip")
+
+
+def test_24_bit_round_trip():
+    sig = [1_000_000 * ((k % 11) - 5) + k for k in range(300)]
+    for ch, mode in ((1, "independent"), (2, "mid_side")):
+        n = 300 - (300 % ch)
+        payload = build_flac_samples(
+            sig[:n], 48000, channels=ch, bps=24, block_size=96,
+            stereo_mode=mode,
+        )
+        decoded, info = flac_decode_pcm(payload)
+        assert decoded == sig[:n] and info["md5_ok"]
+    d = decode_flac_samples(
+        build_flac_samples(sig, 48000, bps=24, block_size=96)
+    )
+    assert d["codec"] == "flac24" and d["bits"] == 24
+    with pytest.raises(ValueError, match="range"):
+        build_flac_samples([1], 8000, bps=25)

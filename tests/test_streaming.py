@@ -210,3 +210,31 @@ def test_perplexity_scoring_is_streaming_compatible(spark, sf_small):
     want = {tuple(r) for r in score_perplexity(docs, lm).collect()}
     lm.unpersist()
     assert got == want and len(want) > 0
+
+
+def test_flac_pipeline_is_streaming_compatible(spark, sf_small):
+    """attach_flac_media → extract_flac_stats is a stateless Arrow map
+    chain (mapInPandas runs unchanged under Structured Streaming in
+    append mode) — a streamed corpus must decode to exactly the batch
+    statistics."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        attach_flac_media,
+        extract_flac_stats,
+    )
+
+    schema = spark.read.parquet(f"{sf_small}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_small)
+    )
+    cols = ["doc_id", "codec", "n_frames", "mean", "peak", "md5_ok"]
+    st = extract_flac_stats(attach_flac_media(stream)).select(*cols)
+    run_to_memory(st, "flac_stream", output_mode="append")
+    got = {tuple(r) for r in spark.table("flac_stream").collect()}
+
+    batch = extract_flac_stats(
+        attach_flac_media(load_table(spark, sf_small, "documents"))
+    ).select(*cols)
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
