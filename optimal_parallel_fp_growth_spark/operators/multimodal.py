@@ -273,6 +273,15 @@ def decode_real(payload: bytes) -> dict:
                     out["height"] = h
                     return out
         return out  # audio-only / metadata-only MP4: format alone
+    if payload[:4] == b"OggS":
+        # Ogg/Opus (round 9): page walk with every CRC verified,
+        # packets reassembled, OpusHead parsed. Opus AUDIO decode
+        # (SILK/CELT) is the library-bound seam.
+        info = decode_ogg_opus(payload)
+        out["format"] = info["format"]
+        out["sample_rate"] = info["sample_rate"]
+        out["channels"] = info["channels"]
+        return out
     if payload[:4] == b"fLaC":
         # FLAC (round 9): FULL sample decode — the codec is table-free
         # (operators/flac.py), so unlike MP3/AAC the real PCM path is
@@ -968,6 +977,230 @@ def build_aac_adts(
 
 
 # ---------------------------------------------------------------------------
+# Ogg/Opus container walk — round 9. Ogg (RFC 3533) + Opus-in-Ogg
+# (RFC 7845) are pure structure: page framing, the non-reflected
+# CRC-32 (poly 0x04C11DB7, closed form), lacing-value packet
+# reassembly, and the OpusHead identification header. Opus AUDIO
+# decode (SILK/CELT) is genuinely library-bound and stays behind the
+# seam; the walk verifies every page CRC, the BOS/EOS framing, page
+# sequence continuity, and reassembles packets across page boundaries
+# — the honest native tier for the OTHER codec speech corpora ship in.
+# ---------------------------------------------------------------------------
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF
+                if crc & 0x80000000
+                else (crc << 1) & 0xFFFFFFFF
+            )
+    return crc
+
+
+def _ogg_page(
+    payload: bytes,
+    serial: int,
+    seq: int,
+    granule: int,
+    header_type: int,
+    continued_tail: bool = False,
+) -> bytes:
+    """One spec-valid Ogg page. ``continued_tail`` ends the page with a
+    255 lacing value (the packet continues on the next page)."""
+    import struct
+
+    lacing = []
+    n = len(payload)
+    while n >= 255:
+        lacing.append(255)
+        n -= 255
+    if not continued_tail or n > 0:
+        lacing.append(n)  # terminating lacing value (may be 0)
+    if len(lacing) > 255:
+        raise ValueError("payload needs more than 255 lacing values")
+    head = (
+        b"OggS\x00"
+        + bytes((header_type,))
+        + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq)
+        + b"\x00\x00\x00\x00"  # CRC placeholder
+        + bytes((len(lacing),))
+        + bytes(lacing)
+    )
+    page = head + payload
+    crc = _ogg_crc(page)
+    return page[:22] + crc.to_bytes(4, "little") + page[26:]
+
+
+def build_ogg_opus(
+    n_audio_packets: int,
+    sample_rate: int = 48000,
+    channels: int = 2,
+    pre_skip: int = 312,
+    packet_bytes: int = 120,
+    serial: int = 0x5061726B,
+    frame_ms: int = 20,
+    filler: bytes = b"\x00",
+) -> bytes:
+    """Builder twin for :func:`decode_ogg_opus`: a real Ogg stream —
+    BOS page carrying OpusHead, a comment page carrying OpusTags, then
+    audio packets (junk bodies behind a valid TOC byte; a container
+    walk never decodes SILK/CELT) with 48 kHz granule positions, the
+    final page flagged EOS. Packets larger than 255 bytes exercise
+    multi-lacing reassembly."""
+    import struct
+
+    if n_audio_packets <= 0:
+        raise ValueError("n_audio_packets must be positive")
+    if not 1 <= channels <= 2:
+        raise ValueError("channel_count must be 1 or 2 (mapping family 0)")
+    if frame_ms not in (10, 20, 40, 60):
+        raise ValueError("frame_ms must be a SILK frame duration")
+    head = (
+        b"OpusHead\x01"
+        + bytes((channels,))
+        + struct.pack("<H", pre_skip)
+        + struct.pack("<I", sample_rate)
+        + struct.pack("<h", 0)  # output gain
+        + b"\x00"  # mapping family 0
+    )
+    tags = (
+        b"OpusTags"
+        + struct.pack("<I", 4) + b"r9_0"
+        + struct.pack("<I", 0)
+    )
+    out = bytearray()
+    out += _ogg_page(head, serial, 0, 0, 0x02)  # BOS
+    out += _ogg_page(tags, serial, 1, 0, 0x00)
+    samples_per_packet = 48 * frame_ms  # granules are ALWAYS 48 kHz
+    # TOC: config 4 (SILK WB 20 ms? — irrelevant to the walk, kept
+    # constant), stereo flag, code 0 (one frame)
+    toc = (4 << 3) | ((1 if channels == 2 else 0) << 2) | 0
+    granule = pre_skip
+    for i in range(n_audio_packets):
+        body = bytes((toc,)) + bytes(
+            filler[j % len(filler)] for j in range(packet_bytes - 1)
+        )
+        granule += samples_per_packet
+        last = i == n_audio_packets - 1
+        out += _ogg_page(
+            body, serial, 2 + i, granule, 0x04 if last else 0x00
+        )
+    return bytes(out)
+
+
+def decode_ogg_opus(payload: bytes) -> dict:
+    """Strict Ogg/Opus container walk: every page CRC re-computed and
+    verified, version/BOS/EOS framing enforced, page sequence numbers
+    contiguous, packets reassembled across lacing values and page
+    boundaries, OpusHead parsed (version 1, mapping family 0). →
+    ``{"format", "sample_rate", "channels", "pre_skip", "n_pages",
+    "n_packets", "duration_ms"}`` — duration from the final granule
+    position minus pre-skip at the canonical 48 kHz granule rate."""
+    import struct
+
+    if payload[:4] != b"OggS":
+        raise NotImplementedError("not an Ogg payload")
+    pos = 0
+    n_pages = 0
+    packets: list[bytes] = []
+    partial = b""
+    expect_seq: int | None = None
+    serial0: int | None = None
+    last_granule = 0
+    saw_eos = False
+    while pos < len(payload):
+        if saw_eos:
+            raise NotImplementedError("Ogg data after the EOS page")
+        if payload[pos : pos + 4] != b"OggS":
+            raise NotImplementedError("Ogg page sync lost")
+        if payload[pos + 4] != 0:
+            raise NotImplementedError("unsupported Ogg version")
+        header_type = payload[pos + 5]
+        granule = struct.unpack("<q", payload[pos + 6 : pos + 14])[0]
+        serial, seq = struct.unpack("<II", payload[pos + 14 : pos + 22])
+        crc = int.from_bytes(payload[pos + 22 : pos + 26], "little")
+        nseg = payload[pos + 26]
+        lacing = payload[pos + 27 : pos + 27 + nseg]
+        if len(lacing) < nseg:
+            raise NotImplementedError("truncated Ogg segment table")
+        body_len = sum(lacing)
+        page_end = pos + 27 + nseg + body_len
+        if page_end > len(payload):
+            raise NotImplementedError("truncated Ogg page body")
+        page = bytearray(payload[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise NotImplementedError("Ogg page CRC mismatch")
+        if serial0 is None:
+            serial0 = serial
+            if not header_type & 0x02:
+                raise NotImplementedError("first Ogg page is not BOS")
+        elif serial != serial0:
+            raise NotImplementedError("multiplexed Ogg streams unsupported")
+        elif header_type & 0x02:
+            raise NotImplementedError("BOS flag on a non-first page")
+        if expect_seq is not None and seq != expect_seq:
+            raise NotImplementedError("Ogg page sequence discontinuity")
+        expect_seq = seq + 1
+        if (header_type & 0x01) and not partial:
+            raise NotImplementedError(
+                "continued-packet flag with no packet in flight"
+            )
+        if not (header_type & 0x01) and partial:
+            raise NotImplementedError(
+                "packet left unfinished at a fresh page"
+            )
+        body = payload[pos + 27 + nseg : page_end]
+        at = 0
+        for lv in lacing:
+            partial += body[at : at + lv]
+            at += lv
+            if lv < 255:
+                packets.append(partial)
+                partial = b""
+        if granule >= 0:
+            last_granule = granule
+        if header_type & 0x04:
+            saw_eos = True
+        n_pages += 1
+        pos = page_end
+    if partial:
+        raise NotImplementedError("Ogg stream ends mid-packet")
+    if not saw_eos:
+        raise NotImplementedError("Ogg stream has no EOS page")
+    if len(packets) < 2:
+        raise NotImplementedError("Ogg/Opus needs OpusHead + OpusTags")
+    head = packets[0]
+    if head[:8] != b"OpusHead":
+        raise NotImplementedError("first Ogg packet is not OpusHead")
+    if head[8] != 1:
+        raise NotImplementedError("unsupported OpusHead version")
+    channels = head[9]
+    pre_skip = struct.unpack("<H", head[10:12])[0]
+    sample_rate = struct.unpack("<I", head[12:16])[0]
+    if head[18] != 0:
+        raise NotImplementedError("OpusHead mapping family != 0")
+    if not 1 <= channels <= 2:
+        raise NotImplementedError("mapping family 0 allows 1-2 channels")
+    if packets[1][:8] != b"OpusTags":
+        raise NotImplementedError("second Ogg packet is not OpusTags")
+    return {
+        "format": "opus",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "pre_skip": pre_skip,
+        "n_pages": n_pages,
+        "n_packets": len(packets) - 2,
+        "duration_ms": max(0, (last_granule - pre_skip)) * 1000 // 48000,
+    }
+
+
+# ---------------------------------------------------------------------------
 # AVI/MJPEG video frame decode — round 7. Motion JPEG in an AVI (RIFF)
 # container is the one video format whose PIXELS decode with what this
 # container already has: the RIFF walk is pure byte layout and every
@@ -1230,6 +1463,7 @@ def extract_video_frames(
 
 MEDIA_FORMATS = (
     "png", "gif", "bmp", "jpeg", "wav", "mp4", "mp3", "aac", "flac",
+    "opus",
 )
 
 DECODE_SCHEMA = (
@@ -1368,6 +1602,14 @@ def build_payload(
             channels=channels,
             block_size=48,
         )
+    if fmt == "opus":
+        return build_ogg_opus(
+            n_audio_packets=2 + len(filler) % 6,
+            sample_rate=sample_rate,
+            channels=channels,
+            packet_bytes=60 + len(filler) % 300,
+            filler=filler or b"\x00",
+        )
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -1408,6 +1650,15 @@ def media_meta_for(doc_id: int) -> dict:
             "width": None,
             "height": None,
             # free-form, but must fit the 16-bit-Hz frame-header code
+            "sample_rate": 8000 + (doc_id * 31) % 40000,
+            "channels": 1 + doc_id % 2,
+        }
+    if fmt == "opus":
+        return {
+            "format": fmt,
+            "width": None,
+            "height": None,
+            # OpusHead input_sample_rate is informational free-form
             "sample_rate": 8000 + (doc_id * 31) % 40000,
             "channels": 1 + doc_id % 2,
         }

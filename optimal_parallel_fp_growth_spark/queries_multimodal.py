@@ -54,11 +54,13 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL round trip: spec-valid PNG/GIF/BMP/JPEG/WAV/MP4/MP3/AAC/
-    FLAC bytes built per doc (operators/multimodal.py::build_payload),
-    then header-parsed by the live ``decode_real`` seam (MP3/AAC run
-    their full frame walks; FLAC runs the FULL CRC+MD5-verified sample
-    decode, round 9). The oracle recomputes the metadata recipe
-    (`media_meta_for`) in SQL — a decode bug breaks equality."""
+    FLAC/Ogg-Opus bytes built per doc (operators/multimodal.py::
+    build_payload), then header-parsed by the live ``decode_real`` seam
+    (MP3/AAC run their full frame walks; FLAC runs the FULL
+    CRC+MD5-verified sample decode; Opus the CRC-checked Ogg page walk
+    with packet reassembly — both round 9). The oracle recomputes the
+    metadata recipe (`media_meta_for`) in SQL — a decode bug breaks
+    equality."""
     docs = load_table(spark, sf_dir, "documents")
     out = decode_media(attach_media(docs))
     # inapplicable fields → 0 (not NULL): keeps every comparator's row
@@ -177,31 +179,32 @@ FROM documents d,
      LATERAL (SELECT UNNEST(generate_series(0, d.doc_id % 4)) AS i) u
 """
 
-# media_meta_for mirrored in SQL: format rotates doc_id % 9 (round 6
+# media_meta_for mirrored in SQL: format rotates doc_id % 10 (round 6
 # adds MP4 ISO-BMFF box parsing, round 7 the MP3 frame walk and the
-# AAC ADTS walk, round 9 full FLAC decode); images AND mp4 get
-# (16 + doc_id*7919 % 2000, 16 + doc_id*104729 % 2000), wav AND flac
-# get (8000 + doc_id*31 % 40000, 1 + doc_id % 2), mp3 gets an
+# AAC ADTS walk, round 9 full FLAC decode + the Ogg/Opus CRC-checked
+# page walk); images AND mp4 get
+# (16 + doc_id*7919 % 2000, 16 + doc_id*104729 % 2000); wav, flac and
+# opus get (8000 + doc_id*31 % 40000, 1 + doc_id % 2); mp3 gets an
 # MPEG-1-legal sample rate [44100,48000,32000][doc_id%3], aac an
 # ADTS-table rate [...][doc_id%12]; all audio codecs share wav's
 # channel rule.
 ORACLE_DECODE = """
 SELECT doc_id,
-       ['png', 'gif', 'bmp', 'jpeg', 'wav', 'mp4', 'mp3', 'aac', 'flac']
-         [(doc_id % 9)::INT + 1] AS format,
-       CASE WHEN doc_id % 9 IN (4, 6, 7, 8) THEN 0
+       ['png', 'gif', 'bmp', 'jpeg', 'wav', 'mp4', 'mp3', 'aac', 'flac',
+        'opus'][(doc_id % 10)::INT + 1] AS format,
+       CASE WHEN doc_id % 10 IN (4, 6, 7, 8, 9) THEN 0
             ELSE (16 + (doc_id * 7919) % 2000)::INT END AS width,
-       CASE WHEN doc_id % 9 IN (4, 6, 7, 8) THEN 0
+       CASE WHEN doc_id % 10 IN (4, 6, 7, 8, 9) THEN 0
             ELSE (16 + (doc_id * 104729) % 2000)::INT END AS height,
-       CASE WHEN doc_id % 9 IN (4, 8)
+       CASE WHEN doc_id % 10 IN (4, 8, 9)
             THEN (8000 + (doc_id * 31) % 40000)::INT
-            WHEN doc_id % 9 = 6
+            WHEN doc_id % 10 = 6
             THEN [44100, 48000, 32000][(doc_id % 3)::INT + 1]
-            WHEN doc_id % 9 = 7
+            WHEN doc_id % 10 = 7
             THEN [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
                   16000, 12000, 11025, 8000][(doc_id % 12)::INT + 1]
             ELSE 0 END AS sample_rate,
-       CASE WHEN doc_id % 9 IN (4, 6, 7, 8) THEN (1 + doc_id % 2)::INT
+       CASE WHEN doc_id % 10 IN (4, 6, 7, 8, 9) THEN (1 + doc_id % 2)::INT
             ELSE 0 END AS channels
 FROM documents
 """

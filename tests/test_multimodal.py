@@ -2016,3 +2016,109 @@ def test_mp3_xing_rejects_frames_too_small_for_the_tag():
         build_mp3_frames(
             3, sample_rate=24000, bitrate_kbps=8, channels=1, xing=True
         )
+
+
+# ---------------------------------------------------------------------
+# Ogg/Opus container walk (round 9)
+
+
+def test_ogg_opus_round_trip_variants():
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_ogg_opus,
+        decode_ogg_opus,
+    )
+
+    for n, ch, pb, fm in ((1, 1, 30, 10), (3, 2, 120, 20), (4, 1, 600, 40)):
+        p = build_ogg_opus(
+            n, sample_rate=22050, channels=ch, packet_bytes=pb, frame_ms=fm
+        )
+        d = decode_ogg_opus(p)
+        assert d["format"] == "opus"
+        assert (d["n_packets"], d["channels"], d["sample_rate"]) == (
+            n, ch, 22050,
+        )
+        assert d["duration_ms"] == n * fm
+        # BOS + tags + one page per audio packet
+        assert d["n_pages"] == 2 + n
+
+
+def test_ogg_packet_continued_across_pages():
+    """A packet whose tail rides a continuation page (header bit 0x01)
+    must reassemble exactly — the builder never emits this, so it is
+    hand-built from _ogg_page."""
+    import struct
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _ogg_page,
+        decode_ogg_opus,
+    )
+
+    head = (
+        b"OpusHead\x01\x01" + struct.pack("<H", 0)
+        + struct.pack("<I", 16000) + struct.pack("<h", 0) + b"\x00"
+    )
+    tags = b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 0)
+    big = bytes((4 << 3,)) + bytes(509)  # 510 bytes → exactly 2×255
+    stream = (
+        _ogg_page(head, 7, 0, 0, 0x02)
+        + _ogg_page(tags, 7, 1, 0, 0x00)
+        # first 255 bytes, continued_tail → no terminating lacing value
+        + _ogg_page(big[:255], 7, 2, -1, 0x00, continued_tail=True)
+        # continuation page carries the rest and the EOS flag
+        + _ogg_page(big[255:], 7, 3, 960, 0x01 | 0x04)
+    )
+    d = decode_ogg_opus(stream)
+    assert d["n_packets"] == 1 and d["n_pages"] == 4
+    assert d["duration_ms"] == 960 * 1000 // 48000
+
+
+def test_ogg_opus_fails_closed():
+    import pytest
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_ogg_opus,
+        decode_ogg_opus,
+    )
+
+    p = build_ogg_opus(2, channels=2)
+    with pytest.raises(NotImplementedError, match="not an Ogg"):
+        decode_ogg_opus(b"RIFF" + p[4:])
+    # flip one payload byte on the BOS page: its CRC must catch it
+    bad = bytearray(p)
+    bad[30] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="CRC"):
+        decode_ogg_opus(bytes(bad))
+    # drop the final (EOS) page: missing-EOS must fail
+    last_page = p.rfind(b"OggS")
+    with pytest.raises(NotImplementedError, match="EOS"):
+        decode_ogg_opus(p[:last_page])
+    with pytest.raises(NotImplementedError, match="truncated"):
+        decode_ogg_opus(p[:-5])
+    # remove the middle page: sequence discontinuity
+    pages = []
+    at = 0
+    while True:
+        nxt = p.find(b"OggS", at + 1)
+        pages.append(p[at : nxt if nxt != -1 else len(p)])
+        if nxt == -1:
+            break
+        at = nxt
+    with pytest.raises(NotImplementedError, match="discontinuity"):
+        decode_ogg_opus(pages[0] + b"".join(pages[2:]))
+    with pytest.raises(NotImplementedError, match="BOS"):
+        decode_ogg_opus(b"".join(pages[1:]))
+
+
+def test_ogg_opus_builder_validation():
+    import pytest
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_ogg_opus,
+    )
+
+    with pytest.raises(ValueError, match="positive"):
+        build_ogg_opus(0)
+    with pytest.raises(ValueError, match="channel"):
+        build_ogg_opus(1, channels=3)
+    with pytest.raises(ValueError, match="frame_ms"):
+        build_ogg_opus(1, frame_ms=15)
