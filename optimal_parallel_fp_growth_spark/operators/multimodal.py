@@ -28,7 +28,7 @@ ADTS (``decode_aac_adts``), and (e) REAL VIDEO FRAME DECODE (round
 7): AVI/MJPEG RIFF walk with every '00dc' chunk pixel-decoded
 through the JPEG decoder (``decode_avi_frames``).
 ``NotImplementedError`` now marks only the genuinely library-bound
-seam: lossless/hierarchical/arithmetic JPEG, MP3/AAC SAMPLE decode,
+seam: arithmetic-coded JPEG, MP3/AAC SAMPLE decode,
 and inter-frame video codecs (H.264 etc.). The MP3/AAC seam was
 re-evaluated round 9 and is TABLE-bound, not effort-bound: every
 MPEG-1 audio layer's PCM path ends in the polyphase synthesis
@@ -3160,8 +3160,9 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     color run once at the end. Returns the same shape as
     :func:`decode_pixels`. AC successive-approximation refinement decodes too (newly-visible
     coefficients, correction bits, EOB runs that still carry
-    correction bits). The remaining seam: arithmetic coding,
-    hierarchical SOFs, and 12-bit depth raise
+    correction bits); 12-bit SOF1/SOF2 decodes (round 7), lossless
+    SOF3 and hierarchical DHP pyramids dispatch to their decoders
+    (rounds 7/9). The remaining seam: arithmetic coding raises
     ``NotImplementedError``."""
     import struct
 
@@ -3252,12 +3253,16 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             coeffs = [dict() for _ in comps]
         elif marker == 0xC3:  # lossless (predictor) process — round 7
             return decode_jpeg_lossless(payload)
+        elif marker == 0xDE:  # DHP: hierarchical pyramid — round 9
+            return decode_jpeg_hierarchical(payload)
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF type 0xFF{marker:02X} not supported (Huffman "
-                "SOF0/SOF1/SOF2 + lossless SOF3 decode, incl. 12-bit; "
-                "hierarchical/arithmetic are the documented seam)"
+                "SOF0/SOF1/SOF2 + lossless SOF3 + hierarchical "
+                "DHP/SOF5 decode, incl. 12-bit; a differential SOF "
+                "outside a DHP pyramid is invalid, and arithmetic "
+                "coding is the table-bound seam)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -3893,6 +3898,339 @@ def build_jpeg_pixels(
         )
     dht = seg(0xC4, dht_body)
     return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------
+# Hierarchical JPEG (T.81 Annex J) — round 9. The pyramid process is
+# pure STRUCTURE over the round-6 machinery: DHP declares the final
+# frame geometry, each pyramid level is an ordinary Huffman DCT frame
+# (non-differential SOF0 first, differential SOF5 after), EXP doubles
+# the reference with the spec's (a+b+1)>>1 interpolation, and a
+# differential frame's IDCT output is ADDED to the reference (no level
+# shift) with the final clamp at output. Scope: grayscale, Huffman
+# sequential levels — the honest subset this container can verify
+# end-to-end; arithmetic coding remains the table-bound seam.
+
+
+def _jpeg_expand_ref(ref, eh: int, ev: int, np):
+    """T.81 J.1.1.2 reference expansion: output(2i) = input(i),
+    output(2i+1) = (input(i) + input(i+1) + 1) >> 1, last sample
+    replicated; applied per axis when the EXP nibble is 1."""
+    out = ref
+    if eh:
+        left = out
+        right = np.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        odd = (left + right + 1) // 2
+        inter = np.empty((out.shape[0], out.shape[1] * 2), dtype=out.dtype)
+        inter[:, 0::2] = left
+        inter[:, 1::2] = odd
+        out = inter
+    if ev:
+        top = out
+        bot = np.concatenate([out[1:, :], out[-1:, :]], axis=0)
+        odd = (top + bot + 1) // 2
+        inter = np.empty((out.shape[0] * 2, out.shape[1]), dtype=out.dtype)
+        inter[0::2, :] = top
+        inter[1::2, :] = odd
+        out = inter
+    return out
+
+
+def _hier_frame_geom(w: int, h: int) -> tuple[list, dict]:
+    comps = [{"id": 1, "tq": 0, "h": 1, "v": 1,
+              "nbw": (w + 7) // 8, "nbh": (h + 7) // 8}]
+    geom = {"hmax": 1, "vmax": 1, "mcux": (w + 7) // 8,
+            "mcuy": (h + 7) // 8, "depth": 8}
+    return comps, geom
+
+
+@_parse_guard
+def decode_jpeg_hierarchical(payload: bytes) -> dict:
+    """Decode a hierarchical (DHP) JPEG: tables-misc accumulation
+    across frames, the initial non-differential SOF0 level, EXP
+    reference expansion, and differential SOF5 levels whose decoded
+    difference adds to the reference. Returns the
+    :func:`decode_pixels` shape (grayscale: mean_r == mean_g ==
+    mean_b) plus ``n_levels``."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload (no SOI)")
+    quant: dict[int, list] = {}
+    huff: dict[tuple, dict] = {}
+    dhp = None
+    ref = None
+    pending_exp = (0, 0)
+    n_levels = 0
+    restart_interval = 0
+    frame = None  # (comps, geom, coeffs, differential)
+    C = _idct_matrix()
+
+    def finish_frame():
+        nonlocal ref, n_levels, frame, pending_exp
+        comps, geom, coeffs, differential = frame
+        w, h = frame_dims
+        q = quant[comps[0]["tq"]]
+        plane = np.zeros((geom["mcuy"] * 8, geom["mcux"] * 8))
+        for (by, bx), zz in coeffs[0].items():
+            nat = np.zeros(64)
+            for i, idx in enumerate(_JPEG_ZZ):
+                nat[idx] = zz[i] * q[i]
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                C.T @ nat.reshape(8, 8) @ C
+            )
+        plane = np.rint(plane[:h, :w]).astype(np.int64)
+        if not differential:
+            ref = np.clip(plane + 128, 0, 255)
+        else:
+            base = _jpeg_expand_ref(ref, *pending_exp, np)
+            if base.shape != (h, w):
+                raise NotImplementedError(
+                    "differential JPEG frame dims do not match the "
+                    "(expanded) reference"
+                )
+            ref = np.clip(base + plane, 0, 255)
+        pending_exp = (0, 0)
+        n_levels += 1
+        frame = None
+
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker stream out of sync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if prec:
+                    raise NotImplementedError(
+                        "16-bit DQT in hierarchical frame not supported"
+                    )
+                quant[tid] = list(body[i : i + 64])
+                i += 64
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = {
+                    (ln, code): v
+                    for ln, code, v in _jpeg_canonical(bits, vals)
+                }
+                i += 17 + n
+        elif marker == 0xDE:  # DHP — declares the FINAL geometry
+            if dhp is not None:
+                raise NotImplementedError("multiple DHP segments")
+            depth, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            if depth != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "hierarchical decode supports 8-bit grayscale"
+                )
+            dhp = (fw, fh)
+        elif marker == 0xDF:  # EXP — expand reference for next frame
+            if ref is None:
+                raise NotImplementedError("EXP before any decoded frame")
+            pending_exp = (body[0] >> 4, body[0] & 0xF)
+            if pending_exp[0] > 1 or pending_exp[1] > 1:
+                raise NotImplementedError("EXP nibbles must be 0 or 1")
+        elif marker in (0xC0, 0xC5):
+            if dhp is None:
+                raise NotImplementedError(
+                    "hierarchical frame before DHP (use decode_jpeg_pixels)"
+                )
+            if frame is not None:
+                raise NotImplementedError("nested JPEG frames")
+            differential = marker == 0xC5
+            if differential and ref is None:
+                raise NotImplementedError(
+                    "differential frame before the initial frame"
+                )
+            if not differential and ref is not None:
+                raise NotImplementedError(
+                    "second non-differential frame in a hierarchical file"
+                )
+            depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if depth != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "hierarchical decode supports 8-bit grayscale"
+                )
+            comps, geom = _hier_frame_geom(w, h)
+            comps[0]["id"] = body[6]
+            comps[0]["tq"] = body[8]
+            frame_dims = (w, h)
+            frame = (comps, geom, [dict()], differential)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise NotImplementedError("JPEG SOS outside a frame")
+            comps, geom, coeffs, _diff = frame
+            ns = body[0]
+            scan = []
+            for k in range(ns):
+                cs, tables = body[1 + 2 * k : 3 + 2 * k]
+                if cs != comps[0]["id"]:
+                    raise NotImplementedError(
+                        "scan references unknown component"
+                    )
+                scan.append((0, tables >> 4, tables & 0xF))
+            pos = _jpeg_decode_scan_into(
+                payload, pos + 2 + seg_len, comps, geom, huff, coeffs,
+                scan, 0, 63, 0, 0, restart_interval,
+            )
+            finish_frame()
+            continue
+        pos += 2 + seg_len
+    if ref is None:
+        raise NotImplementedError("hierarchical JPEG without frames")
+    if dhp is not None and ref.shape != (dhp[1], dhp[0]):
+        raise NotImplementedError(
+            "final reference does not reach the DHP geometry"
+        )
+    m = float(ref.mean())
+    h, w = ref.shape
+    return {
+        "format": "jpeg-hierarchical",
+        "width": w,
+        "height": h,
+        "mean_r": round(m, 6),
+        "mean_g": round(m, 6),
+        "mean_b": round(m, 6),
+        "n_levels": n_levels,
+        "pixels": ref,
+    }
+
+
+def build_jpeg_hierarchical(
+    width: int,
+    height: int,
+    pixels,
+    dc_quant: int = 1,
+    ac_quant: int = 1,
+) -> bytes:
+    """Encoder twin for :func:`decode_jpeg_hierarchical`: a two-level
+    grayscale pyramid — DHP, a half-resolution SOF0 initial frame
+    (2x2-decimated source), EXP(1,1), and a full-resolution SOF5
+    differential frame coding ``source - expand(reconstructed level
+    1)`` with a float FDCT. With ``dc_quant == ac_quant == 1`` the
+    per-pixel error is bounded by FDCT/IDCT rounding (|err| <= 2),
+    and flat-per-8x8-block sources round-trip EXACTLY when the
+    half-res image is globally flat."""
+    import struct
+
+    import numpy as np
+
+    if width % 16 or height % 16:
+        raise ValueError("hierarchical builder needs 16-aligned dims")
+    src = np.asarray(pixels, dtype=np.int64).reshape(height, width)
+    if src.min() < 0 or src.max() > 255:
+        raise ValueError("pixels out of 8-bit range")
+    C = _idct_matrix()
+
+    dc_enc = {
+        v: (ln, code)
+        for ln, code, v in _jpeg_canonical(
+            list(_JPEG_DC_BITS), list(_JPEG_DC_VALS)
+        )
+    }
+    ac_enc = {
+        v: (ln, code)
+        for ln, code, v in _jpeg_canonical(
+            list(_JPEG_AC_BITS), list(_JPEG_AC_VALS)
+        )
+    }
+    q = [dc_quant] + [ac_quant] * 63
+
+    def encode_frame(plane, differential):
+        """plane: level-shifted (or difference) sample grid; returns
+        (entropy bytes, reconstructed sample grid)."""
+        h, w = plane.shape
+        bw_ = _JpegBitWriter()
+        pred = 0
+        recon = np.zeros_like(plane)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = C @ blk.astype(float) @ C.T
+                zz = [
+                    int(np.rint(coef.flat[idx] / q[i]))
+                    for i, idx in enumerate(_JPEG_ZZ)
+                ]
+                diff = zz[0] - pred
+                pred = zz[0]
+                t = abs(diff).bit_length()
+                ln, code = dc_enc[t]
+                bw_.write(code, ln)
+                if t:
+                    bw_.write(diff if diff >= 0 else diff - 1 + (1 << t), t)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_enc[0xF0]
+                        bw_.write(code, ln)
+                        run -= 16
+                    s = abs(zz[k]).bit_length()
+                    ln, code = ac_enc[(run << 4) | s]
+                    bw_.write(code, ln)
+                    v = zz[k]
+                    bw_.write(v if v >= 0 else v - 1 + (1 << s), s)
+                    run = 0
+                if run:
+                    ln, code = ac_enc[0x00]
+                    bw_.write(code, ln)
+                nat = np.zeros(64)
+                for i, idx in enumerate(_JPEG_ZZ):
+                    nat[idx] = zz[i] * q[i]
+                recon[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.rint(
+                    C.T @ nat.reshape(8, 8) @ C
+                ).astype(np.int64)
+        return bw_.flush(), recon
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def sof_body(w, h):
+        return struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0))
+
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    dqt = seg(0xDB, bytes([0]) + bytes(q))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    half = src[0::2, 0::2]
+    ent1, rec1 = encode_frame(half - 128, differential=False)
+    level1 = np.clip(rec1 + 128, 0, 255)
+    base = _jpeg_expand_ref(level1, 1, 1, np)
+    ent2, _rec2 = encode_frame(src - base, differential=True)
+    return (
+        b"\xff\xd8"
+        + seg(0xDE, sof_body(width, height))  # DHP: final geometry
+        + dqt
+        + dht
+        + seg(0xC0, sof_body(width // 2, height // 2))
+        + sos
+        + ent1
+        + seg(0xDF, bytes((0x11,)))  # EXP: expand 2x both axes
+        + seg(0xC5, sof_body(width, height))
+        + sos
+        + ent2
+        + b"\xff\xd9"
+    )
 
 
 def jpeg_meta_for(doc_id: int) -> dict:

@@ -2122,3 +2122,106 @@ def test_ogg_opus_builder_validation():
         build_ogg_opus(1, channels=3)
     with pytest.raises(ValueError, match="frame_ms"):
         build_ogg_opus(1, frame_ms=15)
+
+
+# ---------------------------------------------------------------------
+# Hierarchical JPEG (T.81 Annex J, round 9)
+
+
+def test_hierarchical_jpeg_flat_and_blocky_round_trip_exactly():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_hierarchical,
+        decode_jpeg_hierarchical,
+    )
+
+    flat = np.full((32, 48), 77)
+    d = decode_jpeg_hierarchical(build_jpeg_hierarchical(48, 32, flat))
+    assert (d["width"], d["height"], d["n_levels"]) == (48, 32, 2)
+    assert d["format"] == "jpeg-hierarchical"
+    assert (d["pixels"] == 77).all() and d["mean_r"] == 77.0
+
+    # per-8x8-block values: the differential level corrects the
+    # decimated level-1 reconstruction exactly at unit quant
+    vals = np.arange(24).reshape(4, 6) * 9 + 20
+    blocky = np.kron(vals, np.ones((8, 8), dtype=int))
+    d = decode_jpeg_hierarchical(build_jpeg_hierarchical(48, 32, blocky))
+    assert (d["pixels"] == blocky).all()
+    assert d["mean_r"] == round(float(blocky.mean()), 6)
+
+
+def test_hierarchical_jpeg_arbitrary_content_error_bound():
+    """The EXP interpolation path does real work on non-flat content;
+    the differential frame must correct it to within FDCT/IDCT
+    rounding (|err| <= 2 at unit quant)."""
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_hierarchical,
+        decode_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(11)
+    img = np.clip(
+        rng.integers(0, 50, (32, 32)).cumsum(axis=1) % 200 + 20, 0, 255
+    )
+    d = decode_jpeg_hierarchical(build_jpeg_hierarchical(32, 32, img))
+    assert np.abs(d["pixels"] - img).max() <= 2
+
+
+def test_hierarchical_jpeg_dispatches_from_decode_jpeg_pixels():
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_hierarchical,
+        decode_jpeg_pixels,
+    )
+
+    p = build_jpeg_hierarchical(16, 16, np.full((16, 16), 42))
+    d = decode_jpeg_pixels(p)
+    assert d["format"] == "jpeg-hierarchical" and d["n_levels"] == 2
+
+
+def test_hierarchical_jpeg_fails_closed():
+    import numpy as np
+    import pytest
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_jpeg_hierarchical,
+        decode_jpeg_hierarchical,
+    )
+
+    p = build_jpeg_hierarchical(16, 16, np.full((16, 16), 9))
+    with pytest.raises(NotImplementedError, match="SOI"):
+        decode_jpeg_hierarchical(b"xx" + p[2:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_hierarchical(p[:-10])
+    # strip the DHP segment: the SOF5 level must be rejected
+    dhp_at = p.find(b"\xff\xde")
+    seg_len = int.from_bytes(p[dhp_at + 2 : dhp_at + 4], "big")
+    no_dhp = p[:dhp_at] + p[dhp_at + 2 + seg_len :]
+    with pytest.raises(NotImplementedError, match="before DHP"):
+        decode_jpeg_hierarchical(no_dhp)
+    # builder validation
+    with pytest.raises(ValueError, match="16-aligned"):
+        build_jpeg_hierarchical(12, 16, np.zeros((16, 12)))
+    with pytest.raises(ValueError, match="range"):
+        build_jpeg_hierarchical(16, 16, np.full((16, 16), 300))
+
+
+def test_hierarchical_jpeg_exp_interpolation_spec_values():
+    """(a+b+1)>>1 with edge replication, per axis."""
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _jpeg_expand_ref,
+    )
+
+    ref = np.array([[0, 10], [20, 30]], dtype=np.int64)
+    h = _jpeg_expand_ref(ref, 1, 0, np)
+    assert h.tolist() == [[0, 5, 10, 10], [20, 25, 30, 30]]
+    v = _jpeg_expand_ref(ref, 0, 1, np)
+    assert v.tolist() == [[0, 10], [10, 20], [20, 30], [20, 30]]
+    hv = _jpeg_expand_ref(ref, 1, 1, np)
+    assert hv.shape == (4, 4) and hv[0, 0] == 0 and hv[3, 3] == 30
