@@ -333,3 +333,27 @@ def test_24_bit_round_trip():
     assert d["codec"] == "flac24" and d["bits"] == 24
     with pytest.raises(ValueError, match="range"):
         build_flac_samples([1], 8000, bps=25)
+
+
+def test_flac_and_wav_stats_agree_on_identical_pcm():
+    """Cross-codec differential: the same interleaved PCM encoded as
+    WAV (uncompressed) and FLAC (compressed, lossless) must decode to
+    IDENTICAL exact statistics — the two decoders share no code beyond
+    the stats contract."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_wav_samples,
+        decode_wav_samples,
+    )
+
+    sig = [((k * 131) % 4001) - 2000 for k in range(600)]
+    for ch in (1, 2):
+        wav = decode_wav_samples(
+            build_wav_samples(sig, 16000, channels=ch, bits=16)
+        )
+        flac = decode_flac_samples(
+            build_flac_samples(sig, 16000, channels=ch, block_size=100)
+        )
+        for key in ("sample_rate", "channels", "bits", "n_frames",
+                    "duration_sec", "mean", "rms", "peak"):
+            assert wav[key] == flac[key], (ch, key, wav[key], flac[key])
+        assert flac["compressed_bytes"] < len(sig) * 2  # and it compresses
