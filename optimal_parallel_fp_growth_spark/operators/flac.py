@@ -31,7 +31,9 @@ family.
 
 from __future__ import annotations
 
+import functools
 import hashlib
+import struct
 
 __all__ = [
     "build_flac_samples",
@@ -472,6 +474,29 @@ def _decode_subframe(br: _BitReader, nblk: int, bps: int) -> list[int]:
     return out
 
 
+def _decode_guard(fn):
+    """Same contract as multimodal._parse_guard (kept local to avoid a
+    module-level import of the 4k-line codec module): corrupt payloads
+    fail with exactly one exception type, NotImplementedError naming
+    the problem — never a leaked parser internal."""
+
+    @functools.wraps(fn)
+    def wrapped(payload, *a, **kw):
+        try:
+            return fn(payload, *a, **kw)
+        except NotImplementedError:
+            raise
+        except (IndexError, KeyError, ValueError, OverflowError,
+                ZeroDivisionError, struct.error) as e:
+            raise NotImplementedError(
+                f"corrupt or unsupported payload ({fn.__name__}: "
+                f"{type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
+
+@_decode_guard
 def flac_decode_pcm(payload: bytes) -> tuple[list[int], dict]:
     """Full decode → (interleaved samples, stream info dict). Verifies
     every frame-header CRC-8, every frame CRC-16, the STREAMINFO
@@ -598,6 +623,8 @@ def flac_decode_pcm(payload: bytes) -> tuple[list[int], dict]:
                 samples.append(ch[i])
         n_flac_frames += 1
         pos = br.bytepos
+    if n_flac_frames == 0:
+        raise NotImplementedError("FLAC stream with no audio frames")
     if streaminfo["total_samples"] and (
         len(samples) // ch0 != streaminfo["total_samples"]
     ):
@@ -619,6 +646,7 @@ def flac_decode_pcm(payload: bytes) -> tuple[list[int], dict]:
     return samples, info
 
 
+@_decode_guard
 def decode_flac_samples(payload: bytes) -> dict:
     """→ the `decode_wav_samples` statistics contract over a FLAC
     payload: exact integer sums divided once, so a closed-form SQL

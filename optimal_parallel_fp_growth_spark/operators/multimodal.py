@@ -1093,6 +1093,7 @@ def build_ogg_opus(
     return bytes(out)
 
 
+@_parse_guard
 def decode_ogg_opus(payload: bytes) -> dict:
     """Strict Ogg/Opus container walk: every page CRC re-computed and
     verified, version/BOS/EOS framing enforced, page sequence numbers
