@@ -151,13 +151,13 @@ def _parse_guard(fn):
 
 @_parse_guard
 def decode_real(payload: bytes) -> dict:
-    """Real header decode for container formats whose metadata is pure
-    byte-layout (no codec library needed): PNG / GIF / BMP / JPEG
-    image dimensions and WAV sample-rate/channels, parsed from the
-    actual file bytes. Pixel/sample DECODE (and every other format)
-    still raises ``NotImplementedError`` — that part genuinely needs
-    PIL/ffmpeg/librosa, which this container lacks; this function is
-    the swap-in seam for them.
+    """Real header decode across the ten supported container formats,
+    parsed from the actual file bytes: PNG / GIF / BMP / JPEG image
+    dimensions, WAV rate/channels, MP4 box-tree dims, MP3/AAC frame
+    walks, the FULL CRC+MD5-verified FLAC sample decode, and the
+    CRC-checked Ogg/Opus page walk. Only the table-bound codecs
+    (MP3/AAC PCM, SILK/CELT, arithmetic JPEG) still raise
+    ``NotImplementedError`` — the swap-in seam for a codec library.
 
     Returns ``{"format", "width", "height", "sample_rate",
     "channels"}`` with ``None`` for inapplicable fields.
