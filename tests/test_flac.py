@@ -357,3 +357,21 @@ def test_flac_and_wav_stats_agree_on_identical_pcm():
                     "duration_sec", "mean", "rms", "peak"):
             assert wav[key] == flac[key], (ch, key, wav[key], flac[key])
         assert flac["compressed_bytes"] < len(sig) * 2  # and it compresses
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_fuzz_corruption_never_leaks_parser_internals(data):
+    """Flip 1-3 bytes anywhere in a valid FLAC stream: decode either
+    still succeeds (flips in ignored padding) or fails with the ONE
+    documented exception type — never a leaked IndexError/struct.error
+    (the mapInPandas quarantine contract)."""
+    sig = [((k * 37) % 801) - 400 for k in range(160)]
+    payload = bytearray(build_flac_samples(sig, 8000, block_size=64))
+    for _ in range(data.draw(st.integers(1, 3))):
+        i = data.draw(st.integers(0, len(payload) - 1))
+        payload[i] ^= data.draw(st.integers(1, 255))
+    try:
+        flac_decode_pcm(bytes(payload))
+    except NotImplementedError:
+        pass

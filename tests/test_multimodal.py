@@ -2225,3 +2225,23 @@ def test_hierarchical_jpeg_exp_interpolation_spec_values():
     assert v.tolist() == [[0, 10], [10, 20], [20, 30], [20, 30]]
     hv = _jpeg_expand_ref(ref, 1, 1, np)
     assert hv.shape == (4, 4) and hv[0, 0] == 0 and hv[3, 3] == 30
+
+
+def test_ogg_opus_fuzz_never_leaks_parser_internals():
+    import random
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        build_ogg_opus,
+        decode_ogg_opus,
+    )
+
+    base = build_ogg_opus(3, channels=2, packet_bytes=300)
+    rng = random.Random(17)
+    for _ in range(150):
+        payload = bytearray(base)
+        for _ in range(rng.randint(1, 3)):
+            payload[rng.randrange(len(payload))] ^= rng.randint(1, 255)
+        try:
+            decode_ogg_opus(bytes(payload))
+        except NotImplementedError:
+            pass  # the one documented failure mode
