@@ -252,8 +252,10 @@ def main() -> None:
         # round-7 additions (appended at the tail per the protocol)
         "html_extract",
         "lm_perplexity",
-        # round-9 addition: real FLAC encode+decode round trip
+        # round-9 additions: real FLAC encode+decode round trip and
+        # the mixed RLE8/Y4M video round trip
         "multimodal_flac",
+        "multimodal_video",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

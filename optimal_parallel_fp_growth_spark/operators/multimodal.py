@@ -26,7 +26,14 @@ exact mean/rms/peak/duration (``decode_wav_samples``, round 6),
 (``decode_mp3_frames`` — ID3/Xing/VBR, duration + bitrate) and AAC
 ADTS (``decode_aac_adts``), and (e) REAL VIDEO FRAME DECODE (round
 7): AVI/MJPEG RIFF walk with every '00dc' chunk pixel-decoded
-through the JPEG decoder (``decode_avi_frames``).
+through the JPEG decoder (``decode_avi_frames``); round 9 adds the
+TABLE-FREE slice of the inter-frame seam in operators/video.py —
+BI_RLE8-in-AVI (compressed, delta frames inheriting the prior
+surface through the 00 02 escape) and YUV4MPEG2 (planar frames,
+BT.601 closed form), wired here as
+``attach_mixed_video_media``/``extract_mixed_video_frames`` and as
+the 'avi'/'y4m' header branches of the now-12-format
+``decode_real`` rotation.
 ``NotImplementedError`` now marks only the genuinely library-bound
 seam: arithmetic-coded JPEG, MP3/AAC SAMPLE decode,
 and inter-frame video codecs (H.264 etc.). The MP3/AAC seam was
@@ -151,11 +158,12 @@ def _parse_guard(fn):
 
 @_parse_guard
 def decode_real(payload: bytes) -> dict:
-    """Real header decode across the ten supported container formats,
-    parsed from the actual file bytes: PNG / GIF / BMP / JPEG image
-    dimensions, WAV rate/channels, MP4 box-tree dims, MP3/AAC frame
-    walks, the FULL CRC+MD5-verified FLAC sample decode, and the
-    CRC-checked Ogg/Opus page walk. Only the table-bound codecs
+    """Real header decode across the twelve supported container
+    formats, parsed from the actual file bytes: PNG / GIF / BMP / JPEG
+    image dimensions, WAV rate/channels, MP4 box-tree dims, AVI avih
+    dims, Y4M stream-header dims, MP3/AAC frame walks, the FULL
+    CRC+MD5-verified FLAC sample decode, and the CRC-checked Ogg/Opus
+    page walk. Only the table-bound codecs
     (MP3/AAC PCM, SILK/CELT, arithmetic JPEG) still raise
     ``NotImplementedError`` — the swap-in seam for a codec library.
 
@@ -216,6 +224,39 @@ def decode_real(payload: bytes) -> dict:
                 return out
             pos += 2 + seg_len
         raise NotImplementedError("JPEG without SOF marker")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # AVI (round 9): the avih main header carries the container
+        # dims; FULL frame decode lives in decode_avi_frames (MJPEG)
+        # and operators/video.py::decode_avi_rle8_frames (BI_RLE8).
+        from optimal_parallel_fp_growth_spark.operators.video import (
+            _riff_walk,
+        )
+
+        for cid, s, e in _riff_walk(payload, 12, len(payload)):
+            if cid == b"LIST" and payload[s : s + 4] == b"hdrl":
+                for c2, s2, e2 in _riff_walk(payload, s + 4, e):
+                    if c2 == b"avih" and e2 - s2 >= 40:
+                        out["format"] = "avi"
+                        out["width"] = int.from_bytes(
+                            payload[s2 + 32 : s2 + 36], "little"
+                        )
+                        out["height"] = int.from_bytes(
+                            payload[s2 + 36 : s2 + 40], "little"
+                        )
+                        return out
+        raise NotImplementedError("AVI without avih main header")
+    if payload.startswith(b"YUV4MPEG2"):
+        # YUV4MPEG2 (round 9): plain-text stream header; FULL planar
+        # frame decode lives in operators/video.py::decode_y4m_frames.
+        from optimal_parallel_fp_growth_spark.operators.video import (
+            decode_y4m_frames,
+        )
+
+        info = decode_y4m_frames(payload, header_only=True)
+        out["format"] = "y4m"
+        out["width"] = info["width"]
+        out["height"] = info["height"]
+        return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # 'fmt ' chunk: channels at +10 (2LE), sample rate at +12 (4LE)
         pos = 12
@@ -317,9 +358,10 @@ def decode_real(payload: bytes) -> dict:
         out["channels"] = info["channels"]
         return out
     raise NotImplementedError(
-        "unsupported media format (PNG/GIF/BMP/JPEG/MP4/MP3/AAC headers "
-        "and WAV fmt are parsed natively; full pixel/sample decode requires "
-        "codec libraries not present in this container)"
+        "unsupported media format (PNG/GIF/BMP/JPEG/MP4/AVI/Y4M/MP3/AAC "
+        "headers and WAV fmt are parsed natively; full pixel/sample decode "
+        "of table-bound codecs requires codec libraries not present in "
+        "this container)"
     )
 
 
@@ -1464,7 +1506,7 @@ def extract_video_frames(
 
 MEDIA_FORMATS = (
     "png", "gif", "bmp", "jpeg", "wav", "mp4", "mp3", "aac", "flac",
-    "opus",
+    "opus", "avi", "y4m",
 )
 
 DECODE_SCHEMA = (
@@ -1611,6 +1653,51 @@ def build_payload(
             packet_bytes=60 + len(filler) % 300,
             filler=filler or b"\x00",
         )
+    if fmt == "avi":
+        # header-tier AVI (same honesty level as the png/gif/bmp/mp4
+        # branches: real headers, no frame data — the recipe dims run
+        # to 2016x2016, far past what a per-row python RLE encode
+        # should build per doc). avih + a BI_RLE8 strl so the file
+        # self-describes as the codec the FULL tier
+        # (operators/video.py) decodes; movi declares zero frames.
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        avih = struct.pack(
+            "<IIIIIIIIII4I",
+            66_666, 0, 0, 0x10, 0, 0, 1, 0, width, height, 0, 0, 0, 0,
+        )
+        strh = (
+            b"vids" + b"mrle"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 15, 0, 0, 0,
+                          0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, width, height)
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 8, 1, width * height, 0, 0, 256, 0,
+        ) + bytes(4 * 256)
+        hdrl = chunk(
+            b"LIST",
+            b"hdrl" + chunk(b"avih", avih)
+            + chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                    + chunk(b"strf", strf)),
+        )
+        junk = chunk(b"JUNK", filler)  # filler rides in a JUNK chunk
+        movi = chunk(b"LIST", b"movi")
+        body = b"AVI " + hdrl + junk + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+    if fmt == "y4m":
+        # header-tier Y4M: a spec-valid stream header with zero FRAME
+        # records; the filler rides in an ignorable X-parameter (hex,
+        # no whitespace) so payload sizes stay text-proportional.
+        # C444 keeps any dim parity legal.
+        xparam = f" Xf{filler.hex()}" if filler else ""
+        return (
+            f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 "
+            f"C444{xparam}\n".encode()
+        )
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -1632,8 +1719,10 @@ def media_meta_for(doc_id: int) -> dict:
             "format": fmt,
             "width": None,
             "height": None,
-            # must come from the MPEG-1 sample-rate table
-            "sample_rate": (44100, 48000, 32000)[doc_id % 3],
+            # must come from the MPEG-1 sample-rate table; indexed by
+            # doc_id//12 — doc_id%k is constant across the %12
+            # format rotation's mp3 residue class (round 9)
+            "sample_rate": (44100, 48000, 32000)[(doc_id // 12) % 3],
             "channels": 1 + doc_id % 2,
         }
     if fmt == "aac":
@@ -1641,8 +1730,9 @@ def media_meta_for(doc_id: int) -> dict:
             "format": fmt,
             "width": None,
             "height": None,
-            # must come from the ADTS sampling-frequency table
-            "sample_rate": _ADTS_SAMPLERATES[doc_id % 12],
+            # must come from the ADTS sampling-frequency table;
+            # doc_id//12 for the same residue-class reason as mp3
+            "sample_rate": _ADTS_SAMPLERATES[(doc_id // 12) % 12],
             "channels": 1 + doc_id % 2,
         }
     if fmt == "flac":
@@ -4443,3 +4533,179 @@ def encode_ima_adpcm_wav(
                 for k in range(0, 8, 2):
                     data.append(grp[k] | (grp[k + 1] << 4))  # LOW first
     return bytes(data), block_align
+
+
+# ---------------------------------------------------------------------
+# REAL mixed video round trip (round 9) — compressed inter-frame RLE8
+# and raw Y4M, FULL pixel decode. Codec cores in operators/video.py;
+# this section is the recipe + Spark plumbing, mirroring the FLAC
+# section above.
+
+MIXED_VIDEO_SCHEMA = (
+    "doc_id long, format string, frame_idx int, width int, height int, "
+    "keyframe boolean, mean_r double, mean_g double, mean_b double, "
+    "row_moment double"
+)
+
+# palette for the RLE8 recipe: linear per channel over the index range
+# the recipe uses (indices stay <= 92, so g = 2j and b = j + 128 never
+# wrap and the oracle's channel forms stay linear)
+_RLE8_PALETTE = [(j, (2 * j) % 256, (j + 128) % 256) for j in range(256)]
+
+
+def mixed_video_meta_for(doc_id: int) -> dict:
+    """Deterministic mixed-video recipe, mirrored by the DuckDB oracle.
+
+    Even doc_ids build an AVI/BI_RLE8 clip: frame 0 is a keyframe
+    whose image-top half is flat ``a`` EXCEPT image row 0, an
+    incrementing ramp ``a..a+w-1`` (forces an absolute-mode segment
+    through the encoder), and whose bottom half is flat ``b``; every
+    later frame is a DELTA that rewrites only the top half to ``t_i``
+    — the bottom half is never re-coded and must be INHERITED through
+    the delta-escape skip, so a decoder that drops the prior frame,
+    mis-advances on delta, or flips the bottom-up row order breaks the
+    closed forms (the ``row_moment`` column is position-weighted
+    precisely so positional bugs shift it).
+
+    Odd doc_ids build a Y4M clip of flat planes (colorspace rotating
+    420jpeg/422/444) whose BT.601 full-range conversion the oracle
+    restates with the identical ``floor(x + 0.5)`` op order.
+    """
+    if doc_id % 2 == 0:
+        return {
+            "kind": "avi-rle8",
+            "width": 4 * (1 + doc_id % 5),
+            "height": 2 * (2 + doc_id % 4),
+            "n_frames": 2 + doc_id % 3,
+            "a": 10 + (doc_id * 3) % 60,
+            "b": 12 + (doc_id * 5) % 60,
+            "fps": 10 + doc_id % 21,
+        }
+    return {
+        "kind": "y4m",
+        "width": 2 * (2 + doc_id % 6),
+        "height": 2 * (2 + doc_id % 5),
+        "n_frames": 2 + doc_id % 3,
+        "colorspace": ("420jpeg", "422", "444")[doc_id % 3],
+        "fps": 10 + doc_id % 21,
+    }
+
+
+def _rle8_top_value(doc_id: int, i: int) -> int:
+    return 14 + (doc_id * 11 + i * 13) % 60
+
+
+def _y4m_flat_yuv(doc_id: int, i: int) -> tuple[int, int, int]:
+    y = 90 + (doc_id * 7 + i * 17) % 71
+    cb = 128 + (doc_id * 3 + i * 5) % 81 - 40
+    cr = 128 + (doc_id * 11 + i * 7) % 81 - 40
+    return y, cb, cr
+
+
+def _build_mixed_video(doc_id: int) -> bytes:
+    from optimal_parallel_fp_growth_spark.operators.video import (
+        build_avi_rle8,
+        build_y4m,
+    )
+
+    m = mixed_video_meta_for(doc_id)
+    w, h, n = m["width"], m["height"], m["n_frames"]
+    if m["kind"] == "avi-rle8":
+        s = h // 2
+        a, b = m["a"], m["b"]
+        frames = []
+        key = bytearray()
+        key += bytes(a + x for x in range(w))       # image row 0: ramp
+        key += bytes([a]) * (w * (s - 1))           # rest of the top
+        key += bytes([b]) * (w * s)                 # bottom half
+        frames.append(bytes(key))
+        for i in range(1, n):
+            t = _rle8_top_value(doc_id, i)
+            frames.append(bytes([t]) * (w * s) + bytes([b]) * (w * s))
+        return build_avi_rle8(frames, _RLE8_PALETTE, w, h, fps=m["fps"])
+    cs = m["colorspace"]
+    xd, yd = {"420jpeg": (2, 2), "422": (2, 1), "444": (1, 1)}[cs]
+    cw, ch = w // xd, h // yd
+    planes = []
+    for i in range(n):
+        y, cb, cr = _y4m_flat_yuv(doc_id, i)
+        planes.append(
+            (bytes([y]) * (w * h), bytes([cb]) * (cw * ch),
+             bytes([cr]) * (cw * ch))
+        )
+    return build_y4m(planes, w, h, fps_num=m["fps"], colorspace=cs)
+
+
+def attach_mixed_video_media(docs: DataFrame) -> DataFrame:
+    """→ (doc_id, payload: binary) where payload is a REAL video clip
+    following `mixed_video_meta_for` — AVI/BI_RLE8 (delta-coded by the
+    content-adaptive encoder) for even docs, Y4M for odd. Arrow-
+    batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _build_mixed_video(int(doc_id)) for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_for_codec(docs.select("doc_id")).mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+
+
+def extract_mixed_video_frames(
+    with_payload: DataFrame, on_error: str = "raise"
+) -> DataFrame:
+    """Arrow-batched one-to-many video expansion over the round-9
+    codecs: each payload fans out to one row per FULLY-decoded frame,
+    dispatching on the container magic (RIFF → AVI/BI_RLE8,
+    YUV4MPEG2 → Y4M). ``on_error='null'`` quarantines undecodable
+    payloads as a single null-stat row, like extract_video_frames."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
+    from optimal_parallel_fp_growth_spark.operators.video import (
+        decode_avi_rle8_frames,
+        decode_y4m_frames,
+    )
+
+    cols = [
+        "doc_id", "format", "frame_idx", "width", "height", "keyframe",
+        "mean_r", "mean_g", "mean_b", "row_moment",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    if raw[:4] == b"RIFF":
+                        d = decode_avi_rle8_frames(raw)
+                    elif raw.startswith(b"YUV4MPEG2"):
+                        d = decode_y4m_frames(raw)
+                    else:
+                        raise NotImplementedError(
+                            "unrecognized video container"
+                        )
+                except NotImplementedError:
+                    if on_error == "raise":
+                        raise
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None,
+                         None, None)
+                    )
+                    continue
+                for fr in d["frames"]:
+                    rows.append(
+                        (
+                            doc_id, d["format"], fr["frame_idx"],
+                            d["width"], d["height"], fr["keyframe"],
+                            fr["mean_r"], fr["mean_g"], fr["mean_b"],
+                            fr["row_moment"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return with_payload.mapInPandas(run, MIXED_VIDEO_SCHEMA)

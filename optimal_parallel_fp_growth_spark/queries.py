@@ -586,6 +586,7 @@ _DRIVER_PRIORITY: list[str] = [
     # NEW_THIS_ROUND expires the exemption at the first r9-postdating
     # CORRECTNESS file) ---
     "multimodal_flac",
+    "multimodal_video",
 ]
 
 

@@ -17,10 +17,12 @@ from optimal_parallel_fp_growth_spark.operators.multimodal import (
     attach_flac_media,
     attach_jpeg_media,
     attach_media,
+    attach_mixed_video_media,
     attach_payload,
     attach_pixel_media,
     attach_video_media,
     decode_media,
+    extract_mixed_video_frames,
     extract_audio_stats,
     extract_flac_stats,
     extract_features,
@@ -179,10 +181,11 @@ FROM documents d,
      LATERAL (SELECT UNNEST(generate_series(0, d.doc_id % 4)) AS i) u
 """
 
-# media_meta_for mirrored in SQL: format rotates doc_id % 10 (round 6
+# media_meta_for mirrored in SQL: format rotates doc_id % 12 (round 6
 # adds MP4 ISO-BMFF box parsing, round 7 the MP3 frame walk and the
 # AAC ADTS walk, round 9 full FLAC decode + the Ogg/Opus CRC-checked
-# page walk); images AND mp4 get
+# page walk + the AVI avih and Y4M stream-header parses); images, mp4,
+# avi and y4m get
 # (16 + doc_id*7919 % 2000, 16 + doc_id*104729 % 2000); wav, flac and
 # opus get (8000 + doc_id*31 % 40000, 1 + doc_id % 2); mp3 gets an
 # MPEG-1-legal sample rate [44100,48000,32000][doc_id%3], aac an
@@ -191,20 +194,20 @@ FROM documents d,
 ORACLE_DECODE = """
 SELECT doc_id,
        ['png', 'gif', 'bmp', 'jpeg', 'wav', 'mp4', 'mp3', 'aac', 'flac',
-        'opus'][(doc_id % 10)::INT + 1] AS format,
-       CASE WHEN doc_id % 10 IN (4, 6, 7, 8, 9) THEN 0
+        'opus', 'avi', 'y4m'][(doc_id % 12)::INT + 1] AS format,
+       CASE WHEN doc_id % 12 IN (4, 6, 7, 8, 9) THEN 0
             ELSE (16 + (doc_id * 7919) % 2000)::INT END AS width,
-       CASE WHEN doc_id % 10 IN (4, 6, 7, 8, 9) THEN 0
+       CASE WHEN doc_id % 12 IN (4, 6, 7, 8, 9) THEN 0
             ELSE (16 + (doc_id * 104729) % 2000)::INT END AS height,
-       CASE WHEN doc_id % 10 IN (4, 8, 9)
+       CASE WHEN doc_id % 12 IN (4, 8, 9)
             THEN (8000 + (doc_id * 31) % 40000)::INT
-            WHEN doc_id % 10 = 6
-            THEN [44100, 48000, 32000][(doc_id % 3)::INT + 1]
-            WHEN doc_id % 10 = 7
+            WHEN doc_id % 12 = 6
+            THEN [44100, 48000, 32000][((doc_id // 12) % 3)::INT + 1]
+            WHEN doc_id % 12 = 7
             THEN [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
-                  16000, 12000, 11025, 8000][(doc_id % 12)::INT + 1]
+                  16000, 12000, 11025, 8000][((doc_id // 12) % 12)::INT + 1]
             ELSE 0 END AS sample_rate,
-       CASE WHEN doc_id % 10 IN (4, 6, 7, 8, 9) THEN (1 + doc_id % 2)::INT
+       CASE WHEN doc_id % 12 IN (4, 6, 7, 8, 9) THEN (1 + doc_id % 2)::INT
             ELSE 0 END AS channels
 FROM documents
 """
@@ -339,6 +342,100 @@ FROM documents
 """
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL mixed-video round trip (round 9): even docs ENCODE an
+    AVI/BI_RLE8 clip — frame 0 a keyframe (with an absolute-mode ramp
+    row), every later frame a DELTA that re-codes only the top half
+    and leaves the bottom half to be INHERITED through the
+    delta-escape skip — and FULLY DECODE it (RIFF walk, strf/palette,
+    idx1 keyframe flags, every RLE opcode, the persistent prior-frame
+    surface). Odd docs build→decode a Y4M stream (header tags, planar
+    frames, nearest chroma upsample, BT.601 full-range with explicit
+    floor(x+0.5)). Both codecs are exact, so the oracle states every
+    statistic in closed form; ``row_moment`` is position-weighted so a
+    mis-advanced delta or a dropped bottom-up flip breaks equality
+    even when a bare mean would not."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_mixed_video_frames(attach_mixed_video_media(docs))
+    return out.select(
+        "doc_id",
+        "format",
+        "frame_idx",
+        "width",
+        "height",
+        "keyframe",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("mean_r", "mean_g", "mean_b", "row_moment")
+        ],
+    )
+
+
+# mixed_video_meta_for mirrored in SQL. RLE8 (even docs): w=4*(1+d%5),
+# s=2+d%4, h=2s; keyframe top = a (image row 0 an a..a+w-1 ramp),
+# bottom = b; delta frame i's top = t_i = 14+(d*11+i*13)%60; palette
+# r=j, g=2j, b=j+128 over the used index range, so channel means are
+# integer-numerator / (w*h) forms. Y4M (odd docs): flat planes, BT.601
+# full-range restated with the identical floor(x+0.5) op order.
+ORACLE_VIDEO = """
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'avi-rle8' ELSE 'y4m' END AS format,
+       u.i::INT AS frame_idx,
+       g.w::INT AS width,
+       g.h::INT AS height,
+       (d.doc_id % 2 = 1 OR u.i = 0) AS keyframe,
+       CASE WHEN d.doc_id % 2 = 0
+            THEN round(q.num_r / (g.w * g.h * 1.0), 6)
+            ELSE round(q.rr, 6) END AS mean_r,
+       CASE WHEN d.doc_id % 2 = 0
+            THEN round((2 * q.num_r) / (g.w * g.h * 1.0), 6)
+            ELSE round(q.gg, 6) END AS mean_g,
+       CASE WHEN d.doc_id % 2 = 0
+            THEN round((q.num_r + 128 * g.w * g.h) / (g.w * g.h * 1.0), 6)
+            ELSE round(q.bb, 6) END AS mean_b,
+       CASE WHEN d.doc_id % 2 = 0
+            THEN round(q.num_m / (g.w * g.h * 1.0), 6)
+            ELSE round(q.rr * (g.h + 1) / 2.0, 6) END AS row_moment
+FROM documents d,
+     LATERAL (
+       SELECT UNNEST(generate_series(0, (1 + d.doc_id % 3)::BIGINT)) AS i
+     ) u,
+     LATERAL (
+       SELECT CASE WHEN d.doc_id % 2 = 0 THEN 4 * (1 + d.doc_id % 5)
+                   ELSE 2 * (2 + d.doc_id % 6) END AS w,
+              CASE WHEN d.doc_id % 2 = 0 THEN 2 * (2 + d.doc_id % 4)
+                   ELSE 2 * (2 + d.doc_id % 5) END AS h,
+              2 + d.doc_id % 4 AS s,
+              10 + (d.doc_id * 3) % 60 AS a,
+              12 + (d.doc_id * 5) % 60 AS b
+     ) g,
+     LATERAL (
+       SELECT CASE WHEN u.i = 0 THEN g.a
+                   ELSE 14 + (d.doc_id * 11 + u.i * 13) % 60 END AS vtop,
+              90 + (d.doc_id * 7 + u.i * 17) % 71 AS yv,
+              (d.doc_id * 3 + u.i * 5) % 81 - 40 AS cbo,
+              (d.doc_id * 11 + u.i * 7) % 81 - 40 AS cro
+     ) p,
+     LATERAL (
+       SELECT g.w * p.vtop * g.s + g.w * g.b * g.s
+              + CASE WHEN u.i = 0 THEN (g.w * (g.w - 1)) // 2 ELSE 0 END
+                AS num_r,
+              CASE WHEN u.i = 0
+                   THEN g.w * g.a + (g.w * (g.w - 1)) // 2
+                        + g.a * g.w * ((g.s * (g.s + 1)) // 2 - 1)
+                        + g.b * g.w * (g.s * (2 * g.s + 1)
+                                       - (g.s * (g.s + 1)) // 2)
+                   ELSE p.vtop * g.w * ((g.s * (g.s + 1)) // 2)
+                        + g.b * g.w * (g.s * (2 * g.s + 1)
+                                       - (g.s * (g.s + 1)) // 2)
+                   END AS num_m,
+              floor(p.yv + 1.402 * p.cro + 0.5) AS rr,
+              floor(p.yv - 0.344136 * p.cbo - 0.714136 * p.cro + 0.5) AS gg,
+              floor(p.yv + 1.772 * p.cbo + 0.5) AS bb
+     ) q
+"""
+
+
 MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -347,6 +444,7 @@ MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio": q_multimodal_audio,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_flac": q_multimodal_flac,
+    "multimodal_video": q_multimodal_video,
 }
 
 MM_ORACLES: dict[str, str] = {
@@ -357,4 +455,5 @@ MM_ORACLES: dict[str, str] = {
     "multimodal_audio": ORACLE_AUDIO,
     "multimodal_jpeg": ORACLE_JPEG,
     "multimodal_flac": ORACLE_FLAC,
+    "multimodal_video": ORACLE_VIDEO,
 }

@@ -216,6 +216,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "embedding_neardup": (
         "test_rotation_pins.py::test_embedding_neardup_cosines_exact_and_recall"
     ),
+    # round-9 mid-round addition: the recipe's closed forms re-derived
+    # by DuckDB over every residue class, plus numpy brute force for
+    # the codec pair (test_video.py)
+    "multimodal_video": (
+        "test_video.py::test_recipe_matches_duckdb_closed_forms"
+    ),
 }
 
 
@@ -226,7 +232,7 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # addition the exemption EXPIRES and the entry must be in the window or
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
-NEW_THIS_ROUND: dict[str, int] = {"multimodal_flac": 9}
+NEW_THIS_ROUND: dict[str, int] = {"multimodal_flac": 9, "multimodal_video": 9}
 
 
 def _last_green_by_entry() -> tuple[dict[str, int], int]:

@@ -1,0 +1,332 @@
+"""Round-9 mixed-video codecs (operators/video.py): the BI_RLE8
+inter-frame codec + AVI container walk and the YUV4MPEG2 raw-video
+parser. Ground truth is independent recomputation — numpy over the
+pre-encode pixels for RLE8, a per-pixel pure-python BT.601 reference
+for Y4M, and DuckDB evaluating the registry oracle's closed forms for
+the recipe (`test_recipe_matches_duckdb_closed_forms` is the
+GROUND_TRUTH_PINS target for `multimodal_video`)."""
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from optimal_parallel_fp_growth_spark.operators.video import (
+    bt601_rgb,
+    build_avi_rle8,
+    build_y4m,
+    decode_avi_rle8_frames,
+    decode_rle8_frame,
+    decode_y4m_frames,
+    encode_rle8_frame,
+)
+
+PALETTE = [(j, (2 * j) % 256, (j + 128) % 256) for j in range(256)]
+
+
+def _rand_frame(rng, w, h, values):
+    return bytes(rng.choice(values) for _ in range(w * h))
+
+
+# ---------------------------------------------------------------------
+# RLE8 frame codec
+
+
+def test_rle8_keyframe_round_trip():
+    rng = random.Random(7)
+    for w, h in ((1, 1), (3, 2), (8, 5), (17, 9), (64, 16)):
+        # low-cardinality values produce runs; high-cardinality literals
+        for values in (list(range(4)), list(range(200))):
+            pix = _rand_frame(rng, w, h, values)
+            coded = encode_rle8_frame(pix, w, h)
+            assert decode_rle8_frame(coded, w, h) == pix
+
+
+def test_rle8_delta_round_trip_and_inheritance():
+    rng = random.Random(11)
+    w, h = 12, 7
+    prev = _rand_frame(rng, w, h, list(range(8)))
+    # identical frame deltas to a bare end-of-bitmap and decodes to prev
+    assert encode_rle8_frame(prev, w, h, prev) == b"\x00\x01"
+    assert decode_rle8_frame(b"\x00\x01", w, h, prev) == prev
+    for _ in range(20):
+        cur = bytearray(prev)
+        for _ in range(rng.randrange(1, 15)):  # sparse edits
+            cur[rng.randrange(w * h)] = rng.randrange(8)
+        cur = bytes(cur)
+        coded = encode_rle8_frame(cur, w, h, prev)
+        full = encode_rle8_frame(cur, w, h)
+        assert len(coded) <= len(full) + 2  # delta coding actually helps
+        assert decode_rle8_frame(coded, w, h, prev) == cur
+        # the delta stream is meaningless against the wrong prior frame
+        other = _rand_frame(rng, w, h, list(range(8, 16)))
+        assert decode_rle8_frame(coded, w, h, other) != cur
+        prev = cur
+
+
+def test_rle8_encoder_picks_runs_and_absolute_mode():
+    w = 16
+    flat = bytes([5]) * w
+    ramp = bytes(range(30, 30 + w))
+    coded_flat = encode_rle8_frame(flat, w, 1)
+    assert coded_flat.startswith(bytes((w, 5)))  # one encoded run
+    coded_ramp = encode_rle8_frame(ramp, w, 1)
+    assert b"\x00\x10" in coded_ramp  # absolute-mode segment, count 16
+    assert decode_rle8_frame(coded_ramp, w, 1) == ramp
+    # odd-length absolute segments are word-padded
+    ramp15 = bytes(range(40, 55))
+    coded15 = encode_rle8_frame(ramp15, 15, 1)
+    assert decode_rle8_frame(coded15, 15, 1) == ramp15
+
+
+def test_rle8_structural_violations_fail_closed():
+    w, h = 4, 2
+    # run past the row edge
+    with pytest.raises(ValueError):
+        decode_rle8_frame(bytes((5, 1, 0, 1)), w, h)
+    # absolute segment past the row edge
+    with pytest.raises(ValueError):
+        decode_rle8_frame(b"\x00\x05abcde\x00\x00\x01", w, h)
+    # delta beyond the surface
+    with pytest.raises(ValueError):
+        decode_rle8_frame(
+            b"\x00\x02\x00\x09\x00\x01", w, h, prev=bytes(w * h)
+        )
+    # delta escape inside a keyframe (no prior frame to inherit from)
+    with pytest.raises(ValueError):
+        decode_rle8_frame(b"\x00\x02\x01\x00\x00\x01", w, h)
+    # missing end-of-bitmap
+    with pytest.raises(ValueError):
+        decode_rle8_frame(bytes((4, 1, 0, 0)), w, h)
+    # data after end-of-bitmap
+    with pytest.raises(ValueError):
+        decode_rle8_frame(b"\x00\x01\x04\x01", w, h)
+    # keyframe that leaves pixels undefined
+    with pytest.raises(ValueError):
+        decode_rle8_frame(bytes((4, 1)) + b"\x00\x00\x00\x01", w, h)
+
+
+# ---------------------------------------------------------------------
+# AVI/BI_RLE8 container
+
+
+def _clip_frames(rng, w, h, n):
+    frames = [_rand_frame(rng, w, h, list(range(16)))]
+    for _ in range(1, n):
+        cur = bytearray(frames[-1])
+        for _ in range(rng.randrange(0, 2 * w)):
+            cur[rng.randrange(w * h)] = rng.randrange(16)
+        frames.append(bytes(cur))
+    return frames
+
+
+def test_avi_rle8_stats_match_numpy_brute_force():
+    """Independent ground truth: container decode statistics vs numpy
+    over the ORIGINAL pre-encode pixels (exercises the encoder+decoder
+    pair end to end, including delta frames)."""
+    rng = random.Random(23)
+    pal = np.array(PALETTE, dtype=np.float64)  # (256, 3)
+    for w, h, n in ((4, 4, 1), (12, 6, 3), (9, 5, 4), (20, 10, 2)):
+        frames = _clip_frames(rng, w, h, n)
+        d = decode_avi_rle8_frames(build_avi_rle8(frames, PALETTE, w, h))
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, n)
+        for i, fr in enumerate(d["frames"]):
+            idx = np.frombuffer(frames[i], dtype=np.uint8)
+            rgb = pal[idx]  # (w*h, 3)
+            assert fr["keyframe"] == (i == 0)
+            assert fr["mean_r"] == pytest.approx(rgb[:, 0].mean(), abs=1e-12)
+            assert fr["mean_g"] == pytest.approx(rgb[:, 1].mean(), abs=1e-12)
+            assert fr["mean_b"] == pytest.approx(rgb[:, 2].mean(), abs=1e-12)
+            weights = np.repeat(np.arange(1, h + 1), w)
+            assert fr["row_moment"] == pytest.approx(
+                (rgb[:, 0] * weights).mean(), abs=1e-12
+            )
+
+
+def test_avi_rle8_container_cross_checks():
+    rng = random.Random(31)
+    w, h = 8, 4
+    frames = _clip_frames(rng, w, h, 3)
+    good = build_avi_rle8(frames, PALETTE, w, h, fps=10)
+    assert decode_avi_rle8_frames(good)["fps"] == 10.0
+    # avih frame count must match the movi walk
+    bad = bytearray(good)
+    pos = bad.find(b"avih") + 8 + 16
+    bad[pos : pos + 4] = (7).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError):
+        decode_avi_rle8_frames(bytes(bad))
+    # idx1 keyframe flag on a delta frame contradicts the stream
+    bad = bytearray(good)
+    ipos = bad.find(b"idx1") + 8 + 16 + 4  # entry 1's dwFlags
+    bad[ipos] |= 0x10
+    with pytest.raises(NotImplementedError):
+        decode_avi_rle8_frames(bytes(bad))
+    # non-RLE8 compression names the seam
+    bad = bytearray(good)
+    spos = bad.find(b"strf") + 8 + 16
+    bad[spos : spos + 4] = (2).to_bytes(4, "little")  # BI_RLE4
+    with pytest.raises(NotImplementedError):
+        decode_avi_rle8_frames(bytes(bad))
+    # truncation anywhere fails closed
+    with pytest.raises(NotImplementedError):
+        decode_avi_rle8_frames(good[: len(good) // 2])
+
+
+# ---------------------------------------------------------------------
+# YUV4MPEG2
+
+
+def _y4m_reference_stats(yp, cbp, crp, w, h, xd, yd):
+    cw = w // xd
+    sr = sg = sb = mr = 0
+    for y in range(h):
+        for x in range(w):
+            cy, cx = y // yd, x // xd
+            r, g, b = bt601_rgb(
+                yp[y * w + x], cbp[cy * cw + cx], crp[cy * cw + cx]
+            )
+            sr += r
+            sg += g
+            sb += b
+            mr += r * (y + 1)
+    n = w * h
+    return sr / n, sg / n, sb / n, mr / n
+
+
+def test_y4m_round_trip_all_colorspaces():
+    rng = random.Random(43)
+    for cs, xd, yd in (("420jpeg", 2, 2), ("422", 2, 1), ("444", 1, 1)):
+        w, h = 8, 6
+        cw, ch = w // xd, h // yd
+        frames = [
+            (
+                bytes(rng.randrange(256) for _ in range(w * h)),
+                bytes(rng.randrange(256) for _ in range(cw * ch)),
+                bytes(rng.randrange(256) for _ in range(cw * ch)),
+            )
+            for _ in range(3)
+        ]
+        d = decode_y4m_frames(
+            build_y4m(frames, w, h, fps_num=30, colorspace=cs)
+        )
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, 3)
+        assert d["colorspace"] == f"C{cs}" and d["fps"] == 30.0
+        for fr, (yp, cbp, crp) in zip(d["frames"], frames):
+            assert fr["keyframe"] is True
+            want = _y4m_reference_stats(yp, cbp, crp, w, h, xd, yd)
+            got = (
+                fr["mean_r"], fr["mean_g"], fr["mean_b"], fr["row_moment"]
+            )
+            assert got == pytest.approx(want, abs=1e-9), cs
+
+
+def test_y4m_header_and_structure_guards():
+    frame = (bytes(16), bytes(4), bytes(4))
+    good = build_y4m([frame], 4, 4)
+    assert decode_y4m_frames(good)["n_frames"] == 1
+    # X-params are ignorable per spec; header_only stops before frames
+    with_x = good.replace(b" C420jpeg\n", b" Xmeta C420jpeg\n", 1)
+    assert decode_y4m_frames(with_x)["n_frames"] == 1
+    assert "n_frames" not in decode_y4m_frames(
+        b"YUV4MPEG2 W640 H480 F25:1 Ip A1:1 C444 Xf00ff\n",
+        header_only=True,
+    )
+    # unknown header tag / colorspace fail closed
+    with pytest.raises(NotImplementedError):
+        decode_y4m_frames(good.replace(b" Ip ", b" Qp ", 1))
+    with pytest.raises(NotImplementedError):
+        decode_y4m_frames(good.replace(b"C420jpeg", b"C420p10s", 1))
+    # odd dims are incompatible with 4:2:0 subsampling
+    with pytest.raises(NotImplementedError):
+        decode_y4m_frames(b"YUV4MPEG2 W5 H4 F25:1 C420jpeg\nFRAME\n" + bytes(30))
+    # truncated planes / malformed FRAME marker
+    with pytest.raises(NotImplementedError):
+        decode_y4m_frames(good[:-3])
+    with pytest.raises(NotImplementedError):
+        decode_y4m_frames(good.replace(b"FRAME\n", b"FRAMX\n", 1))
+    # zero-frame streams only pass at the header tier
+    hdr = good[: good.find(b"\n") + 1]
+    with pytest.raises(NotImplementedError):
+        decode_y4m_frames(hdr)
+
+
+# ---------------------------------------------------------------------
+# recipe ⇄ oracle parity (GROUND_TRUTH_PINS target) and fuzz
+
+
+def test_recipe_matches_duckdb_closed_forms():
+    """Pure-python engine path (build → full decode → stats) vs DuckDB
+    evaluating ORACLE_VIDEO's closed forms, value-for-value over 240
+    consecutive doc_ids (covers every residue class of every modulus
+    the recipe uses: lcm(2,3,4,5,6) = 60)."""
+    import duckdb
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _build_mixed_video,
+    )
+    from optimal_parallel_fp_growth_spark.queries_multimodal import (
+        ORACLE_VIDEO,
+    )
+
+    n = 240
+    rows = []
+    for doc_id in range(n):
+        raw = _build_mixed_video(doc_id)
+        d = (
+            decode_avi_rle8_frames(raw)
+            if raw[:4] == b"RIFF"
+            else decode_y4m_frames(raw)
+        )
+        for fr in d["frames"]:
+            rows.append(
+                (
+                    doc_id, d["format"], fr["frame_idx"], d["width"],
+                    d["height"], fr["keyframe"], round(fr["mean_r"], 6),
+                    round(fr["mean_g"], 6), round(fr["mean_b"], 6),
+                    round(fr["row_moment"], 6),
+                )
+            )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        f"SELECT UNNEST(generate_series(0, {n - 1})) AS doc_id"
+    )
+    want = con.execute(
+        ORACLE_VIDEO + " ORDER BY doc_id, frame_idx"
+    ).fetchall()
+    rows.sort(key=lambda r: (r[0], r[2]))
+    assert len(rows) == len(want)
+    for got, exp in zip(rows, want):
+        assert got == tuple(exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_fuzz_corruption_never_leaks_parser_internals(data):
+    """Flip 1-3 bytes anywhere in a valid clip of either container:
+    decode either still succeeds (flips in palette padding / filler)
+    or fails with the ONE documented exception type — never a leaked
+    IndexError/struct.error (the mapInPandas quarantine contract)."""
+    rng = random.Random(5)
+    which = data.draw(st.sampled_from(["avi", "y4m"]))
+    if which == "avi":
+        payload = bytearray(
+            build_avi_rle8(_clip_frames(rng, 8, 4, 3), PALETTE, 8, 4)
+        )
+        decode = decode_avi_rle8_frames
+    else:
+        payload = bytearray(
+            build_y4m(
+                [(bytes(range(32)), bytes(8), bytes(8))] * 2, 8, 4
+            )
+        )
+        decode = decode_y4m_frames
+    for _ in range(data.draw(st.integers(1, 3))):
+        i = data.draw(st.integers(0, len(payload) - 1))
+        payload[i] ^= data.draw(st.integers(1, 255))
+    try:
+        decode(bytes(payload))
+    except NotImplementedError:
+        pass
