@@ -4552,41 +4552,69 @@ MIXED_VIDEO_SCHEMA = (
 # wrap and the oracle's channel forms stay linear)
 _RLE8_PALETTE = [(j, (2 * j) % 256, (j + 128) % 256) for j in range(256)]
 
+# transparent index for the gif-anim recipe: far outside the used
+# value range, so a decoder that PAINTS it (instead of inheriting the
+# canvas) shifts every channel mean and breaks the oracle
+_GIF_TRANSPARENT = 255
+
 
 def mixed_video_meta_for(doc_id: int) -> dict:
     """Deterministic mixed-video recipe, mirrored by the DuckDB oracle.
+    Formats rotate by doc_id % 3; parameters that would be constant on
+    a single residue class (any modulus sharing a factor with 3) key
+    off ``doc_id // 3`` instead.
 
-    Even doc_ids build an AVI/BI_RLE8 clip: frame 0 is a keyframe
-    whose image-top half is flat ``a`` EXCEPT image row 0, an
-    incrementing ramp ``a..a+w-1`` (forces an absolute-mode segment
-    through the encoder), and whose bottom half is flat ``b``; every
-    later frame is a DELTA that rewrites only the top half to ``t_i``
-    — the bottom half is never re-coded and must be INHERITED through
-    the delta-escape skip, so a decoder that drops the prior frame,
-    mis-advances on delta, or flips the bottom-up row order breaks the
-    closed forms (the ``row_moment`` column is position-weighted
+    ``avi-rle8`` (doc_id%3==0): frame 0 is a keyframe whose image-top
+    half is flat ``a`` EXCEPT image row 0, an incrementing ramp
+    ``a..a+w-1`` (forces an absolute-mode segment through the
+    encoder), and whose bottom half is flat ``b``; every later frame
+    is a DELTA that rewrites only the top half to ``t_i`` — the
+    bottom half is never re-coded and must be INHERITED through the
+    delta-escape skip, so a decoder that drops the prior frame,
+    mis-advances on delta, or flips the bottom-up row order breaks
+    the closed forms (the ``row_moment`` column is position-weighted
     precisely so positional bugs shift it).
 
-    Odd doc_ids build a Y4M clip of flat planes (colorspace rotating
+    ``y4m`` (doc_id%3==1): flat planes (colorspace rotating
     420jpeg/422/444) whose BT.601 full-range conversion the oracle
     restates with the identical ``floor(x + 0.5)`` op order.
+
+    ``gif-anim`` (doc_id%3==2): frame 0 a full-canvas keyframe (top
+    half ``a``, bottom ``b``); every later frame an LZW-coded
+    SUB-RECTANGLE covering only the top half, drawn ``t_i`` except
+    its second row which is TRANSPARENT — those pixels must inherit
+    the canvas (still ``a``), so a decoder that paints the
+    transparent index or mis-places the rect breaks the closed
+    forms; the bottom half is never re-drawn (container-level
+    inheritance, like the RLE8 delta skip).
     """
-    if doc_id % 2 == 0:
+    q3 = doc_id // 3
+    if doc_id % 3 == 0:
         return {
             "kind": "avi-rle8",
             "width": 4 * (1 + doc_id % 5),
             "height": 2 * (2 + doc_id % 4),
-            "n_frames": 2 + doc_id % 3,
+            "n_frames": 2 + q3 % 3,
             "a": 10 + (doc_id * 3) % 60,
             "b": 12 + (doc_id * 5) % 60,
             "fps": 10 + doc_id % 21,
         }
+    if doc_id % 3 == 1:
+        return {
+            "kind": "y4m",
+            "width": 2 * (2 + q3 % 6),
+            "height": 2 * (2 + doc_id % 5),
+            "n_frames": 2 + q3 % 3,
+            "colorspace": ("420jpeg", "422", "444")[q3 % 3],
+            "fps": 10 + doc_id % 21,
+        }
     return {
-        "kind": "y4m",
-        "width": 2 * (2 + doc_id % 6),
-        "height": 2 * (2 + doc_id % 5),
-        "n_frames": 2 + doc_id % 3,
-        "colorspace": ("420jpeg", "422", "444")[doc_id % 3],
+        "kind": "gif-anim",
+        "width": 3 + q3 % 12,
+        "height": 2 * (2 + doc_id % 4),
+        "n_frames": 2 + q3 % 3,
+        "a": 10 + (doc_id * 3) % 60,
+        "b": 12 + (doc_id * 5) % 60,
         "fps": 10 + doc_id % 21,
     }
 
@@ -4605,6 +4633,7 @@ def _y4m_flat_yuv(doc_id: int, i: int) -> tuple[int, int, int]:
 def _build_mixed_video(doc_id: int) -> bytes:
     from optimal_parallel_fp_growth_spark.operators.video import (
         build_avi_rle8,
+        build_gif_anim,
         build_y4m,
     )
 
@@ -4623,6 +4652,21 @@ def _build_mixed_video(doc_id: int) -> bytes:
             t = _rle8_top_value(doc_id, i)
             frames.append(bytes([t]) * (w * s) + bytes([b]) * (w * s))
         return build_avi_rle8(frames, _RLE8_PALETTE, w, h, fps=m["fps"])
+    if m["kind"] == "gif-anim":
+        s = h // 2
+        a, b = m["a"], m["b"]
+        pal = b"".join(bytes(c) for c in _RLE8_PALETTE)
+        frames = [
+            (0, 0, w, h, [a] * (w * s) + [b] * (w * s))  # keyframe
+        ]
+        for i in range(1, n):
+            t = _rle8_top_value(doc_id, i)
+            # top-half rect; its second row transparent (inherits 'a')
+            rect = [t] * w + [_GIF_TRANSPARENT] * w + [t] * (w * (s - 2))
+            frames.append((0, 0, w, s, rect))
+        return build_gif_anim(
+            frames, w, h, pal, transparent=_GIF_TRANSPARENT
+        )
     cs = m["colorspace"]
     xd, yd = {"420jpeg": (2, 2), "422": (2, 1), "444": (1, 1)}[cs]
     cw, ch = w // xd, h // yd

@@ -21,6 +21,14 @@ operators/multimodal.py module docstring):
   F..:.. I. A..:.. C...``) followed by ``FRAME`` records of planar
   YCbCr. Chroma upsampling (nearest) and the BT.601 full-range
   transform (R = Y + 1.402·(Cr−128) etc.) are closed-form arithmetic.
+* **Animated GIF** (89a): the third inter-frame model — each frame is
+  an LZW-coded SUB-RECTANGLE composited onto a persistent canvas,
+  with GCE transparency (transparent pixels INHERIT the canvas) and
+  disposal methods 0/1 (keep) and 2 (restore-to-background). The LZW
+  codec pair is the proven one from operators/multimodal.py; this
+  module adds the frame walk, compositing and the same fail-closed
+  contract (keyframe self-coverage, rect bounds, disposal 3 /
+  local-table / interlaced frames name the seam).
 
 Both decoders fail CLOSED: every structural violation (truncated
 stream, run past a row edge, delta beyond the surface, keyframe that
@@ -49,6 +57,8 @@ __all__ = [
     "decode_avi_rle8_frames",
     "build_y4m",
     "decode_y4m_frames",
+    "build_gif_anim",
+    "decode_gif_frames",
     "bt601_rgb",
 ]
 
@@ -661,3 +671,253 @@ def decode_y4m_frames(payload: bytes, header_only: bool = False) -> dict:
     out["n_frames"] = len(frames)
     out["frames"] = frames
     return out
+
+
+# ---------------------------------------------------------------------
+# Animated GIF (89a): sub-rectangle frames + transparency + disposal
+
+
+def build_gif_anim(
+    frames: list[tuple[int, int, int, int, list[int]]],
+    width: int,
+    height: int,
+    palette: bytes,
+    transparent: int | None = None,
+    disposal: int = 1,
+    delay_cs: int = 4,
+) -> bytes:
+    """Builder twin for :func:`decode_gif_frames`: a spec-valid GIF89a
+    animation. Each frame is ``(x0, y0, fw, fh, indices)`` — an
+    LZW-coded (via the proven multimodal encoder) sub-rectangle
+    composited at (x0, y0); indices equal to ``transparent`` become
+    see-through via a per-frame Graphic Control Extension. ``frames``
+    share the global color table (``palette``, RGB triples)."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _lzw_encode,
+    )
+
+    if not frames:
+        raise ValueError("at least one frame required")
+    if disposal not in (0, 1, 2):
+        raise ValueError("builder supports disposal methods 0/1/2")
+    n_colors = len(palette) // 3
+    size_field = max(1, (n_colors - 1).bit_length()) - 1
+    table_n = 2 << size_field
+    pal = palette + bytes(3 * (table_n - n_colors))
+    min_code_size = max(2, (table_n - 1).bit_length())
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x80 | size_field, 0, 0])
+        + pal
+    )
+    for x0, y0, fw, fh, indices in frames:
+        if len(indices) != fw * fh:
+            raise ValueError("frame index buffer size mismatch")
+        if x0 + fw > width or y0 + fh > height:
+            raise ValueError("frame rect outside the canvas")
+        gce_packed = (disposal << 2) | (
+            0x01 if transparent is not None else 0
+        )
+        out += bytes(
+            (0x21, 0xF9, 4, gce_packed, delay_cs & 0xFF, delay_cs >> 8,
+             transparent or 0, 0)
+        )
+        out += b"\x2c" + struct.pack("<HHHH", x0, y0, fw, fh) + b"\x00"
+        out += bytes([min_code_size])
+        lzw = _lzw_encode(list(indices), min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+@_guard
+def decode_gif_frames(payload: bytes) -> dict:
+    """REAL animated-GIF decode: logical-screen / GCE / image-
+    descriptor walk, every frame's LZW stream fully decoded (the
+    proven multimodal decoder) and composited onto a persistent
+    canvas — transparent indices INHERIT the canvas (painting them
+    would shift a mean and break the oracle), disposal 2 restores the
+    frame's rect to the background index before the next frame,
+    disposal 3 (restore-to-previous) / local color tables /
+    interlaced frames fail closed. Frame 0 must be a full-canvas
+    keyframe with no transparency (the self-coverage contract shared
+    with the RLE8 decoder). Reports the same per-composited-frame
+    stat row as the other decoders; ``keyframe`` is True only for
+    frame 0."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _lzw_decode,
+    )
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF signature")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    if not width or not height:
+        raise NotImplementedError("zero-dimension GIF logical screen")
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError(
+            "animated decode requires a global color table"
+        )
+    table_n = 2 << (packed & 0x07)
+    gct = payload[pos : pos + 3 * table_n]
+    if len(gct) < 3 * table_n:
+        raise NotImplementedError("truncated GIF global color table")
+    pos += 3 * table_n
+    canvas = None  # palette indices, image order
+    frames = []
+    n_pix = width * height
+    transparent: int | None = None
+    disposal = 0
+    trailer = False
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise NotImplementedError("truncated GIF extension")
+            label = payload[pos + 1]
+            pos += 2
+            sub0 = pos
+            subs = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                n = payload[pos]
+                subs += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            if pos >= len(payload):
+                raise NotImplementedError("unterminated GIF extension")
+            pos += 1
+            if label == 0xF9:  # graphic control
+                if len(subs) != 4 or pos - sub0 != 6:
+                    raise NotImplementedError("malformed GIF GCE block")
+                disposal = (subs[0] >> 2) & 0x07
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "GIF disposal 3 (restore-to-previous) is the "
+                        "documented seam"
+                    )
+                if disposal > 3:
+                    raise NotImplementedError(
+                        f"reserved GIF disposal method {disposal}"
+                    )
+                transparent = subs[3] if subs[0] & 0x01 else None
+            continue  # other extensions (comment, application) skip
+        if b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise NotImplementedError("truncated GIF image descriptor")
+            x0 = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            y0 = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            fw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            fh = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                raise NotImplementedError(
+                    "per-frame local color tables don't composite onto "
+                    "an index canvas — the documented seam"
+                )
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "interlaced animation frames are the documented seam"
+                )
+            if fw == 0 or fh == 0 or x0 + fw > width or y0 + fh > height:
+                raise NotImplementedError(
+                    f"GIF frame rect {fw}x{fh}@({x0},{y0}) outside the "
+                    f"{width}x{height} canvas"
+                )
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                n = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            if pos >= len(payload):
+                raise NotImplementedError("unterminated GIF image data")
+            pos += 1
+            indices = _lzw_decode(bytes(lzw), min_code_size)
+            if len(indices) < fw * fh:
+                raise NotImplementedError(
+                    f"truncated GIF frame data: want {fw * fh}, "
+                    f"have {len(indices)}"
+                )
+            indices = indices[: fw * fh]
+            if any(i >= table_n for i in indices):
+                raise NotImplementedError(
+                    "GIF frame index outside the color table"
+                )
+            if canvas is None:
+                if (x0, y0, fw, fh) != (0, 0, width, height):
+                    raise NotImplementedError(
+                        "first GIF frame must cover the full canvas"
+                    )
+                if transparent is not None and transparent in indices:
+                    raise NotImplementedError(
+                        "transparent pixels in the first frame leave the "
+                        "canvas undefined"
+                    )
+                canvas = bytearray(n_pix)
+            # composite (transparent indices inherit the canvas)
+            for r in range(fh):
+                row_off = (y0 + r) * width + x0
+                src_off = r * fw
+                for c in range(fw):
+                    v = indices[src_off + c]
+                    if transparent is not None and v == transparent:
+                        continue
+                    canvas[row_off + c] = v
+            sr = sg = sb = mr = 0
+            for y in range(height):
+                wrow = y + 1
+                base = y * width
+                for x in range(width):
+                    j = canvas[base + x]
+                    p = 3 * j
+                    sr += gct[p]
+                    sg += gct[p + 1]
+                    sb += gct[p + 2]
+                    mr += gct[p] * wrow
+            frames.append(
+                {
+                    "frame_idx": len(frames),
+                    "keyframe": len(frames) == 0,
+                    "mean_r": sr / n_pix,
+                    "mean_g": sg / n_pix,
+                    "mean_b": sb / n_pix,
+                    "row_moment": mr / n_pix,
+                }
+            )
+            if disposal == 2:  # restore rect to background before next
+                for r in range(fh):
+                    row_off = (y0 + r) * width + x0
+                    canvas[row_off : row_off + fw] = (
+                        bytes([bg_index]) * fw
+                    )
+            transparent = None
+            disposal = 0
+            continue
+        if b0 == 0x3B:
+            trailer = True
+            pos += 1
+            break
+        raise NotImplementedError(f"unknown GIF block 0x{b0:02x}")
+    if not trailer:
+        raise NotImplementedError("GIF without a trailer byte")
+    if pos != len(payload):
+        raise NotImplementedError("data after the GIF trailer")
+    if not frames:
+        raise NotImplementedError("GIF without an image block")
+    return {
+        "format": "gif-anim",
+        "width": width,
+        "height": height,
+        "fps": None,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
