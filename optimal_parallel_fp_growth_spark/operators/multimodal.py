@@ -4354,9 +4354,15 @@ def attach_jpeg_media(docs: DataFrame) -> DataFrame:
     passes with the dedicated EOBn Huffman table); doc_id % 8 == 6
     gets a 12-BIT extended-sequential SOF1 file (round 7) and
     doc_id % 8 == 2 a LOSSLESS SOF3 file (round 7, predictor
-    1 + doc_id % 7) — both carry the SAME sample values, so every
-    framing decodes to the identical closed-form means and the
-    oracle stays framing-invariant."""
+    1 + doc_id % 7) — both carry the SAME sample values, so those
+    framings decode to the identical closed-form means and the
+    oracle stays framing-invariant. doc_id % 8 == 4 gets a
+    HIERARCHICAL pyramid (round 10: T.81 Annex J DHP + half-res SOF0
+    + EXP + differential SOF5) — the pyramid is only EXACT on a
+    globally flat source, so these docs carry a 16-aligned flat image
+    at value ``base`` (w = 16*(1 + (doc_id//8) % 3),
+    h = 16*(1 + (doc_id//8) % 2)) and the oracle special-cases the
+    residue class."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4370,7 +4376,15 @@ def attach_jpeg_media(docs: DataFrame) -> DataFrame:
                     for y in range(h)
                     for x in range(w)
                 ]
-                if doc_id % 8 == 6:
+                if doc_id % 8 == 4:
+                    hw = 16 * (1 + (int(doc_id) // 8) % 3)
+                    hh = 16 * (1 + (int(doc_id) // 8) % 2)
+                    payloads.append(
+                        build_jpeg_hierarchical(
+                            hw, hh, [m["base"]] * (hw * hh)
+                        )
+                    )
+                elif doc_id % 8 == 6:
                     px12 = b"".join(v.to_bytes(2, "little") for v in vals)
                     payloads.append(
                         build_jpeg_pixels(
@@ -4682,9 +4696,10 @@ def _build_mixed_video(doc_id: int) -> bytes:
 
 def attach_mixed_video_media(docs: DataFrame) -> DataFrame:
     """→ (doc_id, payload: binary) where payload is a REAL video clip
-    following `mixed_video_meta_for` — AVI/BI_RLE8 (delta-coded by the
-    content-adaptive encoder) for even docs, Y4M for odd. Arrow-
-    batched."""
+    following `mixed_video_meta_for` — rotating by doc_id % 3 between
+    AVI/BI_RLE8 (delta-coded by the content-adaptive encoder), Y4M,
+    and an animated GIF whose later frames are transparent-holed
+    sub-rectangles. Arrow-batched."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4701,16 +4716,18 @@ def attach_mixed_video_media(docs: DataFrame) -> DataFrame:
 def extract_mixed_video_frames(
     with_payload: DataFrame, on_error: str = "raise"
 ) -> DataFrame:
-    """Arrow-batched one-to-many video expansion over the round-9
+    """Arrow-batched one-to-many video expansion over the container
     codecs: each payload fans out to one row per FULLY-decoded frame,
     dispatching on the container magic (RIFF → AVI/BI_RLE8,
-    YUV4MPEG2 → Y4M). ``on_error='null'`` quarantines undecodable
+    YUV4MPEG2 → Y4M, GIF87a/GIF89a → animated GIF with persistent-
+    canvas compositing). ``on_error='null'`` quarantines undecodable
     payloads as a single null-stat row, like extract_video_frames."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     from optimal_parallel_fp_growth_spark.operators.video import (
         decode_avi_rle8_frames,
+        decode_gif_frames,
         decode_y4m_frames,
     )
 
@@ -4729,6 +4746,8 @@ def extract_mixed_video_frames(
                         d = decode_avi_rle8_frames(raw)
                     elif raw.startswith(b"YUV4MPEG2"):
                         d = decode_y4m_frames(raw)
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        d = decode_gif_frames(raw)
                     else:
                         raise NotImplementedError(
                             "unrecognized video container"

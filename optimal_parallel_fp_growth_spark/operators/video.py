@@ -169,7 +169,11 @@ def encode_rle8_frame(
                 dy -= d
             pos_y = sy
         if x0 > 0:
-            out += bytes((0, 2, x0, 0))  # dx within the row
+            dx = x0  # dx within the row; delta args are single bytes
+            while dx > 0:
+                d = min(dx, 255)
+                out += bytes((0, 2, d, 0))
+                dx -= d
         emit_span(out, row, x0, x1)
         # close the row: EOL resets x and advances the cursor
         out += b"\x00\x00"

@@ -132,14 +132,17 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float FDCT, quantization, zigzag, DPCM, Annex K Huffman; odd
     doc_ids get PROGRESSIVE SOF2 framing — spectral-selection scans,
     and every fourth doc a split DC scan with a successive-
-    approximation refinement pass) and FULLY DECODE it (marker walk,
-    canonical Huffman, multi-scan coefficient accumulation,
-    dequantize, IDCT). The recipe uses flat 8x8 blocks whose DC values quantize
-    without remainder, so the lossy codec round-trips EXACTLY and the
-    oracle states the mean in closed form — any bug in either side of
-    the entropy coder, the zigzag, the DPCM chain, byte
-    stuffing/unstuffing, or the (I)DCT shifts the mean and breaks
-    equality."""
+    approximation refinement pass; doc_id % 8 == 4 a HIERARCHICAL
+    T.81 Annex J pyramid — DHP, half-res SOF0, EXP, differential
+    SOF5 — added to the rotation in round 10) and FULLY DECODE it
+    (marker walk, canonical Huffman, multi-scan coefficient
+    accumulation, dequantize, IDCT). The recipe uses flat 8x8 blocks whose DC values quantize
+    without remainder (globally flat for the hierarchical class — the
+    only regime where the two-level pyramid is exact), so the lossy
+    codec round-trips EXACTLY and the oracle states the mean in
+    closed form — any bug in either side of the entropy coder, the
+    zigzag, the DPCM chain, byte stuffing/unstuffing, or the (I)DCT
+    shifts the mean and breaks equality."""
     docs = load_table(spark, sf_dir, "documents")
     out = extract_pixel_stats(attach_jpeg_media(docs))
     return out.select(
@@ -258,21 +261,34 @@ FROM documents
 # jpeg_meta_for mirrored in SQL: bw = 1 + doc_id%4, bh = 1 + doc_id%3,
 # base = 16 + doc_id*13 % 64, step = 1 + doc_id%5; all nb = bw*bh
 # blocks are equal-sized, so mean = base + step*(nb-1)/2 exactly.
+# doc_id%8==4 (round 10) is the HIERARCHICAL residue class: a
+# 16-aligned globally-flat image at value base (the only regime where
+# the DHP pyramid round-trips exactly), so mean = base and the dims
+# key off doc_id//8.
 ORACLE_JPEG = """
 SELECT doc_id,
-       CASE WHEN doc_id % 8 = 2 THEN 'jpeg-lossless' ELSE 'jpeg' END
-         AS format,
-       (8 * (1 + doc_id % 4))::INT AS width,
-       (8 * (1 + doc_id % 3))::INT AS height,
-       round(16 + (doc_id * 13) % 64
-             + (1 + doc_id % 5)
-               * ((1 + doc_id % 4) * (1 + doc_id % 3) - 1) / 2.0, 6) AS mean_r,
-       round(16 + (doc_id * 13) % 64
-             + (1 + doc_id % 5)
-               * ((1 + doc_id % 4) * (1 + doc_id % 3) - 1) / 2.0, 6) AS mean_g,
-       round(16 + (doc_id * 13) % 64
-             + (1 + doc_id % 5)
-               * ((1 + doc_id % 4) * (1 + doc_id % 3) - 1) / 2.0, 6) AS mean_b
+       CASE WHEN doc_id % 8 = 2 THEN 'jpeg-lossless'
+            WHEN doc_id % 8 = 4 THEN 'jpeg-hierarchical'
+            ELSE 'jpeg' END AS format,
+       CASE WHEN doc_id % 8 = 4 THEN (16 * (1 + (doc_id // 8) % 3))::INT
+            ELSE (8 * (1 + doc_id % 4))::INT END AS width,
+       CASE WHEN doc_id % 8 = 4 THEN (16 * (1 + (doc_id // 8) % 2))::INT
+            ELSE (8 * (1 + doc_id % 3))::INT END AS height,
+       round(CASE WHEN doc_id % 8 = 4 THEN 16 + (doc_id * 13) % 64
+             ELSE 16 + (doc_id * 13) % 64
+                  + (1 + doc_id % 5)
+                    * ((1 + doc_id % 4) * (1 + doc_id % 3) - 1) / 2.0
+             END, 6) AS mean_r,
+       round(CASE WHEN doc_id % 8 = 4 THEN 16 + (doc_id * 13) % 64
+             ELSE 16 + (doc_id * 13) % 64
+                  + (1 + doc_id % 5)
+                    * ((1 + doc_id % 4) * (1 + doc_id % 3) - 1) / 2.0
+             END, 6) AS mean_g,
+       round(CASE WHEN doc_id % 8 = 4 THEN 16 + (doc_id * 13) % 64
+             ELSE 16 + (doc_id * 13) % 64
+                  + (1 + doc_id % 5)
+                    * ((1 + doc_id % 4) * (1 + doc_id % 3) - 1) / 2.0
+             END, 6) AS mean_b
 FROM documents
 """
 
@@ -343,18 +359,23 @@ FROM documents
 
 
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL mixed-video round trip (round 9): even docs ENCODE an
-    AVI/BI_RLE8 clip — frame 0 a keyframe (with an absolute-mode ramp
-    row), every later frame a DELTA that re-codes only the top half
-    and leaves the bottom half to be INHERITED through the
-    delta-escape skip — and FULLY DECODE it (RIFF walk, strf/palette,
-    idx1 keyframe flags, every RLE opcode, the persistent prior-frame
-    surface). Odd docs build→decode a Y4M stream (header tags, planar
+    """REAL mixed-video round trip rotating THREE containers by
+    doc_id % 3. (0) AVI/BI_RLE8: frame 0 a keyframe (with an
+    absolute-mode ramp row), every later frame a DELTA that re-codes
+    only the top half and leaves the bottom half to be INHERITED
+    through the delta-escape skip; FULL decode (RIFF walk,
+    strf/palette, idx1 keyframe flags, every RLE opcode, the
+    persistent prior-frame surface). (1) Y4M: header tags, planar
     frames, nearest chroma upsample, BT.601 full-range with explicit
-    floor(x+0.5)). Both codecs are exact, so the oracle states every
-    statistic in closed form; ``row_moment`` is position-weighted so a
-    mis-advanced delta or a dropped bottom-up flip breaks equality
-    even when a bare mean would not."""
+    floor(x+0.5). (2) animated GIF: frame 0 a full-canvas keyframe;
+    every later frame an LZW-coded top-half sub-rectangle whose
+    second row is TRANSPARENT and must inherit the canvas (still
+    ``a``) — painting the transparent index, mis-placing the rect, or
+    dropping the persistent canvas breaks the closed forms. All three
+    codecs are exact, so the oracle states every statistic in closed
+    form; ``row_moment`` is position-weighted so a mis-advanced delta
+    or a dropped bottom-up flip breaks equality even when a bare mean
+    would not."""
     docs = load_table(spark, sf_dir, "documents")
     out = extract_mixed_video_frames(attach_mixed_video_media(docs))
     return out.select(
@@ -371,40 +392,51 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# mixed_video_meta_for mirrored in SQL. RLE8 (even docs): w=4*(1+d%5),
-# s=2+d%4, h=2s; keyframe top = a (image row 0 an a..a+w-1 ramp),
-# bottom = b; delta frame i's top = t_i = 14+(d*11+i*13)%60; palette
-# r=j, g=2j, b=j+128 over the used index range, so channel means are
-# integer-numerator / (w*h) forms. Y4M (odd docs): flat planes, BT.601
-# full-range restated with the identical floor(x+0.5) op order.
+# mixed_video_meta_for mirrored in SQL, rotating by d%3 with q3=d//3.
+# RLE8 (d%3=0): w=4*(1+d%5), s=2+d%4, h=2s; keyframe top = a (image
+# row 0 an a..a+w-1 ramp), bottom = b; delta frame i's top =
+# t_i = 14+(d*11+i*13)%60; palette r=j, g=2j, b=j+128 over the used
+# index range, so channel means are integer-numerator / (w*h) forms.
+# Y4M (d%3=1): flat planes (w keys off q3), BT.601 full-range restated
+# with the identical floor(x+0.5) op order. GIF (d%3=2): w=3+q3%12,
+# same s/h/a/b forms as RLE8; frame 0's top half is a, bottom b; frame
+# i's top-half rect is t_i EXCEPT its transparent second row, which
+# inherits the canvas (a) — so top indices are (s-1) rows of t_i plus
+# one row of a, same palette forms. n_frames = 2+q3%3 for ALL kinds.
 ORACLE_VIDEO = """
 SELECT d.doc_id,
-       CASE WHEN d.doc_id % 2 = 0 THEN 'avi-rle8' ELSE 'y4m' END AS format,
+       CASE d.doc_id % 3 WHEN 0 THEN 'avi-rle8'
+                         WHEN 1 THEN 'y4m'
+                         ELSE 'gif-anim' END AS format,
        u.i::INT AS frame_idx,
        g.w::INT AS width,
        g.h::INT AS height,
-       (d.doc_id % 2 = 1 OR u.i = 0) AS keyframe,
-       CASE WHEN d.doc_id % 2 = 0
-            THEN round(q.num_r / (g.w * g.h * 1.0), 6)
-            ELSE round(q.rr, 6) END AS mean_r,
-       CASE WHEN d.doc_id % 2 = 0
-            THEN round((2 * q.num_r) / (g.w * g.h * 1.0), 6)
-            ELSE round(q.gg, 6) END AS mean_g,
-       CASE WHEN d.doc_id % 2 = 0
-            THEN round((q.num_r + 128 * g.w * g.h) / (g.w * g.h * 1.0), 6)
-            ELSE round(q.bb, 6) END AS mean_b,
-       CASE WHEN d.doc_id % 2 = 0
-            THEN round(q.num_m / (g.w * g.h * 1.0), 6)
-            ELSE round(q.rr * (g.h + 1) / 2.0, 6) END AS row_moment
+       (d.doc_id % 3 = 1 OR u.i = 0) AS keyframe,
+       CASE WHEN d.doc_id % 3 = 1
+            THEN round(q.rr, 6)
+            ELSE round(q.num_r / (g.w * g.h * 1.0), 6) END AS mean_r,
+       CASE WHEN d.doc_id % 3 = 1
+            THEN round(q.gg, 6)
+            ELSE round((2 * q.num_r) / (g.w * g.h * 1.0), 6) END AS mean_g,
+       CASE WHEN d.doc_id % 3 = 1
+            THEN round(q.bb, 6)
+            ELSE round((q.num_r + 128 * g.w * g.h) / (g.w * g.h * 1.0), 6)
+            END AS mean_b,
+       CASE WHEN d.doc_id % 3 = 1
+            THEN round(q.rr * (g.h + 1) / 2.0, 6)
+            ELSE round(q.num_m / (g.w * g.h * 1.0), 6) END AS row_moment
 FROM documents d,
      LATERAL (
-       SELECT UNNEST(generate_series(0, (1 + d.doc_id % 3)::BIGINT)) AS i
+       SELECT UNNEST(generate_series(0, (1 + (d.doc_id // 3) % 3)::BIGINT))
+              AS i
      ) u,
      LATERAL (
-       SELECT CASE WHEN d.doc_id % 2 = 0 THEN 4 * (1 + d.doc_id % 5)
-                   ELSE 2 * (2 + d.doc_id % 6) END AS w,
-              CASE WHEN d.doc_id % 2 = 0 THEN 2 * (2 + d.doc_id % 4)
-                   ELSE 2 * (2 + d.doc_id % 5) END AS h,
+       SELECT CASE d.doc_id % 3
+                   WHEN 0 THEN 4 * (1 + d.doc_id % 5)
+                   WHEN 1 THEN 2 * (2 + (d.doc_id // 3) % 6)
+                   ELSE 3 + (d.doc_id // 3) % 12 END AS w,
+              CASE WHEN d.doc_id % 3 = 1 THEN 2 * (2 + d.doc_id % 5)
+                   ELSE 2 * (2 + d.doc_id % 4) END AS h,
               2 + d.doc_id % 4 AS s,
               10 + (d.doc_id * 3) % 60 AS a,
               12 + (d.doc_id * 5) % 60 AS b
@@ -417,18 +449,26 @@ FROM documents d,
               (d.doc_id * 11 + u.i * 7) % 81 - 40 AS cro
      ) p,
      LATERAL (
-       SELECT g.w * p.vtop * g.s + g.w * g.b * g.s
-              + CASE WHEN u.i = 0 THEN (g.w * (g.w - 1)) // 2 ELSE 0 END
-                AS num_r,
-              CASE WHEN u.i = 0
-                   THEN g.w * g.a + (g.w * (g.w - 1)) // 2
-                        + g.a * g.w * ((g.s * (g.s + 1)) // 2 - 1)
-                        + g.b * g.w * (g.s * (2 * g.s + 1)
-                                       - (g.s * (g.s + 1)) // 2)
-                   ELSE p.vtop * g.w * ((g.s * (g.s + 1)) // 2)
-                        + g.b * g.w * (g.s * (2 * g.s + 1)
-                                       - (g.s * (g.s + 1)) // 2)
-                   END AS num_m,
+       SELECT CASE WHEN d.doc_id % 3 = 0
+                   THEN g.w * p.vtop * g.s + g.w * g.b * g.s
+                        + CASE WHEN u.i = 0
+                               THEN (g.w * (g.w - 1)) // 2 ELSE 0 END
+                   ELSE g.w * (p.vtop * (g.s - 1) + g.a) + g.w * g.b * g.s
+                   END AS num_r,
+              CASE WHEN d.doc_id % 3 = 0 THEN
+                CASE WHEN u.i = 0
+                     THEN g.w * g.a + (g.w * (g.w - 1)) // 2
+                          + g.a * g.w * ((g.s * (g.s + 1)) // 2 - 1)
+                          + g.b * g.w * (g.s * (2 * g.s + 1)
+                                         - (g.s * (g.s + 1)) // 2)
+                     ELSE p.vtop * g.w * ((g.s * (g.s + 1)) // 2)
+                          + g.b * g.w * (g.s * (2 * g.s + 1)
+                                         - (g.s * (g.s + 1)) // 2)
+                     END
+              ELSE g.w * (p.vtop * ((g.s * (g.s + 1)) // 2 - 2) + 2 * g.a)
+                   + g.b * g.w * (g.s * (2 * g.s + 1)
+                                  - (g.s * (g.s + 1)) // 2)
+              END AS num_m,
               floor(p.yv + 1.402 * p.cro + 0.5) AS rr,
               floor(p.yv - 0.344136 * p.cbo - 0.714136 * p.cro + 0.5) AS gg,
               floor(p.yv + 1.772 * p.cbo + 0.5) AS bb

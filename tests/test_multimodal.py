@@ -809,6 +809,12 @@ def test_attach_jpeg_media_closed_form(spark, sf_small):
     assert len(out) == 30
     for r in out:
         m = jpeg_meta_for(r.doc_id)
+        if r.doc_id % 8 == 4:  # hierarchical class: flat at base
+            assert r.format == "jpeg-hierarchical"
+            assert r.width == 16 * (1 + (r.doc_id // 8) % 3)
+            assert r.height == 16 * (1 + (r.doc_id // 8) % 2)
+            assert r.mean_r == m["base"] == r.mean_g == r.mean_b
+            continue
         assert (r.width, r.height) == (m["width"], m["height"])
         want = m["base"] + m["step"] * (m["n_blocks"] - 1) / 2
         assert r.mean_r == want == r.mean_g == r.mean_b

@@ -16,8 +16,10 @@ from hypothesis import strategies as st
 from optimal_parallel_fp_growth_spark.operators.video import (
     bt601_rgb,
     build_avi_rle8,
+    build_gif_anim,
     build_y4m,
     decode_avi_rle8_frames,
+    decode_gif_frames,
     decode_rle8_frame,
     decode_y4m_frames,
     encode_rle8_frame,
@@ -253,14 +255,152 @@ def test_y4m_header_and_structure_guards():
 
 
 # ---------------------------------------------------------------------
+# animated GIF codec
+
+
+def _gif_payload(frames, w, h, transparent=None, disposal=1):
+    pal = b"".join(bytes(c) for c in PALETTE)
+    return build_gif_anim(frames, w, h, pal, transparent=transparent,
+                          disposal=disposal)
+
+
+def test_gif_anim_compositing_matches_brute_force():
+    """build → decode vs a manual canvas replay: sub-rectangles at
+    random offsets, random transparent holes, all stats including the
+    position-weighted row_moment."""
+    rng = random.Random(13)
+    tr = 99
+    for _ in range(12):
+        w, h = rng.randrange(3, 12), rng.randrange(2, 10)
+        n = rng.randrange(2, 5)
+        frames = [(0, 0, w, h, [rng.randrange(40) for _ in range(w * h)])]
+        for _ in range(1, n):
+            fw, fh = rng.randrange(1, w + 1), rng.randrange(1, h + 1)
+            x0, y0 = rng.randrange(w - fw + 1), rng.randrange(h - fh + 1)
+            vals = list(range(40)) + [tr] * 10
+            frames.append(
+                (x0, y0, fw, fh,
+                 [rng.choice(vals) for _ in range(fw * fh)])
+            )
+        d = decode_gif_frames(_gif_payload(frames, w, h, transparent=tr))
+        assert (d["format"], d["width"], d["height"], d["n_frames"]) == (
+            "gif-anim", w, h, n
+        )
+        canvas = [0] * (w * h)
+        for fi, (x0, y0, fw, fh, idx) in enumerate(frames):
+            for r in range(fh):
+                for c in range(fw):
+                    v = idx[r * fw + c]
+                    if v != tr:
+                        canvas[(y0 + r) * w + x0 + c] = v
+            n_pix = w * h
+            sr = sum(PALETTE[j][0] for j in canvas) / n_pix
+            sg = sum(PALETTE[j][1] for j in canvas) / n_pix
+            sb = sum(PALETTE[j][2] for j in canvas) / n_pix
+            mr = sum(
+                PALETTE[canvas[y * w + x]][0] * (y + 1)
+                for y in range(h) for x in range(w)
+            ) / n_pix
+            fr = d["frames"][fi]
+            assert fr["keyframe"] == (fi == 0)
+            assert fr["frame_idx"] == fi
+            assert (fr["mean_r"], fr["mean_g"], fr["mean_b"]) == (sr, sg, sb)
+            assert fr["row_moment"] == mr
+
+
+def test_gif_transparency_inherits_canvas_not_painted():
+    # frame 0 all 5s; frame 1 full rect of 7s with one transparent hole
+    # → that pixel must still read index 5 in frame 1's stats
+    w, h = 4, 2
+    hole = [7] * (w * h)
+    hole[3] = 99
+    d = decode_gif_frames(
+        _gif_payload(
+            [(0, 0, w, h, [5] * (w * h)), (0, 0, w, h, hole)],
+            w, h, transparent=99,
+        )
+    )
+    assert d["frames"][0]["mean_r"] == 5.0
+    assert d["frames"][1]["mean_r"] == (7 * 7 + 5) / 8
+
+
+def test_gif_disposal_2_restores_background():
+    # disposal 2 clears each frame's rect back to background index 0
+    # after its stats, so frame 1 composites onto a zeroed canvas
+    w, h = 2, 1
+    d = decode_gif_frames(
+        _gif_payload(
+            [(0, 0, 2, 1, [10, 20]), (0, 0, 1, 1, [30])],
+            w, h, disposal=2,
+        )
+    )
+    assert d["frames"][0]["mean_r"] == 15.0  # (10+20)/2
+    assert d["frames"][1]["mean_r"] == 15.0  # (30+0)/2
+
+
+def test_gif_structural_violations_fail_closed():
+    base = _gif_payload(
+        [(0, 0, 4, 2, [5] * 8), (1, 0, 2, 2, [7, 99, 7, 7])],
+        4, 2, transparent=99,
+    )
+    gce_at = base.find(b"\x21\xf9\x04")
+    assert gce_at > 0
+    desc_at = base.find(b"\x2c", gce_at)
+    # disposal 3 (restore-to-previous) is the documented seam
+    bad = bytearray(base)
+    bad[gce_at + 3] = (3 << 2) | (bad[gce_at + 3] & 0x03)
+    with pytest.raises(NotImplementedError, match="disposal 3"):
+        decode_gif_frames(bytes(bad))
+    # local color table / interlace flags fail closed
+    for flag in (0x80, 0x40):
+        bad = bytearray(base)
+        bad[desc_at + 9] |= flag
+        with pytest.raises(NotImplementedError):
+            decode_gif_frames(bytes(bad))
+    # first frame must be a full-canvas keyframe without transparency
+    with pytest.raises(NotImplementedError, match="full canvas"):
+        decode_gif_frames(
+            _gif_payload([(0, 0, 2, 1, [5, 5])], 4, 2)
+        )
+    with pytest.raises(NotImplementedError, match="transparent"):
+        decode_gif_frames(
+            _gif_payload([(0, 0, 2, 1, [5, 99])], 2, 1, transparent=99)
+        )
+    # truncation, missing trailer, trailing garbage, unknown block
+    with pytest.raises(NotImplementedError):
+        decode_gif_frames(base[:-5])
+    with pytest.raises(NotImplementedError, match="trailer"):
+        decode_gif_frames(base[:-1])
+    with pytest.raises(NotImplementedError, match="after the GIF trailer"):
+        decode_gif_frames(base + b"\x00")
+    with pytest.raises(NotImplementedError, match="unknown GIF block"):
+        decode_gif_frames(base[:-1] + b"\x7f\x3b")
+    with pytest.raises(NotImplementedError, match="not a GIF"):
+        decode_gif_frames(b"RIFF" + base)
+
+
+def test_rle8_encoder_chunks_wide_dx_offsets():
+    # regression: a first changed pixel past column 255 used to emit a
+    # dx byte > 255 and crash the encoder (ADVICE r10)
+    w, h = 600, 3
+    prev = bytes(w * h)
+    cur = bytearray(prev)
+    for col in (255, 256, 300, 510, 599):
+        cur[1 * w + col] = 9
+    coded = encode_rle8_frame(bytes(cur), w, h, prev)
+    assert decode_rle8_frame(coded, w, h, prev) == bytes(cur)
+
+
+# ---------------------------------------------------------------------
 # recipe ⇄ oracle parity (GROUND_TRUTH_PINS target) and fuzz
 
 
 def test_recipe_matches_duckdb_closed_forms():
     """Pure-python engine path (build → full decode → stats) vs DuckDB
     evaluating ORACLE_VIDEO's closed forms, value-for-value over 240
-    consecutive doc_ids (covers every residue class of every modulus
-    the recipe uses: lcm(2,3,4,5,6) = 60)."""
+    consecutive doc_ids (covers every joint residue class the recipe
+    uses: doc_id mod lcm(3,4,5) and doc_id//3 mod lcm(3,6,12), joint
+    period lcm(60, 3*12) = 180)."""
     import duckdb
 
     from optimal_parallel_fp_growth_spark.operators.multimodal import (
@@ -274,11 +414,12 @@ def test_recipe_matches_duckdb_closed_forms():
     rows = []
     for doc_id in range(n):
         raw = _build_mixed_video(doc_id)
-        d = (
-            decode_avi_rle8_frames(raw)
-            if raw[:4] == b"RIFF"
-            else decode_y4m_frames(raw)
-        )
+        if raw[:4] == b"RIFF":
+            d = decode_avi_rle8_frames(raw)
+        elif raw[:6] in (b"GIF87a", b"GIF89a"):
+            d = decode_gif_frames(raw)
+        else:
+            d = decode_y4m_frames(raw)
         for fr in d["frames"]:
             rows.append(
                 (
@@ -310,12 +451,22 @@ def test_fuzz_corruption_never_leaks_parser_internals(data):
     or fails with the ONE documented exception type — never a leaked
     IndexError/struct.error (the mapInPandas quarantine contract)."""
     rng = random.Random(5)
-    which = data.draw(st.sampled_from(["avi", "y4m"]))
+    which = data.draw(st.sampled_from(["avi", "y4m", "gif"]))
     if which == "avi":
         payload = bytearray(
             build_avi_rle8(_clip_frames(rng, 8, 4, 3), PALETTE, 8, 4)
         )
         decode = decode_avi_rle8_frames
+    elif which == "gif":
+        payload = bytearray(
+            _gif_payload(
+                [(0, 0, 8, 4, [rng.randrange(16) for _ in range(32)]),
+                 (2, 1, 4, 2, [rng.choice(list(range(16)) + [99])
+                               for _ in range(8)])],
+                8, 4, transparent=99,
+            )
+        )
+        decode = decode_gif_frames
     else:
         payload = bytearray(
             build_y4m(
