@@ -431,80 +431,26 @@ QUERIES.update(REL_QUERIES)
 # Driver sampling order. The correctness harness samples the registry in
 # insertion order with a bounded per-round window (exactly 50 rows since
 # r4), so entries whose last green driver row is OLDEST must come FIRST —
-# the rotation contract that bounds staleness. Round-9 tiers (staleness
-# computed from CORRECTNESS_r0{1..8}.json; round 8 never rotated, so the
-# debt exceeded one window — VERDICT r8 tasks #1/#2; the invariant is
-# enforced data-driven by tests/test_registry_order.py):
-#   1. the 2 entries with NO driver row ever (added mid-r7, mandated to
-#      lead r8, missed): html_extract, lm_perplexity.
-#   2. the 23 r05-green twin-pinned entries, at their 4-round twin cap.
-#   3. 25 of the 49 r06-green untwinned entries — exactly fills the
-#      window. Chosen: the entries WITHOUT an honest differential pin
-#      (the ones that can only be verified by the driver gate itself).
-#   4. the other 24 r06-green entries, each newly pinned by an
-#      entry-twin or ground-truth differential (TWINS /
-#      GROUND_TRUTH_PINS in tests/test_registry_order.py) that holds
-#      them at the 4-round cap through r10's head — they MUST lead the
-#      r10 window.
-#   5. the 50 r08-green entries, freshest last.
+# the rotation contract that bounds staleness. Round-10 tiers (staleness
+# computed from CORRECTNESS_r0{1..9}.json; the invariant is enforced
+# data-driven by tests/test_registry_order.py):
+#   1. the 2 entries with NO driver row ever (added mid-r9 after the
+#      window was contractually full; the NEW_THIS_ROUND exemption
+#      expired at the r9 snapshot): multimodal_flac, multimodal_video.
+#   2. the 24 r06-green differential-pinned entries (TWINS /
+#      GROUND_TRUTH_PINS), deferred through r9 at the 4-round cap —
+#      staleness 4 at the r10 head, re-entering exactly on time.
+#   3. 24 of the 50 r08-green entries — exactly fills the window.
+#   4. the other 26 r08-green entries (staleness 2 here, 3 at the r11
+#      head) — they MUST lead the r11 window.
+#   5. the 50 r09-green entries, freshest last.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
-    # tier 1 — never driver-sampled (VERDICT r8 task #1: lead r9)
-    "html_extract",
-    "lm_perplexity",
-    # tier 2 — r05-green, twin-pinned, at the 4-round cap
-    "bloom_decontaminate",
-    "bloom_user_filter",
-    "events_distinct_sketch",
-    "kmeans_arrow",
-    "semdedup_arrow",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_exact",
-    "multimodal_decode",
-    "supplier_pagerank_bucketed",
-    "dedup_incremental",
-    "knn_ivf_index",
-    "freq_itemsets_by_lang",
-    "transform_self",
-    "mix_temperature",
-    "knn_cosine",
-    "events_pivot",
-    "events_unpivot",
-    "events_sessionize",
-    "events_windowed_counts",
-    "events_interval_join",
-    "events_funnel",
-    "events_resample",
-    "multimodal_features",
-    # tier 3 — r06-green, no differential pin: fills the window
-    "gopher_rules",
-    "late_order_priorities",
-    "sole_late_suppliers",
-    "negative_pairs",
-    "hard_negatives",
-    "events_hopping",
-    "multimodal_pixels",
-    "count_rows",
-    "tokenize_distinct",
-    "freq_items",
-    "freq_itemsets_docs",
-    "apriori_rules",
-    "dedup_simhash",
-    "lang_id",
-    "doc_fingerprint",
-    "pii_stats",
-    "repetition_signals",
-    "source_ngram_overlap",
-    "chunk_documents",
-    "pack_sequences",
-    "curate_corpus",
-    "corpus_split",
-    "label_centroids",
-    "revenue_by_nation",
-    "top_orders",
-    # tier 4 — r06-green, newly differential-pinned (round 9); these
-    # MUST lead the r10 window
+    # tier 1 — never driver-sampled (VERDICT r9 tasks #1/#2: lead r10)
+    "multimodal_flac",
+    "multimodal_video",
+    # tier 2 — r06-green, differential-pinned, at the 4-round cap
     "random_projection",
     "knn_hyperplane",
     "dedup_ngram_prefix",
@@ -529,7 +475,9 @@ _DRIVER_PRIORITY: list[str] = [
     "mix_sources",
     "stratified_sample",
     "weighted_sample",
-    # tier 5 — r08-green, freshest
+    # tier 3 — r08-green: fills the window (multimodal_jpeg lands here
+    # on purpose: its oracle rotation gained hierarchical-JPEG docs
+    # this round, so the driver revalidates the new semantics)
     "versioned_read",
     "versioned_merge",
     "min_cost_part_supplier",
@@ -554,6 +502,7 @@ _DRIVER_PRIORITY: list[str] = [
     "freq_itemsets",
     "deduped_corpus_cc",
     "events_user_quartiles",
+    # tier 4 — r08-green remainder: MUST lead the r11 window
     "events_rolling",
     "events_daily_rollup",
     "events_asof_join",
@@ -580,13 +529,57 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_order_counts",
     "top_supplier",
     "idle_rich_customers",
-    # --- added mid-round-9 (the window was already committed to the
-    # mandated r9 tiers): first driver sample MUST lead r10 together
-    # with the deferred tier-4 block (tests/test_registry_order.py
-    # NEW_THIS_ROUND expires the exemption at the first r9-postdating
-    # CORRECTNESS file) ---
-    "multimodal_flac",
-    "multimodal_video",
+    # tier 5 — r09-green, freshest
+    "html_extract",
+    "lm_perplexity",
+    "bloom_decontaminate",
+    "bloom_user_filter",
+    "events_distinct_sketch",
+    "kmeans_arrow",
+    "semdedup_arrow",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_exact",
+    "multimodal_decode",
+    "supplier_pagerank_bucketed",
+    "dedup_incremental",
+    "knn_ivf_index",
+    "freq_itemsets_by_lang",
+    "transform_self",
+    "mix_temperature",
+    "knn_cosine",
+    "events_pivot",
+    "events_unpivot",
+    "events_sessionize",
+    "events_windowed_counts",
+    "events_interval_join",
+    "events_funnel",
+    "events_resample",
+    "multimodal_features",
+    "gopher_rules",
+    "late_order_priorities",
+    "sole_late_suppliers",
+    "negative_pairs",
+    "hard_negatives",
+    "events_hopping",
+    "multimodal_pixels",
+    "count_rows",
+    "tokenize_distinct",
+    "freq_items",
+    "freq_itemsets_docs",
+    "apriori_rules",
+    "dedup_simhash",
+    "lang_id",
+    "doc_fingerprint",
+    "pii_stats",
+    "repetition_signals",
+    "source_ngram_overlap",
+    "chunk_documents",
+    "pack_sequences",
+    "curate_corpus",
+    "corpus_split",
+    "label_centroids",
+    "revenue_by_nation",
+    "top_orders",
 ]
 
 

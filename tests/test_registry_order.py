@@ -1,15 +1,15 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (exactly 50 rows since r4). Round-9 rotation
-contract (VERDICT r8 tasks #1/#2/#3):
+bounded per-round window (exactly 50 rows since r4). Round-10 rotation
+contract (VERDICT r9 tasks #1/#2):
 
-* ``html_extract`` / ``lm_perplexity`` (added mid-r7, never sampled)
-  lead, then the 23 r05-green twin-pinned entries at their 4-round cap,
-  then 25 of the 49 r06-green untwinned entries — exactly filling the
-  window. The other 24 r06-green entries were each given an honest
-  differential pin this round (``TWINS`` / ``GROUND_TRUTH_PINS``) and
-  MUST lead the r10 window.
+* ``multimodal_flac`` / ``multimodal_video`` (added mid-r9 after the
+  window was contractually full, never sampled) lead, then the 24
+  r06-green differential-pinned entries re-entering exactly at their
+  4-round cap, then 24 of the 50 r08-green entries — exactly filling
+  the window. The other 26 r08-green entries (staleness 3 at the r11
+  head) MUST lead the r11 window.
 * A pinned entry (entry-twin differential in ``TWINS``, or an
   independent-recomputation ground truth in ``GROUND_TRUTH_PINS``) may
   defer to a 4-round staleness cap; everything else holds the 2-round
@@ -232,7 +232,7 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # addition the exemption EXPIRES and the entry must be in the window or
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
-NEW_THIS_ROUND: dict[str, int] = {"multimodal_flac": 9, "multimodal_video": 9}
+NEW_THIS_ROUND: dict[str, int] = {}  # r10: both r9 additions lead the window
 
 
 def _last_green_by_entry() -> tuple[dict[str, int], int]:
@@ -346,61 +346,60 @@ def test_new_this_round_exemption_expires():
     assert not _staleness_violations(order, last, 9, set(), {"late_add": 7})
 
 
-def test_simulated_r10_rotation_is_feasible():
-    """VERDICT r8 task #2 'done' bar: the invariant must provably hold
-    through a simulated r10 with no new rows beyond the r9 window.
-    Simulate: every entry in the CURRENT head-50 goes green in r9, the
-    r10 builder rotates greedily (most-stale first, pinned entries
-    after unpinned at equal staleness), and the invariant is evaluated
-    at the r10 head."""
+def test_simulated_r11_rotation_is_feasible():
+    """Rotation-debt solvency check, re-pinned each round: the
+    invariant must provably hold through a simulated r11 with no new
+    rows beyond the r10 window. Simulate: every entry in the CURRENT
+    head-50 goes green in r10, the r11 builder rotates greedily
+    (most-stale first, pinned entries after unpinned at equal
+    staleness), and the invariant is evaluated at the r11 head."""
     order = list(Q.QUERIES)
     last, current = _last_green_by_entry()
-    assert current == 9  # this simulation is written against the r9 head
+    assert current == 10  # this simulation is written against the r10 head
     sim_last = dict(last)
     for name in order[:WINDOW]:
-        sim_last[name] = 9
+        sim_last[name] = 10
     pinned = _pinned()
-    r10_order = sorted(
+    r11_order = sorted(
         order,
         key=lambda n: (
             sim_last.get(n, -1),  # most stale first; never-sampled lead
             n in pinned,  # unpinned before pinned at equal staleness
         ),
     )
-    violations = _staleness_violations(r10_order, sim_last, 10, pinned, {})
+    violations = _staleness_violations(r11_order, sim_last, 11, pinned, {})
     assert not violations, "\n".join(violations)
 
 
 def test_window_leads_with_never_sampled_entries():
-    # VERDICT r8 task #1: the two entries with no driver row ever lead.
+    # VERDICT r9 tasks #1/#2: the two entries with no driver row ever lead.
     order = list(Q.QUERIES)
-    assert order[:2] == ["html_extract", "lm_perplexity"]
+    assert order[:2] == ["multimodal_flac", "multimodal_video"]
 
 
-def test_r9_window_composition():
+def test_r10_window_composition():
     """Pin the exact tiers so a mid-round insertion can't silently push
     a stale entry out of the window."""
     order = list(Q.QUERIES)
     last, _ = _last_green_by_entry()
     pinned = _pinned()
-    tier1 = ["html_extract", "lm_perplexity"]
+    # tier 1: the two r9 mid-round additions with no driver row ever
+    tier1 = ["multimodal_flac", "multimodal_video"]
     assert order[: len(tier1)] == tier1
-    # tier 2: the 23 r05-green twin-pinned entries, all at the cap
-    tier2 = order[len(tier1) : len(tier1) + 23]
-    assert all(last.get(n) == 5 and n in TWINS for n in tier2), tier2
-    # tier 3 fills the window with r06-green unpinned entries only
-    tier3 = order[len(tier1) + 23 : WINDOW]
-    assert all(last.get(n) == 6 and n not in pinned for n in tier3), tier3
-    # tier 4: the 24 newly pinned r06-green entries — MUST lead r10
-    tier4 = order[WINDOW : WINDOW + 24]
-    assert all(last.get(n) == 6 and n in pinned for n in tier4), tier4
-    # tier 5: the r08-green tail, then any mid-round additions last
-    tail = order[WINDOW + 24 :]
-    tier5 = [n for n in tail if n not in NEW_THIS_ROUND]
-    assert all(last.get(n) == 8 for n in tier5), [
-        n for n in tier5 if last.get(n) != 8
+    # tier 2: the 24 r06-green differential-pinned entries, all at the cap
+    tier2 = order[len(tier1) : len(tier1) + 24]
+    assert all(last.get(n) == 6 and n in pinned for n in tier2), tier2
+    # tier 3 fills the window with r08-green entries
+    tier3 = order[len(tier1) + 24 : WINDOW]
+    assert all(last.get(n) == 8 for n in tier3), tier3
+    # tier 4: the 26 remaining r08-green entries — MUST lead r11
+    tier4 = order[WINDOW : WINDOW + 26]
+    assert all(last.get(n) == 8 for n in tier4), tier4
+    # tier 5: the r09-green tail, freshest last
+    tier5 = order[WINDOW + 26 :]
+    assert all(last.get(n) == 9 for n in tier5), [
+        n for n in tier5 if last.get(n) != 9
     ]
-    assert set(tail[len(tier5) :]) == set(NEW_THIS_ROUND)
 
 
 def test_queries_and_oracles_share_order_and_keys():
@@ -436,7 +435,7 @@ def test_prior_round_correctness_rows_were_all_green():
         "r06": ["versioned_read"],
         "r07": ["returnflag_priority_lines", "versioned_merge", "versioned_read"],
     }
-    for r in ("r02", "r03", "r04", "r05", "r06", "r07", "r08"):
+    for r in ("r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         red = sorted(k for k, v in rows.items() if not v.get("hash_match"))
         assert red == known_red.get(r, []), (r, red)
