@@ -33,6 +33,21 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _timed(name: str, fn, timings: dict, errors: dict) -> None:
+    """Time one stage; a broken stage must not zero the whole artifact
+    (BENCH_r09 died rc=1 with parsed:null when a single query raised):
+    record the failure and keep going — the JSON line always prints."""
+    t0 = time.perf_counter()
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — bench isolation boundary
+        errors[name] = f"{type(e).__name__}: {e}"[:300]
+        print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+        return
+    timings[name] = round(time.perf_counter() - t0, 3)
+    print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -49,12 +64,10 @@ def main() -> None:
 
     spark = get_session("opfpg-bench")
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        _timed(name, fn, timings, errors)
 
     # ---- flagship: sparse lineitem baskets, baseline vs engine ----------
     li_tx = transactions_from_lineitem(spark, SF_DIR).persist()
@@ -293,6 +306,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf_val,
             },
             f,
@@ -319,6 +333,7 @@ def main() -> None:
                 "queries": headline,
                 "full": "BENCH_FULL.json",
                 "n_stages": len(timings),
+                "errors": len(errors),
                 "sf": sf_val,
             }
         )

@@ -1,0 +1,50 @@
+"""bench.py must survive a single broken stage (VERDICT r9 task #3).
+
+Round 9's driver bench artifact was lost (rc=1, parsed:null) because
+one broken registry entry raised inside the timed loop with no guard.
+The guard lives in ``bench._timed`` so it can be exercised without a
+Spark session or a full sf0.1 run.
+"""
+
+import importlib.util
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+spec = importlib.util.spec_from_file_location("bench_mod", REPO / "bench.py")
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+
+def test_broken_stage_is_recorded_not_raised(capsys):
+    timings, errors = {}, {}
+
+    def boom():
+        raise NotImplementedError("unrecognized video container")
+
+    bench._timed("broken_entry", boom, timings, errors)  # must not raise
+    bench._timed("good_entry", lambda: None, timings, errors)
+    assert "broken_entry" not in timings
+    assert errors["broken_entry"].startswith("NotImplementedError:")
+    assert timings["good_entry"] >= 0
+    err = capsys.readouterr().err
+    assert "broken_entry: ERROR" in err and "good_entry:" in err
+
+
+def test_error_messages_are_bounded():
+    # BENCH_FULL must stay small even for pathological exception text
+    timings, errors = {}, {}
+
+    def boom():
+        raise ValueError("x" * 10_000)
+
+    bench._timed("big", boom, timings, errors)
+    assert len(errors["big"]) <= 300
+
+
+def test_stdout_line_carries_an_error_count():
+    # the driver parses only the final stdout JSON line; the error
+    # count must ride on it so a partial bench is visibly partial
+    src = (REPO / "bench.py").read_text()
+    tail = src.split('"full": "BENCH_FULL.json"')[1]
+    assert '"errors": len(errors)' in tail
