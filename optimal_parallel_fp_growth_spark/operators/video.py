@@ -22,13 +22,16 @@ operators/multimodal.py module docstring):
   YCbCr. Chroma upsampling (nearest) and the BT.601 full-range
   transform (R = Y + 1.402·(Cr−128) etc.) are closed-form arithmetic.
 * **Animated GIF** (89a): the third inter-frame model — each frame is
-  an LZW-coded SUB-RECTANGLE composited onto a persistent canvas,
-  with GCE transparency (transparent pixels INHERIT the canvas) and
-  disposal methods 0/1 (keep) and 2 (restore-to-background). The LZW
-  codec pair is the proven one from operators/multimodal.py; this
-  module adds the frame walk, compositing and the same fail-closed
-  contract (keyframe self-coverage, rect bounds, disposal 3 /
-  local-table / interlaced frames name the seam).
+  an LZW-coded SUB-RECTANGLE composited onto a persistent RGB canvas,
+  with GCE transparency (transparent pixels INHERIT the canvas), ALL
+  FOUR disposal methods (0/1 keep, 2 restore-to-background, 3
+  restore-to-previous — round 10), per-frame LOCAL color tables
+  (resolved-RGB canvas, so palette changes composite correctly) and
+  INTERLACED frames (four-pass row placement). The LZW codec pair is
+  the proven one from operators/multimodal.py; this module adds the
+  frame walk, compositing and the same fail-closed contract (keyframe
+  self-coverage incl. no disposal-3 on frame 0, rect bounds, reserved
+  disposal values).
 
 Both decoders fail CLOSED: every structural violation (truncated
 stream, run past a row edge, delta beyond the surface, keyframe that
@@ -681,8 +684,25 @@ def decode_y4m_frames(payload: bytes, header_only: bool = False) -> dict:
 # Animated GIF (89a): sub-rectangle frames + transparency + disposal
 
 
+def _gif_interlace_rows(fh: int) -> list[int]:
+    """GIF four-pass interlace: destination row for each transmitted
+    row, in transmission order (passes start 0/4/2/1, step 8/8/4/2)."""
+    rows: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(start, fh, step))
+    return rows
+
+
+def _pad_color_table(palette: bytes) -> tuple[bytes, int, int]:
+    """(padded table, size_field, table_n) for a raw RGB-triple blob."""
+    n_colors = len(palette) // 3
+    size_field = max(1, (n_colors - 1).bit_length()) - 1
+    table_n = 2 << size_field
+    return palette + bytes(3 * (table_n - n_colors)), size_field, table_n
+
+
 def build_gif_anim(
-    frames: list[tuple[int, int, int, int, list[int]]],
+    frames: list[tuple],
     width: int,
     height: int,
     palette: bytes,
@@ -695,41 +715,71 @@ def build_gif_anim(
     LZW-coded (via the proven multimodal encoder) sub-rectangle
     composited at (x0, y0); indices equal to ``transparent`` become
     see-through via a per-frame Graphic Control Extension. ``frames``
-    share the global color table (``palette``, RGB triples)."""
+    share the global color table (``palette``, RGB triples) unless a
+    frame carries a 6th element, a per-frame options dict:
+    ``local_palette`` (RGB triples written as that frame's local color
+    table), ``interlace`` (rows written in the four-pass transmission
+    order), and ``disposal`` (overrides the call-level default;
+    0=none, 1=keep, 2=restore-background, 3=restore-previous)."""
     from optimal_parallel_fp_growth_spark.operators.multimodal import (
         _lzw_encode,
     )
 
     if not frames:
         raise ValueError("at least one frame required")
-    if disposal not in (0, 1, 2):
-        raise ValueError("builder supports disposal methods 0/1/2")
-    n_colors = len(palette) // 3
-    size_field = max(1, (n_colors - 1).bit_length()) - 1
-    table_n = 2 << size_field
-    pal = palette + bytes(3 * (table_n - n_colors))
-    min_code_size = max(2, (table_n - 1).bit_length())
+    if disposal not in (0, 1, 2, 3):
+        raise ValueError("disposal method must be 0-3")
+    pal, size_field, table_n = _pad_color_table(palette)
     out = bytearray(
         b"GIF89a"
         + struct.pack("<HH", width, height)
         + bytes([0x80 | size_field, 0, 0])
         + pal
     )
-    for x0, y0, fw, fh, indices in frames:
+    for entry in frames:
+        if len(entry) == 5:
+            x0, y0, fw, fh, indices = entry
+            opts: dict = {}
+        else:
+            x0, y0, fw, fh, indices, opts = entry
         if len(indices) != fw * fh:
             raise ValueError("frame index buffer size mismatch")
         if x0 + fw > width or y0 + fh > height:
             raise ValueError("frame rect outside the canvas")
-        gce_packed = (disposal << 2) | (
+        fr_disposal = opts.get("disposal", disposal)
+        if fr_disposal not in (0, 1, 2, 3):
+            raise ValueError("disposal method must be 0-3")
+        gce_packed = (fr_disposal << 2) | (
             0x01 if transparent is not None else 0
         )
         out += bytes(
             (0x21, 0xF9, 4, gce_packed, delay_cs & 0xFF, delay_cs >> 8,
              transparent or 0, 0)
         )
-        out += b"\x2c" + struct.pack("<HHHH", x0, y0, fw, fh) + b"\x00"
+        ipacked = 0
+        lct = opts.get("local_palette")
+        if lct is not None:
+            lpal, lsize_field, ltable_n = _pad_color_table(lct)
+            ipacked |= 0x80 | lsize_field
+        if opts.get("interlace"):
+            ipacked |= 0x40
+        out += (
+            b"\x2c" + struct.pack("<HHHH", x0, y0, fw, fh)
+            + bytes([ipacked])
+        )
+        if lct is not None:
+            out += lpal
+        min_code_size = max(
+            2, ((ltable_n if lct is not None else table_n) - 1).bit_length()
+        )
         out += bytes([min_code_size])
-        lzw = _lzw_encode(list(indices), min_code_size)
+        if opts.get("interlace"):
+            seq = []
+            for dst in _gif_interlace_rows(fh):
+                seq.extend(indices[dst * fw : (dst + 1) * fw])
+        else:
+            seq = list(indices)
+        lzw = _lzw_encode(seq, min_code_size)
         for i in range(0, len(lzw), 255):
             chunk = lzw[i : i + 255]
             out.append(len(chunk))
@@ -743,16 +793,21 @@ def build_gif_anim(
 def decode_gif_frames(payload: bytes) -> dict:
     """REAL animated-GIF decode: logical-screen / GCE / image-
     descriptor walk, every frame's LZW stream fully decoded (the
-    proven multimodal decoder) and composited onto a persistent
+    proven multimodal decoder) and composited onto a persistent RGB
     canvas — transparent indices INHERIT the canvas (painting them
-    would shift a mean and break the oracle), disposal 2 restores the
-    frame's rect to the background index before the next frame,
-    disposal 3 (restore-to-previous) / local color tables /
-    interlaced frames fail closed. Frame 0 must be a full-canvas
-    keyframe with no transparency (the self-coverage contract shared
-    with the RLE8 decoder). Reports the same per-composited-frame
-    stat row as the other decoders; ``keyframe`` is True only for
-    frame 0."""
+    would shift a mean and break the oracle). All four disposal
+    methods decode (2 restores the frame's rect to the background
+    color, 3 restores the pre-frame canvas), as do per-frame LOCAL
+    color tables (the canvas holds resolved RGB, so frames with
+    different palettes composite correctly) and INTERLACED frames
+    (four-pass row placement). Frame 0 must be a full-canvas keyframe
+    with no transparency and disposal != 3 (the self-coverage
+    contract shared with the RLE8 decoder — restoring frame 0 would
+    leave the canvas undefined). Reports the same per-composited-
+    frame stat row as the other decoders; ``keyframe`` is True only
+    for frame 0."""
+    import numpy as np
+
     from optimal_parallel_fp_growth_spark.operators.multimodal import (
         _lzw_decode,
     )
@@ -766,21 +821,20 @@ def decode_gif_frames(payload: bytes) -> dict:
     packed = payload[10]
     bg_index = payload[11]
     pos = 13
-    if not packed & 0x80:
-        raise NotImplementedError(
-            "animated decode requires a global color table"
-        )
-    table_n = 2 << (packed & 0x07)
-    gct = payload[pos : pos + 3 * table_n]
-    if len(gct) < 3 * table_n:
-        raise NotImplementedError("truncated GIF global color table")
-    pos += 3 * table_n
-    canvas = None  # palette indices, image order
+    gct = None
+    if packed & 0x80:
+        table_n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * table_n]
+        if len(gct) < 3 * table_n:
+            raise NotImplementedError("truncated GIF global color table")
+        pos += 3 * table_n
+    canvas = None  # resolved RGB bytes, image order (3 per pixel)
     frames = []
     n_pix = width * height
     transparent: int | None = None
     disposal = 0
     trailer = False
+    row_w = np.arange(1, height + 1, dtype=np.float64)[:, None]
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x21:  # extension
@@ -801,11 +855,6 @@ def decode_gif_frames(payload: bytes) -> dict:
                 if len(subs) != 4 or pos - sub0 != 6:
                     raise NotImplementedError("malformed GIF GCE block")
                 disposal = (subs[0] >> 2) & 0x07
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF disposal 3 (restore-to-previous) is the "
-                        "documented seam"
-                    )
                 if disposal > 3:
                     raise NotImplementedError(
                         f"reserved GIF disposal method {disposal}"
@@ -821,15 +870,21 @@ def decode_gif_frames(payload: bytes) -> dict:
             fh = int.from_bytes(payload[pos + 7 : pos + 9], "little")
             ipacked = payload[pos + 9]
             pos += 10
-            if ipacked & 0x80:
+            table = gct
+            if ipacked & 0x80:  # local color table
+                ltable_n = 2 << (ipacked & 0x07)
+                table = payload[pos : pos + 3 * ltable_n]
+                if len(table) < 3 * ltable_n:
+                    raise NotImplementedError(
+                        "truncated GIF local color table"
+                    )
+                pos += 3 * ltable_n
+            if table is None:
                 raise NotImplementedError(
-                    "per-frame local color tables don't composite onto "
-                    "an index canvas — the documented seam"
+                    "GIF frame with neither a local nor a global color "
+                    "table"
                 )
-            if ipacked & 0x40:
-                raise NotImplementedError(
-                    "interlaced animation frames are the documented seam"
-                )
+            interlaced = bool(ipacked & 0x40)
             if fw == 0 or fh == 0 or x0 + fw > width or y0 + fh > height:
                 raise NotImplementedError(
                     f"GIF frame rect {fw}x{fh}@({x0},{y0}) outside the "
@@ -852,7 +907,7 @@ def decode_gif_frames(payload: bytes) -> dict:
                     f"have {len(indices)}"
                 )
             indices = indices[: fw * fh]
-            if any(i >= table_n for i in indices):
+            if any(3 * i + 3 > len(table) for i in indices):
                 raise NotImplementedError(
                     "GIF frame index outside the color table"
                 )
@@ -866,43 +921,56 @@ def decode_gif_frames(payload: bytes) -> dict:
                         "transparent pixels in the first frame leave the "
                         "canvas undefined"
                     )
-                canvas = bytearray(n_pix)
-            # composite (transparent indices inherit the canvas)
-            for r in range(fh):
-                row_off = (y0 + r) * width + x0
-                src_off = r * fw
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "restore-to-previous on the first frame leaves "
+                        "the canvas undefined"
+                    )
+                canvas = bytearray(3 * n_pix)
+            saved = canvas[:] if disposal == 3 else None
+            # composite (transparent indices inherit the canvas);
+            # interlaced frames place transmitted rows by pass order
+            row_order = (
+                _gif_interlace_rows(fh) if interlaced else range(fh)
+            )
+            for src_r, dst_r in enumerate(row_order):
+                row_off = (y0 + dst_r) * width + x0
+                src_off = src_r * fw
                 for c in range(fw):
                     v = indices[src_off + c]
                     if transparent is not None and v == transparent:
                         continue
-                    canvas[row_off + c] = v
-            sr = sg = sb = mr = 0
-            for y in range(height):
-                wrow = y + 1
-                base = y * width
-                for x in range(width):
-                    j = canvas[base + x]
-                    p = 3 * j
-                    sr += gct[p]
-                    sg += gct[p + 1]
-                    sb += gct[p + 2]
-                    mr += gct[p] * wrow
+                    canvas[3 * (row_off + c) : 3 * (row_off + c) + 3] = (
+                        table[3 * v : 3 * v + 3]
+                    )
+            arr = (
+                np.frombuffer(bytes(canvas), np.uint8)
+                .astype(np.float64)
+                .reshape(height, width, 3)
+            )
+            r = arr[..., 0]
             frames.append(
                 {
                     "frame_idx": len(frames),
                     "keyframe": len(frames) == 0,
-                    "mean_r": sr / n_pix,
-                    "mean_g": sg / n_pix,
-                    "mean_b": sb / n_pix,
-                    "row_moment": mr / n_pix,
+                    "mean_r": float(r.sum() / n_pix),
+                    "mean_g": float(arr[..., 1].sum() / n_pix),
+                    "mean_b": float(arr[..., 2].sum() / n_pix),
+                    "row_moment": float((r * row_w).sum() / n_pix),
                 }
             )
             if disposal == 2:  # restore rect to background before next
-                for r in range(fh):
-                    row_off = (y0 + r) * width + x0
-                    canvas[row_off : row_off + fw] = (
-                        bytes([bg_index]) * fw
+                if gct is None or 3 * bg_index + 3 > len(gct):
+                    raise NotImplementedError(
+                        "GIF disposal 2 needs a background color in the "
+                        "global color table"
                     )
+                bgp = bytes(gct[3 * bg_index : 3 * bg_index + 3])
+                for rr in range(fh):
+                    off = 3 * ((y0 + rr) * width + x0)
+                    canvas[off : off + 3 * fw] = bgp * fw
+            elif disposal == 3:  # restore the pre-frame canvas
+                canvas = saved
             transparent = None
             disposal = 0
             continue

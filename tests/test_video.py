@@ -345,18 +345,20 @@ def test_gif_structural_violations_fail_closed():
     )
     gce_at = base.find(b"\x21\xf9\x04")
     assert gce_at > 0
-    desc_at = base.find(b"\x2c", gce_at)
-    # disposal 3 (restore-to-previous) is the documented seam
+    # reserved disposal methods (4-7) fail closed
     bad = bytearray(base)
-    bad[gce_at + 3] = (3 << 2) | (bad[gce_at + 3] & 0x03)
-    with pytest.raises(NotImplementedError, match="disposal 3"):
+    bad[gce_at + 3] = (5 << 2) | (bad[gce_at + 3] & 0x03)
+    with pytest.raises(NotImplementedError, match="reserved GIF disposal"):
         decode_gif_frames(bytes(bad))
-    # local color table / interlace flags fail closed
-    for flag in (0x80, 0x40):
-        bad = bytearray(base)
-        bad[desc_at + 9] |= flag
-        with pytest.raises(NotImplementedError):
-            decode_gif_frames(bytes(bad))
+    # restore-to-previous on frame 0 leaves the canvas undefined
+    with pytest.raises(NotImplementedError, match="restore-to-previous"):
+        decode_gif_frames(
+            _gif_payload(
+                [(0, 0, 2, 1, [5, 5], {"disposal": 3}),
+                 (0, 0, 2, 1, [7, 7])],
+                2, 1,
+            )
+        )
     # first frame must be a full-canvas keyframe without transparency
     with pytest.raises(NotImplementedError, match="full canvas"):
         decode_gif_frames(
@@ -377,6 +379,71 @@ def test_gif_structural_violations_fail_closed():
         decode_gif_frames(base[:-1] + b"\x7f\x3b")
     with pytest.raises(NotImplementedError, match="not a GIF"):
         decode_gif_frames(b"RIFF" + base)
+
+
+def test_gif_disposal_3_restores_previous_canvas():
+    # f0 paints the canvas all 5s; f1 paints all 8s with disposal 3, so
+    # before f2 the canvas must be 5s again; f2's transparent hole then
+    # reads 5 (the restored canvas), never 8
+    w, h = 3, 2
+    hole = [9] * (w * h)
+    hole[4] = 99
+    d = decode_gif_frames(
+        _gif_payload(
+            [
+                (0, 0, w, h, [5] * (w * h)),
+                (0, 0, w, h, [8] * (w * h), {"disposal": 3}),
+                (0, 0, w, h, hole),
+            ],
+            w, h, transparent=99,
+        )
+    )
+    assert [fr["mean_r"] for fr in d["frames"]] == [
+        5.0, 8.0, (9 * 5 + 5) / 6
+    ]
+
+
+def test_gif_local_color_table_overrides_global():
+    # the global table maps 1 -> (10, 20, 130); frame 1 carries a LOCAL
+    # table remapping 1 -> (200, 0, 0), so the same index paints
+    # different RGB per frame — an index canvas cannot represent this
+    w, h = 2, 1
+    local = bytes((0, 0, 0, 200, 0, 0))
+    d = decode_gif_frames(
+        _gif_payload(
+            [
+                (0, 0, w, h, [1, 1]),
+                (0, 0, 1, 1, [1], {"local_palette": local}),
+            ],
+            w, h,
+        )
+    )
+    f0, f1 = d["frames"]
+    assert (f0["mean_r"], f0["mean_g"], f0["mean_b"]) == (1.0, 2.0, 129.0)
+    assert (f1["mean_r"], f1["mean_g"], f1["mean_b"]) == (
+        (200 + 1) / 2, (0 + 2) / 2, (0 + 129) / 2
+    )
+
+
+def test_gif_interlaced_frame_matches_sequential():
+    # same content, interlaced vs sequential row transmission: every
+    # stat (incl. the row-placement-sensitive row_moment) must agree
+    rng = random.Random(17)
+    for h in (1, 2, 3, 5, 8, 9):
+        w = 4
+        content = [rng.randrange(30) for _ in range(w * h)]
+        rect = [rng.randrange(30) for _ in range(w * (h - h // 2))]
+        frames_seq = [
+            (0, 0, w, h, content),
+            (0, h // 2, w, h - h // 2, rect),
+        ]
+        frames_int = [
+            (0, 0, w, h, content, {"interlace": True}),
+            (0, h // 2, w, h - h // 2, rect, {"interlace": True}),
+        ]
+        a = decode_gif_frames(_gif_payload(frames_seq, w, h))
+        b = decode_gif_frames(_gif_payload(frames_int, w, h))
+        assert a["frames"] == b["frames"], h
 
 
 def test_rle8_encoder_chunks_wide_dx_offsets():
