@@ -446,6 +446,70 @@ def test_gif_interlaced_frame_matches_sequential():
         assert a["frames"] == b["frames"], h
 
 
+def test_gif_random_option_matrix_matches_rgb_replay():
+    """Ground truth for the full GIF feature matrix: random animations
+    mixing interlace, local color tables, transparency and all four
+    disposal methods per frame, replayed against an independent RGB
+    canvas model (plain Python, no decoder code shared)."""
+    rng = random.Random(23)
+    tr = 99
+    for _ in range(25):
+        w, h = rng.randrange(2, 9), rng.randrange(2, 8)
+        frames = [(0, 0, w, h, [rng.randrange(40) for _ in range(w * h)])]
+        for _ in range(rng.randrange(1, 4)):
+            fw, fh = rng.randrange(1, w + 1), rng.randrange(1, h + 1)
+            x0, y0 = rng.randrange(w - fw + 1), rng.randrange(h - fh + 1)
+            vals = list(range(40)) + [tr] * 8
+            idx = [rng.choice(vals) for _ in range(fw * fh)]
+            opts = {
+                "disposal": rng.choice((0, 1, 2, 3)),
+                "interlace": rng.random() < 0.5,
+            }
+            if rng.random() < 0.4:
+                opts["local_palette"] = bytes(
+                    rng.randrange(256) for _ in range(3 * 100)
+                )
+            frames.append((x0, y0, fw, fh, idx, opts))
+        d = decode_gif_frames(_gif_payload(frames, w, h, transparent=tr))
+        # independent replay: RGB canvas, bg = global palette index 0
+        canvas = [(0, 0, 0)] * (w * h)  # decoder starts from RGB zeros
+        bg = PALETTE[0]  # builder writes background index 0
+        got = d["frames"]
+        assert d["n_frames"] == len(frames)
+        for fi, entry in enumerate(frames):
+            x0, y0, fw, fh, idx = entry[:5]
+            opts = entry[5] if len(entry) == 6 else {}
+            lct = opts.get("local_palette")
+            table = (
+                [tuple(lct[3 * j : 3 * j + 3]) for j in range(len(lct) // 3)]
+                if lct is not None
+                else PALETTE
+            )
+            saved = list(canvas)
+            for r in range(fh):
+                for c in range(fw):
+                    v = idx[r * fw + c]
+                    if v != tr:
+                        canvas[(y0 + r) * w + x0 + c] = tuple(table[v])
+            n_pix = w * h
+            for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                want = sum(p[ch] for p in canvas) / n_pix
+                assert got[fi][key] == want, (fi, key)
+            want_m = sum(
+                canvas[y * w + x][0] * (y + 1)
+                for y in range(h) for x in range(w)
+            ) / n_pix
+            assert got[fi]["row_moment"] == want_m, fi
+            disp = opts.get("disposal", 1)
+            if disp == 2:
+                for r in range(fh):
+                    for c in range(fw):
+                        canvas[(y0 + r) * w + x0 + c] = bg
+            elif disp == 3:
+                canvas = saved
+        assert len(got) == len(frames)
+
+
 def test_rle8_encoder_chunks_wide_dx_offsets():
     # regression: a first changed pixel past column 255 used to emit a
     # dx byte > 255 and crash the encoder (ADVICE r10)
