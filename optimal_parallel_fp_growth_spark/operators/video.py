@@ -196,6 +196,18 @@ def decode_rle8_frame(
     raise ``NotImplementedError`` via the container-level guard."""
     if width <= 0 or height <= 0:
         raise ValueError("empty surface")
+    # Reject impossible dims BEFORE allocating: a 2-byte run opcode
+    # paints at most 255 px, so data can never self-cover more than
+    # (len//2)*255 pixels. Without this, a corrupt container whose
+    # forged 32-bit dims pass the header cross-checks makes the
+    # surface+coverage buffers fault in gigabytes of zeros just to
+    # discover the coverage failure (a fuzz finding: the quarantine
+    # contract must fail closed CHEAPLY, not after an OOM-scale probe).
+    if prev is None and width * height > (len(data) // 2) * 255:
+        raise ValueError(
+            f"frame data ({len(data)} bytes) cannot self-cover a "
+            f"{width}x{height} keyframe surface"
+        )
     # storage-order working surface (row 0 = bottom)
     if prev is not None:
         if len(prev) != width * height:
@@ -273,10 +285,10 @@ def decode_rle8_frame(
         i += n + pad
     if not ended:
         raise ValueError("missing end-of-bitmap opcode")
-    if covered is not None and not all(covered):
-        raise ValueError(
-            f"keyframe leaves {len(covered) - sum(covered)} pixels undefined"
-        )
+    if covered is not None:
+        holes = covered.count(0)  # C-speed; never a Python-level scan
+        if holes:
+            raise ValueError(f"keyframe leaves {holes} pixels undefined")
     # flip back to image order
     out = bytearray(width * height)
     for sy in range(height):

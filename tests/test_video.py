@@ -446,6 +446,31 @@ def test_gif_interlaced_frame_matches_sequential():
         assert a["frames"] == b["frames"], h
 
 
+def test_forged_giant_dims_fail_closed_without_allocation():
+    """Quarantine contract, resource edition: a corrupt container whose
+    forged 32-bit dims still pass the header cross-checks must be
+    rejected BEFORE the decoder faults in a gigabyte-scale surface (a
+    fuzz-found OOM: matched byte flips in strf.biWidth and avih.width
+    forged a ~2^31-wide frame)."""
+    import time
+
+    # frame level: data can paint at most (len//2)*255 pixels
+    with pytest.raises(ValueError, match="cannot self-cover"):
+        decode_rle8_frame(b"\x08\x05\x00\x00\x00\x01", 1 << 20, 1 << 11)
+    # container level: patch the SAME high byte in strf.biWidth and
+    # avih.dwWidth so the dims cross-check passes at ~2.1e9 px
+    rng = random.Random(3)
+    payload = bytearray(build_avi_rle8(_clip_frames(rng, 8, 4, 2), PALETTE, 8, 4))
+    avih_at = payload.find(b"avih") + 8  # chunk id + size
+    strf_at = payload.find(b"strf") + 8
+    payload[avih_at + 32 + 3] = 0x7F  # dwWidth high byte
+    payload[strf_at + 4 + 3] = 0x7F   # biWidth high byte
+    t0 = time.perf_counter()
+    with pytest.raises(NotImplementedError, match="cannot self-cover"):
+        decode_avi_rle8_frames(bytes(payload))
+    assert time.perf_counter() - t0 < 1.0  # fails closed cheaply
+
+
 def test_gif_random_option_matrix_matches_rgb_replay():
     """Ground truth for the full GIF feature matrix: random animations
     mixing interlace, local color tables, transparency and all four
