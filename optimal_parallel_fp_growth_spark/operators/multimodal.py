@@ -2274,11 +2274,19 @@ def build_png_pixels(
     return out + chunk(b"IEND", b"")
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_symbols: int | None = None
+) -> list[int]:
     """GIF-flavor LZW decode (variable-width codes growing
     ``min_code_size+1`` → 12 bits, CLEAR resets the dictionary, EOI
     terminates; LSB-first bit packing per GIF spec appendix F).
-    Returns the index stream."""
+    Returns the index stream. ``max_symbols`` caps the OUTPUT length —
+    LZW legally expands quadratically in the input (each code can emit
+    a string one longer than the last), so a corrupt stream whose
+    descriptor promises a small frame could otherwise make the decoder
+    materialize gigabytes before the length check; callers that know
+    the expected pixel count pass it and the decode fails closed the
+    moment the stream overruns it."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []
@@ -2322,6 +2330,11 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
         else:
             raise NotImplementedError("corrupt GIF LZW stream")
         out.extend(entry)
+        if max_symbols is not None and len(out) > max_symbols:
+            raise NotImplementedError(
+                f"GIF LZW stream overruns the declared frame size "
+                f"({len(out)} > {max_symbols} symbols)"
+            )
         if prev is not None:
             table[next_code] = prev + [entry[0]]
             next_code += 1
@@ -2430,7 +2443,11 @@ def decode_gif_pixels(payload: bytes) -> dict:
                 n = payload[pos]
                 lzw.extend(payload[pos + 1 : pos + 1 + n])
                 pos += 1 + n
-            indices = _lzw_decode(bytes(lzw), min_code_size)
+            # +4096 slack: the final LZW entry may legally overshoot
+            # the frame by up to one max-length dictionary string
+            indices = _lzw_decode(
+                bytes(lzw), min_code_size, max_symbols=iw * ih + 4096
+            )
             if len(indices) < iw * ih:
                 raise NotImplementedError(
                     f"truncated GIF pixel data: want {iw * ih}, "

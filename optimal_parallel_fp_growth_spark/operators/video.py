@@ -912,7 +912,11 @@ def decode_gif_frames(payload: bytes) -> dict:
             if pos >= len(payload):
                 raise NotImplementedError("unterminated GIF image data")
             pos += 1
-            indices = _lzw_decode(bytes(lzw), min_code_size)
+            # +4096 slack: the final LZW entry may legally overshoot
+            # the frame by up to one max-length dictionary string
+            indices = _lzw_decode(
+                bytes(lzw), min_code_size, max_symbols=fw * fh + 4096
+            )
             if len(indices) < fw * fh:
                 raise NotImplementedError(
                     f"truncated GIF frame data: want {fw * fh}, "

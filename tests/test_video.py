@@ -471,6 +471,40 @@ def test_forged_giant_dims_fail_closed_without_allocation():
     assert time.perf_counter() - t0 < 1.0  # fails closed cheaply
 
 
+def test_lzw_overrun_of_declared_frame_fails_closed():
+    """Resource quarantine, LZW edition: LZW legally expands
+    quadratically (a 530-byte stream can emit 100k symbols), so a
+    corrupt animation whose descriptor declares a tiny rect but whose
+    stream keeps emitting must fail closed instead of materializing
+    the whole expansion."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    data = _lzw_encode([1] * 100_000, 8)
+    assert len(data) < 1000  # the expansion really is quadratic
+    with pytest.raises(NotImplementedError, match="overruns"):
+        _lzw_decode(data, 8, max_symbols=4 + 4096)
+    # a valid frame that overshoots by < one dictionary string decodes
+    small = _lzw_encode([2, 3] * 50, 8)
+    assert _lzw_decode(small, 8, max_symbols=100)[:100] == [2, 3] * 50
+    # container level: a 2x2 frame fed the runaway stream. The image
+    # descriptor sits at a structural offset (0x2C bytes also occur
+    # inside the color table): 13-byte header+LSD, 768-byte padded
+    # global table, 8-byte GCE.
+    payload = bytearray(_gif_payload([(0, 0, 2, 2, [1, 1, 1, 1])], 2, 2))
+    desc = 13 + 3 * 256 + 8
+    assert payload[desc] == 0x2C
+    head = bytes(payload[: desc + 11])  # through min_code_size
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    with pytest.raises(NotImplementedError, match="overruns"):
+        decode_gif_frames(head[:-1] + bytes([8]) + bytes(blocks) + b"\x00\x3b")
+
+
 def test_gif_random_option_matrix_matches_rgb_replay():
     """Ground truth for the full GIF feature matrix: random animations
     mixing interlace, local color tables, transparency and all four
