@@ -269,6 +269,9 @@ def main() -> None:
         # the mixed RLE8/Y4M video round trip
         "multimodal_flac",
         "multimodal_video",
+        # round-10 addition: the GIF option-matrix entry (interlace,
+        # local tables, disposal 2/3, transparency)
+        "multimodal_gif",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

@@ -4789,3 +4789,81 @@ def extract_mixed_video_frames(
             yield pd.DataFrame(rows, columns=cols)
 
     return with_payload.mapInPandas(run, MIXED_VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# GIF option-matrix entry (round 10): one animation per document that
+# exercises EVERY feature of the animated-GIF decoder — interlaced
+# transmission, transparency inheritance, disposal 3 (restore-to-
+# previous), disposal 2 (restore-to-background) and a per-frame LOCAL
+# color table — with every composited canvas statable in closed form.
+
+
+def gif_meta_for(doc_id: int) -> dict:
+    """Deterministic GIF option-matrix recipe, mirrored by the DuckDB
+    oracle (four frames per document):
+
+    * frame 0 — sequential full-canvas keyframe, flat ``a``.
+    * frame 1 — INTERLACED full-canvas rect of ``t`` whose image row 1
+      is TRANSPARENT (inherits ``a``), with DISPOSAL 3: after its
+      stats the canvas must restore to the flat-``a`` state — a
+      decoder that paints the hole, mis-places interlaced rows, or
+      skips the restore breaks frame 1 and/or the later frames.
+    * frame 2 — top-row rect of ``u`` with DISPOSAL 2: after its
+      stats the row must restore to the BACKGROUND color (global
+      index 0, palette-mapped to (0, 0, 128)).
+    * frame 3 — interior rect ((1,1) size (w-2)x(h-2)) painted via a
+      per-frame LOCAL color table mapping ``v`` to
+      (200-v, (3v)%100, v) — channel means that the shared global
+      table cannot produce, so a decoder that drops the local table
+      is caught; its border re-reads ``a`` (disposal-3 proof) and its
+      row 0 re-reads the background (disposal-2 proof).
+    """
+    return {
+        "width": 4 + doc_id % 5,
+        "height": 4 + doc_id % 3,
+        "a": 10 + (doc_id * 7) % 50,
+        "t": 20 + (doc_id * 11) % 50,
+        "u": 30 + (doc_id * 13) % 40,
+        "v": 5 + doc_id % 20,
+    }
+
+
+def _build_gif_doc(doc_id: int) -> bytes:
+    from optimal_parallel_fp_growth_spark.operators.video import (
+        build_gif_anim,
+    )
+
+    m = gif_meta_for(doc_id)
+    w, h = m["width"], m["height"]
+    a, t, u, v = m["a"], m["t"], m["u"], m["v"]
+    pal = b"".join(bytes(c) for c in _RLE8_PALETTE)
+    hole = [t] * (w * h)
+    hole[w : 2 * w] = [_GIF_TRANSPARENT] * w  # image row 1 inherits a
+    local = bytearray(3 * (v + 1))
+    local[3 * v : 3 * v + 3] = bytes((200 - v, (3 * v) % 100, v))
+    frames = [
+        (0, 0, w, h, [a] * (w * h)),
+        (0, 0, w, h, hole, {"interlace": True, "disposal": 3}),
+        (0, 0, w, 1, [u] * w, {"disposal": 2}),
+        (1, 1, w - 2, h - 2, [v] * ((w - 2) * (h - 2)),
+         {"local_palette": bytes(local)}),
+    ]
+    return build_gif_anim(frames, w, h, pal, transparent=_GIF_TRANSPARENT)
+
+
+def attach_gif_media(docs: DataFrame) -> DataFrame:
+    """→ (doc_id, payload: binary) where payload is the option-matrix
+    animation of `gif_meta_for`. Arrow-batched; decode side reuses
+    extract_mixed_video_frames (GIF magic dispatch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _build_gif_doc(int(doc_id)) for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_for_codec(docs.select("doc_id")).mapInPandas(
+        run, "doc_id long, payload binary"
+    )

@@ -580,6 +580,12 @@ _DRIVER_PRIORITY: list[str] = [
     "label_centroids",
     "revenue_by_nation",
     "top_orders",
+    # --- added mid-round-10 (the window was already committed to the
+    # mandated r10 tiers): first driver sample MUST lead r11 together
+    # with the 26 deferred tier-4 entries (tests/test_registry_order.py
+    # NEW_THIS_ROUND expires the exemption at the first r10-postdating
+    # CORRECTNESS file) ---
+    "multimodal_gif",
 ]
 
 

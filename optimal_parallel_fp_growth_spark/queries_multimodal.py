@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
     attach_audio_media,
     attach_flac_media,
+    attach_gif_media,
     attach_jpeg_media,
     attach_media,
     attach_mixed_video_media,
@@ -476,6 +477,98 @@ FROM documents d,
 """
 
 
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF OPTION-MATRIX round trip (round 10): per doc, build one
+    animation that exercises EVERY feature of the animated-GIF
+    decoder — an interlaced full-canvas frame with a transparent row
+    (must inherit the keyframe value), disposal 3 (the canvas must
+    restore to the keyframe state), disposal 2 (the top row must
+    restore to the background color), and a per-frame LOCAL color
+    table whose channel mapping the global table cannot produce —
+    then FULLY DECODE it via the shared container dispatch. Every
+    composited canvas is stated in closed form by the oracle, so a
+    decoder that paints transparency, mis-places interlaced rows,
+    skips either restore, or drops the local table breaks equality
+    (see `gif_meta_for` for the per-frame derivations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_mixed_video_frames(attach_gif_media(docs))
+    return out.select(
+        "doc_id",
+        "format",
+        "frame_idx",
+        "width",
+        "height",
+        "keyframe",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("mean_r", "mean_g", "mean_b", "row_moment")
+        ],
+    )
+
+
+# gif_meta_for mirrored in SQL: w = 4 + d%5, h = 4 + d%3,
+# a = 10+(d*7)%50, t = 20+(d*11)%50, u = 30+(d*13)%40, v = 5+d%20;
+# palette r=j, g=2j, b=j+128 for global-table frames; the local table
+# maps v -> (200-v, (3v)%100, v). W1 = h(h+1)/2 is the row-weight sum,
+# KI = W1-1-h the interior-rows weight sum, inner = (w-2)(h-2).
+# frame 0: flat a. frame 1: t everywhere except row 1 = a (transparent
+# hole), THEN restored (disposal 3). frame 2: row 0 = u over flat a,
+# THEN row 0 -> background (0,0,128) (disposal 2). frame 3: row 0 =
+# background, interior = local rgb, border = a.
+ORACLE_GIF = """
+SELECT d.doc_id,
+       'gif-anim' AS format,
+       u.i::INT AS frame_idx,
+       g.w::INT AS width,
+       g.h::INT AS height,
+       (u.i = 0) AS keyframe,
+       round(CASE u.i
+             WHEN 0 THEN g.a::DOUBLE
+             WHEN 1 THEN (g.t * (g.h - 1) + g.a) / (g.h * 1.0)
+             WHEN 2 THEN (g.u2 + g.a * (g.h - 1)) / (g.h * 1.0)
+             ELSE (g.a * g.border + (200 - g.v) * g.inner)
+                  / (g.w * g.h * 1.0)
+             END, 6) AS mean_r,
+       round(CASE u.i
+             WHEN 0 THEN 2.0 * g.a
+             WHEN 1 THEN 2.0 * (g.t * (g.h - 1) + g.a) / g.h
+             WHEN 2 THEN 2.0 * (g.u2 + g.a * (g.h - 1)) / g.h
+             ELSE (2 * g.a * g.border + ((3 * g.v) % 100) * g.inner)
+                  / (g.w * g.h * 1.0)
+             END, 6) AS mean_g,
+       round(CASE u.i
+             WHEN 0 THEN g.a + 128.0
+             WHEN 1 THEN (g.t * (g.h - 1) + g.a) / (g.h * 1.0) + 128
+             WHEN 2 THEN (g.u2 + g.a * (g.h - 1)) / (g.h * 1.0) + 128
+             ELSE (128 * g.w + (g.a + 128) * g.border + g.v * g.inner)
+                  / (g.w * g.h * 1.0)
+             END, 6) AS mean_b,
+       round(CASE u.i
+             WHEN 0 THEN g.a * (g.h + 1) / 2.0
+             WHEN 1 THEN (g.t * (g.w1 - 2) + 2 * g.a) / (g.h * 1.0)
+             WHEN 2 THEN (g.u2 + g.a * (g.w1 - 1)) / (g.h * 1.0)
+             ELSE (g.a * (g.w * (g.w1 - 1) - (g.w - 2) * g.ki)
+                   + (200 - g.v) * (g.w - 2) * g.ki)
+                  / (g.w * g.h * 1.0)
+             END, 6) AS row_moment
+FROM documents d,
+     LATERAL (SELECT UNNEST(generate_series(0, 3)) AS i) u,
+     LATERAL (
+       SELECT w, h, a, t, u2, v,
+              h * (h + 1) // 2 AS w1,
+              h * (h + 1) // 2 - 1 - h AS ki,
+              (w - 2) * (h - 2) AS inner,
+              w * (h - 1) - (w - 2) * (h - 2) AS border
+       FROM (SELECT 4 + d.doc_id % 5 AS w,
+                    4 + d.doc_id % 3 AS h,
+                    10 + (d.doc_id * 7) % 50 AS a,
+                    20 + (d.doc_id * 11) % 50 AS t,
+                    30 + (d.doc_id * 13) % 40 AS u2,
+                    5 + d.doc_id % 20 AS v)
+     ) g
+"""
+
+
 MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -485,6 +578,7 @@ MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_flac": q_multimodal_flac,
     "multimodal_video": q_multimodal_video,
+    "multimodal_gif": q_multimodal_gif,
 }
 
 MM_ORACLES: dict[str, str] = {
@@ -496,4 +590,5 @@ MM_ORACLES: dict[str, str] = {
     "multimodal_jpeg": ORACLE_JPEG,
     "multimodal_flac": ORACLE_FLAC,
     "multimodal_video": ORACLE_VIDEO,
+    "multimodal_gif": ORACLE_GIF,
 }

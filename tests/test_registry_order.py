@@ -222,6 +222,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "multimodal_video": (
         "test_video.py::test_recipe_matches_duckdb_closed_forms"
     ),
+    # round-10 mid-round addition: the option-matrix recipe re-derived
+    # by DuckDB over every residue class, plus the feature-matrix RGB
+    # replay for the codec itself (test_video.py)
+    "multimodal_gif": (
+        "test_video.py::test_gif_entry_matches_duckdb_closed_forms"
+    ),
 }
 
 
@@ -232,7 +238,7 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # addition the exemption EXPIRES and the entry must be in the window or
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
-NEW_THIS_ROUND: dict[str, int] = {}  # r10: both r9 additions lead the window
+NEW_THIS_ROUND: dict[str, int] = {"multimodal_gif": 10}
 
 
 def _last_green_by_entry() -> tuple[dict[str, int], int]:
@@ -395,11 +401,14 @@ def test_r10_window_composition():
     # tier 4: the 26 remaining r08-green entries — MUST lead r11
     tier4 = order[WINDOW : WINDOW + 26]
     assert all(last.get(n) == 8 for n in tier4), tier4
-    # tier 5: the r09-green tail, freshest last
-    tier5 = order[WINDOW + 26 :]
+    # tier 5: the r09-green tail (freshest last), then any mid-round
+    # additions at the very end
+    tail = order[WINDOW + 26 :]
+    tier5 = [n for n in tail if n not in NEW_THIS_ROUND]
     assert all(last.get(n) == 9 for n in tier5), [
         n for n in tier5 if last.get(n) != 9
     ]
+    assert set(tail[len(tier5) :]) == set(NEW_THIS_ROUND)
 
 
 def test_queries_and_oracles_share_order_and_keys():

@@ -633,6 +633,46 @@ def test_recipe_matches_duckdb_closed_forms():
         assert got == tuple(exp)
 
 
+def test_gif_entry_matches_duckdb_closed_forms():
+    """Pure-python engine path for the multimodal_gif entry (build →
+    full decode → stats) vs DuckDB evaluating ORACLE_GIF's closed
+    forms, value-for-value over 600 consecutive doc_ids (covers every
+    joint residue class of the %5/%3/%50/%40/%20 recipe moduli:
+    period lcm = 600)."""
+    import duckdb
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _build_gif_doc,
+    )
+    from optimal_parallel_fp_growth_spark.queries_multimodal import (
+        ORACLE_GIF,
+    )
+
+    n = 600
+    rows = []
+    for doc_id in range(n):
+        d = decode_gif_frames(_build_gif_doc(doc_id))
+        for fr in d["frames"]:
+            rows.append(
+                (
+                    doc_id, "gif-anim", fr["frame_idx"], d["width"],
+                    d["height"], fr["keyframe"], round(fr["mean_r"], 6),
+                    round(fr["mean_g"], 6), round(fr["mean_b"], 6),
+                    round(fr["row_moment"], 6),
+                )
+            )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        f"SELECT UNNEST(generate_series(0, {n - 1})) AS doc_id"
+    )
+    want = con.execute(ORACLE_GIF + " ORDER BY doc_id, frame_idx").fetchall()
+    rows.sort(key=lambda r: (r[0], r[2]))
+    assert len(rows) == len(want)
+    for got, exp in zip(rows, want):
+        assert got == tuple(exp)
+
+
 @settings(max_examples=40, deadline=None)
 @given(data=st.data())
 def test_fuzz_corruption_never_leaks_parser_internals(data):
