@@ -238,3 +238,35 @@ def test_flac_pipeline_is_streaming_compatible(spark, sf_small):
     ).select(*cols)
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_video_and_gif_pipelines_are_streaming_compatible(spark, sf_small):
+    """attach_{mixed_video,gif}_media → extract_mixed_video_frames is a
+    stateless Arrow map chain (the inter-FRAME decoder state lives
+    inside one payload's decode, never across rows), so the one-to-many
+    frame expansion runs unchanged under Structured Streaming in append
+    mode — a streamed corpus must decode to exactly the batch rows."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        attach_gif_media,
+        attach_mixed_video_media,
+        extract_mixed_video_frames,
+    )
+
+    schema = spark.read.parquet(f"{sf_small}/documents.parquet").schema
+    for name, attach in (
+        ("video", attach_mixed_video_media),
+        ("gif", attach_gif_media),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_small)
+        )
+        st = extract_mixed_video_frames(attach(stream))
+        run_to_memory(st, f"{name}_stream", output_mode="append")
+        got = {tuple(r) for r in spark.table(f"{name}_stream").collect()}
+        batch = extract_mixed_video_frames(
+            attach(load_table(spark, sf_small, "documents"))
+        )
+        want = {tuple(r) for r in batch.collect()}
+        assert got == want and len(want) > 0
