@@ -576,6 +576,29 @@ def test_codec_stages_spread_across_cores(spark, sf_small):
         assert df.rdd.getNumPartitions() >= target
 
 
+def test_video_and_gif_stages_have_only_the_widen_exchange(spark, sf_small):
+    """The shuffle-free claim in EXPLAIN.md is load-bearing: the video
+    and GIF frame expansions must carry EXACTLY one exchange — the
+    widen-only round-robin spread — and no aggregation/hash shuffle,
+    and must not inherit the single-file scan's partitioning."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        attach_gif_media,
+        attach_mixed_video_media,
+        extract_mixed_video_frames,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    target = spark.sparkContext.defaultParallelism
+    for attach in (attach_mixed_video_media, attach_gif_media):
+        df = extract_mixed_video_frames(attach(docs))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "roundrobin" in plan.lower(), plan
+        assert "hashpartitioning" not in plan, plan
+        assert df.rdd.getNumPartitions() >= target
+
+
 def test_lm_bigram_extraction_is_shuffle_free(spark, sf_small):
     """train/score must not exchange before the count aggregation:
     the in-row zip_with extraction replaces the lead() window (which
