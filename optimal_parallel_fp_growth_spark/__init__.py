@@ -36,22 +36,45 @@ from optimal_parallel_fp_growth_spark.operators.dedup import (
 )
 from optimal_parallel_fp_growth_spark.operators.graph import pagerank
 from optimal_parallel_fp_growth_spark.operators.multimodal import (
+    attach_flac_media,
+    attach_gif_media,
+    attach_mixed_video_media,
     build_aac_adts,
     build_avi_mjpeg,
+    build_jpeg_hierarchical,
     build_jpeg_lossless,
     build_mp3_frames,
+    build_ogg_opus,
     decode_aac_adts,
     decode_avi_frames,
+    decode_jpeg_hierarchical,
     decode_jpeg_lossless,
     decode_jpeg_pixels,
     decode_media,
     decode_mp3_frames,
+    decode_ogg_opus,
     decode_pixels,
     decode_real,
     decode_wav_samples,
     extract_audio_stats,
+    extract_flac_stats,
+    extract_mixed_video_frames,
     extract_pixel_stats,
     extract_video_frames,
+)
+from optimal_parallel_fp_growth_spark.operators.flac import (
+    build_flac_samples,
+    flac_decode_pcm,
+)
+from optimal_parallel_fp_growth_spark.operators.video import (
+    build_avi_rle8,
+    build_gif_anim,
+    build_y4m,
+    decode_avi_rle8_frames,
+    decode_gif_frames,
+    decode_rle8_frame,
+    decode_y4m_frames,
+    encode_rle8_frame,
 )
 from optimal_parallel_fp_growth_spark.operators.bpe import (
     apply_bpe,
@@ -215,6 +238,25 @@ __all__ = [
     "decode_jpeg_pixels",
     "decode_mp3_frames",
     "extract_video_frames",
+    "attach_flac_media",
+    "attach_gif_media",
+    "attach_mixed_video_media",
+    "build_flac_samples",
+    "build_jpeg_hierarchical",
+    "build_ogg_opus",
+    "build_avi_rle8",
+    "build_gif_anim",
+    "build_y4m",
+    "decode_jpeg_hierarchical",
+    "decode_ogg_opus",
+    "decode_avi_rle8_frames",
+    "decode_gif_frames",
+    "decode_rle8_frame",
+    "decode_y4m_frames",
+    "encode_rle8_frame",
+    "extract_flac_stats",
+    "extract_mixed_video_frames",
+    "flac_decode_pcm",
     "extract_pixel_stats",
     "first_seen_dedup",
     "first_seen_dedup_watermarked",

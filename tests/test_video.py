@@ -681,7 +681,7 @@ def test_fuzz_corruption_never_leaks_parser_internals(data):
     or fails with the ONE documented exception type — never a leaked
     IndexError/struct.error (the mapInPandas quarantine contract)."""
     rng = random.Random(5)
-    which = data.draw(st.sampled_from(["avi", "y4m", "gif"]))
+    which = data.draw(st.sampled_from(["avi", "y4m", "gif", "gif-matrix"]))
     if which == "avi":
         payload = bytearray(
             build_avi_rle8(_clip_frames(rng, 8, 4, 3), PALETTE, 8, 4)
@@ -696,6 +696,14 @@ def test_fuzz_corruption_never_leaks_parser_internals(data):
                 8, 4, transparent=99,
             )
         )
+        decode = decode_gif_frames
+    elif which == "gif-matrix":
+        # the full option surface: interlace, local table, disposal 2/3
+        from optimal_parallel_fp_growth_spark.operators.multimodal import (
+            _build_gif_doc,
+        )
+
+        payload = bytearray(_build_gif_doc(rng.randrange(600)))
         decode = decode_gif_frames
     else:
         payload = bytearray(
