@@ -444,14 +444,17 @@ def decode_avi_rle8_frames(payload: bytes) -> dict:
         raise NotImplementedError(
             f"strf dims {biw}x{bih} != avih {width}x{height}"
         )
+    import numpy as np
+
     if len(palette) < 4 * 256:
         raise NotImplementedError(
             f"BI_RLE8 stream with a short palette ({len(palette)} bytes)"
         )
-    pal = [
-        (palette[4 * j + 2], palette[4 * j + 1], palette[4 * j])
-        for j in range(256)
-    ]
+    # BGRX quads → per-channel LUTs (int64 so the stat sums stay exact)
+    quads = np.frombuffer(palette[: 4 * 256], np.uint8).reshape(256, 4)
+    pal_r = quads[:, 2].astype(np.int64)
+    pal_g = quads[:, 1].astype(np.int64)
+    pal_b = quads[:, 0].astype(np.int64)
     key_flags = None
     if idx_raw is not None:
         if len(idx_raw) % 16:
@@ -481,23 +484,19 @@ def decode_avi_rle8_frames(payload: bytes) -> dict:
         pix = decode_rle8_frame(
             payload[s:e], width, height, None if is_key else prev
         )
-        sr = sg = sb = mr = 0
-        for y in range(height):
-            wrow = y + 1
-            for xx in range(width):
-                r, g, b_ = pal[pix[y * width + xx]]
-                sr += r
-                sg += g
-                sb += b_
-                mr += r * wrow
+        # palette LUT + integer sums: bit-identical to the per-pixel
+        # walk (int64 exact, one float division at the end)
+        arr = np.frombuffer(pix, np.uint8)
+        r = pal_r[arr].reshape(height, width)
+        row_w = np.arange(1, height + 1, dtype=np.int64)[:, None]
         frames.append(
             {
                 "frame_idx": idx,
                 "keyframe": is_key,
-                "mean_r": sr / n_pix,
-                "mean_g": sg / n_pix,
-                "mean_b": sb / n_pix,
-                "row_moment": mr / n_pix,
+                "mean_r": int(r.sum()) / n_pix,
+                "mean_g": int(pal_g[arr].sum()) / n_pix,
+                "mean_b": int(pal_b[arr].sum()) / n_pix,
+                "row_moment": int((r * row_w).sum()) / n_pix,
             }
         )
         prev = pix
