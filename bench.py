@@ -70,53 +70,73 @@ def main() -> None:
         _timed(name, fn, timings, errors)
 
     # ---- flagship: sparse lineitem baskets, baseline vs engine ----------
-    li_tx = transactions_from_lineitem(spark, SF_DIR).persist()
-    li_tx.count()
+    # The eager setup (persist + count) runs under the same guard as the
+    # timed stages: a broken input must cost only its own pipeline rows,
+    # never the whole artifact (the BENCH_r09 failure mode).
+    li_tx = None
 
-    def baseline():
-        from pyspark.ml.fpm import FPGrowth as MLlib
+    def li_setup():
+        nonlocal li_tx
+        li_tx = transactions_from_lineitem(spark, SF_DIR).persist()
+        li_tx.count()
 
-        model = MLlib(
-            itemsCol="items",
-            minSupport=FLAGSHIP_MIN_SUPPORT,
-            minConfidence=FLAGSHIP_MIN_CONFIDENCE,
-        ).fit(li_tx)
-        _force(model.freqItemsets)
-        _force(model.associationRules)
-        _force(model.transform(li_tx))
+    _timed("flagship_setup", li_setup, {}, errors)
+    if li_tx is not None:
 
-    timed("baseline_mllib_pipeline", baseline)
+        def baseline():
+            from pyspark.ml.fpm import FPGrowth as MLlib
 
-    def engine_pipeline(kernel: str, name: str):
-        model = FPGrowth(
-            min_support=FLAGSHIP_MIN_SUPPORT,
-            min_confidence=FLAGSHIP_MIN_CONFIDENCE,
-            kernel=kernel,
-        ).fit(li_tx)
-        _force(model.freq_itemsets)
-        _force(model.association_rules(FLAGSHIP_MIN_CONFIDENCE))
-        _force(model.transform(li_tx, FLAGSHIP_MIN_CONFIDENCE))
-        model.unpersist()
+            model = MLlib(
+                itemsCol="items",
+                minSupport=FLAGSHIP_MIN_SUPPORT,
+                minConfidence=FLAGSHIP_MIN_CONFIDENCE,
+            ).fit(li_tx)
+            _force(model.freqItemsets)
+            _force(model.associationRules)
+            _force(model.transform(li_tx))
 
-    timed("engine_pipeline", lambda: engine_pipeline("mllib", "engine"))
-    timed("engine_pipeline_pandas", lambda: engine_pipeline("pandas", "pandas"))
-    li_tx.unpersist()
+        timed("baseline_mllib_pipeline", baseline)
+
+        def engine_pipeline(kernel: str, name: str):
+            model = FPGrowth(
+                min_support=FLAGSHIP_MIN_SUPPORT,
+                min_confidence=FLAGSHIP_MIN_CONFIDENCE,
+                kernel=kernel,
+            ).fit(li_tx)
+            _force(model.freq_itemsets)
+            _force(model.association_rules(FLAGSHIP_MIN_CONFIDENCE))
+            _force(model.transform(li_tx, FLAGSHIP_MIN_CONFIDENCE))
+            model.unpersist()
+
+        timed("engine_pipeline", lambda: engine_pipeline("mllib", "engine"))
+        timed(
+            "engine_pipeline_pandas",
+            lambda: engine_pipeline("pandas", "pandas"),
+        )
+        li_tx.unpersist()
 
     # ---- dense events pipeline (fit → rules → transform) ----------------
-    ev_tx = transactions_from_events(spark, SF_DIR).persist()
-    ev_tx.count()
+    ev_tx = None
 
-    def events_pipeline():
-        model = FPGrowth(
-            min_support=EVENTS_MIN_SUPPORT,
-            min_confidence=EVENTS_MIN_CONFIDENCE,
-        ).fit(ev_tx)
-        _force(model.association_rules(EVENTS_MIN_CONFIDENCE))
-        _force(model.transform(ev_tx, EVENTS_MIN_CONFIDENCE))
-        model.unpersist()
+    def ev_setup():
+        nonlocal ev_tx
+        ev_tx = transactions_from_events(spark, SF_DIR).persist()
+        ev_tx.count()
 
-    timed("events_pipeline", events_pipeline)
-    ev_tx.unpersist()
+    _timed("events_setup", ev_setup, {}, errors)
+    if ev_tx is not None:
+
+        def events_pipeline():
+            model = FPGrowth(
+                min_support=EVENTS_MIN_SUPPORT,
+                min_confidence=EVENTS_MIN_CONFIDENCE,
+            ).fit(ev_tx)
+            _force(model.association_rules(EVENTS_MIN_CONFIDENCE))
+            _force(model.transform(ev_tx, EVENTS_MIN_CONFIDENCE))
+            model.unpersist()
+
+        timed("events_pipeline", events_pipeline)
+        ev_tx.unpersist()
 
     # ---- headline analytic queries --------------------------------------
     for qname in (

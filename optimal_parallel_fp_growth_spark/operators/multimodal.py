@@ -2274,6 +2274,37 @@ def build_png_pixels(
     return out + chunk(b"IEND", b"")
 
 
+# Absolute per-frame pixel ceiling for GIF decode (policy cap, not a
+# spec limit): 16.7 Mpx is beyond any real logical screen, and bounds
+# the index-list / RGB-canvas materialization for a hostile payload to
+# ~200 MB transient even when the stream-theoretic check passes.
+_GIF_MAX_FRAME_PX = 1 << 24
+
+
+def _lzw_frame_guard(n_px: int, lzw_len: int, min_code_size: int) -> None:
+    """Reject a declared frame size the LZW stream could never fill,
+    BEFORE decoding. The cap passed to _lzw_decode is relative to the
+    DECLARED size, so on its own it does not protect against forged
+    16-bit dims (65535x65535 → a ~4.3e9 cap that never fires while the
+    stream's quadratic expansion materializes gigabytes). Bound the
+    emission by the stream itself: n codes emit at most
+    min(n(n+1)/2, 4095n) symbols (each dictionary string grows by one
+    per code and never exceeds 4096), with n ≤ bits // (min_code_size
+    + 1) since code width only grows."""
+    if n_px > _GIF_MAX_FRAME_PX:
+        raise NotImplementedError(
+            f"GIF frame of {n_px} px exceeds the {_GIF_MAX_FRAME_PX} px "
+            "decode ceiling"
+        )
+    n_codes = (lzw_len * 8) // (min_code_size + 1) + 1
+    max_emit = min(n_codes * (n_codes + 1) // 2, n_codes * 4095)
+    if n_px > max_emit:
+        raise NotImplementedError(
+            f"GIF frame data ({lzw_len} bytes) cannot encode the "
+            f"declared {n_px}-px rect"
+        )
+
+
 def _lzw_decode(
     data: bytes, min_code_size: int, max_symbols: int | None = None
 ) -> list[int]:
@@ -2444,7 +2475,9 @@ def decode_gif_pixels(payload: bytes) -> dict:
                 lzw.extend(payload[pos + 1 : pos + 1 + n])
                 pos += 1 + n
             # +4096 slack: the final LZW entry may legally overshoot
-            # the frame by up to one max-length dictionary string
+            # the frame by up to one max-length dictionary string;
+            # the guard first rejects dims the stream could never fill
+            _lzw_frame_guard(iw * ih, len(lzw), min_code_size)
             indices = _lzw_decode(
                 bytes(lzw), min_code_size, max_symbols=iw * ih + 4096
             )

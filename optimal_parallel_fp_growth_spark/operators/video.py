@@ -469,6 +469,7 @@ def decode_avi_rle8_frames(payload: bytes) -> dict:
     frames = []
     prev = None
     n_pix = width * height
+    row_w = np.arange(1, height + 1, dtype=np.int64)[:, None]
     for cid, s, e in _riff_walk(payload, *movi):
         if cid[2:4] not in (b"dc", b"db"):
             continue
@@ -488,7 +489,6 @@ def decode_avi_rle8_frames(payload: bytes) -> dict:
         # walk (int64 exact, one float division at the end)
         arr = np.frombuffer(pix, np.uint8)
         r = pal_r[arr].reshape(height, width)
-        row_w = np.arange(1, height + 1, dtype=np.int64)[:, None]
         frames.append(
             {
                 "frame_idx": idx,
@@ -821,6 +821,7 @@ def decode_gif_frames(payload: bytes) -> dict:
 
     from optimal_parallel_fp_growth_spark.operators.multimodal import (
         _lzw_decode,
+        _lzw_frame_guard,
     )
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -845,7 +846,7 @@ def decode_gif_frames(payload: bytes) -> dict:
     transparent: int | None = None
     disposal = 0
     trailer = False
-    row_w = np.arange(1, height + 1, dtype=np.float64)[:, None]
+    row_w = np.arange(1, height + 1, dtype=np.int64)[:, None]
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x21:  # extension
@@ -912,7 +913,9 @@ def decode_gif_frames(payload: bytes) -> dict:
                 raise NotImplementedError("unterminated GIF image data")
             pos += 1
             # +4096 slack: the final LZW entry may legally overshoot
-            # the frame by up to one max-length dictionary string
+            # the frame by up to one max-length dictionary string;
+            # the guard first rejects dims the stream could never fill
+            _lzw_frame_guard(fw * fh, len(lzw), min_code_size)
             indices = _lzw_decode(
                 bytes(lzw), min_code_size, max_symbols=fw * fh + 4096
             )
@@ -960,18 +963,18 @@ def decode_gif_frames(payload: bytes) -> dict:
                     )
             arr = (
                 np.frombuffer(bytes(canvas), np.uint8)
-                .astype(np.float64)
-                .reshape(height, width, 3)
-            )
+                .astype(np.int64)  # exact sums like the AVI path:
+                .reshape(height, width, 3)  # float64 loses integers
+            )                               # past 2^53 on big canvases
             r = arr[..., 0]
             frames.append(
                 {
                     "frame_idx": len(frames),
                     "keyframe": len(frames) == 0,
-                    "mean_r": float(r.sum() / n_pix),
-                    "mean_g": float(arr[..., 1].sum() / n_pix),
-                    "mean_b": float(arr[..., 2].sum() / n_pix),
-                    "row_moment": float((r * row_w).sum() / n_pix),
+                    "mean_r": int(r.sum()) / n_pix,
+                    "mean_g": int(arr[..., 1].sum()) / n_pix,
+                    "mean_b": int(arr[..., 2].sum()) / n_pix,
+                    "row_moment": int((r * row_w).sum()) / n_pix,
                 }
             )
             if disposal == 2:  # restore rect to background before next

@@ -42,6 +42,36 @@ def test_error_messages_are_bounded():
     assert len(errors["big"]) <= 300
 
 
+def test_bench_survives_a_missing_data_directory_end_to_end():
+    """Review finding (round 10): the eager flagship setup (persist +
+    count) originally ran OUTSIDE the per-stage guard, so a broken
+    input directory still reproduced the BENCH_r09 failure (rc=1, no
+    JSON line). Run the real bench against a nonexistent SF_DIR: every
+    stage must fail individually, the process must exit 0, and the
+    final stdout line must parse with a full error count."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/nonexistent/sfX"
+    env["SPARK_GRAFT_CPUS"] = "2"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["errors"] > 100  # every stage failed, none fatally
+    assert out["n_stages"] == 0
+
+
 def test_stdout_line_carries_an_error_count():
     # the driver parses only the final stdout JSON line; the error
     # count must ride on it so a partial bench is visibly partial

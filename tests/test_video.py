@@ -505,6 +505,51 @@ def test_lzw_overrun_of_declared_frame_fails_closed():
         decode_gif_frames(head[:-1] + bytes([8]) + bytes(blocks) + b"\x00\x3b")
 
 
+def test_forged_giant_gif_dims_fail_closed_before_decode():
+    """Review finding (round 10): the max_symbols cap alone is relative
+    to the DECLARED frame size, so forged 16-bit dims (65535x65535 →
+    a ~4.3e9 cap that never fires) re-enabled the gigabyte
+    materialization. The stream-theoretic pre-check must reject the
+    rect before any LZW symbol is emitted, and an absolute per-frame
+    ceiling bounds what even a large stream may declare."""
+    import time
+
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        _GIF_MAX_FRAME_PX,
+        _lzw_encode,
+        _lzw_frame_guard,
+    )
+
+    # guard level: tiny stream can never fill a forged giant rect
+    # (rect below the absolute ceiling so the stream bound is what fires)
+    with pytest.raises(NotImplementedError, match="cannot encode"):
+        _lzw_frame_guard(_GIF_MAX_FRAME_PX - 1, 2600, 8)
+    # absolute ceiling fires even for a stream large enough in theory
+    with pytest.raises(NotImplementedError, match="decode ceiling"):
+        _lzw_frame_guard(_GIF_MAX_FRAME_PX + 1, 10**9, 8)
+    # a legitimate frame passes: the recipe streams encode their rects
+    _lzw_frame_guard(32, len(_lzw_encode([1] * 32, 8)), 8)
+    # container level: patch the logical-screen AND frame-0 dims of a
+    # valid animation to 65535x65535 (the full-canvas check then
+    # passes) with a runaway LZW payload behind them
+    runaway = _lzw_encode([1] * 100_000, 8)
+    pal = b"".join(bytes(c) for c in PALETTE)
+    out = bytearray(b"GIF89a")
+    out += (65535).to_bytes(2, "little") * 2
+    out += bytes([0x80 | 7, 0, 0]) + pal + bytes(3 * 0)
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += (65535).to_bytes(2, "little") * 2 + b"\x00"
+    out += bytes([8])
+    for i in range(0, len(runaway), 255):
+        chunk = runaway[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    t0 = time.perf_counter()
+    with pytest.raises(NotImplementedError, match="decode ceiling|cannot encode"):
+        decode_gif_frames(bytes(out))
+    assert time.perf_counter() - t0 < 1.0  # fails closed cheaply
+
+
 def test_gif_random_option_matrix_matches_rgb_replay():
     """Ground truth for the full GIF feature matrix: random animations
     mixing interlace, local color tables, transparency and all four
