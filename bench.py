@@ -320,8 +320,9 @@ def main() -> None:
     # JSON line must stay small (BENCH_r05 was truncated to unparseable).
     # Full per-stage timings go to BENCH_FULL.json; the stdout line carries
     # e2e plus the four headline pipeline stages and a pointer.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
     with open(full_path, "w") as f:
         json.dump(
             {

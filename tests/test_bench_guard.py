@@ -54,9 +54,14 @@ def test_bench_survives_a_missing_data_directory_end_to_end():
     import subprocess
     import sys
 
+    import tempfile
+
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/nonexistent/sfX"
     env["SPARK_GRAFT_CPUS"] = "2"
+    # keep the committed BENCH_FULL.json ledger out of blast range
+    tmp = tempfile.NamedTemporaryFile(suffix=".json", delete=False)
+    env["SPARK_GRAFT_BENCH_OUT"] = tmp.name
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True,
