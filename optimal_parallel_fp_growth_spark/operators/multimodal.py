@@ -158,14 +158,17 @@ def _parse_guard(fn):
 
 @_parse_guard
 def decode_real(payload: bytes) -> dict:
-    """Real header decode across the twelve supported container
+    """Real header decode across the thirteen supported container
     formats, parsed from the actual file bytes: PNG / GIF / BMP / JPEG
     image dimensions, WAV rate/channels, MP4 box-tree dims, AVI avih
     dims, Y4M stream-header dims, MP3/AAC frame walks, the FULL
-    CRC+MD5-verified FLAC sample decode, and the CRC-checked Ogg/Opus
-    page walk. Only the table-bound codecs
-    (MP3/AAC PCM, SILK/CELT, arithmetic JPEG) still raise
-    ``NotImplementedError`` — the swap-in seam for a codec library.
+    CRC+MD5-verified FLAC sample decode, the CRC-checked Ogg/Opus
+    page walk, and animated-GIF detection (round 10: a strict block
+    walk counts image descriptors whenever a global color table is
+    present and reports ``gif-anim`` for multi-frame files). Only the
+    table-bound codecs (MP3/AAC PCM, SILK/CELT, arithmetic JPEG) still
+    raise ``NotImplementedError`` — the swap-in seam for a codec
+    library.
 
     Returns ``{"format", "width", "height", "sample_rate",
     "channels"}`` with ``None`` for inapplicable fields.
@@ -189,6 +192,46 @@ def decode_real(payload: bytes) -> dict:
         out["format"] = "gif"
         out["width"] = int.from_bytes(payload[6:8], "little")
         out["height"] = int.from_bytes(payload[8:10], "little")
+        # Animation detection (round 10): a global color table means
+        # the file claims self-contained rendering, so its block
+        # structure must WALK — count image descriptors strictly and
+        # report 'gif-anim' for a multi-frame file. Header-and-filler
+        # GIFs (no GCT) keep the legacy header-only tier.
+        if len(payload) > 10 and payload[10] & 0x80:
+            pos = 13 + 3 * (2 << (payload[10] & 0x07))
+            n_images = 0
+            while pos < len(payload):
+                b0 = payload[pos]
+                if b0 == 0x21:  # extension: label + sub-blocks
+                    pos += 2
+                    while pos < len(payload) and payload[pos] != 0:
+                        pos += 1 + payload[pos]
+                    pos += 1
+                elif b0 == 0x2C:  # image descriptor
+                    if pos + 10 > len(payload):
+                        raise NotImplementedError(
+                            "truncated GIF image descriptor"
+                        )
+                    ip = payload[pos + 9]
+                    pos += 10
+                    if ip & 0x80:
+                        pos += 3 * (2 << (ip & 0x07))
+                    pos += 1  # LZW min code size
+                    while pos < len(payload) and payload[pos] != 0:
+                        pos += 1 + payload[pos]
+                    pos += 1
+                    n_images += 1
+                elif b0 == 0x3B:
+                    pos += 1
+                    break
+                else:
+                    raise NotImplementedError(
+                        f"unknown GIF block 0x{b0:02x}"
+                    )
+            if pos > len(payload):
+                raise NotImplementedError("truncated GIF block structure")
+            if n_images >= 2:
+                out["format"] = "gif-anim"
         return out
     if payload[:2] == b"BM" and len(payload) >= 26:
         # BITMAPINFOHEADER: signed little-endian dims at offsets 18/22
@@ -1506,7 +1549,7 @@ def extract_video_frames(
 
 MEDIA_FORMATS = (
     "png", "gif", "bmp", "jpeg", "wav", "mp4", "mp3", "aac", "flac",
-    "opus", "avi", "y4m",
+    "opus", "avi", "y4m", "gif-anim",
 )
 
 DECODE_SCHEMA = (
@@ -1548,6 +1591,27 @@ def build_payload(
             + b"\x00\x00\x00"
             + filler
             + b"\x3b"
+        )
+    if fmt == "gif-anim":
+        # a REAL two-frame animation (round 10): full-canvas keyframe
+        # plus a top-row sub-rectangle — the global color table plus
+        # second image descriptor is what decode_real's structural
+        # walk detects as animation
+        from optimal_parallel_fp_growth_spark.operators.video import (
+            build_gif_anim,
+        )
+
+        palette = bytes(
+            c for j in range(16) for c in (16 * j, 255 - 16 * j, j)
+        )
+        return build_gif_anim(
+            [
+                (0, 0, width, height, [1] * (width * height)),
+                (0, 0, width, 1, [2] * width),
+            ],
+            width,
+            height,
+            palette,
         )
     if fmt == "bmp":
         body = filler
@@ -1720,9 +1784,9 @@ def media_meta_for(doc_id: int) -> dict:
             "width": None,
             "height": None,
             # must come from the MPEG-1 sample-rate table; indexed by
-            # doc_id//12 — doc_id%k is constant across the %12
-            # format rotation's mp3 residue class (round 9)
-            "sample_rate": (44100, 48000, 32000)[(doc_id // 12) % 3],
+            # doc_id//13 so it varies within the %13 format rotation's
+            # mp3 residue class (rounds 9/10)
+            "sample_rate": (44100, 48000, 32000)[(doc_id // 13) % 3],
             "channels": 1 + doc_id % 2,
         }
     if fmt == "aac":
@@ -1731,8 +1795,8 @@ def media_meta_for(doc_id: int) -> dict:
             "width": None,
             "height": None,
             # must come from the ADTS sampling-frequency table;
-            # doc_id//12 for the same residue-class reason as mp3
-            "sample_rate": _ADTS_SAMPLERATES[(doc_id // 12) % 12],
+            # doc_id//13 for the same residue-class reason as mp3
+            "sample_rate": _ADTS_SAMPLERATES[(doc_id // 13) % 12],
             "channels": 1 + doc_id % 2,
         }
     if fmt == "flac":
@@ -1752,6 +1816,17 @@ def media_meta_for(doc_id: int) -> dict:
             # OpusHead input_sample_rate is informational free-form
             "sample_rate": 8000 + (doc_id * 31) % 40000,
             "channels": 1 + doc_id % 2,
+        }
+    if fmt == "gif-anim":
+        return {
+            # small dims on purpose: this class carries a REAL
+            # animation (full-canvas keyframe + sub-rect frame), not a
+            # header-and-filler file, so the payload is w*h-pixel real
+            "format": fmt,
+            "width": 6 + (doc_id // 13) % 10,
+            "height": 4 + (doc_id // 13) % 7,
+            "sample_rate": None,
+            "channels": None,
         }
     return {
         "format": fmt,

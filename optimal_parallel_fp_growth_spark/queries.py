@@ -440,10 +440,13 @@ QUERIES.update(REL_QUERIES)
 #   2. the 24 r06-green differential-pinned entries (TWINS /
 #      GROUND_TRUTH_PINS), deferred through r9 at the 4-round cap —
 #      staleness 4 at the r10 head, re-entering exactly on time.
-#   3. 24 of the 50 r08-green entries — exactly fills the window.
-#   4. the other 26 r08-green entries (staleness 2 here, 3 at the r11
+#   3. 23 of the 50 r08-green entries plus multimodal_decode (r09-green
+#      but swapped IN when its decode_real rotation gained the 13th
+#      gif-anim format late in round 10 — changed oracle semantics must
+#      be driver-revalidated) — exactly fills the window.
+#   4. the other 27 r08-green entries (staleness 2 here, 3 at the r11
 #      head) — they MUST lead the r11 window.
-#   5. the 50 r09-green entries, freshest last.
+#   5. the 49 remaining r09-green entries, freshest last.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
@@ -501,8 +504,16 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "freq_itemsets",
     "deduped_corpus_cc",
+    # swapped into the window late in round 10: the decode_real
+    # rotation gained the 13th (gif-anim) format, so the entry's
+    # oracle semantics changed and the driver must revalidate them
+    # (the rotation contract: never change an out-of-window oracle);
+    # events_user_quartiles moved to the tier-4 r11 lead block in its
+    # place
+    "multimodal_decode",
+    # tier 4 — r08-green remainder (27 with the swap): MUST lead the
+    # r11 window
     "events_user_quartiles",
-    # tier 4 — r08-green remainder: MUST lead the r11 window
     "events_rolling",
     "events_daily_rollup",
     "events_asof_join",
@@ -539,7 +550,6 @@ _DRIVER_PRIORITY: list[str] = [
     "semdedup_arrow",
     "dedup_ngram_jaccard",
     "dedup_ngram_exact",
-    "multimodal_decode",
     "supplier_pagerank_bucketed",
     "dedup_incremental",
     "knn_ivf_index",

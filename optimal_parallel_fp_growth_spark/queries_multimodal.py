@@ -56,14 +56,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL round trip: spec-valid PNG/GIF/BMP/JPEG/WAV/MP4/MP3/AAC/
-    FLAC/Ogg-Opus bytes built per doc (operators/multimodal.py::
-    build_payload), then header-parsed by the live ``decode_real`` seam
-    (MP3/AAC run their full frame walks; FLAC runs the FULL
-    CRC+MD5-verified sample decode; Opus the CRC-checked Ogg page walk
-    with packet reassembly — both round 9). The oracle recomputes the
-    metadata recipe (`media_meta_for`) in SQL — a decode bug breaks
-    equality."""
+    """REAL round trip across THIRTEEN container formats: spec-valid
+    PNG/GIF/BMP/JPEG/WAV/MP4/MP3/AAC/FLAC/Ogg-Opus/AVI/Y4M/animated-GIF
+    bytes built per doc (operators/multimodal.py::build_payload), then
+    header-parsed by the live ``decode_real`` seam (MP3/AAC run their
+    full frame walks; FLAC runs the FULL CRC+MD5-verified sample
+    decode; Opus the CRC-checked Ogg page walk with packet reassembly
+    — both round 9; animated GIFs are DETECTED by a strict block walk
+    that counts image descriptors whenever a global color table is
+    present — round 10). The oracle recomputes the metadata recipe
+    (`media_meta_for`) in SQL — a decode bug breaks equality."""
     docs = load_table(spark, sf_dir, "documents")
     out = decode_media(attach_media(docs))
     # inapplicable fields → 0 (not NULL): keeps every comparator's row
@@ -185,33 +187,37 @@ FROM documents d,
      LATERAL (SELECT UNNEST(generate_series(0, d.doc_id % 4)) AS i) u
 """
 
-# media_meta_for mirrored in SQL: format rotates doc_id % 12 (round 6
+# media_meta_for mirrored in SQL: format rotates doc_id % 13 (round 6
 # adds MP4 ISO-BMFF box parsing, round 7 the MP3 frame walk and the
 # AAC ADTS walk, round 9 full FLAC decode + the Ogg/Opus CRC-checked
-# page walk + the AVI avih and Y4M stream-header parses); images, mp4,
-# avi and y4m get
+# page walk + the AVI avih and Y4M stream-header parses, round 10 the
+# gif-anim class: a REAL two-frame animation that decode_real's
+# strict block walk must DETECT as multi-frame, with small dims
+# keyed off doc_id//13); images, mp4, avi and y4m get
 # (16 + doc_id*7919 % 2000, 16 + doc_id*104729 % 2000); wav, flac and
 # opus get (8000 + doc_id*31 % 40000, 1 + doc_id % 2); mp3 gets an
-# MPEG-1-legal sample rate [44100,48000,32000][doc_id%3], aac an
-# ADTS-table rate [...][doc_id%12]; all audio codecs share wav's
+# MPEG-1-legal sample rate [44100,48000,32000][(doc_id//13)%3], aac an
+# ADTS-table rate [...][(doc_id//13)%12]; all audio codecs share wav's
 # channel rule.
 ORACLE_DECODE = """
 SELECT doc_id,
        ['png', 'gif', 'bmp', 'jpeg', 'wav', 'mp4', 'mp3', 'aac', 'flac',
-        'opus', 'avi', 'y4m'][(doc_id % 12)::INT + 1] AS format,
-       CASE WHEN doc_id % 12 IN (4, 6, 7, 8, 9) THEN 0
+        'opus', 'avi', 'y4m', 'gif-anim'][(doc_id % 13)::INT + 1] AS format,
+       CASE WHEN doc_id % 13 IN (4, 6, 7, 8, 9) THEN 0
+            WHEN doc_id % 13 = 12 THEN (6 + (doc_id // 13) % 10)::INT
             ELSE (16 + (doc_id * 7919) % 2000)::INT END AS width,
-       CASE WHEN doc_id % 12 IN (4, 6, 7, 8, 9) THEN 0
+       CASE WHEN doc_id % 13 IN (4, 6, 7, 8, 9) THEN 0
+            WHEN doc_id % 13 = 12 THEN (4 + (doc_id // 13) % 7)::INT
             ELSE (16 + (doc_id * 104729) % 2000)::INT END AS height,
-       CASE WHEN doc_id % 12 IN (4, 8, 9)
+       CASE WHEN doc_id % 13 IN (4, 8, 9)
             THEN (8000 + (doc_id * 31) % 40000)::INT
-            WHEN doc_id % 12 = 6
-            THEN [44100, 48000, 32000][((doc_id // 12) % 3)::INT + 1]
-            WHEN doc_id % 12 = 7
+            WHEN doc_id % 13 = 6
+            THEN [44100, 48000, 32000][((doc_id // 13) % 3)::INT + 1]
+            WHEN doc_id % 13 = 7
             THEN [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
-                  16000, 12000, 11025, 8000][((doc_id // 12) % 12)::INT + 1]
+                  16000, 12000, 11025, 8000][((doc_id // 13) % 12)::INT + 1]
             ELSE 0 END AS sample_rate,
-       CASE WHEN doc_id % 12 IN (4, 6, 7, 8, 9) THEN (1 + doc_id % 2)::INT
+       CASE WHEN doc_id % 13 IN (4, 6, 7, 8, 9) THEN (1 + doc_id % 2)::INT
             ELSE 0 END AS channels
 FROM documents
 """

@@ -395,15 +395,19 @@ def test_r10_window_composition():
     # tier 2: the 24 r06-green differential-pinned entries, all at the cap
     tier2 = order[len(tier1) : len(tier1) + 24]
     assert all(last.get(n) == 6 and n in pinned for n in tier2), tier2
-    # tier 3 fills the window with r08-green entries
+    # tier 3 fills the window: 23 r08-green entries plus
+    # multimodal_decode (r09-green, swapped IN when its oracle gained
+    # the 13th gif-anim format late in round 10 — changed semantics
+    # must be driver-revalidated inside the window)
     tier3 = order[len(tier1) + 24 : WINDOW]
-    assert all(last.get(n) == 8 for n in tier3), tier3
-    # tier 4: the 26 remaining r08-green entries — MUST lead r11
-    tier4 = order[WINDOW : WINDOW + 26]
+    assert tier3[-1] == "multimodal_decode"
+    assert all(last.get(n) == 8 for n in tier3[:-1]), tier3
+    # tier 4: the 27 remaining r08-green entries — MUST lead r11
+    tier4 = order[WINDOW : WINDOW + 27]
     assert all(last.get(n) == 8 for n in tier4), tier4
     # tier 5: the r09-green tail (freshest last), then any mid-round
     # additions at the very end
-    tail = order[WINDOW + 26 :]
+    tail = order[WINDOW + 27 :]
     tier5 = [n for n in tail if n not in NEW_THIS_ROUND]
     assert all(last.get(n) == 9 for n in tier5), [
         n for n in tier5 if last.get(n) != 9
