@@ -72,7 +72,10 @@ def main() -> None:
     # ---- flagship: sparse lineitem baskets, baseline vs engine ----------
     # The eager setup (persist + count) runs under the same guard as the
     # timed stages: a broken input must cost only its own pipeline rows,
-    # never the whole artifact (the BENCH_r09 failure mode).
+    # never the whole artifact (the BENCH_r09 failure mode). Setup stages
+    # record into the REAL timings dict (ADVICE r10) so BENCH_FULL.json's
+    # breakdown sums to e2e; they stay out of the stdout headline subset.
+    # (r11 note: e2e therefore gains the two setup stages vs r10's ledger.)
     li_tx = None
 
     def li_setup():
@@ -80,7 +83,7 @@ def main() -> None:
         li_tx = transactions_from_lineitem(spark, SF_DIR).persist()
         li_tx.count()
 
-    _timed("flagship_setup", li_setup, {}, errors)
+    timed("flagship_setup", li_setup)
     if li_tx is not None:
 
         def baseline():
@@ -123,7 +126,7 @@ def main() -> None:
         ev_tx = transactions_from_events(spark, SF_DIR).persist()
         ev_tx.count()
 
-    _timed("events_setup", ev_setup, {}, errors)
+    timed("events_setup", ev_setup)
     if ev_tx is not None:
 
         def events_pipeline():

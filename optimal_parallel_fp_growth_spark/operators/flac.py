@@ -151,6 +151,13 @@ _FIXED_COEFS = {  # prediction = sum(coef[j] * s[i-1-j])
 }
 
 # block-size code -> samples (None = coded explicitly / reserved)
+# Absolute ceiling on total decoded samples (all channels interleaved).
+# CONSTANT subframes expand ~20 payload bytes to 65536 samples/frame, so
+# no payload-relative bound exists; 2^23 samples ≈ 95 s of stereo 44.1k,
+# far above any synthesized test stream, and bounds worst-case decode
+# memory to ~0.25 GB of Python ints.
+_MAX_DECODED_SAMPLES = 1 << 23
+
 _BLOCK_SIZES = {
     1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192,
@@ -541,6 +548,17 @@ def flac_decode_pcm(payload: bytes) -> tuple[list[int], dict]:
         streaminfo["channels"],
         streaminfo["bps"],
     )
+    # Absolute decode ceiling (r10 LZW lesson): a CONSTANT subframe
+    # legally expands ~20 payload bytes into 65536 samples per frame,
+    # so total output is NOT bounded by any multiple of payload size —
+    # the declared 36-bit total_samples is attacker-controlled too.
+    # Reject past an absolute bound, checked early (on the declaration)
+    # and per frame (a lying declaration of 0 must not bypass it).
+    if streaminfo["total_samples"] * ch0 > _MAX_DECODED_SAMPLES:
+        raise NotImplementedError(
+            "FLAC STREAMINFO declares more samples than the "
+            f"{_MAX_DECODED_SAMPLES}-sample absolute decode ceiling"
+        )
     samples: list[int] = []
     n_flac_frames = 0
     while pos < len(payload):
@@ -592,6 +610,11 @@ def flac_decode_pcm(payload: bytes) -> tuple[list[int], dict]:
         hdr_end = br.bytepos
         if _crc8(payload[frame_start:hdr_end]) != br.read(8):
             raise NotImplementedError("FLAC frame-header CRC-8 mismatch")
+        if len(samples) + nblk * ch0 > _MAX_DECODED_SAMPLES:
+            raise NotImplementedError(
+                "FLAC stream expands past the "
+                f"{_MAX_DECODED_SAMPLES}-sample absolute decode ceiling"
+            )
         if assign <= 7:
             nch = assign + 1
             if nch != ch0:

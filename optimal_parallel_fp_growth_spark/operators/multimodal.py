@@ -200,6 +200,7 @@ def decode_real(payload: bytes) -> dict:
         if len(payload) > 10 and payload[10] & 0x80:
             pos = 13 + 3 * (2 << (payload[10] & 0x07))
             n_images = 0
+            saw_trailer = False
             while pos < len(payload):
                 b0 = payload[pos]
                 if b0 == 0x21:  # extension: label + sub-blocks
@@ -223,6 +224,7 @@ def decode_real(payload: bytes) -> dict:
                     n_images += 1
                 elif b0 == 0x3B:
                     pos += 1
+                    saw_trailer = True
                     break
                 else:
                     raise NotImplementedError(
@@ -230,6 +232,11 @@ def decode_real(payload: bytes) -> dict:
                     )
             if pos > len(payload):
                 raise NotImplementedError("truncated GIF block structure")
+            if not saw_trailer:
+                # a payload ending exactly at a block boundary with no
+                # 0x3B is still structurally truncated — fail closed
+                # like every other violation in this walk
+                raise NotImplementedError("missing GIF trailer")
             if n_images >= 2:
                 out["format"] = "gif-anim"
         return out

@@ -87,6 +87,13 @@ def _guard(fn):
     return wrapped
 
 
+# Absolute per-frame surface ceiling shared by every container decoder
+# in this module (same value as multimodal._GIF_MAX_FRAME_PX): declared
+# header dims are attacker-controlled, so no dims-sized buffer may be
+# allocated past this bound regardless of any relative cross-check.
+_MAX_FRAME_PX = 1 << 24
+
+
 # ---------------------------------------------------------------------
 # BI_RLE8 frame codec (storage order is bottom-up, per the BMP spec)
 
@@ -446,6 +453,23 @@ def decode_avi_rle8_frames(payload: bytes) -> dict:
         )
     import numpy as np
 
+    # Fail closed BEFORE any dims-sized allocation (r10 LZW lesson: ask
+    # who controls the quantity a cap is relative to — here the header
+    # dims are attacker-controlled, so bound them by what the payload
+    # could ever fill and by an absolute ceiling). Without this, row_w
+    # and the per-frame int64 LUT arrays below fault in gigabytes for a
+    # forged 2^31-wide header even though decode_rle8_frame would later
+    # reject the keyframe cheaply.
+    if width * height > _MAX_FRAME_PX:
+        raise NotImplementedError(
+            f"AVI surface {width}x{height} exceeds the absolute "
+            f"{_MAX_FRAME_PX}-pixel frame ceiling"
+        )
+    if width * height > (len(payload) // 2) * 255:
+        raise NotImplementedError(
+            f"AVI payload ({len(payload)} bytes) cannot contain a "
+            f"self-covering {width}x{height} keyframe"
+        )
     if len(palette) < 4 * 256:
         raise NotImplementedError(
             f"BI_RLE8 stream with a short palette ({len(palette)} bytes)"
@@ -643,6 +667,19 @@ def decode_y4m_frames(payload: bytes, header_only: bool = False) -> dict:
     cw, ch = width // xd, height // yd
     ysz, csz = width * height, cw * ch
     pos = nl + 1
+    # Fail closed BEFORE any dims-sized allocation (r10 LZW lesson):
+    # Y4M is raw planar video, so a stream holding even ONE frame must
+    # physically contain 6 header + ysz + 2*csz bytes after the stream
+    # header. A forged W/H line (e.g. H99999999999) would otherwise
+    # size row_w below — and the per-frame RGB planes — in gigabytes
+    # before the per-frame truncation check ever ran.
+    if pos >= len(payload):
+        raise NotImplementedError("Y4M stream with no frames")
+    if pos + 6 + ysz + 2 * csz > len(payload):
+        raise NotImplementedError(
+            f"Y4M stream ({len(payload)} bytes) cannot contain one "
+            f"{width}x{height} C{colorspace} frame"
+        )
     frames = []
     n_pix = width * height
     row_w = np.arange(1, height + 1, dtype=np.float64)[:, None]

@@ -431,88 +431,29 @@ QUERIES.update(REL_QUERIES)
 # Driver sampling order. The correctness harness samples the registry in
 # insertion order with a bounded per-round window (exactly 50 rows since
 # r4), so entries whose last green driver row is OLDEST must come FIRST —
-# the rotation contract that bounds staleness. Round-10 tiers (staleness
-# computed from CORRECTNESS_r0{1..9}.json; the invariant is enforced
+# the rotation contract that bounds staleness. Round-11 tiers (staleness
+# computed from CORRECTNESS_r{01..10}.json; the invariant is enforced
 # data-driven by tests/test_registry_order.py):
-#   1. the 2 entries with NO driver row ever (added mid-r9 after the
+#   1. the 1 entry with NO driver row ever (added mid-r10 after the
 #      window was contractually full; the NEW_THIS_ROUND exemption
-#      expired at the r9 snapshot): multimodal_flac, multimodal_video.
-#   2. the 24 r06-green differential-pinned entries (TWINS /
-#      GROUND_TRUTH_PINS), deferred through r9 at the 4-round cap —
-#      staleness 4 at the r10 head, re-entering exactly on time.
-#   3. 23 of the 50 r08-green entries plus multimodal_decode (r09-green
-#      but swapped IN when its decode_real rotation gained the 13th
-#      gif-anim format late in round 10 — changed oracle semantics must
-#      be driver-revalidated) — exactly fills the window.
-#   4. the other 27 r08-green entries (staleness 2 here, 3 at the r11
-#      head) — they MUST lead the r11 window.
-#   5. the 49 remaining r09-green entries, freshest last.
+#      expired at the r10 snapshot): multimodal_gif.
+#   2. the 27 r08-green entries deferred through r10 (staleness 3 at
+#      the r11 head — the mandated tier-4 lead block).
+#   3. 22 of the 27 UNPINNED r09-green entries — exactly fills the
+#      window. Unpinned before pinned at equal staleness: unpinned
+#      entries trip the invariant at staleness 3 (r12 head), pinned
+#      ones only at 5.
+#   4. the 5 deferred unpinned r09-green entries (staleness 2 here,
+#      3 at the r12 head) — they MUST lead the r12 window.
+#   5. the 22 differential-pinned r09-green entries (cap 4: due in the
+#      r12/r13 windows).
+#   6. the 50 r10-green entries, freshest last.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
-    # tier 1 — never driver-sampled (VERDICT r9 tasks #1/#2: lead r10)
-    "multimodal_flac",
-    "multimodal_video",
-    # tier 2 — r06-green, differential-pinned, at the 4-round cap
-    "random_projection",
-    "knn_hyperplane",
-    "dedup_ngram_prefix",
-    "freq_itemsets_pfp",
-    "assoc_rules",
-    "transform",
-    "dedup_exact",
-    "dedup_lines",
-    "dedup_clusters",
-    "deduped_corpus",
-    "embedding_neardup",
-    "decontaminate",
-    "quality_score",
-    "quality_classifier",
-    "token_quantiles",
-    "text_stats",
-    "dq_documents",
-    "dq_events",
-    "ngram_counts",
-    "tfidf_top_terms",
-    "inverted_index",
-    "mix_sources",
-    "stratified_sample",
-    "weighted_sample",
-    # tier 3 — r08-green: fills the window (multimodal_jpeg lands here
-    # on purpose: its oracle rotation gained hierarchical-JPEG docs
-    # this round, so the driver revalidates the new semantics)
-    "versioned_read",
-    "versioned_merge",
-    "min_cost_part_supplier",
-    "important_parts",
-    "returnflag_priority_lines",
-    "supplier_variety",
-    "recent_concentration_suppliers",
-    "multimodal_audio",
-    "multimodal_jpeg",
-    "repeated_spans",
-    "zorder_layout_read",
-    "local_supplier_revenue",
-    "word_count",
-    "kmeans_clusters",
-    "kmeans_auto",
-    "semdedup",
-    "semdedup_auto",
-    "knn_ivf",
-    "knn_ann",
-    "supplier_pagerank",
-    "dedup_minhash_lsh",
-    "freq_itemsets",
-    "deduped_corpus_cc",
-    # swapped into the window late in round 10: the decode_real
-    # rotation gained the 13th (gif-anim) format, so the entry's
-    # oracle semantics changed and the driver must revalidate them
-    # (the rotation contract: never change an out-of-window oracle);
-    # events_user_quartiles moved to the tier-4 r11 lead block in its
-    # place
-    "multimodal_decode",
-    # tier 4 — r08-green remainder (27 with the swap): MUST lead the
-    # r11 window
+    # tier 1 — never driver-sampled (VERDICT r10 task #1: leads r11)
+    "multimodal_gif",
+    # tier 2 — r08-green remainder, deferred through r10 (staleness 3)
     "events_user_quartiles",
     "events_rolling",
     "events_daily_rollup",
@@ -540,9 +481,37 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_order_counts",
     "top_supplier",
     "idle_rich_customers",
-    # tier 5 — r09-green, freshest
+    # tier 3 — 22 unpinned r09-green: fills the window
     "html_extract",
     "lm_perplexity",
+    "gopher_rules",
+    "late_order_priorities",
+    "sole_late_suppliers",
+    "negative_pairs",
+    "hard_negatives",
+    "events_hopping",
+    "multimodal_pixels",
+    "count_rows",
+    "tokenize_distinct",
+    "freq_items",
+    "freq_itemsets_docs",
+    "apriori_rules",
+    "dedup_simhash",
+    "lang_id",
+    "doc_fingerprint",
+    "pii_stats",
+    "repetition_signals",
+    "source_ngram_overlap",
+    "chunk_documents",
+    "pack_sequences",
+    # tier 4 — the 5 deferred unpinned r09-green: MUST lead the r12
+    # window (staleness 3 at the r12 head)
+    "curate_corpus",
+    "corpus_split",
+    "label_centroids",
+    "revenue_by_nation",
+    "top_orders",
+    # tier 5 — differential-pinned r09-green (cap 4: due r12/r13)
     "bloom_decontaminate",
     "bloom_user_filter",
     "events_distinct_sketch",
@@ -565,37 +534,57 @@ _DRIVER_PRIORITY: list[str] = [
     "events_funnel",
     "events_resample",
     "multimodal_features",
-    "gopher_rules",
-    "late_order_priorities",
-    "sole_late_suppliers",
-    "negative_pairs",
-    "hard_negatives",
-    "events_hopping",
-    "multimodal_pixels",
-    "count_rows",
-    "tokenize_distinct",
-    "freq_items",
-    "freq_itemsets_docs",
-    "apriori_rules",
-    "dedup_simhash",
-    "lang_id",
-    "doc_fingerprint",
-    "pii_stats",
-    "repetition_signals",
-    "source_ngram_overlap",
-    "chunk_documents",
-    "pack_sequences",
-    "curate_corpus",
-    "corpus_split",
-    "label_centroids",
-    "revenue_by_nation",
-    "top_orders",
-    # --- added mid-round-10 (the window was already committed to the
-    # mandated r10 tiers): first driver sample MUST lead r11 together
-    # with the 26 deferred tier-4 entries (tests/test_registry_order.py
-    # NEW_THIS_ROUND expires the exemption at the first r10-postdating
-    # CORRECTNESS file) ---
-    "multimodal_gif",
+    # tier 6 — r10-green, freshest
+    "multimodal_flac",
+    "multimodal_video",
+    "random_projection",
+    "knn_hyperplane",
+    "dedup_ngram_prefix",
+    "freq_itemsets_pfp",
+    "assoc_rules",
+    "transform",
+    "dedup_exact",
+    "dedup_lines",
+    "dedup_clusters",
+    "deduped_corpus",
+    "embedding_neardup",
+    "decontaminate",
+    "quality_score",
+    "quality_classifier",
+    "token_quantiles",
+    "text_stats",
+    "dq_documents",
+    "dq_events",
+    "ngram_counts",
+    "tfidf_top_terms",
+    "inverted_index",
+    "mix_sources",
+    "stratified_sample",
+    "weighted_sample",
+    "versioned_read",
+    "versioned_merge",
+    "min_cost_part_supplier",
+    "important_parts",
+    "returnflag_priority_lines",
+    "supplier_variety",
+    "recent_concentration_suppliers",
+    "multimodal_audio",
+    "multimodal_jpeg",
+    "repeated_spans",
+    "zorder_layout_read",
+    "local_supplier_revenue",
+    "word_count",
+    "kmeans_clusters",
+    "kmeans_auto",
+    "semdedup",
+    "semdedup_auto",
+    "knn_ivf",
+    "knn_ann",
+    "supplier_pagerank",
+    "dedup_minhash_lsh",
+    "freq_itemsets",
+    "deduped_corpus_cc",
+    "multimodal_decode",
 ]
 
 

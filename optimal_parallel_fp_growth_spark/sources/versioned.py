@@ -82,13 +82,30 @@ def _write_data(df: DataFrame, path: str, version: int) -> list[str]:
     statistics, so every timestamp-keyed manifest stat would be empty
     and time-range pruning — the single most common prune at scale —
     would silently degrade to a full scan."""
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     key = "spark.sql.parquet.outputTimestampType"
     prev = spark.conf.get(key, None)
     ddir = pathlib.Path(path) / _DATA_DIR / f"v{version:08d}"
     try:
         spark.conf.set(key, "TIMESTAMP_MICROS")
-        df.write.mode("error").parquet(str(ddir))
+        try:
+            df.write.mode("error").parquet(str(ddir))
+        except AnalysisException as e:
+            if "already exists" in str(e).lower():
+                # a concurrent writer targeting the same new version got
+                # its data directory down first: surface the SAME
+                # optimistic-concurrency signal as a losing manifest
+                # link (_commit), so callers have one conflict
+                # exception to retry on — not a raw Spark error
+                # escaping from half the race window (VERDICT r10 #5)
+                raise FileExistsError(
+                    f"data for version {version} already written at "
+                    f"{path} (concurrent writer, or leftovers of a "
+                    "crashed commit needing cleanup)"
+                ) from None
+            raise
     finally:
         if prev is None:
             spark.conf.unset(key)

@@ -375,3 +375,42 @@ def test_fuzz_corruption_never_leaks_parser_internals(data):
         flac_decode_pcm(bytes(payload))
     except NotImplementedError:
         pass
+
+
+def test_forged_sample_counts_fail_closed_cheaply():
+    """Cap audit (VERDICT r10 #2): a CONSTANT subframe legally expands
+    ~20 payload bytes into 65536 samples per frame, so total decode
+    output is not bounded by any multiple of payload size — an absolute
+    ceiling must fire, both on the declared STREAMINFO total (checked
+    before any frame decodes) and per frame (a zeroed declaration must
+    not bypass it)."""
+    import time
+
+    from optimal_parallel_fp_growth_spark.operators import flac as flac_mod
+
+    sig = [((k * 37) % 801) - 400 for k in range(160)]
+    payload = bytearray(build_flac_samples(sig, 8000, block_size=64))
+    # STREAMINFO body starts at byte 8; total_samples is the low nibble
+    # of body[13] plus body[14:18]
+    forged = bytearray(payload)
+    forged[21] |= 0x0F
+    forged[22:26] = b"\xff\xff\xff\xff"
+    t0 = time.perf_counter()
+    with pytest.raises(NotImplementedError, match="decode ceiling"):
+        flac_decode_pcm(bytes(forged))
+    assert time.perf_counter() - t0 < 0.5  # fails before any frame decode
+    # zeroed (unknown) declaration: the per-frame accumulator check
+    # still enforces the same ceiling
+    zeroed = bytearray(payload)
+    zeroed[21] &= 0xF0
+    zeroed[22:26] = b"\x00\x00\x00\x00"
+    ceiling = flac_mod._MAX_DECODED_SAMPLES
+    try:
+        flac_mod._MAX_DECODED_SAMPLES = 100  # below the 160 real samples
+        with pytest.raises(NotImplementedError, match="expands past"):
+            flac_decode_pcm(bytes(zeroed))
+    finally:
+        flac_mod._MAX_DECODED_SAMPLES = ceiling
+    # and the untouched stream still decodes under the real ceiling
+    samples, info = flac_decode_pcm(bytes(payload))
+    assert len(samples) == 160 and info["md5_ok"]

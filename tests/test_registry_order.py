@@ -1,15 +1,16 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (exactly 50 rows since r4). Round-10 rotation
-contract (VERDICT r9 tasks #1/#2):
+bounded per-round window (exactly 50 rows since r4). Round-11 rotation
+contract (VERDICT r10 task #1):
 
-* ``multimodal_flac`` / ``multimodal_video`` (added mid-r9 after the
-  window was contractually full, never sampled) lead, then the 24
-  r06-green differential-pinned entries re-entering exactly at their
-  4-round cap, then 24 of the 50 r08-green entries — exactly filling
-  the window. The other 26 r08-green entries (staleness 3 at the r11
-  head) MUST lead the r11 window.
+* ``multimodal_gif`` (added mid-r10 after the window was contractually
+  full, never sampled) leads, then the 27 r08-green entries deferred
+  through r10 (staleness 3 at the r11 head), then 22 of the 27
+  UNPINNED r09-green entries — exactly filling the window. The 5
+  deferred unpinned r09-green entries (staleness 3 at the r12 head)
+  MUST lead the r12 window; the 22 pinned r09-green rotate under their
+  cap in r12/r13.
 * A pinned entry (entry-twin differential in ``TWINS``, or an
   independent-recomputation ground truth in ``GROUND_TRUTH_PINS``) may
   defer to a 4-round staleness cap; everything else holds the 2-round
@@ -238,7 +239,7 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # addition the exemption EXPIRES and the entry must be in the window or
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
-NEW_THIS_ROUND: dict[str, int] = {"multimodal_gif": 10}
+NEW_THIS_ROUND: dict[str, int] = {}
 
 
 def _last_green_by_entry() -> tuple[dict[str, int], int]:
@@ -352,67 +353,68 @@ def test_new_this_round_exemption_expires():
     assert not _staleness_violations(order, last, 9, set(), {"late_add": 7})
 
 
-def test_simulated_r11_rotation_is_feasible():
+def test_simulated_r12_rotation_is_feasible():
     """Rotation-debt solvency check, re-pinned each round: the
-    invariant must provably hold through a simulated r11 with no new
-    rows beyond the r10 window. Simulate: every entry in the CURRENT
-    head-50 goes green in r10, the r11 builder rotates greedily
+    invariant must provably hold through a simulated r12 with no new
+    rows beyond the r11 window. Simulate: every entry in the CURRENT
+    head-50 goes green in r11, the r12 builder rotates greedily
     (most-stale first, pinned entries after unpinned at equal
-    staleness), and the invariant is evaluated at the r11 head."""
+    staleness), and the invariant is evaluated at the r12 head."""
     order = list(Q.QUERIES)
     last, current = _last_green_by_entry()
-    assert current == 10  # this simulation is written against the r10 head
+    assert current == 11  # this simulation is written against the r11 head
     sim_last = dict(last)
     for name in order[:WINDOW]:
-        sim_last[name] = 10
+        sim_last[name] = 11
     pinned = _pinned()
-    r11_order = sorted(
+    r12_order = sorted(
         order,
         key=lambda n: (
             sim_last.get(n, -1),  # most stale first; never-sampled lead
             n in pinned,  # unpinned before pinned at equal staleness
         ),
     )
-    violations = _staleness_violations(r11_order, sim_last, 11, pinned, {})
+    violations = _staleness_violations(r12_order, sim_last, 12, pinned, {})
     assert not violations, "\n".join(violations)
 
 
 def test_window_leads_with_never_sampled_entries():
-    # VERDICT r9 tasks #1/#2: the two entries with no driver row ever lead.
+    # VERDICT r10 task #1: the one entry with no driver row ever leads.
     order = list(Q.QUERIES)
-    assert order[:2] == ["multimodal_flac", "multimodal_video"]
+    assert order[:1] == ["multimodal_gif"]
 
 
-def test_r10_window_composition():
+def test_r11_window_composition():
     """Pin the exact tiers so a mid-round insertion can't silently push
     a stale entry out of the window."""
     order = list(Q.QUERIES)
     last, _ = _last_green_by_entry()
     pinned = _pinned()
-    # tier 1: the two r9 mid-round additions with no driver row ever
-    tier1 = ["multimodal_flac", "multimodal_video"]
+    # tier 1: the r10 mid-round addition with no driver row ever
+    tier1 = ["multimodal_gif"]
     assert order[: len(tier1)] == tier1
-    # tier 2: the 24 r06-green differential-pinned entries, all at the cap
-    tier2 = order[len(tier1) : len(tier1) + 24]
-    assert all(last.get(n) == 6 and n in pinned for n in tier2), tier2
-    # tier 3 fills the window: 23 r08-green entries plus
-    # multimodal_decode (r09-green, swapped IN when its oracle gained
-    # the 13th gif-anim format late in round 10 — changed semantics
-    # must be driver-revalidated inside the window)
-    tier3 = order[len(tier1) + 24 : WINDOW]
-    assert tier3[-1] == "multimodal_decode"
-    assert all(last.get(n) == 8 for n in tier3[:-1]), tier3
-    # tier 4: the 27 remaining r08-green entries — MUST lead r11
-    tier4 = order[WINDOW : WINDOW + 27]
-    assert all(last.get(n) == 8 for n in tier4), tier4
-    # tier 5: the r09-green tail (freshest last), then any mid-round
+    # tier 2: the 27 r08-green entries deferred through r10
+    tier2 = order[len(tier1) : len(tier1) + 27]
+    assert all(last.get(n) == 8 for n in tier2), tier2
+    # tier 3 fills the window: 22 UNPINNED r09-green entries (unpinned
+    # rotate before pinned at equal staleness — they trip at 3, pinned
+    # at 5)
+    tier3 = order[len(tier1) + 27 : WINDOW]
+    assert all(last.get(n) == 9 and n not in pinned for n in tier3), tier3
+    # tier 4: the 5 deferred unpinned r09-green — MUST lead r12
+    tier4 = order[WINDOW : WINDOW + 5]
+    assert all(last.get(n) == 9 and n not in pinned for n in tier4), tier4
+    # tier 5: the 22 pinned r09-green (cap 4: due r12/r13)
+    tier5 = order[WINDOW + 5 : WINDOW + 27]
+    assert all(last.get(n) == 9 and n in pinned for n in tier5), tier5
+    # tier 6: the r10-green tail (freshest last), then any mid-round
     # additions at the very end
     tail = order[WINDOW + 27 :]
-    tier5 = [n for n in tail if n not in NEW_THIS_ROUND]
-    assert all(last.get(n) == 9 for n in tier5), [
-        n for n in tier5 if last.get(n) != 9
+    tier6 = [n for n in tail if n not in NEW_THIS_ROUND]
+    assert all(last.get(n) == 10 for n in tier6), [
+        n for n in tier6 if last.get(n) != 10
     ]
-    assert set(tail[len(tier5) :]) == set(NEW_THIS_ROUND)
+    assert set(tail[len(tier6) :]) == set(NEW_THIS_ROUND)
 
 
 def test_queries_and_oracles_share_order_and_keys():
@@ -448,7 +450,7 @@ def test_prior_round_correctness_rows_were_all_green():
         "r06": ["versioned_read"],
         "r07": ["returnflag_priority_lines", "versioned_merge", "versioned_read"],
     }
-    for r in ("r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"):
+    for r in ("r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10"):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         red = sorted(k for k, v in rows.items() if not v.get("hash_match"))
         assert red == known_red.get(r, []), (r, red)

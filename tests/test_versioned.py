@@ -663,6 +663,10 @@ def test_concurrent_merges_one_wins(spark, tmp_path):
         try:
             results[tag] = ("ok", merge_table(src, path, "doc_id"))
         except FileExistsError:
+            # the ONLY legal conflict signal: a loser racing on either
+            # the data directory or the manifest link must surface
+            # FileExistsError, never a raw Spark AnalysisException
+            # escaping the thread (VERDICT r10 #5)
             results[tag] = ("conflict", None)
 
     ts = [
@@ -673,6 +677,9 @@ def test_concurrent_merges_one_wins(spark, tmp_path):
         t.start()
     for t in ts:
         t.join()
+    # both writers must report — an exception type other than the
+    # documented FileExistsError would have escaped on its thread
+    assert sorted(results) == ["a", "b"], results
     outcomes = sorted(r[0] for r in results.values())
     # at least one MUST win; both winning the same version is the
     # TOCTOU bug the link-commit prevents

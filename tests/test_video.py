@@ -381,6 +381,23 @@ def test_gif_structural_violations_fail_closed():
         decode_gif_frames(b"RIFF" + base)
 
 
+def test_decode_real_gif_walk_requires_trailer():
+    """ADVICE r10: a GIF that ends exactly at a block boundary with no
+    0x3B trailer must fail closed in decode_real's structural walk,
+    not be silently classified — same contract as decode_gif_frames."""
+    from optimal_parallel_fp_growth_spark.operators.multimodal import (
+        decode_real,
+    )
+
+    base = _gif_payload(
+        [(0, 0, 4, 2, [5] * 8), (0, 0, 2, 1, [7, 7])], 4, 2
+    )
+    assert base[-1] == 0x3B
+    assert decode_real(base)["format"] == "gif-anim"
+    with pytest.raises(NotImplementedError, match="missing GIF trailer"):
+        decode_real(base[:-1])
+
+
 def test_gif_disposal_3_restores_previous_canvas():
     # f0 paints the canvas all 5s; f1 paints all 8s with disposal 3, so
     # before f2 the canvas must be 5s again; f2's transparent hole then
@@ -466,9 +483,76 @@ def test_forged_giant_dims_fail_closed_without_allocation():
     payload[avih_at + 32 + 3] = 0x7F  # dwWidth high byte
     payload[strf_at + 4 + 3] = 0x7F   # biWidth high byte
     t0 = time.perf_counter()
-    with pytest.raises(NotImplementedError, match="cannot self-cover"):
+    # r11: the container-level absolute ceiling now fires before the
+    # keyframe self-cover bound ever gets a chance (strictly cheaper);
+    # the frame-level bound above remains the backstop for sub-ceiling
+    # dims (see test_avi_absolute_frame_ceiling for the large-payload
+    # case the relative bound alone would wave through)
+    with pytest.raises(NotImplementedError, match="frame ceiling"):
         decode_avi_rle8_frames(bytes(payload))
     assert time.perf_counter() - t0 < 1.0  # fails closed cheaply
+
+
+def test_avi_absolute_frame_ceiling():
+    """Cap audit (VERDICT r10 #2): a payload LARGE enough to satisfy
+    the self-cover bound must still be rejected when the forged matched
+    dims exceed the absolute per-frame ceiling — otherwise padding a
+    corrupt file with a junk chunk re-enables the gigabyte row_w/LUT
+    allocation that the relative bound alone would wave through."""
+    import time
+
+    from optimal_parallel_fp_growth_spark.operators.video import (
+        _MAX_FRAME_PX,
+    )
+
+    rng = random.Random(3)
+    payload = bytearray(
+        build_avi_rle8(_clip_frames(rng, 8, 4, 2), PALETTE, 8, 4)
+    )
+    # matched forged dims just past the ceiling: 4200*4000 = 16.8M px
+    for base, woff, hoff in (
+        (payload.find(b"avih") + 8, 32, 36),
+        (payload.find(b"strf") + 8, 4, 8),
+    ):
+        payload[base + woff : base + woff + 4] = (4200).to_bytes(4, "little")
+        payload[base + hoff : base + hoff + 4] = (4000).to_bytes(4, "little")
+    # junk chunk big enough that (len//2)*255 pixels > the forged dims
+    junk = b"JUNK" + (140_000).to_bytes(4, "little") + bytes(140_000)
+    payload += junk
+    assert 4200 * 4000 > _MAX_FRAME_PX
+    assert 4200 * 4000 <= (len(payload) // 2) * 255  # self-cover passes
+    t0 = time.perf_counter()
+    with pytest.raises(NotImplementedError, match="frame ceiling"):
+        decode_avi_rle8_frames(bytes(payload))
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_y4m_forged_dims_fail_closed_before_allocation():
+    """Cap audit (VERDICT r10 #2): Y4M is raw planar video, so the
+    stream must physically contain one frame's planes — a forged
+    W/H header line must be rejected before row_w or any plane-sized
+    buffer is allocated, including when the stream carries no frame
+    bytes at all."""
+    import time
+
+    t0 = time.perf_counter()
+    with pytest.raises(NotImplementedError, match="cannot contain"):
+        decode_y4m_frames(
+            b"YUV4MPEG2 W99999998 H99999998 F25:1 Ip A1:1 C420jpeg\n"
+            b"FRAME\n" + bytes(64)
+        )
+    # empty tail with forged giant dims: no frames, no allocation
+    with pytest.raises(NotImplementedError, match="no frames"):
+        decode_y4m_frames(
+            b"YUV4MPEG2 W99999998 H99999998 F25:1 Ip A1:1 C420jpeg\n"
+        )
+    assert time.perf_counter() - t0 < 1.0
+    # header-only metadata tier is unaffected by giant declared dims
+    meta = decode_y4m_frames(
+        b"YUV4MPEG2 W99999998 H99999998 F25:1 Ip A1:1 C420jpeg\n",
+        header_only=True,
+    )
+    assert meta["width"] == 99999998
 
 
 def test_lzw_overrun_of_declared_frame_fails_closed():
