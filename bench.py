@@ -295,6 +295,12 @@ def main() -> None:
         # round-10 addition: the GIF option-matrix entry (interlace,
         # local tables, disposal 2/3, transparency)
         "multimodal_gif",
+        # round-11 additions: Zipf skew-stress prefix dedup (heavy-
+        # hitter shingle with df ≈ n_docs; the prefix tier's worst-case
+        # row) and the salted two-phase aggregation over the same
+        # heavy-hitter token stream
+        "dedup_zipf_prefix",
+        "skewed_token_counts",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

@@ -199,6 +199,88 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Zipf skew-stress entry (round 11, VERDICT r10 #7) ----------------------
+# The benchmark documents table has a DENSE shingle vocabulary (mean
+# df ≈ 275, no rare tail), so no registry entry exercised heavy-hitter
+# skew under the oracle gate. This entry manufactures a heavy-tailed
+# corpus IN-QUERY from doc_id with integer-only arithmetic both engines
+# state identically (no doubles — cross-engine pow() rounding could
+# flip a token at a ceil boundary): h is a Lehmer-style LCG step, and
+# token rank t = ceil(V/x) for x uniform on 1..V gives P(t) ∝ 1/t² —
+# a Zipf-2 head where the hottest token covers ~half of ALL positions
+# (df ≈ n_docs: the worst heavy hitter a shingle join can meet) plus a
+# ~2·√V-token rare tail that grows with the corpus (Heaps-like). Every
+# 16th doc gets a near-dup twin (one appended out-of-vocab token,
+# J = |A|/(|A|+1) ≥ 0.8), so τ=0.8 has guaranteed pairs to find.
+# The query runs the PREFIX-FILTER tier — the scale path whose whole
+# point is surviving that df≈n shingle (it sorts to the end of every
+# document's (df, shingle) order and nearly never enters a prefix) —
+# while the oracle recomputes the pair set with the quadratic
+# all-postings formulation, affordable at oracle scale precisely
+# because DuckDB pays the df² blowup only at sf0.01.
+_ZIPF_MOD = 2147483647  # 2^31 - 1: keeps every intermediate in int64
+_ZIPF_TWIN_EVERY = 16
+_ZIPF_TAU = 0.8
+
+
+def _zipf_token_sql(v: str) -> str:
+    """Token at (doc_id, j) as an engine-neutral SQL scalar — pure
+    BIGINT ops (%, *, +, integer ceil-div) that Spark SQL and DuckDB
+    evaluate identically; ``v`` is the vocabulary-size expression."""
+    h = (
+        f"((((doc_id % {_ZIPF_MOD}) * 1000003 + j * 7919) % {_ZIPF_MOD})"
+        f" * 48271) % {_ZIPF_MOD}"
+    )
+    x = f"(1 + ({h}) % {v})"
+    # ceil(V/x) in exact integer arithmetic: (V + x - 1) div x
+    return f"'w' || CAST((({v}) + {x} - 1) DIV {x} AS STRING)"
+
+
+def zipf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic heavy-tailed corpus (doc_id, text) both the
+    registry query and its pytest differential run on."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    v = max(2, docs.count())  # scalar: a metadata-only parquet count
+    tok = _zipf_token_sql(str(v))  # Spark SQL takes DIV/STRING as-is
+    text = F.expr(
+        "concat_ws(' ', transform(sequence(1, 8 + cast(pmod(doc_id, 7)"
+        f" as int)), j -> {tok}))"
+    )
+    base = docs.select("doc_id", text.alias("text"))
+    twins = base.where(F.col("doc_id") % _ZIPF_TWIN_EVERY == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    return base.unionByName(twins)
+
+
+def q_dedup_zipf_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_prefix(
+        zipf_corpus(spark, sf_dir), k=2, threshold=_ZIPF_TAU
+    )
+
+
+def q_skewed_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (functions/skew.py::salted_agg)
+    under the oracle gate, on the corpus it exists for: the hottest
+    token covers ~half of ALL positions, so a plain groupBy funnels
+    ~half the exploded rows through ONE reducer — the salt spreads
+    them over 16. Decomposable aggregates only (count/min/max), so the
+    salted result is EXACTLY the plain GROUP BY the oracle states."""
+    from optimal_parallel_fp_growth_spark.functions.skew import salted_agg
+
+    toks = zipf_corpus(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return salted_agg(
+        toks,
+        ["token"],
+        {"n": "count", "min_doc": "min:doc_id", "max_doc": "max:doc_id"},
+        discriminator="doc_id",
+        salt_buckets=16,
+    )
+
+
 # Shared by q_dedup_incremental and its oracle: docs with doc_id % 4 == 0
 # play the "new batch", the rest the standing corpus.
 INCREMENTAL_THRESHOLD = 0.25
@@ -563,6 +645,62 @@ FROM inter
 JOIN sizes sa ON inter.doc_a = sa.doc_id
 JOIN sizes sb ON inter.doc_b = sb.doc_id
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+"""
+)
+
+# Zipf skew-stress oracle: the SAME integer-only generation as
+# q_dedup_zipf_prefix (one shared token-expression builder), then the
+# quadratic all-postings exact jaccard at τ=0.8 — affordable here
+# precisely because only DuckDB at sf0.01 pays the heavy-hitter df²
+# blowup the Spark prefix tier exists to avoid.
+def _zipf_corpus_cte() -> str:
+    """The generated-corpus CTE prefix shared by every Zipf oracle."""
+    tok = _zipf_token_sql("nn.v").replace(" DIV ", " // ")
+    return f"""
+WITH nn AS (SELECT greatest(2, count(*)) AS v FROM documents),
+base AS (SELECT doc_id,
+                list_transform(range(1, 9 + (doc_id % 7)),
+                               j -> {tok}) AS toks
+         FROM documents CROSS JOIN nn),
+corpus AS (SELECT doc_id, toks FROM base
+           UNION ALL
+           SELECT -doc_id - 1 AS doc_id, toks || ['zz9'] AS toks
+           FROM base WHERE doc_id % {_ZIPF_TWIN_EVERY} = 0)"""
+
+
+def _zipf_oracle_sql() -> str:
+    return _zipf_corpus_cte() + f""",
+sh AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 2
+                   THEN list_distinct([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])
+                   ELSE [] END AS sh
+       FROM corpus),
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM posting a JOIN posting b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {_ZIPF_TAU}
+"""
+
+
+ORACLE_ZIPF_PREFIX = _zipf_oracle_sql()
+
+# salted_agg uses only decomposable aggregates, so the oracle is the
+# plain GROUP BY — correctness of the two-phase spread IS the check.
+ORACLE_SKEWED_TOKEN_COUNTS = (
+    _zipf_corpus_cte()
+    + """,
+tk AS (SELECT doc_id, unnest(toks) AS token FROM corpus)
+SELECT token, count(*) AS n,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM tk GROUP BY 1
 """
 )
 
@@ -1236,6 +1374,8 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_exact": q_dedup_ngram_exact,
     "dedup_ngram_prefix": q_dedup_ngram_prefix,
+    "dedup_zipf_prefix": q_dedup_zipf_prefix,
+    "skewed_token_counts": q_skewed_token_counts,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
@@ -1282,6 +1422,8 @@ DOC_ORACLES: dict[str, str] = {
     "dedup_ngram_exact": ORACLE_NGRAM_JACCARD_EXACT,
     # identical contract by the prefix-filter theorem; high-τ cut
     "dedup_ngram_prefix": ORACLE_NGRAM_JACCARD_EXACT.replace(">= 0.2", ">= 0.8"),
+    "dedup_zipf_prefix": ORACLE_ZIPF_PREFIX,
+    "skewed_token_counts": ORACLE_SKEWED_TOKEN_COUNTS,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash": ORACLE_SIMHASH,
