@@ -301,6 +301,7 @@ def main() -> None:
         # heavy-hitter token stream
         "dedup_zipf_prefix",
         "skewed_token_counts",
+        "skewed_doc_hotness",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

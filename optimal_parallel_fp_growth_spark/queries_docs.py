@@ -260,6 +260,27 @@ def q_dedup_zipf_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skewed_doc_hotness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi JOIN (functions/skew.py::salted_join) under the
+    oracle gate: the big side is the exploded token stream whose
+    hottest key holds ~half of ALL rows — in a plain shuffle join that
+    key funnels through one reducer; the salted form spreads it over 16
+    at the cost of replicating the ~2·√V-row token dimension. The
+    output (per-doc sum of global token document frequencies — a
+    "hotness" score) equals the plain join's exactly, which is what
+    the oracle states."""
+    from optimal_parallel_fp_growth_spark.functions.skew import salted_join
+
+    toks = zipf_corpus(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dim = toks.groupBy("token").agg(F.count("*").alias("df"))
+    joined = salted_join(toks, dim, on="token", salt_buckets=16)
+    return joined.groupBy("doc_id").agg(
+        F.sum("df").alias("df_sum"), F.count("*").alias("n_tokens")
+    )
+
+
 def q_skewed_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (functions/skew.py::salted_agg)
     under the oracle gate, on the corpus it exists for: the hottest
@@ -701,6 +722,21 @@ tk AS (SELECT doc_id, unnest(toks) AS token FROM corpus)
 SELECT token, count(*) AS n,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM tk GROUP BY 1
+"""
+)
+
+# salted_join output equals the plain equi join by construction, so the
+# oracle is the plain join + rollup (sum cast ::BIGINT per the
+# HUGEINT-hashability rule).
+ORACLE_SKEWED_DOC_HOTNESS = (
+    _zipf_corpus_cte()
+    + """,
+tk AS (SELECT doc_id, unnest(toks) AS token FROM corpus),
+dfq AS (SELECT token, count(*) AS df FROM tk GROUP BY 1)
+SELECT tk.doc_id, CAST(sum(dfq.df) AS BIGINT) AS df_sum,
+       count(*) AS n_tokens
+FROM tk JOIN dfq USING (token)
+GROUP BY 1
 """
 )
 
@@ -1376,6 +1412,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_prefix": q_dedup_ngram_prefix,
     "dedup_zipf_prefix": q_dedup_zipf_prefix,
     "skewed_token_counts": q_skewed_token_counts,
+    "skewed_doc_hotness": q_skewed_doc_hotness,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
@@ -1424,6 +1461,7 @@ DOC_ORACLES: dict[str, str] = {
     "dedup_ngram_prefix": ORACLE_NGRAM_JACCARD_EXACT.replace(">= 0.2", ">= 0.8"),
     "dedup_zipf_prefix": ORACLE_ZIPF_PREFIX,
     "skewed_token_counts": ORACLE_SKEWED_TOKEN_COUNTS,
+    "skewed_doc_hotness": ORACLE_SKEWED_DOC_HOTNESS,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash": ORACLE_SIMHASH,

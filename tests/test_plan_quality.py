@@ -613,3 +613,37 @@ def test_lm_bigram_extraction_is_shuffle_free(spark, sf_small):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Window" not in plan, n
+
+
+# ---------------------------------------------------------------------
+# round 11: the Zipf skew entries' plan contracts
+# ---------------------------------------------------------------------
+
+
+def test_skewed_token_counts_two_phase_shape(spark, sf_small):
+    """salted_agg's whole point is the plan shape: exactly TWO hash
+    exchanges — partial on (token, salt), combine on token — with no
+    join machinery and no Python stage; the generation is pure
+    codegen over the doc_id scan."""
+    from optimal_parallel_fp_growth_spark.queries_docs import (
+        q_skewed_token_counts,
+    )
+
+    r = _report(q_skewed_token_counts(spark, sf_small))
+    assert r.hash_exchanges == 2, r
+    assert r.broadcast_exchanges == 0 and r.sort_merge_joins == 0
+    assert r.nested_loop_joins == 0
+    assert r.python_stages == 0
+
+
+def test_dedup_zipf_prefix_no_cartesian_no_python(spark, sf_small):
+    """The prefix tier on the skewed corpus must keep the exact tier's
+    ban on cartesian/nested-loop pair generation (candidates come from
+    the prefix-shingle equi join) and stay JVM-side end to end."""
+    from optimal_parallel_fp_growth_spark.queries_docs import (
+        q_dedup_zipf_prefix,
+    )
+
+    r = _report(q_dedup_zipf_prefix(spark, sf_small))
+    assert r.nested_loop_joins == 0
+    assert r.python_stages == 0

@@ -140,3 +140,34 @@ def test_salted_counts_match_plain_groupby(spark, sf_small):
     # the fixture's point: one token holds ~half of all rows
     total = sum(n for (n, _, _) in plain.values())
     assert max(n for (n, _, _) in plain.values()) > 0.3 * total
+
+
+def test_salted_join_matches_plain_join(spark, sf_small):
+    """GROUND_TRUTH_PIN for skewed_doc_hotness: the salted replicate-
+    small-side join equals the plain equi join on the same inputs —
+    the salt is join-key-complete by construction, so only the shuffle
+    shape differs."""
+    from optimal_parallel_fp_growth_spark.queries_docs import (
+        q_skewed_doc_hotness,
+    )
+
+    corpus = zipf_corpus(spark, sf_small)
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dim = toks.groupBy("token").agg(F.count("*").alias("df"))
+    plain = {
+        r.doc_id: (r.df_sum, r.n_tokens)
+        for r in toks.join(dim, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("df").alias("df_sum"), F.count("*").alias("n_tokens")
+        )
+        .collect()
+    }
+    salted = {
+        r.doc_id: (r.df_sum, r.n_tokens)
+        for r in q_skewed_doc_hotness(spark, sf_small).collect()
+    }
+    assert salted == plain
+    assert len(salted) == corpus.count()  # every doc scores
