@@ -675,6 +675,15 @@ def decode_y4m_frames(payload: bytes, header_only: bool = False) -> dict:
     # before the per-frame truncation check ever ran.
     if pos >= len(payload):
         raise NotImplementedError("Y4M stream with no frames")
+    # the module-wide absolute ceiling applies here too: raw planar
+    # bytes are ~1.5/px but the float64 working planes below are
+    # ~32/px, so a payload-relative bound alone still admits a ~20×
+    # allocation amplification on a large enough payload (review r11)
+    if width * height > _MAX_FRAME_PX:
+        raise NotImplementedError(
+            f"Y4M surface {width}x{height} exceeds the absolute "
+            f"{_MAX_FRAME_PX}-pixel frame ceiling"
+        )
     if pos + 6 + ysz + 2 * csz > len(payload):
         raise NotImplementedError(
             f"Y4M stream ({len(payload)} bytes) cannot contain one "

@@ -491,7 +491,7 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_order_counts",
     "top_supplier",
     "idle_rich_customers",
-    # tier 3 — 21 unpinned r09-green: fills the window
+    # tier 3 — 19 unpinned r09-green: fills the window
     "html_extract",
     "lm_perplexity",
     "gopher_rules",

@@ -696,6 +696,12 @@ def test_concurrent_merges_one_wins(spark, tmp_path):
         raise AssertionError("both writers claimed the same version")
     lo = 0 if winners[0] == "a" else 50
     assert all(got[i] == -1 for i in range(lo, lo + 5))
+    # and NONE of the loser's rows leaked into the committed version:
+    # with a shared write directory the winner's glob-built manifest
+    # could absorb the loser's interleaved part files (review r11) —
+    # the staged-rename write makes this structurally impossible
+    lo_loser = 50 if lo == 0 else 0
+    assert all(got[i] != -1 for i in range(lo_loser, lo_loser + 5))
 
 
 # ---------------------------------------------------------------------

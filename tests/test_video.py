@@ -536,9 +536,17 @@ def test_y4m_forged_dims_fail_closed_before_allocation():
     import time
 
     t0 = time.perf_counter()
-    with pytest.raises(NotImplementedError, match="cannot contain"):
+    # past the absolute ceiling: rejected regardless of payload size
+    with pytest.raises(NotImplementedError, match="frame ceiling"):
         decode_y4m_frames(
             b"YUV4MPEG2 W99999998 H99999998 F25:1 Ip A1:1 C420jpeg\n"
+            b"FRAME\n" + bytes(64)
+        )
+    # under the ceiling but past the payload's actual bytes: the
+    # containment bound fires (4096x4000 = 16.4M px < 2^24)
+    with pytest.raises(NotImplementedError, match="cannot contain"):
+        decode_y4m_frames(
+            b"YUV4MPEG2 W4096 H4000 F25:1 Ip A1:1 C420jpeg\n"
             b"FRAME\n" + bytes(64)
         )
     # empty tail with forged giant dims: no frames, no allocation
