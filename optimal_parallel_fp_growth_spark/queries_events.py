@@ -545,6 +545,76 @@ FROM (
 """
 
 
+def q_hive_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hive-partitioned layout lifecycle under the oracle gate
+    (round 11; sources/sinks.py::write_parquet(partition_by=...)):
+    events written partitionBy(day) — 30 date directories — read back
+    through partition-column inference, filtered on a LITERAL day
+    range so the filter resolves to PartitionFilters at PLAN time
+    (5 of 30 directories listed, the others never opened; pruning
+    itself is plan-asserted in tests/test_sources_sinks.py), then a
+    per-type rollup. The layout must be LOSSLESS and the partition
+    round trip type-exact: a row landing in the wrong day directory,
+    a dropped row, or a date mis-parse on read-back breaks equality
+    with the oracle's direct timestamp-range filter over the unsorted
+    table. Session-temp dir, dropped after materializing."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        RddBlockHandle,
+        persistent_rdd_ids,
+        tag_cached_inputs,
+    )
+    from optimal_parallel_fp_growth_spark.sources.sinks import (
+        read_back,
+        write_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    tdir = tempfile.mkdtemp(prefix=f"opfpg_hive_{uuid.uuid4().hex}_")
+    path = os.path.join(tdir, "events_by_day")
+    try:
+        write_parquet(ev, path, partition_by=("day",))
+        back = read_back(spark, path).where(
+            (F.col("day") >= F.lit("2024-01-05").cast("date"))
+            & (F.col("day") <= F.lit("2024-01-09").cast("date"))
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")), 4
+                )
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .orderBy("event_type")
+        )
+        seen = persistent_rdd_ids(spark)
+        res = out.localCheckpoint()
+        block_ids = persistent_rdd_ids(spark) - seen
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+
+
+ORACLE_HIVE_LAYOUT = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS value_sum
+FROM events
+WHERE ts::DATE BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_user_filter": q_bloom_user_filter,
     "events_distinct_sketch": q_events_distinct_sketch,
@@ -565,6 +635,7 @@ EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "events_top_users": q_events_top_users,
     "events_resample": q_events_resample,
+    "hive_layout_read": q_hive_layout_read,
 }
 
 ORACLE_JSON_PROPS = """
@@ -604,6 +675,7 @@ EVENT_ORACLES: dict[str, str] = {
     "events_rolling": ORACLE_ROLLING,
     "events_daily_rollup": ORACLE_DAILY_ROLLUP,
     "events_asof_join": ORACLE_ASOF,
+    "hive_layout_read": ORACLE_HIVE_LAYOUT,
     "events_windowed_counts": ORACLE_WINDOWED,
     "events_funnel": ORACLE_FUNNEL,
     "events_retention": ORACLE_RETENTION,

@@ -234,3 +234,37 @@ def test_clustered_writers_derive_file_count(spark, sf_small):
     # floored at 8; grows one file per input partition past that —
     # the shape that keeps per-partition sort bytes CONSTANT at 100x
     assert n == max(8, li.rdd.getNumPartitions())
+
+
+def test_hive_layout_entry_matches_direct(spark, sf_small):
+    """GROUND_TRUTH_PIN for hive_layout_read: the write-partitioned →
+    read-back → prune → rollup lifecycle equals the same rollup
+    computed DIRECTLY on the unsorted table (no layout round trip) —
+    losslessness and partition-value type exactness in one check."""
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.queries_events import (
+        q_hive_layout_read,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    direct = (
+        load_table(spark, sf_small, "events")
+        .withColumn("day", F.to_date("ts"))
+        .where(
+            (F.col("day") >= F.lit("2024-01-05").cast("date"))
+            & (F.col("day") <= F.lit("2024-01-09").cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+    got = [tuple(r) for r in q_hive_layout_read(spark, sf_small).collect()]
+    want = [tuple(r) for r in direct.collect()]
+    assert got == want and len(want) > 0
