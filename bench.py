@@ -302,9 +302,12 @@ def main() -> None:
         "dedup_zipf_prefix",
         "skewed_token_counts",
         "skewed_doc_hotness",
-        # round-11 addition: Hive-partitioned layout lifecycle (write
-        # partitionBy(day), plan-time partition pruning, rollup)
+        # round-11 additions: Hive-partitioned layout lifecycle (write
+        # partitionBy(day), plan-time partition pruning, rollup) and
+        # the small-file compaction lifecycle (24 files → coalesce
+        # rewrite → atomic swap → read-back rollup)
         "hive_layout_read",
+        "compacted_layout_read",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

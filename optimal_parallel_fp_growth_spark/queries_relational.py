@@ -1494,6 +1494,74 @@ WHERE l_orderkey <= 1000 AND l_partkey <= 300
 """
 
 
+def q_compacted_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file compaction lifecycle under the oracle gate
+    (round 11; sources/compact.py::compact_files): a lineitem
+    projection deliberately written as 24 small files, compacted with
+    the narrow-coalesce rewrite (+ atomic two-rename swap), read back
+    and rolled up per returnflag. The rewrite must be LOSSLESS — a
+    dropped/duplicated row under the coalesce+swap breaks equality
+    with the oracle's direct aggregation — and must actually compact
+    (the in-query file-count check fails the entry closed if the
+    rewrite didn't shrink the layout). Session-temp dir, dropped
+    after materializing."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        RddBlockHandle,
+        persistent_rdd_ids,
+        tag_cached_inputs,
+    )
+    from optimal_parallel_fp_growth_spark.sources.compact import (
+        compact_files,
+    )
+    from optimal_parallel_fp_growth_spark.sources.sinks import read_back
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    tdir = tempfile.mkdtemp(prefix=f"opfpg_cp_{uuid.uuid4().hex}_")
+    path = os.path.join(tdir, "li_small")
+    try:
+        li.repartition(24).write.parquet(path)
+        stats = compact_files(spark, path, target_mb=128)
+        if stats["files_after"] >= stats["files_before"]:
+            raise RuntimeError(f"compaction did not shrink: {stats}")
+        out = (
+            read_back(spark, path)
+            .where(F.col("l_quantity") < 10)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,6)")),
+                    2,
+                )
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .orderBy("l_returnflag")
+        )
+        seen = persistent_rdd_ids(spark)
+        res = out.localCheckpoint()
+        block_ids = persistent_rdd_ids(spark) - seen
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+
+
+ORACLE_COMPACTED_LAYOUT = """
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_extendedprice::DECIMAL(18,6)), 2)::DOUBLE AS sum_price
+FROM lineitem
+WHERE l_quantity < 10
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "supplier_pagerank_bucketed": q_supplier_pagerank_bucketed,
@@ -1524,6 +1592,7 @@ REL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recent_concentration_suppliers": q_recent_concentration_suppliers,
     "local_supplier_revenue": q_local_supplier_revenue,
     "zorder_layout_read": q_zorder_layout_read,
+    "compacted_layout_read": q_compacted_layout_read,
 }
 
 REL_ORACLES: dict[str, str] = {
@@ -1556,4 +1625,5 @@ REL_ORACLES: dict[str, str] = {
     "recent_concentration_suppliers": ORACLE_RECENT_CONCENTRATION,
     "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER,
     "zorder_layout_read": ORACLE_ZORDER_LAYOUT,
+    "compacted_layout_read": ORACLE_COMPACTED_LAYOUT,
 }

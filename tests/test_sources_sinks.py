@@ -268,3 +268,36 @@ def test_hive_layout_entry_matches_direct(spark, sf_small):
     got = [tuple(r) for r in q_hive_layout_read(spark, sf_small).collect()]
     want = [tuple(r) for r in direct.collect()]
     assert got == want and len(want) > 0
+
+
+def test_compacted_layout_entry_matches_direct(spark, sf_small):
+    """GROUND_TRUTH_PIN for compacted_layout_read: the 24-small-files →
+    compact → read-back → rollup lifecycle equals the rollup computed
+    directly on the table — the narrow-coalesce rewrite plus the
+    two-rename swap must be lossless."""
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_compacted_layout_read,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    direct = (
+        load_table(spark, sf_small, "lineitem")
+        .where(F.col("l_quantity") < 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+    got = [
+        tuple(r) for r in q_compacted_layout_read(spark, sf_small).collect()
+    ]
+    want = [tuple(r) for r in direct.collect()]
+    assert got == want and len(want) > 0
