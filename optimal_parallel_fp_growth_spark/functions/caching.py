@@ -184,6 +184,39 @@ class RddBlockHandle:
         self._ids.clear()
 
 
+def session_temp_layout(spark, prefix: str):
+    """Context manager for the layout-lifecycle registry entries
+    (write → read-back → rollup over a session-temp directory):
+    yields ``(tmp_dir, materialize)`` where ``materialize(out)``
+    localCheckpoints the result, diffs the persistent-block ids, and
+    returns it tagged with the :class:`RddBlockHandle` — the exact
+    sequence `zorder_layout_read` / `hive_layout_read` /
+    `compacted_layout_read` previously each hand-rolled (review r11).
+    The temp directory is removed at exit, AFTER materialize has
+    checkpointed the result off the about-to-vanish files."""
+    import contextlib
+    import shutil as _shutil
+    import tempfile
+    import uuid
+
+    @contextlib.contextmanager
+    def _cm():
+        tdir = tempfile.mkdtemp(prefix=f"opfpg_{prefix}_{uuid.uuid4().hex}_")
+
+        def materialize(out: DataFrame) -> DataFrame:
+            seen = persistent_rdd_ids(spark)
+            res = out.localCheckpoint()
+            ids = persistent_rdd_ids(spark) - seen
+            return tag_cached_inputs(res, RddBlockHandle(spark, ids))
+
+        try:
+            yield tdir, materialize
+        finally:
+            _shutil.rmtree(tdir, ignore_errors=True)
+
+    return _cm()
+
+
 def release_cached_inputs(df: DataFrame | None = None) -> int:
     """Unpersist every cached intermediate registered (outside any
     :func:`cache_scope`) since the last release — no-op when nothing is

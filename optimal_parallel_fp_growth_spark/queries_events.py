@@ -559,14 +559,9 @@ def q_hive_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle's direct timestamp-range filter over the unsorted
     table. Session-temp dir, dropped after materializing."""
     import os
-    import shutil
-    import tempfile
-    import uuid
 
     from optimal_parallel_fp_growth_spark.functions.caching import (
-        RddBlockHandle,
-        persistent_rdd_ids,
-        tag_cached_inputs,
+        session_temp_layout,
     )
     from optimal_parallel_fp_growth_spark.sources.sinks import (
         read_back,
@@ -576,9 +571,8 @@ def q_hive_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
     )
-    tdir = tempfile.mkdtemp(prefix=f"opfpg_hive_{uuid.uuid4().hex}_")
-    path = os.path.join(tdir, "events_by_day")
-    try:
+    with session_temp_layout(spark, "hive") as (tdir, materialize):
+        path = os.path.join(tdir, "events_by_day")
         write_parquet(ev, path, partition_by=("day",))
         back = read_back(spark, path).where(
             (F.col("day") >= F.lit("2024-01-05").cast("date"))
@@ -597,12 +591,7 @@ def q_hive_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type")
         )
-        seen = persistent_rdd_ids(spark)
-        res = out.localCheckpoint()
-        block_ids = persistent_rdd_ids(spark) - seen
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
-    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+        return materialize(out)
 
 
 ORACLE_HIVE_LAYOUT = """

@@ -1442,14 +1442,9 @@ def q_zorder_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions' per-file ranges narrow vs a single-sort control);
     session-temp dir, dropped after materializing."""
     import os
-    import shutil
-    import tempfile
-    import uuid
 
     from optimal_parallel_fp_growth_spark.functions.caching import (
-        RddBlockHandle,
-        persistent_rdd_ids,
-        tag_cached_inputs,
+        session_temp_layout,
     )
     from optimal_parallel_fp_growth_spark.sources.sinks import (
         read_back,
@@ -1459,9 +1454,8 @@ def q_zorder_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
     )
-    tdir = tempfile.mkdtemp(prefix=f"opfpg_zo_{uuid.uuid4().hex}_")
-    path = os.path.join(tdir, "zo")
-    try:
+    with session_temp_layout(spark, "zo") as (tdir, materialize):
+        path = os.path.join(tdir, "zo")
         write_zordered(li, path, ("l_orderkey", "l_partkey"), bits=10)
         back = read_back(spark, path).where(
             (F.col("l_orderkey") <= 1000) & (F.col("l_partkey") <= 300)
@@ -1477,12 +1471,7 @@ def q_zorder_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_price"),
         )
-        seen = persistent_rdd_ids(spark)
-        res = out.localCheckpoint()
-        block_ids = persistent_rdd_ids(spark) - seen
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
-    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+        return materialize(out)
 
 
 ORACLE_ZORDER_LAYOUT = """
@@ -1497,37 +1486,41 @@ WHERE l_orderkey <= 1000 AND l_partkey <= 300
 def q_compacted_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The small-file compaction lifecycle under the oracle gate
     (round 11; sources/compact.py::compact_files): a lineitem
-    projection deliberately written as 24 small files, compacted with
-    the narrow-coalesce rewrite (+ atomic two-rename swap), read back
-    and rolled up per returnflag. The rewrite must be LOSSLESS — a
-    dropped/duplicated row under the coalesce+swap breaks equality
+    projection deliberately fragmented into small files, compacted
+    with the narrow-coalesce rewrite (+ atomic two-rename swap), read
+    back and rolled up per returnflag. The rewrite must be LOSSLESS —
+    a dropped/duplicated row under the coalesce+swap breaks equality
     with the oracle's direct aggregation — and must actually compact
     (the in-query file-count check fails the entry closed if the
-    rewrite didn't shrink the layout). Session-temp dir, dropped
-    after materializing."""
+    rewrite didn't shrink the layout). The small-file count SCALES
+    with the data (>= 4x the projected compaction target, floor 24):
+    a fixed 24 would stop shrinking once the projection itself
+    exceeded 24 x target_mb (~3 GB, around sf50) and fail the guard
+    on healthy data — the fixed-small-count scale trap (review r11).
+    Session-temp dir, dropped after materializing."""
     import os
-    import shutil
-    import tempfile
-    import uuid
 
     from optimal_parallel_fp_growth_spark.functions.caching import (
-        RddBlockHandle,
-        persistent_rdd_ids,
-        tag_cached_inputs,
+        session_temp_layout,
     )
     from optimal_parallel_fp_growth_spark.sources.compact import (
         compact_files,
     )
     from optimal_parallel_fp_growth_spark.sources.sinks import read_back
 
+    target_mb = 128
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    tdir = tempfile.mkdtemp(prefix=f"opfpg_cp_{uuid.uuid4().hex}_")
-    path = os.path.join(tdir, "li_small")
-    try:
-        li.repartition(24).write.parquet(path)
-        stats = compact_files(spark, path, target_mb=128)
+    # ~24 on-disk bytes/row for this 3-column projection -> projected
+    # compaction target; fragment to >= 4x that so shrink is always
+    # possible (and provable) at every scale factor
+    est_mb = (li.count() * 24) // (1024 * 1024)
+    n_small = max(24, 4 * -(-est_mb // target_mb))
+    with session_temp_layout(spark, "cp") as (tdir, materialize):
+        path = os.path.join(tdir, "li_small")
+        li.repartition(n_small).write.parquet(path)
+        stats = compact_files(spark, path, target_mb=target_mb)
         if stats["files_after"] >= stats["files_before"]:
             raise RuntimeError(f"compaction did not shrink: {stats}")
         out = (
@@ -1545,12 +1538,7 @@ def q_compacted_layout_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("l_returnflag")
         )
-        seen = persistent_rdd_ids(spark)
-        res = out.localCheckpoint()
-        block_ids = persistent_rdd_ids(spark) - seen
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
-    return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
+        return materialize(out)
 
 
 ORACLE_COMPACTED_LAYOUT = """

@@ -29,6 +29,7 @@ Semantics:
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import pathlib
@@ -114,13 +115,19 @@ def _write_data(df: DataFrame, path: str, version: int) -> list[str]:
             spark.conf.set(key, prev)
     try:
         os.rename(stage, ddir)  # atomic: fails if a racer's vN exists
-    except OSError:
+    except OSError as e:
         shutil.rmtree(stage, ignore_errors=True)
-        raise FileExistsError(
-            f"data for version {version} already written at {path} "
-            "(concurrent writer, or leftovers of a crashed commit "
-            "needing cleanup)"
-        ) from None
+        # only the target-exists errnos ARE the race (review r11):
+        # translating every OSError would turn a persistent
+        # environmental fault (EACCES, EIO, EXDEV) into a
+        # 'retry on a fresh snapshot' signal callers loop on forever
+        if e.errno in (errno.EEXIST, errno.ENOTEMPTY):
+            raise FileExistsError(
+                f"data for version {version} already written at {path} "
+                "(concurrent writer, or leftovers of a crashed commit "
+                "needing cleanup)"
+            ) from None
+        raise
     rel = []
     for f in sorted(ddir.glob("*.parquet")):
         rel.append(str(f.relative_to(path)))
@@ -760,7 +767,13 @@ def table_history(path: str) -> list[dict]:
 def vacuum_table(path: str, keep_last: int = 1) -> int:
     """Delete data files unreferenced by the newest ``keep_last``
     manifests AND drop the older manifests (their versions become
-    unreadable). Returns the number of files deleted."""
+    unreadable). Also reclaims orphaned ``.v*.staging.*`` directories —
+    a writer that crashed between its Spark write and the atomic
+    rename strands a full version-sized copy there (review r11); a
+    staging directory is by construction never referenced by any
+    manifest. Do not run vacuum concurrently with active writers: an
+    in-flight writer's staging directory is indistinguishable from a
+    crashed one's. Returns the number of files deleted."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -770,6 +783,10 @@ def vacuum_table(path: str, keep_last: int = 1) -> int:
         live.update(_load_manifest(path, v)["files"])
     deleted = 0
     droot = pathlib.Path(path) / _DATA_DIR
+    for stale in list(droot.glob(".v*.staging.*")):
+        if stale.is_dir():
+            deleted += sum(1 for _ in stale.rglob("*.parquet"))
+            shutil.rmtree(stale, ignore_errors=True)
     for f in list(droot.rglob("*.parquet")):
         if str(f.relative_to(path)) not in live:
             f.unlink()

@@ -87,6 +87,26 @@ def test_vacuum_reclaims_and_expires(spark, table):
         read_table(spark, table, version=1)
 
 
+def test_vacuum_reclaims_orphaned_staging_dirs(spark, table):
+    """Review r11: a writer crashing between its Spark write and the
+    atomic rename strands a full version-sized copy under a
+    dot-prefixed staging directory; vacuum must reclaim it (the old
+    `v*` sweep could never match a dotted name), without touching the
+    live version."""
+    import pathlib
+
+    stale = (
+        pathlib.Path(table) / "data" / ".v00000002.staging.deadbeef"
+    )
+    stale.mkdir(parents=True)
+    (stale / "part-00000.parquet").write_bytes(b"not-a-real-parquet")
+    (stale / "_SUCCESS").write_bytes(b"")
+    deleted = vacuum_table(table, keep_last=1)
+    assert deleted >= 1
+    assert not stale.exists()
+    assert read_table(spark, table).count() == 100  # live data intact
+
+
 def test_commit_conflict_raises(spark, table):
     """Two writers racing the same next version: the second manifest
     rename must fail, not corrupt."""
