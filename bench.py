@@ -308,6 +308,9 @@ def main() -> None:
         # rewrite → atomic swap → read-back rollup)
         "hive_layout_read",
         "compacted_layout_read",
+        # round-11 addition: the manifest-diff change feed (Delta CDF
+        # shape) over a create → merge → delete lifecycle
+        "versioned_changes",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

@@ -434,20 +434,20 @@ QUERIES.update(REL_QUERIES)
 # the rotation contract that bounds staleness. Round-11 tiers (staleness
 # computed from CORRECTNESS_r{01..10}.json; the invariant is enforced
 # data-driven by tests/test_registry_order.py):
-#   1. the 6 entries with NO driver row ever: multimodal_gif (added
+#   1. the 7 entries with NO driver row ever: multimodal_gif (added
 #      mid-r10 after that window was contractually full; exemption
-#      expired at the r10 snapshot) and the five round-11 entries —
+#      expired at the r10 snapshot) and the six round-11 entries —
 #      the three skew entries dedup_zipf_prefix / skewed_token_counts /
-#      skewed_doc_hotness plus the two layout lifecycles
-#      hive_layout_read / compacted_layout_read — all added at the r11
-#      head, before this window was sampled.
+#      skewed_doc_hotness, the two layout lifecycles hive_layout_read /
+#      compacted_layout_read, and the versioned_changes CDF entry —
+#      all added at the r11 head, before this window was sampled.
 #   2. the 27 r08-green entries deferred through r10 (staleness 3 at
 #      the r11 head — the mandated tier-4 lead block).
-#   3. 17 of the 27 UNPINNED r09-green entries — exactly fills the
+#   3. 16 of the 27 UNPINNED r09-green entries — exactly fills the
 #      window. Unpinned before pinned at equal staleness: unpinned
 #      entries trip the invariant at staleness 3 (r12 head), pinned
 #      ones only at 5.
-#   4. the 10 deferred unpinned r09-green entries (staleness 2 here,
+#   4. the 11 deferred unpinned r09-green entries (staleness 2 here,
 #      3 at the r12 head) — they MUST lead the r12 window.
 #   5. the 22 differential-pinned r09-green entries (cap 4: due in the
 #      r12/r13 windows).
@@ -456,18 +456,20 @@ QUERIES.update(REL_QUERIES)
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
     # tier 1 — never driver-sampled: multimodal_gif (VERDICT r10 task
-    # #1: leads r11) and the five round-11 entries (three skew-stress +
-    # the Hive-layout and compaction lifecycles), added BEFORE this
-    # round's window was sampled so they take window slots directly
-    # (pack_sequences + chunk_documents + source_ngram_overlap +
-    # repetition_signals + pii_stats moved to the tier-4 deferred
-    # block to keep the window at 50)
+    # #1: leads r11) and the six round-11 entries (three skew-stress,
+    # the Hive-layout and compaction lifecycles, and the CDF change
+    # feed), added BEFORE this round's window was sampled so they take
+    # window slots directly (pack_sequences + chunk_documents +
+    # source_ngram_overlap + repetition_signals + pii_stats +
+    # doc_fingerprint moved to the tier-4 deferred block to keep the
+    # window at 50)
     "multimodal_gif",
     "dedup_zipf_prefix",
     "skewed_token_counts",
     "skewed_doc_hotness",
     "hive_layout_read",
     "compacted_layout_read",
+    "versioned_changes",
     # tier 2 — r08-green remainder, deferred through r10 (staleness 3)
     "events_user_quartiles",
     "events_rolling",
@@ -496,7 +498,7 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_order_counts",
     "top_supplier",
     "idle_rich_customers",
-    # tier 3 — 17 unpinned r09-green: fills the window
+    # tier 3 — 16 unpinned r09-green: fills the window
     "html_extract",
     "lm_perplexity",
     "gopher_rules",
@@ -513,9 +515,9 @@ _DRIVER_PRIORITY: list[str] = [
     "apriori_rules",
     "dedup_simhash",
     "lang_id",
-    "doc_fingerprint",
-    # tier 4 — the 10 deferred unpinned r09-green: MUST lead the r12
+    # tier 4 — the 11 deferred unpinned r09-green: MUST lead the r12
     # window (staleness 3 at the r12 head)
+    "doc_fingerprint",
     "pii_stats",
     "repetition_signals",
     "source_ngram_overlap",

@@ -454,6 +454,70 @@ def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_cached_inputs(res, RddBlockHandle(spark, block_ids))
 
 
+# CDF delete cut shared by the Spark entry and its oracle.
+VERSIONED_CDF_DELETE_BELOW = 50
+
+
+def q_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version CHANGE FEED under the oracle gate (round 11;
+    sources/versioned.py::table_changes — the Delta CDF shape computed
+    from the manifest diff, so only files exclusive to one side are
+    read): create the table from documents (v1), COW-merge updates
+    (doc_id % 10 == 0 → n_chars = -1) plus shifted-twin inserts
+    (doc_id % 10 == 5, +10^9) giving v2, row-level delete of
+    doc_id < 50 giving v3, then emit the COMPOSITE v1→v3 feed. The
+    oracle restates every op in closed form — a key deleted after
+    being updated must surface as a `delete` carrying its V1 pre-image
+    (not the v2 one), ghost updates of content-identical survivor rows
+    must NOT surface, and inserts/deletes must be exact."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    with session_temp_layout(spark, "cdf") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(docs.repartitionByRange(4, "doc_id"), path)
+        updates = docs.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id", "lang", "source",
+            F.lit(-1).cast("long").alias("n_chars"),
+        )
+        inserts = docs.where(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+            "lang", "source", "n_chars",
+        )
+        V.merge_table(updates.unionByName(inserts), path, "doc_id")
+        V.delete_where(
+            spark, path, ("doc_id", "<", VERSIONED_CDF_DELETE_BELOW)
+        )
+        out = V.table_changes(spark, path, 1, 3, "doc_id").select(
+            "_change_type", "doc_id", "n_chars"
+        )
+        return materialize(out)
+
+
+ORACLE_VERSIONED_CHANGES = f"""
+SELECT 'delete' AS _change_type, doc_id, n_chars
+FROM documents WHERE doc_id < {VERSIONED_CDF_DELETE_BELOW}
+UNION ALL
+SELECT 'update_preimage', doc_id, n_chars
+FROM documents
+WHERE doc_id % 10 = 0 AND doc_id >= {VERSIONED_CDF_DELETE_BELOW}
+UNION ALL
+SELECT 'update_postimage', doc_id, CAST(-1 AS BIGINT)
+FROM documents
+WHERE doc_id % 10 = 0 AND doc_id >= {VERSIONED_CDF_DELETE_BELOW}
+UNION ALL
+SELECT 'insert', doc_id + 1000000000, n_chars
+FROM documents WHERE doc_id % 10 = 5
+"""
+
+
 ORACLE_VERSIONED_MERGE = """
 WITH merged AS (
   SELECT doc_id, lang,
@@ -1433,6 +1497,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_documents": q_dq_documents,
     "versioned_read": q_versioned_read,
     "versioned_merge": q_versioned_merge,
+    "versioned_changes": q_versioned_changes,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -1481,6 +1546,7 @@ DOC_ORACLES: dict[str, str] = {
     "dq_documents": ORACLE_DQ_DOCUMENTS,
     "versioned_read": ORACLE_VERSIONED_READ,
     "versioned_merge": ORACLE_VERSIONED_MERGE,
+    "versioned_changes": ORACLE_VERSIONED_CHANGES,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

@@ -46,6 +46,7 @@ __all__ = [
     "merge_table",
     "delete_where",
     "read_table",
+    "table_changes",
     "files_scanned",
     "table_history",
     "vacuum_table",
@@ -636,6 +637,83 @@ def merge_table(df: DataFrame, path: str, key: str) -> int:
         man.get("schema") or _schema_fields(df),
         stats,
     )
+
+
+def table_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int, key: str
+) -> DataFrame:
+    """Row-level change feed between two committed versions (the
+    Delta/Iceberg CDF shape), computed from the MANIFEST DIFF: a file
+    carried by reference from ``v_from`` to ``v_to`` is byte-identical,
+    so only the files EXCLUSIVE to one side are ever read — at scale a
+    change feed costs O(changed files), never a two-full-snapshot
+    diff. Because copy-on-write rewrites whole files, an exclusive
+    file still holds unchanged rows (the non-matching survivors); the
+    key-level full-outer join below re-derives row-level ops from the
+    file-level diff and drops content-identical rows.
+
+    Requires ``key`` to be unique within each snapshot (the
+    ``merge_table`` upsert contract). → ``(_change_type, *columns)``
+    with ``_change_type`` ∈ ``insert`` (key only in ``v_to``),
+    ``delete`` (key only in ``v_from``; row = the pre-image),
+    ``update_preimage`` / ``update_postimage`` (key in both with
+    different content — two rows, Delta CDF naming)."""
+    from pyspark.sql import functions as F
+
+    man_from = _load_manifest(path, v_from)
+    man_to = _load_manifest(path, v_to)
+    from_files = set(man_from["files"])
+    to_files = set(man_to["files"])
+    only_from = sorted(from_files - to_files)
+    only_to = sorted(to_files - from_files)
+    schema = man_to.get("schema") or man_from.get("schema")
+    cols = (
+        [c for c, _ in schema]
+        if schema
+        else _read_files(spark, path, sorted(to_files), None).columns
+    )
+    empty = spark.createDataFrame(
+        [], _read_files(spark, path, sorted(to_files or from_files), schema).schema
+    )
+    old = (
+        _read_files(spark, path, only_from, schema) if only_from else empty
+    )
+    new = _read_files(spark, path, only_to, schema) if only_to else empty
+    others = [c for c in cols if c != key]
+    o = old.select(
+        F.col(key).alias("__k"),
+        F.struct(*[F.col(c) for c in cols]).alias("__pre"),
+    )
+    n = new.select(
+        F.col(key).alias("__k"),
+        F.struct(*[F.col(c) for c in cols]).alias("__post"),
+    )
+    j = o.join(n, "__k", "full_outer")
+    pre_row = [F.col(f"__pre.{c}").alias(c) for c in cols]
+    post_row = [F.col(f"__post.{c}").alias(c) for c in cols]
+    same = (
+        F.struct(*[F.col(f"__pre.{c}") for c in others]).eqNullSafe(
+            F.struct(*[F.col(f"__post.{c}") for c in others])
+        )
+        if others
+        else F.lit(True)
+    )
+    inserts = j.where(F.col("__pre").isNull()).select(
+        F.lit("insert").alias("_change_type"), *post_row
+    )
+    deletes = j.where(F.col("__post").isNull()).select(
+        F.lit("delete").alias("_change_type"), *pre_row
+    )
+    changed = j.where(
+        F.col("__pre").isNotNull() & F.col("__post").isNotNull() & ~same
+    )
+    pre = changed.select(
+        F.lit("update_preimage").alias("_change_type"), *pre_row
+    )
+    post = changed.select(
+        F.lit("update_postimage").alias("_change_type"), *post_row
+    )
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
 
 def delete_where(

@@ -5,15 +5,15 @@ bounded per-round window (exactly 50 rows since r4). Round-11 rotation
 contract (VERDICT r10 task #1):
 
 * ``multimodal_gif`` (added mid-r10 after the window was contractually
-  full, never sampled) and the five r11 entries ``dedup_zipf_prefix``
+  full, never sampled) and the six r11 entries ``dedup_zipf_prefix``
   / ``skewed_token_counts`` / ``skewed_doc_hotness`` /
-  ``hive_layout_read`` / ``compacted_layout_read`` (added at the r11
-  head, straight into the window) lead, then the 27 r08-green entries
-  deferred through r10 (staleness 3 at the r11 head), then 17 of the
-  27 UNPINNED r09-green entries — exactly filling the window. The 10
-  deferred unpinned r09-green entries (staleness 3 at the r12 head)
-  MUST lead the r12 window; the 22 pinned r09-green rotate under their
-  cap in r12/r13.
+  ``hive_layout_read`` / ``compacted_layout_read`` /
+  ``versioned_changes`` (added at the r11 head, straight into the
+  window) lead, then the 27 r08-green entries deferred through r10
+  (staleness 3 at the r11 head), then 16 of the 27 UNPINNED r09-green
+  entries — exactly filling the window. The 11 deferred unpinned
+  r09-green entries (staleness 3 at the r12 head) MUST lead the r12
+  window; the 22 pinned r09-green rotate under their cap in r12/r13.
 * A pinned entry (entry-twin differential in ``TWINS``, or an
   independent-recomputation ground truth in ``GROUND_TRUTH_PINS``) may
   defer to a 4-round staleness cap; everything else holds the 2-round
@@ -252,6 +252,9 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "compacted_layout_read": (
         "test_sources_sinks.py::test_compacted_layout_entry_matches_direct"
     ),
+    "versioned_changes": (
+        "test_versioned.py::test_table_changes_matches_full_snapshot_diff"
+    ),
 }
 
 
@@ -403,11 +406,12 @@ def test_simulated_r12_rotation_is_feasible():
 
 def test_window_leads_with_never_sampled_entries():
     # VERDICT r10 task #1 (multimodal_gif) + the r11 additions: the
-    # six entries with no driver row ever lead.
+    # seven entries with no driver row ever lead.
     order = list(Q.QUERIES)
-    assert order[:6] == [
+    assert order[:7] == [
         "multimodal_gif", "dedup_zipf_prefix", "skewed_token_counts",
         "skewed_doc_hotness", "hive_layout_read", "compacted_layout_read",
+        "versioned_changes",
     ]
 
 
@@ -418,29 +422,30 @@ def test_r11_window_composition():
     last, _ = _last_green_by_entry()
     pinned = _pinned()
     # tier 1: never driver-sampled (the r10 mid-round gif entry + the
-    # five r11-head entries, added before this window was sampled)
+    # six r11-head entries, added before this window was sampled)
     tier1 = [
         "multimodal_gif", "dedup_zipf_prefix", "skewed_token_counts",
         "skewed_doc_hotness", "hive_layout_read", "compacted_layout_read",
+        "versioned_changes",
     ]
     assert order[: len(tier1)] == tier1
     # tier 2: the 27 r08-green entries deferred through r10
     tier2 = order[len(tier1) : len(tier1) + 27]
     assert all(last.get(n) == 8 for n in tier2), tier2
-    # tier 3 fills the window: 17 UNPINNED r09-green entries (unpinned
+    # tier 3 fills the window: 16 UNPINNED r09-green entries (unpinned
     # rotate before pinned at equal staleness — they trip at 3, pinned
     # at 5)
     tier3 = order[len(tier1) + 27 : WINDOW]
     assert all(last.get(n) == 9 and n not in pinned for n in tier3), tier3
-    # tier 4: the 10 deferred unpinned r09-green — MUST lead r12
-    tier4 = order[WINDOW : WINDOW + 10]
+    # tier 4: the 11 deferred unpinned r09-green — MUST lead r12
+    tier4 = order[WINDOW : WINDOW + 11]
     assert all(last.get(n) == 9 and n not in pinned for n in tier4), tier4
     # tier 5: the 22 pinned r09-green (cap 4: due r12/r13)
-    tier5 = order[WINDOW + 10 : WINDOW + 32]
+    tier5 = order[WINDOW + 11 : WINDOW + 33]
     assert all(last.get(n) == 9 and n in pinned for n in tier5), tier5
     # tier 6: the r10-green tail (freshest last), then any mid-round
     # additions at the very end
-    tail = order[WINDOW + 32 :]
+    tail = order[WINDOW + 33 :]
     tier6 = [n for n in tail if n not in NEW_THIS_ROUND]
     assert all(last.get(n) == 10 for n in tier6), [
         n for n in tier6 if last.get(n) != 10

@@ -1116,3 +1116,47 @@ def test_property_reader_and_vacuum_interleavings(spark, tmp_path):
                     read_table(spark, path, version=v)
 
     run()
+
+
+def test_table_changes_matches_full_snapshot_diff(spark, table):
+    """GROUND_TRUTH_PIN for versioned_changes: the manifest-diff change
+    feed (reads only files exclusive to one side) equals the brute
+    diff of the two FULL snapshots, for every version pair across a
+    merge + a delete — including the composite v1→v3 feed where a
+    deleted-after-update key must carry the v1 pre-image."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_where,
+        merge_table,
+        table_changes,
+    )
+
+    src = spark.createDataFrame(
+        [(0, -1), (7, -1), (9_000, 77)], "doc_id long, v long"
+    )
+    merge_table(src, table, "doc_id")  # v2: updates 0 and 7, inserts 9000
+    delete_where(spark, table, ("doc_id", "<", 5))  # v3
+
+    def brute(v_from, v_to):
+        a = {r.doc_id: r.v for r in read_table(spark, table, version=v_from).collect()}
+        b = {r.doc_id: r.v for r in read_table(spark, table, version=v_to).collect()}
+        out = []
+        for k in b.keys() - a.keys():
+            out.append(("insert", k, b[k]))
+        for k in a.keys() - b.keys():
+            out.append(("delete", k, a[k]))
+        for k in a.keys() & b.keys():
+            if a[k] != b[k]:
+                out.append(("update_preimage", k, a[k]))
+                out.append(("update_postimage", k, b[k]))
+        return sorted(out)
+
+    for v_from, v_to in ((1, 2), (2, 3), (1, 3)):
+        got = sorted(
+            tuple(r)
+            for r in table_changes(
+                spark, table, v_from, v_to, "doc_id"
+            ).collect()
+        )
+        assert got == brute(v_from, v_to), (v_from, v_to)
+    # identical versions → empty feed
+    assert table_changes(spark, table, 2, 2, "doc_id").count() == 0
