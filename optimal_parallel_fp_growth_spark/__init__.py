@@ -174,12 +174,16 @@ from optimal_parallel_fp_growth_spark.operators.textops import (
 )
 from optimal_parallel_fp_growth_spark.sources.compact import compact_files
 from optimal_parallel_fp_growth_spark.sources.versioned import (
+    aggregate_state,
     append_table,
     compact_table,
     create_table,
     overwrite_table,
+    present_aggregate,
     read_table,
+    refresh_aggregate,
     stream_to_table,
+    table_changes,
     table_history,
     vacuum_table,
 )
@@ -286,6 +290,10 @@ __all__ = [
     "compact_table",
     "read_table",
     "table_history",
+    "table_changes",
+    "aggregate_state",
+    "refresh_aggregate",
+    "present_aggregate",
     "vacuum_table",
     "stream_to_table",
     "salted_agg",

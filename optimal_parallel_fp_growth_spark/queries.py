@@ -602,6 +602,9 @@ _DRIVER_PRIORITY: list[str] = [
     "freq_itemsets",
     "deduped_corpus_cc",
     "multimodal_decode",
+    # mid-round r11 addition (window contractually full when added;
+    # NEW_THIS_ROUND exemption — must lead the r12 window)
+    "incremental_agg",
 ]
 
 

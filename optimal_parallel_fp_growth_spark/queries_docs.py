@@ -534,6 +534,67 @@ FROM merged GROUP BY lang
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance under the oracle
+    gate (round 11; sources/versioned.py::refresh_aggregate): build the
+    (lang, source) count+sum rollup STATE at v1, drive the same
+    lifecycle as `versioned_changes` (COW merge of updates+inserts →
+    v2, row-level delete → v3), and roll the state forward TWICE
+    through the change feed — v1→v2 then v2→v3, exercising chaining —
+    without ever rescanning the table after v1. The oracle recomputes
+    the v3 rollup directly from the closed-form final row set, so a
+    mis-signed delta, a dropped-group leak, or a double-applied
+    update-pair breaks equality."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    grp, sums, cnt = ["lang", "source"], [("n_chars", "total_chars")], "n_docs"
+    with session_temp_layout(spark, "imv") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(docs.repartitionByRange(4, "doc_id"), path)
+        state = V.aggregate_state(docs, grp, sums, cnt)
+        updates = docs.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id", "lang", "source",
+            F.lit(-1).cast("long").alias("n_chars"),
+        )
+        inserts = docs.where(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+            "lang", "source", "n_chars",
+        )
+        V.merge_table(updates.unionByName(inserts), path, "doc_id")
+        state = V.refresh_aggregate(
+            spark, path, 1, 2, "doc_id", grp, sums, state=state, count_col=cnt
+        )
+        V.delete_where(
+            spark, path, ("doc_id", "<", VERSIONED_CDF_DELETE_BELOW)
+        )
+        state = V.refresh_aggregate(
+            spark, path, 2, 3, "doc_id", grp, sums, state=state, count_col=cnt
+        )
+        return materialize(V.present_aggregate(state, sums, cnt))
+
+
+ORACLE_INCREMENTAL_AGG = f"""
+WITH final AS (
+  SELECT lang, source,
+         CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id >= {VERSIONED_CDF_DELETE_BELOW}
+  UNION ALL
+  SELECT lang, source, n_chars FROM documents WHERE doc_id % 10 = 5
+)
+SELECT lang, source, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM final GROUP BY lang, source
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
@@ -1498,6 +1559,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_read": q_versioned_read,
     "versioned_merge": q_versioned_merge,
     "versioned_changes": q_versioned_changes,
+    "incremental_agg": q_incremental_agg,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -1547,6 +1609,7 @@ DOC_ORACLES: dict[str, str] = {
     "versioned_read": ORACLE_VERSIONED_READ,
     "versioned_merge": ORACLE_VERSIONED_MERGE,
     "versioned_changes": ORACLE_VERSIONED_CHANGES,
+    "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

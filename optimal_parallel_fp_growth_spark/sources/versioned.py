@@ -47,6 +47,9 @@ __all__ = [
     "delete_where",
     "read_table",
     "table_changes",
+    "aggregate_state",
+    "refresh_aggregate",
+    "present_aggregate",
     "files_scanned",
     "table_history",
     "vacuum_table",
@@ -876,3 +879,136 @@ def vacuum_table(path: str, keep_last: int = 1) -> int:
     for v in vs[:-keep_last]:
         _manifest_path(path, v).unlink()
     return deleted
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-aggregate maintenance over the change feed.
+#
+# The 100 TB shape this exists for: a grouped rollup (docs per source,
+# tokens per language, revenue per nation) over a table that receives
+# daily merges. Recomputing the rollup rescans the full table every
+# refresh; maintaining it from ``table_changes`` costs O(changed files)
+# to read + one exchange keyed on the GROUP columns whose width is
+# |groups| + |changed rows| — independent of table size. Only
+# DISTRIBUTIVE aggregates (count, sum — and anything derived from
+# them, e.g. avg = sum/count) are maintainable under deletes; min/max
+# are not (a deleted extremum forces a re-scan of its group), so this
+# API deliberately does not offer them.
+#
+# NULL exactness: SUM over a group whose values are all NULL is NULL,
+# not 0, and a plain "running sum of coalesce(x, 0)" cannot tell those
+# apart once increments and decrements interleave. The state therefore
+# carries one companion non-null count per sum column (``__nn_<alias>``)
+# — the textbook IVM treatment — and ``present_aggregate`` re-derives
+# the NULL-when-empty semantics exactly.
+
+
+def _check_agg_spec(
+    group_cols: list[str], sums: list[tuple[str, str]], count_col: str
+) -> None:
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    aliases = [a for _, a in sums]
+    names = list(group_cols) + [count_col] + aliases
+    if len(set(names)) != len(names):
+        raise ValueError(f"aggregate output names collide: {names}")
+    for a in aliases:
+        if a.startswith("__nn_"):
+            raise ValueError(f"alias {a!r} collides with companion prefix")
+
+
+def aggregate_state(
+    df: DataFrame,
+    group_cols: list[str],
+    sums: list[tuple[str, str]],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Build the maintainable STATE of a grouped count+sum rollup:
+    ``group_cols`` + ``count_col`` (rows per group) + per ``(col,
+    alias)`` in ``sums`` a zero-based running sum ``alias`` and its
+    non-null companion count ``__nn_<alias>``. Feed the result to
+    :func:`refresh_aggregate` (as ``state=``) and render it for humans
+    with :func:`present_aggregate`. One hash aggregation — Catalyst
+    plans the usual partial/final pair, so the exchange carries only
+    per-partition partial rows."""
+    from pyspark.sql import functions as F
+
+    _check_agg_spec(group_cols, sums, count_col)
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    for col, alias in sums:
+        aggs.append(F.sum(F.coalesce(F.col(col), F.lit(0))).alias(alias))
+        aggs.append(F.count(F.col(col)).alias(f"__nn_{alias}"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def refresh_aggregate(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+    group_cols: list[str],
+    sums: list[tuple[str, str]],
+    state: DataFrame | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Roll a materialized aggregate STATE forward from ``v_from`` to
+    ``v_to`` using only the change feed: each CDF row contributes
+    weight +1 (``insert`` / ``update_postimage``) or -1 (``delete`` /
+    ``update_preimage``) to its group's count, sums, and non-null
+    companions; the signed contributions are unioned with the state
+    and re-summed per group; groups whose row count reaches zero are
+    dropped. Refreshes CHAIN: the return value is a valid ``state``
+    for the next version hop, and a composite hop v1→v3 equals the
+    two-hop chain (pinned in tests/test_versioned.py).
+
+    ``state`` must be the :func:`aggregate_state` of the SAME spec at
+    exactly ``v_from`` (when omitted it is computed from
+    ``read_table(version=v_from)`` — a full scan, the thing every
+    subsequent refresh then avoids). ``key`` inherits the
+    ``table_changes`` contract: unique within each snapshot."""
+    from pyspark.sql import functions as F
+
+    _check_agg_spec(group_cols, sums, count_col)
+    if state is None:
+        state = aggregate_state(
+            read_table(spark, path, version=v_from), group_cols, sums, count_col
+        )
+    changes = table_changes(spark, path, v_from, v_to, key)
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta_cols = [w.cast("long").alias(count_col)]
+    for col, alias in sums:
+        delta_cols.append((F.coalesce(F.col(col), F.lit(0)) * w).alias(alias))
+        delta_cols.append(
+            (F.col(col).isNotNull().cast("long") * w).alias(f"__nn_{alias}")
+        )
+    delta = changes.select(*[F.col(c) for c in group_cols], *delta_cols)
+    value_cols = [c for c in state.columns if c not in group_cols]
+    return (
+        state.unionByName(delta.select(*state.columns))
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).alias(c) for c in value_cols])
+        .where(F.col(count_col) > 0)
+    )
+
+
+def present_aggregate(
+    state: DataFrame,
+    sums: list[tuple[str, str]],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Render a maintained state for consumption: drop the
+    ``__nn_<alias>`` companions, NULLing each sum whose group has no
+    non-null values (exact SQL ``SUM`` semantics — see the module
+    note on NULL exactness). ``count_col`` is accepted for signature
+    symmetry and passed through unchanged."""
+    from pyspark.sql import functions as F
+
+    out = state
+    for _, alias in sums:
+        out = out.withColumn(
+            alias, F.when(F.col(f"__nn_{alias}") > 0, F.col(alias))
+        ).drop(f"__nn_{alias}")
+    return out

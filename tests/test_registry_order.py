@@ -255,6 +255,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "versioned_changes": (
         "test_versioned.py::test_table_changes_matches_full_snapshot_diff"
     ),
+    # round-11 mid-round addition: the rolled-forward state recomputed
+    # by a pure-python rollup of the target snapshot for every version
+    # pair (incl. group birth/death and all-NULL-measure groups)
+    "incremental_agg": (
+        "test_versioned.py::test_refresh_aggregate_matches_full_recompute"
+    ),
 }
 
 
@@ -265,7 +271,7 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # addition the exemption EXPIRES and the entry must be in the window or
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
-NEW_THIS_ROUND: dict[str, int] = {}
+NEW_THIS_ROUND: dict[str, int] = {"incremental_agg": 11}
 
 
 def _last_green_by_entry() -> tuple[dict[str, int], int]:

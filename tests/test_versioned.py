@@ -1160,3 +1160,155 @@ def test_table_changes_matches_full_snapshot_diff(spark, table):
         assert got == brute(v_from, v_to), (v_from, v_to)
     # identical versions → empty feed
     assert table_changes(spark, table, 2, 2, "doc_id").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-aggregate maintenance (round 11)
+
+
+def _imv_table(spark, tmp_path):
+    """Lifecycle fixture: v1 create → v2 merge (updates + a brand-new
+    group) → v3 row delete → v4 append. Group 9 is crafted so the
+    delete leaves it with only NULL measures (the companion-count
+    payoff), group 5 so the delete removes it entirely."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        append_table,
+        delete_where,
+        merge_table,
+    )
+
+    rows = [(i, i % 3, None if i % 5 == 0 else i * 10) for i in range(20)]
+    rows += [(200, 9, 50), (201, 9, None)]  # group 9: one value, one NULL
+    rows += [(300, 5, 7)]  # group 5: a single row
+    df = spark.createDataFrame(rows, "doc_id long, g long, x long")
+    path = str(tmp_path / "imv")
+    create_table(df.repartition(3), path)
+    upd = spark.createDataFrame(
+        [(1, 1, 999), (3, 0, None), (400, 7, 4), (401, 7, None)],
+        "doc_id long, g long, x long",
+    )
+    merge_table(upd, path, "doc_id")  # v2: 2 updates + new group 7
+    delete_where(spark, path, ("doc_id", "==", 200))  # v3: group 9 all-NULL
+    delete_where(spark, path, ("doc_id", "==", 300))  # v4: group 5 dies
+    append_table(
+        spark.createDataFrame([(500, 1, -5), (501, 9, None)],
+                              "doc_id long, g long, x long"),
+        path,
+    )  # v5
+    return path
+
+
+def _brute_rollup(spark, path, version):
+    """Independent ground truth: pure-python rollup over the collected
+    snapshot, with exact SQL SUM NULL semantics."""
+    agg: dict[int, list] = {}
+    for r in read_table(spark, path, version=version).collect():
+        cnt, tot = agg.setdefault(r.g, [0, None])
+        agg[r.g][0] = cnt + 1
+        if r.x is not None:
+            agg[r.g][1] = (tot or 0) + r.x
+    return {g: (c, t) for g, (c, t) in agg.items()}
+
+
+def test_refresh_aggregate_matches_full_recompute(spark, tmp_path):
+    """GROUND_TRUTH_PIN for incremental_agg: rolling the state forward
+    through the change feed equals a pure-python rollup of the target
+    snapshot, for EVERY version pair across merge, delete, and append
+    — including the pairs where a group is born, dies, or degrades to
+    all-NULL measures."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        aggregate_state,
+        present_aggregate,
+        refresh_aggregate,
+    )
+
+    path = _imv_table(spark, tmp_path)
+    sums = [("x", "sum_x")]
+    for v_from in range(1, 6):
+        state = aggregate_state(
+            read_table(spark, path, version=v_from), ["g"], sums, "n"
+        )
+        for v_to in range(v_from + 1, 6):
+            new_state = refresh_aggregate(
+                spark, path, v_from, v_to, "doc_id", ["g"], sums,
+                state=state, count_col="n",
+            )
+            got = {
+                r.g: (r.n, r.sum_x)
+                for r in present_aggregate(new_state, sums, "n").collect()
+            }
+            assert got == _brute_rollup(spark, path, v_to), (v_from, v_to)
+
+
+def test_refresh_aggregate_chains_and_composite_agree(spark, tmp_path):
+    """state(v1) → v2 → ... → v5 chained one hop at a time equals the
+    composite v1→v5 refresh equals the ground truth — the return value
+    is a valid state for the next hop."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        aggregate_state,
+        present_aggregate,
+        refresh_aggregate,
+    )
+
+    path = _imv_table(spark, tmp_path)
+    sums = [("x", "sum_x")]
+    chained = aggregate_state(
+        read_table(spark, path, version=1), ["g"], sums, "n"
+    )
+    for v in range(1, 5):
+        chained = refresh_aggregate(
+            spark, path, v, v + 1, "doc_id", ["g"], sums,
+            state=chained, count_col="n",
+        )
+    composite = refresh_aggregate(
+        spark, path, 1, 5, "doc_id", ["g"], sums, count_col="n"
+    )  # state omitted: computed from v1
+    want = _brute_rollup(spark, path, 5)
+    for state in (chained, composite):
+        got = {
+            r.g: (r.n, r.sum_x)
+            for r in present_aggregate(state, sums, "n").collect()
+        }
+        assert got == want
+
+
+def test_refresh_aggregate_group_lifecycle(spark, tmp_path):
+    """Group 7 is BORN in v2's feed (no v1 state row), group 5 DIES in
+    v4 (count reaches zero → dropped, not a zero-count ghost), and
+    group 9's sum goes NULL in v3 (its only non-NULL measure was
+    deleted) then stays NULL through v5's NULL-only append."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        present_aggregate,
+        refresh_aggregate,
+    )
+
+    path = _imv_table(spark, tmp_path)
+    sums = [("x", "sum_x")]
+
+    def rolled(v_to):
+        state = refresh_aggregate(
+            spark, path, 1, v_to, "doc_id", ["g"], sums, count_col="n"
+        )
+        return {
+            r.g: (r.n, r.sum_x)
+            for r in present_aggregate(state, sums, "n").collect()
+        }
+
+    assert rolled(2)[7] == (2, 4)  # born: one value + one NULL
+    assert 5 in rolled(3) and 5 not in rolled(4)  # dies at v4
+    assert rolled(3)[9] == (1, None)  # all-NULL group: NULL, not 0
+    assert rolled(5)[9] == (2, None)  # NULL-only append keeps it NULL
+
+
+def test_aggregate_state_rejects_colliding_spec(spark):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        aggregate_state,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "g long, x long")
+    with pytest.raises(ValueError, match="collide"):
+        aggregate_state(df, ["g"], [("x", "g")], "n")
+    with pytest.raises(ValueError, match="companion"):
+        aggregate_state(df, ["g"], [("x", "__nn_x")], "n")
+    with pytest.raises(ValueError, match="at least one"):
+        aggregate_state(df, [], [("x", "sum_x")], "n")
