@@ -203,6 +203,9 @@ def main() -> None:
         "apriori_rules",
         # -- dedup scale-default --
         "dedup_ngram_jaccard",
+        # the ppjoin prefix tier (scale-path twin of the quadratic
+        # exact tier benched last) — unbenched until r11 by oversight
+        "dedup_ngram_prefix",
         "deduped_corpus",
         "deduped_corpus_cc",
         # -- arrow scale twins (driver rows added round 5) --
@@ -311,6 +314,13 @@ def main() -> None:
         # round-11 addition: the manifest-diff change feed (Delta CDF
         # shape) over a create → merge → delete lifecycle
         "versioned_changes",
+        # round-11 addition: incremental materialized-aggregate
+        # maintenance (two chained CDF-driven refreshes over the same
+        # create → merge → delete lifecycle)
+        "incremental_agg",
+        # round-11 addition: materialized-view lifecycle (create_view
+        # full scan + append/delete + ONE composite CDF sync + read)
+        "materialized_view",
         # -- LAST on purpose: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran

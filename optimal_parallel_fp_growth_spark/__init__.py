@@ -178,14 +178,18 @@ from optimal_parallel_fp_growth_spark.sources.versioned import (
     append_table,
     compact_table,
     create_table,
+    create_view,
     overwrite_table,
     present_aggregate,
     read_table,
+    read_view,
     refresh_aggregate,
     stream_to_table,
+    sync_view,
     table_changes,
     table_history,
     vacuum_table,
+    view_base_version,
 )
 from optimal_parallel_fp_growth_spark.sources.sinks import (
     write_sharded,
@@ -294,6 +298,10 @@ __all__ = [
     "aggregate_state",
     "refresh_aggregate",
     "present_aggregate",
+    "create_view",
+    "sync_view",
+    "read_view",
+    "view_base_version",
     "vacuum_table",
     "stream_to_table",
     "salted_agg",

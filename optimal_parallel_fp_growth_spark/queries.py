@@ -602,9 +602,10 @@ _DRIVER_PRIORITY: list[str] = [
     "freq_itemsets",
     "deduped_corpus_cc",
     "multimodal_decode",
-    # mid-round r11 addition (window contractually full when added;
+    # mid-round r11 additions (window contractually full when added;
     # NEW_THIS_ROUND exemption — must lead the r12 window)
     "incremental_agg",
+    "materialized_view",
 ]
 
 

@@ -595,6 +595,58 @@ FROM final GROUP BY lang, source
 """
 
 
+def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view lifecycle under the oracle gate (round 11;
+    sources/versioned.py::create_view/sync_view/read_view): materialize
+    the per-source (count, sum n_chars, sum doc_id) rollup of a
+    versioned documents table at v1, advance the base through an
+    APPEND (doc_id%7==3 twins shifted +2*10^9) and a row-level DELETE
+    (doc_id < 100), then ONE composite sync catches the view up
+    reading only CDF-exclusive files, and read_view presents the
+    state read back from parquet (companion counts round-tripping
+    through persistence). The oracle recomputes the final rollup from
+    the closed-form row set."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    sums = [("n_chars", "total_chars"), ("doc_id", "id_sum")]
+    with session_temp_layout(spark, "mview") as (tdir, materialize):
+        base = os.path.join(tdir, "base")
+        view = os.path.join(tdir, "view")
+        V.create_table(docs.repartitionByRange(4, "doc_id"), base)
+        V.create_view(spark, base, view, "doc_id", ["source"], sums, "n_docs")
+        V.append_table(
+            docs.where(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+                "source", "n_chars",
+            ),
+            base,
+        )
+        V.delete_where(spark, base, ("doc_id", "<", 100))
+        V.sync_view(spark, view)
+        return materialize(V.read_view(spark, view))
+
+
+ORACLE_MATERIALIZED_VIEW = """
+WITH final AS (
+  SELECT source, doc_id, n_chars FROM documents WHERE doc_id >= 100
+  UNION ALL
+  SELECT source, doc_id + 2000000000 AS doc_id, n_chars
+  FROM documents WHERE doc_id % 7 = 3
+)
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       sum(doc_id)::BIGINT AS id_sum
+FROM final GROUP BY source
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
@@ -1560,6 +1612,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_merge": q_versioned_merge,
     "versioned_changes": q_versioned_changes,
     "incremental_agg": q_incremental_agg,
+    "materialized_view": q_materialized_view,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -1610,6 +1663,7 @@ DOC_ORACLES: dict[str, str] = {
     "versioned_merge": ORACLE_VERSIONED_MERGE,
     "versioned_changes": ORACLE_VERSIONED_CHANGES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
+    "materialized_view": ORACLE_MATERIALIZED_VIEW,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

@@ -50,6 +50,10 @@ __all__ = [
     "aggregate_state",
     "refresh_aggregate",
     "present_aggregate",
+    "create_view",
+    "sync_view",
+    "read_view",
+    "view_base_version",
     "files_scanned",
     "table_history",
     "vacuum_table",
@@ -1012,3 +1016,147 @@ def present_aggregate(
             alias, F.when(F.col(f"__nn_{alias}") > 0, F.col(alias))
         ).drop(f"__nn_{alias}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Materialized views: a rollup persisted as its OWN versioned table and
+# caught up to the base incrementally.
+#
+# The view stores the raw maintainable STATE (companion counts
+# included) so it can keep being refreshed; ``read_view`` presents it.
+# Each view version's manifest records the base version it reflects in
+# its ``op`` string (``view@base_v<N>``) — the watermark rides the same
+# atomic manifest commit as the data, so there is no sidecar to race.
+# A ``sync`` reads only the base's CDF-exclusive files and rewrites
+# |groups| rows — at 100 TB the view refresh cost tracks the CHANGE
+# rate, not the table size. If the base was vacuumed past the
+# watermark (CDF retention expired — the Delta failure mode), sync
+# falls back to a full recompute at the head and records
+# ``view_rebuild@base_v<N>``.
+
+_VIEW_META = "_view.json"
+
+
+def _view_spec(view_path: str) -> dict:
+    p = pathlib.Path(view_path) / _VIEW_META
+    if not p.is_file():
+        raise FileNotFoundError(f"no materialized view at {view_path}")
+    return json.loads(p.read_text())
+
+
+def view_base_version(view_path: str, version: int | None = None) -> int:
+    """The base-table version a view version reflects (latest by
+    default), parsed from the atomically-committed manifest op."""
+    vs = _versions(view_path)
+    if not vs:
+        raise FileNotFoundError(f"no materialized view at {view_path}")
+    v = vs[-1] if version is None else version
+    op = _load_manifest(view_path, v)["op"]
+    if "@base_v" not in op:
+        raise ValueError(f"version {v} at {view_path} is not a view commit: {op!r}")
+    return int(op.rsplit("@base_v", 1)[1])
+
+
+def _commit_view_state(
+    state: DataFrame, view_path: str, op: str, version: int
+) -> int:
+    files = _write_data(state, view_path, version)
+    return _commit(
+        view_path, version, files, op, _schema_fields(state),
+        _file_stats(view_path, files),
+    )
+
+
+def create_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    key: str,
+    group_cols: list[str],
+    sums: list[tuple[str, str]],
+    count_col: str = "n_rows",
+) -> int:
+    """Materialize the count+sum rollup of ``base_path``'s CURRENT head
+    as view v1 and persist the (immutable) view spec. Returns the base
+    version the view reflects. This is the one full scan of the base a
+    view ever needs — every later :func:`sync_view` is incremental."""
+    _check_agg_spec(group_cols, sums, count_col)
+    if _versions(view_path):
+        raise FileExistsError(f"materialized view already exists at {view_path}")
+    base_vs = _versions(base_path)
+    if not base_vs:
+        raise FileNotFoundError(f"no versioned table at {base_path}")
+    head = base_vs[-1]
+    state = aggregate_state(
+        read_table(spark, base_path, version=head), group_cols, sums, count_col
+    )
+    vdir = pathlib.Path(view_path)
+    vdir.mkdir(parents=True, exist_ok=True)
+    spec = {
+        "base_path": os.path.abspath(base_path),
+        "key": key,
+        "group_cols": group_cols,
+        "sums": [list(s) for s in sums],
+        "count_col": count_col,
+    }
+    tmp = vdir / f".{_VIEW_META}.tmp.{os.getpid()}"
+    tmp.write_text(json.dumps(spec, indent=1))
+    os.replace(tmp, vdir / _VIEW_META)
+    _commit_view_state(state, view_path, f"view@base_v{head}", 1)
+    return head
+
+
+def sync_view(spark: SparkSession, view_path: str) -> int:
+    """Catch the view up to its base table's head: ONE composite CDF
+    refresh from the watermark to the head, committed as one new view
+    version. No-op (no new version) when already current. Falls back
+    to a full head recompute when the watermark's base manifest was
+    vacuumed away. Returns the base version now reflected."""
+    spec = _view_spec(view_path)
+    base_path = spec["base_path"]
+    sums = [tuple(s) for s in spec["sums"]]
+    base_vs = _versions(base_path)
+    if not base_vs:
+        raise FileNotFoundError(f"no versioned table at {base_path}")
+    head = base_vs[-1]
+    synced = view_base_version(view_path)
+    if head == synced:
+        return synced
+    if head < synced:
+        raise ValueError(
+            f"view at {view_path} reflects base v{synced} but the base "
+            f"head is v{head} — the base table was replaced?"
+        )
+    cur_view = _versions(view_path)[-1]
+    state = read_table(spark, view_path)
+    try:
+        new_state = refresh_aggregate(
+            spark, base_path, synced, head, spec["key"],
+            spec["group_cols"], sums, state=state,
+            count_col=spec["count_col"],
+        )
+        op = f"view@base_v{head}"
+    except FileNotFoundError:
+        # CDF retention expired under us: the watermark manifest was
+        # vacuumed. Rebuild from the head — correct, just not O(delta).
+        new_state = aggregate_state(
+            read_table(spark, base_path, version=head),
+            spec["group_cols"], sums, spec["count_col"],
+        )
+        op = f"view_rebuild@base_v{head}"
+    _commit_view_state(new_state, view_path, op, cur_view + 1)
+    return head
+
+
+def read_view(
+    spark: SparkSession, view_path: str, version: int | None = None
+) -> DataFrame:
+    """Present a view (or one of its historical versions): the stored
+    state with companion counts resolved back to exact SQL SUM
+    semantics. Time travel composes: ``read_view(version=1)`` is the
+    rollup of the base version recorded by view v1's watermark."""
+    spec = _view_spec(view_path)
+    state = read_table(spark, view_path, version=version)
+    return present_aggregate(
+        state, [tuple(s) for s in spec["sums"]], spec["count_col"]
+    )

@@ -261,6 +261,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "incremental_agg": (
         "test_versioned.py::test_refresh_aggregate_matches_full_recompute"
     ),
+    # round-11 mid-round addition: create → mutate → sync → read_view
+    # recomputed by the same pure-python snapshot rollup, plus the
+    # watermark / no-op-sync / time-travel contracts
+    "materialized_view": (
+        "test_versioned.py::test_materialized_view_lifecycle"
+    ),
 }
 
 
@@ -271,7 +277,10 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # addition the exemption EXPIRES and the entry must be in the window or
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
-NEW_THIS_ROUND: dict[str, int] = {"incremental_agg": 11}
+NEW_THIS_ROUND: dict[str, int] = {
+    "incremental_agg": 11,
+    "materialized_view": 11,
+}
 
 
 def _last_green_by_entry() -> tuple[dict[str, int], int]:

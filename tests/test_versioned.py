@@ -1312,3 +1312,138 @@ def test_aggregate_state_rejects_colliding_spec(spark):
         aggregate_state(df, ["g"], [("x", "__nn_x")], "n")
     with pytest.raises(ValueError, match="at least one"):
         aggregate_state(df, [], [("x", "sum_x")], "n")
+
+
+# ---------------------------------------------------------------------------
+# Materialized views (round 11)
+
+
+def test_materialized_view_lifecycle(spark, tmp_path):
+    """create_view at base v1 → base advances through merge, delete,
+    append → ONE composite sync catches up; read_view matches the
+    pure-python rollup, the watermark tracks the base head, a
+    redundant sync commits nothing, and view time travel still reads
+    the v1-era rollup."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        append_table,
+        create_view,
+        delete_where,
+        merge_table,
+        read_view,
+        sync_view,
+        table_history,
+        view_base_version,
+    )
+
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    rows = [(i, i % 3, None if i % 5 == 0 else i * 10) for i in range(20)]
+    create_table(
+        spark.createDataFrame(rows, "doc_id long, g long, x long"), base
+    )
+    assert create_view(
+        spark, base, view, "doc_id", ["g"], [("x", "sum_x")], "n"
+    ) == 1
+    v1_truth = _brute_rollup(spark, base, 1)
+    merge_table(
+        spark.createDataFrame(
+            [(1, 1, 999), (400, 7, 4)], "doc_id long, g long, x long"
+        ),
+        base, "doc_id",
+    )
+    delete_where(spark, base, ("doc_id", "<", 3))
+    append_table(
+        spark.createDataFrame([(500, 1, -5)], "doc_id long, g long, x long"),
+        base,
+    )
+    assert sync_view(spark, view) == 4
+    assert view_base_version(view) == 4
+
+    def collect(df):
+        return {r.g: (r.n, r.sum_x) for r in df.collect()}
+
+    assert collect(read_view(spark, view)) == _brute_rollup(spark, base, 4)
+    # redundant sync: watermark unchanged, no new view version
+    n_versions = len(table_history(view))
+    assert sync_view(spark, view) == 4
+    assert len(table_history(view)) == n_versions
+    # time travel: view v1 still reads the base-v1 rollup
+    assert collect(read_view(spark, view, version=1)) == v1_truth
+
+
+def test_materialized_view_rebuilds_after_base_vacuum(spark, tmp_path):
+    """CDF retention expiring under the view (base vacuumed past the
+    watermark) must not wedge sync: it falls back to a full head
+    recompute and records the rebuild in the view history."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        create_view,
+        merge_table,
+        read_view,
+        sync_view,
+        table_history,
+        vacuum_table,
+    )
+
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    create_table(_batch(spark, 0, 30), base)
+    create_view(spark, base, view, "doc_id", ["v"], [("doc_id", "s")], "n")
+    merge_table(
+        spark.createDataFrame([(0, -1), (999, 42)], "doc_id long, v long"),
+        base, "doc_id",
+    )
+    vacuum_table(base, keep_last=1)  # v1 manifest (the watermark) is gone
+    assert sync_view(spark, view) == 2
+    assert table_history(view)[-1]["op"] == "view_rebuild@base_v2"
+    got = {(r.v): (r.n, r.s) for r in read_view(spark, view).collect()}
+    want: dict = {}
+    for r in read_table(spark, base).collect():
+        c, t = want.setdefault(r.v, [0, None])
+        want[r.v][0] = c + 1
+        want[r.v][1] = (t or 0) + r.doc_id
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_materialized_view_null_sum_survives_persistence(spark, tmp_path):
+    """The companion counts are persisted with the state, so a group
+    whose only non-NULL measure is deleted AFTER the view was created
+    presents as NULL (not 0) when read back from parquet."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        create_view,
+        delete_where,
+        read_view,
+        sync_view,
+    )
+
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    create_table(
+        spark.createDataFrame(
+            [(1, 9, 50), (2, 9, None)], "doc_id long, g long, x long"
+        ),
+        base,
+    )
+    create_view(spark, base, view, "doc_id", ["g"], [("x", "sum_x")], "n")
+    delete_where(spark, base, ("doc_id", "==", 1))
+    sync_view(spark, view)
+    [row] = read_view(spark, view).collect()
+    assert (row.g, row.n, row.sum_x) == (9, 1, None)
+
+
+def test_materialized_view_guards(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        create_view,
+        read_view,
+        sync_view,
+    )
+
+    base = str(tmp_path / "base")
+    create_table(_batch(spark, 0, 5), base)
+    view = str(tmp_path / "view")
+    create_view(spark, base, view, "doc_id", ["v"], [("doc_id", "s")], "n")
+    with pytest.raises(FileExistsError):
+        create_view(spark, base, view, "doc_id", ["v"], [("doc_id", "s")], "n")
+    with pytest.raises(FileNotFoundError):
+        sync_view(spark, str(tmp_path / "nothere"))
+    with pytest.raises(FileNotFoundError):
+        read_view(spark, str(tmp_path / "nothere"))
