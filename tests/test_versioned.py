@@ -1447,3 +1447,92 @@ def test_materialized_view_guards(spark, tmp_path):
         sync_view(spark, str(tmp_path / "nothere"))
     with pytest.raises(FileNotFoundError):
         read_view(spark, str(tmp_path / "nothere"))
+
+
+def test_change_feed_and_refresh_read_only_exclusive_files(spark, tmp_path):
+    """The scale claim behind the change feed and the view sync: a
+    merge touching one of four range files must leave the three
+    carried files entirely out of the feed's (and the refresh's) scan
+    set — verified from the executed plan's inputFiles, not the
+    manifest bookkeeping."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _load_manifest,
+        merge_table,
+        refresh_aggregate,
+        table_changes,
+    )
+
+    path = str(tmp_path / "xfiles")
+    create_table(_ranged(spark, 400, 4), path)
+    v1_files = set(_load_manifest(path, 1)["files"])
+    merge_table(
+        spark.createDataFrame([(i, 111) for i in range(10)],
+                              "doc_id long, v long"),
+        path, "doc_id",
+    )
+    v2_files = set(_load_manifest(path, 2)["files"])
+    carried = {f.rsplit("/", 1)[1] for f in v1_files & v2_files}
+    assert len(carried) == 3
+
+    def scanned(df):
+        return {f.rsplit("/", 1)[1] for f in df.inputFiles()}
+
+    feed_scan = scanned(table_changes(spark, path, 1, 2, "doc_id"))
+    assert not feed_scan & carried, feed_scan & carried
+    # a refresh from a PROVIDED state likewise touches no carried file
+    state = spark.createDataFrame(
+        [(0, 100, 0, 100), (1, 100, 100, 100)],
+        "v long, n long, sum_d long, __nn_sum_d long",
+    )
+    refreshed = refresh_aggregate(
+        spark, path, 1, 2, "doc_id", ["v"], [("doc_id", "sum_d")],
+        state=state, count_col="n",
+    )
+    assert not scanned(refreshed) & carried
+
+
+def test_streamed_base_then_view_sync_matches_batch(spark, tmp_path):
+    """Stream-to-batch parity for maintained views: micro-batches
+    committed to the base via stream_to_table (one version per batch),
+    the view synced AFTER the stream (one composite multi-version
+    catch-up), equals the batch rollup of everything streamed."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        create_view,
+        read_view,
+        stream_to_table,
+        sync_view,
+        view_base_version,
+    )
+
+    base = str(tmp_path / "sbase")
+    view = str(tmp_path / "sview")
+    create_table(
+        spark.range(10).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("v")
+        ),
+        base,
+    )
+    create_view(spark, base, view, "doc_id", ["v"], [("doc_id", "s")], "n")
+    # three parquet files → three micro-batches → base v2..v4
+    feed = str(tmp_path / "feed")
+    for i in range(3):
+        spark.range(100 + i * 20, 120 + i * 20).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("v")
+        ).coalesce(1).write.mode("append").parquet(feed)
+    src = (
+        spark.readStream.schema("doc_id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = stream_to_table(src, base, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert view_base_version(view) == 1
+    synced = sync_view(spark, view)
+    assert synced == 4  # create + 3 streamed appends
+    got = {r.v: (r.n, r.s) for r in read_view(spark, view).collect()}
+    want: dict = {}
+    for r in read_table(spark, base).collect():
+        c, t = want.setdefault(r.v, [0, None])
+        want[r.v][0] = c + 1
+        want[r.v][1] = (t or 0) + r.doc_id
+    assert got == {k: tuple(v) for k, v in want.items()}
