@@ -203,9 +203,6 @@ def main() -> None:
         "apriori_rules",
         # -- dedup scale-default --
         "dedup_ngram_jaccard",
-        # the ppjoin prefix tier (scale-path twin of the quadratic
-        # exact tier benched last) — unbenched until r11 by oversight
-        "dedup_ngram_prefix",
         "deduped_corpus",
         "deduped_corpus_cc",
         # -- arrow scale twins (driver rows added round 5) --
@@ -321,7 +318,14 @@ def main() -> None:
         # round-11 addition: materialized-view lifecycle (create_view
         # full scan + append/delete + ONE composite CDF sync + read)
         "materialized_view",
-        # -- LAST on purpose: the oracle-exact quadratic ngram tier
+        # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
+        #    and ~30 s at sf0.1) disturb whatever runs in their wake --
+        # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents
+        # fixture (its honest worst case — prefix tokens are common, so
+        # candidates barely prune; the operator docstring records the
+        # measured verdict) — unbenched until r11 by oversight
+        "dedup_ngram_prefix",
+        # LAST: the oracle-exact quadratic ngram tier
         #    (~30 s at sf0.1) disturbs whatever runs in its wake
         #    (measured: deduped_corpus spread 5.9-16.8 s when it ran
         #    mid-sequence); at the tail it has no followers --
