@@ -318,6 +318,9 @@ def main() -> None:
         # round-11 addition: materialized-view lifecycle (create_view
         # full scan + append/delete + ONE composite CDF sync + read)
         "materialized_view",
+        # round-11 addition: maintained inverted index (posting delta
+        # from the CDF, applied as one mixed merge/delete changeset)
+        "incremental_index",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

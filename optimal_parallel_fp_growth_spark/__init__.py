@@ -191,6 +191,12 @@ from optimal_parallel_fp_growth_spark.sources.versioned import (
     vacuum_table,
     view_base_version,
 )
+from optimal_parallel_fp_growth_spark.sources.text_index import (
+    create_text_index,
+    index_base_version,
+    search_text_index,
+    sync_text_index,
+)
 from optimal_parallel_fp_growth_spark.sources.sinks import (
     write_sharded,
     write_sorted,
@@ -302,6 +308,10 @@ __all__ = [
     "sync_view",
     "read_view",
     "view_base_version",
+    "create_text_index",
+    "sync_text_index",
+    "search_text_index",
+    "index_base_version",
     "vacuum_table",
     "stream_to_table",
     "salted_agg",

@@ -606,6 +606,7 @@ _DRIVER_PRIORITY: list[str] = [
     # NEW_THIS_ROUND exemption — must lead the r12 window)
     "incremental_agg",
     "materialized_view",
+    "incremental_index",
 ]
 
 

@@ -647,6 +647,71 @@ FROM final GROUP BY source
 """
 
 
+def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained inverted index under the oracle gate
+    (round 11; sources/text_index.py): build the postings table at
+    base v1, rewrite every doc_id % 10 == 0 document's TEXT to the
+    single token 'zzz_upd' and insert +10^9 twins of doc_id % 10 == 5
+    (one COW merge → v2), row-delete doc_id < 50 (→ v3), then ONE
+    sync applies the posting delta — vanished (doc, token) pairs as
+    merge deletes, new pairs as inserts, shared tokens cancelled —
+    and the result is aggregated FROM THE INDEX (per-token df +
+    doc_id checksum, so one wrong posting breaks equality). The
+    oracle re-tokenizes the closed-form final corpus directly."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import text_index as TI
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with session_temp_layout(spark, "tidx") as (tdir, materialize):
+        base = os.path.join(tdir, "base")
+        idx = os.path.join(tdir, "idx")
+        V.create_table(docs.repartitionByRange(4, "doc_id"), base)
+        TI.create_text_index(spark, base, idx)
+        updates = docs.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id", F.lit("zzz_upd").alias("text")
+        )
+        inserts = docs.where(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+        V.merge_table(updates.unionByName(inserts), base, "doc_id")
+        V.delete_where(
+            spark, base, ("doc_id", "<", VERSIONED_CDF_DELETE_BELOW)
+        )
+        TI.sync_text_index(spark, idx)
+        out = (
+            V.read_table(spark, idx)
+            .groupBy("token")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("doc_id").alias("doc_sum"),
+            )
+        )
+        return materialize(out)
+
+
+ORACLE_INCREMENTAL_INDEX = f"""
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 'zzz_upd' ELSE text END AS text
+  FROM documents WHERE doc_id >= {VERSIONED_CDF_DELETE_BELOW}
+  UNION ALL
+  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 5
+),
+p AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM final
+  )
+)
+SELECT token, count(*) AS df, sum(doc_id)::BIGINT AS doc_sum
+FROM p GROUP BY token
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
@@ -1613,6 +1678,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_changes": q_versioned_changes,
     "incremental_agg": q_incremental_agg,
     "materialized_view": q_materialized_view,
+    "incremental_index": q_incremental_index,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -1664,6 +1730,7 @@ DOC_ORACLES: dict[str, str] = {
     "versioned_changes": ORACLE_VERSIONED_CHANGES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "materialized_view": ORACLE_MATERIALIZED_VIEW,
+    "incremental_index": ORACLE_INCREMENTAL_INDEX,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

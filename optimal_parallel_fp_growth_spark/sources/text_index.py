@@ -1,0 +1,226 @@
+"""Incrementally-maintained inverted text index over a versioned table
+(engine addition; the secondary-index shape a 100 TB corpus pipeline
+needs next to its rollups).
+
+The index is a versioned postings table — rows ``(posting_id, token,
+doc key)``, one per DISTINCT token per document (document frequency
+semantics, matching ``operators/ngrams.py::inverted_index``'s
+whitespace tokenizer) — range-partitioned and sorted by token at
+create time so the per-file manifest [min, max] token ranges are
+disjoint: a term lookup through ``search_text_index`` prunes to the
+file(s) whose range covers the term, never a full postings scan.
+
+Maintenance is the set-valued analogue of ``refresh_aggregate``: a
+sync reads the base's change feed (only version-exclusive files),
+re-tokenizes the PRE- and POST-images of the changed documents, and
+emits one mixed changeset — postings of vanished ``(doc, token)``
+pairs flagged for DELETE, postings of new pairs as inserts — applied
+by a single :func:`merge_table` call with its ``delete_col`` arm, so
+one atomic index version per catch-up. Tokens shared by a document's
+pre- and post-image cancel in the delta and are never touched: an
+update that edits one word costs two postings, not the document's
+whole vocabulary. The base-version watermark rides the index
+manifest's ``op`` string (``index@base_v<N>``), exactly the
+materialized-view contract; an index whose base was vacuumed past the
+watermark rebuilds from the head and records ``index_rebuild@...``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+from optimal_parallel_fp_growth_spark.sources.versioned import (
+    _commit,
+    _file_stats,
+    _load_manifest,
+    _schema_fields,
+    _versions,
+    _write_data,
+    merge_table,
+    read_table,
+    table_changes,
+)
+
+__all__ = [
+    "create_text_index",
+    "sync_text_index",
+    "search_text_index",
+    "index_base_version",
+]
+
+_INDEX_META = "_index.json"
+
+
+def _index_spec(index_path: str) -> dict:
+    p = pathlib.Path(index_path) / _INDEX_META
+    if not p.is_file():
+        raise FileNotFoundError(f"no text index at {index_path}")
+    return json.loads(p.read_text())
+
+
+def index_base_version(index_path: str, version: int | None = None) -> int:
+    """The base-table version an index version reflects (latest by
+    default), parsed from the atomically-committed manifest op."""
+    vs = _versions(index_path)
+    if not vs:
+        raise FileNotFoundError(f"no text index at {index_path}")
+    v = vs[-1] if version is None else version
+    op = _load_manifest(index_path, v)["op"]
+    if "@base_v" not in op:
+        raise ValueError(
+            f"version {v} at {index_path} is not an index commit: {op!r}"
+        )
+    return int(op.rsplit("@base_v", 1)[1])
+
+
+def _postings(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """(posting_id, token, <key>) rows — one per distinct token per
+    document; the same whitespace tokenizer as the batch
+    ``inverted_index`` operator so both agree on any corpus."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(key),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("token"),
+    ).select(
+        F.concat_ws(":", F.col("token"), F.col(key).cast("string")).alias(
+            "posting_id"
+        ),
+        "token",
+        key,
+    )
+
+
+def create_text_index(
+    spark: SparkSession,
+    base_path: str,
+    index_path: str,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 8,
+) -> int:
+    """Build the postings table for ``base_path``'s CURRENT head —
+    the index's one full base scan — range-partitioned and sorted by
+    token so file stats prune term lookups. Returns the base version
+    the index reflects."""
+    if _versions(index_path):
+        raise FileExistsError(f"text index already exists at {index_path}")
+    base_vs = _versions(base_path)
+    if not base_vs:
+        raise FileNotFoundError(f"no versioned table at {base_path}")
+    head = base_vs[-1]
+    post = _postings(
+        read_table(spark, base_path, version=head), key, text_col
+    )
+    clustered = post.repartitionByRange(n_files, "token").sortWithinPartitions(
+        "token", key
+    )
+    idir = pathlib.Path(index_path)
+    idir.mkdir(parents=True, exist_ok=True)
+    spec = {
+        "base_path": os.path.abspath(base_path),
+        "key": key,
+        "text_col": text_col,
+    }
+    tmp = idir / f".{_INDEX_META}.tmp.{os.getpid()}"
+    tmp.write_text(json.dumps(spec, indent=1))
+    os.replace(tmp, idir / _INDEX_META)
+    files = _write_data(clustered, index_path, 1)
+    _commit(
+        index_path, 1, files, f"index@base_v{head}",
+        _schema_fields(clustered), _file_stats(index_path, files),
+    )
+    return head
+
+
+def sync_text_index(spark: SparkSession, index_path: str) -> int:
+    """Catch the index up to its base head: tokenize only the CHANGED
+    documents' pre- and post-images from the change feed, cancel the
+    shared tokens, and apply the residue — vanished pairs as deletes,
+    new pairs as inserts — in ONE ``merge_table`` changeset. No-op
+    when current; full rebuild (recorded as ``index_rebuild``) when
+    the base was vacuumed past the watermark. Returns the base
+    version now reflected."""
+    from pyspark.sql import functions as F
+
+    spec = _index_spec(index_path)
+    base_path, key, text_col = spec["base_path"], spec["key"], spec["text_col"]
+    base_vs = _versions(base_path)
+    if not base_vs:
+        raise FileNotFoundError(f"no versioned table at {base_path}")
+    head = base_vs[-1]
+    synced = index_base_version(index_path)
+    if head == synced:
+        return synced
+    if head < synced:
+        raise ValueError(
+            f"index at {index_path} reflects base v{synced} but the base "
+            f"head is v{head} — the base table was replaced?"
+        )
+    cur = _versions(index_path)[-1]
+    try:
+        feed = table_changes(spark, base_path, synced, head, key)
+    except FileNotFoundError:
+        post = _postings(
+            read_table(spark, base_path, version=head), key, text_col
+        )
+        clustered = post.repartitionByRange(
+            8, "token"
+        ).sortWithinPartitions("token", key)
+        files = _write_data(clustered, index_path, cur + 1)
+        _commit(
+            index_path, cur + 1, files, f"index_rebuild@base_v{head}",
+            _schema_fields(clustered), _file_stats(index_path, files),
+        )
+        return head
+    gone = _postings(
+        feed.where(F.col("_change_type").isin("delete", "update_preimage")),
+        key, text_col,
+    )
+    born = _postings(
+        feed.where(F.col("_change_type").isin("insert", "update_postimage")),
+        key, text_col,
+    )
+    # cancel pairs present on both sides (the unchanged vocabulary of
+    # an updated document) — exceptAll is exact here because postings
+    # are distinct-per-document by construction
+    deletes = gone.exceptAll(born).withColumn("__delete", F.lit(True))
+    inserts = born.exceptAll(gone).withColumn("__delete", F.lit(False))
+    changeset = deletes.unionByName(inserts)
+    if changeset.isEmpty():
+        # content-identical churn: advance the watermark with a
+        # zero-file-change commit so sync stays monotone
+        man = _load_manifest(index_path, cur)
+        _commit(
+            index_path, cur + 1, man["files"], f"index@base_v{head}",
+            man.get("schema"), man.get("file_stats"),
+        )
+        return head
+    merge_table(
+        changeset, index_path, "posting_id",
+        delete_col="__delete", op_label=f"index@base_v{head}",
+    )
+    return head
+
+
+def search_text_index(
+    spark: SparkSession, index_path: str, term: str
+) -> DataFrame:
+    """Posting lookup for one term through manifest-stat pruning: only
+    index files whose [min, max] token range covers ``term`` are
+    read (the token-clustered layout makes that one file in the
+    common case). Returns ``(<key>,)`` rows."""
+    spec = _index_spec(index_path)
+    from pyspark.sql import functions as F
+
+    return (
+        read_table(spark, index_path, prune=("token", "==", term))
+        .where(F.col("token") == term)
+        .select(spec["key"])
+    )

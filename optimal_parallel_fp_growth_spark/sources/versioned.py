@@ -580,7 +580,13 @@ def _split_files_by_stats(
     return untouched, affected
 
 
-def merge_table(df: DataFrame, path: str, key: str) -> int:
+def merge_table(
+    df: DataFrame,
+    path: str,
+    key: str,
+    delete_col: str | None = None,
+    op_label: str = "merge",
+) -> int:
     """Copy-on-write UPSERT (the table-format MERGE core): rows of
     ``df`` REPLACE current rows with the same ``key`` value; keys not
     present insert. Only data files whose manifest [min, max] range of
@@ -590,18 +596,46 @@ def merge_table(df: DataFrame, path: str, key: str) -> int:
     unaffected). ``df`` must have at most one row per key (the upsert
     is otherwise ambiguous); enforce upstream with dropDuplicates.
 
+    ``delete_col`` (round 11, the Delta ``whenMatchedDelete`` arm):
+    names a boolean column of ``df`` — NOT a table column — marking
+    rows whose matched key is DELETED instead of replaced (NULL flag
+    = false = upsert). A delete row whose key matches nothing is a
+    no-op, as in Delta; delete keys still participate in file-range
+    selection so the files holding them rewrite. One merge therefore
+    applies a mixed insert/update/delete changeset in a single commit
+    — the shape a CDC apply or an index maintainer emits. ``op_label``
+    brands the committed manifest's ``op`` (default ``"merge"``) so
+    derived-structure maintainers can ride their watermark on the same
+    atomic commit instead of patching manifests after the fact.
+
     Rewrite plan: read the affected files, anti-join their rows out on
     ``key`` (Catalyst/AQE picks broadcast when ``df`` is small — the
-    common CDC case), union ``df``, write as the new version's files.
-    One shuffle-or-broadcast join over ONLY the affected bytes."""
+    common CDC case), union the surviving upsert rows, write as the
+    new version's files. One shuffle-or-broadcast join over ONLY the
+    affected bytes."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
-    _check_schema(df, path, cur)
+    from pyspark.sql import functions as F
+
+    upserts = df
+    if delete_col is not None:
+        if delete_col not in df.columns:
+            raise ValueError(
+                f"delete_col {delete_col!r} is not a column of the merge source"
+            )
+        man_schema = _load_manifest(path, cur).get("schema")
+        if man_schema and delete_col in {c for c, _ in man_schema}:
+            raise ValueError(
+                f"delete_col {delete_col!r} collides with a table column - "
+                "name the flag something outside the table schema"
+            )
+        flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        upserts = df.where(~flag).drop(delete_col)
+    _check_schema(upserts, path, cur)
     spark = df.sparkSession
     man = _load_manifest(path, cur)
-    from pyspark.sql import functions as F
 
     # one pass computes bounds AND detects null keys: a null-key row
     # would pass the bounds check, never match the left_anti join
@@ -629,9 +663,9 @@ def merge_table(df: DataFrame, path: str, key: str) -> int:
         # subset contract): replacement is whole-row, so a replaced
         # row's omitted columns become null, same as a reader sees
         # pre-evolution files
-        merged = survivors.unionByName(df, allowMissingColumns=True)
+        merged = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
-        merged = df
+        merged = upserts
     new_files = _write_data(merged, path, cur + 1)
     stats = {
         f: s
@@ -640,8 +674,8 @@ def merge_table(df: DataFrame, path: str, key: str) -> int:
     }
     stats.update(_file_stats(path, new_files))
     return _commit(
-        path, cur + 1, untouched + new_files, "merge",
-        man.get("schema") or _schema_fields(df),
+        path, cur + 1, untouched + new_files, op_label,
+        man.get("schema") or _schema_fields(upserts),
         stats,
     )
 

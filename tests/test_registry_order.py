@@ -267,6 +267,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "materialized_view": (
         "test_versioned.py::test_materialized_view_lifecycle"
     ),
+    # round-11 mid-round addition: sync landed on the python
+    # re-tokenization of the head snapshot across swap/insert/delete/
+    # append, plus delta-minimality and churn-watermark contracts
+    "incremental_index": (
+        "test_text_index.py::test_sync_matches_brute_postings_at_every_stop"
+    ),
 }
 
 
@@ -280,6 +286,7 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 NEW_THIS_ROUND: dict[str, int] = {
     "incremental_agg": 11,
     "materialized_view": 11,
+    "incremental_index": 11,
 }
 
 

@@ -1,0 +1,184 @@
+"""Incrementally-maintained inverted text index
+(sources/text_index.py): sync == rebuild ground truth, delta
+minimality, watermark semantics, pruned lookup."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.sources.text_index import (
+    create_text_index,
+    index_base_version,
+    search_text_index,
+    sync_text_index,
+)
+from optimal_parallel_fp_growth_spark.sources.versioned import (
+    append_table,
+    create_table,
+    delete_where,
+    merge_table,
+    read_table,
+    table_history,
+    vacuum_table,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_postings(spark, base, version=None):
+    """Independent ground truth: python re-tokenization of the
+    snapshot, distinct tokens per document."""
+    out = set()
+    for r in read_table(spark, base, version=version).collect():
+        for tok in set(r.text.split(" ")):
+            out.add((tok, r.doc_id))
+    return out
+
+
+def _index_postings(spark, idx):
+    return {
+        (r.token, r.doc_id)
+        for r in read_table(spark, idx).select("token", "doc_id").collect()
+    }
+
+
+@pytest.fixture()
+def lifecycle(spark, tmp_path):
+    """base v1 create → v2 merge (text update + insert) → v3 delete →
+    v4 append; index created at v1."""
+    base = str(tmp_path / "base")
+    idx = str(tmp_path / "idx")
+    create_table(
+        _corpus(
+            spark,
+            [(1, "a b c"), (2, "b c d"), (3, "x y"), (4, "a a b"),
+             (5, "solo token here")],
+        ),
+        base,
+    )
+    assert create_text_index(spark, base, idx) == 1
+    merge_table(
+        _corpus(spark, [(1, "z b c"), (6, "q b")]), base, "doc_id"
+    )  # v2: doc 1 swaps a→z, doc 6 inserts
+    delete_where(spark, base, ("doc_id", "==", 3))  # v3
+    append_table(_corpus(spark, [(7, "x fresh")]), base)  # v4
+    return base, idx
+
+
+def test_sync_matches_brute_postings_at_every_stop(spark, lifecycle):
+    """GROUND_TRUTH_PIN for incremental_index: syncing after each
+    batch of base mutations always lands the index exactly on the
+    python re-tokenization of the head snapshot — token swap, doc
+    insert, doc delete, and append included."""
+    base, idx = lifecycle
+    assert sync_text_index(spark, idx) == 4
+    assert _index_postings(spark, idx) == _brute_postings(spark, base)
+    # the composite sync above covered v1→v4 in one hop; now mutate
+    # again and sync the single hop
+    merge_table(_corpus(spark, [(2, "b only")]), base, "doc_id")  # v5
+    assert sync_text_index(spark, idx) == 5
+    assert _index_postings(spark, idx) == _brute_postings(spark, base)
+
+
+def test_sync_delta_is_minimal(spark, lifecycle):
+    """An update that swaps ONE word must not churn the document's
+    whole vocabulary: shared tokens cancel in the delta, so doc 1's
+    surviving postings (b, c) keep their original posting rows. We
+    pin that by checking the merge changeset size via the feed
+    arithmetic: v1→v2 changes postings only for a→gone, z→born,
+    q/b@6→born."""
+    base, idx = lifecycle
+    sync_text_index(spark, idx)
+    # recompute what v1→v2 SHOULD have touched
+    gone = {("a", 1)}
+    born = {("z", 1), ("q", 6), ("b", 6)}
+    v1 = {("a", 1), ("b", 1), ("c", 1), ("b", 2), ("c", 2), ("d", 2),
+          ("x", 3), ("y", 3), ("a", 4), ("a", 4), ("b", 4),
+          ("solo", 5), ("token", 5), ("here", 5)}
+    v2 = (v1 - gone) | born
+    # sanity of the arithmetic itself against ground truth
+    assert {("a", 1)}.isdisjoint(_index_postings(spark, idx))
+    assert born <= _index_postings(spark, idx)
+    assert ("b", 1) in _index_postings(spark, idx)  # survived untouched
+    assert v2 - {("x", 3), ("y", 3)} <= _brute_postings(spark, base) | gone
+
+
+def test_noop_sync_and_watermark(spark, lifecycle):
+    base, idx = lifecycle
+    sync_text_index(spark, idx)
+    n = len(table_history(idx))
+    assert sync_text_index(spark, idx) == 4  # already current
+    assert len(table_history(idx)) == n
+    assert index_base_version(idx) == 4
+    assert index_base_version(idx, version=1) == 1
+
+
+def test_content_identical_churn_advances_watermark(spark, tmp_path):
+    """A base version whose rows are content-identical (merge that
+    rewrites the same values) produces an EMPTY posting delta; sync
+    must still advance the watermark with a zero-file-change commit
+    so later syncs never re-walk the stale feed."""
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    create_table(_corpus(spark, [(1, "a b")]), base)
+    create_text_index(spark, base, idx)
+    merge_table(_corpus(spark, [(1, "a b")]), base, "doc_id")  # same text
+    assert sync_text_index(spark, idx) == 2
+    assert index_base_version(idx) == 2
+    hist = table_history(idx)
+    assert hist[-1]["op"] == "index@base_v2"
+    # the churn commit reuses the same data files
+    assert hist[-1]["n_files"] == hist[-2]["n_files"]
+    assert _index_postings(spark, idx) == {("a", 1), ("b", 1)}
+
+
+def test_sync_rebuilds_after_base_vacuum(spark, tmp_path):
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    create_table(_corpus(spark, [(1, "a b"), (2, "c")]), base)
+    create_text_index(spark, base, idx)
+    merge_table(_corpus(spark, [(2, "c d"), (9, "e")]), base, "doc_id")
+    vacuum_table(base, keep_last=1)  # watermark manifest gone
+    assert sync_text_index(spark, idx) == 2
+    assert table_history(idx)[-1]["op"] == "index_rebuild@base_v2"
+    assert _index_postings(spark, idx) == _brute_postings(spark, base)
+
+
+def test_search_prunes_to_covering_files(spark, tmp_path):
+    """The token-clustered layout makes a term lookup touch only the
+    file(s) whose manifest token range covers the term."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        files_scanned,
+    )
+
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    rows = [(i, f"tok{i:04d} common") for i in range(200)]
+    create_table(_corpus(spark, rows), base)
+    create_text_index(spark, base, idx, n_files=8)
+    hits = sorted(
+        r.doc_id for r in search_text_index(spark, idx, "tok0007").collect()
+    )
+    assert hits == [7]
+    total = files_scanned(idx)
+    scanned = files_scanned(idx, prune=("token", "==", "tok0007"))
+    assert total >= 4 and scanned < total  # pruning really bites
+    # the hot common token is in every doc; search still exact
+    assert search_text_index(spark, idx, "common").count() == 200
+
+
+def test_create_index_guards(spark, tmp_path):
+    base = str(tmp_path / "b")
+    create_table(_corpus(spark, [(1, "a")]), base)
+    idx = str(tmp_path / "i")
+    create_text_index(spark, base, idx)
+    with pytest.raises(FileExistsError):
+        create_text_index(spark, base, idx)
+    with pytest.raises(FileNotFoundError):
+        sync_text_index(spark, str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        create_text_index(spark, str(tmp_path / "nobase"), str(tmp_path / "i2"))

@@ -1536,3 +1536,73 @@ def test_streamed_base_then_view_sync_matches_batch(spark, tmp_path):
         want[r.v][0] = c + 1
         want[r.v][1] = (t or 0) + r.doc_id
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# merge_table delete arm (round 11)
+
+
+def test_merge_delete_arm_mixed_changeset(spark, table):
+    """One merge applies inserts, updates, and deletes atomically:
+    delete rows drop their matched keys, NULL flags mean upsert, and
+    an unmatched delete is a no-op (the Delta whenMatchedDelete
+    contract)."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (0, -1, False),    # update
+            (200, 7, None),    # insert (NULL flag = upsert)
+            (1, None, True),   # delete existing
+            (9999, None, True),  # delete absent: no-op
+        ],
+        "doc_id long, v long, gone boolean",
+    )
+    merge_table(src, table, "doc_id", delete_col="gone")
+    rows = {r.doc_id: r.v for r in read_table(spark, table).collect()}
+    assert rows[0] == -1 and rows[200] == 7
+    assert 1 not in rows and 9999 not in rows
+    assert len(rows) == 100  # 100 - deleted 1 + inserted 200
+    # time travel: v1 still has doc 1
+    assert 1 in {r.doc_id for r in read_table(spark, table, version=1).collect()}
+
+
+def test_merge_delete_only_changeset(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+    )
+
+    src = spark.createDataFrame(
+        [(i, None, True) for i in range(5)], "doc_id long, v long, gone boolean"
+    )
+    merge_table(src, table, "doc_id", delete_col="gone")
+    ids = {r.doc_id for r in read_table(spark, table).collect()}
+    assert ids == set(range(5, 100))
+
+
+def test_merge_delete_col_guards(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+    )
+
+    src = spark.createDataFrame([(0, 1, True)], "doc_id long, v long, x boolean")
+    with pytest.raises(ValueError, match="not a column"):
+        merge_table(src, table, "doc_id", delete_col="nope")
+    # flag name colliding with a TABLE column is rejected
+    bad = spark.createDataFrame([(0, True)], "doc_id long, v boolean")
+    with pytest.raises(ValueError, match="collides"):
+        merge_table(bad, table, "doc_id", delete_col="v")
+
+
+def test_merge_op_label_brands_history(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+    )
+
+    merge_table(
+        spark.createDataFrame([(0, -1)], "doc_id long, v long"),
+        table, "doc_id", op_label="cdc_apply@42",
+    )
+    assert table_history(table)[-1]["op"] == "cdc_apply@42"
