@@ -63,18 +63,15 @@ def _index_spec(index_path: str) -> dict:
 
 
 def index_base_version(index_path: str, version: int | None = None) -> int:
-    """The base-table version an index version reflects (latest by
-    default), parsed from the atomically-committed manifest op."""
-    vs = _versions(index_path)
-    if not vs:
-        raise FileNotFoundError(f"no text index at {index_path}")
-    v = vs[-1] if version is None else version
-    op = _load_manifest(index_path, v)["op"]
-    if "@base_v" not in op:
-        raise ValueError(
-            f"version {v} at {index_path} is not an index commit: {op!r}"
-        )
-    return int(op.rsplit("@base_v", 1)[1])
+    """The base-table version an index version reflects (latest
+    branded commit by default — maintenance commits like compaction
+    in between are transparent), parsed from the atomically-committed
+    manifest op."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _watermark_at,
+    )
+
+    return _watermark_at(index_path, version, "text index")
 
 
 def _postings(df: DataFrame, key: str, text_col: str) -> DataFrame:

@@ -1078,17 +1078,37 @@ def _view_spec(view_path: str) -> dict:
     return json.loads(p.read_text())
 
 
-def view_base_version(view_path: str, version: int | None = None) -> int:
-    """The base-table version a view version reflects (latest by
-    default), parsed from the atomically-committed manifest op."""
-    vs = _versions(view_path)
+def _watermark_at(path: str, version: int | None, kind: str) -> int:
+    """Base-version watermark for a derived structure (view/index):
+    the ``@base_v<N>`` op at ``version``, or — when ``version`` is
+    None — the newest one at or below the head. The backward walk
+    matters because maintenance commits that do not move the
+    watermark (``compact_table`` op="compact", a vacuum survivor) may
+    sit at the head; rows are unchanged by those, so the last branded
+    commit still states what the structure reflects."""
+    vs = _versions(path)
     if not vs:
-        raise FileNotFoundError(f"no materialized view at {view_path}")
-    v = vs[-1] if version is None else version
-    op = _load_manifest(view_path, v)["op"]
-    if "@base_v" not in op:
-        raise ValueError(f"version {v} at {view_path} is not a view commit: {op!r}")
-    return int(op.rsplit("@base_v", 1)[1])
+        raise FileNotFoundError(f"no {kind} at {path}")
+    if version is not None:
+        op = _load_manifest(path, version)["op"]
+        if "@base_v" not in op:
+            raise ValueError(
+                f"version {version} at {path} is not a {kind} commit: {op!r}"
+            )
+        return int(op.rsplit("@base_v", 1)[1])
+    for v in reversed(vs):
+        op = _load_manifest(path, v)["op"]
+        if "@base_v" in op:
+            return int(op.rsplit("@base_v", 1)[1])
+    raise ValueError(f"no {kind} commit in the retained history at {path}")
+
+
+def view_base_version(view_path: str, version: int | None = None) -> int:
+    """The base-table version a view version reflects (latest branded
+    commit by default — maintenance commits like compaction in
+    between are transparent), parsed from the atomically-committed
+    manifest op."""
+    return _watermark_at(view_path, version, "materialized view")
 
 
 def _commit_view_state(

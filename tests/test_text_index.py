@@ -182,3 +182,24 @@ def test_create_index_guards(spark, tmp_path):
         sync_text_index(spark, str(tmp_path / "nope"))
     with pytest.raises(FileNotFoundError):
         create_text_index(spark, str(tmp_path / "nobase"), str(tmp_path / "i2"))
+
+
+def test_index_survives_own_compaction(spark, tmp_path):
+    """Compacting the INDEX (a maintenance commit that does not move
+    the watermark) must be transparent: the watermark reads through
+    the compact commit and the next sync still applies the right
+    delta."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        compact_table,
+    )
+
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    create_table(_corpus(spark, [(1, "a b"), (2, "c d"), (3, "e")]), base)
+    create_text_index(spark, base, idx, n_files=4)
+    compact_table(spark, idx, target_mb=128)
+    assert table_history(idx)[-1]["op"] == "compact"
+    assert index_base_version(idx) == 1  # reads through the compact
+    merge_table(_corpus(spark, [(1, "a z"), (9, "n")]), base, "doc_id")
+    assert sync_text_index(spark, idx) == 2
+    assert _index_postings(spark, idx) == _brute_postings(spark, base)

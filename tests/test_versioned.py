@@ -1606,3 +1606,35 @@ def test_merge_op_label_brands_history(spark, table):
         table, "doc_id", op_label="cdc_apply@42",
     )
     assert table_history(table)[-1]["op"] == "cdc_apply@42"
+
+
+def test_view_survives_own_compaction(spark, tmp_path):
+    """Same contract as the index: compacting the VIEW's postings-table
+    storage is watermark-transparent and the next sync still lands on
+    ground truth."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        create_view,
+        merge_table,
+        read_view,
+        sync_view,
+        view_base_version,
+    )
+
+    base = str(tmp_path / "cbase")
+    view = str(tmp_path / "cview")
+    create_table(_batch(spark, 0, 40), base)
+    create_view(spark, base, view, "doc_id", ["v"], [("doc_id", "s")], "n")
+    compact_table(spark, view, target_mb=128)
+    assert view_base_version(view) == 1  # reads through the compact
+    merge_table(
+        spark.createDataFrame([(0, -1), (500, 9)], "doc_id long, v long"),
+        base, "doc_id",
+    )
+    assert sync_view(spark, view) == 2
+    got = {r.v: (r.n, r.s) for r in read_view(spark, view).collect()}
+    want: dict = {}
+    for r in read_table(spark, base).collect():
+        c, t = want.setdefault(r.v, [0, None])
+        want[r.v][0] = c + 1
+        want[r.v][1] = (t or 0) + r.doc_id
+    assert got == {k: tuple(v) for k, v in want.items()}
