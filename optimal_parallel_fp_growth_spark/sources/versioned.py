@@ -833,7 +833,11 @@ def stream_to_table(stream_df: DataFrame, path: str, checkpoint: str):
 
 
 def stream_merge_to_table(
-    stream_df: DataFrame, path: str, checkpoint: str, key: str
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    delete_col: str | None = None,
 ):
     """Streaming CDC sink: upsert each non-empty micro-batch into the
     versioned table by ``key`` (first batch creates the table). Within
@@ -848,16 +852,32 @@ def stream_merge_to_table(
     an UPSERT is idempotent per key, the reason CDC sinks prefer
     merge over append.
 
+    ``delete_col`` (round 11): a Debezium-style feed carries delete
+    tombstones; name its boolean flag column and each batch applies
+    its mixed upsert/delete changeset through :func:`merge_table`'s
+    delete arm — still one atomic version per batch, and a retried
+    delete is a matched-nothing no-op, preserving the at-least-once
+    idempotency story end to end. A first batch that is pure
+    tombstones creates an EMPTY table (the feed may begin mid-history
+    with deletes for rows this table never saw).
+
     Returns the started ``StreamingQuery``."""
+    from pyspark.sql import functions as F
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         src = batch_df.dropDuplicates([key])
         try:
-            merge_table(src, path, key)
+            merge_table(src, path, key, delete_col=delete_col)
         except FileNotFoundError:
-            create_table(src, path)
+            if delete_col is None:
+                create_table(src, path)
+                return
+            flag = F.coalesce(
+                F.col(delete_col).cast("boolean"), F.lit(False)
+            )
+            create_table(src.where(~flag).drop(delete_col), path)
 
     return (
         stream_df.writeStream.foreachBatch(commit)

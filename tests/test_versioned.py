@@ -1638,3 +1638,41 @@ def test_view_survives_own_compaction(spark, tmp_path):
         want[r.v][0] = c + 1
         want[r.v][1] = (t or 0) + r.doc_id
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_stream_merge_with_tombstones(spark, tmp_path):
+    """Debezium-shaped CDC feed: three micro-batches of mixed upserts
+    and delete tombstones, one atomic version per batch, final table
+    equals the hand-applied changelog."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        stream_merge_to_table,
+    )
+
+    feed = str(tmp_path / "cdc")
+    batches = [
+        [(1, 10, False), (2, 20, False), (3, 30, False)],   # inserts
+        [(2, 21, False), (3, None, True), (4, 40, False)],  # upd/del/ins
+        [(1, None, True), (4, 41, False), (9, None, True)], # del/upd/noop-del
+    ]
+    import time as _time
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, v long, deleted boolean"
+        ).coalesce(1).write.mode("append").parquet(feed)
+        _time.sleep(0.05)  # deterministic file-source batch order
+    src = (
+        spark.readStream.schema("doc_id long, v long, deleted boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    tbl = str(tmp_path / "cdctbl")
+    q = stream_merge_to_table(
+        src, tbl, str(tmp_path / "ckpt"), "doc_id", delete_col="deleted"
+    )
+    q.awaitTermination()
+    rows = {r.doc_id: r.v for r in read_table(spark, tbl).collect()}
+    assert rows == {2: 21, 4: 41}
+    assert "deleted" not in read_table(spark, tbl).columns
+    # three versions, each atomic
+    assert len(table_history(tbl)) == 3
