@@ -203,3 +203,81 @@ def test_index_survives_own_compaction(spark, tmp_path):
     merge_table(_corpus(spark, [(1, "a z"), (9, "n")]), base, "doc_id")
     assert sync_text_index(spark, idx) == 2
     assert _index_postings(spark, idx) == _brute_postings(spark, base)
+
+
+def test_property_random_lifecycles_sync_equals_brute(spark, tmp_path):
+    """Hypothesis over random merge/delete/append sequences with random
+    small-vocabulary texts, syncing at random stops: the index always
+    equals the python re-tokenization of the head snapshot, and the
+    watermark always equals the base head after a sync."""
+    from hypothesis import given, settings, strategies as st
+
+    VOCAB = ["a", "b", "c", "dd", "ee", "ff"]
+    text_strat = st.lists(
+        st.sampled_from(VOCAB), min_size=1, max_size=4
+    ).map(" ".join)
+    step_strat = st.lists(
+        st.tuples(
+            st.sampled_from(["merge", "delete", "append"]),
+            st.lists(text_strat, min_size=1, max_size=3),
+            st.booleans(),  # sync after this step?
+        ),
+        min_size=1,
+        max_size=4,
+    )
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(steps=step_strat)
+    def run(steps):
+        counter[0] += 1
+        base = str(tmp_path / f"pb{counter[0]}")
+        idx = str(tmp_path / f"pi{counter[0]}")
+        model = {i: f"{VOCAB[i % len(VOCAB)]} seed" for i in range(8)}
+        create_table(
+            _corpus(spark, sorted(model.items())), base
+        )
+        create_text_index(spark, base, idx, n_files=2)
+        nxt = 100
+        for op, texts, do_sync in steps:
+            if op == "merge":
+                # update the smallest existing keys + insert fresh ones
+                keys = sorted(model)[: len(texts)]
+                rows = [(k, t) for k, t in zip(keys, texts)]
+                rows += [(nxt + j, t) for j, t in enumerate(texts)]
+                merge_table(_corpus(spark, rows), base, "doc_id")
+                model.update(rows)
+                nxt += len(texts)
+            elif op == "delete":
+                if model:
+                    cut = sorted(model)[len(model) // 2]
+                    delete_where(spark, base, ("doc_id", ">=", cut))
+                    model = {k: v for k, v in model.items() if k < cut}
+                else:
+                    continue
+            else:  # append
+                rows = [(nxt + j, t) for j, t in enumerate(texts)]
+                append_table(_corpus(spark, rows), base)
+                model.update(rows)
+                nxt += len(texts)
+            if do_sync:
+                from optimal_parallel_fp_growth_spark.sources.versioned import (
+                    _versions,
+                )
+
+                assert sync_text_index(spark, idx) == _versions(base)[-1]
+                want = {
+                    (tok, k)
+                    for k, t in model.items()
+                    for tok in set(t.split(" "))
+                }
+                assert _index_postings(spark, idx) == want
+        # final catch-up regardless of the last step's sync flag
+        sync_text_index(spark, idx)
+        want = {
+            (tok, k) for k, t in model.items() for tok in set(t.split(" "))
+        }
+        assert _index_postings(spark, idx) == want
+        assert _brute_postings(spark, base) == want
+
+    run()
