@@ -730,8 +730,6 @@ def table_changes(
         F.struct(*[F.col(c) for c in cols]).alias("__post"),
     )
     j = o.join(n, "__k", "full_outer")
-    pre_row = [F.col(f"__pre.{c}").alias(c) for c in cols]
-    post_row = [F.col(f"__post.{c}").alias(c) for c in cols]
     same = (
         F.struct(*[F.col(f"__pre.{c}") for c in others]).eqNullSafe(
             F.struct(*[F.col(f"__post.{c}") for c in others])
@@ -739,22 +737,30 @@ def table_changes(
         if others
         else F.lit(True)
     )
-    inserts = j.where(F.col("__pre").isNull()).select(
-        F.lit("insert").alias("_change_type"), *post_row
+    # ONE pass over the join: tag each row with its 0-2 ops and
+    # explode. The naive 4-way union of per-op selections replicates
+    # the whole join subtree (and its exclusive-file scans) once per
+    # branch in the physical plan — 4x the I/O and join work for
+    # every CDF consumer (caught by the r11 refresh plan-shape test).
+    pre_s, post_s = F.col("__pre"), F.col("__post")
+    both = pre_s.isNotNull() & post_s.isNotNull()
+
+    def tagged(tag: str, side):
+        return F.struct(
+            F.lit(tag).alias("_change_type"), side.alias("__row")
+        )
+
+    candidates = F.array(
+        F.when(pre_s.isNull(), tagged("insert", post_s)),
+        F.when(post_s.isNull(), tagged("delete", pre_s)),
+        F.when(both & ~same, tagged("update_preimage", pre_s)),
+        F.when(both & ~same, tagged("update_postimage", post_s)),
     )
-    deletes = j.where(F.col("__post").isNull()).select(
-        F.lit("delete").alias("_change_type"), *pre_row
+    ops = F.filter(candidates, lambda x: x.isNotNull())
+    return j.select(F.explode(ops).alias("__op")).select(
+        F.col("__op._change_type").alias("_change_type"),
+        *[F.col(f"__op.__row.{c}").alias(c) for c in cols],
     )
-    changed = j.where(
-        F.col("__pre").isNotNull() & F.col("__post").isNotNull() & ~same
-    )
-    pre = changed.select(
-        F.lit("update_preimage").alias("_change_type"), *pre_row
-    )
-    post = changed.select(
-        F.lit("update_postimage").alias("_change_type"), *post_row
-    )
-    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
 
 def delete_where(

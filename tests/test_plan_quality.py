@@ -647,3 +647,47 @@ def test_dedup_zipf_prefix_no_cartesian_no_python(spark, sf_small):
     r = _report(q_dedup_zipf_prefix(spark, sf_small))
     assert r.nested_loop_joins == 0
     assert r.python_stages == 0
+
+
+def test_refresh_aggregate_plan_shape(spark, tmp_path):
+    """The incremental-rollup refresh (round 11) must keep its
+    promised shape: ONE final group-keyed hash exchange fed by
+    map-side partial aggregation over the state∪delta union, and the
+    CDF's own exchanges keyed on the join key — no extra exchange
+    creeps in from the union or the weighting projection. With a
+    provided state the plan contains no scan of any carried base
+    file (pinned separately from inputFiles in test_versioned.py);
+    here we pin the exchange arithmetic itself."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        create_table,
+        merge_table,
+        refresh_aggregate,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "planvt")
+    create_table(
+        spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+            F.col("id").alias("x"),
+        ).repartitionByRange(4, "k"),
+        path,
+    )
+    merge_table(
+        spark.createDataFrame([(0, 0, -1), (999, 9, 7)], "k long, g long, x long"),
+        path, "k",
+    )
+    state = spark.createDataFrame(
+        [(0, 40, 100, 40)], "g long, n long, sum_x long, __nn_sum_x long"
+    )
+    out = refresh_aggregate(
+        spark, path, 1, 2, "k", ["g"], [("x", "sum_x")],
+        state=state, count_col="n",
+    )
+    plan = _plan(out)
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # exchanges: final group agg + the CDF full-outer join's two sides
+    # (or fewer when AQE broadcasts a side); never more
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the weighting never leaves codegen for Python
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
