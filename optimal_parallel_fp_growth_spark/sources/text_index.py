@@ -176,34 +176,54 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
             _schema_fields(clustered), _file_stats(index_path, files),
         )
         return head
-    gone = _postings(
-        feed.where(F.col("_change_type").isin("delete", "update_preimage")),
-        key, text_col,
+    # ONE pass over the feed: tokenize every change row with a signed
+    # weight (+1 post-side, -1 pre-side) and net per (token, key).
+    # Postings are distinct-per-document per side, so net ∈ {-1,0,+1}:
+    # 0 = the unchanged vocabulary of an updated document (cancelled),
+    # -1 = vanished pair (delete), +1 = new pair (insert). The earlier
+    # two-sided exceptAll form re-derived the feed — and re-read the
+    # version-exclusive base files — four times.
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    posts = feed.select(
+        w.alias("__w"),
+        F.col(key),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("token"),
     )
-    born = _postings(
-        feed.where(F.col("_change_type").isin("insert", "update_postimage")),
-        key, text_col,
+    changeset = (
+        posts.groupBy("token", key)
+        .agg(F.sum("__w").alias("__net"))
+        .where(F.col("__net") != 0)
+        .select(
+            F.concat_ws(
+                ":", F.col("token"), F.col(key).cast("string")
+            ).alias("posting_id"),
+            "token",
+            key,
+            (F.col("__net") < 0).alias("__delete"),
+        )
+        .persist()
     )
-    # cancel pairs present on both sides (the unchanged vocabulary of
-    # an updated document) — exceptAll is exact here because postings
-    # are distinct-per-document by construction
-    deletes = gone.exceptAll(born).withColumn("__delete", F.lit(True))
-    inserts = born.exceptAll(gone).withColumn("__delete", F.lit(False))
-    changeset = deletes.unionByName(inserts)
-    if changeset.isEmpty():
-        # content-identical churn: advance the watermark with a
-        # zero-file-change commit so sync stays monotone
-        man = _load_manifest(index_path, cur)
-        _commit(
-            index_path, cur + 1, man["files"], f"index@base_v{head}",
-            man.get("schema"), man.get("file_stats"),
+    try:
+        if changeset.isEmpty():
+            # content-identical churn: advance the watermark with a
+            # zero-file-change commit so sync stays monotone
+            man = _load_manifest(index_path, cur)
+            _commit(
+                index_path, cur + 1, man["files"], f"index@base_v{head}",
+                man.get("schema"), man.get("file_stats"),
+            )
+            return head
+        merge_table(
+            changeset, index_path, "posting_id",
+            delete_col="__delete", op_label=f"index@base_v{head}",
         )
         return head
-    merge_table(
-        changeset, index_path, "posting_id",
-        delete_col="__delete", op_label=f"index@base_v{head}",
-    )
-    return head
+    finally:
+        changeset.unpersist()
 
 
 def search_text_index(
