@@ -321,6 +321,9 @@ def main() -> None:
         # round-11 addition: maintained inverted index (posting delta
         # from the CDF, applied as one mixed merge/delete changeset)
         "incremental_index",
+        # round-11 addition: merge-on-read equality deletes (sidecar
+        # commit, masked read, sequence-rule re-insert)
+        "mor_delete_read",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

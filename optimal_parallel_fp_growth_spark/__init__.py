@@ -179,6 +179,7 @@ from optimal_parallel_fp_growth_spark.sources.versioned import (
     compact_table,
     create_table,
     create_view,
+    delete_rows,
     overwrite_table,
     present_aggregate,
     read_table,
@@ -312,6 +313,7 @@ __all__ = [
     "sync_text_index",
     "search_text_index",
     "index_base_version",
+    "delete_rows",
     "vacuum_table",
     "stream_to_table",
     "salted_agg",

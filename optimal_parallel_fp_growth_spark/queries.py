@@ -607,6 +607,7 @@ _DRIVER_PRIORITY: list[str] = [
     "incremental_agg",
     "materialized_view",
     "incremental_index",
+    "mor_delete_read",
 ]
 
 

@@ -712,6 +712,59 @@ FROM p GROUP BY token
 """
 
 
+def q_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes under the oracle gate (round 11;
+    sources/versioned.py::delete_rows): create the table, MOR-delete
+    every doc_id % 7 == 3 key — the in-query check fails closed if the
+    commit rewrote ANY data file, the whole point of merge-on-read —
+    then COW-upsert the doc_id % 14 == 3 half of the deleted class
+    back (n_chars = -5), proving the sequence rule: re-inserted rows
+    outlive the older sidecar while the other half stays masked. The
+    aggregate reads through the masks; the oracle states the final
+    visible set in closed form."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with session_temp_layout(spark, "mor") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(docs.repartitionByRange(4, "doc_id"), path)
+        V.delete_rows(
+            spark, path,
+            docs.where(F.col("doc_id") % 7 == 3).select("doc_id"),
+            "doc_id",
+        )
+        if V._load_manifest(path, 2)["files"] != V._load_manifest(path, 1)["files"]:
+            raise AssertionError("merge-on-read delete rewrote data files")
+        V.merge_table(
+            docs.where(F.col("doc_id") % 14 == 3).select(
+                "doc_id", "lang", F.lit(-5).cast("long").alias("n_chars")
+            ),
+            path, "doc_id",
+        )
+        out = V.read_table(spark, path).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_MOR_DELETE_READ = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN doc_id % 14 = 3 THEN -5 ELSE n_chars END)::BIGINT
+         AS total_chars
+FROM documents
+WHERE doc_id % 7 <> 3 OR doc_id % 14 = 3
+GROUP BY lang
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
@@ -1679,6 +1732,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg": q_incremental_agg,
     "materialized_view": q_materialized_view,
     "incremental_index": q_incremental_index,
+    "mor_delete_read": q_mor_delete_read,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -1731,6 +1785,7 @@ DOC_ORACLES: dict[str, str] = {
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "materialized_view": ORACLE_MATERIALIZED_VIEW,
     "incremental_index": ORACLE_INCREMENTAL_INDEX,
+    "mor_delete_read": ORACLE_MOR_DELETE_READ,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

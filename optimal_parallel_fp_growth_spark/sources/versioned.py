@@ -45,6 +45,7 @@ __all__ = [
     "compact_table",
     "merge_table",
     "delete_where",
+    "delete_rows",
     "read_table",
     "table_changes",
     "aggregate_state",
@@ -293,6 +294,7 @@ def _commit(
     op: str,
     schema: list[list[str]] | None = None,
     file_stats: dict[str, dict] | None = None,
+    delete_files: list[dict] | None = None,
 ) -> int:
     """Atomically birth ``version`` via an ATOMIC-CREATE-EXCLUSIVE
     primitive; raises FileExistsError on a concurrent commit of the
@@ -312,6 +314,7 @@ def _commit(
         "files": files,
         "schema": schema,
         "file_stats": file_stats or {},
+        "delete_files": delete_files or [],
         "committed_at": time.time(),
     }
     tmp = mdir / f".v{version:08d}.json.tmp.{os.getpid()}"
@@ -370,6 +373,7 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
         path, cur + 1, man["files"] + files, "append",
         schema,
         stats,
+        man.get("delete_files"),  # masks still cover the carried files
     )
 
 
@@ -478,6 +482,118 @@ def _read_files(
     return _align_to_schema(df, schema)
 
 
+# ---------------------------------------------------------------------------
+# Merge-on-read equality deletes (round 11; the Iceberg-v2 shape).
+#
+# Copy-on-write pays a file rewrite for every delete, which at 100 TB
+# is prohibitive for scattered deletes: removing 1k rows spread over 1k
+# files rewrites 1k files. ``delete_rows`` instead commits a small
+# DELETE SIDECAR (a parquet file of deleted key values) and the new
+# manifest carries the data files UNCHANGED; readers subtract matching
+# rows at scan time. Sequence correctness: a sidecar committed at
+# version D masks only rows in data files whose directory version
+# S < D (the file's sequence number, parsed from ``data/v<S>/``), so a
+# key re-inserted AFTER its deletion — landing in a file with S > D —
+# is visible again, exactly Iceberg's sequence-number rule. Rewrites
+# (merge / delete_where / compact) read through the masks, so their
+# output files start mask-free; compact and overwrite drop the
+# entries entirely (materialization).
+
+
+def _seq_of(rel_file: str) -> int:
+    """A data file's sequence number = the version directory it was
+    written under (immutable by construction)."""
+    import re
+
+    m = re.search(r"(?:^|/)v(\d{8})/", rel_file)
+    if not m:
+        raise ValueError(f"cannot parse sequence from data file path {rel_file!r}")
+    return int(m.group(1))
+
+
+def _apply_delete_masks(
+    spark: SparkSession, path: str, df: DataFrame, man: dict
+) -> DataFrame:
+    """Subtract merge-on-read deleted rows from a raw file read:
+    anti-join each delete sidecar's keys with the sequence predicate
+    ``sidecar.seq > row.file_seq``. The row's file sequence comes from
+    ``input_file_name`` (evaluated at the scan), so one pass masks a
+    multi-file read correctly."""
+    entries = man.get("delete_files") or []
+    if not entries:
+        return df
+    from pyspark.sql import functions as F
+
+    out_cols = list(df.columns)
+    masked = df.withColumn(
+        "__seq",
+        F.regexp_extract(F.input_file_name(), r"/v(\d{8})/", 1).cast("long"),
+    )
+    by_key: dict[str, list[dict]] = {}
+    for e in entries:
+        by_key.setdefault(e["key"], []).append(e)
+    for key_col, es in by_key.items():
+        parts = [
+            spark.read.parquet(str(pathlib.Path(path) / e["file"])).select(
+                F.col(key_col).alias("__delk"),
+                F.lit(int(e["seq"])).cast("long").alias("__delseq"),
+            )
+            for e in es
+        ]
+        kd = parts[0]
+        for p in parts[1:]:
+            kd = kd.unionByName(p)
+        masked = masked.alias("d").join(
+            kd.alias("k"),
+            on=(
+                (F.col(f"d.{key_col}") == F.col("k.__delk"))
+                & (F.col("k.__delseq") > F.col("d.__seq"))
+            ),
+            how="left_anti",
+        )
+    return masked.select(*out_cols)
+
+
+def delete_rows(
+    spark: SparkSession, path: str, keys: DataFrame, key_col: str
+) -> int:
+    """Merge-on-read row-level DELETE: commit a delete sidecar holding
+    ``keys``' values — the data files carry into the new version
+    untouched, and readers subtract matching rows at scan time. The
+    O(deleted keys) alternative to :func:`delete_where`'s
+    copy-on-write rewrite for deletes scattered across many files;
+    time travel still reads pre-delete versions, and a later upsert
+    of a deleted key is visible again (sequence rule above). Null
+    keys are rejected for the same idempotency reason as
+    :func:`merge_table`."""
+    from pyspark.sql import functions as F
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    cur = vs[-1]
+    man = _load_manifest(path, cur)
+    schema_cols = {c for c, _ in (man.get("schema") or [])}
+    if schema_cols and key_col not in schema_cols:
+        raise ValueError(f"delete key {key_col!r} is not a table column")
+    src = keys.select(key_col).dropDuplicates([key_col])
+    counts = src.agg(
+        F.count(F.lit(1)).alias("n"), F.count(key_col).alias("nn")
+    ).collect()[0]
+    if counts.n == 0:
+        raise ValueError("delete_rows got an empty key set")
+    if counts.n != counts.nn:
+        raise ValueError("delete keys must be non-null")
+    side = _write_data(src.coalesce(1), path, cur + 1)
+    new_entries = list(man.get("delete_files") or []) + [
+        {"file": f, "seq": cur + 1, "key": key_col} for f in side
+    ]
+    return _commit(
+        path, cur + 1, man["files"], "delete_rows",
+        man.get("schema"), man.get("file_stats"), new_entries,
+    )
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -518,7 +634,9 @@ def read_table(
                 ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
                 return spark.createDataFrame([], _parse_datatype_string(ddl))
             files = man["files"][:1]  # pre-schema manifest: read one file
-    df = _read_files(spark, path, files, man.get("schema"))
+    df = _apply_delete_masks(
+        spark, path, _read_files(spark, path, files, man.get("schema")), man
+    )
     if prune is not None:
         col, op, val = prune
         from pyspark.sql import Column
@@ -657,7 +775,10 @@ def merge_table(
     untouched, affected = _split_files_by_stats(man, key, bounds[0], bounds[1])
     new_files: list[str] = []
     if affected:
-        old = _read_files(spark, path, affected, man.get("schema"))
+        old = _apply_delete_masks(
+            spark, path,
+            _read_files(spark, path, affected, man.get("schema")), man,
+        )
         survivors = old.join(df.select(key).distinct(), key, "left_anti")
         # the source may omit table columns (_check_schema's Iceberg
         # subset contract): replacement is whole-row, so a replaced
@@ -677,6 +798,7 @@ def merge_table(
         path, cur + 1, untouched + new_files, op_label,
         man.get("schema") or _schema_fields(upserts),
         stats,
+        man.get("delete_files"),  # masks still cover the untouched files
     )
 
 
@@ -698,7 +820,14 @@ def table_changes(
     with ``_change_type`` ∈ ``insert`` (key only in ``v_to``),
     ``delete`` (key only in ``v_from``; row = the pre-image),
     ``update_preimage`` / ``update_postimage`` (key in both with
-    different content — two rows, Delta CDF naming)."""
+    different content — two rows, Delta CDF naming).
+
+    Merge-on-read deletes compose: each side reads under ITS
+    manifest's delete masks, and a sidecar committed inside the
+    window (present in ``v_to`` only) additionally surfaces its
+    victims from CARRIED files — those reads are restricted by the
+    sidecar's key bounds against the manifest file stats, so the cost
+    tracks the deleted-key spread, not the table."""
     from pyspark.sql import functions as F
 
     man_from = _load_manifest(path, v_from)
@@ -717,9 +846,85 @@ def table_changes(
         [], _read_files(spark, path, sorted(to_files or from_files), schema).schema
     )
     old = (
-        _read_files(spark, path, only_from, schema) if only_from else empty
+        _apply_delete_masks(
+            spark, path,
+            _read_files(spark, path, only_from, schema), man_from,
+        )
+        if only_from
+        else empty
     )
-    new = _read_files(spark, path, only_to, schema) if only_to else empty
+    new = (
+        _apply_delete_masks(
+            spark, path,
+            _read_files(spark, path, only_to, schema), man_to,
+        )
+        if only_to
+        else empty
+    )
+    # sidecars new in the window mask rows of files BOTH manifests
+    # carry; surface those rows as the old side's pre-images
+    dels_from = man_from.get("delete_files") or []
+    new_dels = [
+        e for e in (man_to.get("delete_files") or []) if e not in dels_from
+    ]
+    carried = sorted(from_files & to_files)
+    if new_dels and carried:
+        fstats = man_to.get("file_stats") or {}
+        victims_parts = []
+        for e in new_dels:
+            kcol = e["key"]
+            ebounds = _file_stats(path, [e["file"]]).get(e["file"], {})
+            lo_hi = ebounds.get(kcol)
+            scan = [
+                f
+                for f in carried
+                if lo_hi is None
+                or (
+                    _file_survives(fstats.get(f), kcol, ">=", lo_hi[0])
+                    and _file_survives(fstats.get(f), kcol, "<=", lo_hi[1])
+                )
+            ]
+            if not scan:
+                continue
+            # stamp the file sequence BEFORE masking: input_file_name
+            # is only legal over a single-source plan, and the mask
+            # join adds the sidecar source (masking preserves
+            # pre-existing columns, so __seq rides through)
+            data = _apply_delete_masks(
+                spark, path,
+                _read_files(spark, path, scan, schema).withColumn(
+                    "__seq",
+                    F.regexp_extract(
+                        F.input_file_name(), r"/v(\d{8})/", 1
+                    ).cast("long"),
+                ),
+                man_from,
+            )
+            kd = spark.read.parquet(
+                str(pathlib.Path(path) / e["file"])
+            ).select(
+                F.col(kcol).alias("__delk"),
+                F.lit(int(e["seq"])).cast("long").alias("__delseq"),
+            )
+            victims_parts.append(
+                data.alias("d")
+                .join(
+                    kd.alias("k"),
+                    on=(
+                        (F.col(f"d.{kcol}") == F.col("k.__delk"))
+                        & (F.col("k.__delseq") > F.col("d.__seq"))
+                    ),
+                    how="left_semi",
+                )
+                .select(*cols)
+            )
+        if victims_parts:
+            victims = victims_parts[0]
+            for part in victims_parts[1:]:
+                victims = victims.unionByName(part)
+            # two in-window sidecars may list the same key (delete of
+            # an already-deleted row): one pre-image per CDF key
+            old = old.unionByName(victims.dropDuplicates([key]))
     others = [c for c in cols if c != key]
     o = old.select(
         F.col(key).alias("__k"),
@@ -796,15 +1001,17 @@ def delete_where(
             "==": c == val, ">=": c >= val, ">": c > val,
             "<=": c <= val, "<": c < val,
         }[op]
-        kept = _read_files(spark, path, affected, man.get("schema")).where(
-            ~cond
-        )
+        kept = _apply_delete_masks(
+            spark, path,
+            _read_files(spark, path, affected, man.get("schema")), man,
+        ).where(~cond)
         new_files = _write_data(kept, path, cur + 1)
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
     stats.update(_file_stats(path, new_files))
     return _commit(
         path, cur + 1, untouched + new_files, "delete",
         man.get("schema"), stats,
+        man.get("delete_files"),  # masks still cover the untouched files
     )
 
 
@@ -925,7 +1132,9 @@ def vacuum_table(path: str, keep_last: int = 1) -> int:
     keep_vs = vs[-keep_last:]
     live: set[str] = set()
     for v in keep_vs:
-        live.update(_load_manifest(path, v)["files"])
+        man = _load_manifest(path, v)
+        live.update(man["files"])
+        live.update(e["file"] for e in man.get("delete_files") or [])
     deleted = 0
     droot = pathlib.Path(path) / _DATA_DIR
     for stale in list(droot.glob(".v*.staging.*")):

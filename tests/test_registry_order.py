@@ -273,6 +273,13 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "incremental_index": (
         "test_text_index.py::test_sync_matches_brute_postings_at_every_stop"
     ),
+    # round-11 mid-round addition: full MOR semantics hand-pinned on
+    # crafted input (zero-rewrite commit, mask visibility, time
+    # travel, and the sequence rule for re-inserted keys), plus the
+    # all-version-pairs brute CDF diff over a mixed COW/MOR lifecycle
+    "mor_delete_read": (
+        "test_versioned.py::test_mor_delete_basics_and_sequence_rule"
+    ),
 }
 
 
@@ -287,6 +294,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     "incremental_agg": 11,
     "materialized_view": 11,
     "incremental_index": 11,
+    "mor_delete_read": 11,
 }
 
 

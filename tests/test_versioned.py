@@ -1676,3 +1676,193 @@ def test_stream_merge_with_tombstones(spark, tmp_path):
     assert "deleted" not in read_table(spark, tbl).columns
     # three versions, each atomic
     assert len(table_history(tbl)) == 3
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read equality deletes (round 11)
+
+
+def test_mor_delete_basics_and_sequence_rule(spark, table):
+    """delete_rows commits a sidecar, data files carry unchanged;
+    readers subtract matching rows; time travel still reads the
+    pre-delete version; and a key re-upserted AFTER its deletion is
+    visible again (the sidecar masks only files with a LOWER
+    sequence — Iceberg's rule)."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _load_manifest,
+        delete_rows,
+        merge_table,
+    )
+
+    v1_files = _load_manifest(table, 1)["files"]
+    delete_rows(
+        spark, table,
+        spark.createDataFrame([(3,), (7,), (15,)], "doc_id long"),
+        "doc_id",
+    )
+    man2 = _load_manifest(table, 2)
+    assert man2["files"] == v1_files  # zero data files rewritten
+    assert len(man2["delete_files"]) == 1
+    ids = {r.doc_id for r in read_table(spark, table).collect()}
+    assert ids == set(range(100)) - {3, 7, 15}
+    assert read_table(spark, table, version=1).count() == 100
+    merge_table(
+        spark.createDataFrame([(7, -7)], "doc_id long, v long"),
+        table, "doc_id",
+    )
+    d = {r.doc_id: r.v for r in read_table(spark, table).collect()}
+    assert d[7] == -7 and 3 not in d and 15 not in d
+
+
+def test_mor_delete_guards(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+    )
+
+    with pytest.raises(ValueError, match="not a table column"):
+        delete_rows(
+            spark, table, spark.createDataFrame([(1,)], "nope long"), "nope"
+        )
+    with pytest.raises(ValueError, match="empty"):
+        delete_rows(
+            spark, table, spark.createDataFrame([], "doc_id long"), "doc_id"
+        )
+    with pytest.raises(ValueError, match="non-null"):
+        delete_rows(
+            spark, table,
+            spark.createDataFrame([(None,)], "doc_id long"), "doc_id",
+        )
+
+
+def test_mor_delete_then_append_and_cow_delete(spark, table):
+    """Masks compose with later appends (appended rows with a deleted
+    key value are NEWER than the sidecar → visible) and with a later
+    copy-on-write delete_where (which reads through the masks when
+    rewriting)."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+        delete_where,
+    )
+
+    delete_rows(
+        spark, table,
+        spark.createDataFrame([(10,), (11,), (90,)], "doc_id long"),
+        "doc_id",
+    )
+    append_table(_batch(spark, 10, 2), table)  # re-adds 10, 11 (newer seq)
+    ids = {r.doc_id for r in read_table(spark, table).collect()}
+    assert 10 in ids and 11 in ids and 90 not in ids
+    delete_where(spark, table, ("doc_id", ">=", 95))
+    ids = {r.doc_id for r in read_table(spark, table).collect()}
+    assert ids == (set(range(95)) - {90}) | {10, 11}
+    # the COW rewrite materialized the masks for the files it touched,
+    # and the sidecar still masks 90 in its untouched file
+    assert read_table(spark, table, version=2).count() == 97
+
+
+def test_mor_cdf_matches_brute_across_all_version_pairs(spark, table):
+    """GROUND_TRUTH extension: the change feed over a lifecycle that
+    mixes COW merge, MOR delete (incl. a double-delete of the same
+    key), a re-insert of a deleted key, and a COW delete equals the
+    brute two-snapshot diff for EVERY version pair."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+        delete_where,
+        merge_table,
+        table_changes,
+    )
+
+    merge_table(
+        spark.createDataFrame([(0, -1), (777, 9)], "doc_id long, v long"),
+        table, "doc_id",
+    )  # v2: update 0, insert 777
+    delete_rows(
+        spark, table,
+        spark.createDataFrame([(5,), (6,), (777,)], "doc_id long"),
+        "doc_id",
+    )  # v3: MOR delete (incl. a row born in v2's files)
+    delete_rows(
+        spark, table,
+        spark.createDataFrame([(6,), (40,)], "doc_id long"),
+        "doc_id",
+    )  # v4: second sidecar, re-deleting 6 (already masked)
+    merge_table(
+        spark.createDataFrame([(5, 55)], "doc_id long, v long"),
+        table, "doc_id",
+    )  # v5: re-insert a MOR-deleted key
+    delete_where(spark, table, ("doc_id", "<", 2))  # v6: COW delete
+
+    def brute(v_from, v_to):
+        a = {r.doc_id: r.v for r in read_table(spark, table, version=v_from).collect()}
+        b = {r.doc_id: r.v for r in read_table(spark, table, version=v_to).collect()}
+        out = []
+        for k in b.keys() - a.keys():
+            out.append(("insert", k, b[k]))
+        for k in a.keys() - b.keys():
+            out.append(("delete", k, a[k]))
+        for k in a.keys() & b.keys():
+            if a[k] != b[k]:
+                out.append(("update_preimage", k, a[k]))
+                out.append(("update_postimage", k, b[k]))
+        return sorted(out)
+
+    for v_from in range(1, 7):
+        for v_to in range(v_from, 7):
+            got = sorted(
+                tuple(r)
+                for r in table_changes(
+                    spark, table, v_from, v_to, "doc_id"
+                ).collect()
+            )
+            assert got == brute(v_from, v_to), (v_from, v_to, got)
+
+
+def test_mor_refresh_and_view_ride_the_masked_feed(spark, tmp_path):
+    """The rollup refresh and the materialized view consume MOR
+    deletes through the same feed — no special casing."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        create_view,
+        delete_rows,
+        read_view,
+        sync_view,
+    )
+
+    base = str(tmp_path / "morb")
+    view = str(tmp_path / "morv")
+    create_table(
+        spark.range(30).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("g"),
+            F.col("id").alias("x"),
+        ).repartitionByRange(3, "doc_id"),
+        base,
+    )
+    create_view(spark, base, view, "doc_id", ["g"], [("x", "sum_x")], "n")
+    delete_rows(
+        spark, base,
+        spark.createDataFrame([(0,), (3,), (29,)], "doc_id long"),
+        "doc_id",
+    )
+    assert sync_view(spark, view) == 2
+    got = {r.g: (r.n, r.sum_x) for r in read_view(spark, view).collect()}
+    want: dict = {}
+    for r in read_table(spark, base).collect():
+        c, t = want.setdefault(r.g, [0, None])
+        want[r.g][0] = c + 1
+        want[r.g][1] = (t or 0) + r.x
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_mor_vacuum_keeps_live_sidecars(spark, table):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+    )
+
+    delete_rows(
+        spark, table, spark.createDataFrame([(1,)], "doc_id long"), "doc_id"
+    )
+    append_table(_batch(spark, 100, 5), table)
+    vacuum_table(table, keep_last=1)
+    ids = {r.doc_id for r in read_table(spark, table).collect()}
+    assert 1 not in ids and 104 in ids  # sidecar survived the vacuum
+    # expire everything before the sidecar-referencing manifest too
+    assert read_table(spark, table).count() == 104
