@@ -185,6 +185,7 @@ from optimal_parallel_fp_growth_spark.sources.versioned import (
     read_table,
     read_view,
     refresh_aggregate,
+    restore_table,
     stream_to_table,
     sync_view,
     table_changes,
@@ -314,6 +315,7 @@ __all__ = [
     "search_text_index",
     "index_base_version",
     "delete_rows",
+    "restore_table",
     "vacuum_table",
     "stream_to_table",
     "salted_agg",

@@ -46,6 +46,7 @@ __all__ = [
     "merge_table",
     "delete_where",
     "delete_rows",
+    "restore_table",
     "read_table",
     "table_changes",
     "aggregate_state",
@@ -1097,6 +1098,33 @@ def stream_merge_to_table(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def restore_table(path: str, version: int) -> int:
+    """Roll the table's HEAD back to ``version`` (Delta RESTORE): a
+    new version is committed whose manifest references exactly the
+    files — and delete sidecars — that ``version`` pinned, so the
+    rollback writes no data and the mistaken versions stay readable
+    for forensics until vacuumed. The restored state is a first-class
+    version: later writes, change feeds, and derived-structure syncs
+    compose (a feed across a restore nets out what the undone
+    versions changed)."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    if version not in vs:
+        raise FileNotFoundError(
+            f"version {version} not in retained history {vs}"
+        )
+    cur = vs[-1]
+    if version == cur:
+        return cur  # restoring the head is a no-op
+    man = _load_manifest(path, version)
+    return _commit(
+        path, cur + 1, man["files"], f"restore@v{version}",
+        man.get("schema"), man.get("file_stats"),
+        man.get("delete_files"),
     )
 
 

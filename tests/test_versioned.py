@@ -1866,3 +1866,60 @@ def test_mor_vacuum_keeps_live_sidecars(spark, table):
     assert 1 not in ids and 104 in ids  # sidecar survived the vacuum
     # expire everything before the sidecar-referencing manifest too
     assert read_table(spark, table).count() == 104
+
+
+def test_restore_rolls_back_without_rewriting(spark, table):
+    """RESTORE commits version N's manifest as the new head — no data
+    written, undone versions still readable, CDF across the restore
+    nets out the undone changes, and later writes compose."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _load_manifest,
+        merge_table,
+        restore_table,
+        table_changes,
+    )
+
+    merge_table(
+        spark.createDataFrame([(0, -1), (500, 5)], "doc_id long, v long"),
+        table, "doc_id",
+    )  # v2: the "mistake"
+    assert restore_table(table, 1) == 3
+    assert _load_manifest(table, 3)["files"] == _load_manifest(table, 1)["files"]
+    assert {r.doc_id: r.v for r in read_table(spark, table).collect()} == {
+        i: i * 2 for i in range(100)
+    }
+    assert read_table(spark, table, version=2).count() == 101  # forensics
+    # CDF v1→v3 nets to nothing; v2→v3 undoes the mistake
+    assert table_changes(spark, table, 1, 3, "doc_id").count() == 0
+    got = sorted(
+        tuple(r) for r in table_changes(spark, table, 2, 3, "doc_id").collect()
+    )
+    assert got == [
+        ("delete", 500, 5),
+        ("update_postimage", 0, 0),
+        ("update_preimage", 0, -1),
+    ]
+    # later writes continue from the restored state
+    append_table(_batch(spark, 900, 3), table)
+    assert read_table(spark, table).count() == 103
+
+
+def test_restore_carries_mor_sidecars(spark, table):
+    """Restoring to a version that carried delete sidecars restores
+    the MASKS too; restoring to the pre-delete version unmasks."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+        restore_table,
+    )
+
+    delete_rows(
+        spark, table, spark.createDataFrame([(5,)], "doc_id long"), "doc_id"
+    )  # v2
+    append_table(_batch(spark, 200, 2), table)  # v3
+    restore_table(table, 2)  # v4: masked, without the append
+    ids = {r.doc_id for r in read_table(spark, table).collect()}
+    assert 5 not in ids and 200 not in ids and len(ids) == 99
+    restore_table(table, 1)  # v5: pre-delete
+    assert read_table(spark, table).count() == 100
+    with pytest.raises(FileNotFoundError):
+        restore_table(table, 99)
