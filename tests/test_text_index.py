@@ -281,3 +281,30 @@ def test_property_random_lifecycles_sync_equals_brute(spark, tmp_path):
         assert _brute_postings(spark, base) == want
 
     run()
+
+
+def test_index_sync_over_mor_deleted_base(spark, tmp_path):
+    """Completes the composition matrix: the maintained index consumes
+    merge-on-read deletes through the same change feed — postings of
+    sidecar-masked documents vanish, a re-upserted document's
+    postings come back."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+    )
+
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    create_table(
+        _corpus(spark, [(1, "a b"), (2, "c d"), (3, "e f")]), base
+    )
+    create_text_index(spark, base, idx)
+    delete_rows(
+        spark, base, spark.createDataFrame([(1,), (3,)], "doc_id long"),
+        "doc_id",
+    )
+    assert sync_text_index(spark, idx) == 2
+    assert _index_postings(spark, idx) == {("c", 2), ("d", 2)}
+    merge_table(_corpus(spark, [(3, "e zz")]), base, "doc_id")  # re-insert
+    assert sync_text_index(spark, idx) == 3
+    assert _index_postings(spark, idx) == _brute_postings(spark, base)
+    assert _index_postings(spark, idx) == {("c", 2), ("d", 2), ("e", 3), ("zz", 3)}
