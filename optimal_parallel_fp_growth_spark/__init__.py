@@ -176,6 +176,7 @@ from optimal_parallel_fp_growth_spark.sources.compact import compact_files
 from optimal_parallel_fp_growth_spark.sources.versioned import (
     aggregate_state,
     append_table,
+    clone_table,
     compact_table,
     create_table,
     create_view,
@@ -316,6 +317,7 @@ __all__ = [
     "index_base_version",
     "delete_rows",
     "restore_table",
+    "clone_table",
     "vacuum_table",
     "stream_to_table",
     "salted_agg",

@@ -47,6 +47,7 @@ __all__ = [
     "delete_where",
     "delete_rows",
     "restore_table",
+    "clone_table",
     "read_table",
     "table_changes",
     "aggregate_state",
@@ -1098,6 +1099,61 @@ def stream_merge_to_table(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def clone_table(
+    src: str, dst: str, version: int | None = None, shallow: bool = False
+) -> int:
+    """Fork ``src`` at ``version`` (default head) into a NEW table at
+    ``dst`` — the Delta CLONE shape. The clone starts life at the
+    SAME version number with the same file paths, which preserves
+    merge-on-read sequence semantics exactly (a sidecar still masks
+    only files from older version directories, re-inserted keys
+    included); it has no earlier history, and subsequent writes to
+    either table never affect the other.
+
+    ``shallow=True`` references the source's files by ABSOLUTE path
+    instead of copying — a zero-copy dev/test fork. The clone's own
+    vacuum can never delete source files (they live outside its data
+    root), but the SOURCE's vacuum can pull files out from under a
+    shallow clone — the standard shallow-clone hazard; deep-copy or
+    re-clone before expiring source history."""
+    vs = _versions(src)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {src}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in retained history {vs}")
+    if _versions(dst):
+        raise FileExistsError(f"versioned table already exists at {dst}")
+    man = _load_manifest(src, v)
+    src_root = pathlib.Path(src).resolve()
+    refs = list(man["files"]) + [
+        e["file"] for e in man.get("delete_files") or []
+    ]
+    mapping: dict[str, str] = {}
+    for f in refs:
+        if shallow:
+            mapping[f] = str(src_root / f)
+        else:
+            target = pathlib.Path(dst) / f
+            target.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(src_root / f, target)
+            mapping[f] = f
+    files = [mapping[f] for f in man["files"]]
+    dels = [
+        {**e, "file": mapping[e["file"]]}
+        for e in man.get("delete_files") or []
+    ]
+    stats = {
+        mapping[f]: s
+        for f, s in (man.get("file_stats") or {}).items()
+        if f in mapping
+    }
+    kind = "shallow_clone" if shallow else "clone"
+    return _commit(
+        dst, v, files, f"{kind}:{src}#v{v}", man.get("schema"), stats, dels
     )
 
 

@@ -1923,3 +1923,76 @@ def test_restore_carries_mor_sidecars(spark, table):
     assert read_table(spark, table).count() == 100
     with pytest.raises(FileNotFoundError):
         restore_table(table, 99)
+
+
+# ---------------------------------------------------------------------------
+# CLONE (round 11)
+
+
+def test_deep_clone_forks_with_masks_and_diverges(spark, table, tmp_path):
+    """Deep clone at the head: same rows INCLUDING merge-on-read mask
+    state (sequence semantics preserved by keeping original paths);
+    afterwards the two tables diverge independently."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        clone_table,
+        delete_rows,
+        merge_table,
+    )
+
+    delete_rows(
+        spark, table, spark.createDataFrame([(5,), (9,)], "doc_id long"),
+        "doc_id",
+    )
+    merge_table(
+        spark.createDataFrame([(9, -9)], "doc_id long, v long"),
+        table, "doc_id",
+    )  # re-insert 9: newer seq beats the sidecar
+    dst = str(tmp_path / "fork")
+    assert clone_table(table, dst) == 3
+    src_rows = {r.doc_id: r.v for r in read_table(spark, table).collect()}
+    assert {r.doc_id: r.v for r in read_table(spark, dst).collect()} == src_rows
+    assert 5 not in src_rows and src_rows[9] == -9
+    # divergence: a write to the clone never shows in the source
+    append_table(_batch(spark, 700, 2), dst)
+    assert read_table(spark, dst).count() == len(src_rows) + 2
+    assert read_table(spark, table).count() == len(src_rows)
+    with pytest.raises(FileExistsError):
+        clone_table(table, dst)
+
+
+def test_deep_clone_of_historical_version(spark, table, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        clone_table,
+    )
+
+    append_table(_batch(spark, 100, 10), table)
+    dst = str(tmp_path / "histfork")
+    assert clone_table(table, dst, version=1) == 1
+    assert read_table(spark, dst).count() == 100
+
+
+def test_shallow_clone_zero_copy_and_vacuum_safety(spark, table, tmp_path):
+    """Shallow clone copies nothing; the clone's vacuum can never
+    delete source files, and writes to the clone land in its own
+    root."""
+    import pathlib
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        clone_table,
+        merge_table,
+    )
+
+    dst = str(tmp_path / "shallow")
+    clone_table(table, dst, shallow=True)
+    # nothing copied: the clone's data root holds no parquet yet
+    assert not list((pathlib.Path(dst) / "data").rglob("*.parquet"))
+    assert read_table(spark, dst).count() == 100
+    merge_table(
+        spark.createDataFrame([(0, -1)], "doc_id long, v long"),
+        dst, "doc_id",
+    )
+    assert {r.v for r in read_table(spark, dst).where(F.col("doc_id") == 0).collect()} == {-1}
+    assert {r.v for r in read_table(spark, table).where(F.col("doc_id") == 0).collect()} == {0}
+    vacuum_table(dst, keep_last=1)
+    # source files survived the clone's vacuum
+    assert read_table(spark, table).count() == 100
