@@ -431,38 +431,135 @@ QUERIES.update(REL_QUERIES)
 # Driver sampling order. The correctness harness samples the registry in
 # insertion order with a bounded per-round window (exactly 50 rows since
 # r4), so entries whose last green driver row is OLDEST must come FIRST —
-# the rotation contract that bounds staleness. Round-11 tiers (staleness
-# computed from CORRECTNESS_r{01..10}.json; the invariant is enforced
+# the rotation contract that bounds staleness. Round-12 tiers (staleness
+# computed from CORRECTNESS_r{01..11}.json; the invariant is enforced
 # data-driven by tests/test_registry_order.py):
-#   1. the 7 entries with NO driver row ever: multimodal_gif (added
-#      mid-r10 after that window was contractually full; exemption
-#      expired at the r10 snapshot) and the six round-11 entries —
-#      the three skew entries dedup_zipf_prefix / skewed_token_counts /
-#      skewed_doc_hotness, the two layout lifecycles hive_layout_read /
-#      compacted_layout_read, and the versioned_changes CDF entry —
-#      all added at the r11 head, before this window was sampled.
-#   2. the 27 r08-green entries deferred through r10 (staleness 3 at
-#      the r11 head — the mandated tier-4 lead block).
-#   3. 16 of the 27 UNPINNED r09-green entries — exactly fills the
-#      window. Unpinned before pinned at equal staleness: unpinned
-#      entries trip the invariant at staleness 3 (r12 head), pinned
-#      ones only at 5.
-#   4. the 11 deferred unpinned r09-green entries (staleness 2 here,
-#      3 at the r12 head) — they MUST lead the r12 window.
-#   5. the 22 differential-pinned r09-green entries (cap 4: due in the
-#      r12/r13 windows).
-#   6. the 50 r10-green entries, freshest last.
+#   1. the 4 entries with NO driver row ever — the mid-r11 versioned-
+#      table lifecycle additions (incremental_agg, materialized_view,
+#      incremental_index, mor_delete_read), added after the r11 window
+#      was contractually full (NEW_THIS_ROUND exemption now expired).
+#   2. the 11 unpinned r09-green entries deferred through r11
+#      (staleness 3 at the r12 head — the mandated lead block named in
+#      the r11 tripwire output).
+#   3. all 22 differential-pinned r09-green entries (staleness 3,
+#      cap 4: due r12/r13 — they ALL fit this window, so the r13 debt
+#      from this tier is zero).
+#   4. the first 13 of the 24 unpinned r10-green entries (staleness 2
+#      here, 3 at the r13 head) — fills the window at exactly 50.
+#   5. the remaining 11 unpinned r10-green entries: MUST lead the r13
+#      window (staleness 3 at the r13 head).
+#   6. the 26 pinned r10-green entries (cap 4: due r13/r14 —
+#      multimodal_decode last went green r10, so it is due again by
+#      the r14 window at the latest; r13 has 50-11=39 free slots after
+#      tier 5, so all 26 fit r13 with 13 slots to spare for the
+#      then-staleness-2 unpinned r11 tier).
+#   7. the 50 r11-green entries, freshest last.
+# Two-round schedule (VERDICT r11 task #2, encoded so a mid-round
+# addition cannot breach either cap): r13 window = tier 5 (11) +
+# tier 6 (26) + 13 unpinned r11-green; r14 window = remaining 30
+# unpinned r11-green + the 7 pinned r11-green + this round's window
+# residue. Demand stays under 50/round (capacity test below).
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
-    # tier 1 — never driver-sampled: multimodal_gif (VERDICT r10 task
-    # #1: leads r11) and the six round-11 entries (three skew-stress,
-    # the Hive-layout and compaction lifecycles, and the CDF change
-    # feed), added BEFORE this round's window was sampled so they take
-    # window slots directly (pack_sequences + chunk_documents +
-    # source_ngram_overlap + repetition_signals + pii_stats +
-    # doc_fingerprint moved to the tier-4 deferred block to keep the
-    # window at 50)
+    # tier 1 — never driver-sampled: the four mid-r11 versioned-table
+    # lifecycle entries (VERDICT r11 task #1: they lead r12)
+    "incremental_agg",
+    "materialized_view",
+    "incremental_index",
+    "mor_delete_read",
+    # tier 2 — the 11 deferred unpinned r09-green (staleness 3)
+    "doc_fingerprint",
+    "pii_stats",
+    "repetition_signals",
+    "source_ngram_overlap",
+    "chunk_documents",
+    "pack_sequences",
+    "curate_corpus",
+    "corpus_split",
+    "label_centroids",
+    "revenue_by_nation",
+    "top_orders",
+    # tier 3 — all 22 differential-pinned r09-green (staleness 3,
+    # cap 4: due r12/r13; sampling them ALL now zeroes the r13 debt)
+    "bloom_decontaminate",
+    "bloom_user_filter",
+    "events_distinct_sketch",
+    "kmeans_arrow",
+    "semdedup_arrow",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_exact",
+    "supplier_pagerank_bucketed",
+    "dedup_incremental",
+    "knn_ivf_index",
+    "freq_itemsets_by_lang",
+    "transform_self",
+    "mix_temperature",
+    "knn_cosine",
+    "events_pivot",
+    "events_unpivot",
+    "events_sessionize",
+    "events_windowed_counts",
+    "events_interval_join",
+    "events_funnel",
+    "events_resample",
+    "multimodal_features",
+    # tier 4 — 13 of the 24 unpinned r10-green: fills the window
+    "multimodal_flac",
+    "versioned_read",
+    "versioned_merge",
+    "min_cost_part_supplier",
+    "important_parts",
+    "returnflag_priority_lines",
+    "supplier_variety",
+    "recent_concentration_suppliers",
+    "multimodal_audio",
+    "multimodal_jpeg",
+    "repeated_spans",
+    "zorder_layout_read",
+    "local_supplier_revenue",
+    # tier 5 — the 11 deferred unpinned r10-green: MUST lead the r13
+    # window (staleness 3 at the r13 head)
+    "word_count",
+    "kmeans_clusters",
+    "kmeans_auto",
+    "semdedup",
+    "semdedup_auto",
+    "knn_ivf",
+    "knn_ann",
+    "supplier_pagerank",
+    "dedup_minhash_lsh",
+    "freq_itemsets",
+    "deduped_corpus_cc",
+    # tier 6 — the 26 pinned r10-green (cap 4: due r13/r14;
+    # multimodal_decode due by r14 at the latest)
+    "multimodal_video",
+    "random_projection",
+    "knn_hyperplane",
+    "dedup_ngram_prefix",
+    "freq_itemsets_pfp",
+    "assoc_rules",
+    "transform",
+    "dedup_exact",
+    "dedup_lines",
+    "dedup_clusters",
+    "deduped_corpus",
+    "embedding_neardup",
+    "decontaminate",
+    "quality_score",
+    "quality_classifier",
+    "token_quantiles",
+    "text_stats",
+    "dq_documents",
+    "dq_events",
+    "ngram_counts",
+    "tfidf_top_terms",
+    "inverted_index",
+    "mix_sources",
+    "stratified_sample",
+    "weighted_sample",
+    "multimodal_decode",
+    # tier 7 — r11-green, freshest last
     "multimodal_gif",
     "dedup_zipf_prefix",
     "skewed_token_counts",
@@ -470,7 +567,6 @@ _DRIVER_PRIORITY: list[str] = [
     "hive_layout_read",
     "compacted_layout_read",
     "versioned_changes",
-    # tier 2 — r08-green remainder, deferred through r10 (staleness 3)
     "events_user_quartiles",
     "events_rolling",
     "events_daily_rollup",
@@ -498,7 +594,6 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_order_counts",
     "top_supplier",
     "idle_rich_customers",
-    # tier 3 — 16 unpinned r09-green: fills the window
     "html_extract",
     "lm_perplexity",
     "gopher_rules",
@@ -515,99 +610,6 @@ _DRIVER_PRIORITY: list[str] = [
     "apriori_rules",
     "dedup_simhash",
     "lang_id",
-    # tier 4 — the 11 deferred unpinned r09-green: MUST lead the r12
-    # window (staleness 3 at the r12 head)
-    "doc_fingerprint",
-    "pii_stats",
-    "repetition_signals",
-    "source_ngram_overlap",
-    "chunk_documents",
-    "pack_sequences",
-    "curate_corpus",
-    "corpus_split",
-    "label_centroids",
-    "revenue_by_nation",
-    "top_orders",
-    # tier 5 — differential-pinned r09-green (cap 4: due r12/r13)
-    "bloom_decontaminate",
-    "bloom_user_filter",
-    "events_distinct_sketch",
-    "kmeans_arrow",
-    "semdedup_arrow",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_exact",
-    "supplier_pagerank_bucketed",
-    "dedup_incremental",
-    "knn_ivf_index",
-    "freq_itemsets_by_lang",
-    "transform_self",
-    "mix_temperature",
-    "knn_cosine",
-    "events_pivot",
-    "events_unpivot",
-    "events_sessionize",
-    "events_windowed_counts",
-    "events_interval_join",
-    "events_funnel",
-    "events_resample",
-    "multimodal_features",
-    # tier 6 — r10-green, freshest
-    "multimodal_flac",
-    "multimodal_video",
-    "random_projection",
-    "knn_hyperplane",
-    "dedup_ngram_prefix",
-    "freq_itemsets_pfp",
-    "assoc_rules",
-    "transform",
-    "dedup_exact",
-    "dedup_lines",
-    "dedup_clusters",
-    "deduped_corpus",
-    "embedding_neardup",
-    "decontaminate",
-    "quality_score",
-    "quality_classifier",
-    "token_quantiles",
-    "text_stats",
-    "dq_documents",
-    "dq_events",
-    "ngram_counts",
-    "tfidf_top_terms",
-    "inverted_index",
-    "mix_sources",
-    "stratified_sample",
-    "weighted_sample",
-    "versioned_read",
-    "versioned_merge",
-    "min_cost_part_supplier",
-    "important_parts",
-    "returnflag_priority_lines",
-    "supplier_variety",
-    "recent_concentration_suppliers",
-    "multimodal_audio",
-    "multimodal_jpeg",
-    "repeated_spans",
-    "zorder_layout_read",
-    "local_supplier_revenue",
-    "word_count",
-    "kmeans_clusters",
-    "kmeans_auto",
-    "semdedup",
-    "semdedup_auto",
-    "knn_ivf",
-    "knn_ann",
-    "supplier_pagerank",
-    "dedup_minhash_lsh",
-    "freq_itemsets",
-    "deduped_corpus_cc",
-    "multimodal_decode",
-    # mid-round r11 additions (window contractually full when added;
-    # NEW_THIS_ROUND exemption — must lead the r12 window)
-    "incremental_agg",
-    "materialized_view",
-    "incremental_index",
-    "mor_delete_read",
 ]
 
 

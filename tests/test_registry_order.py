@@ -1,19 +1,20 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (exactly 50 rows since r4). Round-11 rotation
-contract (VERDICT r10 task #1):
+bounded per-round window (exactly 50 rows since r4). Round-12 rotation
+contract (VERDICT r11 task #1):
 
-* ``multimodal_gif`` (added mid-r10 after the window was contractually
-  full, never sampled) and the six r11 entries ``dedup_zipf_prefix``
-  / ``skewed_token_counts`` / ``skewed_doc_hotness`` /
-  ``hive_layout_read`` / ``compacted_layout_read`` /
-  ``versioned_changes`` (added at the r11 head, straight into the
-  window) lead, then the 27 r08-green entries deferred through r10
-  (staleness 3 at the r11 head), then 16 of the 27 UNPINNED r09-green
-  entries — exactly filling the window. The 11 deferred unpinned
-  r09-green entries (staleness 3 at the r12 head) MUST lead the r12
-  window; the 22 pinned r09-green rotate under their cap in r12/r13.
+* The four mid-r11 lifecycle entries (``incremental_agg`` /
+  ``materialized_view`` / ``incremental_index`` / ``mor_delete_read``,
+  never driver-sampled — their NEW_THIS_ROUND exemption expired at the
+  r11 snapshot) lead, then the 11 unpinned r09-green entries deferred
+  through r11 (staleness 3 — named verbatim in the r11 tripwire
+  output), then ALL 22 differential-pinned r09-green (cap 4: due
+  r12/r13 — sampling them all now zeroes the r13 debt from that
+  tier), then 13 of the 24 unpinned r10-green — exactly filling the
+  window. The remaining 11 unpinned r10-green MUST lead the r13
+  window; the 26 pinned r10-green (incl. ``multimodal_decode``) are
+  due r13/r14 and all fit r13's 39 post-lead slots.
 * A pinned entry (entry-twin differential in ``TWINS``, or an
   independent-recomputation ground truth in ``GROUND_TRUTH_PINS``) may
   defer to a 4-round staleness cap; everything else holds the 2-round
@@ -291,10 +292,8 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
 NEW_THIS_ROUND: dict[str, int] = {
-    "incremental_agg": 11,
-    "materialized_view": 11,
-    "incremental_index": 11,
-    "mor_delete_read": 11,
+    # (r11's four lifecycle entries rotated into the r12 window lead —
+    # their exemption is spent; r12 mid-round additions land here)
 }
 
 
@@ -409,78 +408,79 @@ def test_new_this_round_exemption_expires():
     assert not _staleness_violations(order, last, 9, set(), {"late_add": 7})
 
 
-def test_simulated_r12_rotation_is_feasible():
+def test_simulated_r13_rotation_is_feasible():
     """Rotation-debt solvency check, re-pinned each round: the
-    invariant must provably hold through a simulated r12 with no new
-    rows beyond the r11 window. Simulate: every entry in the CURRENT
-    head-50 goes green in r11, the r12 builder rotates greedily
+    invariant must provably hold through a simulated r13 with no new
+    rows beyond the r12 window. Simulate: every entry in the CURRENT
+    head-50 goes green in r12, the r13 builder rotates greedily
     (most-stale first, pinned entries after unpinned at equal
-    staleness), and the invariant is evaluated at the r12 head."""
+    staleness), and the invariant is evaluated at the r13 head."""
     order = list(Q.QUERIES)
     last, current = _last_green_by_entry()
-    assert current == 11  # this simulation is written against the r11 head
+    assert current == 12  # this simulation is written against the r12 head
     sim_last = dict(last)
     for name in order[:WINDOW]:
-        sim_last[name] = 11
+        sim_last[name] = 12
     pinned = _pinned()
-    r12_order = sorted(
+    r13_order = sorted(
         order,
         key=lambda n: (
             sim_last.get(n, -1),  # most stale first; never-sampled lead
             n in pinned,  # unpinned before pinned at equal staleness
         ),
     )
-    violations = _staleness_violations(r12_order, sim_last, 12, pinned, {})
+    violations = _staleness_violations(r13_order, sim_last, 13, pinned, {})
     assert not violations, "\n".join(violations)
 
 
 def test_window_leads_with_never_sampled_entries():
-    # VERDICT r10 task #1 (multimodal_gif) + the r11 additions: the
-    # seven entries with no driver row ever lead.
+    # VERDICT r11 task #1: the four mid-r11 lifecycle entries with no
+    # driver row ever lead the r12 window.
     order = list(Q.QUERIES)
-    assert order[:7] == [
-        "multimodal_gif", "dedup_zipf_prefix", "skewed_token_counts",
-        "skewed_doc_hotness", "hive_layout_read", "compacted_layout_read",
-        "versioned_changes",
+    assert order[:4] == [
+        "incremental_agg", "materialized_view", "incremental_index",
+        "mor_delete_read",
     ]
 
 
-def test_r11_window_composition():
+def test_r12_window_composition():
     """Pin the exact tiers so a mid-round insertion can't silently push
     a stale entry out of the window."""
     order = list(Q.QUERIES)
     last, _ = _last_green_by_entry()
     pinned = _pinned()
-    # tier 1: never driver-sampled (the r10 mid-round gif entry + the
-    # six r11-head entries, added before this window was sampled)
+    # tier 1: never driver-sampled (the four mid-r11 lifecycle entries)
     tier1 = [
-        "multimodal_gif", "dedup_zipf_prefix", "skewed_token_counts",
-        "skewed_doc_hotness", "hive_layout_read", "compacted_layout_read",
-        "versioned_changes",
+        "incremental_agg", "materialized_view", "incremental_index",
+        "mor_delete_read",
     ]
     assert order[: len(tier1)] == tier1
-    # tier 2: the 27 r08-green entries deferred through r10
-    tier2 = order[len(tier1) : len(tier1) + 27]
-    assert all(last.get(n) == 8 for n in tier2), tier2
-    # tier 3 fills the window: 16 UNPINNED r09-green entries (unpinned
-    # rotate before pinned at equal staleness — they trip at 3, pinned
-    # at 5)
-    tier3 = order[len(tier1) + 27 : WINDOW]
-    assert all(last.get(n) == 9 and n not in pinned for n in tier3), tier3
-    # tier 4: the 11 deferred unpinned r09-green — MUST lead r12
-    tier4 = order[WINDOW : WINDOW + 11]
-    assert all(last.get(n) == 9 and n not in pinned for n in tier4), tier4
-    # tier 5: the 22 pinned r09-green (cap 4: due r12/r13)
-    tier5 = order[WINDOW + 11 : WINDOW + 33]
-    assert all(last.get(n) == 9 and n in pinned for n in tier5), tier5
-    # tier 6: the r10-green tail (freshest last), then any mid-round
+    # tier 2: the 11 unpinned r09-green deferred through r11
+    tier2 = order[len(tier1) : len(tier1) + 11]
+    assert all(last.get(n) == 9 and n not in pinned for n in tier2), tier2
+    # tier 3: ALL 22 differential-pinned r09-green (cap 4, due r12/r13
+    # — zeroing the r13 debt from this tier)
+    tier3 = order[len(tier1) + 11 : len(tier1) + 33]
+    assert all(last.get(n) == 9 and n in pinned for n in tier3), tier3
+    # tier 4 fills the window: 13 unpinned r10-green
+    tier4 = order[len(tier1) + 33 : WINDOW]
+    assert all(last.get(n) == 10 and n not in pinned for n in tier4), tier4
+    # tier 5: the 11 deferred unpinned r10-green — MUST lead r13
+    tier5 = order[WINDOW : WINDOW + 11]
+    assert all(last.get(n) == 10 and n not in pinned for n in tier5), tier5
+    # tier 6: the 26 pinned r10-green (cap 4: due r13/r14;
+    # multimodal_decode due by r14 at the latest)
+    tier6 = order[WINDOW + 11 : WINDOW + 37]
+    assert all(last.get(n) == 10 and n in pinned for n in tier6), tier6
+    assert "multimodal_decode" in tier6
+    # tier 7: the r11-green tail (freshest last), then any mid-round
     # additions at the very end
-    tail = order[WINDOW + 33 :]
-    tier6 = [n for n in tail if n not in NEW_THIS_ROUND]
-    assert all(last.get(n) == 10 for n in tier6), [
-        n for n in tier6 if last.get(n) != 10
+    tail = order[WINDOW + 37 :]
+    tier7 = [n for n in tail if n not in NEW_THIS_ROUND]
+    assert all(last.get(n) == 11 for n in tier7), [
+        n for n in tier7 if last.get(n) != 11
     ]
-    assert set(tail[len(tier6) :]) == set(NEW_THIS_ROUND)
+    assert set(tail[len(tier7) :]) == set(NEW_THIS_ROUND)
 
 
 def test_queries_and_oracles_share_order_and_keys():
@@ -516,7 +516,9 @@ def test_prior_round_correctness_rows_were_all_green():
         "r06": ["versioned_read"],
         "r07": ["returnflag_priority_lines", "versioned_merge", "versioned_read"],
     }
-    for r in ("r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10"):
+    for r in (
+        "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10", "r11",
+    ):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         red = sorted(k for k, v in rows.items() if not v.get("hash_match"))
         assert red == known_red.get(r, []), (r, red)
