@@ -308,6 +308,12 @@ def _commit(
     both "win" and one manifest be lost (TOCTOU). The exists() check
     below is kept only as a fast path; the link is the guarantee. On
     object stores, swap for conditional-put (If-None-Match)."""
+    # Reject unparseable file paths at COMMIT time: readers derive the
+    # merge-on-read sequence number from the path via an inline
+    # regexp_extract whose failure mode is a silent NULL (row kept
+    # unmasked), so a malformed path must never reach a manifest.
+    for rel in list(files) + [e["file"] for e in (delete_files or [])]:
+        _seq_of(rel)
     mdir = pathlib.Path(path) / _MANIFEST_DIR
     mdir.mkdir(parents=True, exist_ok=True)
     manifest = {
@@ -504,7 +510,10 @@ def _read_files(
 
 def _seq_of(rel_file: str) -> int:
     """A data file's sequence number = the version directory it was
-    written under (immutable by construction)."""
+    written under (immutable by construction). Called by ``_commit``
+    on every manifest path so the readers' inline ``regexp_extract``
+    (whose failure mode is a silent NULL → row kept unmasked) can
+    never meet a path it cannot parse (advice r11)."""
     import re
 
     m = re.search(r"(?:^|/)v(\d{8})/", rel_file)
@@ -863,17 +872,31 @@ def table_changes(
         if only_to
         else empty
     )
-    # sidecars new in the window mask rows of files BOTH manifests
-    # carry; surface those rows as the old side's pre-images
+    # Sidecar churn masks/unmasks rows of files BOTH manifests carry.
+    # Two symmetric passes (each restricted by the sidecar's key
+    # bounds against the carried files' stats, so the cost tracks the
+    # deleted-key spread, not the table):
+    #   * a sidecar ADDED in the window hides rows that were visible
+    #     at ``v_from`` — surface them as the old side's pre-images;
+    #   * a sidecar REMOVED in the window (``restore_table`` to a
+    #     pre-delete version) re-exposes rows at ``v_to`` — surface
+    #     them as the new side's post-images, else a feed across a
+    #     restore silently drops the reappearing rows and every
+    #     derived view/index that rides it diverges forever.
     dels_from = man_from.get("delete_files") or []
-    new_dels = [
-        e for e in (man_to.get("delete_files") or []) if e not in dels_from
-    ]
+    dels_to = man_to.get("delete_files") or []
     carried = sorted(from_files & to_files)
-    if new_dels and carried:
-        fstats = man_to.get("file_stats") or {}
-        victims_parts = []
-        for e in new_dels:
+    fstats = {
+        **(man_from.get("file_stats") or {}),
+        **(man_to.get("file_stats") or {}),
+    }
+
+    def _sidecar_matches(entries: list[dict], mask_man: dict):
+        """Rows of CARRIED files, read under ``mask_man``'s masks,
+        whose key a sidecar in ``entries`` masks (seq rule) — i.e.
+        the rows whose visibility the window's sidecar churn flips."""
+        parts = []
+        for e in entries:
             kcol = e["key"]
             ebounds = _file_stats(path, [e["file"]]).get(e["file"], {})
             lo_hi = ebounds.get(kcol)
@@ -900,7 +923,7 @@ def table_changes(
                         F.input_file_name(), r"/v(\d{8})/", 1
                     ).cast("long"),
                 ),
-                man_from,
+                mask_man,
             )
             kd = spark.read.parquet(
                 str(pathlib.Path(path) / e["file"])
@@ -908,7 +931,7 @@ def table_changes(
                 F.col(kcol).alias("__delk"),
                 F.lit(int(e["seq"])).cast("long").alias("__delseq"),
             )
-            victims_parts.append(
+            parts.append(
                 data.alias("d")
                 .join(
                     kd.alias("k"),
@@ -920,13 +943,26 @@ def table_changes(
                 )
                 .select(*cols)
             )
-        if victims_parts:
-            victims = victims_parts[0]
-            for part in victims_parts[1:]:
-                victims = victims.unionByName(part)
-            # two in-window sidecars may list the same key (delete of
-            # an already-deleted row): one pre-image per CDF key
-            old = old.unionByName(victims.dropDuplicates([key]))
+        if not parts:
+            return None
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        # two sidecars may list the same key (delete of an already-
+        # deleted row): one image per CDF key
+        return out.dropDuplicates([key])
+
+    if carried:
+        victims = _sidecar_matches(
+            [e for e in dels_to if e not in dels_from], man_from
+        )
+        if victims is not None:
+            old = old.unionByName(victims)
+        reappeared = _sidecar_matches(
+            [e for e in dels_from if e not in dels_to], man_to
+        )
+        if reappeared is not None:
+            new = new.unionByName(reappeared)
     others = [c for c in cols if c != key]
     o = old.select(
         F.col(key).alias("__k"),

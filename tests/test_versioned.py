@@ -125,6 +125,30 @@ def test_commit_conflict_raises(spark, table):
     assert read_table(spark, table, version=cur + 1).count() == 100
 
 
+def test_commit_rejects_unparseable_file_paths(spark, table):
+    """Readers derive the MOR sequence from the path via a regexp
+    whose miss is a silent NULL (row kept unmasked) — so a path the
+    regexp can't parse must be rejected AT COMMIT (advice r11)."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _commit,
+        _load_manifest,
+        _versions,
+    )
+
+    cur = _versions(table)[-1]
+    man = _load_manifest(table, cur)
+    with pytest.raises(ValueError, match="sequence"):
+        _commit(table, cur + 1, man["files"] + ["loose/part-0.parquet"],
+                "append")
+    with pytest.raises(ValueError, match="sequence"):
+        _commit(
+            table, cur + 1, man["files"], "delete_rows",
+            delete_files=[{"file": "no-version-dir.parquet",
+                           "seq": cur, "key": "doc_id"}],
+        )
+    assert _versions(table)[-1] == cur  # nothing committed
+
+
 def test_stream_to_table_versions_per_batch(spark, sf_small, tmp_path):
     """Each micro-batch commits as one atomic version; the final table
     equals the full input and intermediate versions are readable."""
@@ -1763,12 +1787,15 @@ def test_mor_delete_then_append_and_cow_delete(spark, table):
 def test_mor_cdf_matches_brute_across_all_version_pairs(spark, table):
     """GROUND_TRUTH extension: the change feed over a lifecycle that
     mixes COW merge, MOR delete (incl. a double-delete of the same
-    key), a re-insert of a deleted key, and a COW delete equals the
-    brute two-snapshot diff for EVERY version pair."""
+    key), a re-insert of a deleted key, a COW delete, and a RESTORE
+    over the MOR deletes (sidecars REMOVED in-window must re-emit the
+    reappearing rows — advice r11) equals the brute two-snapshot diff
+    for EVERY version pair."""
     from optimal_parallel_fp_growth_spark.sources.versioned import (
         delete_rows,
         delete_where,
         merge_table,
+        restore_table,
         table_changes,
     )
 
@@ -1791,6 +1818,13 @@ def test_mor_cdf_matches_brute_across_all_version_pairs(spark, table):
         table, "doc_id",
     )  # v5: re-insert a MOR-deleted key
     delete_where(spark, table, ("doc_id", "<", 2))  # v6: COW delete
+    restore_table(table, 2)  # v7: drops BOTH sidecars — 5/6/40/777
+    #                          reappear (and v5/v6's changes undo)
+    delete_rows(
+        spark, table,
+        spark.createDataFrame([(7,)], "doc_id long"),
+        "doc_id",
+    )  # v8: a fresh sidecar AFTER the restore (add+remove mixes)
 
     def brute(v_from, v_to):
         a = {r.doc_id: r.v for r in read_table(spark, table, version=v_from).collect()}
@@ -1806,8 +1840,8 @@ def test_mor_cdf_matches_brute_across_all_version_pairs(spark, table):
                 out.append(("update_postimage", k, b[k]))
         return sorted(out)
 
-    for v_from in range(1, 7):
-        for v_to in range(v_from, 7):
+    for v_from in range(1, 9):
+        for v_to in range(v_from, 9):
             got = sorted(
                 tuple(r)
                 for r in table_changes(
@@ -1850,6 +1884,42 @@ def test_mor_refresh_and_view_ride_the_masked_feed(spark, tmp_path):
         want[r.g][0] = c + 1
         want[r.g][1] = (t or 0) + r.x
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_view_sync_reconverges_across_restore_over_mor_delete(
+    spark, tmp_path
+):
+    """Advice r11 (high): a restore to a pre-delete version REMOVES
+    sidecars, so the reappearing rows must flow through the feed —
+    otherwise a view that synced past the delete diverges forever."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        create_view,
+        delete_rows,
+        read_view,
+        restore_table,
+        sync_view,
+    )
+
+    base = str(tmp_path / "resb")
+    view = str(tmp_path / "resv")
+    create_table(
+        spark.range(30).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("g"),
+            F.col("id").alias("x"),
+        ).repartitionByRange(3, "doc_id"),
+        base,
+    )
+    create_view(spark, base, view, "doc_id", ["g"], [("x", "sum_x")], "n")
+    delete_rows(
+        spark, base,
+        spark.createDataFrame([(0,), (3,), (29,)], "doc_id long"),
+        "doc_id",
+    )
+    assert sync_view(spark, view) == 2  # view state excludes 0/3/29
+    restore_table(base, 1)  # v3: the sidecar is gone, rows reappear
+    assert sync_view(spark, view) == 3
+    got = {r.g: (r.n, r.sum_x) for r in read_view(spark, view).collect()}
+    assert got == {0: (10, 135), 1: (10, 145), 2: (10, 155)}
 
 
 def test_mor_vacuum_keeps_live_sidecars(spark, table):
