@@ -33,10 +33,38 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(name: str, fn, timings: dict, errors: dict) -> None:
+def _cpu_counters() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
+    line, or None where /proc is unavailable. Field 8 (0-indexed after
+    the 'cpu' label) is hypervisor steal."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if parts[:1] != ["cpu"]:
+        return None
+    vals = [int(x) for x in parts[1:]]
+    if len(vals) < 8:
+        return None
+    return vals[7], sum(vals)
+
+
+def _timed(
+    name: str, fn, timings: dict, errors: dict, steals: dict | None = None
+) -> None:
     """Time one stage; a broken stage must not zero the whole artifact
     (BENCH_r09 died rc=1 with parsed:null when a single query raised):
-    record the failure and keep going — the JSON line always prints."""
+    record the failure and keep going — the JSON line always prints.
+
+    Each stage also samples the cumulative hypervisor-steal counter
+    before/after (VERDICT r11 task #3): this host suffers roving
+    steal storms that inflate random stages 2-30x per run, and r10+r11
+    each burned full bench runs proving inflated walls were steal. A
+    per-stage ``steal_pct`` makes the adjudication mechanical — a wall
+    >2x its BASELINE.md band is a true regression ONLY when its
+    steal_pct is low; otherwise re-probe in isolation."""
+    c0 = _cpu_counters()
     t0 = time.perf_counter()
     try:
         fn()
@@ -45,7 +73,15 @@ def _timed(name: str, fn, timings: dict, errors: dict) -> None:
         print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
         return
     timings[name] = round(time.perf_counter() - t0, 3)
-    print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    c1 = _cpu_counters()
+    note = ""
+    if steals is not None and c0 is not None and c1 is not None:
+        dtotal = c1[1] - c0[1]
+        steals[name] = (
+            round(100.0 * (c1[0] - c0[0]) / dtotal, 2) if dtotal > 0 else 0.0
+        )
+        note = f" (steal {steals[name]:.1f}%)"
+    print(f"  {name}: {timings[name]:.3f}s{note}", file=sys.stderr)
 
 
 def main() -> None:
@@ -65,9 +101,10 @@ def main() -> None:
     spark = get_session("opfpg-bench")
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    steals: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        _timed(name, fn, timings, errors)
+        _timed(name, fn, timings, errors, steals)
 
     # ---- flagship: sparse lineitem baskets, baseline vs engine ----------
     # The eager setup (persist + count) runs under the same guard as the
@@ -369,6 +406,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "steal_pct": steals,
                 "errors": errors,
                 "sf": sf_val,
             },
@@ -387,6 +425,16 @@ def main() -> None:
         )
         if k in timings
     }
+    steal_vals = sorted(steals.values())
+    steal_summary = (
+        {
+            "max": steal_vals[-1],
+            "p50": steal_vals[len(steal_vals) // 2],
+            "n_over_2pct": sum(1 for v in steal_vals if v > 2.0),
+        }
+        if steal_vals
+        else {}
+    )
     print(
         json.dumps(
             {
@@ -397,6 +445,7 @@ def main() -> None:
                 "full": "BENCH_FULL.json",
                 "n_stages": len(timings),
                 "errors": len(errors),
+                "steal": steal_summary,
                 "sf": sf_val,
             }
         )

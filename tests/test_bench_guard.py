@@ -83,3 +83,37 @@ def test_stdout_line_carries_an_error_count():
     src = (REPO / "bench.py").read_text()
     tail = src.split('"full": "BENCH_FULL.json"')[1]
     assert '"errors": len(errors)' in tail
+
+
+def test_timed_records_per_stage_steal_pct():
+    """VERDICT r11 task #3: every timed stage must carry a steal_pct
+    sample so a >2x wall can be adjudicated mechanically (true
+    regression when steal is low, host noise when it is not)."""
+    timings, errors, steals = {}, {}, {}
+    bench._timed("s", lambda: None, timings, errors, steals)
+    assert "s" in timings
+    # /proc/stat exists on this host, so the sample must be present,
+    # a percentage, and sane for a no-op stage
+    assert 0.0 <= steals["s"] <= 100.0
+    # errored stages record no steal row (no wall to adjudicate)
+    bench._timed(
+        "b", lambda: (_ for _ in ()).throw(ValueError("x")),
+        timings, errors, steals,
+    )
+    assert "b" not in steals and "b" in errors
+
+
+def test_cpu_counters_parse_proc_stat():
+    got = bench._cpu_counters()
+    assert got is not None
+    steal, total = got
+    assert 0 <= steal <= total
+
+
+def test_bench_full_artifact_carries_steal_pct():
+    """The BENCH_FULL.json writer and the stdout summary must both
+    carry the steal fields (the driver records the stdout line; the
+    baseline protocol reads the full artifact)."""
+    src = (REPO / "bench.py").read_text()
+    assert '"steal_pct": steals' in src
+    assert '"steal": steal_summary' in src
