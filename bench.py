@@ -361,6 +361,11 @@ def main() -> None:
         # round-11 addition: merge-on-read equality deletes (sidecar
         # commit, masked read, sequence-rule re-insert)
         "mor_delete_read",
+        # round-12 addition: pruned term lookups through the maintained
+        # index (build → COW text rewrite + MOR delete → one cluster-
+        # preserving sync → 4 stat-pruned searches, fail-closed on
+        # files_scanned)
+        "index_search",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

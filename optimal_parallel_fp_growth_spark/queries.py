@@ -610,6 +610,10 @@ _DRIVER_PRIORITY: list[str] = [
     "apriori_rules",
     "dedup_simhash",
     "lang_id",
+    # mid-round r12 additions (window contractually full when added;
+    # NEW_THIS_ROUND exemption — must lead the r13 window after its
+    # tier-5/6 blocks)
+    "index_search",
 ]
 
 

@@ -712,6 +712,90 @@ FROM p GROUP BY token
 """
 
 
+INDEX_SEARCH_TERMS = ("batch", "dup", "vector", "zzz_upd")
+
+
+def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned term lookup through the maintained index (round 12,
+    VERDICT r11 task #4; sources/text_index.py::search_text_index):
+    build the postings table, churn the base — rewrite every
+    doc_id % 10 == 0 document to the single token 'zzz_upd' (COW
+    merge) and MOR-delete doc_id < 50 (postings spanning the whole
+    vocabulary) — sync ONCE, then look up each term. The in-query
+    check fails closed unless every lookup's manifest-stat prune
+    scans FEWER files than the index holds — i.e. the sync's
+    cluster-preserving merge really kept the token ranges disjoint.
+    The oracle re-tokenizes the closed-form final corpus and filters
+    to the same terms."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import text_index as TI
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with session_temp_layout(spark, "tsearch") as (tdir, materialize):
+        base = os.path.join(tdir, "base")
+        idx = os.path.join(tdir, "idx")
+        V.create_table(docs.repartitionByRange(4, "doc_id"), base)
+        TI.create_text_index(spark, base, idx)
+        V.merge_table(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                "doc_id", F.lit("zzz_upd").alias("text")
+            ),
+            base, "doc_id",
+        )
+        V.delete_rows(
+            spark, base,
+            docs.where(
+                F.col("doc_id") < VERSIONED_CDF_DELETE_BELOW
+            ).select("doc_id"),
+            "doc_id",
+        )
+        TI.sync_text_index(spark, idx)
+        total = V.files_scanned(idx)
+        parts = []
+        for term in INDEX_SEARCH_TERMS:
+            scanned = V.files_scanned(idx, prune=("token", "==", term))
+            if not scanned < total:
+                raise AssertionError(
+                    f"term lookup {term!r} scans {scanned}/{total} index "
+                    "files - the clustered layout stopped pruning"
+                )
+            parts.append(
+                TI.search_text_index(spark, idx, term).select(
+                    F.lit(term).alias("term"), F.col("doc_id")
+                )
+            )
+        hits = parts[0]
+        for p in parts[1:]:
+            hits = hits.unionByName(p)
+        out = hits.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("doc_id").alias("doc_sum"),
+        )
+        return materialize(out)
+
+
+ORACLE_INDEX_SEARCH = f"""
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 'zzz_upd' ELSE text END AS text
+  FROM documents WHERE doc_id >= {VERSIONED_CDF_DELETE_BELOW}
+),
+p AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM final
+  )
+)
+SELECT token AS term, count(*) AS df, sum(doc_id)::BIGINT AS doc_sum
+FROM p WHERE token IN ('batch', 'dup', 'vector', 'zzz_upd')
+GROUP BY token
+"""
+
+
 def q_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read equality deletes under the oracle gate (round 11;
     sources/versioned.py::delete_rows): create the table, MOR-delete
@@ -1733,6 +1817,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "materialized_view": q_materialized_view,
     "incremental_index": q_incremental_index,
     "mor_delete_read": q_mor_delete_read,
+    "index_search": q_index_search,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -1786,6 +1871,7 @@ DOC_ORACLES: dict[str, str] = {
     "materialized_view": ORACLE_MATERIALIZED_VIEW,
     "incremental_index": ORACLE_INCREMENTAL_INDEX,
     "mor_delete_read": ORACLE_MOR_DELETE_READ,
+    "index_search": ORACLE_INDEX_SEARCH,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

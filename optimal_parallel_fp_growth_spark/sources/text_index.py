@@ -74,6 +74,22 @@ def index_base_version(index_path: str, version: int | None = None) -> int:
     return _watermark_at(index_path, version, "text index")
 
 
+def _posting_id(token_col, key_col):
+    """Unambiguous (token, key) encoding: ``len(token):token:key``.
+    A bare ``token:key`` concat is ambiguous when the key is a string
+    containing ':' or the token contains ':' (the whitespace tokenizer
+    allows both): 'a'+'b:c' and 'a:b'+'c' both encode 'a:b:c', so a
+    merge keyed on posting_id could clobber a DIFFERENT posting
+    (advice r11). The length prefix makes decoding deterministic:
+    leading digits give the token's length, the remainder is the key."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.length(token_col).cast("string"), F.lit(":"),
+        token_col, F.lit(":"), key_col.cast("string"),
+    )
+
+
 def _postings(df: DataFrame, key: str, text_col: str) -> DataFrame:
     """(posting_id, token, <key>) rows — one per distinct token per
     document; the same whitespace tokenizer as the batch
@@ -86,9 +102,7 @@ def _postings(df: DataFrame, key: str, text_col: str) -> DataFrame:
             F.array_distinct(F.split(F.col(text_col), " "))
         ).alias("token"),
     ).select(
-        F.concat_ws(":", F.col("token"), F.col(key).cast("string")).alias(
-            "posting_id"
-        ),
+        _posting_id(F.col("token"), F.col(key)).alias("posting_id"),
         "token",
         key,
     )
@@ -124,6 +138,9 @@ def create_text_index(
         "base_path": os.path.abspath(base_path),
         "key": key,
         "text_col": text_col,
+        # persisted so a vacuum-fallback rebuild keeps the layout /
+        # pruning granularity the index was created with (advice r11)
+        "n_files": n_files,
     }
     tmp = idir / f".{_INDEX_META}.tmp.{os.getpid()}"
     tmp.write_text(json.dumps(spec, indent=1))
@@ -168,7 +185,7 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
             read_table(spark, base_path, version=head), key, text_col
         )
         clustered = post.repartitionByRange(
-            8, "token"
+            int(spec.get("n_files", 8)), "token"
         ).sortWithinPartitions("token", key)
         files = _write_data(clustered, index_path, cur + 1)
         _commit(
@@ -198,9 +215,7 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
         .agg(F.sum("__w").alias("__net"))
         .where(F.col("__net") != 0)
         .select(
-            F.concat_ws(
-                ":", F.col("token"), F.col(key).cast("string")
-            ).alias("posting_id"),
+            _posting_id(F.col("token"), F.col(key)).alias("posting_id"),
             "token",
             key,
             (F.col("__net") < 0).alias("__delete"),
@@ -220,6 +235,11 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
         merge_table(
             changeset, index_path, "posting_id",
             delete_col="__delete", op_label=f"index@base_v{head}",
+            # re-cluster rewritten files by token so a wide changeset
+            # (e.g. a row-delete whose postings span the vocabulary)
+            # cannot destroy the disjoint token ranges pruned lookups
+            # depend on
+            cluster_by=["token", key],
         )
         return head
     finally:

@@ -715,6 +715,7 @@ def merge_table(
     key: str,
     delete_col: str | None = None,
     op_label: str = "merge",
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Copy-on-write UPSERT (the table-format MERGE core): rows of
     ``df`` REPLACE current rows with the same ``key`` value; keys not
@@ -741,7 +742,17 @@ def merge_table(
     ``key`` (Catalyst/AQE picks broadcast when ``df`` is small — the
     common CDC case), union the surviving upsert rows, write as the
     new version's files. One shuffle-or-broadcast join over ONLY the
-    affected bytes."""
+    affected bytes.
+
+    ``cluster_by`` (round 12, the optimized-write analog): range-
+    repartition + sort the rewritten rows on these columns before
+    writing, preserving a clustered layout's file-level min/max
+    pruning across merges. Without it the rewrite inherits the
+    anti-join's hash partitioning, so a merge that touches every file
+    of a token-clustered index would silently destroy the disjoint
+    ranges a pruned lookup depends on. The rewritten file count stays
+    at the affected-file count (layout granularity is preserved, not
+    inflated)."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -798,6 +809,13 @@ def merge_table(
         merged = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
         merged = upserts
+    if cluster_by:
+        missing = [c for c in cluster_by if c not in merged.columns]
+        if missing:
+            raise ValueError(f"cluster_by columns not in table: {missing}")
+        merged = merged.repartitionByRange(
+            max(len(affected), 1), *cluster_by
+        ).sortWithinPartitions(*cluster_by)
     new_files = _write_data(merged, path, cur + 1)
     stats = {
         f: s

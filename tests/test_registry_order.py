@@ -281,6 +281,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "mor_delete_read": (
         "test_versioned.py::test_mor_delete_basics_and_sequence_rule"
     ),
+    # round-12 mid-round addition: hand-pinned lookups on a crafted
+    # 200-doc corpus (exact hit sets + prune-really-bites file counts),
+    # plus the wide-sync clustering differential
+    "index_search": (
+        "test_text_index.py::test_search_prunes_to_covering_files"
+    ),
 }
 
 
@@ -294,6 +300,7 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 NEW_THIS_ROUND: dict[str, int] = {
     # (r11's four lifecycle entries rotated into the r12 window lead —
     # their exemption is spent; r12 mid-round additions land here)
+    "index_search": 12,
 }
 
 

@@ -148,6 +148,63 @@ def test_sync_rebuilds_after_base_vacuum(spark, tmp_path):
     assert _index_postings(spark, idx) == _brute_postings(spark, base)
 
 
+def test_rebuild_keeps_created_file_layout(spark, tmp_path):
+    """Advice r11: the vacuum-fallback rebuild must reuse the n_files
+    chosen at create time (persisted in the spec), not a hardcoded 8 —
+    a rebuilt index silently changing its pruning granularity is a
+    perf regression no test would catch."""
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    rows = [(i, f"tok{i:04d}") for i in range(60)]
+    create_table(_corpus(spark, rows), base)
+    create_text_index(spark, base, idx, n_files=3)
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        files_scanned,
+    )
+
+    assert files_scanned(idx) == 3
+    merge_table(_corpus(spark, [(0, "zzz")]), base, "doc_id")
+    vacuum_table(base, keep_last=1)
+    assert sync_text_index(spark, idx) == 2
+    assert table_history(idx)[-1]["op"].startswith("index_rebuild")
+    assert files_scanned(idx) == 3  # layout preserved across rebuild
+
+
+def test_posting_ids_unambiguous_for_hostile_string_keys(spark, tmp_path):
+    """Advice r11: a bare token:key concat collides for token 'a' +
+    key 'b:c' vs token 'a:b' + key 'c' — a sync deleting one posting
+    could clobber the other. The length-prefixed encoding keeps them
+    distinct through a full update lifecycle."""
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    create_table(
+        spark.createDataFrame(
+            [("b:c", "a keep"), ("c", "a:b keep")], "k string, text string"
+        ),
+        base,
+    )
+    create_text_index(spark, base, idx, key="k")
+    post = {
+        (r.token, r.k)
+        for r in read_table(spark, idx).select("token", "k").collect()
+    }
+    assert ("a", "b:c") in post and ("a:b", "c") in post
+    ids = [r.posting_id for r in read_table(spark, idx).collect()]
+    assert len(ids) == len(set(ids))  # no encoded collision
+    # drop token 'a' from doc 'b:c' only; doc 'c' must keep 'a:b'
+    merge_table(
+        spark.createDataFrame([("b:c", "keep")], "k string, text string"),
+        base, "k",
+    )
+    assert sync_text_index(spark, idx) == 2
+    post = {
+        (r.token, r.k)
+        for r in read_table(spark, idx).select("token", "k").collect()
+    }
+    assert ("a", "b:c") not in post and ("a:b", "c") in post
+    assert ("keep", "b:c") in post and ("keep", "c") in post
+
+
 def test_search_prunes_to_covering_files(spark, tmp_path):
     """The token-clustered layout makes a term lookup touch only the
     file(s) whose manifest token range covers the term."""
@@ -169,6 +226,39 @@ def test_search_prunes_to_covering_files(spark, tmp_path):
     assert total >= 4 and scanned < total  # pruning really bites
     # the hot common token is in every doc; search still exact
     assert search_text_index(spark, idx, "common").count() == 200
+
+
+def test_search_still_prunes_after_wide_sync(spark, tmp_path):
+    """A base row-delete emits postings spanning the whole vocabulary,
+    so the sync's merge rewrites every index file. The cluster-
+    preserving merge write must keep the token ranges disjoint —
+    without it a lookup after one wide sync scans the full index."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+        files_scanned,
+    )
+
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    rows = [(i, f"tok{i:04d} common filler") for i in range(200)]
+    create_table(
+        _corpus(spark, rows).repartitionByRange(4, "doc_id"), base
+    )
+    create_text_index(spark, base, idx, n_files=8)
+    # row-deletes whose postings span the vocab end to end
+    delete_rows(
+        spark, base,
+        spark.createDataFrame([(0,), (99,), (199,)], "doc_id long"),
+        "doc_id",
+    )
+    assert sync_text_index(spark, idx) == 2
+    assert _index_postings(spark, idx) == _brute_postings(spark, base)
+    total = files_scanned(idx)
+    scanned = files_scanned(idx, prune=("token", "==", "tok0007"))
+    assert total >= 4 and scanned < total, (scanned, total)
+    assert sorted(
+        r.doc_id for r in search_text_index(spark, idx, "tok0007").collect()
+    ) == [7]
 
 
 def test_create_index_guards(spark, tmp_path):
