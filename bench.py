@@ -366,6 +366,10 @@ def main() -> None:
         # preserving sync → 4 stat-pruned searches, fail-closed on
         # files_scanned)
         "index_search",
+        # round-12 addition: streaming CDF follow (five-commit COW/MOR/
+        # restore lifecycle drained one micro-batch per commit into a
+        # replica table through the checkpointed cursor)
+        "versioned_stream_follow",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

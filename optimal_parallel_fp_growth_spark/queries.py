@@ -614,6 +614,7 @@ _DRIVER_PRIORITY: list[str] = [
     # NEW_THIS_ROUND exemption — must lead the r13 window after its
     # tier-5/6 blocks)
     "index_search",
+    "versioned_stream_follow",
 ]
 
 

@@ -518,6 +518,74 @@ FROM documents WHERE doc_id % 10 = 5
 """
 
 
+def q_versioned_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF follow under the oracle gate (round 12, VERDICT
+    r11 task #5; sources/versioned.py::stream_changes_to_table):
+    build a five-commit lifecycle — create (v1), COW merge updating
+    doc_id % 10 == 0 to n_chars = -5 (v2), MOR row-delete of
+    doc_id % 7 == 3 (v3), RESTORE to v2 (v4: the sidecar is removed,
+    the deleted rows must reappear through the feed), row-delete of
+    doc_id < 50 (v5) — and FOLLOW it into a replica table one
+    micro-batch per commit through the checkpointed cursor. The
+    aggregate reads the REPLICA, so one dropped/duplicated/missed
+    change row breaks equality with the closed-form oracle of the
+    final base state."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with session_temp_layout(spark, "follow") as (tdir, materialize):
+        base = os.path.join(tdir, "base")
+        dst = os.path.join(tdir, "replica")
+        ckpt = os.path.join(tdir, "ckpt")
+        V.create_table(docs.repartitionByRange(4, "doc_id"), base)
+        V.merge_table(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                "doc_id", "lang", F.lit(-5).cast("long").alias("n_chars")
+            ),
+            base, "doc_id",
+        )
+        V.delete_rows(
+            spark, base,
+            docs.where(F.col("doc_id") % 7 == 3).select("doc_id"),
+            "doc_id",
+        )
+        V.restore_table(base, 2)
+        V.delete_rows(
+            spark, base,
+            docs.where(
+                F.col("doc_id") < VERSIONED_CDF_DELETE_BELOW
+            ).select("doc_id"),
+            "doc_id",
+        )
+        n = V.stream_changes_to_table(spark, base, dst, "doc_id", ckpt)
+        if n != 5:
+            raise AssertionError(
+                f"expected one micro-batch per commit (5), applied {n}"
+            )
+        out = V.read_table(spark, dst).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_VERSIONED_STREAM_FOLLOW = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN doc_id % 10 = 0 THEN -5 ELSE n_chars END)::BIGINT
+         AS total_chars
+FROM documents
+WHERE doc_id >= {VERSIONED_CDF_DELETE_BELOW}
+GROUP BY lang
+"""
+
+
 ORACLE_VERSIONED_MERGE = """
 WITH merged AS (
   SELECT doc_id, lang,
@@ -1818,6 +1886,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_index": q_incremental_index,
     "mor_delete_read": q_mor_delete_read,
     "index_search": q_index_search,
+    "versioned_stream_follow": q_versioned_stream_follow,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -1872,6 +1941,7 @@ DOC_ORACLES: dict[str, str] = {
     "incremental_index": ORACLE_INCREMENTAL_INDEX,
     "mor_delete_read": ORACLE_MOR_DELETE_READ,
     "index_search": ORACLE_INDEX_SEARCH,
+    "versioned_stream_follow": ORACLE_VERSIONED_STREAM_FOLLOW,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

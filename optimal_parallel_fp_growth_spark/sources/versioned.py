@@ -62,6 +62,8 @@ __all__ = [
     "vacuum_table",
     "stream_to_table",
     "stream_merge_to_table",
+    "stream_table_changes",
+    "stream_changes_to_table",
 ]
 
 _MANIFEST_DIR = "_manifests"
@@ -1153,6 +1155,131 @@ def stream_merge_to_table(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _cursor_path(checkpoint: str) -> pathlib.Path:
+    return pathlib.Path(checkpoint) / "cursor.json"
+
+
+def _read_cursor(checkpoint: str) -> int | None:
+    p = _cursor_path(checkpoint)
+    if not p.is_file():
+        return None
+    return int(json.loads(p.read_text())["version"])
+
+
+def _advance_cursor(checkpoint: str, version: int) -> None:
+    p = _cursor_path(checkpoint)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.parent / f".cursor.tmp.{os.getpid()}"
+    tmp.write_text(json.dumps({"version": version}))
+    os.replace(tmp, p)  # atomic on POSIX
+
+
+def stream_table_changes(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    checkpoint: str,
+    apply_fn,
+    from_version: int | None = None,
+    max_batches: int | None = None,
+) -> int:
+    """Incrementally FOLLOW a versioned table (the Delta
+    ``readChangeFeed`` streaming shape, availableNow edition): drain
+    every commit past the checkpointed cursor as its own micro-batch
+    — ``apply_fn(changes_df, version)`` receives the row-level change
+    feed of exactly ONE commit (``table_changes(v-1, v)``), in commit
+    order — then advance the cursor atomically AFTER the apply
+    returns. A consumer that crashes mid-batch re-applies that batch
+    on restart (at-least-once, the same contract as the foreachBatch
+    sinks above), so apply functions should be idempotent per version
+    — a keyed MERGE is, which is why :func:`stream_changes_to_table`
+    composes with :func:`merge_table`.
+
+    ``from_version`` seeds a FRESH checkpoint (ignored once a cursor
+    exists): cursor = ``from_version`` means "versions > from_version
+    are unseen". ``from_version=0`` (the default for a fresh
+    checkpoint) emits the table's FIRST version as a synthetic
+    all-inserts batch, so a replica can be built purely from the feed.
+    Restores compose: a commit that removes delete sidecars emits its
+    reappearing rows (see :func:`table_changes`), so followers
+    reconverge through a rollback instead of diverging.
+
+    Each batch reads only the commit's version-exclusive files plus
+    stat-pruned sidecar victims — the cost of following N commits
+    tracks what those commits changed, never N full snapshots.
+    Returns the number of batches applied (0 when already caught up).
+    """
+    from pyspark.sql import functions as F
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    cursor = _read_cursor(checkpoint)
+    if cursor is None:
+        cursor = int(from_version) if from_version is not None else 0
+        if cursor != 0 and cursor not in vs:
+            raise FileNotFoundError(
+                f"from_version {cursor} not in retained history {vs}"
+            )
+    applied = 0
+    for v in vs:
+        if v <= cursor:
+            continue
+        if max_batches is not None and applied >= max_batches:
+            break
+        if cursor == 0 and v == vs[0]:
+            # initial load: the first retained version as pure inserts
+            snap = read_table(spark, path, version=v)
+            batch = snap.select(
+                F.lit("insert").alias("_change_type"), *snap.columns
+            )
+        else:
+            batch = table_changes(spark, path, cursor, v, key)
+        apply_fn(batch, v)
+        _advance_cursor(checkpoint, v)
+        cursor = v
+        applied += 1
+    return applied
+
+
+def stream_changes_to_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    key: str,
+    checkpoint: str,
+    from_version: int | None = None,
+) -> int:
+    """Follow ``src_path``'s change feed into a REPLICA versioned
+    table at ``dst_path`` — :func:`stream_table_changes` composed
+    with the CDC merge sink's per-batch apply: inserts and
+    post-images upsert, deletes delete, pre-images drop (they carry
+    no new state). One atomic replica version per source commit;
+    a retried batch re-merges the same keyed changeset, which is
+    idempotent — the at-least-once story end to end. Returns the
+    number of commits applied."""
+    from pyspark.sql import functions as F
+
+    def apply(batch: DataFrame, version: int) -> None:
+        changes = batch.where(F.col("_change_type") != "update_preimage")
+        cols = [c for c in changes.columns if c != "_change_type"]
+        src = changes.select(
+            *cols,
+            (F.col("_change_type") == "delete").alias("__cdc_delete"),
+        ).dropDuplicates([key])
+        if src.isEmpty():
+            return  # content-identical commit (e.g. compaction)
+        try:
+            merge_table(src, dst_path, key, delete_col="__cdc_delete")
+        except FileNotFoundError:
+            live = src.where(~F.col("__cdc_delete")).drop("__cdc_delete")
+            create_table(live, dst_path)
+
+    return stream_table_changes(
+        spark, src_path, key, checkpoint, apply, from_version=from_version
     )
 
 

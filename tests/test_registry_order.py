@@ -287,6 +287,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "index_search": (
         "test_text_index.py::test_search_prunes_to_covering_files"
     ),
+    # round-12 mid-round addition: replica-equals-base at every stop
+    # of a COW/MOR/restore lifecycle, recomputed from read_table
+    # snapshots (plus retry-idempotency and fresh-seed contracts)
+    "versioned_stream_follow": (
+        "test_versioned.py::test_stream_follow_builds_replica_across_full_lifecycle"
+    ),
 }
 
 
@@ -301,6 +307,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     # (r11's four lifecycle entries rotated into the r12 window lead —
     # their exemption is spent; r12 mid-round additions land here)
     "index_search": 12,
+    "versioned_stream_follow": 12,
 }
 
 

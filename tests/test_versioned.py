@@ -1886,6 +1886,119 @@ def test_mor_refresh_and_view_ride_the_masked_feed(spark, tmp_path):
     assert got == {k: tuple(v) for k, v in want.items()}
 
 
+def test_stream_follow_builds_replica_across_full_lifecycle(
+    spark, tmp_path
+):
+    """VERDICT r11 task #5: stream-vs-batch agreement. Follow a
+    multi-commit lifecycle — COW merge, MOR delete, RESTORE over the
+    delete, post-restore merge — one micro-batch per commit into a
+    replica table; the replica must equal the base snapshot at EVERY
+    stop, and the checkpoint cursor must make the follow incremental
+    and restart-safe."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+        merge_table,
+        restore_table,
+        stream_changes_to_table,
+        table_history,
+    )
+
+    base = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(_batch(spark, 0, 20).repartitionByRange(4, "doc_id"), base)
+
+    def snap(path):
+        return {(r.doc_id, r.v) for r in read_table(spark, path).collect()}
+
+    # initial load: v1 arrives as a synthetic all-inserts batch
+    assert stream_changes_to_table(spark, base, dst, "doc_id", ckpt) == 1
+    assert snap(dst) == snap(base)
+    # caught up: zero batches, no replica commit
+    assert stream_changes_to_table(spark, base, dst, "doc_id", ckpt) == 0
+    n_dst = len(table_history(dst))
+
+    merge_table(
+        spark.createDataFrame([(3, -1), (777, 9)], "doc_id long, v long"),
+        base, "doc_id",
+    )  # v2
+    delete_rows(
+        spark, base,
+        spark.createDataFrame([(5,), (777,)], "doc_id long"), "doc_id",
+    )  # v3: MOR sidecar
+    assert stream_changes_to_table(spark, base, dst, "doc_id", ckpt) == 2
+    assert snap(dst) == snap(base)
+    # one replica version per source commit
+    assert len(table_history(dst)) == n_dst + 2
+
+    restore_table(base, 2)  # v4: sidecar removed — 5 and 777 reappear
+    merge_table(
+        spark.createDataFrame([(5, 55)], "doc_id long, v long"),
+        base, "doc_id",
+    )  # v5
+    assert stream_changes_to_table(spark, base, dst, "doc_id", ckpt) == 2
+    assert snap(dst) == snap(base)
+    assert (5, 55) in snap(dst) and (777, 9) in snap(dst)
+
+
+def test_stream_follow_at_least_once_retry_is_idempotent(spark, tmp_path):
+    """A crash between apply and cursor advance re-applies the batch;
+    the keyed merge makes that a no-op on the replica state."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _advance_cursor,
+        _read_cursor,
+        merge_table,
+        stream_changes_to_table,
+    )
+
+    base = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(_batch(spark, 0, 10), base)
+    merge_table(
+        spark.createDataFrame([(1, -7)], "doc_id long, v long"),
+        base, "doc_id",
+    )
+    assert stream_changes_to_table(spark, base, dst, "doc_id", ckpt) == 2
+    want = {(r.doc_id, r.v) for r in read_table(spark, dst).collect()}
+    # simulate the crash: roll the cursor back one commit and re-drain
+    assert _read_cursor(ckpt) == 2
+    _advance_cursor(ckpt, 1)
+    assert stream_changes_to_table(spark, base, dst, "doc_id", ckpt) == 1
+    got = {(r.doc_id, r.v) for r in read_table(spark, dst).collect()}
+    assert got == want
+
+
+def test_stream_follow_from_version_seeds_fresh_checkpoint(
+    spark, tmp_path
+):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        stream_table_changes,
+    )
+
+    base = str(tmp_path / "src")
+    create_table(_batch(spark, 0, 10), base)
+    append_table(_batch(spark, 10, 5), base)
+    seen: list[tuple[int, set]] = []
+
+    def collect(batch, version):
+        seen.append(
+            (version, {(r._change_type, r.doc_id) for r in batch.collect()})
+        )
+
+    # from_version=1: the initial snapshot is NOT replayed
+    n = stream_table_changes(
+        spark, base, "doc_id", str(tmp_path / "c1"), collect, from_version=1
+    )
+    assert n == 1 and seen[0][0] == 2
+    assert seen[0][1] == {("insert", i) for i in range(10, 15)}
+    with pytest.raises(FileNotFoundError):
+        stream_table_changes(
+            spark, base, "doc_id", str(tmp_path / "c2"), collect,
+            from_version=99,
+        )
+
+
 def test_view_sync_reconverges_across_restore_over_mor_delete(
     spark, tmp_path
 ):
