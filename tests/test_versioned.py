@@ -2179,3 +2179,57 @@ def test_shallow_clone_zero_copy_and_vacuum_safety(spark, table, tmp_path):
     vacuum_table(dst, keep_last=1)
     # source files survived the clone's vacuum
     assert read_table(spark, table).count() == 100
+
+
+def test_source_vacuum_refuses_while_shallow_clone_pins_files(
+    spark, table, tmp_path
+):
+    """VERDICT r11 task #6: a source vacuum that would delete files a
+    live shallow clone references must refuse (or require force) —
+    the hazard was previously only a docstring."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        clone_table,
+        overwrite_table,
+    )
+
+    dst = str(tmp_path / "pinning")
+    clone_table(table, dst, shallow=True)
+    # the overwrite strands v1's files from the SOURCE's perspective,
+    # but the clone still reads them by absolute path
+    overwrite_table(_batch(spark, 500, 10), table)
+    with pytest.raises(ValueError, match="shallow clone"):
+        vacuum_table(table, keep_last=1)
+    # refusal deleted nothing: both tables still read
+    assert read_table(spark, dst).count() == 100
+    assert read_table(spark, table).count() == 10
+    # force overrides the guard (the caller accepts clone corruption)
+    assert vacuum_table(table, keep_last=1, force=True) > 0
+    assert read_table(spark, table).count() == 10
+
+
+def test_source_vacuum_proceeds_when_clone_released_or_died(
+    spark, table, tmp_path
+):
+    """The guard tracks live truth: a clone that no longer references
+    source files (rewritten + self-vacuumed) or was deleted outright
+    stops pinning them."""
+    import shutil as sh
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        clone_table,
+        overwrite_table,
+    )
+
+    gone = str(tmp_path / "gone")
+    released = str(tmp_path / "released")
+    clone_table(table, gone, shallow=True)
+    clone_table(table, released, shallow=True)
+    overwrite_table(_batch(spark, 500, 10), table)
+    sh.rmtree(gone)  # clone deleted outright
+    # the other clone rewrites itself away from the source's files...
+    overwrite_table(_batch(spark, 900, 5), released)
+    vacuum_table(released, keep_last=1)
+    # ...so the source vacuum now proceeds without force
+    assert vacuum_table(table, keep_last=1) > 0
+    assert read_table(spark, table).count() == 10
+    assert read_table(spark, released).count() == 5
