@@ -76,11 +76,22 @@ def salted_join(
     skew split handles sort-merge skew when statistics see it — this is
     the explicit, plan-stable form).
 
-    Supports ``inner`` and ``left`` (big-preserving) joins; output
-    equals the plain join (salting is join-key-complete by
-    construction)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    Supports the big-preserving joins: ``inner``, ``left``, and (round
+    12, VERDICT r11 task #7 — the shapes the dedup/decontamination
+    family needs, e.g. a skewed contamination key) ``left_semi`` /
+    ``left_anti``. Semi/anti need no small-side column survival, so
+    the rewrite is the same replicate-small-side trick: a big row's
+    (key, salt) pair finds its key's replica in exactly its salt
+    bucket, so existence (semi) and non-existence (anti) match the
+    plain join per row. Output equals the plain join in all four
+    modes (salting is join-key-complete by construction)."""
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}"
+        )
+    if how in ("left_semi", "left_anti"):
+        # existence is all that matters: replicate only the key column
+        small = small.select(on)
     other = [c for c in big.columns if c != on]
     salt = F.pmod(
         F.xxhash64(F.struct(*[F.col(c) for c in other])) if other else F.lit(0),

@@ -6,6 +6,8 @@ asserted so the fixture can't silently go tame."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.operators.dedup import (
@@ -171,3 +173,39 @@ def test_salted_join_matches_plain_join(spark, sf_small):
     }
     assert salted == plain
     assert len(salted) == corpus.count()  # every doc scores
+
+
+def test_salted_semi_and_anti_match_plain_on_zipf_corpus(spark, sf_small):
+    """VERDICT r11 task #7: the dedup/decontamination family's joins
+    are semi/anti shaped, so a skewed contamination key needs the same
+    replicate-small-side path. Token stream = the Zipf corpus (heavy
+    hitter with df ≈ n_docs); the 'contamination' list mixes the hot
+    token, cold tokens, absent tokens, and a duplicate entry."""
+    from optimal_parallel_fp_growth_spark.functions.skew import salted_join
+
+    corpus = zipf_corpus(spark, sf_small)
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    hot = toks.groupBy("token").count().orderBy(F.desc("count")).first().token
+    probe = spark.createDataFrame(
+        [(hot,), (hot,), ("absent_tok",), ("tok0001",)],
+        "token string",
+    )
+    for how in ("left_semi", "left_anti"):
+        plain = {
+            tuple(r) for r in toks.join(probe, "token", how).collect()
+        }
+        salted = {
+            tuple(r)
+            for r in salted_join(toks, probe, "token", how=how).collect()
+        }
+        assert salted == plain, how
+        # columns: same as the plain join (big-side only, key first),
+        # no salt leakage
+        assert (
+            salted_join(toks, probe, "token", how=how).columns
+            == toks.join(probe, "token", how).columns
+        )
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(toks, probe, "token", how="right")
