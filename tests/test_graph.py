@@ -135,7 +135,13 @@ def test_pagerank_redistribute_noop_without_dangling(web_graph):
 
 def test_pagerank_reliable_checkpoint_matches_local(web_graph):
     edges, df = web_graph
-    got = {r.node: r.rank for r in pagerank(df, n_iter=2, reliable=True).collect()}
+    # local[*] has no cluster checkpoint dir, so reliable=True falls
+    # back with an intentional RuntimeWarning — capture it here so the
+    # suite's warning channel stays clean for real signals (VERDICT
+    # r11 nit); the advice itself is correct and should keep firing
+    with pytest.warns(RuntimeWarning, match="checkpoint"):
+        out = pagerank(df, n_iter=2, reliable=True).collect()
+    got = {r.node: r.rank for r in out}
     assert got == _py_pagerank(edges, n_iter=2)
 
 
