@@ -33,10 +33,13 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _cpu_counters() -> tuple[int, int] | None:
-    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
-    line, or None where /proc is unavailable. Field 8 (0-indexed after
-    the 'cpu' label) is hypervisor steal."""
+def _cpu_counters() -> tuple[int, int, int] | None:
+    """(steal_jiffies, iowait_jiffies, total_jiffies) from the
+    aggregate /proc/stat cpu line, or None where /proc is unavailable.
+    0-indexed after the 'cpu' label: field 4 is iowait, field 7 is
+    hypervisor steal. Both ride one read: round-12 forensics found
+    stages inflated >2x at LOW steal, so the adjudication needs the
+    second hypervisor-noise channel too."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
@@ -47,7 +50,7 @@ def _cpu_counters() -> tuple[int, int] | None:
     vals = [int(x) for x in parts[1:]]
     if len(vals) < 8:
         return None
-    return vals[7], sum(vals)
+    return vals[7], vals[4], sum(vals)
 
 
 def _timed(
@@ -76,11 +79,17 @@ def _timed(
     c1 = _cpu_counters()
     note = ""
     if steals is not None and c0 is not None and c1 is not None:
-        dtotal = c1[1] - c0[1]
-        steals[name] = (
-            round(100.0 * (c1[0] - c0[0]) / dtotal, 2) if dtotal > 0 else 0.0
+        dtotal = c1[2] - c0[2]
+        if dtotal > 0:
+            steals[name] = (
+                round(100.0 * (c1[0] - c0[0]) / dtotal, 2),
+                round(100.0 * (c1[1] - c0[1]) / dtotal, 2),
+            )
+        else:
+            steals[name] = (0.0, 0.0)
+        note = (
+            f" (steal {steals[name][0]:.1f}% iowait {steals[name][1]:.1f}%)"
         )
-        note = f" (steal {steals[name]:.1f}%)"
     print(f"  {name}: {timings[name]:.3f}s{note}", file=sys.stderr)
 
 
@@ -415,7 +424,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "steal_pct": steals,
+                "steal_pct": {k: v[0] for k, v in steals.items()},
+                "iowait_pct": {k: v[1] for k, v in steals.items()},
                 "errors": errors,
                 "sf": sf_val,
             },
@@ -434,7 +444,7 @@ def main() -> None:
         )
         if k in timings
     }
-    steal_vals = sorted(steals.values())
+    steal_vals = sorted(v[0] for v in steals.values())
     steal_summary = (
         {
             "max": steal_vals[-1],

@@ -1266,17 +1266,24 @@ def stream_changes_to_table(
     def apply(batch: DataFrame, version: int) -> None:
         changes = batch.where(F.col("_change_type") != "update_preimage")
         cols = [c for c in changes.columns if c != "_change_type"]
+        # persist the changeset: it is consumed three times per batch
+        # (emptiness probe, the merge's bounds/null-key scan, the merge
+        # join itself), and each re-computation re-reads the commit's
+        # version-exclusive files and re-runs the feed's full-outer join
         src = changes.select(
             *cols,
             (F.col("_change_type") == "delete").alias("__cdc_delete"),
-        ).dropDuplicates([key])
-        if src.isEmpty():
-            return  # content-identical commit (e.g. compaction)
+        ).dropDuplicates([key]).persist()
         try:
-            merge_table(src, dst_path, key, delete_col="__cdc_delete")
-        except FileNotFoundError:
-            live = src.where(~F.col("__cdc_delete")).drop("__cdc_delete")
-            create_table(live, dst_path)
+            if src.isEmpty():
+                return  # content-identical commit (e.g. compaction)
+            try:
+                merge_table(src, dst_path, key, delete_col="__cdc_delete")
+            except FileNotFoundError:
+                live = src.where(~F.col("__cdc_delete")).drop("__cdc_delete")
+                create_table(live, dst_path)
+        finally:
+            src.unpersist()
 
     return stream_table_changes(
         spark, src_path, key, checkpoint, apply, from_version=from_version

@@ -92,9 +92,9 @@ def test_timed_records_per_stage_steal_pct():
     timings, errors, steals = {}, {}, {}
     bench._timed("s", lambda: None, timings, errors, steals)
     assert "s" in timings
-    # /proc/stat exists on this host, so the sample must be present,
-    # a percentage, and sane for a no-op stage
-    assert 0.0 <= steals["s"] <= 100.0
+    # /proc/stat exists on this host, so the sample must be present:
+    # (steal_pct, iowait_pct), each a sane percentage
+    assert all(0.0 <= v <= 100.0 for v in steals["s"])
     # errored stages record no steal row (no wall to adjudicate)
     bench._timed(
         "b", lambda: (_ for _ in ()).throw(ValueError("x")),
@@ -106,8 +106,8 @@ def test_timed_records_per_stage_steal_pct():
 def test_cpu_counters_parse_proc_stat():
     got = bench._cpu_counters()
     assert got is not None
-    steal, total = got
-    assert 0 <= steal <= total
+    steal, iowait, total = got
+    assert 0 <= steal <= total and 0 <= iowait <= total
 
 
 def test_bench_full_artifact_carries_steal_pct():
@@ -115,5 +115,5 @@ def test_bench_full_artifact_carries_steal_pct():
     carry the steal fields (the driver records the stdout line; the
     baseline protocol reads the full artifact)."""
     src = (REPO / "bench.py").read_text()
-    assert '"steal_pct": steals' in src
+    assert '"steal_pct"' in src and '"iowait_pct"' in src
     assert '"steal": steal_summary' in src
