@@ -145,6 +145,14 @@ def create_text_index(
     tmp = idir / f".{_INDEX_META}.tmp.{os.getpid()}"
     tmp.write_text(json.dumps(spec, indent=1))
     os.replace(tmp, idir / _INDEX_META)
+    # also record the clustering as a table property so ANY rewrite
+    # path over the postings table re-clusters, not just the sync's
+    # explicit option
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _write_table_spec,
+    )
+
+    _write_table_spec(index_path, {"cluster_by": ["token", key]})
     files = _write_data(clustered, index_path, 1)
     _commit(
         index_path, 1, files, f"index@base_v{head}",

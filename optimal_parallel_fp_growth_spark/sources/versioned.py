@@ -344,11 +344,53 @@ def _commit(
     return version
 
 
-def create_table(df: DataFrame, path: str) -> int:
+_TABLE_META = "_table.json"
+
+
+def _table_spec(path: str) -> dict:
+    p = pathlib.Path(path) / _TABLE_META
+    if not p.is_file():
+        return {}
+    return json.loads(p.read_text())
+
+
+def _write_table_spec(path: str, spec: dict) -> None:
+    p = pathlib.Path(path) / _TABLE_META
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.parent / f".{_TABLE_META}.tmp.{os.getpid()}"
+    tmp.write_text(json.dumps(spec, indent=1))
+    os.replace(tmp, p)
+
+
+def _cluster(df: DataFrame, cluster_by: list[str], n_files: int) -> DataFrame:
+    missing = [c for c in cluster_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"cluster_by columns not in table: {missing}")
+    return df.repartitionByRange(
+        max(int(n_files), 1), *cluster_by
+    ).sortWithinPartitions(*cluster_by)
+
+
+def create_table(
+    df: DataFrame, path: str, cluster_by: list[str] | None = None
+) -> int:
     """Create a versioned table at ``path`` (must not already be one).
-    Returns the committed version (1)."""
+    Returns the committed version (1).
+
+    ``cluster_by`` (round 12, the Delta liquid-clustering analog as a
+    recorded TABLE property): range-cluster + sort this write on the
+    named columns AND persist the choice in ``_table.json``, so every
+    later rewrite — :func:`merge_table`, :func:`compact_table`,
+    :func:`overwrite_table` — re-clusters automatically. Without a
+    recorded spec one forgotten merge silently destroys the disjoint
+    key ranges every pruned read depends on (measured: a contiguous-
+    key follow degrades 4.5 → 13.3 s at 20M rows once a scattered
+    merge has de-clustered the layout)."""
     if _versions(path):
         raise FileExistsError(f"versioned table already exists at {path}")
+    if cluster_by:
+        df = _cluster(df, cluster_by, df.rdd.getNumPartitions() or 1)
+        _write_table_spec(path, {"cluster_by": list(cluster_by)})
     files = _write_data(df, path, 1)
     return _commit(
         path, 1, files, "create", _schema_fields(df), _file_stats(path, files)
@@ -389,11 +431,15 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
 
 def overwrite_table(df: DataFrame, path: str) -> int:
     """Replace the table's contents as a new version; history keeps
-    the old versions readable."""
+    the old versions readable. A recorded ``cluster_by`` spec
+    re-clusters the replacement."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
+    spec_cluster = _table_spec(path).get("cluster_by")
+    if spec_cluster:
+        df = _cluster(df, spec_cluster, df.rdd.getNumPartitions() or 1)
     files = _write_data(df, path, cur + 1)
     return _commit(
         path, cur + 1, files, "overwrite", _schema_fields(df),
@@ -403,8 +449,11 @@ def overwrite_table(df: DataFrame, path: str) -> int:
 
 def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     """Rewrite the CURRENT version's rows into ~target_mb files as a
-    new version (narrow coalesce — no shuffle). Old versions still
-    read their original files; reclaim space later with
+    new version (narrow coalesce — no shuffle; with a recorded
+    ``cluster_by`` spec, a range-repartition — one shuffle — so the
+    compacted files keep disjoint cluster ranges: coalesce would glue
+    arbitrary neighbors and widen every file's span). Old versions
+    still read their original files; reclaim space later with
     :func:`vacuum_table`."""
     vs = _versions(path)
     if not vs:
@@ -415,7 +464,13 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
         (pathlib.Path(path) / f).stat().st_size for f in man["files"]
     )
     target = max(1, -(-total // (target_mb * 1024 * 1024)))
-    df = read_table(spark, path, version=cur).coalesce(target)
+    spec_cluster = _table_spec(path).get("cluster_by")
+    if spec_cluster:
+        df = _cluster(
+            read_table(spark, path, version=cur), spec_cluster, target
+        )
+    else:
+        df = read_table(spark, path, version=cur).coalesce(target)
     files = _write_data(df, path, cur + 1)
     return _commit(
         path, cur + 1, files, "compact",
@@ -754,7 +809,10 @@ def merge_table(
     of a token-clustered index would silently destroy the disjoint
     ranges a pruned lookup depends on. The rewritten file count stays
     at the affected-file count (layout granularity is preserved, not
-    inflated)."""
+    inflated). Defaults to the table's RECORDED clustering spec
+    (``create_table(cluster_by=...)``) when one exists, so no caller
+    has to remember it; pass ``[]`` to explicitly skip re-clustering
+    a clustered table."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -811,13 +869,10 @@ def merge_table(
         merged = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
         merged = upserts
+    if cluster_by is None:
+        cluster_by = _table_spec(path).get("cluster_by")
     if cluster_by:
-        missing = [c for c in cluster_by if c not in merged.columns]
-        if missing:
-            raise ValueError(f"cluster_by columns not in table: {missing}")
-        merged = merged.repartitionByRange(
-            max(len(affected), 1), *cluster_by
-        ).sortWithinPartitions(*cluster_by)
+        merged = _cluster(merged, cluster_by, len(affected))
     new_files = _write_data(merged, path, cur + 1)
     stats = {
         f: s
@@ -1343,6 +1398,9 @@ def clone_table(
         if f in mapping
     }
     kind = "shallow_clone" if shallow else "clone"
+    spec = _table_spec(src)
+    if spec:
+        _write_table_spec(dst, spec)  # the fork keeps its clustering
     out = _commit(
         dst, v, files, f"{kind}:{src}#v{v}", man.get("schema"), stats, dels
     )

@@ -1886,6 +1886,61 @@ def test_mor_refresh_and_view_ride_the_masked_feed(spark, tmp_path):
     assert got == {k: tuple(v) for k, v in want.items()}
 
 
+def test_recorded_cluster_spec_survives_every_rewrite(spark, tmp_path):
+    """create_table(cluster_by=...) records the layout as a TABLE
+    property: merges (no param), compaction, overwrite, and clones
+    all re-cluster automatically, so file-range pruning keeps biting
+    after any rewrite — no caller has to remember the option."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        clone_table,
+        files_scanned,
+        merge_table,
+    )
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(8)  # deliberately hash-partitioned input
+    create_table(df, path, cluster_by=["k"])
+    total = files_scanned(path)
+
+    def pruned(p, val):
+        return files_scanned(p, prune=("k", "==", val))
+
+    assert total > 1 and pruned(path, 5) < total  # create clustered it
+    # a scattered merge (every file hit) with NO cluster_by param
+    upd = spark.range(10).select(
+        (F.col("id") * 100).alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    merge_table(upd, path, "k")
+    assert pruned(path, 5) < files_scanned(path)
+    # compaction re-clusters instead of gluing arbitrary neighbors
+    compact_table(spark, path, target_mb=1)
+    got = {r.k: r.v for r in read_table(spark, path).collect()}
+    assert got[500] == -1 and got[5] == 10 and len(got) == 1000
+    # overwrite re-clusters the replacement
+    overwrite_table(
+        spark.range(400).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ).repartition(4),
+        path,
+    )
+    assert pruned(path, 5) < files_scanned(path) or files_scanned(path) == 1
+    # a clone carries the spec: its own merges stay clustered
+    dst = str(tmp_path / "fork")
+    clone_table(path, dst)
+    merge_table(
+        spark.range(5).select(
+            (F.col("id") * 80).alias("k"),
+            F.lit(-2).cast("long").alias("v"),
+        ),
+        dst, "k",
+    )
+    assert pruned(dst, 3) < files_scanned(dst) or files_scanned(dst) == 1
+    # explicit [] opts a single merge out of re-clustering
+    merge_table(upd.limit(1), path, "k", cluster_by=[])
+
+
 def test_stream_follow_builds_replica_across_full_lifecycle(
     spark, tmp_path
 ):
