@@ -379,6 +379,10 @@ def main() -> None:
         # restore lifecycle drained one micro-batch per commit into a
         # replica table through the checkpointed cursor)
         "versioned_stream_follow",
+        # round-12 addition: recorded clustering spec (create clustered
+        # from hash-partitioned input → spec-driven merge re-cluster →
+        # stat-pruned quintile read, fail-closed on files_scanned)
+        "clustered_table_read",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

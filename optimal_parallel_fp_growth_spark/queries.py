@@ -615,6 +615,7 @@ _DRIVER_PRIORITY: list[str] = [
     # tier-5/6 blocks)
     "index_search",
     "versioned_stream_follow",
+    "clustered_table_read",
 ]
 
 

@@ -518,6 +518,63 @@ FROM documents WHERE doc_id % 10 = 5
 """
 
 
+def q_clustered_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recorded clustering spec under the oracle gate (round 12;
+    sources/versioned.py::create_table(cluster_by)): create the table
+    CLUSTERED on doc_id from a deliberately hash-partitioned input,
+    run a scattered COW merge WITHOUT any cluster option (the recorded
+    spec must re-cluster the rewrite), then read the top key quintile
+    through manifest-stat pruning. The in-query check fails closed
+    unless the pruned read scans FEWER files than the table holds —
+    i.e. the spec really survived a rewrite that touched every file.
+    The oracle restates the merge and the quintile cut in closed
+    form."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    cut = docs.agg((F.max("doc_id") * 4).cast("long")).collect()[0][0] // 5
+    with session_temp_layout(spark, "clus") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(docs.repartition(8), path, cluster_by=["doc_id"])
+        V.merge_table(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                "doc_id", "lang", F.lit(-5).cast("long").alias("n_chars")
+            ),
+            path, "doc_id",
+        )
+        total = V.files_scanned(path)
+        scanned = V.files_scanned(path, prune=("doc_id", ">=", cut))
+        if not (total >= 4 and scanned < total):
+            raise AssertionError(
+                f"pruned read scans {scanned}/{total} files - the recorded "
+                "clustering spec did not survive the merge rewrite"
+            )
+        out = V.read_table(
+            spark, path, prune=("doc_id", ">=", cut)
+        ).where(F.col("doc_id") >= cut).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_CLUSTERED_TABLE_READ = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN doc_id % 10 = 0 THEN -5 ELSE n_chars END)::BIGINT
+         AS total_chars
+FROM documents
+WHERE doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+GROUP BY lang
+"""
+
+
 def q_versioned_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDF follow under the oracle gate (round 12, VERDICT
     r11 task #5; sources/versioned.py::stream_changes_to_table):
@@ -1887,6 +1944,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mor_delete_read": q_mor_delete_read,
     "index_search": q_index_search,
     "versioned_stream_follow": q_versioned_stream_follow,
+    "clustered_table_read": q_clustered_table_read,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -1942,6 +2000,7 @@ DOC_ORACLES: dict[str, str] = {
     "mor_delete_read": ORACLE_MOR_DELETE_READ,
     "index_search": ORACLE_INDEX_SEARCH,
     "versioned_stream_follow": ORACLE_VERSIONED_STREAM_FOLLOW,
+    "clustered_table_read": ORACLE_CLUSTERED_TABLE_READ,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

@@ -293,6 +293,11 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "versioned_stream_follow": (
         "test_versioned.py::test_stream_follow_builds_replica_across_full_lifecycle"
     ),
+    # round-12 mid-round addition: pruning survival across no-param
+    # merge / compaction / overwrite / clone, hand-pinned values
+    "clustered_table_read": (
+        "test_versioned.py::test_recorded_cluster_spec_survives_every_rewrite"
+    ),
 }
 
 
@@ -308,6 +313,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     # their exemption is spent; r12 mid-round additions land here)
     "index_search": 12,
     "versioned_stream_follow": 12,
+    "clustered_table_read": 12,
 }
 
 
