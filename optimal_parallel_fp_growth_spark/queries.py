@@ -455,10 +455,12 @@ QUERIES.update(REL_QUERIES)
 #      then-staleness-2 unpinned r11 tier).
 #   7. the 50 r11-green entries, freshest last.
 # Two-round schedule (VERDICT r11 task #2, encoded so a mid-round
-# addition cannot breach either cap): r13 window = tier 5 (11) +
-# tier 6 (26) + 13 unpinned r11-green; r14 window = remaining 30
-# unpinned r11-green + the 7 pinned r11-green + this round's window
-# residue. Demand stays under 50/round (capacity test below).
+# addition cannot breach either cap): r13 window = the 3 never-
+# sampled r12 additions (index_search, versioned_stream_follow,
+# clustered_table_read) + tier 5 (11) + tier 6 (26) + 10 unpinned
+# r11-green = 50; r14 window = remaining 33 unpinned r11-green +
+# the 7 pinned r11-green + slack. Demand stays under 50/round
+# (capacity test below).
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
