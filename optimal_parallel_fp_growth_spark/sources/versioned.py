@@ -773,6 +773,7 @@ def merge_table(
     delete_col: str | None = None,
     op_label: str = "merge",
     cluster_by: list[str] | None = None,
+    evolve: bool = False,
 ) -> int:
     """Copy-on-write UPSERT (the table-format MERGE core): rows of
     ``df`` REPLACE current rows with the same ``key`` value; keys not
@@ -833,9 +834,18 @@ def merge_table(
             )
         flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
         upserts = df.where(~flag).drop(delete_col)
-    _check_schema(upserts, path, cur)
-    spark = df.sparkSession
     man = _load_manifest(path, cur)
+    # ``evolve`` (round 12, Delta's MERGE autoMerge shape — the same
+    # additive contract append_table already offers): a CDC feed that
+    # grew a column may merge it in; existing files read as null
+    # there, survivors of rewritten files union in by name. Type
+    # changes to an existing column are always rejected.
+    if evolve and man.get("schema") is not None:
+        schema = _merge_schema(man["schema"], _schema_fields(upserts))
+    else:
+        _check_schema(upserts, path, cur)
+        schema = man.get("schema") or _schema_fields(upserts)
+    spark = df.sparkSession
 
     # one pass computes bounds AND detects null keys: a null-key row
     # would pass the bounds check, never match the left_anti join
@@ -882,7 +892,7 @@ def merge_table(
     stats.update(_file_stats(path, new_files))
     return _commit(
         path, cur + 1, untouched + new_files, op_label,
-        man.get("schema") or _schema_fields(upserts),
+        schema,
         stats,
         man.get("delete_files"),  # masks still cover the untouched files
     )

@@ -1886,6 +1886,37 @@ def test_mor_refresh_and_view_ride_the_masked_feed(spark, tmp_path):
     assert got == {k: tuple(v) for k, v in want.items()}
 
 
+def test_merge_evolve_adds_columns_additively(spark, table):
+    """round 12, the Delta MERGE autoMerge shape: an evolving CDC feed
+    may carry a NEW column under evolve=True (older rows read null
+    there, survivors of rewritten files included); without the flag
+    the extra column is rejected, and a type change always is."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+    )
+
+    wider = spark.createDataFrame(
+        [(3, -1, "eu"), (777, 9, "us")], "doc_id long, v long, region string"
+    )
+    with pytest.raises(ValueError):
+        merge_table(wider, table, "doc_id")  # not without the flag
+    merge_table(wider, table, "doc_id", evolve=True)
+    got = {r.doc_id: (r.v, r.region) for r in read_table(spark, table).collect()}
+    assert got[3] == (-1, "eu") and got[777] == (9, "us")
+    assert got[0] == (0, None) and len(got) == 101  # old rows: null
+    # a later plain merge against the evolved schema still subsets
+    merge_table(
+        spark.createDataFrame([(5, -5)], "doc_id long, v long"),
+        table, "doc_id",
+    )
+    got = {r.doc_id: (r.v, r.region) for r in read_table(spark, table).collect()}
+    assert got[5] == (-5, None) and got[3] == (-1, "eu")
+    # type change: rejected even under evolve
+    bad = spark.createDataFrame([(1, "oops")], "doc_id long, v string")
+    with pytest.raises(ValueError):
+        merge_table(bad, table, "doc_id", evolve=True)
+
+
 def test_recorded_cluster_spec_survives_every_rewrite(spark, tmp_path):
     """create_table(cluster_by=...) records the layout as a TABLE
     property: merges (no param), compaction, overwrite, and clones
