@@ -261,6 +261,39 @@ def test_search_still_prunes_after_wide_sync(spark, tmp_path):
     ) == [7]
 
 
+def test_index_sync_reconverges_across_restore_over_mor_delete(
+    spark, tmp_path
+):
+    """Advice r11 (high), index edition: a restore that removes a
+    delete sidecar re-exposes rows; the sync must re-insert their
+    postings through the feed's reappear pass or the index diverges
+    from the base forever."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+        restore_table,
+    )
+
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    create_table(
+        _corpus(
+            spark, [(1, "a b"), (2, "b c"), (3, "c d")]
+        ).repartitionByRange(3, "doc_id"),
+        base,
+    )
+    create_text_index(spark, base, idx)
+    delete_rows(
+        spark, base, spark.createDataFrame([(2,)], "doc_id long"), "doc_id"
+    )
+    assert sync_text_index(spark, idx) == 2
+    assert _index_postings(spark, idx) == _brute_postings(spark, base)
+    assert ("b", 2) not in _index_postings(spark, idx)
+    restore_table(base, 1)  # doc 2 reappears
+    assert sync_text_index(spark, idx) == 3
+    assert _index_postings(spark, idx) == _brute_postings(spark, base)
+    assert ("b", 2) in _index_postings(spark, idx)
+
+
 def test_create_index_guards(spark, tmp_path):
     base = str(tmp_path / "b")
     create_table(_corpus(spark, [(1, "a")]), base)
