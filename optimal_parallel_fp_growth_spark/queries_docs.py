@@ -881,7 +881,6 @@ def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         TI.sync_text_index(spark, idx)
         total = V.files_scanned(idx)
-        parts = []
         for term in INDEX_SEARCH_TERMS:
             scanned = V.files_scanned(idx, prune=("token", "==", term))
             if not scanned < total:
@@ -889,15 +888,15 @@ def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"term lookup {term!r} scans {scanned}/{total} index "
                     "files - the clustered layout stopped pruning"
                 )
-            parts.append(
-                TI.search_text_index(spark, idx, term).select(
-                    F.lit(term).alias("term"), F.col("doc_id")
-                )
-            )
-        hits = parts[0]
-        for p in parts[1:]:
-            hits = hits.unionByName(p)
-        out = hits.groupBy("term").agg(
+        # the scale-shaped lookup: ONE scan over the union of the
+        # terms' covering files (per-term pruning asserted above is
+        # driver-side manifest math — no extra reads)
+        hits = TI.search_text_index_terms(
+            spark, idx, list(INDEX_SEARCH_TERMS)
+        )
+        out = hits.select(
+            F.col("token").alias("term"), "doc_id"
+        ).groupBy("term").agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("doc_id").alias("doc_sum"),
         )

@@ -49,6 +49,7 @@ __all__ = [
     "create_text_index",
     "sync_text_index",
     "search_text_index",
+    "search_text_index_terms",
     "index_base_version",
 ]
 
@@ -268,4 +269,49 @@ def search_text_index(
         read_table(spark, index_path, prune=("token", "==", term))
         .where(F.col("token") == term)
         .select(spec["key"])
+    )
+
+
+def search_text_index_terms(
+    spark: SparkSession, index_path: str, terms: list[str]
+) -> DataFrame:
+    """Batched posting lookup: ONE pruned scan over the union of the
+    terms' covering files, instead of one driver-sequenced job per
+    term — the shape a query layer fans N terms through. File
+    selection is the same manifest-stat survival test per term,
+    unioned at the FILE level (each file is read once however many
+    terms it covers); rows then filter to the term set. Returns
+    ``(token, <key>)`` rows."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _file_survives,
+        _load_manifest,
+        _read_files,
+        _versions,
+    )
+
+    if not terms:
+        raise ValueError("terms must name at least one token")
+    spec = _index_spec(index_path)
+    from pyspark.sql import functions as F
+
+    vs = _versions(index_path)
+    if not vs:
+        raise FileNotFoundError(f"no text index at {index_path}")
+    man = _load_manifest(index_path, vs[-1])
+    fstats = man.get("file_stats") or {}
+    scan = [
+        f
+        for f in man["files"]
+        if any(_file_survives(fstats.get(f), "token", "==", t) for t in terms)
+    ]
+    key = spec["key"]
+    if not scan:
+        empty = _read_files(
+            spark, index_path, man["files"], man.get("schema")
+        ).limit(0)
+        return empty.select("token", key)
+    return (
+        _read_files(spark, index_path, scan, man.get("schema"))
+        .where(F.col("token").isin(list(terms)))
+        .select("token", key)
     )

@@ -261,6 +261,37 @@ def test_search_still_prunes_after_wide_sync(spark, tmp_path):
     ) == [7]
 
 
+def test_batched_term_search_matches_per_term_lookups(spark, tmp_path):
+    """search_text_index_terms: one pruned scan over the union of the
+    terms' covering files equals the per-term lookups, and still scans
+    fewer files than the index holds for a clustered term set."""
+    from optimal_parallel_fp_growth_spark.sources.text_index import (
+        search_text_index_terms,
+    )
+
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    rows = [(i, f"tok{i:04d} common") for i in range(200)]
+    create_table(_corpus(spark, rows), base)
+    create_text_index(spark, base, idx, n_files=8)
+    terms = ["tok0003", "tok0004", "tok0190", "absent_tok"]
+    got = {
+        (r.token, r.doc_id)
+        for r in search_text_index_terms(spark, idx, terms).collect()
+    }
+    want = set()
+    for t in terms:
+        for r in search_text_index(spark, idx, t).collect():
+            want.add((t, r.doc_id))
+    assert got == want
+    assert got == {("tok0003", 3), ("tok0004", 4), ("tok0190", 190)}
+    # all-absent terms: empty frame, correct shape
+    none = search_text_index_terms(spark, idx, ["zz1", "zz2"])
+    assert none.columns == ["token", "doc_id"] and none.count() == 0
+    with pytest.raises(ValueError, match="at least one"):
+        search_text_index_terms(spark, idx, [])
+
+
 def test_index_sync_reconverges_across_restore_over_mor_delete(
     spark, tmp_path
 ):
