@@ -1301,6 +1301,17 @@ def stream_table_changes(
             batch = snap.select(
                 F.lit("insert").alias("_change_type"), *snap.columns
             )
+        elif cursor not in vs:
+            # the follower lagged past retention: its cursor manifest
+            # was vacuumed, so the next delta is uncomputable — name
+            # the condition instead of leaking a raw manifest error
+            raise FileNotFoundError(
+                f"change-feed cursor v{cursor} of {path} was vacuumed "
+                f"(retained history starts at v{vs[0]}) - the follower "
+                "lagged past retention; rebuild the consumer from a "
+                "fresh checkpoint (initial snapshot) or raise the "
+                "table's vacuum keep_last"
+            )
         else:
             batch = table_changes(spark, path, cursor, v, key)
         apply_fn(batch, v)

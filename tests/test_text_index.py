@@ -290,6 +290,16 @@ def test_batched_term_search_matches_per_term_lookups(spark, tmp_path):
     assert none.columns == ["token", "doc_id"] and none.count() == 0
     with pytest.raises(ValueError, match="at least one"):
         search_text_index_terms(spark, idx, [])
+    # executed-plan pin: the batched scan's inputFiles are a strict
+    # subset of the index (union of covering files only) — tok0003/4
+    # cluster in one file, tok0190 in another
+    batched = search_text_index_terms(spark, idx, terms)
+    n_read = len(set(batched.inputFiles()))
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        files_scanned,
+    )
+
+    assert 0 < n_read <= 2 < files_scanned(idx)
 
 
 def test_index_sync_reconverges_across_restore_over_mor_delete(

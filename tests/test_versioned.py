@@ -2085,6 +2085,33 @@ def test_stream_follow_from_version_seeds_fresh_checkpoint(
         )
 
 
+def test_stream_follow_names_vacuumed_cursor(spark, tmp_path):
+    """A follower that lagged past retention must get the named
+    condition (rebuild from fresh checkpoint / raise keep_last), not
+    a raw missing-manifest error."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+        stream_changes_to_table,
+    )
+
+    base = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(_batch(spark, 0, 10), base)
+    assert stream_changes_to_table(spark, base, dst, "doc_id", ckpt) == 1
+    merge_table(
+        spark.createDataFrame([(1, -1)], "doc_id long, v long"),
+        base, "doc_id",
+    )
+    merge_table(
+        spark.createDataFrame([(2, -2)], "doc_id long, v long"),
+        base, "doc_id",
+    )
+    vacuum_table(base, keep_last=1)  # cursor v1 manifest expired
+    with pytest.raises(FileNotFoundError, match="lagged past retention"):
+        stream_changes_to_table(spark, base, dst, "doc_id", ckpt)
+
+
 def test_view_sync_reconverges_across_restore_over_mor_delete(
     spark, tmp_path
 ):
