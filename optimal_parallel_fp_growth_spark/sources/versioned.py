@@ -49,6 +49,7 @@ __all__ = [
     "restore_table",
     "clone_table",
     "read_table",
+    "version_at_timestamp",
     "table_changes",
     "aggregate_state",
     "refresh_aggregate",
@@ -662,14 +663,47 @@ def delete_rows(
     )
 
 
+def version_at_timestamp(path: str, timestamp: float) -> int:
+    """The version a reader at wall-clock ``timestamp`` (epoch seconds,
+    or a ``datetime`` / ISO-8601 string — naive values are taken as
+    UTC) would have seen: the NEWEST retained version committed at or
+    before it — the Delta ``timestampAsOf`` resolution rule. Raises
+    when the timestamp predates the oldest retained commit (that
+    history was vacuumed or never existed)."""
+    import datetime
+
+    if isinstance(timestamp, str):
+        timestamp = datetime.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, datetime.datetime):
+        if timestamp.tzinfo is None:
+            timestamp = timestamp.replace(tzinfo=datetime.timezone.utc)
+        timestamp = timestamp.timestamp()
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    best = None
+    for v in vs:
+        if _load_manifest(path, v)["committed_at"] <= timestamp:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no retained version of {path} committed at or before "
+            f"{timestamp} (oldest retained is v{vs[0]})"
+        )
+    return best
+
+
 def read_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     prune: tuple[str, str, object] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read a committed version (None = latest). Time travel: the file
-    list is exactly what that version's manifest pinned.
+    list is exactly what that version's manifest pinned. ``timestamp``
+    (exclusive with ``version``) resolves through
+    :func:`version_at_timestamp` — the Delta ``timestampAsOf`` shape.
 
     ``prune=(col, op, value)`` (op in ==, >=, <=, >, <) uses the
     manifest's per-file min/max ranges to SKIP files whose range
@@ -682,6 +716,10 @@ def read_table(
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")

@@ -1886,6 +1886,35 @@ def test_mor_refresh_and_view_ride_the_masked_feed(spark, tmp_path):
     assert got == {k: tuple(v) for k, v in want.items()}
 
 
+def test_time_travel_by_timestamp(spark, table):
+    """round 12, the Delta timestampAsOf shape: resolve to the newest
+    retained version committed at or before the timestamp; datetime /
+    ISO-string inputs accepted (naive = UTC); pre-history timestamps
+    and version+timestamp together are rejected."""
+    import datetime
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        version_at_timestamp,
+    )
+
+    append_table(_batch(spark, 100, 50), table)
+    append_table(_batch(spark, 150, 25), table)
+    hist = {h["version"]: h["committed_at"] for h in table_history(table)}
+    # exactly at v2's commit → v2; just before it → v1; far future → head
+    assert version_at_timestamp(table, hist[2]) == 2
+    assert version_at_timestamp(table, hist[2] - 1e-4) == 1
+    assert version_at_timestamp(table, hist[3] + 9999) == 3
+    assert read_table(spark, table, timestamp=hist[2]).count() == 150
+    # datetime and ISO-string forms resolve identically
+    dt = datetime.datetime.fromtimestamp(hist[2], datetime.timezone.utc)
+    assert version_at_timestamp(table, dt) == 2
+    assert version_at_timestamp(table, dt.isoformat()) == 2
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        version_at_timestamp(table, hist[1] - 10)
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, table, version=1, timestamp=hist[2])
+
+
 def test_merge_evolve_adds_columns_additively(spark, table):
     """round 12, the Delta MERGE autoMerge shape: an evolving CDC feed
     may carry a NEW column under evolve=True (older rows read null
