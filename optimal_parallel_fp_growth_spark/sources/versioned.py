@@ -59,6 +59,7 @@ __all__ = [
     "read_view",
     "view_base_version",
     "files_scanned",
+    "table_rowcount",
     "table_history",
     "vacuum_table",
     "stream_to_table",
@@ -202,6 +203,10 @@ def _file_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
                         # '+00:00' would break the <=/>= boundary.
                         lo, hi = _iso_naive(lo), _iso_naive(hi)
                     stats[name] = [lo, hi]
+            if "__rows" not in stats:
+                # footer row count (Iceberg record_count): lets a
+                # mask-free COUNT(*) answer from the manifest alone
+                stats["__rows"] = meta.num_rows
         except (OSError, pa.ArrowException):
             # unreadable/corrupt footer → file stays unprunable, not
             # broken. Programming errors must NOT be swallowed here —
@@ -210,6 +215,42 @@ def _file_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
             stats = {}
         out[rel] = stats
     return out
+
+
+def table_rowcount(path: str, version: int | None = None) -> int:
+    """COUNT(*) answered from manifest metadata alone — zero data I/O
+    (the Iceberg ``record_count`` shape; at 100 TB a count should cost
+    one manifest read, not a scan). Fails CLOSED with ``ValueError``
+    whenever metadata cannot be exact: delete sidecars present (masked
+    rows are invisible to footer counts — the sequence rule means the
+    sidecar's own size is not the masked count either) or any file
+    recorded without a footer count (pre-r12 manifest / corrupt
+    footer). Callers fall back to ``read_table(...).count()``."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    man = _load_manifest(path, v)
+    if man.get("delete_files"):
+        raise ValueError(
+            f"version {v} of {path} carries merge-on-read delete masks - "
+            "metadata rowcounts cannot see masked rows; use "
+            "read_table(...).count()"
+        )
+    fstats = man.get("file_stats") or {}
+    total = 0
+    for f in man["files"]:
+        n = (fstats.get(f) or {}).get("__rows")
+        if not isinstance(n, int):
+            raise ValueError(
+                f"file {f} of {path}@v{v} has no footer rowcount recorded "
+                "(pre-rowcount manifest or unreadable footer); use "
+                "read_table(...).count()"
+            )
+        total += n
+    return total
 
 
 def _schema_fields(df: DataFrame) -> list[list[str]]:

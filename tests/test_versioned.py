@@ -1886,6 +1886,36 @@ def test_mor_refresh_and_view_ride_the_masked_feed(spark, tmp_path):
     assert got == {k: tuple(v) for k, v in want.items()}
 
 
+def test_rowcount_from_manifest_metadata(spark, table):
+    """round 12, the Iceberg record_count shape: COUNT(*) answered
+    from footer counts in the manifest — zero data I/O — exact across
+    append/merge/time-travel, failing CLOSED under merge-on-read
+    masks (footer counts cannot see masked rows)."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+        merge_table,
+        table_rowcount,
+    )
+
+    assert table_rowcount(table) == 100
+    append_table(_batch(spark, 100, 50), table)
+    assert table_rowcount(table) == 150
+    merge_table(
+        spark.createDataFrame([(1, -1), (999, 9)], "doc_id long, v long"),
+        table, "doc_id",
+    )  # update + insert
+    assert table_rowcount(table) == 151
+    assert table_rowcount(table, version=1) == 100  # time travel
+    assert table_rowcount(table) == read_table(spark, table).count()
+    delete_rows(
+        spark, table, spark.createDataFrame([(5,)], "doc_id long"), "doc_id"
+    )
+    with pytest.raises(ValueError, match="masked rows"):
+        table_rowcount(table)
+    # pre-mask versions still answer from metadata
+    assert table_rowcount(table, version=3) == 151
+
+
 def test_time_travel_by_timestamp(spark, table):
     """round 12, the Delta timestampAsOf shape: resolve to the newest
     retained version committed at or before the timestamp; datetime /
