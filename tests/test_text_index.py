@@ -370,11 +370,21 @@ def test_index_survives_own_compaction(spark, tmp_path):
 
 
 def test_property_random_lifecycles_sync_equals_brute(spark, tmp_path):
-    """Hypothesis over random merge/delete/append sequences with random
-    small-vocabulary texts, syncing at random stops: the index always
-    equals the python re-tokenization of the head snapshot, and the
-    watermark always equals the base head after a sync."""
+    """Hypothesis over random merge/COW-delete/append/MOR-delete/
+    restore sequences with random small-vocabulary texts, syncing at
+    random stops: the index always equals the python re-tokenization
+    of the head snapshot, and the watermark always equals the base
+    head after a sync. Merges re-insert a previously MOR-deleted key
+    when one exists (the sequence rule inside the property), and
+    restores roll back to a random retained version (the feed's
+    reappear pass inside the property)."""
     from hypothesis import given, settings, strategies as st
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _versions,
+        delete_rows,
+        restore_table,
+    )
 
     VOCAB = ["a", "b", "c", "dd", "ee", "ff"]
     text_strat = st.lists(
@@ -382,9 +392,12 @@ def test_property_random_lifecycles_sync_equals_brute(spark, tmp_path):
     ).map(" ".join)
     step_strat = st.lists(
         st.tuples(
-            st.sampled_from(["merge", "delete", "append"]),
+            st.sampled_from(
+                ["merge", "delete", "append", "mor_delete", "restore"]
+            ),
             st.lists(text_strat, min_size=1, max_size=3),
             st.booleans(),  # sync after this step?
+            st.integers(min_value=0, max_value=7),  # restore target pick
         ),
         min_size=1,
         max_size=4,
@@ -402,33 +415,59 @@ def test_property_random_lifecycles_sync_equals_brute(spark, tmp_path):
             _corpus(spark, sorted(model.items())), base
         )
         create_text_index(spark, base, idx, n_files=2)
+        history = {1: dict(model)}  # python model per committed version
+        mor_deleted: set[int] = set()
         nxt = 100
-        for op, texts, do_sync in steps:
+        for op, texts, do_sync, pick in steps:
             if op == "merge":
                 # update the smallest existing keys + insert fresh ones
                 keys = sorted(model)[: len(texts)]
                 rows = [(k, t) for k, t in zip(keys, texts)]
                 rows += [(nxt + j, t) for j, t in enumerate(texts)]
+                if mor_deleted:
+                    # sequence rule: re-insert a MOR-deleted key
+                    back = sorted(mor_deleted)[0]
+                    mor_deleted.discard(back)
+                    rows.append((back, texts[0]))
                 merge_table(_corpus(spark, rows), base, "doc_id")
                 model.update(rows)
                 nxt += len(texts)
             elif op == "delete":
-                if model:
-                    cut = sorted(model)[len(model) // 2]
-                    delete_where(spark, base, ("doc_id", ">=", cut))
-                    model = {k: v for k, v in model.items() if k < cut}
-                else:
+                if not model:
                     continue
+                cut = sorted(model)[len(model) // 2]
+                delete_where(spark, base, ("doc_id", ">=", cut))
+                model = {k: v for k, v in model.items() if k < cut}
+            elif op == "mor_delete":
+                if len(model) < 2:
+                    continue
+                victims = sorted(model)[:2]
+                delete_rows(
+                    spark, base,
+                    _corpus(spark, [(v, "x") for v in victims]).select(
+                        "doc_id"
+                    ),
+                    "doc_id",
+                )
+                for v in victims:
+                    model.pop(v)
+                    mor_deleted.add(v)
+            elif op == "restore":
+                targets = sorted(history)
+                v = targets[pick % len(targets)]
+                new_head = restore_table(base, v)
+                if new_head == v:
+                    continue  # restoring the head is a no-op commit-wise
+                model = dict(history[v])
+                # keys MOR-deleted after v are visible again at v
+                mor_deleted = {k for k in mor_deleted if k not in model}
             else:  # append
                 rows = [(nxt + j, t) for j, t in enumerate(texts)]
                 append_table(_corpus(spark, rows), base)
                 model.update(rows)
                 nxt += len(texts)
+            history[_versions(base)[-1]] = dict(model)
             if do_sync:
-                from optimal_parallel_fp_growth_spark.sources.versioned import (
-                    _versions,
-                )
-
                 assert sync_text_index(spark, idx) == _versions(base)[-1]
                 want = {
                     (tok, k)
