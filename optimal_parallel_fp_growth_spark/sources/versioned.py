@@ -1253,6 +1253,7 @@ def stream_merge_to_table(
     checkpoint: str,
     key: str,
     delete_col: str | None = None,
+    evolve: bool = False,
 ):
     """Streaming CDC sink: upsert each non-empty micro-batch into the
     versioned table by ``key`` (first batch creates the table). Within
@@ -1276,6 +1277,10 @@ def stream_merge_to_table(
     tombstones creates an EMPTY table (the feed may begin mid-history
     with deletes for rows this table never saw).
 
+    ``evolve`` (round 12) passes through to :func:`merge_table`'s
+    additive schema evolution, for CDC feeds that grow columns
+    mid-stream.
+
     Returns the started ``StreamingQuery``."""
     from pyspark.sql import functions as F
 
@@ -1284,7 +1289,7 @@ def stream_merge_to_table(
             return
         src = batch_df.dropDuplicates([key])
         try:
-            merge_table(src, path, key, delete_col=delete_col)
+            merge_table(src, path, key, delete_col=delete_col, evolve=evolve)
         except FileNotFoundError:
             if delete_col is None:
                 create_table(src, path)

@@ -606,6 +606,40 @@ def test_stream_merge_to_table_upserts_per_batch(spark, tmp_path):
     assert len(v1) == 100 and v1[60] == 120
 
 
+def test_stream_merge_evolve_across_feed_generations(spark, tmp_path):
+    """A CDC feed that grew a column between deployments: the second
+    stream's wider batches merge in under evolve=True; rows from the
+    first generation read null in the new column."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        stream_merge_to_table,
+    )
+
+    tbl = str(tmp_path / "gen_tbl")
+    src1 = str(tmp_path / "feed_v1")
+    spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src1)
+    s1 = spark.readStream.schema("doc_id long, v long").parquet(src1)
+    stream_merge_to_table(
+        s1, tbl, str(tmp_path / "ck1"), "doc_id"
+    ).awaitTermination()
+    src2 = str(tmp_path / "feed_v2")
+    spark.range(5, 12).select(
+        F.col("id").alias("doc_id"),
+        F.lit(-1).cast("long").alias("v"),
+        F.lit("eu").alias("region"),
+    ).coalesce(1).write.mode("append").parquet(src2)
+    s2 = spark.readStream.schema(
+        "doc_id long, v long, region string"
+    ).parquet(src2)
+    stream_merge_to_table(
+        s2, tbl, str(tmp_path / "ck2"), "doc_id", evolve=True
+    ).awaitTermination()
+    got = {r.doc_id: (r.v, r.region) for r in read_table(spark, tbl).collect()}
+    assert got[7] == (-1, "eu") and got[11] == (-1, "eu")
+    assert got[2] == (4, None) and len(got) == 12
+
+
 def test_property_random_sequences_with_merge_and_delete(spark, tmp_path):
     """Hypothesis over create/append/overwrite/compact/merge/delete:
     every committed version stays readable with its recorded rows, the
