@@ -1969,8 +1969,12 @@ def test_time_travel_by_timestamp(spark, table):
     assert version_at_timestamp(table, hist[2] - 1e-4) == 1
     assert version_at_timestamp(table, hist[3] + 9999) == 3
     assert read_table(spark, table, timestamp=hist[2]).count() == 150
-    # datetime and ISO-string forms resolve identically
-    dt = datetime.datetime.fromtimestamp(hist[2], datetime.timezone.utc)
+    # datetime and ISO-string forms resolve identically — probed
+    # MID-GAP between v2 and v3, because datetime round-trips at
+    # microsecond resolution and a boundary-exact float can round
+    # below the commit instant (flaked once in a full sweep)
+    mid = (hist[2] + hist[3]) / 2
+    dt = datetime.datetime.fromtimestamp(mid, datetime.timezone.utc)
     assert version_at_timestamp(table, dt) == 2
     assert version_at_timestamp(table, dt.isoformat()) == 2
     with pytest.raises(FileNotFoundError, match="at or before"):
