@@ -431,97 +431,44 @@ QUERIES.update(REL_QUERIES)
 # Driver sampling order. The correctness harness samples the registry in
 # insertion order with a bounded per-round window (exactly 50 rows since
 # r4), so entries whose last green driver row is OLDEST must come FIRST —
-# the rotation contract that bounds staleness. Round-12 tiers (staleness
-# computed from CORRECTNESS_r{01..11}.json; the invariant is enforced
+# the rotation contract that bounds staleness. Round-13 tiers (staleness
+# computed from CORRECTNESS_r{01..12}.json; the invariant is enforced
 # data-driven by tests/test_registry_order.py):
-#   1. the 4 entries with NO driver row ever — the mid-r11 versioned-
-#      table lifecycle additions (incremental_agg, materialized_view,
-#      incremental_index, mor_delete_read), added after the r11 window
-#      was contractually full (NEW_THIS_ROUND exemption now expired).
-#   2. the 11 unpinned r09-green entries deferred through r11
-#      (staleness 3 at the r12 head — the mandated lead block named in
-#      the r11 tripwire output).
-#   3. all 22 differential-pinned r09-green entries (staleness 3,
-#      cap 4: due r12/r13 — they ALL fit this window, so the r13 debt
-#      from this tier is zero).
-#   4. the first 13 of the 24 unpinned r10-green entries (staleness 2
-#      here, 3 at the r13 head) — fills the window at exactly 50.
-#   5. the remaining 11 unpinned r10-green entries: MUST lead the r13
-#      window (staleness 3 at the r13 head).
-#   6. the 26 pinned r10-green entries (cap 4: due r13/r14 —
-#      multimodal_decode last went green r10, so it is due again by
-#      the r14 window at the latest; r13 has 50-11=39 free slots after
-#      tier 5, so all 26 fit r13 with 13 slots to spare for the
-#      then-staleness-2 unpinned r11 tier).
-#   7. the 50 r11-green entries, freshest last.
-# Two-round schedule (VERDICT r11 task #2, encoded so a mid-round
-# addition cannot breach either cap): r13 window = the 3 never-
-# sampled r12 additions (index_search, versioned_stream_follow,
-# clustered_table_read) + tier 5 (11) + tier 6 (26) + 10 unpinned
-# r11-green = 50; r14 window = remaining 33 unpinned r11-green +
-# the 7 pinned r11-green + slack. Demand stays under 50/round
+#   1. the 3 entries with NO driver row ever — the mid-r12 additions
+#      (index_search, versioned_stream_follow, clustered_table_read),
+#      added after the r12 window was contractually full
+#      (NEW_THIS_ROUND exemption now expired).
+#   2. the 11 unpinned r10-green entries deferred through r12
+#      (staleness 3 at the r13 head — the mandated lead block named in
+#      the r12 tripwire output).
+#   3. ALL 26 pinned r10-green entries (staleness 3, cap 4: due
+#      r13/r14 — they all fit this window, so the r14 debt from this
+#      tier is zero; multimodal_decode gets its due driver row here).
+#   4. the first 10 of the 43 unpinned r11-green entries (staleness 2
+#      here, 3 at the r14 head) — fills the window at exactly 50.
+#   5. the remaining 33 unpinned r11-green entries: MUST lead the r14
+#      window (staleness 3 at the r14 head).
+#   6. the 7 pinned r11-green entries (cap 4: due r14/r15; r14 has
+#      50-33=17 free slots after tier 5, so all 7 fit r14 with 10 to
+#      spare).
+#   7. the 50 r12-green entries, freshest last.
+# Two-round schedule (VERDICT r11 task #2 discipline, encoded so a
+# mid-round addition cannot breach either cap): r13 window = tiers
+# 1-4 = 3 + 11 + 26 + 10 = 50; r14 window = tier 5 (33) + tier 6 (7)
+# + 10 slack for mid-r13 additions and early unpinned r12-green (the
+# 24 unpinned r12-green hit staleness 3 at the r15 head and fit the
+# r15 window with 26 to spare). Demand stays under 50/round
 # (capacity test below).
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
-    # tier 1 — never driver-sampled: the four mid-r11 versioned-table
-    # lifecycle entries (VERDICT r11 task #1: they lead r12)
-    "incremental_agg",
-    "materialized_view",
-    "incremental_index",
-    "mor_delete_read",
-    # tier 2 — the 11 deferred unpinned r09-green (staleness 3)
-    "doc_fingerprint",
-    "pii_stats",
-    "repetition_signals",
-    "source_ngram_overlap",
-    "chunk_documents",
-    "pack_sequences",
-    "curate_corpus",
-    "corpus_split",
-    "label_centroids",
-    "revenue_by_nation",
-    "top_orders",
-    # tier 3 — all 22 differential-pinned r09-green (staleness 3,
-    # cap 4: due r12/r13; sampling them ALL now zeroes the r13 debt)
-    "bloom_decontaminate",
-    "bloom_user_filter",
-    "events_distinct_sketch",
-    "kmeans_arrow",
-    "semdedup_arrow",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_exact",
-    "supplier_pagerank_bucketed",
-    "dedup_incremental",
-    "knn_ivf_index",
-    "freq_itemsets_by_lang",
-    "transform_self",
-    "mix_temperature",
-    "knn_cosine",
-    "events_pivot",
-    "events_unpivot",
-    "events_sessionize",
-    "events_windowed_counts",
-    "events_interval_join",
-    "events_funnel",
-    "events_resample",
-    "multimodal_features",
-    # tier 4 — 13 of the 24 unpinned r10-green: fills the window
-    "multimodal_flac",
-    "versioned_read",
-    "versioned_merge",
-    "min_cost_part_supplier",
-    "important_parts",
-    "returnflag_priority_lines",
-    "supplier_variety",
-    "recent_concentration_suppliers",
-    "multimodal_audio",
-    "multimodal_jpeg",
-    "repeated_spans",
-    "zorder_layout_read",
-    "local_supplier_revenue",
-    # tier 5 — the 11 deferred unpinned r10-green: MUST lead the r13
-    # window (staleness 3 at the r13 head)
+    # tier 1 — never driver-sampled: the three mid-r12 additions
+    # (NEW_THIS_ROUND exemption spent at the r12 snapshot)
+    "index_search",
+    "versioned_stream_follow",
+    "clustered_table_read",
+    # tier 2 — the 11 deferred unpinned r10-green (staleness 3 at the
+    # r13 head — named verbatim in the r12 tripwire output)
     "word_count",
     "kmeans_clusters",
     "kmeans_auto",
@@ -533,8 +480,9 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "freq_itemsets",
     "deduped_corpus_cc",
-    # tier 6 — the 26 pinned r10-green (cap 4: due r13/r14;
-    # multimodal_decode due by r14 at the latest)
+    # tier 3 — ALL 26 pinned r10-green (cap 4: due r13/r14; sampling
+    # them all now — incl. multimodal_decode — zeroes the r14 debt
+    # from this tier)
     "multimodal_video",
     "random_projection",
     "knn_hyperplane",
@@ -561,14 +509,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stratified_sample",
     "weighted_sample",
     "multimodal_decode",
-    # tier 7 — r11-green, freshest last
-    "multimodal_gif",
-    "dedup_zipf_prefix",
-    "skewed_token_counts",
-    "skewed_doc_hotness",
-    "hive_layout_read",
-    "compacted_layout_read",
-    "versioned_changes",
+    # tier 4 — 10 of the 43 unpinned r11-green: fills the window
     "events_user_quartiles",
     "events_rolling",
     "events_daily_rollup",
@@ -579,6 +520,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_top_users",
     "multimodal_frames",
     "nation_trade_volume",
+    # tier 5 — the 33 deferred unpinned r11-green: MUST lead the r14
+    # window (staleness 3 at the r14 head)
     "product_line_revenue",
     "promo_revenue_share",
     "brand_discount_revenue",
@@ -612,12 +555,67 @@ _DRIVER_PRIORITY: list[str] = [
     "apriori_rules",
     "dedup_simhash",
     "lang_id",
-    # mid-round r12 additions (window contractually full when added;
-    # NEW_THIS_ROUND exemption — must lead the r13 window after its
-    # tier-5/6 blocks)
-    "index_search",
-    "versioned_stream_follow",
-    "clustered_table_read",
+    # tier 6 — the 7 pinned r11-green (cap 4: due r14/r15; r14 has
+    # 50-33=17 free slots after tier 5, so all 7 fit r14 with 10 to
+    # spare for mid-r13 additions / early unpinned r12-green)
+    "multimodal_gif",
+    "dedup_zipf_prefix",
+    "skewed_token_counts",
+    "skewed_doc_hotness",
+    "hive_layout_read",
+    "compacted_layout_read",
+    "versioned_changes",
+    # tier 7 — r12-green, freshest last (the full r12 window order)
+    "incremental_agg",
+    "materialized_view",
+    "incremental_index",
+    "mor_delete_read",
+    "doc_fingerprint",
+    "pii_stats",
+    "repetition_signals",
+    "source_ngram_overlap",
+    "chunk_documents",
+    "pack_sequences",
+    "curate_corpus",
+    "corpus_split",
+    "label_centroids",
+    "revenue_by_nation",
+    "top_orders",
+    "bloom_decontaminate",
+    "bloom_user_filter",
+    "events_distinct_sketch",
+    "kmeans_arrow",
+    "semdedup_arrow",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_exact",
+    "supplier_pagerank_bucketed",
+    "dedup_incremental",
+    "knn_ivf_index",
+    "freq_itemsets_by_lang",
+    "transform_self",
+    "mix_temperature",
+    "knn_cosine",
+    "events_pivot",
+    "events_unpivot",
+    "events_sessionize",
+    "events_windowed_counts",
+    "events_interval_join",
+    "events_funnel",
+    "events_resample",
+    "multimodal_features",
+    "multimodal_flac",
+    "versioned_read",
+    "versioned_merge",
+    "min_cost_part_supplier",
+    "important_parts",
+    "returnflag_priority_lines",
+    "supplier_variety",
+    "recent_concentration_suppliers",
+    "multimodal_audio",
+    "multimodal_jpeg",
+    "repeated_spans",
+    "zorder_layout_read",
+    "local_supplier_revenue",
 ]
 
 

@@ -1,20 +1,20 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (exactly 50 rows since r4). Round-12 rotation
-contract (VERDICT r11 task #1):
+bounded per-round window (exactly 50 rows since r4). Round-13 rotation
+contract:
 
-* The four mid-r11 lifecycle entries (``incremental_agg`` /
-  ``materialized_view`` / ``incremental_index`` / ``mor_delete_read``,
-  never driver-sampled — their NEW_THIS_ROUND exemption expired at the
-  r11 snapshot) lead, then the 11 unpinned r09-green entries deferred
-  through r11 (staleness 3 — named verbatim in the r11 tripwire
-  output), then ALL 22 differential-pinned r09-green (cap 4: due
-  r12/r13 — sampling them all now zeroes the r13 debt from that
-  tier), then 13 of the 24 unpinned r10-green — exactly filling the
-  window. The remaining 11 unpinned r10-green MUST lead the r13
-  window; the 26 pinned r10-green (incl. ``multimodal_decode``) are
-  due r13/r14 and all fit r13's 39 post-lead slots.
+* The three mid-r12 additions (``index_search`` /
+  ``versioned_stream_follow`` / ``clustered_table_read``, never
+  driver-sampled — their NEW_THIS_ROUND exemption expired at the r12
+  snapshot) lead, then the 11 unpinned r10-green entries deferred
+  through r12 (staleness 3 — named verbatim in the r12 tripwire
+  output), then ALL 26 pinned r10-green (cap 4: due r13/r14 —
+  sampling them all now, incl. ``multimodal_decode``, zeroes the r14
+  debt from that tier), then 10 of the 43 unpinned r11-green —
+  exactly filling the window. The remaining 33 unpinned r11-green
+  MUST lead the r14 window; the 7 pinned r11-green are due r14/r15
+  and all fit r14's 17 post-lead slots.
 * A pinned entry (entry-twin differential in ``TWINS``, or an
   independent-recomputation ground truth in ``GROUND_TRUTH_PINS``) may
   defer to a 4-round staleness cap; everything else holds the 2-round
@@ -309,11 +309,8 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
 NEW_THIS_ROUND: dict[str, int] = {
-    # (r11's four lifecycle entries rotated into the r12 window lead —
-    # their exemption is spent; r12 mid-round additions land here)
-    "index_search": 12,
-    "versioned_stream_follow": 12,
-    "clustered_table_read": 12,
+    # (r12's three additions rotated into the r13 window lead — their
+    # exemption is spent; r13 mid-round additions land here)
 }
 
 
@@ -428,77 +425,74 @@ def test_new_this_round_exemption_expires():
     assert not _staleness_violations(order, last, 9, set(), {"late_add": 7})
 
 
-def test_simulated_r13_rotation_is_feasible():
+def test_simulated_r14_rotation_is_feasible():
     """Rotation-debt solvency check, re-pinned each round: the
-    invariant must provably hold through a simulated r13 with no new
-    rows beyond the r12 window. Simulate: every entry in the CURRENT
-    head-50 goes green in r12, the r13 builder rotates greedily
+    invariant must provably hold through a simulated r14 with no new
+    rows beyond the r13 window. Simulate: every entry in the CURRENT
+    head-50 goes green in r13, the r14 builder rotates greedily
     (most-stale first, pinned entries after unpinned at equal
-    staleness), and the invariant is evaluated at the r13 head."""
+    staleness), and the invariant is evaluated at the r14 head."""
     order = list(Q.QUERIES)
     last, current = _last_green_by_entry()
-    assert current == 12  # this simulation is written against the r12 head
+    assert current == 13  # this simulation is written against the r13 head
     sim_last = dict(last)
     for name in order[:WINDOW]:
-        sim_last[name] = 12
+        sim_last[name] = 13
     pinned = _pinned()
-    r13_order = sorted(
+    r14_order = sorted(
         order,
         key=lambda n: (
             sim_last.get(n, -1),  # most stale first; never-sampled lead
             n in pinned,  # unpinned before pinned at equal staleness
         ),
     )
-    violations = _staleness_violations(r13_order, sim_last, 13, pinned, {})
+    violations = _staleness_violations(r14_order, sim_last, 14, pinned, {})
     assert not violations, "\n".join(violations)
 
 
 def test_window_leads_with_never_sampled_entries():
-    # VERDICT r11 task #1: the four mid-r11 lifecycle entries with no
-    # driver row ever lead the r12 window.
+    # the three mid-r12 additions with no driver row ever lead the r13
+    # window.
     order = list(Q.QUERIES)
-    assert order[:4] == [
-        "incremental_agg", "materialized_view", "incremental_index",
-        "mor_delete_read",
+    assert order[:3] == [
+        "index_search", "versioned_stream_follow", "clustered_table_read",
     ]
 
 
-def test_r12_window_composition():
+def test_r13_window_composition():
     """Pin the exact tiers so a mid-round insertion can't silently push
     a stale entry out of the window."""
     order = list(Q.QUERIES)
     last, _ = _last_green_by_entry()
     pinned = _pinned()
-    # tier 1: never driver-sampled (the four mid-r11 lifecycle entries)
+    # tier 1: never driver-sampled (the three mid-r12 additions)
     tier1 = [
-        "incremental_agg", "materialized_view", "incremental_index",
-        "mor_delete_read",
+        "index_search", "versioned_stream_follow", "clustered_table_read",
     ]
     assert order[: len(tier1)] == tier1
-    # tier 2: the 11 unpinned r09-green deferred through r11
+    # tier 2: the 11 unpinned r10-green deferred through r12
     tier2 = order[len(tier1) : len(tier1) + 11]
-    assert all(last.get(n) == 9 and n not in pinned for n in tier2), tier2
-    # tier 3: ALL 22 differential-pinned r09-green (cap 4, due r12/r13
-    # — zeroing the r13 debt from this tier)
-    tier3 = order[len(tier1) + 11 : len(tier1) + 33]
-    assert all(last.get(n) == 9 and n in pinned for n in tier3), tier3
-    # tier 4 fills the window: 13 unpinned r10-green
-    tier4 = order[len(tier1) + 33 : WINDOW]
-    assert all(last.get(n) == 10 and n not in pinned for n in tier4), tier4
-    # tier 5: the 11 deferred unpinned r10-green — MUST lead r13
-    tier5 = order[WINDOW : WINDOW + 11]
-    assert all(last.get(n) == 10 and n not in pinned for n in tier5), tier5
-    # tier 6: the 26 pinned r10-green (cap 4: due r13/r14;
-    # multimodal_decode due by r14 at the latest)
-    tier6 = order[WINDOW + 11 : WINDOW + 37]
-    assert all(last.get(n) == 10 and n in pinned for n in tier6), tier6
-    assert "multimodal_decode" in tier6
-    # tier 7: the r11-green tail (freshest last), then any mid-round
+    assert all(last.get(n) == 10 and n not in pinned for n in tier2), tier2
+    # tier 3: ALL 26 pinned r10-green (cap 4, due r13/r14 — zeroing
+    # the r14 debt from this tier; multimodal_decode included)
+    tier3 = order[len(tier1) + 11 : len(tier1) + 37]
+    assert all(last.get(n) == 10 and n in pinned for n in tier3), tier3
+    assert "multimodal_decode" in tier3
+    # tier 4 fills the window: 10 unpinned r11-green
+    tier4 = order[len(tier1) + 37 : WINDOW]
+    assert all(last.get(n) == 11 and n not in pinned for n in tier4), tier4
+    # tier 5: the 33 deferred unpinned r11-green — MUST lead r14
+    tier5 = order[WINDOW : WINDOW + 33]
+    assert all(last.get(n) == 11 and n not in pinned for n in tier5), tier5
+    # tier 6: the 7 pinned r11-green (cap 4: due r14/r15)
+    tier6 = order[WINDOW + 33 : WINDOW + 40]
+    assert all(last.get(n) == 11 and n in pinned for n in tier6), tier6
+    # tier 7: the r12-green tail (freshest last), then any mid-round
     # additions at the very end
-    tail = order[WINDOW + 37 :]
+    tail = order[WINDOW + 40 :]
     tier7 = [n for n in tail if n not in NEW_THIS_ROUND]
-    assert all(last.get(n) == 11 for n in tier7), [
-        n for n in tier7 if last.get(n) != 11
+    assert all(last.get(n) == 12 for n in tier7), [
+        n for n in tier7 if last.get(n) != 12
     ]
     assert set(tail[len(tier7) :]) == set(NEW_THIS_ROUND)
 
@@ -538,6 +532,7 @@ def test_prior_round_correctness_rows_were_all_green():
     }
     for r in (
         "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10", "r11",
+        "r12",
     ):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         red = sorted(k for k, v in rows.items() if not v.get("hash_match"))
