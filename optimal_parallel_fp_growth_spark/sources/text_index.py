@@ -283,6 +283,7 @@ def search_text_index_terms(
     terms it covers); rows then filter to the term set. Returns
     ``(token, <key>)`` rows."""
     from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _apply_delete_masks,
         _file_survives,
         _load_manifest,
         _read_files,
@@ -306,12 +307,32 @@ def search_text_index_terms(
     ]
     key = spec["key"]
     if not scan:
-        empty = _read_files(
-            spark, index_path, man["files"], man.get("schema")
-        ).limit(0)
+        # every file pruned: empty result straight from the manifest
+        # schema — listing (let alone reading) data files for an empty
+        # frame is wasted IO at any scale
+        schema = man.get("schema")
+        if schema:
+            from pyspark.sql.types import _parse_datatype_string
+
+            ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+            empty = spark.createDataFrame([], _parse_datatype_string(ddl))
+        else:  # pre-schema manifest: read one file's footer
+            empty = _read_files(
+                spark, index_path, man["files"][:1], None
+            ).limit(0)
         return empty.select("token", key)
+    # the index is itself a versioned table, so its manifest can carry
+    # merge-on-read delete sidecars (delete_rows on the index path is
+    # public API): subtract them exactly as read_table does, or the
+    # batched lookup would resurrect deleted postings and diverge from
+    # the single-term path (advice r12)
     return (
-        _read_files(spark, index_path, scan, man.get("schema"))
+        _apply_delete_masks(
+            spark,
+            index_path,
+            _read_files(spark, index_path, scan, man.get("schema")),
+            man,
+        )
         .where(F.col("token").isin(list(terms)))
         .select("token", key)
     )

@@ -430,13 +430,27 @@ def create_table(
     merge has de-clustered the layout)."""
     if _versions(path):
         raise FileExistsError(f"versioned table already exists at {path}")
+    # a _table.json with no manifest is debris from a failed earlier
+    # create at this path — it must not leak into THIS table's life
+    # (advice r12: a stale spec from a failed clustered create poisoned
+    # every later rewrite here)
+    stale = pathlib.Path(path) / _TABLE_META
+    if stale.is_file():
+        stale.unlink()
     if cluster_by:
         df = _cluster(df, cluster_by, df.rdd.getNumPartitions() or 1)
-        _write_table_spec(path, {"cluster_by": list(cluster_by)})
     files = _write_data(df, path, 1)
-    return _commit(
+    v = _commit(
         path, 1, files, "create", _schema_fields(df), _file_stats(path, files)
     )
+    # record the spec only once the create COMMITTED: a failed write
+    # must leave no table property behind (advice r12). Crash between
+    # commit and this write loses only the property (layout is intact,
+    # later rewrites just won't re-cluster) — strictly safer than the
+    # reverse order.
+    if cluster_by:
+        _write_table_spec(path, {"cluster_by": list(cluster_by)})
+    return v
 
 
 def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
@@ -471,22 +485,46 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
     )
 
 
-def overwrite_table(df: DataFrame, path: str) -> int:
+def overwrite_table(
+    df: DataFrame, path: str, cluster_by: list[str] | None = None
+) -> int:
     """Replace the table's contents as a new version; history keeps
     the old versions readable. A recorded ``cluster_by`` spec
-    re-clusters the replacement."""
+    re-clusters the replacement; pass ``cluster_by=[...]`` to change
+    the recorded spec with the rewrite, or ``cluster_by=[]`` to clear
+    it (None keeps it). Overwrite is the documented schema-change path
+    (see :func:`_check_schema`'s error message), so a replacement that
+    DROPS a recorded clustered column RESETS the spec instead of
+    failing (advice r12: the spec was previously permanent, wedging
+    exactly the workflow the error message recommends). The spec file
+    is rewritten only after the commit succeeds."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
-    spec_cluster = _table_spec(path).get("cluster_by")
-    if spec_cluster:
-        df = _cluster(df, spec_cluster, df.rdd.getNumPartitions() or 1)
+    spec = _table_spec(path)
+    recorded = spec.get("cluster_by")
+    if cluster_by is None:
+        effective = recorded
+        if effective and any(c not in df.columns for c in effective):
+            effective = []  # replacement dropped a clustered column
+    else:
+        effective = list(cluster_by)
+    if effective:
+        df = _cluster(df, effective, df.rdd.getNumPartitions() or 1)
     files = _write_data(df, path, cur + 1)
-    return _commit(
+    v = _commit(
         path, cur + 1, files, "overwrite", _schema_fields(df),
         _file_stats(path, files),
     )
+    if (effective or recorded) and effective != recorded:
+        new_spec = dict(spec)
+        if effective:
+            new_spec["cluster_by"] = effective
+        else:
+            new_spec.pop("cluster_by", None)
+        _write_table_spec(path, new_spec)
+    return v
 
 
 def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
@@ -1467,7 +1505,8 @@ def clone_table(
     root). The SOURCE's vacuum pulling files out from under a shallow
     clone — the standard shallow-clone hazard — is guarded, not just
     documented (VERDICT r11 task #6): the clone registers itself in
-    every source root its references live under (``_clones.json``),
+    every source root its references live under (one exclusive-create
+    file per clone in the ``_clones/`` registry),
     and :func:`vacuum_table` REFUSES to delete a file a live shallow
     clone still references unless forced."""
     vs = _versions(src)
@@ -1517,7 +1556,7 @@ def clone_table(
     return out
 
 
-_CLONES_META = "_clones.json"
+_CLONES_DIR = "_clones"
 
 
 def _root_of_data_file(abs_file: str) -> str | None:
@@ -1533,16 +1572,36 @@ def _root_of_data_file(abs_file: str) -> str | None:
     return None
 
 
+def _clone_reg_name(dst: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(dst.encode()).hexdigest()[:24] + ".json"
+
+
 def _register_clone(dst: str, abs_refs: list[str]) -> None:
+    """One registry FILE per clone, created with O_EXCL — the same
+    lock-free arbiter as ``_commit``'s manifest link. The earlier
+    single ``_clones.json`` was a non-atomic read-modify-write: two
+    concurrent shallow clones (or a clone racing a vacuum's registry
+    prune) could drop a registration and silently disarm the vacuum
+    guard (advice r12). An exclusive create per clone cannot lose to a
+    concurrent writer, and pruning is a per-file unlink."""
     roots = {r for r in (_root_of_data_file(f) for f in abs_refs) if r}
     for root in roots:
-        reg = pathlib.Path(root) / _CLONES_META
-        entries = json.loads(reg.read_text()) if reg.is_file() else []
-        if dst not in entries:
-            entries.append(dst)
-            tmp = reg.parent / f".{_CLONES_META}.tmp.{os.getpid()}"
-            tmp.write_text(json.dumps(entries, indent=1))
-            os.replace(tmp, reg)
+        reg = pathlib.Path(root) / _CLONES_DIR
+        reg.mkdir(parents=True, exist_ok=True)
+        target = reg / _clone_reg_name(dst)
+        # write-then-link so the registration appears ATOMICALLY with
+        # its full content (a dying writer can never leave a half
+        # entry that blocks re-registration)
+        tmp = reg / f".{target.name}.tmp.{os.getpid()}"
+        tmp.write_text(json.dumps({"clone": dst}, indent=1))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            pass  # this clone root is already registered here
+        finally:
+            tmp.unlink(missing_ok=True)
 
 
 def _live_clone_refs(path: str) -> dict[str, set[str]]:
@@ -1550,19 +1609,22 @@ def _live_clone_refs(path: str) -> dict[str, set[str]]:
     clone's RETAINED manifests still reference (live truth, not the
     snapshot recorded at clone time — a clone that has since rewritten
     or vacuumed away its source references stops pinning them).
-    Prunes registry entries whose clone no longer exists."""
-    reg = pathlib.Path(path) / _CLONES_META
-    if not reg.is_file():
+    Prunes registry entries whose clone no longer exists (a per-file
+    unlink — never a rewrite of other clones' registrations)."""
+    reg = pathlib.Path(path) / _CLONES_DIR
+    if not reg.is_dir():
         return {}
-    entries = json.loads(reg.read_text())
     root = str(pathlib.Path(path).resolve())
     out: dict[str, set[str]] = {}
-    keep: list[str] = []
-    for dst in entries:
+    for entry in sorted(reg.glob("*.json")):
+        try:
+            dst = json.loads(entry.read_text())["clone"]
+        except (json.JSONDecodeError, KeyError):
+            continue  # half-written by a dying clone: ignore, keep
         dvs = _versions(dst)
         if not dvs:
-            continue  # the clone was deleted; drop its guard entry
-        keep.append(dst)
+            entry.unlink(missing_ok=True)  # clone deleted: drop guard
+            continue
         refs: set[str] = set()
         for v in dvs:
             m = _load_manifest(dst, v)
@@ -1575,10 +1637,6 @@ def _live_clone_refs(path: str) -> dict[str, set[str]]:
                         refs.add(rf)
         if refs:
             out[dst] = refs
-    if keep != entries:
-        tmp = reg.parent / f".{_CLONES_META}.tmp.{os.getpid()}"
-        tmp.write_text(json.dumps(keep, indent=1))
-        os.replace(tmp, reg)
     return out
 
 

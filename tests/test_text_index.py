@@ -302,6 +302,51 @@ def test_batched_term_search_matches_per_term_lookups(spark, tmp_path):
     assert 0 < n_read <= 2 < files_scanned(idx)
 
 
+def test_batched_term_search_respects_index_delete_sidecars(
+    spark, tmp_path
+):
+    """Advice r12 (medium): the postings table is itself a versioned
+    table, so delete_rows on the INDEX path is public API. The batched
+    lookup reads files directly and must subtract the merge-on-read
+    sidecars exactly like the single-term path (which goes through
+    read_table) — or it resurrects deleted postings."""
+    from optimal_parallel_fp_growth_spark.sources.text_index import (
+        search_text_index_terms,
+    )
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        delete_rows,
+    )
+
+    base = str(tmp_path / "b")
+    idx = str(tmp_path / "i")
+    create_table(
+        _corpus(spark, [(1, "a b"), (2, "b c"), (3, "c d")]), base
+    )
+    create_text_index(spark, base, idx, n_files=2)
+    # surgically remove doc 2's 'b' posting from the index itself
+    victim = read_table(spark, idx).where(
+        (F.col("token") == "b") & (F.col("doc_id") == 2)
+    ).select("posting_id")
+    delete_rows(spark, idx, victim, "posting_id")
+    single = {
+        (t, r.doc_id)
+        for t in ("b", "c")
+        for r in search_text_index(spark, idx, t).collect()
+    }
+    batched = {
+        (r.token, r.doc_id)
+        for r in search_text_index_terms(spark, idx, ["b", "c"]).collect()
+    }
+    assert batched == single
+    assert ("b", 2) not in batched and ("b", 1) in batched
+    assert ("c", 2) in batched and ("c", 3) in batched
+    # the all-pruned branch builds its empty frame from the manifest
+    # schema — no data file is listed or read
+    none = search_text_index_terms(spark, idx, ["zz_absent"])
+    assert none.columns == ["token", "doc_id"] and none.count() == 0
+    assert none.inputFiles() == []
+
+
 def test_index_sync_reconverges_across_restore_over_mor_delete(
     spark, tmp_path
 ):

@@ -2069,6 +2069,96 @@ def test_recorded_cluster_spec_survives_every_rewrite(spark, tmp_path):
     merge_table(upd.limit(1), path, "k", cluster_by=[])
 
 
+def test_cluster_spec_is_not_permanent(spark, tmp_path):
+    """Advice r12 (medium): the recorded cluster_by spec must follow
+    the table through schema changes, not wedge them. Overwriting with
+    a schema that drops the clustered column succeeds and RESETS the
+    spec; cluster_by=[] clears it explicitly; cluster_by=[...]
+    re-records a new spec; and a failed clustered create leaves no
+    _table.json behind to poison a later create at the same path."""
+    import pytest
+
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        path,
+        cluster_by=["k"],
+    )
+    assert V._table_spec(path).get("cluster_by") == ["k"]
+    # replacement drops the clustered column entirely: the overwrite
+    # (_check_schema's own recommended schema-change path) must succeed
+    # and reset the spec so later rewrites don't chase a ghost column
+    overwrite_table(
+        spark.range(50).select(
+            F.col("id").alias("pk"), F.lit("x").alias("payload")
+        ),
+        path,
+    )
+    assert "cluster_by" not in V._table_spec(path)
+    # later merges on the new schema work without any cluster option
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+    )
+
+    merge_table(
+        spark.range(5).select(
+            F.col("id").alias("pk"),
+            F.lit("y").alias("payload"),
+        ),
+        path,
+        "pk",
+    )
+    assert read_table(spark, path).where("payload = 'y'").count() == 5
+    # re-record a spec with the rewrite...
+    overwrite_table(
+        spark.range(60).select(
+            F.col("id").alias("pk"), F.lit("z").alias("payload")
+        ).repartition(4),
+        path,
+        cluster_by=["pk"],
+    )
+    assert V._table_spec(path).get("cluster_by") == ["pk"]
+    # ...and clear it explicitly
+    overwrite_table(
+        spark.range(10).select(
+            F.col("id").alias("pk"), F.lit("w").alias("payload")
+        ),
+        path,
+        cluster_by=[],
+    )
+    assert "cluster_by" not in V._table_spec(path)
+
+    # a failed clustered create must not leave a stale spec (the
+    # write-data step dies mid-create), and the debris must not poison
+    # the retry either way
+    broken = str(tmp_path / "broken")
+    real_write = V._write_data
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    V._write_data = boom
+    try:
+        with pytest.raises(RuntimeError, match="disk full"):
+            create_table(
+                spark.range(10).select(F.col("id").alias("k")),
+                broken,
+                cluster_by=["k"],
+            )
+    finally:
+        V._write_data = real_write
+    import pathlib
+
+    assert not (pathlib.Path(broken) / "_table.json").exists()
+    # retry WITHOUT clustering: no spec may appear
+    create_table(spark.range(10).select(F.col("id").alias("k")), broken)
+    assert "cluster_by" not in V._table_spec(broken)
+
+
 def test_stream_follow_builds_replica_across_full_lifecycle(
     spark, tmp_path
 ):
@@ -2415,6 +2505,47 @@ def test_source_vacuum_refuses_while_shallow_clone_pins_files(
     # force overrides the guard (the caller accepts clone corruption)
     assert vacuum_table(table, keep_last=1, force=True) > 0
     assert read_table(spark, table).count() == 10
+
+
+def test_clone_registry_is_per_clone_and_crash_safe(spark, table, tmp_path):
+    """Advice r12 (low): the registry must never lose a registration
+    to a concurrent writer. One exclusive-create file per clone means
+    registering clone B can never rewrite (and drop) clone A's entry,
+    pruning a dead clone unlinks only its own file, and a dying
+    writer's temp debris is inert."""
+    import os
+    import pathlib
+    import shutil as sh
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _live_clone_refs,
+        _register_clone,
+        clone_table,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    clone_table(table, a, shallow=True)
+    clone_table(table, b, shallow=True)
+    reg = pathlib.Path(table) / "_clones"
+    assert len(list(reg.glob("*.json"))) == 2  # one file per clone
+    # re-registration is an idempotent no-op (FileExistsError branch)
+    ref = str(
+        pathlib.Path(table).resolve() / "data" / "v00000001" / "x.parquet"
+    )
+    _register_clone(os.path.abspath(a), [ref])
+    assert len(list(reg.glob("*.json"))) == 2
+    assert not list(reg.glob(".*tmp*"))  # write-then-link cleaned up
+    # both clones pin files — neither registration was lost
+    assert set(_live_clone_refs(table)) == {
+        os.path.abspath(a), os.path.abspath(b),
+    }
+    # pruning a dead clone unlinks ONLY its file
+    sh.rmtree(a)
+    assert set(_live_clone_refs(table)) == {os.path.abspath(b)}
+    assert len(list(reg.glob("*.json"))) == 1
+    # half-written debris (pre-link temp of a dying writer) is skipped
+    (reg / "deadbeef00.json").write_text("{")
+    assert set(_live_clone_refs(table)) == {os.path.abspath(b)}
 
 
 def test_source_vacuum_proceeds_when_clone_released_or_died(
