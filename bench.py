@@ -383,6 +383,18 @@ def main() -> None:
         # from hash-partitioned input → spec-driven merge re-cluster →
         # stat-pruned quintile read, fail-closed on files_scanned)
         "clustered_table_read",
+        # round-13 addition: copy-on-write UPDATE (clustered create →
+        # ranged update_where rewriting ONLY intersecting files,
+        # fail-closed on carried-forward manifest refs)
+        "versioned_update",
+        # round-13 addition: aggregate pushdown to manifest metadata
+        # (COUNT/MIN/MAX from footer rowcounts + file ranges across an
+        # append lifecycle — zero data I/O)
+        "stats_pushdown",
+        # round-13 addition: multi-predicate (AND) manifest pruning —
+        # a middle-quintile range read cutting files on BOTH sides,
+        # fail-closed vs each single-sided predicate
+        "versioned_range_read",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

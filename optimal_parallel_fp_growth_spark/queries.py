@@ -616,6 +616,12 @@ _DRIVER_PRIORITY: list[str] = [
     "repeated_spans",
     "zorder_layout_read",
     "local_supplier_revenue",
+    # mid-round r13 additions (window contractually full when added;
+    # NEW_THIS_ROUND exemption — scheduled into the r14 window's slack
+    # after its tier-5/6 blocks)
+    "versioned_update",
+    "stats_pushdown",
+    "versioned_range_read",
 ]
 
 

@@ -575,6 +575,165 @@ GROUP BY lang
 """
 
 
+def q_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE under the oracle gate (round 13;
+    sources/versioned.py::update_where — completes the DML matrix
+    next to merge / COW+MOR delete / restore / clone): create the
+    table CLUSTERED on doc_id, UPDATE the first key quintile
+    (n_chars -> n_chars * 10, source -> 'edited'), and aggregate the
+    result. The in-query check fails closed unless the rewrite
+    carried at least one file FORWARD BY REFERENCE — i.e. the
+    manifest ranges really pruned the copy-on-write to the
+    intersecting files, the property that makes a ranged UPDATE at
+    100 TB cost one file rewrite instead of a table rewrite. The
+    oracle restates the update as a CASE expression."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    cut = docs.agg(F.max("doc_id")).collect()[0][0] // 5
+    with session_temp_layout(spark, "upd") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(docs.repartition(8), path, cluster_by=["doc_id"])
+        before = set(V._load_manifest(path, 1)["files"])
+        V.update_where(
+            spark, path, ("doc_id", "<", cut),
+            {"n_chars": F.col("n_chars") * 10, "source": F.lit("edited")},
+        )
+        after = set(V._load_manifest(path, 2)["files"])
+        if not (len(before) >= 4 and before & after):
+            raise AssertionError(
+                f"update rewrote {len(before - after)}/{len(before)} files "
+                "- manifest ranges did not prune the copy-on-write"
+            )
+        out = V.read_table(spark, path).groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_VERSIONED_UPDATE = """
+SELECT lang,
+       CASE WHEN doc_id < (SELECT max(doc_id) // 5 FROM documents)
+            THEN 'edited' ELSE source END AS source,
+       count(*) AS n_docs,
+       sum(CASE WHEN doc_id < (SELECT max(doc_id) // 5 FROM documents)
+                THEN n_chars * 10 ELSE n_chars END)::BIGINT AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown to manifest metadata under the oracle gate
+    (round 13; sources/versioned.py::table_rowcount + table_minmax):
+    COUNT(*) / MIN / MAX answered from the manifest's footer rowcounts
+    and per-file ranges with ZERO data I/O — the Iceberg
+    record_count / lower-upper bounds shape; at 100 TB these should
+    cost one manifest read, not a scan. The lifecycle appends a
+    second batch so the answer must fold stats across versions'
+    files, and both helpers FAIL CLOSED (delete masks, missing
+    stats) rather than guess — the oracle recomputes all five
+    aggregates relationally."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    with session_temp_layout(spark, "sts") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(
+            docs.where(F.col("doc_id") % 2 == 0).repartitionByRange(
+                4, "doc_id"
+            ),
+            path,
+        )
+        V.append_table(
+            docs.where(F.col("doc_id") % 2 == 1).repartitionByRange(
+                2, "doc_id"
+            ),
+            path,
+        )
+        n = V.table_rowcount(path)
+        id_lo, id_hi = V.table_minmax(path, "doc_id")
+        ch_lo, ch_hi = V.table_minmax(path, "n_chars")
+        out = spark.createDataFrame(
+            [(n, id_lo, id_hi, ch_lo, ch_hi)],
+            "n_rows long, min_doc long, max_doc long, "
+            "min_chars long, max_chars long",
+        )
+        return materialize(out)
+
+
+ORACLE_STATS_PUSHDOWN = """
+SELECT count(*) AS n_rows,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents
+"""
+
+
+def q_versioned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-predicate manifest pruning under the oracle gate (round
+    13; read_table(prune=[...]) with AND semantics): read the MIDDLE
+    doc_id quintile of a clustered table as
+    [(doc_id >= lo), (doc_id < hi)]. The in-query check fails closed
+    unless the conjunction scans FEWER files than EITHER single-sided
+    predicate — the property the single-triple API could not express
+    (one side of a range always scanned to an end of the table). The
+    oracle restates the slice in closed form."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    top = docs.agg(F.max("doc_id")).collect()[0][0]
+    lo, hi = (top * 2) // 5, (top * 3) // 5
+    with session_temp_layout(spark, "rng") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(docs.repartition(8), path, cluster_by=["doc_id"])
+        preds = [("doc_id", ">=", lo), ("doc_id", "<", hi)]
+        both = V.files_scanned(path, prune=preds)
+        left = V.files_scanned(path, prune=preds[0])
+        right = V.files_scanned(path, prune=preds[1])
+        if not (0 < both < min(left, right)):
+            raise AssertionError(
+                f"range prune scanned {both} files vs {left}/{right} "
+                "single-sided - the conjunction did not cut both sides"
+            )
+        out = V.read_table(spark, path, prune=preds).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_VERSIONED_RANGE_READ = """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents
+WHERE doc_id >= (SELECT max(doc_id) * 2 // 5 FROM documents)
+  AND doc_id <  (SELECT max(doc_id) * 3 // 5 FROM documents)
+GROUP BY lang
+"""
+
+
 def q_versioned_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDF follow under the oracle gate (round 12, VERDICT
     r11 task #5; sources/versioned.py::stream_changes_to_table):
@@ -1944,6 +2103,9 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_search": q_index_search,
     "versioned_stream_follow": q_versioned_stream_follow,
     "clustered_table_read": q_clustered_table_read,
+    "versioned_update": q_versioned_update,
+    "stats_pushdown": q_stats_pushdown,
+    "versioned_range_read": q_versioned_range_read,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -2000,6 +2162,9 @@ DOC_ORACLES: dict[str, str] = {
     "index_search": ORACLE_INDEX_SEARCH,
     "versioned_stream_follow": ORACLE_VERSIONED_STREAM_FOLLOW,
     "clustered_table_read": ORACLE_CLUSTERED_TABLE_READ,
+    "versioned_update": ORACLE_VERSIONED_UPDATE,
+    "stats_pushdown": ORACLE_STATS_PUSHDOWN,
+    "versioned_range_read": ORACLE_VERSIONED_RANGE_READ,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

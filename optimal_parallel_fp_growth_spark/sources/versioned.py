@@ -46,6 +46,7 @@ __all__ = [
     "merge_table",
     "delete_where",
     "delete_rows",
+    "update_where",
     "restore_table",
     "clone_table",
     "read_table",
@@ -60,6 +61,7 @@ __all__ = [
     "view_base_version",
     "files_scanned",
     "table_rowcount",
+    "table_minmax",
     "table_history",
     "vacuum_table",
     "stream_to_table",
@@ -562,6 +564,47 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
 _PRUNE_OPS = ("==", ">=", "<=", ">", "<")
 
 
+def _norm_prune(prune) -> list[tuple[str, str, object]]:
+    """One (col, op, value) triple OR a list of them (AND semantics) →
+    a validated list. The list form lets one read prune BOTH sides of
+    a range — ``[("k", ">=", lo), ("k", "<", hi)]`` — where the single
+    triple could only cut one (round 13)."""
+    if prune is None:
+        return []
+    if (
+        isinstance(prune, tuple)
+        and len(prune) == 3
+        and isinstance(prune[1], str)
+    ):
+        preds = [prune]
+    else:
+        preds = [tuple(p) for p in prune]
+    for p in preds:
+        if len(p) != 3:
+            raise ValueError(f"prune predicate must be (col, op, value): {p!r}")
+        if p[1] not in _PRUNE_OPS:
+            raise ValueError(
+                f"unsupported prune op {p[1]!r} (use one of {_PRUNE_OPS})"
+            )
+    return preds
+
+
+def _prune_cond(preds: list[tuple[str, str, object]]):
+    """The residual DataFrame filter for a prune conjunction (applied
+    after file skipping so results are exact regardless of stats)."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for col, op, val in preds:
+        c = F.col(col)
+        one = {
+            "==": c == val, ">=": c >= val, ">": c > val,
+            "<=": c <= val, "<": c < val,
+        }[op]
+        cond = one if cond is None else (cond & one)
+    return cond
+
+
 def _iso_naive(val) -> str:
     """date/datetime → ISO string with any tzinfo folded into UTC and
     dropped, so every recorded stat and probe lives in one string
@@ -776,7 +819,7 @@ def read_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
-    prune: tuple[str, str, object] | None = None,
+    prune: tuple[str, str, object] | list | None = None,
     timestamp: float | None = None,
 ) -> DataFrame:
     """Read a committed version (None = latest). Time travel: the file
@@ -784,7 +827,9 @@ def read_table(
     (exclusive with ``version``) resolves through
     :func:`version_at_timestamp` — the Delta ``timestampAsOf`` shape.
 
-    ``prune=(col, op, value)`` (op in ==, >=, <=, >, <) uses the
+    ``prune=(col, op, value)`` (op in ==, >=, <=, >, <) — or a LIST of
+    such triples with AND semantics, so a middle-slice read
+    ``[("k", ">=", lo), ("k", "<", hi)]`` prunes both sides — uses the
     manifest's per-file min/max ranges to SKIP files whose range
     cannot contain a matching row, then applies the same predicate as
     a DataFrame filter so results are exact regardless of how many
@@ -806,10 +851,17 @@ def read_table(
     files = man["files"]
     if not files:
         raise ValueError(f"version {v} has no files")
-    if prune is not None:
-        col, op, val = prune
+    preds = _norm_prune(prune)
+    if preds:
         fstats = man.get("file_stats") or {}
-        files = [f for f in files if _file_survives(fstats.get(f), col, op, val)]
+        files = [
+            f
+            for f in files
+            if all(
+                _file_survives(fstats.get(f), col, op, val)
+                for col, op, val in preds
+            )
+        ]
         if not files:
             # every file pruned: empty result with the table schema
             schema = man.get("schema")
@@ -822,42 +874,35 @@ def read_table(
     df = _apply_delete_masks(
         spark, path, _read_files(spark, path, files, man.get("schema")), man
     )
-    if prune is not None:
-        col, op, val = prune
-        from pyspark.sql import Column
-        from pyspark.sql import functions as F
-
-        c: Column = F.col(col)
-        cond = {
-            "==": c == val,
-            ">=": c >= val,
-            ">": c > val,
-            "<=": c <= val,
-            "<": c < val,
-        }[op]
-        df = df.where(cond)
+    if preds:
+        df = df.where(_prune_cond(preds))
     return df
 
 
 def files_scanned(
     path: str, version: int | None = None,
-    prune: tuple[str, str, object] | None = None,
+    prune: tuple[str, str, object] | list | None = None,
 ) -> int:
     """How many data files :func:`read_table` would open for this
-    version/predicate — the observable for pruning tests and ops
-    dashboards."""
+    version/predicate (triple or AND-list, as in ``read_table``) —
+    the observable for pruning tests and ops dashboards."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     v = vs[-1] if version is None else version
     man = _load_manifest(path, v)
     files = man["files"]
-    if prune is None:
+    preds = _norm_prune(prune)
+    if not preds:
         return len(files)
-    col, op, val = prune
     fstats = man.get("file_stats") or {}
     return sum(
-        1 for f in files if _file_survives(fstats.get(f), col, op, val)
+        1
+        for f in files
+        if all(
+            _file_survives(fstats.get(f), col, op, val)
+            for col, op, val in preds
+        )
     )
 
 
@@ -1253,6 +1298,203 @@ def delete_where(
         man.get("schema"), stats,
         man.get("delete_files"),  # masks still cover the untouched files
     )
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: tuple[str, str, object],
+    assignments: dict[str, object],
+) -> int:
+    """Copy-on-write row-level UPDATE (the SQL ``UPDATE ... SET ...
+    WHERE ...`` / Delta ``UPDATE`` shape — round 13, completing the
+    DML matrix next to append/merge/delete/restore/clone): rows
+    matching ``predicate`` (same (col, op, value) triple as
+    ``read_table``'s prune) get each assignment applied; all other
+    rows carry unchanged. Files whose manifest range cannot contain a
+    matching row carry forward BY REFERENCE — only possibly-matching
+    files rewrite, so updating one key range at 100 TB costs one file
+    rewrite, not a table rewrite.
+
+    ``assignments`` maps existing columns to their new value: a
+    pyspark Column (may reference other columns — ``F.col("v") * 2``),
+    a SQL expression string (parsed with ``F.expr``), or a plain
+    literal. The table schema is INVARIANT under update — unknown
+    target columns or a type-changing assignment raise (schema changes
+    go through :func:`overwrite_table`; silent casts hide bugs).
+    Merge-on-read masks are read through on the rewrite, so an update
+    cannot resurrect a deleted row; untouched files keep their masks
+    (the rewritten files' sequence number exceeds every sidecar's, so
+    stale masks never re-apply to them). With a recorded ``cluster_by``
+    spec the rewritten rows re-cluster, so updating a clustered column
+    cannot silently destroy the layout pruned reads depend on."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    if not assignments:
+        raise ValueError("update_where needs at least one assignment")
+    cur = vs[-1]
+    man = _load_manifest(path, cur)
+    preds = _norm_prune(predicate)
+    schema = man.get("schema")
+    if schema is not None:
+        cols = {c for c, _ in schema}
+        unknown = sorted(set(assignments) - cols)
+        if unknown:
+            raise ValueError(
+                f"assignment targets {unknown} are not table columns"
+            )
+    fstats = man.get("file_stats") or {}
+    untouched = [
+        f
+        for f in man["files"]
+        if not all(
+            _file_survives(fstats.get(f), col, op, val)
+            for col, op, val in preds
+        )
+    ]
+    affected = [f for f in man["files"] if f not in set(untouched)]
+    new_files: list[str] = []
+    if affected:
+        cond = _prune_cond(preds)
+        base = _apply_delete_masks(
+            spark, path,
+            _read_files(spark, path, affected, man.get("schema")), man,
+        )
+
+        def _value(expr) -> Column:
+            if isinstance(expr, Column):
+                return expr
+            if isinstance(expr, str):
+                return F.expr(expr)
+            return F.lit(expr)
+
+        # type-check each assignment STANDALONE (when/otherwise would
+        # silently coerce — an ANSI runtime cast error at best, a
+        # corrupted column at worst). Safe numeric upcasts (int
+        # literal into a bigint column, float into double) are applied
+        # automatically; anything else raises.
+        before = {f.name: f.dataType for f in base.schema.fields}
+        probe = {
+            f.name: f.dataType
+            for f in base.select(
+                *[_value(assignments[c]).alias(c) for c in assignments]
+            ).schema.fields
+        }
+        _UP = ["tinyint", "smallint", "int", "bigint"]
+        _UPF = ["float", "double"]
+
+        def _fits(src: str, dst: str) -> bool:
+            if src == dst:
+                return True
+            if src in _UP and dst in _UP:
+                return _UP.index(src) < _UP.index(dst)
+            if src in _UPF and dst in _UPF:
+                return _UPF.index(src) < _UPF.index(dst)
+            return False
+
+        vals: dict[str, Column] = {}
+        bad = []
+        for c in assignments:
+            src = probe[c].simpleString()
+            dst = before[c].simpleString()
+            if not _fits(src, dst):
+                bad.append(f"{c}: {src} -> {dst}")
+                continue
+            v_col = _value(assignments[c])
+            vals[c] = v_col.cast(dst) if src != dst else v_col
+        if bad:
+            raise ValueError(
+                "update assignments would change column type(s) "
+                + ", ".join(sorted(bad))
+                + " - cast the assignment explicitly or use overwrite_table"
+            )
+        updated = base.select(
+            *[
+                (
+                    F.when(cond, vals[c]).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in base.columns
+            ]
+        )
+        spec_cluster = _table_spec(path).get("cluster_by")
+        if spec_cluster:
+            updated = _cluster(updated, spec_cluster, len(affected))
+        new_files = _write_data(updated, path, cur + 1)
+    stats = {f: s for f, s in fstats.items() if f in set(untouched)}
+    stats.update(_file_stats(path, new_files))
+    return _commit(
+        path, cur + 1, untouched + new_files, "update",
+        man.get("schema"), stats,
+        man.get("delete_files"),  # masks still cover the untouched files
+    )
+
+
+def table_minmax(
+    path: str, col: str, version: int | None = None
+) -> tuple:
+    """MIN/MAX of a column answered from manifest file stats alone —
+    zero data I/O, the aggregate-pushdown companion to
+    :func:`table_rowcount` (at 100 TB an extremum over an append-only
+    ledger should cost one manifest read, not a scan). Fails CLOSED
+    with ``ValueError`` whenever metadata cannot be exact:
+
+    - merge-on-read delete masks present (a masked row could BE the
+      recorded extremum);
+    - a string-typed column (parquet writers may TRUNCATE binary
+      stats — valid as pruning bounds, not as exact extremes);
+    - any file without complete recorded stats for the column (an
+      all-NULL chunk, a pre-stats manifest, an unreadable footer).
+
+    SQL NULL semantics match: stats ignore NULLs, so a column that is
+    null in SOME rows still answers exactly; date/timestamp extremes
+    come back as the ISO strings the manifest records."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    man = _load_manifest(path, v)
+    if man.get("delete_files"):
+        raise ValueError(
+            f"version {v} of {path} carries merge-on-read delete masks - "
+            "a masked row could be the extremum; aggregate over "
+            "read_table(...) instead"
+        )
+    schema = man.get("schema")
+    if schema is not None:
+        typ = dict((c, t) for c, t in schema).get(col)
+        if typ is None:
+            raise ValueError(f"{col!r} is not a table column of {path}")
+        if typ in ("string", "binary") or typ.startswith("varchar"):
+            raise ValueError(
+                f"column {col!r} is {typ}: parquet string stats may be "
+                "truncated, so manifest bounds are not exact extremes; "
+                "aggregate over read_table(...) instead"
+            )
+    fstats = man.get("file_stats") or {}
+    lo = hi = None
+    for f in man["files"]:
+        fs = fstats.get(f) or {}
+        if fs.get("__rows") == 0:
+            continue  # an empty file contributes no extremum
+        rng = fs.get(col)
+        if not rng:
+            raise ValueError(
+                f"file {f} of {path}@v{v} has no usable stats for "
+                f"{col!r} (all-NULL chunk, pre-stats manifest, or "
+                "unreadable footer); aggregate over read_table(...) instead"
+            )
+        flo, fhi = rng
+        lo = flo if lo is None or flo < lo else lo
+        hi = fhi if hi is None or fhi > hi else hi
+    return lo, hi
 
 
 def stream_to_table(stream_df: DataFrame, path: str, checkpoint: str):

@@ -311,6 +311,9 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 NEW_THIS_ROUND: dict[str, int] = {
     # (r12's three additions rotated into the r13 window lead — their
     # exemption is spent; r13 mid-round additions land here)
+    "versioned_update": 13,
+    "stats_pushdown": 13,
+    "versioned_range_read": 13,
 }
 
 
