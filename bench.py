@@ -395,6 +395,11 @@ def main() -> None:
         # a middle-quintile range read cutting files on BOTH sides,
         # fail-closed vs each single-sided predicate
         "versioned_range_read",
+        # round-13 addition: z-order as a recorded cluster kind
+        # (Morton-interleaved create → spec-driven merge re-interleave
+        # → 2-D box read, fail-closed unless the SECONDARY dimension
+        # prunes alone)
+        "zorder_table_read",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

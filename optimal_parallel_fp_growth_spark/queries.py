@@ -622,6 +622,7 @@ _DRIVER_PRIORITY: list[str] = [
     "versioned_update",
     "stats_pushdown",
     "versioned_range_read",
+    "zorder_table_read",
 ]
 
 

@@ -734,6 +734,83 @@ GROUP BY lang
 """
 
 
+def q_zorder_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order as a recorded cluster kind under the oracle gate (round
+    13; create_table(cluster_kind="zorder") + multi-predicate prune):
+    create the table Morton-interleaved on (doc_id, n_chars), COW-merge
+    a scattered update with NO cluster option (the recorded kind must
+    re-interleave the rewrite), then read a 2-D box. The in-query
+    check fails closed unless the SECONDARY dimension's predicate
+    alone prunes files (n_chars scans < total — structurally
+    impossible under linear doc_id range clustering) and the
+    conjunction prunes at least as hard as either side. The oracle
+    restates the merge and the box in closed form."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    b = docs.agg(
+        F.max("doc_id"), F.min("n_chars"), F.max("n_chars")
+    ).collect()[0]
+    id_lo, id_hi = (b[0] * 2) // 5, (b[0] * 3) // 5
+    ch_hi = (b[1] + b[2]) // 2
+    with session_temp_layout(spark, "zvt") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(
+            docs.repartition(16), path,
+            cluster_by=["doc_id", "n_chars"], cluster_kind="zorder",
+        )
+        V.merge_table(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                "doc_id", "lang", (F.col("n_chars") + 1).alias("n_chars")
+            ),
+            path, "doc_id",
+        )
+        box = [
+            ("doc_id", ">=", id_lo), ("doc_id", "<", id_hi),
+            ("n_chars", "<", ch_hi),
+        ]
+        total = V.files_scanned(path)
+        za = V.files_scanned(path, prune=box[:2])
+        zb = V.files_scanned(path, prune=[box[2]])
+        zbox = V.files_scanned(path, prune=box)
+        if not (total >= 8 and zb < total and zbox <= min(za, zb)):
+            raise AssertionError(
+                f"z-order pruning failed: box {zbox} / id {za} / chars "
+                f"{zb} of {total} files - the recorded interleave did "
+                "not survive the merge rewrite"
+            )
+        out = V.read_table(spark, path, prune=box).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_ZORDER_TABLE_READ = """
+WITH merged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 1 ELSE n_chars END
+           AS n_chars
+  FROM documents
+), cuts AS (
+  SELECT max(doc_id) * 2 // 5 AS id_lo, max(doc_id) * 3 // 5 AS id_hi,
+         (min(n_chars) + max(n_chars)) // 2 AS ch_hi
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM merged, cuts
+WHERE doc_id >= id_lo AND doc_id < id_hi AND n_chars < ch_hi
+GROUP BY lang
+"""
+
+
 def q_versioned_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDF follow under the oracle gate (round 12, VERDICT
     r11 task #5; sources/versioned.py::stream_changes_to_table):
@@ -2106,6 +2183,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_update": q_versioned_update,
     "stats_pushdown": q_stats_pushdown,
     "versioned_range_read": q_versioned_range_read,
+    "zorder_table_read": q_zorder_table_read,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -2165,6 +2243,7 @@ DOC_ORACLES: dict[str, str] = {
     "versioned_update": ORACLE_VERSIONED_UPDATE,
     "stats_pushdown": ORACLE_STATS_PUSHDOWN,
     "versioned_range_read": ORACLE_VERSIONED_RANGE_READ,
+    "zorder_table_read": ORACLE_ZORDER_TABLE_READ,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

@@ -63,6 +63,7 @@ __all__ = [
     "table_rowcount",
     "table_minmax",
     "table_history",
+    "describe_table",
     "vacuum_table",
     "stream_to_table",
     "stream_merge_to_table",
@@ -406,32 +407,80 @@ def _write_table_spec(path: str, spec: dict) -> None:
     os.replace(tmp, p)
 
 
-def _cluster(df: DataFrame, cluster_by: list[str], n_files: int) -> DataFrame:
+_CLUSTER_KINDS = ("range", "zorder")
+
+
+def _cluster(
+    df: DataFrame, cluster_by: list[str], n_files: int, kind: str = "range"
+) -> DataFrame:
     missing = [c for c in cluster_by if c not in df.columns]
     if missing:
         raise ValueError(f"cluster_by columns not in table: {missing}")
-    return df.repartitionByRange(
-        max(int(n_files), 1), *cluster_by
-    ).sortWithinPartitions(*cluster_by)
+    n = max(int(n_files), 1)
+    if kind == "zorder":
+        # Morton-interleave clustering (round 13, the Delta OPTIMIZE
+        # ZORDER shape as a recorded property): EVERY listed column's
+        # per-file range comes out narrow, so multi-predicate pruning
+        # bites on any dimension — a linear range sort only clusters
+        # its leading key. The codegen key lives in sinks.zorder_key.
+        from optimal_parallel_fp_growth_spark.sources.sinks import (
+            zorder_key,
+        )
+
+        z = zorder_key(df, tuple(cluster_by))
+        return (
+            df.withColumn("__zc", z)
+            .repartitionByRange(n, "__zc")
+            .sortWithinPartitions("__zc")
+            .drop("__zc")
+        )
+    return df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+        *cluster_by
+    )
+
+
+def _spec_cluster(path: str) -> tuple[list[str] | None, str]:
+    """The recorded (cluster columns, cluster kind) of a table."""
+    spec = _table_spec(path)
+    return spec.get("cluster_by"), spec.get("cluster_kind", "range")
 
 
 def create_table(
-    df: DataFrame, path: str, cluster_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str] | None = None,
+    cluster_kind: str = "range",
 ) -> int:
     """Create a versioned table at ``path`` (must not already be one).
     Returns the committed version (1).
 
     ``cluster_by`` (round 12, the Delta liquid-clustering analog as a
-    recorded TABLE property): range-cluster + sort this write on the
-    named columns AND persist the choice in ``_table.json``, so every
-    later rewrite — :func:`merge_table`, :func:`compact_table`,
-    :func:`overwrite_table` — re-clusters automatically. Without a
-    recorded spec one forgotten merge silently destroys the disjoint
-    key ranges every pruned read depends on (measured: a contiguous-
-    key follow degrades 4.5 → 13.3 s at 20M rows once a scattered
-    merge has de-clustered the layout)."""
+    recorded TABLE property): cluster + sort this write on the named
+    columns AND persist the choice in ``_table.json``, so every later
+    rewrite — :func:`merge_table`, :func:`compact_table`,
+    :func:`overwrite_table`, :func:`update_where` — re-clusters
+    automatically. Without a recorded spec one forgotten merge
+    silently destroys the disjoint key ranges every pruned read
+    depends on (measured: a contiguous-key follow degrades 4.5 →
+    13.3 s at 20M rows once a scattered merge has de-clustered the
+    layout).
+
+    ``cluster_kind`` (round 13): ``"range"`` (default) linearly
+    range-clusters — narrow per-file ranges on the LEADING column
+    only; ``"zorder"`` Morton-interleaves 2+ columns so every listed
+    dimension's per-file range is narrow and multi-predicate pruning
+    (``read_table(prune=[...])``) bites on any of them — the Delta
+    OPTIMIZE ZORDER shape, persisted as a property so rewrites keep
+    the interleave."""
     if _versions(path):
         raise FileExistsError(f"versioned table already exists at {path}")
+    if cluster_kind not in _CLUSTER_KINDS:
+        raise ValueError(
+            f"cluster_kind must be one of {_CLUSTER_KINDS}, got "
+            f"{cluster_kind!r}"
+        )
+    if cluster_kind != "range" and not cluster_by:
+        raise ValueError("cluster_kind requires cluster_by columns")
     # a _table.json with no manifest is debris from a failed earlier
     # create at this path — it must not leak into THIS table's life
     # (advice r12: a stale spec from a failed clustered create poisoned
@@ -440,7 +489,9 @@ def create_table(
     if stale.is_file():
         stale.unlink()
     if cluster_by:
-        df = _cluster(df, cluster_by, df.rdd.getNumPartitions() or 1)
+        df = _cluster(
+            df, cluster_by, df.rdd.getNumPartitions() or 1, cluster_kind
+        )
     files = _write_data(df, path, 1)
     v = _commit(
         path, 1, files, "create", _schema_fields(df), _file_stats(path, files)
@@ -451,7 +502,10 @@ def create_table(
     # later rewrites just won't re-cluster) — strictly safer than the
     # reverse order.
     if cluster_by:
-        _write_table_spec(path, {"cluster_by": list(cluster_by)})
+        spec = {"cluster_by": list(cluster_by)}
+        if cluster_kind != "range":
+            spec["cluster_kind"] = cluster_kind
+        _write_table_spec(path, spec)
     return v
 
 
@@ -488,13 +542,17 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
 
 
 def overwrite_table(
-    df: DataFrame, path: str, cluster_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str] | None = None,
+    cluster_kind: str | None = None,
 ) -> int:
     """Replace the table's contents as a new version; history keeps
     the old versions readable. A recorded ``cluster_by`` spec
-    re-clusters the replacement; pass ``cluster_by=[...]`` to change
-    the recorded spec with the rewrite, or ``cluster_by=[]`` to clear
-    it (None keeps it). Overwrite is the documented schema-change path
+    re-clusters the replacement; pass ``cluster_by=[...]`` (with an
+    optional ``cluster_kind``, default range) to change the recorded
+    spec with the rewrite, or ``cluster_by=[]`` to clear it (None
+    keeps both). Overwrite is the documented schema-change path
     (see :func:`_check_schema`'s error message), so a replacement that
     DROPS a recorded clustered column RESETS the spec instead of
     failing (advice r12: the spec was previously permanent, wedging
@@ -506,25 +564,38 @@ def overwrite_table(
     cur = vs[-1]
     spec = _table_spec(path)
     recorded = spec.get("cluster_by")
+    recorded_kind = spec.get("cluster_kind", "range")
     if cluster_by is None:
-        effective = recorded
+        effective, kind = recorded, recorded_kind
         if effective and any(c not in df.columns for c in effective):
             effective = []  # replacement dropped a clustered column
     else:
         effective = list(cluster_by)
+        kind = cluster_kind or "range"
+        if kind not in _CLUSTER_KINDS:
+            raise ValueError(
+                f"cluster_kind must be one of {_CLUSTER_KINDS}, got {kind!r}"
+            )
     if effective:
-        df = _cluster(df, effective, df.rdd.getNumPartitions() or 1)
+        df = _cluster(df, effective, df.rdd.getNumPartitions() or 1, kind)
     files = _write_data(df, path, cur + 1)
     v = _commit(
         path, cur + 1, files, "overwrite", _schema_fields(df),
         _file_stats(path, files),
     )
-    if (effective or recorded) and effective != recorded:
+    if (effective or recorded) and (
+        effective != recorded or kind != recorded_kind
+    ):
         new_spec = dict(spec)
         if effective:
             new_spec["cluster_by"] = effective
+            if kind != "range":
+                new_spec["cluster_kind"] = kind
+            else:
+                new_spec.pop("cluster_kind", None)
         else:
             new_spec.pop("cluster_by", None)
+            new_spec.pop("cluster_kind", None)
         _write_table_spec(path, new_spec)
     return v
 
@@ -546,10 +617,11 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
         (pathlib.Path(path) / f).stat().st_size for f in man["files"]
     )
     target = max(1, -(-total // (target_mb * 1024 * 1024)))
-    spec_cluster = _table_spec(path).get("cluster_by")
+    spec_cluster, spec_kind = _spec_cluster(path)
     if spec_cluster:
         df = _cluster(
-            read_table(spark, path, version=cur), spec_cluster, target
+            read_table(spark, path, version=cur), spec_cluster, target,
+            spec_kind,
         )
     else:
         df = read_table(spark, path, version=cur).coalesce(target)
@@ -1041,10 +1113,11 @@ def merge_table(
         merged = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
         merged = upserts
+    cluster_kind = "range"
     if cluster_by is None:
-        cluster_by = _table_spec(path).get("cluster_by")
+        cluster_by, cluster_kind = _spec_cluster(path)
     if cluster_by:
-        merged = _cluster(merged, cluster_by, len(affected))
+        merged = _cluster(merged, cluster_by, len(affected), cluster_kind)
     new_files = _write_data(merged, path, cur + 1)
     stats = {
         f: s
@@ -1422,9 +1495,9 @@ def update_where(
                 for c in base.columns
             ]
         )
-        spec_cluster = _table_spec(path).get("cluster_by")
+        spec_cluster, spec_kind = _spec_cluster(path)
         if spec_cluster:
-            updated = _cluster(updated, spec_cluster, len(affected))
+            updated = _cluster(updated, spec_cluster, len(affected), spec_kind)
         new_files = _write_data(updated, path, cur + 1)
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
     stats.update(_file_stats(path, new_files))
@@ -1925,10 +1998,68 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
-def vacuum_table(path: str, keep_last: int = 1, force: bool = False) -> int:
-    """Delete data files unreferenced by the newest ``keep_last``
-    manifests AND drop the older manifests (their versions become
-    unreadable). Also reclaims orphaned ``.v*.staging.*`` directories —
+def describe_table(path: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL (round 13, the Delta shape): one manifest read
+    → the table's operational metadata. ``num_rows`` comes from the
+    footer rowcounts and is ``None`` when metadata cannot be exact
+    (merge-on-read masks / missing counts — the same fail-closed rule
+    as :func:`table_rowcount`, reported as absence instead of an
+    error so dashboards render). ``size_bytes`` sums the referenced
+    data files (sidecars included); shared files of other versions
+    are not double-counted within the described version."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    man = _load_manifest(path, v)
+    refs = list(man["files"]) + [
+        e["file"] for e in man.get("delete_files") or []
+    ]
+    size = 0
+    for f in refs:
+        p = pathlib.Path(f) if os.path.isabs(f) else pathlib.Path(path) / f
+        try:
+            size += p.stat().st_size
+        except OSError:
+            pass  # a vacuumed-away historical ref: size is best-effort
+    try:
+        rows = table_rowcount(path, v)
+    except ValueError:
+        rows = None
+    cluster_by, cluster_kind = _spec_cluster(path)
+    return {
+        "version": v,
+        "op": man["op"],
+        "committed_at": man["committed_at"],
+        "num_files": len(man["files"]),
+        "num_delete_files": len(man.get("delete_files") or []),
+        "num_rows": rows,
+        "size_bytes": size,
+        "schema": man.get("schema"),
+        "cluster_by": cluster_by,
+        "cluster_kind": cluster_kind if cluster_by else None,
+        "retained_versions": vs,
+    }
+
+
+def vacuum_table(
+    path: str,
+    keep_last: int | None = None,
+    force: bool = False,
+    retention_hours: float | None = None,
+) -> int:
+    """Delete data files unreferenced by any RETAINED manifest and
+    drop the expired manifests (their versions become unreadable).
+    Retention is one of (mutually exclusive; default ``keep_last=1``):
+
+    - ``keep_last=N`` — keep the newest N versions;
+    - ``retention_hours=H`` — the Delta ``VACUUM ... RETAIN`` shape
+      (round 13): keep every version committed within the last H
+      hours; the HEAD is always retained however old.
+
+    Also reclaims orphaned ``.v*.staging.*`` directories —
     a writer that crashed between its Spark write and the atomic
     rename strands a full version-sized copy there (review r11); a
     staging directory is by construction never referenced by any
@@ -1946,7 +2077,21 @@ def vacuum_table(path: str, keep_last: int = 1, force: bool = False) -> int:
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
-    keep_vs = vs[-keep_last:]
+    if keep_last is not None and retention_hours is not None:
+        raise ValueError("pass keep_last OR retention_hours, not both")
+    if retention_hours is not None:
+        import time
+
+        cutoff = time.time() - retention_hours * 3600
+        keep_vs = [
+            v
+            for v in vs
+            if _load_manifest(path, v)["committed_at"] >= cutoff
+        ]
+        if vs[-1] not in keep_vs:
+            keep_vs.append(vs[-1])  # the head never ages out
+    else:
+        keep_vs = vs[-(keep_last if keep_last is not None else 1):]
     live: set[str] = set()
     for v in keep_vs:
         man = _load_manifest(path, v)
@@ -1990,8 +2135,9 @@ def vacuum_table(path: str, keep_last: int = 1, force: bool = False) -> int:
     for d in list(droot.glob("v*")):
         if d.is_dir() and not any(d.iterdir()):
             shutil.rmtree(d)
-    for v in vs[:-keep_last]:
-        _manifest_path(path, v).unlink()
+    for v in vs:
+        if v not in set(keep_vs):
+            _manifest_path(path, v).unlink()
     return deleted
 
 

@@ -314,6 +314,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     "versioned_update": 13,
     "stats_pushdown": 13,
     "versioned_range_read": 13,
+    "zorder_table_read": 13,
 }
 
 
