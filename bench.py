@@ -400,6 +400,9 @@ def main() -> None:
         # → 2-D box read, fail-closed unless the SECONDARY dimension
         # prunes alone)
         "zorder_table_read",
+        # round-13 addition: PII redaction (typed placeholders,
+        # string-exact vs the oracle; single-scan codegen projection)
+        "pii_redact",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

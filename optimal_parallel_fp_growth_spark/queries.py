@@ -623,6 +623,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stats_pushdown",
     "versioned_range_read",
     "zorder_table_read",
+    "pii_redact",
 ]
 
 

@@ -65,6 +65,32 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION under the oracle gate (round 13): the compliance
+    transform next to the r9 detection stats — every email/phone/IP
+    match replaced with its typed placeholder, compared STRING-EXACT
+    per document against DuckDB applying the same pattern sequence
+    (the patterns live in the engine-common regex subset; see
+    operators/pii.py). Single-scan narrow projection, whole-stage
+    codegen — the only acceptable shape for a pass that must touch
+    every byte of a 100 TB corpus."""
+    from optimal_parallel_fp_growth_spark.operators.pii import redact_pii
+
+    return redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_redact_sql() -> str:
+    from optimal_parallel_fp_growth_spark.operators.pii import PII_PATTERNS
+
+    expr = "text"
+    for name, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"SELECT doc_id, {expr} AS text_redacted FROM documents"
+
+
+ORACLE_PII_REDACT = _pii_redact_sql()
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimal_parallel_fp_growth_spark.operators.packing import pack_sequences
 
@@ -2184,6 +2210,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_pushdown": q_stats_pushdown,
     "versioned_range_read": q_versioned_range_read,
     "zorder_table_read": q_zorder_table_read,
+    "pii_redact": q_pii_redact,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -2244,6 +2271,7 @@ DOC_ORACLES: dict[str, str] = {
     "stats_pushdown": ORACLE_STATS_PUSHDOWN,
     "versioned_range_read": ORACLE_VERSIONED_RANGE_READ,
     "zorder_table_read": ORACLE_ZORDER_TABLE_READ,
+    "pii_redact": ORACLE_PII_REDACT,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

@@ -64,6 +64,9 @@ __all__ = [
     "table_minmax",
     "table_history",
     "describe_table",
+    "add_constraint",
+    "drop_constraint",
+    "table_constraints",
     "vacuum_table",
     "stream_to_table",
     "stream_merge_to_table",
@@ -531,6 +534,7 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
         _check_schema(df, path, cur)
         schema = man.get("schema") or _schema_fields(df)
     files = _write_data(df, path, cur + 1)
+    _validate_constraints(df.sparkSession, path, files, cur + 1, schema)
     stats = dict(man.get("file_stats") or {})
     stats.update(_file_stats(path, files))
     return _commit(
@@ -579,6 +583,9 @@ def overwrite_table(
     if effective:
         df = _cluster(df, effective, df.rdd.getNumPartitions() or 1, kind)
     files = _write_data(df, path, cur + 1)
+    _validate_constraints(
+        df.sparkSession, path, files, cur + 1, _schema_fields(df)
+    )
     v = _commit(
         path, cur + 1, files, "overwrite", _schema_fields(df),
         _file_stats(path, files),
@@ -1119,6 +1126,7 @@ def merge_table(
     if cluster_by:
         merged = _cluster(merged, cluster_by, len(affected), cluster_kind)
     new_files = _write_data(merged, path, cur + 1)
+    _validate_constraints(spark, path, new_files, cur + 1, schema)
     stats = {
         f: s
         for f, s in (man.get("file_stats") or {}).items()
@@ -1499,6 +1507,9 @@ def update_where(
         if spec_cluster:
             updated = _cluster(updated, spec_cluster, len(affected), spec_kind)
         new_files = _write_data(updated, path, cur + 1)
+        _validate_constraints(
+            spark, path, new_files, cur + 1, man.get("schema")
+        )
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
     stats.update(_file_stats(path, new_files))
     return _commit(
@@ -1998,6 +2009,100 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> None:
+    """Record a CHECK constraint (round 13, the Delta ``ALTER TABLE
+    ADD CONSTRAINT`` shape): ``expr`` is a SQL boolean expression every
+    row of every FUTURE write must satisfy — append, merge, overwrite,
+    and update validate the files they are about to commit and ABORT
+    (nothing commits, staged files are reclaimed) when any row fails.
+    SQL-standard semantics: a row violates only when the expression is
+    FALSE — NULL passes (use ``col IS NOT NULL`` to forbid nulls).
+    Adding validates the CURRENT head first, like Delta: a constraint
+    the existing data already breaks is rejected. Deletes, compaction,
+    restore, and clones never re-validate (they cannot introduce
+    rows); time travel may read pre-constraint versions that would
+    fail it."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    if not name.isidentifier():
+        raise ValueError(f"constraint name must be an identifier: {name!r}")
+    from pyspark.sql import functions as F
+
+    head = read_table(spark, path)
+    F.expr(expr)  # syntax-check before scanning
+    bad = head.where(F.expr(expr) == F.lit(False)).limit(3)
+    examples = bad.collect()
+    if examples:
+        raise ValueError(
+            f"cannot add constraint {name!r}: existing rows violate "
+            f"{expr!r}, e.g. {[tuple(r) for r in examples]!r}"
+        )
+    spec = _table_spec(path)
+    cons = dict(spec.get("constraints") or {})
+    cons[name] = expr
+    _write_table_spec(path, {**spec, "constraints": cons})
+
+
+def drop_constraint(path: str, name: str) -> None:
+    spec = _table_spec(path)
+    cons = dict(spec.get("constraints") or {})
+    if name not in cons:
+        raise KeyError(f"no constraint {name!r} on {path}")
+    del cons[name]
+    new_spec = {**spec, "constraints": cons}
+    if not cons:
+        new_spec.pop("constraints")
+    _write_table_spec(path, new_spec)
+
+
+def table_constraints(path: str) -> dict[str, str]:
+    return dict(_table_spec(path).get("constraints") or {})
+
+
+def _validate_constraints(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    version: int,
+    schema: list[list[str]] | None,
+) -> None:
+    """Validate JUST-WRITTEN (uncommitted) files against the table's
+    recorded CHECK constraints; on violation, reclaim the staged
+    version directory and raise — the table is untouched. Reading the
+    files back costs one scan of the NEW data only (never the table)
+    and re-uses the written bytes instead of recomputing the plan.
+    The read aligns to the COMMITTING manifest schema so a constraint
+    on a column the batch legally omitted sees typed nulls (NULL
+    passes), not an unresolved-column error."""
+    cons = _table_spec(path).get("constraints") or {}
+    if not cons or not files:
+        return
+    from pyspark.sql import functions as F
+
+    df = _read_files(spark, path, files, schema)
+    any_bad = None
+    for expr in cons.values():
+        one = F.expr(expr) == F.lit(False)
+        any_bad = one if any_bad is None else (any_bad | one)
+    if df.where(any_bad).isEmpty():
+        return
+    detail = []
+    for name, expr in cons.items():
+        ex = df.where(F.expr(expr) == F.lit(False)).limit(3).collect()
+        if ex:
+            detail.append(f"{name} ({expr!r}): e.g. {[tuple(r) for r in ex]!r}")
+    shutil.rmtree(
+        pathlib.Path(path) / _DATA_DIR / f"v{version:08d}",
+        ignore_errors=True,
+    )
+    raise ValueError(
+        "write aborted - CHECK constraint violation(s): " + "; ".join(detail)
+    )
+
+
 def describe_table(path: str, version: int | None = None) -> dict:
     """DESCRIBE DETAIL (round 13, the Delta shape): one manifest read
     → the table's operational metadata. ``num_rows`` comes from the
@@ -2040,6 +2145,7 @@ def describe_table(path: str, version: int | None = None) -> dict:
         "schema": man.get("schema"),
         "cluster_by": cluster_by,
         "cluster_kind": cluster_kind if cluster_by else None,
+        "constraints": table_constraints(path),
         "retained_versions": vs,
     }
 

@@ -315,6 +315,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     "stats_pushdown": 13,
     "versioned_range_read": 13,
     "zorder_table_read": 13,
+    "pii_redact": 13,
 }
 
 
