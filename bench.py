@@ -403,6 +403,10 @@ def main() -> None:
         # round-13 addition: PII redaction (typed placeholders,
         # string-exact vs the oracle; single-scan codegen projection)
         "pii_redact",
+        # round-13 addition: hash-bucketed layout (uuid-shaped keys,
+        # bucket-identity merge + one-file point lookup, fail-closed
+        # on carried files and files_scanned)
+        "bucketed_table_merge",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

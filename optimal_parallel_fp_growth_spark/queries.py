@@ -624,6 +624,7 @@ _DRIVER_PRIORITY: list[str] = [
     "versioned_range_read",
     "zorder_table_read",
     "pii_redact",
+    "bucketed_table_merge",
 ]
 
 

@@ -837,6 +837,66 @@ GROUP BY lang
 """
 
 
+def q_bucketed_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed layout under the oracle gate (round 13;
+    create_table(bucket_by=...) — the Iceberg bucket transform): key
+    the documents by md5(doc_id) so keys are UUID-shaPED and range
+    stats are USELESS (every file spans the whole lexicographic
+    range), bucket into 8, MERGE a 3-key changeset, and read back.
+    Fails closed in-query unless (a) the merge carried all but ≤3
+    files forward by reference — bucket-identity file selection, the
+    pruning that survives hash-distributed keys — and (b) a point
+    lookup on the bucket key opens exactly ONE file. The oracle
+    restates the update relationally on doc_id."""
+    import hashlib
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        "doc_id", "lang", "n_chars",
+    )
+    with session_temp_layout(spark, "bkt") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(docs.repartition(8), path, bucket_by=("h", 8))
+        before = set(V._load_manifest(path, 1)["files"])
+        upd = docs.where(F.col("doc_id") < 3).select(
+            "h", "doc_id", "lang", F.lit(-3).cast("long").alias("n_chars")
+        )
+        V.merge_table(upd, path, "h")
+        after = set(V._load_manifest(path, 2)["files"])
+        probe = hashlib.md5(b"5").hexdigest()
+        opened = V.files_scanned(path, prune=("h", "==", probe))
+        if not (
+            len(before) >= 5
+            and len(before - after) <= 3
+            and opened == 1
+        ):
+            raise AssertionError(
+                f"bucket layout failed: merge rewrote "
+                f"{len(before - after)}/{len(before)} files, point lookup "
+                f"opened {opened} - bucket identity did not prune"
+            )
+        out = V.read_table(spark, path).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_BUCKETED_TABLE_MERGE = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN doc_id < 3 THEN -3 ELSE n_chars END)::BIGINT
+         AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_versioned_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDF follow under the oracle gate (round 12, VERDICT
     r11 task #5; sources/versioned.py::stream_changes_to_table):
@@ -2211,6 +2271,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_range_read": q_versioned_range_read,
     "zorder_table_read": q_zorder_table_read,
     "pii_redact": q_pii_redact,
+    "bucketed_table_merge": q_bucketed_table_merge,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -2272,6 +2333,7 @@ DOC_ORACLES: dict[str, str] = {
     "versioned_range_read": ORACLE_VERSIONED_RANGE_READ,
     "zorder_table_read": ORACLE_ZORDER_TABLE_READ,
     "pii_redact": ORACLE_PII_REDACT,
+    "bucketed_table_merge": ORACLE_BUCKETED_TABLE_MERGE,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

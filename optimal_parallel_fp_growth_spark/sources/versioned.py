@@ -448,11 +448,68 @@ def _spec_cluster(path: str) -> tuple[list[str] | None, str]:
     return spec.get("cluster_by"), spec.get("cluster_kind", "range")
 
 
+def _spec_bucket(path: str) -> tuple[str | None, int]:
+    """The recorded (bucket column, bucket count) of a hash-bucketed
+    table (round 13), or (None, 0)."""
+    b = _table_spec(path).get("bucket_by") or {}
+    return b.get("col"), int(b.get("n", 0))
+
+
+def _stamp_buckets(stats: dict, files: list[str]) -> dict:
+    """Record which hash bucket each just-written file IS: under
+    ``df.repartition(n, col)`` the part-file number is the task's
+    partition id, and HashPartitioning's partition id is
+    ``pmod(murmur3(key), n)`` — the exact function
+    ``functions/spark_hash.py`` reimplements and
+    ``test_spark_hash.py`` pins against Spark. Mutates and returns
+    ``stats``."""
+    import re
+
+    for f in files:
+        m = re.search(r"part-(\d+)", pathlib.Path(f).name)
+        if m and f in stats:
+            stats[f]["__bucket"] = int(m.group(1))
+    return stats
+
+
+_BUCKETABLE_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _file_passes(
+    entry: dict | None,
+    preds: list[tuple[str, str, object]],
+    bcol: str | None,
+    bn: int,
+    types: dict[str, str],
+) -> bool:
+    """Range-stats survival for every predicate, PLUS bucket-identity
+    pruning: an equality on the bucket column skips every file whose
+    recorded bucket is not ``pmod(murmur3(value), n)`` — the pruning
+    that still works when keys are uuid-shaped and every file spans
+    the full key RANGE. Files without a recorded bucket (pre-bucket
+    history) are never bucket-pruned."""
+    for col, op, val in preds:
+        if not _file_survives(entry, col, op, val):
+            return False
+        if bcol is not None and op == "==" and col == bcol and val is not None:
+            t = types.get(col)
+            b = (entry or {}).get("__bucket")
+            if t in _BUCKETABLE_TYPES and b is not None:
+                from optimal_parallel_fp_growth_spark.functions.spark_hash import (
+                    bucket_of,
+                )
+
+                if b != bucket_of(val, t, bn):
+                    return False
+    return True
+
+
 def create_table(
     df: DataFrame,
     path: str,
     cluster_by: list[str] | None = None,
     cluster_kind: str = "range",
+    bucket_by: tuple[str, int] | None = None,
 ) -> int:
     """Create a versioned table at ``path`` (must not already be one).
     Returns the committed version (1).
@@ -474,7 +531,19 @@ def create_table(
     dimension's per-file range is narrow and multi-predicate pruning
     (``read_table(prune=[...])``) bites on any of them — the Delta
     OPTIMIZE ZORDER shape, persisted as a property so rewrites keep
-    the interleave."""
+    the interleave.
+
+    ``bucket_by=(col, n)`` (round 13, the Iceberg bucket-transform
+    shape): hash-partition every write into ``n`` buckets of ``col``
+    (murmur3, the same function Spark's shuffle uses) and record each
+    file's bucket in the manifest. This is the layout for UUID-shaped
+    keys, where range clustering is useless (every file spans the
+    whole key space): a MERGE rewrites only the files of the
+    changeset's buckets, and an equality read opens exactly the
+    matching bucket's file(s). Mutually exclusive with ``cluster_by``;
+    the bucket column must be integral or string (the types whose
+    Spark hash the manifest math reproduces — fail closed beats a
+    wrong bucket)."""
     if _versions(path):
         raise FileExistsError(f"versioned table already exists at {path}")
     if cluster_kind not in _CLUSTER_KINDS:
@@ -484,6 +553,23 @@ def create_table(
         )
     if cluster_kind != "range" and not cluster_by:
         raise ValueError("cluster_kind requires cluster_by columns")
+    if bucket_by is not None:
+        if cluster_by:
+            raise ValueError(
+                "bucket_by and cluster_by are mutually exclusive layouts"
+            )
+        bcol, bn = bucket_by
+        if int(bn) < 2:
+            raise ValueError("bucket_by needs n >= 2 buckets")
+        field = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if bcol not in field:
+            raise ValueError(f"bucket column {bcol!r} not in table")
+        if field[bcol] not in _BUCKETABLE_TYPES:
+            raise ValueError(
+                f"bucket column {bcol!r} is {field[bcol]}: bucket keys "
+                f"must be one of {_BUCKETABLE_TYPES} (manifest-side "
+                "pruning reproduces Spark's hash for exactly these)"
+            )
     # a _table.json with no manifest is debris from a failed earlier
     # create at this path — it must not leak into THIS table's life
     # (advice r12: a stale spec from a failed clustered create poisoned
@@ -495,10 +581,13 @@ def create_table(
         df = _cluster(
             df, cluster_by, df.rdd.getNumPartitions() or 1, cluster_kind
         )
+    if bucket_by is not None:
+        df = df.repartition(int(bucket_by[1]), bucket_by[0])
     files = _write_data(df, path, 1)
-    v = _commit(
-        path, 1, files, "create", _schema_fields(df), _file_stats(path, files)
-    )
+    stats = _file_stats(path, files)
+    if bucket_by is not None:
+        _stamp_buckets(stats, files)
+    v = _commit(path, 1, files, "create", _schema_fields(df), stats)
     # record the spec only once the create COMMITTED: a failed write
     # must leave no table property behind (advice r12). Crash between
     # commit and this write loses only the property (layout is intact,
@@ -509,6 +598,14 @@ def create_table(
         if cluster_kind != "range":
             spec["cluster_kind"] = cluster_kind
         _write_table_spec(path, spec)
+    if bucket_by is not None:
+        _write_table_spec(
+            path,
+            {
+                **_table_spec(path),
+                "bucket_by": {"col": bucket_by[0], "n": int(bucket_by[1])},
+            },
+        )
     return v
 
 
@@ -533,10 +630,16 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
     else:
         _check_schema(df, path, cur)
         schema = man.get("schema") or _schema_fields(df)
+    bcol, bn = _spec_bucket(path)
+    if bcol is not None and bcol in df.columns:
+        df = df.repartition(bn, bcol)  # the batch joins the bucket layout
     files = _write_data(df, path, cur + 1)
     _validate_constraints(df.sparkSession, path, files, cur + 1, schema)
     stats = dict(man.get("file_stats") or {})
-    stats.update(_file_stats(path, files))
+    new_stats = _file_stats(path, files)
+    if bcol is not None:
+        _stamp_buckets(new_stats, files)
+    stats.update(new_stats)
     return _commit(
         path, cur + 1, man["files"] + files, "append",
         schema,
@@ -580,15 +683,25 @@ def overwrite_table(
             raise ValueError(
                 f"cluster_kind must be one of {_CLUSTER_KINDS}, got {kind!r}"
             )
+    bcol, bn = _spec_bucket(path)
     if effective:
+        if bcol is not None:
+            raise ValueError(
+                "cannot re-cluster a hash-bucketed table - the bucket "
+                "layout is the recorded property"
+            )
         df = _cluster(df, effective, df.rdd.getNumPartitions() or 1, kind)
+    elif bcol is not None and bcol in df.columns:
+        df = df.repartition(bn, bcol)
     files = _write_data(df, path, cur + 1)
     _validate_constraints(
         df.sparkSession, path, files, cur + 1, _schema_fields(df)
     )
+    stats = _file_stats(path, files)
+    if bcol is not None:
+        _stamp_buckets(stats, files)
     v = _commit(
-        path, cur + 1, files, "overwrite", _schema_fields(df),
-        _file_stats(path, files),
+        path, cur + 1, files, "overwrite", _schema_fields(df), stats
     )
     if (effective or recorded) and (
         effective != recorded or kind != recorded_kind
@@ -625,18 +738,26 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     )
     target = max(1, -(-total // (target_mb * 1024 * 1024)))
     spec_cluster, spec_kind = _spec_cluster(path)
+    bcol, bn = _spec_bucket(path)
     if spec_cluster:
         df = _cluster(
             read_table(spark, path, version=cur), spec_cluster, target,
             spec_kind,
         )
+    elif bcol is not None:
+        # a bucketed table compacts INTO its buckets: n files, one per
+        # bucket — a coalesce would glue buckets and destroy identity
+        df = read_table(spark, path, version=cur).repartition(bn, bcol)
     else:
         df = read_table(spark, path, version=cur).coalesce(target)
     files = _write_data(df, path, cur + 1)
+    stats = _file_stats(path, files)
+    if bcol is not None:
+        _stamp_buckets(stats, files)
     return _commit(
         path, cur + 1, files, "compact",
         man.get("schema") or _schema_fields(df),
-        _file_stats(path, files),
+        stats,
     )
 
 
@@ -933,13 +1054,12 @@ def read_table(
     preds = _norm_prune(prune)
     if preds:
         fstats = man.get("file_stats") or {}
+        bcol, bn = _spec_bucket(path)
+        types = dict(man.get("schema") or [])
         files = [
             f
             for f in files
-            if all(
-                _file_survives(fstats.get(f), col, op, val)
-                for col, op, val in preds
-            )
+            if _file_passes(fstats.get(f), preds, bcol, bn, types)
         ]
         if not files:
             # every file pruned: empty result with the table schema
@@ -975,13 +1095,12 @@ def files_scanned(
     if not preds:
         return len(files)
     fstats = man.get("file_stats") or {}
+    bcol, bn = _spec_bucket(path)
+    types = dict(man.get("schema") or [])
     return sum(
         1
         for f in files
-        if all(
-            _file_survives(fstats.get(f), col, op, val)
-            for col, op, val in preds
-        )
+        if _file_passes(fstats.get(f), preds, bcol, bn, types)
     )
 
 
@@ -1105,7 +1224,33 @@ def merge_table(
             "such rows would duplicate on every retried application); "
             "drop or key them upstream"
         )
-    untouched, affected = _split_files_by_stats(man, key, bounds[0], bounds[1])
+    bcol, bn = _spec_bucket(path)
+    if bcol is not None and key == bcol:
+        # hash-bucketed layout + bucket-keyed merge (round 13): file
+        # selection is BUCKET IDENTITY, not key range — the pruning
+        # that still works when keys are uuid-shaped and every file
+        # spans the whole key range. One tiny distinct-buckets job
+        # over the changeset (≤ n rows collected).
+        hit = {
+            r.b
+            for r in df.select(
+                F.pmod(F.hash(F.col(key)), F.lit(bn)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        fstats_all = man.get("file_stats") or {}
+        untouched = [
+            f
+            for f in man["files"]
+            if (fstats_all.get(f) or {}).get("__bucket") is not None
+            and (fstats_all.get(f) or {}).get("__bucket") not in hit
+        ]
+        affected = [f for f in man["files"] if f not in set(untouched)]
+    else:
+        untouched, affected = _split_files_by_stats(
+            man, key, bounds[0], bounds[1]
+        )
     new_files: list[str] = []
     if affected:
         old = _apply_delete_masks(
@@ -1120,11 +1265,19 @@ def merge_table(
         merged = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
         merged = upserts
-    cluster_kind = "range"
-    if cluster_by is None:
-        cluster_by, cluster_kind = _spec_cluster(path)
-    if cluster_by:
-        merged = _cluster(merged, cluster_by, len(affected), cluster_kind)
+    if bcol is not None:
+        if cluster_by:
+            raise ValueError(
+                "cannot re-cluster a hash-bucketed table - the bucket "
+                "layout is the recorded property"
+            )
+        merged = merged.repartition(bn, bcol)
+    else:
+        cluster_kind = "range"
+        if cluster_by is None:
+            cluster_by, cluster_kind = _spec_cluster(path)
+        if cluster_by:
+            merged = _cluster(merged, cluster_by, len(affected), cluster_kind)
     new_files = _write_data(merged, path, cur + 1)
     _validate_constraints(spark, path, new_files, cur + 1, schema)
     stats = {
@@ -1132,7 +1285,10 @@ def merge_table(
         for f, s in (man.get("file_stats") or {}).items()
         if f in set(untouched)
     }
-    stats.update(_file_stats(path, new_files))
+    new_stats = _file_stats(path, new_files)
+    if bcol is not None:
+        _stamp_buckets(new_stats, new_files)
+    stats.update(new_stats)
     return _commit(
         path, cur + 1, untouched + new_files, op_label,
         schema,
@@ -1352,10 +1508,12 @@ def delete_where(
     if op not in _PRUNE_OPS:
         raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
     fstats = man.get("file_stats") or {}
+    bcol, bn = _spec_bucket(path)
+    types = dict(man.get("schema") or [])
     untouched = [
         f
         for f in man["files"]
-        if not _file_survives(fstats.get(f), col, op, val)
+        if not _file_passes(fstats.get(f), [(col, op, val)], bcol, bn, types)
     ]
     affected = [f for f in man["files"] if f not in set(untouched)]
     new_files: list[str] = []
@@ -1371,9 +1529,14 @@ def delete_where(
             spark, path,
             _read_files(spark, path, affected, man.get("schema")), man,
         ).where(~cond)
+        if bcol is not None:
+            kept = kept.repartition(bn, bcol)
         new_files = _write_data(kept, path, cur + 1)
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
-    stats.update(_file_stats(path, new_files))
+    new_stats = _file_stats(path, new_files)
+    if bcol is not None:
+        _stamp_buckets(new_stats, new_files)
+    stats.update(new_stats)
     return _commit(
         path, cur + 1, untouched + new_files, "delete",
         man.get("schema"), stats,
@@ -1429,13 +1592,12 @@ def update_where(
                 f"assignment targets {unknown} are not table columns"
             )
     fstats = man.get("file_stats") or {}
+    bcol, bn = _spec_bucket(path)
+    types = dict(schema or [])
     untouched = [
         f
         for f in man["files"]
-        if not all(
-            _file_survives(fstats.get(f), col, op, val)
-            for col, op, val in preds
-        )
+        if not _file_passes(fstats.get(f), preds, bcol, bn, types)
     ]
     affected = [f for f in man["files"] if f not in set(untouched)]
     new_files: list[str] = []
@@ -1506,12 +1668,17 @@ def update_where(
         spec_cluster, spec_kind = _spec_cluster(path)
         if spec_cluster:
             updated = _cluster(updated, spec_cluster, len(affected), spec_kind)
+        elif bcol is not None:
+            updated = updated.repartition(bn, bcol)
         new_files = _write_data(updated, path, cur + 1)
         _validate_constraints(
             spark, path, new_files, cur + 1, man.get("schema")
         )
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
-    stats.update(_file_stats(path, new_files))
+    new_stats = _file_stats(path, new_files)
+    if bcol is not None:
+        _stamp_buckets(new_stats, new_files)
+    stats.update(new_stats)
     return _commit(
         path, cur + 1, untouched + new_files, "update",
         man.get("schema"), stats,
@@ -2145,6 +2312,7 @@ def describe_table(path: str, version: int | None = None) -> dict:
         "schema": man.get("schema"),
         "cluster_by": cluster_by,
         "cluster_kind": cluster_kind if cluster_by else None,
+        "bucket_by": _table_spec(path).get("bucket_by"),
         "constraints": table_constraints(path),
         "retained_versions": vs,
     }

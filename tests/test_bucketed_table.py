@@ -1,0 +1,188 @@
+"""Round-13 hash-bucketed versioned tables (the Iceberg bucket
+transform as a recorded layout): MERGE rewrites only the changeset's
+buckets, equality reads open exactly the matching bucket's files, and
+every rewrite path preserves bucket identity. The manifest-side bucket
+math is the pure-python Murmur3 pinned in test_spark_hash.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.sources.versioned import (
+    _load_manifest,
+    _versions,
+    append_table,
+    compact_table,
+    create_table,
+    delete_where,
+    describe_table,
+    files_scanned,
+    merge_table,
+    read_table,
+    update_where,
+    vacuum_table,
+)
+
+N_BUCKETS = 8
+
+
+def _uuid_corpus(spark, n=200):
+    """uuid-shaped string keys: range stats are useless by design —
+    every bucket file spans nearly the whole lexicographic range."""
+    return spark.range(n).select(
+        F.md5(F.col("id").cast("string")).alias("h"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("v"),
+    )
+
+
+def _h(i: int) -> str:
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "b")
+    create_table(_uuid_corpus(spark), path, bucket_by=("h", N_BUCKETS))
+    return path
+
+
+def test_create_stamps_buckets_and_point_lookup_prunes(spark, table):
+    man = _load_manifest(table, 1)
+    stamped = [
+        s.get("__bucket") for s in man["file_stats"].values()
+    ]
+    assert all(b is not None for b in stamped)
+    assert set(stamped) <= set(range(N_BUCKETS))
+    total = files_scanned(table)
+    assert total >= 4  # uuid keys spread over most buckets
+    # equality on the bucket key opens exactly one bucket's file
+    probe = _h(17)
+    assert files_scanned(table, prune=("h", "==", probe)) == 1
+    got = read_table(spark, table, prune=("h", "==", probe)).collect()
+    assert len(got) == 1 and got[0].doc_id == 17
+    # absent key: still ≤1 file, empty result
+    ghost = "f" * 32
+    assert files_scanned(table, prune=("h", "==", ghost)) <= 1
+    assert read_table(spark, table, prune=("h", "==", ghost)).count() == 0
+
+
+def test_merge_rewrites_only_changeset_buckets(spark, table):
+    before = set(_load_manifest(table, 1)["files"])
+    # a 2-key changeset touches ≤2 buckets however large the table
+    upd = spark.createDataFrame(
+        [(_h(3), 3, -1), (_h(9), 9, -1)], "h string, doc_id long, v long"
+    )
+    merge_table(upd, table, "h")
+    after = set(_load_manifest(table, 2)["files"])
+    carried = before & after
+    assert len(before) - len(carried) <= 2  # only hit buckets rewrote
+    got = {r.doc_id: r.v for r in read_table(spark, table).collect()}
+    assert got[3] == -1 and got[9] == -1 and got[4] == 4 % 7
+    assert len(got) == 200
+    # rewritten files carry bucket identity: lookups still prune
+    assert files_scanned(table, prune=("h", "==", _h(3))) == 1
+    # inserts land in their buckets too
+    merge_table(
+        spark.createDataFrame(
+            [("zznew" + "0" * 27, 9999, 5)], "h string, doc_id long, v long"
+        ),
+        table,
+        "h",
+    )
+    assert read_table(spark, table).count() == 201
+
+
+def test_merge_on_other_key_falls_back_and_rebuckets(spark, table):
+    """A merge keyed on a non-bucket column selects files by range but
+    must still write bucket-identified output."""
+    upd = spark.createDataFrame(
+        [(_h(5), 5, 99)], "h string, doc_id long, v long"
+    )
+    merge_table(upd, table, "doc_id")
+    assert files_scanned(table, prune=("h", "==", _h(5))) <= 2
+    got = {r.doc_id: r.v for r in read_table(spark, table).collect()}
+    assert got[5] == 99 and len(got) == 200
+
+
+def test_append_and_compact_preserve_buckets(spark, table):
+    shifted = spark.range(200, 250).select(
+        F.md5(F.col("id").cast("string")).alias("h"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("v"),
+    )
+    append_table(shifted, table)
+    assert read_table(spark, table).count() == 250
+    # a lookup scans at most one file PER VERSION-SLICE of the bucket
+    assert files_scanned(table, prune=("h", "==", _h(210))) <= 2
+    # compaction folds back to ≤ n bucket files and keeps pruning
+    compact_table(spark, table)
+    assert files_scanned(table) <= N_BUCKETS
+    assert files_scanned(table, prune=("h", "==", _h(210))) == 1
+    assert read_table(spark, table).count() == 250
+    got = read_table(spark, table, prune=("h", "==", _h(210))).collect()
+    assert len(got) == 1 and got[0].doc_id == 210
+
+
+def test_delete_update_preserve_buckets(spark, table):
+    delete_where(spark, table, ("doc_id", "<", 5))
+    assert read_table(spark, table).count() == 195
+    assert files_scanned(table, prune=("h", "==", _h(100))) == 1
+    update_where(
+        spark, table, ("h", "==", _h(100)), {"v": F.lit(-9).cast("long")}
+    )
+    # the bucket-key equality pruned the copy-on-write to one file
+    v2, v3 = _load_manifest(table, 2), _load_manifest(table, 3)
+    assert len(set(v2["files"]) - set(v3["files"])) <= 1
+    got = {r.doc_id: r.v for r in read_table(spark, table).collect()}
+    assert got[100] == -9 and len(got) == 195
+    assert files_scanned(table, prune=("h", "==", _h(100))) == 1
+
+
+def test_time_travel_and_vacuum(spark, table):
+    merge_table(
+        spark.createDataFrame([(_h(1), 1, -1)], "h string, doc_id long, v long"),
+        table, "h",
+    )
+    assert read_table(spark, table, version=1).where(
+        F.col("doc_id") == 1
+    ).collect()[0].v == 1 % 7
+    vacuum_table(table, keep_last=1)
+    assert _versions(table) == [2]
+    assert files_scanned(table, prune=("h", "==", _h(1))) == 1
+
+
+def test_describe_and_guards(spark, tmp_path):
+    path = str(tmp_path / "b")
+    create_table(_uuid_corpus(spark, 40), path, bucket_by=("h", 4))
+    assert describe_table(path)["bucket_by"] == {"col": "h", "n": 4}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        create_table(
+            _uuid_corpus(spark, 4), str(tmp_path / "x"),
+            cluster_by=["doc_id"], bucket_by=("h", 4),
+        )
+    with pytest.raises(ValueError, match="n >= 2"):
+        create_table(
+            _uuid_corpus(spark, 4), str(tmp_path / "y"), bucket_by=("h", 1)
+        )
+    with pytest.raises(ValueError, match="not in table"):
+        create_table(
+            _uuid_corpus(spark, 4), str(tmp_path / "z"), bucket_by=("nope", 4)
+        )
+    with pytest.raises(ValueError, match="must be one of"):
+        create_table(
+            spark.range(4).select(
+                (F.col("id") * 0.5).alias("d"), F.col("id").alias("k")
+            ),
+            str(tmp_path / "w"),
+            bucket_by=("d", 4),
+        )
+    with pytest.raises(ValueError, match="re-cluster a hash-bucketed"):
+        merge_table(
+            spark.createDataFrame([(_h(0), 0, 0)], "h string, doc_id long, v long"),
+            path, "h", cluster_by=["doc_id"],
+        )

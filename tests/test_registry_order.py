@@ -316,6 +316,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     "versioned_range_read": 13,
     "zorder_table_read": 13,
     "pii_redact": 13,
+    "bucketed_table_merge": 13,
 }
 
 
