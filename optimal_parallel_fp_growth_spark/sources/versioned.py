@@ -1491,40 +1491,37 @@ def table_changes(
 
 
 def delete_where(
-    spark: SparkSession, path: str, predicate: tuple[str, str, object]
+    spark: SparkSession, path: str, predicate
 ) -> int:
     """Copy-on-write row-level DELETE: commit a new version without the
-    rows matching ``predicate`` (same (col, op, value) triple as
-    ``read_table``'s prune). Files whose manifest range cannot contain
-    a matching row carry forward by reference; only files that might
-    match are rewritten with the matching rows filtered out. A file
-    whose rows ALL match is simply dropped from the manifest."""
+    rows matching ``predicate`` — one (col, op, value) triple or a
+    LIST of them with AND semantics, same as ``read_table``'s prune
+    (round 13: a ranged delete ``[(ts, ">=", a), (ts, "<", b)]`` now
+    rewrites only the files inside the slice). Files whose manifest
+    range cannot contain a matching row carry forward by reference;
+    only files that might match are rewritten with the matching rows
+    filtered out. A file whose rows ALL match is simply dropped from
+    the manifest."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     man = _load_manifest(path, cur)
-    col, op, val = predicate
-    if op not in _PRUNE_OPS:
-        raise ValueError(f"unsupported prune op {op!r} (use one of {_PRUNE_OPS})")
+    preds = _norm_prune(predicate)
+    if not preds:
+        raise ValueError("delete_where needs a predicate")
     fstats = man.get("file_stats") or {}
     bcol, bn = _spec_bucket(path)
     types = dict(man.get("schema") or [])
     untouched = [
         f
         for f in man["files"]
-        if not _file_passes(fstats.get(f), [(col, op, val)], bcol, bn, types)
+        if not _file_passes(fstats.get(f), preds, bcol, bn, types)
     ]
     affected = [f for f in man["files"] if f not in set(untouched)]
     new_files: list[str] = []
     if affected:
-        from pyspark.sql import functions as F
-
-        c = F.col(col)
-        cond = {
-            "==": c == val, ">=": c >= val, ">": c > val,
-            "<=": c <= val, "<": c < val,
-        }[op]
+        cond = _prune_cond(preds)
         kept = _apply_delete_masks(
             spark, path,
             _read_files(spark, path, affected, man.get("schema")), man,

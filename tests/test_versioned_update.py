@@ -238,3 +238,23 @@ def test_range_prune_single_triple_still_works(spark, tmp_path):
     create_table(_kv(spark, 100), path)
     assert files_scanned(path, prune=("k", ">=", 90)) < files_scanned(path)
     assert read_table(spark, path, prune=("k", ">=", 90)).count() == 10
+
+
+def test_delete_where_accepts_and_list(spark, tmp_path):
+    """A ranged delete [lo, hi) rewrites only the files inside the
+    slice — the single triple rewrote everything from lo to the end."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _load_manifest,
+        delete_where,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 100, parts=4), path)
+    before = set(_load_manifest(path, 1)["files"])
+    delete_where(spark, path, [("k", ">=", 30), ("k", "<", 45)])
+    after = set(_load_manifest(path, 2)["files"])
+    assert len(before & after) == 3  # only the middle file rewrote
+    ks = sorted(r.k for r in read_table(spark, path).collect())
+    assert ks == [k for k in range(100) if not (30 <= k < 45)]
+    with pytest.raises(ValueError, match="needs a predicate"):
+        delete_where(spark, path, [])
