@@ -491,15 +491,20 @@ def _file_passes(
     for col, op, val in preds:
         if not _file_survives(entry, col, op, val):
             return False
-        if bcol is not None and op == "==" and col == bcol and val is not None:
+        if bcol is not None and col == bcol and op in ("==", "in"):
             t = types.get(col)
             b = (entry or {}).get("__bucket")
-            if t in _BUCKETABLE_TYPES and b is not None:
+            if t in _BUCKETABLE_TYPES and b is not None and val is not None:
                 from optimal_parallel_fp_growth_spark.functions.spark_hash import (
                     bucket_of,
                 )
 
-                if b != bucket_of(val, t, bn):
+                wanted = (
+                    {bucket_of(v, t, bn) for v in val}
+                    if op == "in"
+                    else {bucket_of(val, t, bn)}
+                )
+                if b not in wanted:
                     return False
     return True
 
@@ -761,14 +766,17 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     )
 
 
-_PRUNE_OPS = ("==", ">=", "<=", ">", "<")
+_PRUNE_OPS = ("==", ">=", "<=", ">", "<", "in")
 
 
 def _norm_prune(prune) -> list[tuple[str, str, object]]:
     """One (col, op, value) triple OR a list of them (AND semantics) →
     a validated list. The list form lets one read prune BOTH sides of
     a range — ``[("k", ">=", lo), ("k", "<", hi)]`` — where the single
-    triple could only cut one (round 13)."""
+    triple could only cut one (round 13). The ``"in"`` op takes a
+    list/tuple/set of values: a file survives when ANY value could be
+    in its range (and, on a bucketed key, when the file's bucket is in
+    the values' bucket set) — the batched-lookup shape."""
     if prune is None:
         return []
     if (
@@ -786,6 +794,16 @@ def _norm_prune(prune) -> list[tuple[str, str, object]]:
             raise ValueError(
                 f"unsupported prune op {p[1]!r} (use one of {_PRUNE_OPS})"
             )
+        if p[1] == "in":
+            if not isinstance(p[2], (list, tuple, set)) or not p[2]:
+                raise ValueError(
+                    f"'in' prune needs a non-empty list of values: {p!r}"
+                )
+            if any(v is None for v in p[2]):
+                raise ValueError(
+                    "'in' prune values must be non-null (SQL IN never "
+                    "matches NULL)"
+                )
     return preds
 
 
@@ -797,10 +815,13 @@ def _prune_cond(preds: list[tuple[str, str, object]]):
     cond = None
     for col, op, val in preds:
         c = F.col(col)
-        one = {
-            "==": c == val, ">=": c >= val, ">": c > val,
-            "<=": c <= val, "<": c < val,
-        }[op]
+        if op == "in":
+            one = c.isin(list(val))
+        else:
+            one = {
+                "==": c == val, ">=": c >= val, ">": c > val,
+                "<=": c <= val, "<": c < val,
+            }[op]
         cond = one if cond is None else (cond & one)
     return cond
 
@@ -838,6 +859,8 @@ def _file_survives(stats: dict, col: str, op: str, val) -> bool:
     if not rng:
         return True
     lo, hi = rng
+    if op == "in":
+        return any(lo <= _stat_probe(v) <= hi for v in val)
     val = _stat_probe(val)
     if op == "==":
         return lo <= val <= hi
@@ -1027,8 +1050,9 @@ def read_table(
     (exclusive with ``version``) resolves through
     :func:`version_at_timestamp` — the Delta ``timestampAsOf`` shape.
 
-    ``prune=(col, op, value)`` (op in ==, >=, <=, >, <) — or a LIST of
-    such triples with AND semantics, so a middle-slice read
+    ``prune=(col, op, value)`` (op in ==, >=, <=, >, <, in — ``"in"``
+    takes a value list, the batched-lookup shape) — or a LIST of such
+    triples with AND semantics, so a middle-slice read
     ``[("k", ">=", lo), ("k", "<", hi)]`` prunes both sides — uses the
     manifest's per-file min/max ranges to SKIP files whose range
     cannot contain a matching row, then applies the same predicate as

@@ -156,6 +156,48 @@ def test_time_travel_and_vacuum(spark, table):
     assert files_scanned(table, prune=("h", "==", _h(1))) == 1
 
 
+def test_in_prune_on_bucketed_and_plain(spark, table, tmp_path):
+    """'in' predicates prune to the probed values' bucket set (and to
+    covering files via range stats on clustered tables) — the batched
+    multi-key lookup shape."""
+    probes = [_h(3), _h(77), _h(150)]
+    opened = files_scanned(table, prune=("h", "in", probes))
+    assert 0 < opened <= 3 < files_scanned(table)
+    got = {
+        r.doc_id
+        for r in read_table(spark, table, prune=("h", "in", probes)).collect()
+    }
+    assert got == {3, 77, 150}
+    # a multi-key COW delete rewrites only the keys' buckets
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _load_manifest,
+    )
+
+    before = set(_load_manifest(table, 1)["files"])
+    delete_where(spark, table, ("h", "in", [_h(3), _h(77)]))
+    after = set(_load_manifest(table, 2)["files"])
+    assert len(before - after) <= 2
+    assert read_table(spark, table).count() == 198
+    # clustered (range) tables prune 'in' through file ranges
+    plain = str(tmp_path / "plain")
+    create_table(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ).repartitionByRange(8, "k"),
+        plain,
+    )
+    assert files_scanned(plain, prune=("k", "in", [3, 5, 990])) == 2
+    rows = read_table(
+        spark, plain, prune=("k", "in", [3, 5, 990])
+    ).collect()
+    assert sorted(r.k for r in rows) == [3, 5, 990]
+    # guards: empty and null value lists fail closed
+    with pytest.raises(ValueError, match="non-empty"):
+        files_scanned(plain, prune=("k", "in", []))
+    with pytest.raises(ValueError, match="non-null"):
+        files_scanned(plain, prune=("k", "in", [1, None]))
+
+
 def test_describe_and_guards(spark, tmp_path):
     path = str(tmp_path / "b")
     create_table(_uuid_corpus(spark, 40), path, bucket_by=("h", 4))
