@@ -407,6 +407,9 @@ def main() -> None:
         # bucket-identity merge + one-file point lookup, fail-closed
         # on carried files and files_scanned)
         "bucketed_table_merge",
+        # round-13 addition: canonical text normalization (Arrow NFC
+        # pass + JVM control-strip/collapse, string-exact oracle)
+        "normalize_text",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

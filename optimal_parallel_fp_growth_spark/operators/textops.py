@@ -294,3 +294,31 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization (round 13) — the first transform
+    of most training pipelines: Unicode NFC composition, control
+    characters to spaces, whitespace runs collapsed, ends trimmed.
+    → (doc_id, text_norm).
+
+    NFC is the one step Spark has no builtin for, so it runs as ONE
+    Arrow-batched pandas UDF (CPython's unicodedata implements the
+    same UAX #15 as DuckDB's utf8proc — probed equal, so the oracle
+    compares string-exact); the control-strip and collapse stay
+    JVM-side regexp_replace in the engine-common regex subset."""
+    import pandas as pd  # noqa: F401 (signature typing)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    col = _nfc(F.col(text_col))
+    col = F.regexp_replace(col, "[\\x00-\\x1f\\x7f]", " ")
+    col = F.trim(F.regexp_replace(col, "\\s+", " "))
+    return docs.select("doc_id", col.alias("text_norm"))

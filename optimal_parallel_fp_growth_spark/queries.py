@@ -455,10 +455,13 @@ QUERIES.update(REL_QUERIES)
 # Two-round schedule (VERDICT r11 task #2 discipline, encoded so a
 # mid-round addition cannot breach either cap): r13 window = tiers
 # 1-4 = 3 + 11 + 26 + 10 = 50; r14 window = tier 5 (33) + tier 6 (7)
-# + 10 slack for mid-r13 additions and early unpinned r12-green (the
-# 24 unpinned r12-green hit staleness 3 at the r15 head and fit the
-# r15 window with 26 to spare). Demand stays under 50/round
-# (capacity test below).
+# + the 7 mid-r13 additions (versioned_update, stats_pushdown,
+# versioned_range_read, zorder_table_read, pii_redact,
+# bucketed_table_merge, normalize_text — never driver-sampled, their
+# NEW_THIS_ROUND exemption expires at the r13 snapshot) = 47, with 3
+# slack; the 24 unpinned r12-green hit staleness 3 at the r15 head
+# and fit the r15 window with room to spare. Demand stays under
+# 50/round (capacity test below).
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 _DRIVER_PRIORITY: list[str] = [
@@ -625,6 +628,7 @@ _DRIVER_PRIORITY: list[str] = [
     "zorder_table_read",
     "pii_redact",
     "bucketed_table_merge",
+    "normalize_text",
 ]
 
 

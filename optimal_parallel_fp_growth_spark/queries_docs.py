@@ -91,6 +91,28 @@ def _pii_redact_sql() -> str:
 ORACLE_PII_REDACT = _pii_redact_sql()
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization under the oracle gate (round 13):
+    NFC composition (one Arrow pandas UDF — CPython unicodedata and
+    DuckDB's utf8proc both implement UAX #15, probed equal), control
+    chars to spaces and whitespace collapse JVM-side, compared
+    STRING-EXACT per document."""
+    from optimal_parallel_fp_growth_spark.operators.textops import (
+        normalize_text,
+    )
+
+    return normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_NORMALIZE_TEXT = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(nfc_normalize(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+         '\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimal_parallel_fp_growth_spark.operators.packing import pack_sequences
 
@@ -2272,6 +2294,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_table_read": q_zorder_table_read,
     "pii_redact": q_pii_redact,
     "bucketed_table_merge": q_bucketed_table_merge,
+    "normalize_text": q_normalize_text,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -2334,6 +2357,7 @@ DOC_ORACLES: dict[str, str] = {
     "zorder_table_read": ORACLE_ZORDER_TABLE_READ,
     "pii_redact": ORACLE_PII_REDACT,
     "bucketed_table_merge": ORACLE_BUCKETED_TABLE_MERGE,
+    "normalize_text": ORACLE_NORMALIZE_TEXT,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

@@ -317,6 +317,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     "zorder_table_read": 13,
     "pii_redact": 13,
     "bucketed_table_merge": 13,
+    "normalize_text": 13,
 }
 
 

@@ -174,6 +174,49 @@ def test_vacuum_retention_by_age(spark, tmp_path):
         vacuum_table(path, keep_last=2, retention_hours=24)
 
 
+def test_vacuum_dry_run(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        overwrite_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(_grid(spark, 64, parts=3), path)
+    overwrite_table(_grid(spark, 32, parts=2), path)
+    would = vacuum_table(path, keep_last=1, dry_run=True)
+    assert would == 3  # v1's files would go
+    # nothing was deleted: both versions still read
+    assert read_table(spark, path, version=1).count() == 64
+    assert [h["version"] for h in table_history(path)] == [1, 2]
+    # the real vacuum deletes exactly the report
+    assert vacuum_table(path, keep_last=1) == would
+    assert [h["version"] for h in table_history(path)] == [2]
+
+
+def test_restore_by_timestamp(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        append_table,
+        restore_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(_grid(spark, 10, parts=1), path)
+    append_table(_grid(spark, 10, parts=1), path)
+    append_table(_grid(spark, 10, parts=1), path)
+    # age v1 two hours back, v2 one hour, v3 now
+    _age_manifest(path, 1, 7200)
+    _age_manifest(path, 2, 3600)
+    import time
+
+    restore_table(path, timestamp=time.time() - 1800)  # 30 min ago → v2
+    assert read_table(spark, path).count() == 20
+    hist = table_history(path)
+    assert hist[-1]["op"] == "restore@v2"
+    with pytest.raises(ValueError, match="not both"):
+        restore_table(path, version=1, timestamp=0)
+    with pytest.raises(ValueError, match="version or a timestamp"):
+        restore_table(path)
+
+
 # ---------------------------------------------------------------------------
 # describe_table
 
