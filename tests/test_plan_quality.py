@@ -691,3 +691,36 @@ def test_refresh_aggregate_plan_shape(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     # the weighting never leaves codegen for Python
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------
+# round 13: the two corpus-wide text passes must stay single-scan —
+# at 100 TB an accidental exchange or extra Python stage in a
+# must-touch-every-byte operator is the whole bill.
+# ---------------------------------------------------------------------
+
+
+def test_pii_redact_plan_is_pure_codegen(spark, sf_small):
+    """Redaction is three nested regexp_replace calls: no exchange of
+    any kind, no join, and NO Python — whole-stage codegen over one
+    scan."""
+    from optimal_parallel_fp_growth_spark.queries_docs import q_pii_redact
+
+    r = _report(q_pii_redact(spark, sf_small))
+    assert r.hash_exchanges == 0 and r.broadcast_exchanges == 0
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+    assert r.python_stages == 0
+
+
+def test_normalize_text_single_scan_one_arrow_pass(spark, sf_small):
+    """NFC is the one step with no JVM builtin: exactly ONE Arrow
+    python stage, zero exchanges, zero joins — the collapse/trim
+    stays in codegen around it."""
+    from optimal_parallel_fp_growth_spark.queries_docs import (
+        q_normalize_text,
+    )
+
+    r = _report(q_normalize_text(spark, sf_small))
+    assert r.hash_exchanges == 0 and r.broadcast_exchanges == 0
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+    assert r.python_stages == 1
