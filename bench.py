@@ -410,6 +410,9 @@ def main() -> None:
         # round-13 addition: canonical text normalization (Arrow NFC
         # pass + JVM control-strip/collapse, string-exact oracle)
         "normalize_text",
+        # round-13 addition: partial-column MERGE (whenMatchedUpdate
+        # set-arm; poison context column ignored, ghosts not inserted)
+        "merge_update_cols",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

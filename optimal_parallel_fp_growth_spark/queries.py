@@ -458,7 +458,7 @@ QUERIES.update(REL_QUERIES)
 # + the 7 mid-r13 additions (versioned_update, stats_pushdown,
 # versioned_range_read, zorder_table_read, pii_redact,
 # bucketed_table_merge, normalize_text — never driver-sampled, their
-# NEW_THIS_ROUND exemption expires at the r13 snapshot) = 47, with 3
+# NEW_THIS_ROUND exemption expires at the r13 snapshot) = 48, with 2
 # slack; the 24 unpinned r12-green hit staleness 3 at the r15 head
 # and fit the r15 window with room to spare. Demand stays under
 # 50/round (capacity test below).
@@ -629,6 +629,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pii_redact",
     "bucketed_table_merge",
     "normalize_text",
+    "merge_update_cols",
 ]
 
 

@@ -782,6 +782,58 @@ GROUP BY lang
 """
 
 
+def q_merge_update_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-column MERGE under the oracle gate (round 13; the Delta
+    whenMatchedUpdate(set=...) arm): the changeset updates ONLY
+    n_chars — its lang column carries a poison value that must be
+    IGNORED (kept from the table), and it includes shifted unmatched
+    keys that must NOT insert (update-only semantics). The oracle
+    restates the partial update as a CASE on the key class; one
+    resurrected poison value, lost update, or ghost insert breaks
+    equality."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    with session_temp_layout(spark, "muc") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(docs.repartitionByRange(4, "doc_id"), path)
+        src = docs.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id",
+            F.lit("POISON").alias("lang"),  # must be ignored
+            F.lit(-9).cast("long").alias("n_chars"),
+        )
+        ghosts = docs.where(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+            F.lit("POISON").alias("lang"),
+            F.lit(0).cast("long").alias("n_chars"),
+        )
+        V.merge_table(
+            src.unionByName(ghosts), path, "doc_id",
+            update_cols=["n_chars"],
+        )
+        out = V.read_table(spark, path).groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_MERGE_UPDATE_COLS = """
+SELECT lang, source, count(*) AS n_docs,
+       sum(CASE WHEN doc_id % 10 = 0 THEN -9 ELSE n_chars END)::BIGINT
+         AS total_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
 def q_zorder_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order as a recorded cluster kind under the oracle gate (round
     13; create_table(cluster_kind="zorder") + multi-predicate prune):
@@ -2295,6 +2347,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "bucketed_table_merge": q_bucketed_table_merge,
     "normalize_text": q_normalize_text,
+    "merge_update_cols": q_merge_update_cols,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -2358,6 +2411,7 @@ DOC_ORACLES: dict[str, str] = {
     "pii_redact": ORACLE_PII_REDACT,
     "bucketed_table_merge": ORACLE_BUCKETED_TABLE_MERGE,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
+    "merge_update_cols": ORACLE_MERGE_UPDATE_COLS,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

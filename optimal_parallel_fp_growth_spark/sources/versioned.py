@@ -1158,6 +1158,7 @@ def merge_table(
     op_label: str = "merge",
     cluster_by: list[str] | None = None,
     evolve: bool = False,
+    update_cols: list[str] | None = None,
 ) -> int:
     """Copy-on-write UPSERT (the table-format MERGE core): rows of
     ``df`` REPLACE current rows with the same ``key`` value; keys not
@@ -1197,12 +1198,42 @@ def merge_table(
     inflated). Defaults to the table's RECORDED clustering spec
     (``create_table(cluster_by=...)``) when one exists, so no caller
     has to remember it; pass ``[]`` to explicitly skip re-clustering
-    a clustered table."""
+    a clustered table.
+
+    ``update_cols`` (round 13, the Delta ``whenMatchedUpdate(set=...)``
+    arm): matched rows update ONLY the named columns, keeping every
+    other column's current value — the CDC shape where a feed carries
+    one measure, not whole rows. Update-only semantics, as in Delta
+    with a lone whenMatchedUpdate clause: source keys that match
+    nothing are IGNORED (no inserts — a partial row cannot insert),
+    and an explicit NULL in an update column IS written (matched-flag
+    join, not coalesce). Composes with ``delete_col`` (mixed
+    update/delete changesets); mutually exclusive with ``evolve``
+    (a partial update cannot add columns). Type changes are rejected
+    by the same schema check as whole-row merges."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     from pyspark.sql import functions as F
+
+    if update_cols is not None:
+        if not update_cols:
+            raise ValueError("update_cols must name at least one column")
+        if key in update_cols:
+            raise ValueError("the merge key cannot be an update column")
+        if evolve:
+            raise ValueError(
+                "update_cols and evolve are mutually exclusive - a "
+                "partial update cannot add columns"
+            )
+        missing = [
+            c
+            for c in [key, *update_cols]
+            if c not in df.columns
+        ]
+        if missing:
+            raise ValueError(f"merge source lacks columns {missing}")
 
     upserts = df
     if delete_col is not None:
@@ -1226,6 +1257,11 @@ def merge_table(
     # changes to an existing column are always rejected.
     if evolve and man.get("schema") is not None:
         schema = _merge_schema(man["schema"], _schema_fields(upserts))
+    elif update_cols is not None:
+        # only the key + update columns must exist and type-match; the
+        # source may carry extra context columns, which are ignored
+        _check_schema(upserts.select(key, *update_cols), path, cur)
+        schema = man.get("schema") or _schema_fields(upserts)
     else:
         _check_schema(upserts, path, cur)
         schema = man.get("schema") or _schema_fields(upserts)
@@ -1276,34 +1312,68 @@ def merge_table(
             man, key, bounds[0], bounds[1]
         )
     new_files: list[str] = []
+    merged: DataFrame | None
     if affected:
         old = _apply_delete_masks(
             spark, path,
             _read_files(spark, path, affected, man.get("schema")), man,
         )
-        survivors = old.join(df.select(key).distinct(), key, "left_anti")
-        # the source may omit table columns (_check_schema's Iceberg
-        # subset contract): replacement is whole-row, so a replaced
-        # row's omitted columns become null, same as a reader sees
-        # pre-evolution files
-        merged = survivors.unionByName(upserts, allowMissingColumns=True)
+        if update_cols is not None:
+            work = old
+            if delete_col is not None:
+                dels = df.where(
+                    F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+                ).select(key)
+                work = old.join(dels, key, "left_anti")
+            src = upserts.select(
+                F.col(key),
+                *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+                F.lit(True).alias("__m"),
+            )
+            joined = work.join(src, key, "left")
+            merged = joined.select(
+                *[
+                    (
+                        F.when(F.col("__m"), F.col(f"__u_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in update_cols
+                        else F.col(c)
+                    )
+                    for c in work.columns
+                ]
+            )
+        else:
+            survivors = old.join(df.select(key).distinct(), key, "left_anti")
+            # the source may omit table columns (_check_schema's Iceberg
+            # subset contract): replacement is whole-row, so a replaced
+            # row's omitted columns become null, same as a reader sees
+            # pre-evolution files
+            merged = survivors.unionByName(upserts, allowMissingColumns=True)
+    elif update_cols is not None:
+        # update-only semantics with nothing matched: a no-op version
+        # (unmatched source keys are ignored, never inserted)
+        merged = None
     else:
         merged = upserts
-    if bcol is not None:
-        if cluster_by:
-            raise ValueError(
-                "cannot re-cluster a hash-bucketed table - the bucket "
-                "layout is the recorded property"
-            )
-        merged = merged.repartition(bn, bcol)
-    else:
-        cluster_kind = "range"
-        if cluster_by is None:
-            cluster_by, cluster_kind = _spec_cluster(path)
-        if cluster_by:
-            merged = _cluster(merged, cluster_by, len(affected), cluster_kind)
-    new_files = _write_data(merged, path, cur + 1)
-    _validate_constraints(spark, path, new_files, cur + 1, schema)
+    if merged is not None:
+        if bcol is not None:
+            if cluster_by:
+                raise ValueError(
+                    "cannot re-cluster a hash-bucketed table - the bucket "
+                    "layout is the recorded property"
+                )
+            merged = merged.repartition(bn, bcol)
+        else:
+            cluster_kind = "range"
+            if cluster_by is None:
+                cluster_by, cluster_kind = _spec_cluster(path)
+            if cluster_by:
+                merged = _cluster(
+                    merged, cluster_by, len(affected), cluster_kind
+                )
+        new_files = _write_data(merged, path, cur + 1)
+        _validate_constraints(spark, path, new_files, cur + 1, schema)
     stats = {
         f: s
         for f, s in (man.get("file_stats") or {}).items()

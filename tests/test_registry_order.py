@@ -318,6 +318,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     "pii_redact": 13,
     "bucketed_table_merge": 13,
     "normalize_text": 13,
+    "merge_update_cols": 13,
 }
 
 

@@ -258,3 +258,78 @@ def test_delete_where_accepts_and_list(spark, tmp_path):
     assert ks == [k for k in range(100) if not (30 <= k < 45)]
     with pytest.raises(ValueError, match="needs a predicate"):
         delete_where(spark, path, [])
+
+
+# ---------------------------------------------------------------------------
+# merge_table(update_cols=...) — the whenMatchedUpdate(set=...) arm
+
+
+def test_merge_update_cols_partial_update(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 20), path)
+    # update ONLY v; tag must keep its current value even though the
+    # source carries a tag column (extra context columns are ignored)
+    src = spark.createDataFrame(
+        [(3, 999, "IGNORED"), (7, None, "IGNORED"), (500, 1, "IGNORED")],
+        "k long, v long, tag string",
+    )
+    merge_table(src, path, "k", update_cols=["v"])
+    got = {r.k: (r.v, r.tag) for r in read_table(spark, path).collect()}
+    assert got[3] == (999, "s3")       # updated v, kept tag
+    assert got[7] == (None, "s7")      # explicit NULL is written
+    assert 500 not in got              # unmatched source key ignored
+    assert got[4] == (8, "s4")         # untouched row
+    assert len(got) == 20
+
+
+def test_merge_update_cols_with_delete_arm(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 10), path)
+    src = spark.createDataFrame(
+        [(1, -1, None), (2, 0, True)], "k long, v long, __del boolean"
+    )
+    merge_table(src, path, "k", delete_col="__del", update_cols=["v"])
+    got = {r.k: r.v for r in read_table(spark, path).collect()}
+    assert got[1] == -1 and 2 not in got and len(got) == 9
+
+
+def test_merge_update_cols_guards_and_noop(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+        table_history,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 10), path)
+    with pytest.raises(ValueError, match="at least one"):
+        merge_table(_kv(spark, 1), path, "k", update_cols=[])
+    with pytest.raises(ValueError, match="merge key"):
+        merge_table(_kv(spark, 1), path, "k", update_cols=["k"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        merge_table(
+            _kv(spark, 1), path, "k", update_cols=["v"], evolve=True
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        merge_table(
+            spark.createDataFrame([(1,)], "k long"), path, "k",
+            update_cols=["v"],
+        )
+    # type changes rejected by the shared schema check
+    with pytest.raises(ValueError):
+        merge_table(
+            spark.createDataFrame([(1, "oops")], "k long, v string"),
+            path, "k", update_cols=["v"],
+        )
+    # nothing matched AND no file intersects: a clean no-op version
+    far = spark.createDataFrame([(10_000, 0)], "k long, v long")
+    merge_table(far, path, "k", update_cols=["v"])
+    assert read_table(spark, path).count() == 10
+    assert table_history(path)[-1]["op"] == "merge"
