@@ -298,6 +298,31 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "clustered_table_read": (
         "test_versioned.py::test_recorded_cluster_spec_survives_every_rewrite"
     ),
+    # round-13 mid-round additions — each pinned to a full-semantics
+    # recomputation (per-row expected values or python brute force on
+    # crafted input), per the GT-pin policy above
+    "versioned_update": (
+        "test_versioned_update.py::test_update_basic_and_oracle"
+    ),
+    "stats_pushdown": (
+        "test_versioned_update.py::test_minmax_from_manifest_matches_scan"
+    ),
+    "versioned_range_read": (
+        "test_versioned_update.py::test_range_prune_cuts_both_sides"
+    ),
+    "zorder_table_read": (
+        "test_zorder_table.py::test_zorder_spec_prunes_both_dimensions"
+    ),
+    "pii_redact": "test_packing.py::test_pii_stats_and_redaction",
+    "bucketed_table_merge": (
+        "test_bucketed_table.py::test_merge_rewrites_only_changeset_buckets"
+    ),
+    "normalize_text": (
+        "test_normalize_text.py::test_hostile_inputs_match_brute"
+    ),
+    "merge_update_cols": (
+        "test_versioned_update.py::test_merge_update_cols_partial_update"
+    ),
 }
 
 
