@@ -431,100 +431,111 @@ QUERIES.update(REL_QUERIES)
 # Driver sampling order. The correctness harness samples the registry in
 # insertion order with a bounded per-round window (exactly 50 rows since
 # r4), so entries whose last green driver row is OLDEST must come FIRST —
-# the rotation contract that bounds staleness. Round-13 tiers (staleness
-# computed from CORRECTNESS_r{01..12}.json; the invariant is enforced
+# the rotation contract that bounds staleness. Round-14 tiers (staleness
+# computed from CORRECTNESS_r{01..13}.json; the invariant is enforced
 # data-driven by tests/test_registry_order.py):
-#   1. the 3 entries with NO driver row ever — the mid-r12 additions
-#      (index_search, versioned_stream_follow, clustered_table_read),
-#      added after the r12 window was contractually full
-#      (NEW_THIS_ROUND exemption now expired).
-#   2. the 11 unpinned r10-green entries deferred through r12
-#      (staleness 3 at the r13 head — the mandated lead block named in
-#      the r12 tripwire output).
-#   3. ALL 26 pinned r10-green entries (staleness 3, cap 4: due
-#      r13/r14 — they all fit this window, so the r14 debt from this
-#      tier is zero; multimodal_decode gets its due driver row here).
-#   4. the first 10 of the 43 unpinned r11-green entries (staleness 2
-#      here, 3 at the r14 head) — fills the window at exactly 50.
-#   5. the remaining 33 unpinned r11-green entries: MUST lead the r14
-#      window (staleness 3 at the r14 head).
-#   6. the 7 pinned r11-green entries (cap 4: due r14/r15; r14 has
-#      50-33=17 free slots after tier 5, so all 7 fit r14 with 10 to
-#      spare).
-#   7. the 50 r12-green entries, freshest last.
-# Two-round schedule (VERDICT r11 task #2 discipline, encoded so a
-# mid-round addition cannot breach either cap): r13 window = tiers
-# 1-4 = 3 + 11 + 26 + 10 = 50; r14 window = tier 5 (33) + tier 6 (7)
-# + the 7 mid-r13 additions (versioned_update, stats_pushdown,
-# versioned_range_read, zorder_table_read, pii_redact,
-# bucketed_table_merge, normalize_text — never driver-sampled, their
-# NEW_THIS_ROUND exemption expires at the r13 snapshot) = 48, with 2
-# slack; the 24 unpinned r12-green hit staleness 3 at the r15 head
-# and fit the r15 window with room to spare. Demand stays under
-# 50/round (capacity test below).
+#   1. the 8 entries with NO driver row ever — the mid-r13 additions
+#      (versioned_update, stats_pushdown, versioned_range_read,
+#      zorder_table_read, pii_redact, bucketed_table_merge,
+#      normalize_text, merge_update_cols), added after the r13 window
+#      was contractually full (NEW_THIS_ROUND exemption now expired).
+#   2. the 33 unpinned r11-green entries deferred through r13
+#      (staleness 3 at the r14 head — the mandated lead block named in
+#      the r13 tripwire output).
+#   3. the 7 pinned r11-green entries (cap 4: due r14/r15 — sampling
+#      them all now zeroes the r15 debt from this tier).
+#   4. the first 2 of the 24 unpinned r12-green — fills the window at
+#      exactly 50 (the remaining 22 hit staleness 3 at the r15 head
+#      and MUST lead the r15 window).
+#   5. the 22 remaining unpinned r12-green, then the 4 surviving
+#      (non-retired) pinned r12-green, then the 21 unpinned r13-green,
+#      then the 4 surviving pinned r13-green — the active tail,
+#      oldest-first.
+#   6. the RETIRED_TO_PYTEST tier (47 entries, below): permanently at
+#      the tail, outside the rotation.
+# Rotation-capacity ceiling (VERDICT r13 task #2): at 148 entries the
+# 50-slot window could no longer cover steady demand plus the pinned
+# tier's lumpy cap-4 debt — an EDF simulation shows the schedule going
+# infeasible at r18 with NO retirement, and feasible through r25 WITH
+# the retirement pipeline at the observed ~8 additions/round
+# (tests/test_registry_order.py::test_rotation_capacity_is_sustainable
+# re-runs that simulation every pytest). The mechanism: an entry
+# RETIRES from driver rotation when it is BOTH (a) pinned — a
+# full-semantics independent recomputation (TWINS differential or
+# GROUND_TRUTH_PINS brute-force) runs in every pytest — and (b)
+# driver-validated in ≥3 distinct rounds. Retired entries KEEP their
+# queries()/oracle_sql() registration (the judge's full sweep still
+# covers all of them); they only stop consuming driver-window slots.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
-_DRIVER_PRIORITY: list[str] = [
-    # tier 1 — never driver-sampled: the three mid-r12 additions
-    # (NEW_THIS_ROUND exemption spent at the r12 snapshot)
-    "index_search",
-    "versioned_stream_follow",
-    "clustered_table_read",
-    # tier 2 — the 11 deferred unpinned r10-green (staleness 3 at the
-    # r13 head — named verbatim in the r12 tripwire output)
-    "word_count",
-    "kmeans_clusters",
-    "kmeans_auto",
-    "semdedup",
-    "semdedup_auto",
-    "knn_ivf",
-    "knn_ann",
-    "supplier_pagerank",
-    "dedup_minhash_lsh",
-    "freq_itemsets",
-    "deduped_corpus_cc",
-    # tier 3 — ALL 26 pinned r10-green (cap 4: due r13/r14; sampling
-    # them all now — incl. multimodal_decode — zeroes the r14 debt
-    # from this tier)
-    "multimodal_video",
-    "random_projection",
-    "knn_hyperplane",
-    "dedup_ngram_prefix",
-    "freq_itemsets_pfp",
+
+# Entries retired from driver rotation (criteria asserted data-driven
+# in tests/test_registry_order.py::test_retired_entries_meet_criteria:
+# pinned + ≥3 distinct green driver rounds each).
+RETIRED_TO_PYTEST: frozenset[str] = frozenset({
     "assoc_rules",
-    "transform",
-    "dedup_exact",
-    "dedup_lines",
-    "dedup_clusters",
-    "deduped_corpus",
-    "embedding_neardup",
+    "bloom_decontaminate",
+    "bloom_user_filter",
     "decontaminate",
-    "quality_score",
-    "quality_classifier",
-    "token_quantiles",
-    "text_stats",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_lines",
+    "dedup_ngram_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_prefix",
+    "deduped_corpus",
     "dq_documents",
     "dq_events",
-    "ngram_counts",
-    "tfidf_top_terms",
+    "embedding_neardup",
+    "events_distinct_sketch",
+    "events_funnel",
+    "events_interval_join",
+    "events_pivot",
+    "events_resample",
+    "events_sessionize",
+    "events_unpivot",
+    "events_windowed_counts",
+    "freq_itemsets_by_lang",
+    "freq_itemsets_pfp",
     "inverted_index",
+    "kmeans_arrow",
+    "knn_cosine",
+    "knn_hyperplane",
+    "knn_ivf_index",
     "mix_sources",
-    "stratified_sample",
-    "weighted_sample",
+    "mix_temperature",
     "multimodal_decode",
-    # tier 4 — 10 of the 43 unpinned r11-green: fills the window
-    "events_user_quartiles",
-    "events_rolling",
-    "events_daily_rollup",
-    "events_asof_join",
-    "events_hourly_cube",
-    "events_json_props",
-    "events_retention",
-    "events_top_users",
-    "multimodal_frames",
-    "nation_trade_volume",
-    # tier 5 — the 33 deferred unpinned r11-green: MUST lead the r14
-    # window (staleness 3 at the r14 head)
+    "multimodal_features",
+    "ngram_counts",
+    "quality_classifier",
+    "quality_score",
+    "random_projection",
+    "semdedup_arrow",
+    "stratified_sample",
+    "supplier_pagerank_bucketed",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_quantiles",
+    "transform",
+    "transform_self",
+    "weighted_sample",
+})
+
+_DRIVER_PRIORITY: list[str] = [
+    # ---- r14 window (50) ----
+    # tier 1 — never driver-sampled: the 8 mid-r13 additions
+    # (NEW_THIS_ROUND exemption spent at the r13 snapshot)
+    "versioned_update",
+    "stats_pushdown",
+    "versioned_range_read",
+    "zorder_table_read",
+    "pii_redact",
+    "bucketed_table_merge",
+    "normalize_text",
+    "merge_update_cols",
+    # tier 2 — the 33 deferred unpinned r11-green (staleness 3 at the
+    # r14 head — named verbatim in the r13 tripwire output)
     "product_line_revenue",
     "promo_revenue_share",
     "brand_discount_revenue",
@@ -558,9 +569,7 @@ _DRIVER_PRIORITY: list[str] = [
     "apriori_rules",
     "dedup_simhash",
     "lang_id",
-    # tier 6 — the 7 pinned r11-green (cap 4: due r14/r15; r14 has
-    # 50-33=17 free slots after tier 5, so all 7 fit r14 with 10 to
-    # spare for mid-r13 additions / early unpinned r12-green)
+    # tier 3 — the 7 pinned r11-green (cap 4: due r14/r15)
     "multimodal_gif",
     "dedup_zipf_prefix",
     "skewed_token_counts",
@@ -568,13 +577,11 @@ _DRIVER_PRIORITY: list[str] = [
     "hive_layout_read",
     "compacted_layout_read",
     "versioned_changes",
-    # tier 7 — r12-green, freshest last (the full r12 window order)
-    "incremental_agg",
-    "materialized_view",
-    "incremental_index",
-    "mor_delete_read",
+    # tier 4 — 2 unpinned r12-green: fills the window at exactly 50
     "doc_fingerprint",
     "pii_stats",
+    # ---- active tail (51), oldest-first ----
+    # the 22 remaining unpinned r12-green (MUST lead the r15 window)
     "repetition_signals",
     "source_ngram_overlap",
     "chunk_documents",
@@ -584,28 +591,6 @@ _DRIVER_PRIORITY: list[str] = [
     "label_centroids",
     "revenue_by_nation",
     "top_orders",
-    "bloom_decontaminate",
-    "bloom_user_filter",
-    "events_distinct_sketch",
-    "kmeans_arrow",
-    "semdedup_arrow",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_exact",
-    "supplier_pagerank_bucketed",
-    "dedup_incremental",
-    "knn_ivf_index",
-    "freq_itemsets_by_lang",
-    "transform_self",
-    "mix_temperature",
-    "knn_cosine",
-    "events_pivot",
-    "events_unpivot",
-    "events_sessionize",
-    "events_windowed_counts",
-    "events_interval_join",
-    "events_funnel",
-    "events_resample",
-    "multimodal_features",
     "multimodal_flac",
     "versioned_read",
     "versioned_merge",
@@ -619,17 +604,41 @@ _DRIVER_PRIORITY: list[str] = [
     "repeated_spans",
     "zorder_layout_read",
     "local_supplier_revenue",
-    # mid-round r13 additions (window contractually full when added;
-    # NEW_THIS_ROUND exemption — scheduled into the r14 window's slack
-    # after its tier-5/6 blocks)
-    "versioned_update",
-    "stats_pushdown",
-    "versioned_range_read",
-    "zorder_table_read",
-    "pii_redact",
-    "bucketed_table_merge",
-    "normalize_text",
-    "merge_update_cols",
+    # the 4 surviving pinned r12-green (cap 4: due r16/r17)
+    "incremental_agg",
+    "materialized_view",
+    "incremental_index",
+    "mor_delete_read",
+    # the 21 unpinned r13-green (staleness 3 at the r16 head)
+    "word_count",
+    "kmeans_clusters",
+    "kmeans_auto",
+    "semdedup",
+    "semdedup_auto",
+    "knn_ivf",
+    "knn_ann",
+    "supplier_pagerank",
+    "dedup_minhash_lsh",
+    "freq_itemsets",
+    "deduped_corpus_cc",
+    "events_user_quartiles",
+    "events_rolling",
+    "events_daily_rollup",
+    "events_asof_join",
+    "events_hourly_cube",
+    "events_json_props",
+    "events_retention",
+    "events_top_users",
+    "multimodal_frames",
+    "nation_trade_volume",
+    # the 4 surviving pinned r13-green (cap 4: due r17/r18)
+    "index_search",
+    "versioned_stream_follow",
+    "clustered_table_read",
+    "multimodal_video",
+    # ---- retired tier (47) — never sampled again; pytest pins +
+    # the judge's full oracle sweep carry their correctness ----
+    *sorted(RETIRED_TO_PYTEST),
 ]
 
 

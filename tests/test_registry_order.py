@@ -1,35 +1,43 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (exactly 50 rows since r4). Round-13 rotation
+bounded per-round window (exactly 50 rows since r4). Round-14 rotation
 contract:
 
-* The three mid-r12 additions (``index_search`` /
-  ``versioned_stream_follow`` / ``clustered_table_read``, never
-  driver-sampled — their NEW_THIS_ROUND exemption expired at the r12
-  snapshot) lead, then the 11 unpinned r10-green entries deferred
-  through r12 (staleness 3 — named verbatim in the r12 tripwire
-  output), then ALL 26 pinned r10-green (cap 4: due r13/r14 —
-  sampling them all now, incl. ``multimodal_decode``, zeroes the r14
-  debt from that tier), then 10 of the 43 unpinned r11-green —
-  exactly filling the window. The remaining 33 unpinned r11-green
-  MUST lead the r14 window; the 7 pinned r11-green are due r14/r15
-  and all fit r14's 17 post-lead slots.
+* The eight mid-r13 additions (``versioned_update`` /
+  ``stats_pushdown`` / ``versioned_range_read`` / ``zorder_table_read``
+  / ``pii_redact`` / ``bucketed_table_merge`` / ``normalize_text`` /
+  ``merge_update_cols``, never driver-sampled — their NEW_THIS_ROUND
+  exemption expired at the r13 snapshot) lead, then the 33 unpinned
+  r11-green entries deferred through r13 (staleness 3 — named verbatim
+  in the r13 tripwire output), then ALL 7 pinned r11-green (cap 4: due
+  r14/r15 — sampling them all now zeroes the r15 debt from that tier),
+  then 2 of the 24 unpinned r12-green — exactly filling the window.
+  The remaining 22 unpinned r12-green MUST lead the r15 window.
 * A pinned entry (entry-twin differential in ``TWINS``, or an
   independent-recomputation ground truth in ``GROUND_TRUTH_PINS``) may
   defer to a 4-round staleness cap; everything else holds the 2-round
   floor.
+* RETIREMENT (new in r14 — VERDICT r13 task #2): the registry hit 148
+  entries and the 50-slot window could no longer absorb steady demand
+  plus the pinned tier's lumpy cap-4 debt (an EDF simulation goes
+  infeasible at r18 with no retirement). An entry RETIRES from driver
+  rotation when it is BOTH pinned AND driver-validated green in ≥3
+  distinct rounds — ``Q.RETIRED_TO_PYTEST`` is the explicit list, the
+  criteria are asserted data-driven below, and retired entries KEEP
+  their queries()/oracle_sql() registration so the judge's full sweep
+  still covers them. They sit at the tail of the sampling order and
+  are exempt from the staleness invariant; their correctness is
+  carried by their pytest pins (run every suite) plus their ≥3
+  historical driver rows.
 * The staleness invariant is DATA-DRIVEN: each entry's last green round
   is recomputed from the CORRECTNESS_r*.json files at test time, so
   forgetting to rotate the list next round fails this suite loudly —
   exactly what caught the skipped r8 rotation.
-* Steady-state capacity (the re-derivation VERDICT r8 task #2 asked
-  for): an untwinned entry needs a window slot every 3 rounds (sampled
-  at N, staleness 1/2 at N+1/N+2 heads, must re-enter at N+3); a
-  pinned entry every 5. With U untwinned and P pinned entries the
-  per-round slot demand is U/3 + P/5, which must stay ≤ WINDOW —
-  asserted below, replacing the old (insufficient) ``U ≤ 2·WINDOW``
-  bound.
+* Capacity is proven by SIMULATION, not just a steady-state bound: the
+  EDF scheduler below replays the real history forward with 8 pinned
+  additions per round and the retirement pipeline, and must stay
+  feasible through r25 (two+ rounds beyond the build horizon).
 """
 
 from __future__ import annotations
@@ -334,16 +342,8 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
 NEW_THIS_ROUND: dict[str, int] = {
-    # (r12's three additions rotated into the r13 window lead — their
-    # exemption is spent; r13 mid-round additions land here)
-    "versioned_update": 13,
-    "stats_pushdown": 13,
-    "versioned_range_read": 13,
-    "zorder_table_read": 13,
-    "pii_redact": 13,
-    "bucketed_table_merge": 13,
-    "normalize_text": 13,
-    "merge_update_cols": 13,
+    # (r13's eight additions rotated into the r14 window lead — their
+    # exemption is spent; r14 mid-round additions land here)
 }
 
 
@@ -371,15 +371,18 @@ def _staleness_violations(
     current: int,
     pinned: set[str],
     new_this_round: dict[str, int],
+    retired: frozenset[str] = frozenset(),
 ) -> list[str]:
     """The rotation invariant as a pure function (unit-testable against
     synthetic histories): never-sampled entries and any unpinned entry
     ≥3 rounds stale MUST be in the first WINDOW positions; pinned
-    entries get a 4-round cap so they still rotate eventually."""
+    entries get a 4-round cap so they still rotate eventually; retired
+    entries (pinned + ≥3 green driver rounds, criteria asserted in
+    test_retired_entries_meet_criteria) are outside the rotation."""
     head = set(order[:WINDOW])
     violations = []
     for name in order:
-        if name in head:
+        if name in head or name in retired:
             continue
         if name in new_this_round and current <= new_this_round[name]:
             continue  # window was contractually full when it was added
@@ -394,6 +397,21 @@ def _staleness_violations(
         elif staleness > 2:
             violations.append(f"{name}: unpinned, {staleness} rounds stale")
     return violations
+
+
+def _green_rounds_by_entry() -> dict[str, set[int]]:
+    """entry -> every round with a fully-green driver row."""
+    greens: dict[str, set[int]] = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        r = int(p.stem.split("_r")[1])
+        for name, v in json.loads(p.read_text()).items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match", True)
+            ):
+                greens.setdefault(name, set()).add(r)
+    return greens
 
 
 def _pinned() -> set[str]:
@@ -415,25 +433,126 @@ def test_twins_reference_real_tests():
         assert twin in Q.QUERIES, twin
 
 
-def test_rotation_capacity_is_sustainable():
-    """Steady-state slot demand must fit the window (see module
-    docstring for the derivation): U/3 + P/5 ≤ WINDOW. This replaces
-    the old U ≤ 2·WINDOW bound, which ignored the pinned entries' own
-    cap-4 rotation demand."""
+def test_retired_entries_meet_criteria():
+    """Every retired entry must satisfy BOTH retirement criteria,
+    recomputed from the data: (a) pinned — a full-semantics independent
+    recomputation runs in every pytest; (b) ≥3 distinct green driver
+    rounds in the CORRECTNESS history. Retired entries must also stay
+    registered (the judge's full oracle sweep still covers them) and
+    sit strictly at the tail of the sampling order."""
     pinned = _pinned()
-    u = len([k for k in Q.QUERIES if k not in pinned])
-    p = len(pinned)
+    greens = _green_rounds_by_entry()
+    for name in Q.RETIRED_TO_PYTEST:
+        assert name in Q.QUERIES and name in Q.ORACLES, name
+        assert name in pinned, f"{name}: retired but not pinned"
+        assert len(greens.get(name, ())) >= 3, (
+            f"{name}: retired with only {len(greens.get(name, ()))} "
+            "green driver rounds (need ≥3)"
+        )
+    order = list(Q.QUERIES)
+    n_active = len(order) - len(Q.RETIRED_TO_PYTEST)
+    assert set(order[n_active:]) == set(Q.RETIRED_TO_PYTEST), (
+        "retired entries must occupy exactly the tail of the order"
+    )
+
+
+def _edf_simulate(additions_per_round: int, horizon: int) -> None:
+    """Replay the real history forward under an EDF scheduler with the
+    retirement pipeline: each round, first retire every entry meeting
+    the criteria, then sample the 50 earliest-deadline active entries
+    (deadline = last green + 3 unpinned / + 5 pinned; never-sampled
+    are due immediately). Additions are pinned (the de-facto policy
+    since r13 — every mid-round addition ships with a GROUND_TRUTH
+    pin). Fails if any round's due set exceeds the window — i.e. no
+    schedule at all could satisfy the staleness invariant."""
+    greens = {n: set(g) for n, g in _green_rounds_by_entry().items()}
+    pinned = set(_pinned())
+    entries = list(Q.QUERIES)
+    last = {n: max(g) for n, g in greens.items() if n in entries}
+    retired: set[str] = set()
+    for r in range(14, 14 + horizon):
+        for n in entries:
+            if n not in retired and n in pinned and len(greens.get(n, ())) >= 3:
+                retired.add(n)
+        active = [n for n in entries if n not in retired]
+
+        def deadline(n: str) -> int:
+            if n not in last:
+                return r
+            return last[n] + (5 if n in pinned else 3)
+
+        due = [n for n in active if deadline(n) <= r]
+        assert len(due) <= WINDOW, (
+            f"simulated r{r}: {len(due)} entries due > {WINDOW}-slot "
+            "window — rotation schedule infeasible"
+        )
+        window = sorted(active, key=lambda n: (deadline(n), n in pinned))
+        for n in window[:WINDOW]:
+            last[n] = r
+            greens.setdefault(n, set()).add(r)
+        for i in range(additions_per_round):
+            nm = f"sim_r{r}_{i}"
+            entries.append(nm)
+            pinned.add(nm)
+
+
+def test_rotation_capacity_is_sustainable():
+    """VERDICT r13 task #2: the 50×3 ceiling had margin 2 at 148
+    entries; prove the retirement mechanism keeps the schedule solvent
+    well past the build horizon at the observed addition rate. Also
+    keep the steady-state bound on the ACTIVE set (retired entries
+    consume zero slots)."""
+    pinned = _pinned()
+    active = [k for k in Q.QUERIES if k not in Q.RETIRED_TO_PYTEST]
+    u = len([k for k in active if k not in pinned])
+    p = len([k for k in active if k in pinned])
     assert u / 3 + p / 5 <= WINDOW, (
-        f"registry outgrew the window: {u} unpinned + {p} pinned need "
-        f"{u / 3 + p / 5:.1f} slots/round > {WINDOW} — add pins or "
-        "negotiate a bigger driver window"
+        f"active registry outgrew the window: {u} unpinned + {p} pinned "
+        f"need {u / 3 + p / 5:.1f} slots/round > {WINDOW}"
+    )
+    # the mandated simulation: ≥2 rounds past r16 at ~8 additions/round
+    # (we run 12 rounds — through r25 — additions pinned per policy)
+    _edf_simulate(additions_per_round=8, horizon=12)
+
+
+def test_rotation_without_retirement_was_infeasible():
+    """Document WHY the retirement tier exists: with retirement
+    disabled, EDF (optimal for feasibility) already fails by r18 —
+    the 35-entry unpinned block going green together in r14 collides
+    with the pinned tier's cap-4 debt."""
+    greens = {n: set(g) for n, g in _green_rounds_by_entry().items()}
+    pinned = set(_pinned())
+    entries = list(Q.QUERIES)
+    last = {n: max(g) for n, g in greens.items() if n in entries}
+    for r in range(14, 26):
+        def deadline(n: str) -> int:
+            if n not in last:
+                return r
+            return last[n] + (5 if n in pinned else 3)
+
+        due = [n for n in entries if deadline(n) <= r]
+        if len(due) > WINDOW:
+            assert r <= 19, "infeasibility expected early"
+            return  # infeasible, as documented
+        for n in sorted(entries, key=lambda n: (deadline(n), n in pinned))[
+            :WINDOW
+        ]:
+            last[n] = r
+        for i in range(8):
+            nm = f"sim_r{r}_{i}"
+            entries.append(nm)
+            pinned.add(nm)
+    raise AssertionError(
+        "no-retirement schedule unexpectedly feasible — if the registry "
+        "shrank, reconsider whether the retired tier is still needed"
     )
 
 
 def test_window_covers_every_stale_unpinned_entry():
     last, current = _last_green_by_entry()
     violations = _staleness_violations(
-        list(Q.QUERIES), last, current, _pinned(), NEW_THIS_ROUND
+        list(Q.QUERIES), last, current, _pinned(), NEW_THIS_ROUND,
+        Q.RETIRED_TO_PYTEST,
     )
     assert not violations, "\n".join(violations)
 
@@ -458,76 +577,83 @@ def test_new_this_round_exemption_expires():
     assert not _staleness_violations(order, last, 9, set(), {"late_add": 7})
 
 
-def test_simulated_r14_rotation_is_feasible():
+def test_simulated_r15_rotation_is_feasible():
     """Rotation-debt solvency check, re-pinned each round: the
-    invariant must provably hold through a simulated r14 with no new
-    rows beyond the r13 window. Simulate: every entry in the CURRENT
-    head-50 goes green in r13, the r14 builder rotates greedily
-    (most-stale first, pinned entries after unpinned at equal
-    staleness), and the invariant is evaluated at the r14 head."""
+    invariant must provably hold through a simulated r15 with no new
+    rows beyond the r14 window. Simulate: every ACTIVE entry in the
+    CURRENT head-50 goes green in r14, the r15 builder rotates
+    greedily (most-stale first, pinned entries after unpinned at equal
+    staleness, retired tier at the tail), and the invariant is
+    evaluated at the r15 head."""
     order = list(Q.QUERIES)
     last, current = _last_green_by_entry()
-    assert current == 13  # this simulation is written against the r13 head
+    assert current == 14  # this simulation is written against the r14 head
     sim_last = dict(last)
     for name in order[:WINDOW]:
-        sim_last[name] = 13
+        sim_last[name] = 14
     pinned = _pinned()
-    r14_order = sorted(
+    retired = Q.RETIRED_TO_PYTEST
+    r15_order = sorted(
         order,
         key=lambda n: (
+            n in retired,  # retired tier stays at the tail
             sim_last.get(n, -1),  # most stale first; never-sampled lead
             n in pinned,  # unpinned before pinned at equal staleness
         ),
     )
-    violations = _staleness_violations(r14_order, sim_last, 14, pinned, {})
+    violations = _staleness_violations(
+        r15_order, sim_last, 15, pinned, {}, retired
+    )
     assert not violations, "\n".join(violations)
 
 
 def test_window_leads_with_never_sampled_entries():
-    # the three mid-r12 additions with no driver row ever lead the r13
+    # the eight mid-r13 additions with no driver row ever lead the r14
     # window.
     order = list(Q.QUERIES)
-    assert order[:3] == [
-        "index_search", "versioned_stream_follow", "clustered_table_read",
+    assert order[:8] == [
+        "versioned_update", "stats_pushdown", "versioned_range_read",
+        "zorder_table_read", "pii_redact", "bucketed_table_merge",
+        "normalize_text", "merge_update_cols",
     ]
 
 
-def test_r13_window_composition():
+def test_r14_window_composition():
     """Pin the exact tiers so a mid-round insertion can't silently push
     a stale entry out of the window."""
     order = list(Q.QUERIES)
     last, _ = _last_green_by_entry()
     pinned = _pinned()
-    # tier 1: never driver-sampled (the three mid-r12 additions)
-    tier1 = [
-        "index_search", "versioned_stream_follow", "clustered_table_read",
+    retired = Q.RETIRED_TO_PYTEST
+    # tier 1: never driver-sampled (the eight mid-r13 additions)
+    tier1 = order[:8]
+    assert all(n not in last for n in tier1), tier1
+    # tier 2: the 33 unpinned r11-green deferred through r13
+    tier2 = order[8:41]
+    assert all(last.get(n) == 11 and n not in pinned for n in tier2), tier2
+    # tier 3: ALL 7 pinned r11-green (cap 4, due r14/r15 — zeroing the
+    # r15 debt from this tier)
+    tier3 = order[41:48]
+    assert all(last.get(n) == 11 and n in pinned for n in tier3), tier3
+    # tier 4 fills the window: 2 unpinned r12-green
+    tier4 = order[48:WINDOW]
+    assert all(last.get(n) == 12 and n not in pinned for n in tier4), tier4
+    # active tail: 22 remaining unpinned r12-green (MUST lead r15),
+    # then surviving pinned r12, then unpinned r13, then pinned r13;
+    # mid-round additions (NEW_THIS_ROUND) slot before the retired tier
+    n_active = len(order) - len(retired)
+    tail = order[WINDOW:n_active]
+    tier5 = tail[:22]
+    assert all(last.get(n) == 12 and n not in pinned for n in tier5), tier5
+    rest = [n for n in tail[22:] if n not in NEW_THIS_ROUND]
+    assert all(last.get(n) in (12, 13) and n not in retired for n in rest), [
+        n for n in rest if last.get(n) not in (12, 13)
     ]
-    assert order[: len(tier1)] == tier1
-    # tier 2: the 11 unpinned r10-green deferred through r12
-    tier2 = order[len(tier1) : len(tier1) + 11]
-    assert all(last.get(n) == 10 and n not in pinned for n in tier2), tier2
-    # tier 3: ALL 26 pinned r10-green (cap 4, due r13/r14 — zeroing
-    # the r14 debt from this tier; multimodal_decode included)
-    tier3 = order[len(tier1) + 11 : len(tier1) + 37]
-    assert all(last.get(n) == 10 and n in pinned for n in tier3), tier3
-    assert "multimodal_decode" in tier3
-    # tier 4 fills the window: 10 unpinned r11-green
-    tier4 = order[len(tier1) + 37 : WINDOW]
-    assert all(last.get(n) == 11 and n not in pinned for n in tier4), tier4
-    # tier 5: the 33 deferred unpinned r11-green — MUST lead r14
-    tier5 = order[WINDOW : WINDOW + 33]
-    assert all(last.get(n) == 11 and n not in pinned for n in tier5), tier5
-    # tier 6: the 7 pinned r11-green (cap 4: due r14/r15)
-    tier6 = order[WINDOW + 33 : WINDOW + 40]
-    assert all(last.get(n) == 11 and n in pinned for n in tier6), tier6
-    # tier 7: the r12-green tail (freshest last), then any mid-round
-    # additions at the very end
-    tail = order[WINDOW + 40 :]
-    tier7 = [n for n in tail if n not in NEW_THIS_ROUND]
-    assert all(last.get(n) == 12 for n in tier7), [
-        n for n in tier7 if last.get(n) != 12
-    ]
-    assert set(tail[len(tier7) :]) == set(NEW_THIS_ROUND)
+    assert set(n for n in tail[22:] if n in NEW_THIS_ROUND) == set(
+        NEW_THIS_ROUND
+    )
+    # retired tier strictly last
+    assert set(order[n_active:]) == set(retired)
 
 
 def test_queries_and_oracles_share_order_and_keys():
@@ -565,7 +691,7 @@ def test_prior_round_correctness_rows_were_all_green():
     }
     for r in (
         "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10", "r11",
-        "r12",
+        "r12", "r13",
     ):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         red = sorted(k for k, v in rows.items() if not v.get("hash_match"))
