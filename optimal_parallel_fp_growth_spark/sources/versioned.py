@@ -455,20 +455,42 @@ def _spec_bucket(path: str) -> tuple[str | None, int]:
     return b.get("col"), int(b.get("n", 0))
 
 
-def _stamp_buckets(stats: dict, files: list[str]) -> dict:
+def _stamp_buckets(stats: dict, files: list[str], n: int) -> dict:
     """Record which hash bucket each just-written file IS: under
     ``df.repartition(n, col)`` the part-file number is the task's
     partition id, and HashPartitioning's partition id is
     ``pmod(murmur3(key), n)`` — the exact function
     ``functions/spark_hash.py`` reimplements and
     ``test_spark_hash.py`` pins against Spark. Mutates and returns
-    ``stats``."""
+    ``stats``.
+
+    FAIL-CLOSED (VERDICT r13 task #3): the part-number convention is
+    exactly "one ``c000`` file per shuffle partition, index < n". If
+    the written set deviates in ANY way — an unparsable name, a task
+    that emitted multiple files (``cNNN`` > 000, e.g. a
+    ``maxRecordsPerFile`` split), a duplicate index, an index ≥ n, or
+    more files than buckets — NO file gets a bucket stamp.
+    ``_file_passes`` treats a missing ``__bucket`` as unprunable, so
+    a violated convention costs pruning, never correctness: a wrong
+    bucket stamp is impossible by construction."""
     import re
 
+    seen: dict[str, int] = {}
     for f in files:
-        m = re.search(r"part-(\d+)", pathlib.Path(f).name)
-        if m and f in stats:
-            stats[f]["__bucket"] = int(m.group(1))
+        m = re.fullmatch(
+            r"part-(\d+)-[0-9a-f-]+[.-]c(\d+)(\..*)?", pathlib.Path(f).name
+        )
+        if m is None:
+            return stats  # unknown naming: stamp nothing
+        idx, cseq = int(m.group(1)), int(m.group(2))
+        if cseq != 0 or idx >= n or idx in seen.values():
+            return stats  # split task / overflow / duplicate: stamp nothing
+        seen[f] = idx
+    if len(seen) > n:
+        return stats
+    for f, idx in seen.items():
+        if f in stats:
+            stats[f]["__bucket"] = idx
     return stats
 
 
@@ -591,7 +613,7 @@ def create_table(
     files = _write_data(df, path, 1)
     stats = _file_stats(path, files)
     if bucket_by is not None:
-        _stamp_buckets(stats, files)
+        _stamp_buckets(stats, files, int(bucket_by[1]))
     v = _commit(path, 1, files, "create", _schema_fields(df), stats)
     # record the spec only once the create COMMITTED: a failed write
     # must leave no table property behind (advice r12). Crash between
@@ -643,7 +665,7 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
     stats = dict(man.get("file_stats") or {})
     new_stats = _file_stats(path, files)
     if bcol is not None:
-        _stamp_buckets(new_stats, files)
+        _stamp_buckets(new_stats, files, bn)
     stats.update(new_stats)
     return _commit(
         path, cur + 1, man["files"] + files, "append",
@@ -704,7 +726,7 @@ def overwrite_table(
     )
     stats = _file_stats(path, files)
     if bcol is not None:
-        _stamp_buckets(stats, files)
+        _stamp_buckets(stats, files, bn)
     v = _commit(
         path, cur + 1, files, "overwrite", _schema_fields(df), stats
     )
@@ -758,7 +780,7 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     files = _write_data(df, path, cur + 1)
     stats = _file_stats(path, files)
     if bcol is not None:
-        _stamp_buckets(stats, files)
+        _stamp_buckets(stats, files, bn)
     return _commit(
         path, cur + 1, files, "compact",
         man.get("schema") or _schema_fields(df),
@@ -1381,7 +1403,7 @@ def merge_table(
     }
     new_stats = _file_stats(path, new_files)
     if bcol is not None:
-        _stamp_buckets(new_stats, new_files)
+        _stamp_buckets(new_stats, new_files, bn)
     stats.update(new_stats)
     return _commit(
         path, cur + 1, untouched + new_files, op_label,
@@ -1626,7 +1648,7 @@ def delete_where(
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
     new_stats = _file_stats(path, new_files)
     if bcol is not None:
-        _stamp_buckets(new_stats, new_files)
+        _stamp_buckets(new_stats, new_files, bn)
     stats.update(new_stats)
     return _commit(
         path, cur + 1, untouched + new_files, "delete",
@@ -1674,6 +1696,11 @@ def update_where(
     cur = vs[-1]
     man = _load_manifest(path, cur)
     preds = _norm_prune(predicate)
+    if not preds:
+        raise ValueError(
+            "update_where needs a predicate - an unconditional rewrite "
+            "goes through overwrite_table"
+        )
     schema = man.get("schema")
     if schema is not None:
         cols = {c for c, _ in schema}
@@ -1768,7 +1795,7 @@ def update_where(
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
     new_stats = _file_stats(path, new_files)
     if bcol is not None:
-        _stamp_buckets(new_stats, new_files)
+        _stamp_buckets(new_stats, new_files, bn)
     stats.update(new_stats)
     return _commit(
         path, cur + 1, untouched + new_files, "update",
@@ -1818,6 +1845,14 @@ def table_minmax(
             raise ValueError(
                 f"column {col!r} is {typ}: parquet string stats may be "
                 "truncated, so manifest bounds are not exact extremes; "
+                "aggregate over read_table(...) instead"
+            )
+        if typ in ("float", "double"):
+            raise ValueError(
+                f"column {col!r} is {typ}: parquet footer stats exclude "
+                "NaN (the spec leaves NaN handling undefined) while "
+                "Spark and DuckDB order NaN above every value, so a "
+                "manifest max() silently misses a NaN extremum; "
                 "aggregate over read_table(...) instead"
             )
     fstats = man.get("file_stats") or {}

@@ -228,3 +228,82 @@ def test_describe_and_guards(spark, tmp_path):
             spark.createDataFrame([(_h(0), 0, 0)], "h string, doc_id long, v long"),
             path, "h", cluster_by=["doc_id"],
         )
+
+
+def test_broken_naming_contract_stamps_nothing_reads_stay_exact(
+    spark, tmp_path
+):
+    """VERDICT r13 task #3: _stamp_buckets trusts part-file index ==
+    shuffle partition id. Break the one-file-per-task convention
+    deliberately (maxRecordsPerFile=1 splits every task into cNNN
+    files) and require the fail-closed outcome: NO bucket recorded —
+    never a wrong one — so equality reads stay exact, merely
+    unpruned."""
+    path = str(tmp_path / "b")
+    key = "spark.sql.files.maxRecordsPerFile"
+    spark.conf.set(key, "1")
+    try:
+        create_table(_uuid_corpus(spark, 40), path, bucket_by=("h", 4))
+    finally:
+        spark.conf.unset(key)
+    man = _load_manifest(table_path := path, 1)
+    stamped = [
+        s.get("__bucket")
+        for s in man["file_stats"].values()
+        if s.get("__rows", 1) != 0
+    ]
+    assert all(b is None for b in stamped), stamped
+    # unstamped files are never BUCKET-pruned; with 1-row files the
+    # range stats still prune (min==max==key) — that path stays exact
+    # regardless, which is the point: no wrong bucket can exist
+    total = files_scanned(table_path)
+    assert 1 <= files_scanned(table_path, prune=("h", "==", _h(7))) <= total
+    got = (
+        read_table(spark, table_path, prune=("h", "==", _h(7)))
+        .select("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [7]
+    # a later clean rewrite (no split) restores stamps AND pruning
+    compact_table(spark, table_path)
+    assert files_scanned(table_path, prune=("h", "==", _h(7))) == 1
+    assert [
+        r.doc_id
+        for r in read_table(
+            spark, table_path, prune=("h", "==", _h(7))
+        ).select("doc_id").collect()
+    ] == [7]
+
+
+def test_stamp_guard_pure_function_matrix():
+    """The guard itself, row by row: every deviation from the
+    convention stamps nothing; the clean case stamps everything."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _stamp_buckets,
+    )
+
+    u = "0aa5a8e3-1111-2222-3333-444455556666"
+    clean = [
+        f"data/v00000001/part-0000{i}-{u}-c000.snappy.parquet"
+        for i in range(3)
+    ]
+
+    def stamp(files, n=4):
+        stats = {f: {} for f in files}
+        _stamp_buckets(stats, files, n)
+        return [s.get("__bucket") for s in stats.values()]
+
+    assert stamp(clean) == [0, 1, 2]
+    # a cNNN>0 file anywhere poisons the whole stamp set
+    split = clean + [f"data/v00000001/part-00000-{u}-c001.snappy.parquet"]
+    assert stamp(split) == [None] * 4
+    # index >= n
+    over = clean + [f"data/v00000001/part-00009-{u}-c000.snappy.parquet"]
+    assert stamp(over) == [None] * 4
+    # duplicate index (two jobs' files interleaved)
+    u2 = u.replace("0aa", "abc")
+    dup = clean + [f"data/v00000001/part-00002-{u2}-c000.snappy.parquet"]
+    assert stamp(dup) == [None] * 4
+    # unparsable naming
+    weird = clean + ["data/v00000001/run-3.parquet"]
+    assert stamp(weird) == [None] * 4

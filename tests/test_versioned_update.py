@@ -186,13 +186,54 @@ def test_minmax_null_and_stats_gap(spark, tmp_path):
     path = str(tmp_path / "t")
     create_table(
         spark.createDataFrame(
-            [(1, None), (2, None)], "k long, v double"
+            [(1, None), (2, None)], "k long, v long"
         ),
         path,
     )
     with pytest.raises(ValueError, match="no usable|no .*stats"):
         table_minmax(path, "v")
     assert table_minmax(path, "k") == (1, 2)
+
+
+def test_minmax_rejects_float_double_nan_hazard(spark, tmp_path):
+    # ADVICE r13 (medium): parquet footer stats EXCLUDE NaN while Spark
+    # and DuckDB order NaN above every value — a manifest max() over a
+    # float/double column silently misses a NaN extremum, so the type
+    # is rejected outright (same fail-closed posture as strings).
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame(
+            [(1, 1.5), (2, float("nan"))], "k long, v double"
+        ),
+        path,
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        table_minmax(path, "v")
+    # the demonstration: the real max IS NaN, which footer stats omit
+    row = read_table(spark, path).agg(F.max("v").alias("m")).collect()[0]
+    assert row.m != row.m  # NaN
+    # NaN-free float columns are still rejected — the manifest cannot
+    # know a future append won't introduce one
+    create_table(
+        spark.createDataFrame([(1, 1.5)], "k long, f float"),
+        str(tmp_path / "t2"),
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        table_minmax(str(tmp_path / "t2"), "f")
+    # integer columns keep answering from metadata
+    assert table_minmax(path, "k") == (1, 2)
+
+
+def test_update_where_requires_predicate(spark, tmp_path):
+    # ADVICE r13 (low): an empty/None predicate used to reach
+    # F.when(None, ...) and die with an opaque TypeError; it must be a
+    # clear validation error, mirroring delete_where.
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 10), path)
+    with pytest.raises(ValueError, match="needs a predicate"):
+        update_where(spark, path, None, {"v": F.lit(0)})
+    with pytest.raises(ValueError, match="needs a predicate"):
+        update_where(spark, path, [], {"v": F.lit(0)})
 
 
 # ---------------------------------------------------------------------------
