@@ -135,6 +135,8 @@ def main() -> None:
         def baseline():
             from pyspark.ml.fpm import FPGrowth as MLlib
 
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            before = {int(i) for i in jmap.keySet().toArray()}
             model = MLlib(
                 itemsCol="items",
                 minSupport=FLAGSHIP_MIN_SUPPORT,
@@ -143,6 +145,16 @@ def main() -> None:
             _force(model.freqItemsets)
             _force(model.associationRules)
             _force(model.transform(li_tx))
+            # cache symmetry (VERDICT r13 task #7): the engine stages
+            # pay model.unpersist() INSIDE their timed window, so the
+            # baseline pays the same sweep — dropping whatever its fit
+            # left persisted beyond the shared input (none on Spark
+            # 4.1.2, where ml.fpm unpersists its intermediates; the
+            # sweep keeps the ratio honest if that ever changes)
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jid in jmap.keySet().toArray():
+                if int(jid) not in before:
+                    jmap.get(jid).unpersist()
 
         timed("baseline_mllib_pipeline", baseline)
 
@@ -413,6 +425,19 @@ def main() -> None:
         # round-13 addition: partial-column MERGE (whenMatchedUpdate
         # set-arm; poison context column ignored, ghosts not inserted)
         "merge_update_cols",
+        # round-14 addition: bucket transform + sort order composed
+        # (sorted 40-row slices per bucket; two-predicate lookup opens
+        # exactly one file, fail-closed vs bucket-only and full scans)
+        "bucketed_sorted_read",
+        # round-14 addition: deterministic first-touch dedup (one
+        # window shuffle; batch twin of the watermarked stream dedup)
+        "events_first_touch",
+        # round-14 addition: mergeable GK quantile sketch, exactness-
+        # gated in-query against percentile_disc
+        "events_quantile_sketch",
+        # round-14 addition: exact heavy hitters by freqItems sketch +
+        # candidate-only exact count (fail-closed on real pruning)
+        "heavy_hitters_tokens",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

@@ -153,3 +153,27 @@ def daily_rollup(events: DataFrame) -> DataFrame:
             "g_type",
         )
     )
+
+
+def first_touch(
+    events: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Deterministic batch deduplication: keep each key's FIRST event
+    by (ts, event_id) — the first-touch-attribution shape, and the
+    batch twin of ``streaming.events.stream_dedup`` (which keeps the
+    first row SEEN; the two agree on the key set, and on the payload
+    whenever arrival order is event-time order).
+
+    One window over the key partitioning — a single hash shuffle on
+    the keys, no join. At 100 TB the alternative spellings are worse:
+    ``dropDuplicates`` is non-deterministic under retries, and a
+    min-(ts,event_id)-self-join shuffles twice."""
+    from pyspark.sql import Window
+
+    keys = keys or ["user_id", "event_type"]
+    w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

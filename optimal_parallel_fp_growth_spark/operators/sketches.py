@@ -73,3 +73,56 @@ def sketch_estimate(sketch: Column | str) -> Column:
     persisted sketch table directly."""
     c = F.col(sketch) if isinstance(sketch, str) else sketch
     return F.hll_sketch_estimate(c)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: float,
+    candidate_support: float | None = None,
+) -> tuple[DataFrame, int, int]:
+    """EXACT heavy hitters by two-phase sketch-then-verify (round 14):
+    items of ``col`` occurring in ≥ ``threshold`` of all rows.
+
+    Phase 1 (the scale phase): Spark's ``stat.freqItems`` — a
+    single-pass, bounded-memory lossy-counting aggregate whose result
+    is a SUPERSET of every item with frequency > support·n (false
+    positives possible, false negatives impossible). The candidate
+    list is ≤ 1/support items whatever the data size, so collecting
+    it to the driver is O(1) in the input.
+
+    Phase 2 (the exact phase): one filtered groupBy over just the
+    candidates (a broadcast ``isin`` — the non-candidates never enter
+    the shuffle) counts them exactly; items below ``ceil(threshold ×
+    n)`` are discarded. Superset in, exact filter out ⇒ the result is
+    EXACTLY the full groupBy-HAVING answer, at a fraction of its
+    shuffle: the classic heavy-hitters shape for 100 TB token streams
+    where the full token groupBy is the bottleneck.
+
+    ``candidate_support`` defaults to ``threshold / 2`` — strictly
+    below the threshold so boundary items cannot be lost to the
+    sketch's > (strict) guarantee.
+
+    Returns (heavy DataFrame ``(col, n)``, n_candidates, total_rows).
+    """
+    import math
+
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    support = candidate_support if candidate_support is not None else threshold / 2
+    if not (0.0 < support <= threshold):
+        raise ValueError(
+            f"candidate_support must be in (0, threshold], got {support}"
+        )
+    # freqItems' lossy-count floor: Spark requires support >= 1e-4
+    support = max(support, 1e-4)
+    cand = df.stat.freqItems([col], support).collect()[0][0]
+    total = df.count()
+    need = math.ceil(threshold * total)
+    heavy = (
+        df.where(F.col(col).isin(list(cand)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= need)
+    )
+    return heavy, len(cand), total

@@ -636,6 +636,12 @@ _DRIVER_PRIORITY: list[str] = [
     "versioned_stream_follow",
     "clustered_table_read",
     "multimodal_video",
+    # ---- mid-r14 additions (window contractually full when added;
+    # NEW_THIS_ROUND exemption — they lead the r15 window) ----
+    "bucketed_sorted_read",
+    "events_first_touch",
+    "events_quantile_sketch",
+    "heavy_hitters_tokens",
     # ---- retired tier (47) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

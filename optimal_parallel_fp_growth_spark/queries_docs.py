@@ -971,6 +971,118 @@ GROUP BY lang
 """
 
 
+def q_bucketed_sorted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket transform COMPOSED with a sort order under the oracle
+    gate (round 14, VERDICT r13 task #6; create_table(bucket_by=...,
+    sort_within_buckets=..., bucket_file_rows=...) — Iceberg's bucket
+    partition transform + write sort order): bucket the documents by
+    their real ``source`` key into 4, sort each bucket on ``doc_id``
+    and split into 40-row slices, so every file carries BOTH a bucket
+    identity and a NARROW doc_id range. The two-predicate lookup
+    (source equality + doc_id range) then opens exactly ONE file:
+    bucket identity eliminates the other buckets, range stats
+    eliminate the matching bucket's sibling slices — the composition
+    neither layout gives alone. Fails closed in-query unless
+    opened(two-pred) == 1 < opened(bucket-only) < opened(all). The
+    oracle restates the lookup relationally."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    with session_temp_layout(spark, "sbkt") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(
+            docs,
+            path,
+            bucket_by=("source", 4),
+            sort_within_buckets=["doc_id"],
+            bucket_file_rows=40,
+        )
+        total = V.files_scanned(path)
+        bucket_only = V.files_scanned(path, prune=("source", "==", "src3"))
+        preds = [
+            ("source", "==", "src3"),
+            ("doc_id", ">=", 100),
+            ("doc_id", "<", 150),
+        ]
+        both = V.files_scanned(path, prune=preds)
+        if not (both == 1 < bucket_only < total):
+            raise AssertionError(
+                f"sorted-bucket pruning failed: two-predicate lookup "
+                f"opened {both}, bucket-only {bucket_only}, table "
+                f"{total} - the composition did not prune"
+            )
+        out = V.read_table(spark, path, prune=preds).select(
+            "doc_id", "lang", "n_chars"
+        )
+        return materialize(out)
+
+
+ORACLE_BUCKETED_SORTED_READ = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE source = 'src3' AND doc_id >= 100 AND doc_id < 150
+"""
+
+
+def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters by sketch-then-verify under the oracle gate
+    (round 14; operators/sketches.py::heavy_hitters): token BIGRAMS
+    covering ≥ 0.5% of all adjacent-pair positions in the documents
+    corpus (bigrams, not unigrams — the fixture's unigram vocabulary
+    is a few dozen, leaving a sketch nothing to prune; the pair space
+    is ~30× larger, the realistic n-gram-hotlist shape). Phase 1 is
+    ``freqItems`` (single-pass lossy counting, ≤ 1/support candidates
+    whatever the corpus size — no false negatives); phase 2 counts
+    ONLY the candidates exactly and applies the true ceil(θ·n) cut, so
+    the result equals the full groupBy-HAVING the oracle states while
+    the shuffle carries candidates only. Fails closed in-query unless
+    the sketch actually pruned (candidates < distinct bigrams) and the
+    candidate list respects its 1/support bound."""
+    from optimal_parallel_fp_growth_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat(t[i], ' ', t[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    heavy, n_cand, total = heavy_hitters(bigrams, "bigram", threshold=0.005)
+    n_distinct = bigrams.distinct().count()
+    if not (0 < n_cand <= 1 / 0.0025 and n_cand < n_distinct):
+        raise AssertionError(
+            f"heavy-hitter sketch did not prune: {n_cand} candidates vs "
+            f"{n_distinct} distinct bigrams"
+        )
+    return heavy
+
+
+ORACLE_HEAVY_HITTERS_TOKENS = """
+WITH tk AS (
+  SELECT string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT t[s.g] || ' ' || t[s.g + 1] AS bigram
+  FROM tk, LATERAL unnest(range(1, len(t))) AS s(g))
+SELECT bigram, count(*) AS n
+FROM bg
+GROUP BY bigram
+HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM bg))
+"""
+
+
 def q_versioned_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDF follow under the oracle gate (round 12, VERDICT
     r11 task #5; sources/versioned.py::stream_changes_to_table):
@@ -2348,6 +2460,8 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_table_merge": q_bucketed_table_merge,
     "normalize_text": q_normalize_text,
     "merge_update_cols": q_merge_update_cols,
+    "bucketed_sorted_read": q_bucketed_sorted_read,
+    "heavy_hitters_tokens": q_heavy_hitters_tokens,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -2412,6 +2526,8 @@ DOC_ORACLES: dict[str, str] = {
     "bucketed_table_merge": ORACLE_BUCKETED_TABLE_MERGE,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "merge_update_cols": ORACLE_MERGE_UPDATE_COLS,
+    "bucketed_sorted_read": ORACLE_BUCKETED_SORTED_READ,
+    "heavy_hitters_tokens": ORACLE_HEAVY_HITTERS_TOKENS,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

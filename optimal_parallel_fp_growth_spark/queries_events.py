@@ -512,6 +512,97 @@ SELECT * FROM f
 """
 
 
+def q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch dedup per (user_id, event_type) — the deterministic
+    batch twin of streaming.events.stream_dedup (round 14; the
+    streaming path's cross-micro-batch state behavior and key-set
+    agreement are pinned in test_streaming.py). Keeps each key's first
+    event by (ts, event_id) via ONE window over the key partitioning —
+    a single hash shuffle, no join — then rolls the survivors up per
+    event_type. The oracle restates the window with row_number()."""
+    from optimal_parallel_fp_growth_spark.operators.sessions import (
+        first_touch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ft = first_touch(ev, ["user_id", "event_type"])
+    return ft.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("value"), 6).alias("first_value_sum"),
+        F.min(F.col("ts").cast("long")).alias("earliest_epoch"),
+        F.max(F.col("ts").cast("long")).alias("latest_epoch"),
+    )
+
+
+ORACLE_EVENTS_FIRST_TOUCH = f"""
+WITH ranked AS (
+  SELECT event_type, value, {_EPOCH} AS sec,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type, count(*) AS n_keys,
+       round(sum(value), 6) AS first_value_sum,
+       min(sec) AS earliest_epoch, max(sec) AS latest_epoch
+FROM ranked WHERE rn = 1 GROUP BY 1
+"""
+
+
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch under the oracle gate (round 14):
+    per-event_type value quantiles via ``percentile_approx`` — Spark's
+    Greenwald-Khanna aggregate, computed as BOUNDED-MEMORY partial
+    sketches per partition and merged, never a per-group sort. At 100
+    TB that is the only shape that works: the exact spelling sorts
+    every group; the sketch ships O(accuracy · log n) summaries
+    through the shuffle. At the driver's scale the chosen accuracy
+    (1e6) exceeds every group size, so GK is in its EXACT regime and
+    the gate pins true discrete quantiles — the estimating regime's
+    rank-error envelope is tested in pytest. Fails closed in-query
+    unless the sketch path equals Spark's own exact sort-based
+    ``percentile_disc`` on every group."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.5, 0.9, 0.99]
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 1000000).alias("p"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr(
+            "array(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), "
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY value), "
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY value))"
+        ).alias("pe")
+    )
+    bad = (
+        sk.join(exact, "event_type")
+        .where(F.col("p") != F.col("pe"))
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"quantile sketch diverged from the exact path on {bad} "
+            "groups at exact-regime accuracy"
+        )
+    return sk.select(
+        "event_type",
+        F.col("p")[0].alias("p50"),
+        F.col("p")[1].alias("p90"),
+        F.col("p")[2].alias("p99"),
+        "n_rows",
+    )
+
+
+ORACLE_EVENTS_QUANTILE_SKETCH = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       count(*) AS n_rows
+FROM events
+GROUP BY 1
+"""
+
+
 def q_dq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream data-quality gate: one aggregation job over one
     scan, long verdict table (check, observed, passed)."""
@@ -617,6 +708,8 @@ EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_rollup": q_daily_rollup,
     "events_asof_join": q_asof_join,
     "events_windowed_counts": q_windowed_counts,
+    "events_first_touch": q_events_first_touch,
+    "events_quantile_sketch": q_events_quantile_sketch,
     "events_interval_join": q_interval_join,
     "events_hourly_cube": q_hourly_cube,
     "events_json_props": q_json_props_stats,
@@ -666,6 +759,8 @@ EVENT_ORACLES: dict[str, str] = {
     "events_asof_join": ORACLE_ASOF,
     "hive_layout_read": ORACLE_HIVE_LAYOUT,
     "events_windowed_counts": ORACLE_WINDOWED,
+    "events_first_touch": ORACLE_EVENTS_FIRST_TOUCH,
+    "events_quantile_sketch": ORACLE_EVENTS_QUANTILE_SKETCH,
     "events_funnel": ORACLE_FUNNEL,
     "events_retention": ORACLE_RETENTION,
     "events_top_users": ORACLE_TOP_USERS,

@@ -243,3 +243,28 @@ def batch_windowed_counts(
             "sum_value",
         )
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming deduplication on ``keys`` with event-time-bounded
+    state (round 14): the first row seen for a key is emitted, later
+    rows are dropped; the watermark EVICTS key state older than the
+    horizon, so memory is bounded by the key arrival rate × watermark
+    — the property that makes dedup runnable on an unbounded stream.
+    (A duplicate arriving later than the watermark can re-emit: the
+    standard streaming-dedup contract; tighten by widening the
+    watermark.) Cross-micro-batch dedup is the load-bearing part —
+    state persists between triggers (pinned in
+    test_streaming.py::test_stream_dedup_drops_cross_batch_duplicates).
+
+    Batch twin for key-set / first-touch semantics:
+    ``operators/sessions.py::first_touch`` (deterministic min-(ts,
+    event_id) representative; a micro-batch may contain its own
+    duplicates in arbitrary order, so only the KEY SET is comparable
+    between the two paths, not the surviving row's payload)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)

@@ -307,3 +307,122 @@ def test_stamp_guard_pure_function_matrix():
     # unparsable naming
     weird = clean + ["data/v00000001/run-3.parquet"]
     assert stamp(weird) == [None] * 4
+
+
+# ---------------------------------------------------------------------
+# round 14: bucket + sort-order composition (VERDICT r13 task #6)
+
+
+def _src_corpus(spark, n=4000):
+    """Repeated bucket keys (32 sources) + a monotone sort column:
+    the Iceberg bucket-transform + sort-order shape."""
+    return spark.range(n).select(
+        F.concat(F.lit("src-"), (F.col("id") % 32).cast("string")).alias(
+            "src"
+        ),
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 3).alias("v"),
+    )
+
+
+@pytest.fixture()
+def sorted_table(spark, tmp_path):
+    path = str(tmp_path / "sb")
+    create_table(
+        _src_corpus(spark),
+        path,
+        bucket_by=("src", 4),
+        sort_within_buckets=["doc_id"],
+        bucket_file_rows=250,
+    )
+    return path
+
+
+def test_sorted_buckets_layout_and_stamps(spark, sorted_table):
+    man = _load_manifest(sorted_table, 1)
+    stamps = [s.get("__bucket") for s in man["file_stats"].values()]
+    assert all(b is not None for b in stamps)
+    assert set(stamps) == set(range(4))
+    # each bucket split into ~1000/250 = 4 slices
+    assert len(man["files"]) >= 8
+    # every slice's doc_id range is NARROW and, within a bucket,
+    # slices are pairwise disjoint (the sorted-split contract)
+    by_bucket = {}
+    for f, s in man["file_stats"].items():
+        by_bucket.setdefault(s["__bucket"], []).append(tuple(s["doc_id"]))
+    for b, ranges in by_bucket.items():
+        ranges.sort()
+        assert len(ranges) >= 2, (b, ranges)
+        for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+            assert ahi < blo, (b, ranges)  # disjoint, ordered
+
+
+def test_sorted_buckets_two_predicate_lookup(spark, sorted_table):
+    # bucket identity alone: all of src-7's bucket's slices
+    bucket_only = files_scanned(sorted_table, prune=("src", "==", "src-7"))
+    total = files_scanned(sorted_table)
+    assert 2 <= bucket_only < total
+    # + a narrow sort-column range: ONE slice
+    preds = [
+        ("src", "==", "src-7"),
+        ("doc_id", ">=", 1000),
+        ("doc_id", "<", 1050),
+    ]
+    both = files_scanned(sorted_table, prune=preds)
+    assert both == 1, (both, bucket_only, total)
+    got = sorted(
+        r.doc_id
+        for r in read_table(spark, sorted_table, prune=preds).collect()
+    )
+    assert got == [i for i in range(1000, 1050) if i % 32 == 7]
+
+
+def test_sorted_buckets_survive_every_rewrite(spark, sorted_table):
+    path = sorted_table
+    # merge an upsert of one source's early rows
+    upd = spark.createDataFrame(
+        [(f"src-7", i, -1) for i in range(7, 200, 32)],
+        "src string, doc_id long, v long",
+    )
+    merge_table(upd, path, "doc_id")
+    append_table(_src_corpus(spark).where(F.col("doc_id") >= 3900), path)
+    update_where(spark, path, ("doc_id", "<", 10), {"v": F.lit(0).cast("long")})
+    delete_where(spark, path, ("doc_id", ">=", 4000))
+    man = _load_manifest(path, _versions(path)[-1])
+    stamps = [s.get("__bucket") for s in man["file_stats"].values()]
+    assert all(b is not None for b in stamps), "a rewrite lost its stamps"
+    preds = [
+        ("src", "==", "src-7"),
+        ("doc_id", ">=", 1000),
+        ("doc_id", "<", 1050),
+    ]
+    assert files_scanned(path, prune=preds) < files_scanned(
+        path, prune=("src", "==", "src-7")
+    )
+    got = sorted(
+        r.doc_id for r in read_table(spark, path, prune=preds).collect()
+    )
+    assert got == [i for i in range(1000, 1050) if i % 32 == 7]
+
+
+def test_sorted_bucket_validation(spark, tmp_path):
+    df = _src_corpus(spark, 40)
+    with pytest.raises(ValueError, match="not in table"):
+        create_table(
+            df, str(tmp_path / "a"), bucket_by=("src", 4),
+            sort_within_buckets=["nope"],
+        )
+    with pytest.raises(ValueError, match="need bucket_by"):
+        create_table(
+            df, str(tmp_path / "b"), sort_within_buckets=["doc_id"]
+        )
+    with pytest.raises(ValueError, match="needs sort_within_buckets"):
+        create_table(
+            df, str(tmp_path / "c"), bucket_by=("src", 4),
+            bucket_file_rows=10,
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        create_table(
+            df, str(tmp_path / "d"), bucket_by=("src", 4),
+            sort_within_buckets=["doc_id"], bucket_file_rows=0,
+        )

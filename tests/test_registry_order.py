@@ -331,6 +331,21 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "merge_update_cols": (
         "test_versioned_update.py::test_merge_update_cols_partial_update"
     ),
+    # round-14 mid-round addition: the two-predicate lookup's rows
+    # recomputed by a closed-form python comprehension, slice
+    # disjointness asserted file-by-file from the manifest
+    "bucketed_sorted_read": (
+        "test_bucketed_table.py::test_sorted_buckets_two_predicate_lookup"
+    ),
+    "events_first_touch": (
+        "test_first_touch.py::test_first_touch_matches_brute_force"
+    ),
+    "events_quantile_sketch": (
+        "test_sketches.py::test_percentile_sketch_exact_regime_and_envelope"
+    ),
+    "heavy_hitters_tokens": (
+        "test_sketches.py::test_heavy_hitters_matches_brute_force"
+    ),
 }
 
 
@@ -344,6 +359,10 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 NEW_THIS_ROUND: dict[str, int] = {
     # (r13's eight additions rotated into the r14 window lead — their
     # exemption is spent; r14 mid-round additions land here)
+    "bucketed_sorted_read": 14,
+    "events_first_touch": 14,
+    "events_quantile_sketch": 14,
+    "heavy_hitters_tokens": 14,
 }
 
 

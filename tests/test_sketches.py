@@ -92,3 +92,101 @@ def test_sketch_estimate_column(tagged):
     }
     for r in ests:
         assert abs(r.e - exact[r.shard]) / exact[r.shard] < 0.05
+
+
+# ---------------------------------------------------------------------
+# round 14: GK quantile sketch + exact heavy hitters
+
+
+def test_percentile_sketch_exact_regime_and_envelope(spark):
+    """GROUND_TRUTH pin for `events_quantile_sketch`: the exact-regime
+    result recomputed by numpy's discrete quantile on the real sf0.001
+    events, plus the estimating regime's rank-error envelope on a
+    crafted stream."""
+    import numpy as np
+
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    got = {
+        r.event_type: (r.p50, r.p90, r.p99, r.n_rows)
+        for r in __import__(
+            "optimal_parallel_fp_growth_spark.queries_events",
+            fromlist=["q_events_quantile_sketch"],
+        ).q_events_quantile_sketch(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        a = np.sort(np.asarray(vals))
+        n = len(a)
+        # discrete quantile: smallest element with rank >= ceil(q*n)
+        exp = tuple(
+            float(a[max(0, int(np.ceil(q * n)) - 1)])
+            for q in (0.5, 0.9, 0.99)
+        )
+        assert got[t][:3] == exp, (t, got[t], exp)
+        assert got[t][3] == n
+    # estimating regime: accuracy B bounds rank error by n/B
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).cast("double").alias("v")
+    )
+    B = 200
+    approx = df.agg(
+        F.percentile_approx("v", [0.5], B).alias("p")
+    ).collect()[0].p[0]
+    # true rank window for eps = 1/B
+    lo = np.quantile(np.arange(1000).repeat(20), 0.5 - 2 / B)
+    hi = np.quantile(np.arange(1000).repeat(20), 0.5 + 2 / B)
+    assert lo <= approx <= hi, (lo, approx, hi)
+
+
+def test_heavy_hitters_matches_brute_force(spark):
+    """GROUND_TRUTH pin for `heavy_hitters_tokens`: the bigram heavy
+    set recomputed by a python Counter on the real sf0.001 corpus, the
+    no-false-negative superset property, and the threshold boundary."""
+    import math
+    from collections import Counter
+
+    from optimal_parallel_fp_growth_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    cnt = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            cnt[f"{a} {b}"] += 1
+    total = sum(cnt.values())
+    theta = 0.005
+    need = math.ceil(theta * total)
+    expected = {k: v for k, v in cnt.items() if v >= need}
+
+    bigrams = docs.select(F.split("text", " ").alias("t")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat(t[i], ' ', t[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    heavy, n_cand, got_total = heavy_hitters(bigrams, "bigram", theta)
+    assert got_total == total
+    got = {r.bigram: r.n for r in heavy.collect()}
+    assert got == expected
+    # candidate list bounded and a true superset of the heavy set
+    assert n_cand <= 1 / (theta / 2)
+    assert set(expected) <= set(got)
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        heavy_hitters(bigrams, "bigram", 1.5)
+    with pytest.raises(ValueError, match="candidate_support"):
+        heavy_hitters(bigrams, "bigram", 0.01, candidate_support=0.5)

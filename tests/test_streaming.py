@@ -270,3 +270,63 @@ def test_video_and_gif_pipelines_are_streaming_compatible(spark, sf_small):
         )
         want = {tuple(r) for r in batch.collect()}
         assert got == want and len(want) > 0
+
+
+def test_stream_dedup_key_set_matches_batch_first_touch(spark, sf_small):
+    from optimal_parallel_fp_growth_spark.operators.sessions import (
+        first_touch,
+    )
+    from optimal_parallel_fp_growth_spark.streaming.events import stream_dedup
+
+    st = stream_dedup(stream_events(spark, sf_small))
+    run_to_memory(st, "dedup_stream", output_mode="append")
+    got = {
+        (r.user_id, r.event_type)
+        for r in spark.table("dedup_stream").collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in first_touch(load_table(spark, sf_small, "events")).collect()
+    }
+    assert got == want and len(want) > 0
+    # exactly one surviving row per key
+    assert spark.table("dedup_stream").count() == len(want)
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """The load-bearing property: dedup state PERSISTS between
+    micro-batches. Two files, one file per trigger: the batch-2
+    duplicate of a batch-1 key must be dropped, the batch-2 fresh key
+    kept — and the survivor is deterministically the batch-1 row
+    (micro-batches execute in file order)."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.streaming.events import stream_dedup
+
+    d = pathlib.Path(tmp_path) / "stream"
+    d.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "view", 10, 1.0)],
+        "user_id long, event_type string, event_id long, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1000)))
+    b2 = spark.createDataFrame(
+        [(1, "view", 20, 2.0), (2, "view", 30, 3.0)],
+        "user_id long, event_type string, event_id long, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(2000)))
+    b1.coalesce(1).write.parquet(str(d / "a_batch1"))
+    b2.coalesce(1).write.parquet(str(d / "b_batch2"))
+    schema = spark.read.parquet(str(d / "a_batch1")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*/")
+    )
+    st = stream_dedup(src, ["user_id", "event_type"], watermark="1 hour")
+    run_to_memory(st, "xbatch_dedup", output_mode="append")
+    rows = {
+        (r.user_id, r.event_type): r.event_id
+        for r in spark.table("xbatch_dedup").collect()
+    }
+    assert rows == {(1, "view"): 10, (2, "view"): 30}
