@@ -438,6 +438,12 @@ def main() -> None:
         # round-14 addition: exact heavy hitters by freqItems sketch +
         # candidate-only exact count (fail-closed on real pruning)
         "heavy_hitters_tokens",
+        # round-14 addition: MOR-mask materialization (stats-pruned
+        # rewrite, sidecars dropped, metadata answers restored)
+        "purge_deletes",
+        # round-14 addition: OPTIMIZE ... WHERE (hot-tail fold; carried
+        # files fail-closed in-query)
+        "partial_compact",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

@@ -456,7 +456,7 @@ QUERIES.update(REL_QUERIES)
 # Rotation-capacity ceiling (VERDICT r13 task #2): at 148 entries the
 # 50-slot window could no longer cover steady demand plus the pinned
 # tier's lumpy cap-4 debt — an EDF simulation shows the schedule going
-# infeasible at r18 with NO retirement, and feasible through r25 WITH
+# infeasible at r18 with NO retirement, and feasible through r23 WITH
 # the retirement pipeline at the observed ~8 additions/round
 # (tests/test_registry_order.py::test_rotation_capacity_is_sustainable
 # re-runs that simulation every pytest). The mechanism: an entry
@@ -642,6 +642,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_first_touch",
     "events_quantile_sketch",
     "heavy_hitters_tokens",
+    "purge_deletes",
+    "partial_compact",
     # ---- retired tier (47) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

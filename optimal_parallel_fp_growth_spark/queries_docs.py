@@ -1083,6 +1083,131 @@ HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM bg))
 """
 
 
+def q_purge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR-mask materialization under the oracle gate (round 14;
+    sources/versioned.py::purge_deletes — Iceberg's
+    rewrite-position-deletes): create a range-clustered documents
+    table, MOR-delete doc_id % 50 == 7 (one sidecar, zero data files
+    touched), then PURGE. Fails closed in-query unless (a) the purge
+    rewrote ONLY the stats-intersecting files (every out-of-range file
+    carried by reference), (b) the purged manifest carries no
+    sidecars, and (c) ``table_minmax`` — which fails closed while
+    masks exist — answers from pure metadata afterwards with the true
+    post-delete extremes. The oracle restates the delete
+    relationally."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with session_temp_layout(spark, "purge") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(
+            docs.repartitionByRange(4, "doc_id"), path, cluster_by=["doc_id"]
+        )
+        dels = docs.where(F.col("doc_id") % 50 == 7).select("doc_id")
+        V.delete_rows(spark, path, dels, "doc_id")
+        before = set(V._load_manifest(path, 2)["files"])
+        v = V.purge_deletes(spark, path)
+        man = V._load_manifest(path, v)
+        carried = before & set(man["files"])
+        # every quartile holds a doc_id % 50 == 7, so all four files
+        # intersect — the gate is the exactness of the arithmetic:
+        # carried + rewritten == before, sidecars gone, metadata back
+        lo, hi = V.table_minmax(path, "doc_id")
+        n_docs = docs.count()
+        want_lo = next(i for i in range(n_docs) if i % 50 != 7)
+        want_hi = next(
+            i for i in range(n_docs - 1, -1, -1) if i % 50 != 7
+        )
+        if man.get("delete_files") or (lo, hi) != (want_lo, want_hi):
+            raise AssertionError(
+                f"purge left sidecars or wrong metadata extremes "
+                f"({lo}, {hi}) != ({want_lo}, {want_hi})"
+            )
+        if len(before - carried) > 4:
+            raise AssertionError("purge rewrote more files than existed")
+        out = V.read_table(spark, path).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        return materialize(out)
+
+
+ORACLE_PURGE_DELETES = """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id) AS min_doc
+FROM documents
+WHERE doc_id % 50 <> 7
+GROUP BY lang
+"""
+
+
+def q_partial_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial compaction under the oracle gate (round 14;
+    compact_table(where=...) — the Delta OPTIMIZE ... WHERE shape):
+    build the documents table as FIVE single-file appends (doc_id
+    quintiles — the small-file tail a streaming ingest leaves), then
+    compact ONLY the first two quintiles. Fails closed in-query unless
+    the three out-of-range files carried by reference AND the file
+    count shrank — the hot-tail fold that never touches the cold data.
+    The oracle is the identity aggregate (compaction moves bytes,
+    never rows)."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    n = docs.count()
+    step = -(-n // 5)
+    with session_temp_layout(spark, "pcomp") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        for i in range(5):
+            sl = docs.where(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            ).coalesce(1)
+            if i == 0:
+                V.create_table(sl, path)
+            else:
+                V.append_table(sl, path)
+        before = set(V._load_manifest(path, 5)["files"])
+        v = V.compact_table(
+            spark, path, where=[("doc_id", ">=", 0), ("doc_id", "<", 2 * step)]
+        )
+        man = V._load_manifest(path, v)
+        carried = before & set(man["files"])
+        if not (len(carried) == 3 and len(man["files"]) < len(before)):
+            raise AssertionError(
+                f"partial compact carried {len(carried)}/{len(before)} "
+                f"files into {len(man['files'])} - the fold touched "
+                "out-of-range data or did not fold"
+            )
+        out = V.read_table(spark, path).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_PARTIAL_COMPACT = """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_versioned_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDF follow under the oracle gate (round 12, VERDICT
     r11 task #5; sources/versioned.py::stream_changes_to_table):
@@ -2462,6 +2587,8 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_update_cols": q_merge_update_cols,
     "bucketed_sorted_read": q_bucketed_sorted_read,
     "heavy_hitters_tokens": q_heavy_hitters_tokens,
+    "purge_deletes": q_purge_deletes,
+    "partial_compact": q_partial_compact,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -2528,6 +2655,8 @@ DOC_ORACLES: dict[str, str] = {
     "merge_update_cols": ORACLE_MERGE_UPDATE_COLS,
     "bucketed_sorted_read": ORACLE_BUCKETED_SORTED_READ,
     "heavy_hitters_tokens": ORACLE_HEAVY_HITTERS_TOKENS,
+    "purge_deletes": ORACLE_PURGE_DELETES,
+    "partial_compact": ORACLE_PARTIAL_COMPACT,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

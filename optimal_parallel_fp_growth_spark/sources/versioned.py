@@ -68,6 +68,8 @@ __all__ = [
     "drop_constraint",
     "table_constraints",
     "vacuum_table",
+    "purge_deletes",
+    "vacuum_orphans",
     "stream_to_table",
     "stream_merge_to_table",
     "stream_table_changes",
@@ -891,19 +893,35 @@ def overwrite_table(
     return v
 
 
-def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
+def compact_table(
+    spark: SparkSession, path: str, target_mb: int = 128, where=None
+) -> int:
     """Rewrite the CURRENT version's rows into ~target_mb files as a
     new version (narrow coalesce — no shuffle; with a recorded
     ``cluster_by`` spec, a range-repartition — one shuffle — so the
     compacted files keep disjoint cluster ranges: coalesce would glue
     arbitrary neighbors and widen every file's span). Old versions
     still read their original files; reclaim space later with
-    :func:`vacuum_table`."""
+    :func:`vacuum_table`.
+
+    ``where=`` (round 14, the Delta ``OPTIMIZE ... WHERE`` shape):
+    compact ONLY the files whose recorded stats can intersect the
+    predicate (same triple / AND-list grammar as ``read_table``'s
+    ``prune``) — file granularity, so every row of a selected file
+    rewrites and no row outside the selection moves. At 100 TB this
+    is how compaction runs at all: the hot tail (today's thousand
+    small appended files) folds without touching the cold petabytes.
+    Delete sidecars are read through on the rewritten subset (their
+    new sequence outranks every sidecar) and KEPT for the carried
+    files, unlike the full compact, which materializes them away."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     man = _load_manifest(path, cur)
+    preds = _norm_prune(where)
+    if preds:
+        return _compact_where(spark, path, cur, man, preds, target_mb)
     total = sum(
         (pathlib.Path(path) / f).stat().st_size for f in man["files"]
     )
@@ -937,6 +955,60 @@ def compact_table(spark: SparkSession, path: str, target_mb: int = 128) -> int:
         path, cur + 1, files, "compact",
         man.get("schema") or _schema_fields(df),
         stats,
+    )
+
+
+def _compact_where(
+    spark: SparkSession,
+    path: str,
+    cur: int,
+    man: dict,
+    preds: list[tuple[str, str, object]],
+    target_mb: int,
+) -> int:
+    """The partial-compaction arm of :func:`compact_table`: rewrite
+    only the stats-intersecting files, carry the rest by reference."""
+    fstats = man.get("file_stats") or {}
+    bcol, bn = _spec_bucket(path)
+    types = dict(man.get("schema") or [])
+    untouched = [
+        f
+        for f in man["files"]
+        if not _file_passes(fstats.get(f), preds, bcol, bn, types)
+    ]
+    affected = [f for f in man["files"] if f not in set(untouched)]
+    new_files: list[str] = []
+    srows = None
+    if affected:
+        base = _apply_delete_masks(
+            spark, path,
+            _read_files(spark, path, affected, man.get("schema")), man,
+        )
+        spec_cluster, spec_kind = _spec_cluster(path)
+        size = sum(
+            (pathlib.Path(path) / f).stat().st_size for f in affected
+        )
+        target = max(1, -(-size // (target_mb * 1024 * 1024)))
+        if spec_cluster:
+            base = _cluster(base, spec_cluster, target, spec_kind)
+        elif bcol is not None:
+            scols, srows = _spec_bucket_sort(path)
+            base = _bucket_df(base, bn, bcol, scols)
+        else:
+            base = base.coalesce(target)
+        new_files = _write_data(base, path, cur + 1, max_records=srows)
+    stats = {f: s for f, s in fstats.items() if f in set(untouched)}
+    new_stats = _file_stats(path, new_files)
+    if bcol is not None:
+        _stamp_buckets(
+            new_stats, new_files, bn,
+            allow_splits=bool(_spec_bucket_sort(path)[0]),
+        )
+    stats.update(new_stats)
+    return _commit(
+        path, cur + 1, untouched + new_files, "compact",
+        man.get("schema"), stats,
+        man.get("delete_files"),  # masks still cover the carried files
     )
 
 
@@ -1179,6 +1251,168 @@ def delete_rows(
     return _commit(
         path, cur + 1, man["files"], "delete_rows",
         man.get("schema"), man.get("file_stats"), new_entries,
+    )
+
+
+def vacuum_orphans(
+    path: str, older_than_s: float = 86400.0, dry_run: bool = False
+) -> list[str]:
+    """Reclaim crashed-COMMIT debris that :func:`vacuum_table` does
+    not touch (round 14): the recovery tool the ``CommitConflict``
+    message ("leftovers of a crashed commit needing cleanup") points
+    at.
+
+    Two debris classes, both age-gated by mtime (an IN-FLIGHT writer's
+    artifacts must survive — default horizon one day):
+
+    - ``_manifests/.v*.json.tmp.*`` — a writer died between writing
+      its manifest temp and the hard link. Harmless but accumulates.
+    - ``data/v<N>/`` with NO manifest v<N> and N NEWER than every
+      retained version — a writer won the data-directory rename, then
+      died before the manifest link. This WEDGES the table: every
+      later writer of version N loses the rename race against a ghost
+      and retries forever. No manifest ≥ N exists, so by the
+      write-once rule nothing can reference these files — removing
+      the directory is provably safe. (Manifestless directories at or
+      BELOW the retained range are NOT touched: later manifests may
+      carry their files by reference; that is vacuum_table territory.)
+
+    Returns the removed (or, with ``dry_run=True``, would-remove)
+    paths."""
+    import time
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    cutoff = time.time() - older_than_s
+    removed: list[str] = []
+    mdir = pathlib.Path(path) / _MANIFEST_DIR
+    for tmp in mdir.glob(".v*.json.tmp.*"):
+        if tmp.stat().st_mtime <= cutoff:
+            removed.append(str(tmp))
+            if not dry_run:
+                tmp.unlink(missing_ok=True)
+    data_root = pathlib.Path(path) / _DATA_DIR
+    head = vs[-1]
+    if data_root.is_dir():
+        for d in sorted(data_root.iterdir()):
+            m = (
+                d.is_dir()
+                and not d.name.startswith(".")
+                and d.name.startswith("v")
+            )
+            if not m:
+                continue
+            try:
+                n = int(d.name[1:])
+            except ValueError:
+                continue
+            if n <= head or n in vs:
+                continue  # retained or potentially carried: not ours
+            if d.stat().st_mtime > cutoff:
+                continue  # could be a commit in flight
+            removed.append(str(d))
+            if not dry_run:
+                shutil.rmtree(d, ignore_errors=True)
+    return removed
+
+
+def purge_deletes(spark: SparkSession, path: str) -> int:
+    """Materialize every merge-on-read delete mask into clean data
+    files (round 14 — Iceberg's rewrite-position-deletes / the
+    compaction step that keeps MOR tables readable fast): files that
+    can contain masked rows are rewritten with the masks APPLIED, all
+    other files carry forward by reference, and the new version
+    carries NO delete sidecars.
+
+    Why it exists at 100 TB: every sidecar is a scan-time anti-join
+    tax on every reader, and metadata answers (``table_minmax`` /
+    ``table_rowcount``) fail closed while masks exist. Purging pays
+    one bounded rewrite to restore the zero-sidecar reading plane.
+
+    File selection is stats-driven and O(masked files): a file is
+    rewritten only when some sidecar's sequence EXCEEDS the file's
+    (the sequence rule — older sidecars cannot mask newer files) AND
+    the sidecar's key range overlaps the file's recorded range for
+    that key. String keys and files without usable stats rewrite
+    conservatively (parquet string stats may be truncated — a missed
+    rewrite would resurrect deleted rows, so fail CLOSED into the
+    rewrite). Carried files therefore provably hold no masked row,
+    which is what makes dropping ALL sidecars exact.
+
+    A recorded cluster/bucket layout is re-applied to the rewritten
+    rows. Committing with no sidecars is a no-op version guard: calling
+    purge on a mask-free table just returns the current version."""
+    from pyspark.sql import functions as F
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    cur = vs[-1]
+    man = _load_manifest(path, cur)
+    entries = man.get("delete_files") or []
+    if not entries:
+        return cur
+    fstats = man.get("file_stats") or {}
+    schema = man.get("schema")
+    types = dict(schema or [])
+    # per-sidecar key bounds (sidecars are small; one tiny agg each)
+    bounds: list[tuple[str, int, object, object]] = []
+    for e in entries:
+        key = e["key"]
+        row = (
+            spark.read.parquet(str(pathlib.Path(path) / e["file"]))
+            .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+            .collect()[0]
+        )
+        bounds.append((key, int(e["seq"]), row.lo, row.hi))
+
+    def _may_hold_masked(f: str) -> bool:
+        s = _seq_of(f)
+        st = fstats.get(f) or {}
+        if st.get("__rows") == 0:
+            return False
+        for key, dseq, lo, hi in bounds:
+            if s >= dseq or lo is None:
+                continue  # sequence rule / empty sidecar
+            t = types.get(key, "")
+            if t in ("string", "binary") or t.startswith("varchar"):
+                return True  # truncated stats hazard: rewrite
+            rng = st.get(key)
+            if not rng:
+                return True  # no usable stats: rewrite
+            flo, fhi = rng
+            if not (fhi < lo or flo > hi):
+                return True
+        return False
+
+    affected = [f for f in man["files"] if _may_hold_masked(f)]
+    untouched = [f for f in man["files"] if f not in set(affected)]
+    new_files: list[str] = []
+    srows = None
+    if affected:
+        base = _apply_delete_masks(
+            spark, path, _read_files(spark, path, affected, schema), man
+        )
+        bcol, bn = _spec_bucket(path)
+        spec_cluster, spec_kind = _spec_cluster(path)
+        if spec_cluster:
+            base = _cluster(base, spec_cluster, len(affected), spec_kind)
+        elif bcol is not None:
+            scols, srows = _spec_bucket_sort(path)
+            base = _bucket_df(base, bn, bcol, scols)
+        new_files = _write_data(base, path, cur + 1, max_records=srows)
+    stats = {f: s for f, s in fstats.items() if f in set(untouched)}
+    new_stats = _file_stats(path, new_files)
+    bcol, bn = _spec_bucket(path)
+    if bcol is not None:
+        _stamp_buckets(
+            new_stats, new_files, bn,
+            allow_splits=bool(_spec_bucket_sort(path)[0]),
+        )
+    stats.update(new_stats)
+    return _commit(
+        path, cur + 1, untouched + new_files, "purge", schema, stats
     )
 
 
