@@ -644,6 +644,7 @@ _DRIVER_PRIORITY: list[str] = [
     "heavy_hitters_tokens",
     "purge_deletes",
     "partial_compact",
+    "schema_evolution_read",
     # ---- retired tier (47) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

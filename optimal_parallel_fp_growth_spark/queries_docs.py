@@ -1208,6 +1208,83 @@ GROUP BY lang
 """
 
 
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution under the oracle gate (round 14;
+    sources/versioned.py::rename_column/add_column — the Delta/Iceberg
+    ALTER TABLE tier): create the first half of the documents table,
+    RENAME n_chars → chars and ADD a quality column (two commits that
+    move ZERO data files — asserted on the manifests), then append the
+    second half under the evolved schema. The read must reconcile both
+    eras: pre-rename files serve `chars` through the manifest rename
+    chain's alias coalesce, and serve `quality` as typed NULL. Fails
+    closed in-query unless (a) both DDL commits carried the file list
+    IDENTICALLY (metadata-only), and (b) `table_minmax` answers the
+    renamed column from pure manifest stats across BOTH eras (the
+    stats re-key). The oracle restates the era split with CASE."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    n = docs.count()
+    half = n // 2
+    lo, hi = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    ).collect()[0]
+    with session_temp_layout(spark, "sevo") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(
+            docs.where(F.col("doc_id") < half).repartitionByRange(
+                2, "doc_id"
+            ),
+            path,
+        )
+        V.rename_column(path, "n_chars", "chars")
+        V.add_column(path, "quality", "double")
+        f1 = V._load_manifest(path, 1)["files"]
+        f2 = V._load_manifest(path, 2)["files"]
+        f3 = V._load_manifest(path, 3)["files"]
+        V.append_table(
+            docs.where(F.col("doc_id") >= half).select(
+                "doc_id",
+                "lang",
+                F.col("n_chars").alias("chars"),
+                (F.col("n_chars") % 7).cast("double").alias("quality"),
+            ),
+            path,
+        )
+        mm = V.table_minmax(path, "chars")
+        if not (f1 == f2 == f3 and mm == (lo, hi)):
+            raise AssertionError(
+                f"schema DDL moved data (files {len(f1)}/{len(f2)}/"
+                f"{len(f3)}) or stats re-key broke (minmax {mm} != "
+                f"({lo}, {hi}))"
+            )
+        out = V.read_table(spark, path).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+            F.count("quality").alias("n_quality"),
+            F.round(F.sum("quality"), 6).alias("sum_quality"),
+        )
+        return materialize(out)
+
+
+ORACLE_SCHEMA_EVOLUTION_READ = """
+WITH half AS (SELECT count(*) // 2 AS h FROM documents)
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       count(CASE WHEN doc_id >= h THEN 1 END) AS n_quality,
+       round(sum(CASE WHEN doc_id >= h
+                      THEN (n_chars % 7)::DOUBLE END), 6) AS sum_quality
+FROM documents, half
+GROUP BY lang
+"""
+
+
 def q_versioned_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDF follow under the oracle gate (round 12, VERDICT
     r11 task #5; sources/versioned.py::stream_changes_to_table):
@@ -2589,6 +2666,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_tokens": q_heavy_hitters_tokens,
     "purge_deletes": q_purge_deletes,
     "partial_compact": q_partial_compact,
+    "schema_evolution_read": q_schema_evolution_read,
     "html_extract": q_html_extract,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -2657,6 +2735,7 @@ DOC_ORACLES: dict[str, str] = {
     "heavy_hitters_tokens": ORACLE_HEAVY_HITTERS_TOKENS,
     "purge_deletes": ORACLE_PURGE_DELETES,
     "partial_compact": ORACLE_PARTIAL_COMPACT,
+    "schema_evolution_read": ORACLE_SCHEMA_EVOLUTION_READ,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

@@ -70,6 +70,9 @@ __all__ = [
     "vacuum_table",
     "purge_deletes",
     "vacuum_orphans",
+    "add_column",
+    "drop_column",
+    "rename_column",
     "stream_to_table",
     "stream_merge_to_table",
     "stream_table_changes",
@@ -362,7 +365,9 @@ def _check_schema(df: DataFrame, path: str, version: int) -> None:
 
 
 def _merge_schema(
-    want: list[list[str]], got: list[list[str]]
+    want: list[list[str]],
+    got: list[list[str]],
+    man: dict | None = None,
 ) -> list[list[str]]:
     """Iceberg-style ADDITIVE schema evolution, name-matched: columns
     shared by table and append must agree on type (a silent type
@@ -371,6 +376,19 @@ def _merge_schema(
     new files simply lack some columns — reads fill nulls). Column
     order in the append is irrelevant: identity is the NAME."""
     want_types = {n: t for n, t in want}
+    if man is not None:
+        graveyard = (
+            {a for a, _ in man.get("renames") or []}
+            | {b for _, b in man.get("renames") or []}
+            | set(man.get("dropped") or [])
+        ) - set(want_types)
+        clash = sorted({n for n, _ in got} & graveyard)
+        if clash:
+            raise ValueError(
+                f"evolve append re-adds historical column name(s) "
+                f"{clash}: name reuse would resurrect old files' bytes "
+                "(pick fresh names)"
+            )
     for n, t in got:
         if n in want_types and want_types[n] != t:
             raise ValueError(
@@ -382,19 +400,50 @@ def _merge_schema(
     ]
 
 
-def _align_to_schema(df: DataFrame, schema: list[list[str]]) -> DataFrame:
+def _align_to_schema(
+    df: DataFrame,
+    schema: list[list[str]],
+    renames: list[list[str]] | None = None,
+) -> DataFrame:
     """Project ``df`` to the manifest schema: columns in manifest
     order, absent ones as typed nulls — how a reader sees files
-    written before a column existed."""
+    written before a column existed.
+
+    ``renames`` is the manifest's rename chain (round-14 schema
+    evolution): a logical column renamed at version R is physically
+    named by its OLD name in files written before R, so the logical
+    value is the COALESCE over the column's name history restricted
+    to names the merged read actually surfaced. Sound because (a) a
+    file carries exactly ONE physical name per logical column, so at
+    most one alias is non-null per row, and (b) name REUSE is banned
+    at DDL time (the ``dropped`` graveyard + chain-membership checks)
+    — no physical name can ever mean two different logical columns."""
     from pyspark.sql import functions as F
 
     have = set(df.columns)
-    return df.select(
-        *[
-            (F.col(n) if n in have else F.lit(None)).cast(t).alias(n)
-            for n, t in schema
-        ]
-    )
+    ancestors: dict[str, list[str]] = {}
+    if renames:
+        rev = {to: frm for frm, to in renames}
+        for n, _ in schema:
+            chain = []
+            cur = n
+            while cur in rev:
+                cur = rev[cur]
+                chain.append(cur)
+            if chain:
+                ancestors[n] = chain
+    cols = []
+    for n, t in schema:
+        names = [c for c in [n, *ancestors.get(n, [])] if c in have]
+        if not names:
+            cols.append(F.lit(None).cast(t).alias(n))
+        elif len(names) == 1:
+            cols.append(F.col(names[0]).cast(t).alias(n))
+        else:
+            cols.append(
+                F.coalesce(*[F.col(c) for c in names]).cast(t).alias(n)
+            )
+    return df.select(*cols)
 
 
 def _commit(
@@ -405,6 +454,8 @@ def _commit(
     schema: list[list[str]] | None = None,
     file_stats: dict[str, dict] | None = None,
     delete_files: list[dict] | None = None,
+    renames: list[list[str]] | None = None,
+    dropped: list[str] | None = None,
 ) -> int:
     """Atomically birth ``version`` via an ATOMIC-CREATE-EXCLUSIVE
     primitive; raises FileExistsError on a concurrent commit of the
@@ -424,6 +475,22 @@ def _commit(
         _seq_of(rel)
     mdir = pathlib.Path(path) / _MANIFEST_DIR
     mdir.mkdir(parents=True, exist_ok=True)
+    # the rename chain and dropped-name graveyard (round-14 schema
+    # evolution) are LOAD-BEARING for reading pre-rename files, so they
+    # ride IN the manifest — atomic with the commit, never a sidecar
+    # property a crash could decouple. Writers don't thread them: each
+    # commit inherits its predecessor's unless the DDL overrides.
+    if renames is None or dropped is None:
+        try:
+            prev = (
+                _load_manifest(path, version - 1) if version > 1 else {}
+            )
+        except FileNotFoundError:
+            prev = {}  # first commit of a clone lands mid-sequence
+        if renames is None:
+            renames = prev.get("renames") or []
+        if dropped is None:
+            dropped = prev.get("dropped") or []
     manifest = {
         "version": version,
         "op": op,
@@ -431,6 +498,8 @@ def _commit(
         "schema": schema,
         "file_stats": file_stats or {},
         "delete_files": delete_files or [],
+        "renames": renames,
+        "dropped": dropped,
         "committed_at": time.time(),
     }
     tmp = mdir / f".v{version:08d}.json.tmp.{os.getpid()}"
@@ -788,7 +857,7 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
     cur = vs[-1]
     man = _load_manifest(path, cur)
     if evolve and man.get("schema") is not None:
-        schema = _merge_schema(man["schema"], _schema_fields(df))
+        schema = _merge_schema(man["schema"], _schema_fields(df), man)
     else:
         _check_schema(df, path, cur)
         schema = man.get("schema") or _schema_fields(df)
@@ -982,7 +1051,11 @@ def _compact_where(
     if affected:
         base = _apply_delete_masks(
             spark, path,
-            _read_files(spark, path, affected, man.get("schema")), man,
+            _read_files(
+                spark, path, affected, man.get("schema"),
+                man.get("renames"),
+            ),
+            man,
         )
         spec_cluster, spec_kind = _spec_cluster(path)
         size = sum(
@@ -1126,17 +1199,19 @@ def _read_files(
     path: str,
     files: list[str],
     schema: list[list[str]] | None,
+    renames: list[list[str]] | None = None,
 ) -> DataFrame:
     """Read a manifest's file list under its MANIFEST schema: files
     written before a schema-evolving append lack the newer columns, so
     the read merges file schemas and aligns to the manifest (missing
-    columns become typed nulls). For a never-evolved table this is the
-    plain read plus a no-op projection."""
+    columns become typed nulls; renamed columns coalesce over their
+    name history — see _align_to_schema). For a never-evolved table
+    this is the plain read plus a no-op projection."""
     paths = [str(pathlib.Path(path) / f) for f in files]
     if schema is None:
         return spark.read.parquet(*paths)
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    return _align_to_schema(df, schema)
+    return _align_to_schema(df, schema, renames)
 
 
 # ---------------------------------------------------------------------------
@@ -1171,6 +1246,31 @@ def _seq_of(rel_file: str) -> int:
     return int(m.group(1))
 
 
+def _resolve_mask_key(
+    key: str, columns, renames: list[list[str]] | None
+) -> str:
+    """A delete sidecar records its key column's name AT DELETE TIME
+    (the sidecar file's physical column, immutable); a later
+    rename_column moves the logical column out from under it. Walk
+    the rename chain FORWARD until the name exists in the frame being
+    masked — time travel lands on the era-correct name because the
+    walk stops at the first present one."""
+    have = set(columns)
+    fwd = dict(renames or [])
+    seen = set()
+    cur = key
+    while cur not in have and cur in fwd and cur not in seen:
+        seen.add(cur)
+        cur = fwd[cur]
+    if cur not in have:
+        raise ValueError(
+            f"delete-mask key {key!r} resolves to no current column - "
+            "the masked column was dropped; purge_deletes before "
+            "dropping a mask key"
+        )
+    return cur
+
+
 def _apply_delete_masks(
     spark: SparkSession, path: str, df: DataFrame, man: dict
 ) -> DataFrame:
@@ -1178,7 +1278,8 @@ def _apply_delete_masks(
     anti-join each delete sidecar's keys with the sequence predicate
     ``sidecar.seq > row.file_seq``. The row's file sequence comes from
     ``input_file_name`` (evaluated at the scan), so one pass masks a
-    multi-file read correctly."""
+    multi-file read correctly. Sidecar key names written before a
+    rename resolve forward through the manifest's chain."""
     entries = man.get("delete_files") or []
     if not entries:
         return df
@@ -1189,6 +1290,7 @@ def _apply_delete_masks(
         "__seq",
         F.regexp_extract(F.input_file_name(), r"/v(\d{8})/", 1).cast("long"),
     )
+    renames = man.get("renames")
     by_key: dict[str, list[dict]] = {}
     for e in entries:
         by_key.setdefault(e["key"], []).append(e)
@@ -1203,10 +1305,11 @@ def _apply_delete_masks(
         kd = parts[0]
         for p in parts[1:]:
             kd = kd.unionByName(p)
+        cur_key = _resolve_mask_key(key_col, out_cols, renames)
         masked = masked.alias("d").join(
             kd.alias("k"),
             on=(
-                (F.col(f"d.{key_col}") == F.col("k.__delk"))
+                (F.col(f"d.{cur_key}") == F.col("k.__delk"))
                 & (F.col("k.__delseq") > F.col("d.__seq"))
             ),
             how="left_anti",
@@ -1251,6 +1354,190 @@ def delete_rows(
     return _commit(
         path, cur + 1, man["files"], "delete_rows",
         man.get("schema"), man.get("file_stats"), new_entries,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution DDL (round 14 — the Delta/Iceberg ALTER TABLE tier).
+#
+# All three are METADATA-ONLY commits: zero data files move. Readers
+# reconcile old files through the manifest's rename chain
+# (_align_to_schema's alias coalesce); added columns read as typed
+# nulls from older files (the alignment that already served evolve
+# appends); dropped columns are projected away while their bytes stay
+# until a rewrite. The chain and the dropped-name graveyard ride IN
+# the manifest (atomic with the commit, inherited by every later
+# commit), which is also what makes time travel exact: version v reads
+# with v's schema and v's chain.
+#
+# Name REUSE is banned forever (add/rename reject any name ever seen
+# in the schema, the chain, or the graveyard): with name-based file
+# mapping, re-adding a once-used name would resurrect the old files'
+# bytes under the new column — the classic name-mapping corruption;
+# Iceberg ducks it with field IDs, we duck it by refusing.
+
+_IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+_ADDABLE_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "boolean", "date", "timestamp", "binary",
+)
+
+
+def _ddl_state(path: str) -> tuple[int, dict, list, list, set]:
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    cur = vs[-1]
+    man = _load_manifest(path, cur)
+    if man.get("schema") is None:
+        raise ValueError(
+            f"table at {path} predates schema manifests - rewrite it "
+            "(overwrite_table) before schema DDL"
+        )
+    renames = list(man.get("renames") or [])
+    dropped = list(man.get("dropped") or [])
+    universe = (
+        {c for c, _ in man["schema"]}
+        | {a for a, _ in renames}
+        | {b for _, b in renames}
+        | set(dropped)
+    )
+    return cur, man, renames, dropped, universe
+
+
+def _spec_refs(path: str, col: str) -> list[str]:
+    """Which recorded table properties reference ``col`` — layout and
+    constraints must not drift from the schema, so DDL on a referenced
+    column is rejected (drop the property first, fail-closed)."""
+    import re
+
+    spec = _table_spec(path)
+    refs = []
+    if col in (spec.get("cluster_by") or []):
+        refs.append("cluster_by")
+    b = spec.get("bucket_by") or {}
+    if b.get("col") == col:
+        refs.append("bucket_by")
+    if col in (b.get("sort") or []):
+        refs.append("sort_within_buckets")
+    for name, expr in (spec.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(col)}\b", expr):
+            refs.append(f"constraint {name!r}")
+    return refs
+
+
+def add_column(path: str, name: str, dtype: str) -> int:
+    """ALTER TABLE ADD COLUMN as a metadata-only commit: the schema
+    gains ``name`` at the end; every existing file reads as typed
+    NULL there (exactly how evolve-append files already present to
+    pre-evolution readers). O(1) in the table size."""
+    import re
+
+    cur, man, renames, dropped, universe = _ddl_state(path)
+    if not re.fullmatch(_IDENT_RE, name):
+        raise ValueError(f"column name {name!r} is not a plain identifier")
+    if name in universe:
+        raise ValueError(
+            f"column name {name!r} was already used in this table's "
+            "history (name reuse would resurrect old files' bytes)"
+        )
+    if dtype not in _ADDABLE_TYPES and not re.fullmatch(
+        r"decimal\(\d+,\s*\d+\)", dtype
+    ):
+        raise ValueError(
+            f"add_column type {dtype!r} not supported: one of "
+            f"{_ADDABLE_TYPES} or decimal(p,s)"
+        )
+    schema = [list(x) for x in man["schema"]] + [[name, dtype]]
+    return _commit(
+        path, cur + 1, man["files"], "add_column", schema,
+        man.get("file_stats"), man.get("delete_files"),
+        renames=renames, dropped=dropped,
+    )
+
+
+def drop_column(path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN as a metadata-only commit: the column
+    leaves the schema (readers project it away; the bytes remain in
+    existing files until a rewrite — time travel still shows them).
+    The name enters the graveyard forever (reuse ban above). Rejected
+    while a table property references the column, when it is the LAST
+    column, or while any delete sidecar keys on it (the mask would
+    become unappliable and silently resurrect rows — purge_deletes
+    first)."""
+    cur, man, renames, dropped, universe = _ddl_state(path)
+    cols = [c for c, _ in man["schema"]]
+    if name not in cols:
+        raise ValueError(f"{name!r} is not a table column")
+    if len(cols) == 1:
+        raise ValueError("cannot drop the last column")
+    refs = _spec_refs(path, name)
+    if refs:
+        raise ValueError(
+            f"cannot drop {name!r}: referenced by {', '.join(refs)}"
+        )
+    fwd = dict(renames)
+    for e in man.get("delete_files") or []:
+        k = e["key"]
+        seen = set()
+        while k in fwd and k not in cols and k not in seen:
+            seen.add(k)
+            k = fwd[k]
+        if k == name:
+            raise ValueError(
+                f"cannot drop {name!r}: a merge-on-read delete sidecar "
+                "keys on it; purge_deletes first"
+            )
+    schema = [[c, t] for c, t in man["schema"] if c != name]
+    stats = {
+        f: {k: v for k, v in s.items() if k != name}
+        for f, s in (man.get("file_stats") or {}).items()
+    }
+    return _commit(
+        path, cur + 1, man["files"], "drop_column", schema, stats,
+        man.get("delete_files"),
+        renames=renames, dropped=dropped + [name],
+    )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN as a metadata-only commit: the chain
+    entry [old, new] rides in the manifest, and readers COALESCE the
+    logical column over its name history (pre-rename files carry the
+    old physical name; files written afterwards the new — a rewrite
+    migrates rows to the new name as a side effect). Manifest stats
+    re-key to the new name so pruning keeps biting on old files.
+    Rejected while a table property references the column (layout and
+    constraint SQL must not drift — drop the property first), and for
+    any target name ever used before (reuse ban)."""
+    import re
+
+    cur, man, renames, dropped, universe = _ddl_state(path)
+    cols = [c for c, _ in man["schema"]]
+    if old not in cols:
+        raise ValueError(f"{old!r} is not a table column")
+    if not re.fullmatch(_IDENT_RE, new):
+        raise ValueError(f"column name {new!r} is not a plain identifier")
+    if new in universe:
+        raise ValueError(
+            f"column name {new!r} was already used in this table's "
+            "history (name reuse would resurrect old files' bytes)"
+        )
+    refs = _spec_refs(path, old)
+    if refs:
+        raise ValueError(
+            f"cannot rename {old!r}: referenced by {', '.join(refs)}"
+        )
+    schema = [[new if c == old else c, t] for c, t in man["schema"]]
+    stats = {
+        f: {(new if k == old else k): v for k, v in s.items()}
+        for f, s in (man.get("file_stats") or {}).items()
+    }
+    return _commit(
+        path, cur + 1, man["files"], "rename_column", schema, stats,
+        man.get("delete_files"),
+        renames=renames + [[old, new]], dropped=dropped,
     )
 
 
@@ -1392,7 +1679,9 @@ def purge_deletes(spark: SparkSession, path: str) -> int:
     srows = None
     if affected:
         base = _apply_delete_masks(
-            spark, path, _read_files(spark, path, affected, schema), man
+            spark, path,
+        _read_files(spark, path, affected, schema, man.get("renames")),
+        man
         )
         bcol, bn = _spec_bucket(path)
         spec_cluster, spec_kind = _spec_cluster(path)
@@ -1503,7 +1792,11 @@ def read_table(
                 return spark.createDataFrame([], _parse_datatype_string(ddl))
             files = man["files"][:1]  # pre-schema manifest: read one file
     df = _apply_delete_masks(
-        spark, path, _read_files(spark, path, files, man.get("schema")), man
+        spark, path,
+        _read_files(
+            spark, path, files, man.get("schema"), man.get("renames")
+        ),
+        man
     )
     if preds:
         df = df.where(_prune_cond(preds))
@@ -1664,7 +1957,9 @@ def merge_table(
     # there, survivors of rewritten files union in by name. Type
     # changes to an existing column are always rejected.
     if evolve and man.get("schema") is not None:
-        schema = _merge_schema(man["schema"], _schema_fields(upserts))
+        schema = _merge_schema(
+            man["schema"], _schema_fields(upserts), man
+        )
     elif update_cols is not None:
         # only the key + update columns must exist and type-match; the
         # source may carry extra context columns, which are ignored
@@ -1724,7 +2019,11 @@ def merge_table(
     if affected:
         old = _apply_delete_masks(
             spark, path,
-            _read_files(spark, path, affected, man.get("schema")), man,
+            _read_files(
+                spark, path, affected, man.get("schema"),
+                man.get("renames"),
+            ),
+            man,
         )
         if update_cols is not None:
             work = old
@@ -1850,7 +2149,10 @@ def table_changes(
     old = (
         _apply_delete_masks(
             spark, path,
-            _read_files(spark, path, only_from, schema), man_from,
+            _read_files(
+                spark, path, only_from, schema, man_from.get("renames")
+            ),
+            man_from,
         )
         if only_from
         else empty
@@ -1858,7 +2160,10 @@ def table_changes(
     new = (
         _apply_delete_masks(
             spark, path,
-            _read_files(spark, path, only_to, schema), man_to,
+            _read_files(
+                spark, path, only_to, schema, man_to.get("renames")
+            ),
+            man_to,
         )
         if only_to
         else empty
@@ -1908,7 +2213,9 @@ def table_changes(
             # pre-existing columns, so __seq rides through)
             data = _apply_delete_masks(
                 spark, path,
-                _read_files(spark, path, scan, schema).withColumn(
+                _read_files(
+                    spark, path, scan, schema, man_to.get("renames")
+                ).withColumn(
                     "__seq",
                     F.regexp_extract(
                         F.input_file_name(), r"/v(\d{8})/", 1
@@ -1922,12 +2229,15 @@ def table_changes(
                 F.col(kcol).alias("__delk"),
                 F.lit(int(e["seq"])).cast("long").alias("__delseq"),
             )
+            cur_key = _resolve_mask_key(
+                kcol, cols, man_to.get("renames")
+            )
             parts.append(
                 data.alias("d")
                 .join(
                     kd.alias("k"),
                     on=(
-                        (F.col(f"d.{kcol}") == F.col("k.__delk"))
+                        (F.col(f"d.{cur_key}") == F.col("k.__delk"))
                         & (F.col("k.__delseq") > F.col("d.__seq"))
                     ),
                     how="left_semi",
@@ -2031,7 +2341,11 @@ def delete_where(
         cond = _prune_cond(preds)
         kept = _apply_delete_masks(
             spark, path,
-            _read_files(spark, path, affected, man.get("schema")), man,
+            _read_files(
+                spark, path, affected, man.get("schema"),
+                man.get("renames"),
+            ),
+            man,
         ).where(~cond)
         srows = None
         if bcol is not None:
@@ -2119,7 +2433,11 @@ def update_where(
         cond = _prune_cond(preds)
         base = _apply_delete_masks(
             spark, path,
-            _read_files(spark, path, affected, man.get("schema")), man,
+            _read_files(
+                spark, path, affected, man.get("schema"),
+                man.get("renames"),
+            ),
+            man,
         )
 
         def _value(expr) -> Column:
@@ -2566,7 +2884,9 @@ def clone_table(
     if spec:
         _write_table_spec(dst, spec)  # the fork keeps its clustering
     out = _commit(
-        dst, v, files, f"{kind}:{src}#v{v}", man.get("schema"), stats, dels
+        dst, v, files, f"{kind}:{src}#v{v}", man.get("schema"), stats, dels,
+        renames=man.get("renames") or [],
+        dropped=man.get("dropped") or [],
     )
     if shallow:
         # register AFTER the commit so a failed clone leaves no stale

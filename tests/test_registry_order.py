@@ -354,6 +354,9 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "partial_compact": (
         "test_purge_compact.py::test_compact_where_folds_only_the_selected_range"
     ),
+    "schema_evolution_read": (
+        "test_schema_evolution.py::test_rename_reads_both_eras_and_time_travels"
+    ),
 }
 
 
@@ -373,6 +376,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     "heavy_hitters_tokens": 14,
     "purge_deletes": 14,
     "partial_compact": 14,
+    "schema_evolution_read": 14,
 }
 
 

@@ -1,0 +1,197 @@
+"""Round 14 schema evolution: metadata-only ADD/DROP/RENAME COLUMN
+with manifest rename chains, alias-coalesce reads, stats re-keying,
+graveyard name-reuse bans, and MOR-mask interaction."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.sources.versioned import (
+    _load_manifest,
+    _versions,
+    add_column,
+    add_constraint,
+    append_table,
+    create_table,
+    delete_rows,
+    drop_column,
+    files_scanned,
+    merge_table,
+    purge_deletes,
+    read_table,
+    rename_column,
+    table_minmax,
+    update_where,
+)
+
+
+def _kv(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_rename_reads_both_eras_and_time_travels(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 10).repartitionByRange(2, "k"), path)
+    v = rename_column(path, "v", "val")
+    assert v == 2
+    man = _load_manifest(path, 2)
+    # metadata only: the file list is IDENTICAL
+    assert man["files"] == _load_manifest(path, 1)["files"]
+    assert [c for c, _ in man["schema"]] == ["k", "val"]
+    got = {r.k: r.val for r in read_table(spark, path).collect()}
+    assert got == {i: i * 2 for i in range(10)}
+    # append in the new era; both eras coalesce
+    append_table(
+        spark.createDataFrame([(100, 7)], "k long, val long"), path
+    )
+    got = {r.k: r.val for r in read_table(spark, path).collect()}
+    assert got[100] == 7 and got[3] == 6 and len(got) == 11
+    # time travel: v1 shows the OLD name and values
+    old = read_table(spark, path, version=1)
+    assert old.columns == ["k", "v"]
+    assert {r.k: r.v for r in old.collect()} == {i: i * 2 for i in range(10)}
+    # appending with the RETIRED name is rejected (schema is the law)
+    with pytest.raises(ValueError):
+        append_table(
+            spark.createDataFrame([(101, 8)], "k long, v long"), path
+        )
+
+
+def test_rename_chain_three_eras(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 4), path)
+    rename_column(path, "v", "v2")
+    append_table(spark.createDataFrame([(10, 20)], "k long, v2 long"), path)
+    rename_column(path, "v2", "v3")
+    append_table(spark.createDataFrame([(11, 22)], "k long, v3 long"), path)
+    got = {r.k: r.v3 for r in read_table(spark, path).collect()}
+    assert got == {0: 0, 1: 2, 2: 4, 3: 6, 10: 20, 11: 22}
+    # middle era reads under its own name
+    mid = read_table(spark, path, version=3)
+    assert mid.columns == ["k", "v2"]
+    assert {r.k: r.v2 for r in mid.collect()}[10] == 20
+
+
+def test_rename_rekeys_stats_for_metadata_answers(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # range layout WITHOUT a recorded cluster_by spec (a recorded spec
+    # would rightly reject the rename) — the stats are just as narrow
+    create_table(_kv(spark, 100).repartitionByRange(4, "k"), path)
+    rename_column(path, "k", "key")
+    # minmax answers from manifests across the rename — zero data I/O
+    assert table_minmax(path, "key") == (0, 99)
+    # pruning on the NEW name still skips pre-rename files
+    opened = files_scanned(path, prune=("key", "<", 25))
+    assert opened == 1 < files_scanned(path)
+    got = sorted(
+        r.key for r in read_table(spark, path, prune=("key", "<", 25)).collect()
+    )
+    assert got == list(range(25))
+
+
+def test_add_column_nulls_then_values(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 5), path)
+    add_column(path, "score", "double")
+    assert _load_manifest(path, 2)["files"] == _load_manifest(path, 1)["files"]
+    got = read_table(spark, path).collect()
+    assert all(r.score is None for r in got)
+    append_table(
+        spark.createDataFrame([(9, 9, 0.5)], "k long, v long, score double"),
+        path,
+    )
+    got = {r.k: r.score for r in read_table(spark, path).collect()}
+    assert got[9] == 0.5 and got[1] is None
+    # validation
+    with pytest.raises(ValueError, match="identifier"):
+        add_column(path, "bad name", "int")
+    with pytest.raises(ValueError, match="not supported"):
+        add_column(path, "m", "map<string,int>")
+    add_column(path, "d", "decimal(10,2)")
+
+
+def test_drop_column_and_graveyard(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 5), path)
+    drop_column(path, "v")
+    assert read_table(spark, path).columns == ["k"]
+    # time travel still shows the dropped column
+    assert read_table(spark, path, version=1).columns == ["k", "v"]
+    # the graveyard: the name can NEVER come back
+    with pytest.raises(ValueError, match="already used"):
+        add_column(path, "v", "bigint")
+    with pytest.raises(ValueError, match="already used"):
+        rename_column(path, "k", "v")
+    with pytest.raises(ValueError, match="re-adds historical"):
+        append_table(
+            spark.createDataFrame([(7, 7)], "k long, v long"),
+            path,
+            evolve=True,
+        )
+    with pytest.raises(ValueError, match="last column"):
+        drop_column(path, "k")
+    # renamed-away names are graveyarded too
+    rename_column(path, "k", "key")
+    with pytest.raises(ValueError, match="already used"):
+        add_column(path, "k", "bigint")
+
+
+def test_ddl_rejected_on_referenced_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(
+        _kv(spark, 20).repartitionByRange(2, "k"), path, cluster_by=["k"]
+    )
+    add_constraint(spark, path, "pos", "v >= 0")
+    with pytest.raises(ValueError, match="cluster_by"):
+        rename_column(path, "k", "key")
+    with pytest.raises(ValueError, match="constraint 'pos'"):
+        rename_column(path, "v", "val")
+    with pytest.raises(ValueError, match="constraint 'pos'"):
+        drop_column(path, "v")
+    bp = str(tmp_path / "b")
+    create_table(
+        spark.range(8).select(
+            F.col("id").cast("string").alias("h"), F.col("id").alias("x")
+        ),
+        bp,
+        bucket_by=("h", 2),
+    )
+    with pytest.raises(ValueError, match="bucket_by"):
+        rename_column(bp, "h", "hh")
+
+
+def test_masks_survive_rename_and_block_key_drop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 20).repartitionByRange(2, "k"), path)
+    delete_rows(spark, path, spark.createDataFrame([(5,)], "k long"), "k")
+    rename_column(path, "k", "key")
+    got = sorted(r.key for r in read_table(spark, path).collect())
+    assert got == [i for i in range(20) if i != 5]
+    # dropping the (renamed) mask key is rejected until purge
+    with pytest.raises(ValueError, match="purge_deletes first"):
+        drop_column(path, "key")
+    purge_deletes(spark, path)
+    got = sorted(r.key for r in read_table(spark, path).collect())
+    assert got == [i for i in range(20) if i != 5]
+    # post-purge the drop is legal (v stays: keep a second column)
+    drop_column(path, "key")
+    assert read_table(spark, path).columns == ["v"]
+
+
+def test_rewrites_migrate_rows_to_new_names(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 20).repartitionByRange(2, "k"), path)
+    rename_column(path, "v", "val")
+    update_where(spark, path, ("k", "<", 5), {"val": F.lit(0).cast("long")})
+    merge_table(
+        spark.createDataFrame([(19, -1), (50, 1)], "k long, val long"),
+        path,
+        "k",
+    )
+    got = {r.k: r.val for r in read_table(spark, path).collect()}
+    assert got[0] == 0 and got[4] == 0 and got[19] == -1 and got[50] == 1
+    assert got[10] == 20 and len(got) == 21
