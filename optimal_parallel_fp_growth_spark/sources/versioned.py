@@ -3172,6 +3172,8 @@ def describe_table(path: str, version: int | None = None) -> dict:
         "cluster_kind": cluster_kind if cluster_by else None,
         "bucket_by": _table_spec(path).get("bucket_by"),
         "constraints": table_constraints(path),
+        "renames": man.get("renames") or [],
+        "dropped_columns": man.get("dropped") or [],
         "retained_versions": vs,
     }
 

@@ -195,3 +195,22 @@ def test_rewrites_migrate_rows_to_new_names(spark, tmp_path):
     got = {r.k: r.val for r in read_table(spark, path).collect()}
     assert got[0] == 0 and got[4] == 0 and got[19] == -1 and got[50] == 1
     assert got[10] == 20 and len(got) == 21
+
+
+def test_describe_reports_evolution_metadata(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        describe_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 5), path)
+    rename_column(path, "v", "val")
+    add_column(path, "extra", "string")
+    drop_column(path, "extra")
+    d = describe_table(path)
+    assert d["renames"] == [["v", "val"]]
+    assert d["dropped_columns"] == ["extra"]
+    assert [c for c, _ in d["schema"]] == ["k", "val"]
+    # pre-evolution versions describe with their own era's metadata
+    d1 = describe_table(path, version=1)
+    assert d1["renames"] == [] and d1["dropped_columns"] == []
