@@ -447,6 +447,9 @@ def main() -> None:
         # round-14 addition: metadata-only ALTER TABLE tier (rename
         # chain coalesce reads, stats re-key, zero-data-movement gate)
         "schema_evolution_read",
+        # round-14 addition: int8 scalar quantization (pure-codegen
+        # projection; reconstruction bound fail-closed in-query)
+        "embedding_quantize",
         # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
         #    and ~30 s at sf0.1) disturb whatever runs in their wake --
         # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents

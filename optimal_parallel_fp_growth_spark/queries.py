@@ -645,6 +645,7 @@ _DRIVER_PRIORITY: list[str] = [
     "purge_deletes",
     "partial_compact",
     "schema_evolution_read",
+    "embedding_quantize",
     # ---- retired tier (47) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

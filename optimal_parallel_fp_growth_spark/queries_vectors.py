@@ -174,6 +174,68 @@ SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= {TOP_K}
 """
 )
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization under the oracle gate (round 14;
+    operators/similarity.py::quantize_embeddings): per-vector
+    ``scale = max|x|``, codes ``round(x/scale*127)`` — the 4× memory
+    cut that keeps a 100 TB embedding corpus ANN-searchable in RAM.
+    Pure whole-stage-codegen projection (two transform lambdas + an
+    array_max; no UDF, no shuffle). Fails closed in-query unless every
+    code is within [-127, 127] AND every element re-expands to within
+    the quantization bound scale/254 (+ float slack) of its source —
+    the two properties the downstream int8 dot products rely on. The
+    oracle recomputes scale and the code-sum/min/max per vector with
+    DuckDB list lambdas (both sides promote the float32 inputs to
+    double BEFORE any arithmetic, so the rounding is bit-identical)."""
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding")
+    bad = q.where(
+        F.expr(
+            "exists(codes, c -> c > 127 OR c < -127) OR ("
+            "scale > 0d AND exists(zip_with(embedding, codes, "
+            "(x, c) -> abs(cast(x as double) - cast(c as double) * scale "
+            "/ 127.0d)), e -> e > scale / 254.0d * 1.0000001d + 1e-12))"
+        )
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"int8 quantization violated its bound on {bad} vectors"
+        )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale6"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s,
+         embedding
+  FROM embeddings),
+c AS (
+  SELECT vec_id, s,
+         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                   x -> round(x::DOUBLE / s * 127.0)::INT) END AS codes
+  FROM q)
+SELECT vec_id, round(s, 6) AS scale6,
+       list_aggregate(codes, 'sum')::BIGINT AS code_sum,
+       list_aggregate(codes, 'min')::INT AS code_min,
+       list_aggregate(codes, 'max')::INT AS code_max
+FROM c
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     c = label_centroids(emb)
@@ -507,6 +569,7 @@ VEC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_index": q_knn_ivf_index,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_quantize": q_embedding_quantize,
     "label_centroids": q_label_centroids,
     "kmeans_clusters": q_kmeans,
     "kmeans_auto": q_kmeans_auto,
@@ -526,6 +589,7 @@ VEC_ORACLES: dict[str, str] = {
     # identical construction over the same corpus → same oracle
     "knn_ivf_index": ORACLE_KNN_IVF,
     "embedding_neardup": ORACLE_NEARDUP,
+    "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "kmeans_clusters": ORACLE_KMEANS,
     "kmeans_auto": ORACLE_KMEANS_AUTO,

@@ -357,6 +357,9 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "schema_evolution_read": (
         "test_schema_evolution.py::test_rename_reads_both_eras_and_time_travels"
     ),
+    "embedding_quantize": (
+        "test_similarity.py::test_quantize_embeddings_matches_numpy"
+    ),
 }
 
 
@@ -377,6 +380,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     "purge_deletes": 14,
     "partial_compact": 14,
     "schema_evolution_read": 14,
+    "embedding_quantize": 14,
 }
 
 

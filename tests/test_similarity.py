@@ -305,3 +305,48 @@ def test_hyperplane_cosines_agree_with_exact(spark, sf_oracle, exact_and_ann):
             assert e[key] == r.cosine
     recall = len(e.keys() & {(r.query_id, r.vec_id) for r in hyp}) / len(e)
     assert recall >= 0.15, f"hyperplane recall collapsed: {recall:.3f}"
+
+
+def test_quantize_embeddings_matches_numpy(spark):
+    """GROUND_TRUTH pin for `embedding_quantize`: scales and every
+    int8 code recomputed by numpy on the real sf0.001 embeddings,
+    plus the all-zero-vector edge and the reconstruction bound."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {
+        r.vec_id: (r.scale, list(r.codes))
+        for r in quantize_embeddings(emb).select(
+            "vec_id", "scale", "codes"
+        ).collect()
+    }
+    src = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in emb.collect()}
+    assert set(got) == set(src)
+    for vid, x in src.items():
+        s = float(np.max(np.abs(x)))
+        if s == 0.0:
+            exp = [0] * len(x)
+        else:
+            # HALF_UP (away from zero), matching Spark/DuckDB round()
+            y = x / s * 127.0
+            exp = np.sign(y) * np.floor(np.abs(y) + 0.5)
+            exp = exp.astype(int).tolist()
+        gs, gc = got[vid]
+        assert gs == s and gc == exp, vid
+        if s > 0:
+            recon = np.asarray(exp) * s / 127.0
+            assert np.max(np.abs(x - recon)) <= s / 254.0 * 1.0000001
+    # the all-zero edge, explicitly
+    z = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings(z).collect()[0]
+    assert r.scale == 0.0 and list(r.codes) == [0, 0, 0]
