@@ -1663,8 +1663,13 @@ def purge_deletes(spark: SparkSession, path: str) -> int:
             if s >= dseq or lo is None:
                 continue  # sequence rule / empty sidecar
             t = types.get(key, "")
-            if t in ("string", "binary") or t.startswith("varchar"):
-                return True  # truncated stats hazard: rewrite
+            if t not in ("tinyint", "smallint", "int", "bigint"):
+                # strings: parquet stats may be truncated (a missed
+                # rewrite resurrects deleted rows); date/timestamp:
+                # manifest stats are ISO strings while the sidecar agg
+                # returns python datetimes — either way, fail CLOSED
+                # into the rewrite rather than compare across domains
+                return True
             rng = st.get(key)
             if not rng:
                 return True  # no usable stats: rewrite

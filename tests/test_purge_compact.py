@@ -186,3 +186,26 @@ def test_vacuum_orphans_spares_fresh_and_carried(spark, tmp_path):
     append_table(_kv(spark, 5, start=50), path)
     assert vacuum_orphans(path, older_than_s=0.0) == []
     assert read_table(spark, path).count() == 25
+
+
+def test_purge_timestamp_key_is_conservative_but_exact(spark, tmp_path):
+    """A MOR delete keyed on a timestamp column: manifest stats store
+    ISO strings while the sidecar bounds come back as datetimes —
+    comparing across those domains is exactly the bug class the
+    numeric-only pruning rule exists for. The purge must fall back to
+    a conservative rewrite and stay EXACT."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+    )
+    create_table(df.repartitionByRange(4, "k"), path)
+    dels = spark.range(10, 12).select(
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts")
+    )
+    delete_rows(spark, path, dels, "ts")
+    v = purge_deletes(spark, path)
+    man = _load_manifest(path, v)
+    assert not man.get("delete_files")
+    got = sorted(r.k for r in read_table(spark, path).collect())
+    assert got == [i for i in range(100) if i not in (10, 11)]
