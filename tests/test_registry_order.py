@@ -493,7 +493,7 @@ def test_retired_entries_meet_criteria():
     )
 
 
-def _edf_simulate(additions_per_round: int, horizon: int) -> None:
+def _edf_simulate(additions_per_round: int, end_round: int) -> None:
     """Replay the real history forward under an EDF scheduler with the
     retirement pipeline: each round, first retire every entry meeting
     the criteria, then sample the 50 earliest-deadline active entries
@@ -501,13 +501,16 @@ def _edf_simulate(additions_per_round: int, horizon: int) -> None:
     are due immediately). Additions are pinned (the de-facto policy
     since r13 — every mid-round addition ships with a GROUND_TRUTH
     pin). Fails if any round's due set exceeds the window — i.e. no
-    schedule at all could satisfy the staleness invariant."""
+    schedule at all could satisfy the staleness invariant. Starts at
+    the CURRENT round derived from the CORRECTNESS files, so the test
+    stays meaningful at the next round's head without edits."""
     greens = {n: set(g) for n, g in _green_rounds_by_entry().items()}
     pinned = set(_pinned())
     entries = list(Q.QUERIES)
     last = {n: max(g) for n, g in greens.items() if n in entries}
+    _, current = _last_green_by_entry()
     retired: set[str] = set()
-    for r in range(14, 14 + horizon):
+    for r in range(current, end_round + 1):
         for n in entries:
             if n not in retired and n in pinned and len(greens.get(n, ())) >= 3:
                 retired.add(n)
@@ -556,7 +559,7 @@ def test_rotation_capacity_is_sustainable():
     # beyond the horizon the levers are slowing additions or raising
     # the retire throughput — recorded here so the round that hits it
     # inherits the analysis, not a surprise.
-    _edf_simulate(additions_per_round=8, horizon=10)
+    _edf_simulate(additions_per_round=8, end_round=23)
 
 
 def test_rotation_without_retirement_was_infeasible():
