@@ -2151,12 +2151,22 @@ def table_changes(
     empty = spark.createDataFrame(
         [], _read_files(spark, path, sorted(to_files or from_files), schema).schema
     )
+    # the rename chain only grows, so man_to's is the superset — and
+    # the FROM-era files must read (and resolve mask keys) under it,
+    # because the frame is aligned to the TO schema's names: the
+    # from-era chain alone would null a renamed column out of every
+    # pre-image (alias intersection with present columns keeps the
+    # superset chain exact for both eras)
+    chain = list(man_from.get("renames") or [])
+    for rn in man_to.get("renames") or []:
+        if rn not in chain:
+            chain.append(rn)
+    man_from = {**man_from, "renames": chain}
+    man_to = {**man_to, "renames": chain}
     old = (
         _apply_delete_masks(
             spark, path,
-            _read_files(
-                spark, path, only_from, schema, man_from.get("renames")
-            ),
+            _read_files(spark, path, only_from, schema, chain),
             man_from,
         )
         if only_from

@@ -337,3 +337,31 @@ def test_quantize_plan_is_shuffle_free(spark):
     rep = plan_report(q)
     assert rep.hash_exchanges == 0 and rep.range_exchanges == 0
     assert rep.python_stages == 0  # pure codegen, no UDF
+
+
+def test_table_changes_across_rename_keeps_values(spark, tmp_path):
+    """CDF across a rename boundary: pre-images come from from-era
+    files (old physical name) but the feed is aligned to the TO
+    schema — the renamed column must carry VALUES, not nulls, and
+    mask keys recorded pre-rename must still resolve."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 10).repartitionByRange(2, "k"), path)  # v1
+    delete_rows(spark, path, spark.createDataFrame([(3,)], "k long"), "k")
+    rename_column(path, "v", "val")                                # v3
+    merge_table(
+        spark.createDataFrame([(0, -1)], "k long, val long"), path, "k"
+    )                                                              # v4
+    ch = table_changes(spark, path, 1, 4, key="k")
+    rows = {(r.k, r._change_type): r.val for r in ch.collect()}
+    # the v1→v4 diff: k=3 deleted (mask, recorded pre-rename),
+    # k=0 updated to -1 — and the renamed column carries the REAL
+    # old values, never nulls
+    assert rows == {
+        (0, "update_preimage"): 0,
+        (0, "update_postimage"): -1,
+        (3, "delete"): 6,
+    }
