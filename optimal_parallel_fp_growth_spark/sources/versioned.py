@@ -207,7 +207,7 @@ def _write_data(
             raise CommitConflict(
                 f"data for version {version} already written at {path} "
                 "(concurrent writer, or leftovers of a crashed commit "
-                "needing cleanup)"
+                "needing cleanup - vacuum_orphans reclaims those)"
             ) from None
         raise
     rel = []
