@@ -1120,15 +1120,16 @@ def q_purge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # intersect — the gate is the exactness of the arithmetic:
         # carried + rewritten == before, sidecars gone, metadata back
         lo, hi = V.table_minmax(path, "doc_id")
-        n_docs = docs.count()
-        want_lo = next(i for i in range(n_docs) if i % 50 != 7)
-        want_hi = next(
-            i for i in range(n_docs - 1, -1, -1) if i % 50 != 7
-        )
-        if man.get("delete_files") or (lo, hi) != (want_lo, want_hi):
+        # the gate recomputes the post-delete extremes from the DATA
+        # (distribution-independent — ids need not be contiguous), so
+        # the metadata answer is checked against an independent scan
+        want = docs.where(F.col("doc_id") % 50 != 7).agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if man.get("delete_files") or (lo, hi) != (want.lo, want.hi):
             raise AssertionError(
                 f"purge left sidecars or wrong metadata extremes "
-                f"({lo}, {hi}) != ({want_lo}, {want_hi})"
+                f"({lo}, {hi}) != ({want.lo}, {want.hi})"
             )
         if len(before - carried) > 4:
             raise AssertionError("purge rewrote more files than existed")
@@ -1169,14 +1170,20 @@ def q_partial_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    n = docs.count()
-    step = -(-n // 5)
+    # quintile boundaries from the DATA (exact quantiles), so the five
+    # single-file appends are non-empty and range-disjoint whatever the
+    # id distribution — contiguous ids are a fixture accident, not a
+    # contract
+    qs = docs.stat.approxQuantile(
+        "doc_id", [0.2, 0.4, 0.6, 0.8], 0.0
+    )
+    bounds = [float("-inf"), *qs, float("inf")]
     with session_temp_layout(spark, "pcomp") as (tdir, materialize):
         path = os.path.join(tdir, "tbl")
         for i in range(5):
             sl = docs.where(
-                (F.col("doc_id") >= i * step)
-                & (F.col("doc_id") < (i + 1) * step)
+                (F.col("doc_id") > bounds[i])
+                & (F.col("doc_id") <= bounds[i + 1])
             ).coalesce(1)
             if i == 0:
                 V.create_table(sl, path)
@@ -1184,7 +1191,7 @@ def q_partial_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 V.append_table(sl, path)
         before = set(V._load_manifest(path, 5)["files"])
         v = V.compact_table(
-            spark, path, where=[("doc_id", ">=", 0), ("doc_id", "<", 2 * step)]
+            spark, path, where=("doc_id", "<=", qs[1])
         )
         man = V._load_manifest(path, v)
         carried = before & set(man["files"])
