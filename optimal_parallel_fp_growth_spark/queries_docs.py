@@ -1033,54 +1033,42 @@ WHERE source = 'src3' AND doc_id >= 100 AND doc_id < 150
 
 def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters by sketch-then-verify under the oracle gate
-    (round 14; operators/sketches.py::heavy_hitters): token BIGRAMS
-    covering ≥ 0.5% of all adjacent-pair positions in the documents
-    corpus (bigrams, not unigrams — the fixture's unigram vocabulary
-    is a few dozen, leaving a sketch nothing to prune; the pair space
-    is ~30× larger, the realistic n-gram-hotlist shape). Phase 1 is
-    ``freqItems`` (single-pass lossy counting, ≤ 1/support candidates
-    whatever the corpus size — no false negatives); phase 2 counts
-    ONLY the candidates exactly and applies the true ceil(θ·n) cut, so
-    the result equals the full groupBy-HAVING the oracle states while
-    the shuffle carries candidates only. Fails closed in-query unless
-    the sketch actually pruned (candidates < distinct bigrams) and the
-    candidate list respects its 1/support bound."""
+    (round 14; operators/sketches.py::heavy_hitters), on the corpus
+    the shape exists for — the deterministic ZIPF token stream whose
+    hottest token holds ~44% of all positions (the real documents
+    fixture is deliberately flat: max bigram share ~0.2%, so no
+    bounded-candidate sketch could gate a non-empty answer there).
+    Phase 1 is ``freqItems`` (single-pass lossy counting, ≤ 1/support
+    candidates whatever the corpus size — no false negatives); phase 2
+    counts ONLY the candidates exactly and applies the true ceil(θ·n)
+    cut, so the result equals the full groupBy-HAVING the oracle
+    states while the shuffle carries candidates only. θ = 5%: the
+    heavy set is the Zipf head (w1..w4, share 1/(k(k+1))), non-empty
+    at every SF. Fails closed in-query unless the sketch actually
+    pruned (candidates < distinct tokens) and the candidate list
+    respects its 1/support bound."""
     from optimal_parallel_fp_growth_spark.operators.sketches import (
         heavy_hitters,
     )
 
-    toks = load_table(spark, sf_dir, "documents").select(
-        F.split("text", " ").alias("t")
+    toks = zipf_corpus(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("token")
     )
-    bigrams = toks.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 2), "
-                "i -> concat(t[i], ' ', t[i + 1]))"
-            )
-        ).alias("bigram")
-    )
-    heavy, n_cand, total = heavy_hitters(bigrams, "bigram", threshold=0.005)
-    n_distinct = bigrams.distinct().count()
-    if not (0 < n_cand <= 1 / 0.0025 and n_cand < n_distinct):
+    heavy, n_cand, total = heavy_hitters(toks, "token", threshold=0.05)
+    n_distinct = toks.distinct().count()
+    if not (0 < n_cand <= 1 / 0.025 and n_cand < n_distinct):
         raise AssertionError(
             f"heavy-hitter sketch did not prune: {n_cand} candidates vs "
-            f"{n_distinct} distinct bigrams"
+            f"{n_distinct} distinct tokens"
         )
+    out = heavy.collect()
+    if not out:
+        raise AssertionError("Zipf head empty - the gate lost its teeth")
     return heavy
 
 
-ORACLE_HEAVY_HITTERS_TOKENS = """
-WITH tk AS (
-  SELECT string_split(text, ' ') AS t FROM documents),
-bg AS (
-  SELECT t[s.g] || ' ' || t[s.g + 1] AS bigram
-  FROM tk, LATERAL unnest(range(1, len(t))) AS s(g))
-SELECT bigram, count(*) AS n
-FROM bg
-GROUP BY bigram
-HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM bg))
-"""
+# ORACLE_HEAVY_HITTERS_TOKENS is defined after _zipf_corpus_cte below
+# (module execution order).
 
 
 def q_purge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,6 +1895,18 @@ corpus AS (SELECT doc_id, toks FROM base
            UNION ALL
            SELECT -doc_id - 1 AS doc_id, toks || ['zz9'] AS toks
            FROM base WHERE doc_id % {_ZIPF_TWIN_EVERY} = 0)"""
+
+
+ORACLE_HEAVY_HITTERS_TOKENS = (
+    _zipf_corpus_cte()
+    + """,
+tk AS (SELECT unnest(toks) AS token FROM corpus)
+SELECT token, count(*) AS n
+FROM tk
+GROUP BY token
+HAVING count(*) >= ceil(0.05 * (SELECT count(*) FROM tk))
+"""
+)
 
 
 def _zipf_oracle_sql() -> str:

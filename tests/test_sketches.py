@@ -145,28 +145,70 @@ def test_percentile_sketch_exact_regime_and_envelope(spark):
 
 
 def test_heavy_hitters_matches_brute_force(spark):
-    """GROUND_TRUTH pin for `heavy_hitters_tokens`: the bigram heavy
-    set recomputed by a python Counter on the real sf0.001 corpus, the
-    no-false-negative superset property, and the threshold boundary."""
+    """GROUND_TRUTH pin for `heavy_hitters_tokens`: the ENTRY's Zipf
+    heavy set recomputed by a closed-form python token generator (the
+    same integer arithmetic the corpus is built from), plus the
+    operator-level brute force on real-document bigrams, the
+    no-false-negative superset property, and the validation matrix."""
     import math
     from collections import Counter
 
     from optimal_parallel_fp_growth_spark.operators.sketches import (
         heavy_hitters,
     )
+    from optimal_parallel_fp_growth_spark.queries_docs import (
+        _ZIPF_MOD,
+        _ZIPF_TWIN_EVERY,
+        q_heavy_hitters_tokens,
+    )
     from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    texts = [r.text for r in docs.select("text").collect()]
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    doc_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    v = max(2, len(doc_ids))
+
+    def tokens(doc_id):
+        out = []
+        for j in range(1, 9 + (doc_id % 7)):
+            h = ((((doc_id % _ZIPF_MOD) * 1000003 + j * 7919) % _ZIPF_MOD)
+                 * 48271) % _ZIPF_MOD
+            x = 1 + h % v
+            out.append(f"w{(v + x - 1) // x}")
+        return out
+
     cnt = Counter()
+    for d in doc_ids:
+        toks = tokens(d)
+        cnt.update(toks)
+        if d % _ZIPF_TWIN_EVERY == 0:  # the twin rows add their copy
+            cnt.update(toks)
+            cnt["zz9"] += 1
+    total = sum(cnt.values())
+    need = math.ceil(0.05 * total)
+    expected = {k: n for k, n in cnt.items() if n >= need}
+    assert expected, "the Zipf head must be non-empty"
+
+    got = {r.token: r.n for r in q_heavy_hitters_tokens(spark, sf).collect()}
+    assert got == expected
+    # the hottest Zipf token holds a large share — the corpus the
+    # sketch-then-verify shape exists for
+    assert max(expected.values()) / total > 0.3
+
+    # operator-level brute force on a DIFFERENT substrate (real-doc
+    # bigrams, flat distribution, empty heavy set is the truth there)
+    texts = [r.text for r in docs.select("text").collect()]
+    bcnt = Counter()
     for t in texts:
         toks = t.split(" ")
         for a, b in zip(toks, toks[1:]):
-            cnt[f"{a} {b}"] += 1
-    total = sum(cnt.values())
+            bcnt[f"{a} {b}"] += 1
+    btotal = sum(bcnt.values())
     theta = 0.005
-    need = math.ceil(theta * total)
-    expected = {k: v for k, v in cnt.items() if v >= need}
+    bneed = math.ceil(theta * btotal)
+    bexpected = {k: n for k, n in bcnt.items() if n >= bneed}
+
+    from pyspark.sql import functions as F
 
     bigrams = docs.select(F.split("text", " ").alias("t")).select(
         F.explode(
@@ -177,12 +219,11 @@ def test_heavy_hitters_matches_brute_force(spark):
         ).alias("bigram")
     )
     heavy, n_cand, got_total = heavy_hitters(bigrams, "bigram", theta)
-    assert got_total == total
-    got = {r.bigram: r.n for r in heavy.collect()}
-    assert got == expected
+    assert got_total == btotal
+    assert {r.bigram: r.n for r in heavy.collect()} == bexpected
     # candidate list bounded and a true superset of the heavy set
     assert n_cand <= 1 / (theta / 2)
-    assert set(expected) <= set(got)
+    assert set(bexpected) <= {r.bigram for r in heavy.collect()} | set()
     # validation
     import pytest
 
