@@ -111,7 +111,15 @@ def with_retry(fn, retries: int = 5, backoff_s: float = 0.05):
     :class:`CommitConflict` propagates — under that much contention
     the caller should serialize writers instead. Backoff doubles per
     loss (the loser must at minimum re-plan and re-write its files,
-    so a tight loop only re-loses)."""
+    so a tight loop only re-loses).
+
+    Schema-DDL seam: a writer racing a concurrent ``rename_column``/
+    ``drop_column`` can lose as a schema ``ValueError`` instead of a
+    conflict (its plan was built against the pre-DDL schema). That is
+    deliberately NOT retried here — the closure must re-derive its
+    frame from the fresh schema, which a blind replay cannot do; put
+    the schema read INSIDE the closure and wrap the ValueError at the
+    call site if DDL-concurrent writes are expected."""
     attempt = 0
     while True:
         try:

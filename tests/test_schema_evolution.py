@@ -365,3 +365,53 @@ def test_table_changes_across_rename_keeps_values(spark, tmp_path):
         (0, "update_postimage"): -1,
         (3, "delete"): 6,
     }
+
+
+def test_ddl_races_append_under_with_retry(spark, tmp_path):
+    """Schema DDL is a committer like any writer: a rename racing an
+    append contends on the same version arbiter, and with_retry
+    resolves the loser onto the next version. Both effects must
+    land, whichever order the arbiter picks."""
+    import threading
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        with_retry,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 20).repartitionByRange(2, "k"), path)
+    barrier = threading.Barrier(2)
+    results = {}
+
+    def renamer():
+        barrier.wait()
+        results["rename"] = with_retry(lambda: rename_column(path, "v", "val"))
+
+    def appender():
+        def attempt():
+            # the append must speak the CURRENT schema: re-read it on
+            # every retry (after losing to the rename it is 'val')
+            cols = [
+                c
+                for c, _ in _load_manifest(path, _versions(path)[-1])["schema"]
+            ]
+            df = spark.createDataFrame([(100, 7)], f"{cols[0]} long, {cols[1]} long")
+            return append_table(df, path)
+
+        barrier.wait()
+        # the documented DDL seam: losing to a rename can surface as a
+        # schema ValueError (the plan predated the DDL) — re-plan once
+        # against the fresh schema, then retry conflicts as usual
+        try:
+            results["append"] = with_retry(attempt)
+        except ValueError:
+            results["append"] = with_retry(attempt)
+
+    ts = [threading.Thread(target=renamer), threading.Thread(target=appender)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results.values()) == [2, 3], results
+    got = {r.k: r.val for r in read_table(spark, path).collect()}
+    assert got[100] == 7 and got[3] == 6 and len(got) == 21
