@@ -1054,6 +1054,8 @@ def _compact_where(
         if not _file_passes(fstats.get(f), preds, bcol, bn, types)
     ]
     affected = [f for f in man["files"] if f not in set(untouched)]
+    if not affected:
+        return cur  # nothing intersects: version-free no-op, like purge
     new_files: list[str] = []
     srows = None
     if affected:

@@ -209,3 +209,11 @@ def test_purge_timestamp_key_is_conservative_but_exact(spark, tmp_path):
     assert not man.get("delete_files")
     got = sorted(r.k for r in read_table(spark, path).collect())
     assert got == [i for i in range(100) if i not in (10, 11)]
+
+
+def test_compact_where_nothing_matching_is_a_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(_kv(spark, 100).repartitionByRange(4, "k"), path)
+    assert compact_table(spark, path, where=("k", ">=", 10_000)) == 1
+    assert _versions(path) == [1]
+    assert read_table(spark, path).count() == 100
