@@ -360,6 +360,26 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "embedding_quantize": (
         "test_similarity.py::test_quantize_embeddings_matches_numpy"
     ),
+    # round-14 pin-throughput batch (the capacity lever the r14
+    # analysis identified): seven relational/core entries recomputed
+    # in pure python over the collected sf0.001 tables
+    "count_rows": "test_relational_pins.py::test_count_rows_matches_python",
+    "revenue_by_nation": (
+        "test_relational_pins.py::test_revenue_by_nation_matches_python"
+    ),
+    "top_orders": "test_relational_pins.py::test_top_orders_matches_python",
+    "pricing_summary": (
+        "test_relational_pins.py::test_pricing_summary_matches_python"
+    ),
+    "customer_order_counts": (
+        "test_relational_pins.py::test_customer_order_counts_matches_python"
+    ),
+    "large_orders": (
+        "test_relational_pins.py::test_large_orders_matches_python"
+    ),
+    "customers_no_big_orders": (
+        "test_relational_pins.py::test_customers_no_big_orders_matches_python"
+    ),
 }
 
 
@@ -675,9 +695,11 @@ def test_r14_window_composition():
     # tier 1: never driver-sampled (the eight mid-r13 additions)
     tier1 = order[:8]
     assert all(n not in last for n in tier1), tier1
-    # tier 2: the 33 unpinned r11-green deferred through r13
+    # tier 2: the 33 r11-green deferred through r13 (unpinned at the
+    # rotation; seven were GT-pinned MID-r14 as the capacity lever —
+    # pin status affects future caps, never this window's slots)
     tier2 = order[8:41]
-    assert all(last.get(n) == 11 and n not in pinned for n in tier2), tier2
+    assert all(last.get(n) == 11 for n in tier2), tier2
     # tier 3: ALL 7 pinned r11-green (cap 4, due r14/r15 — zeroing the
     # r15 debt from this tier)
     tier3 = order[41:48]
@@ -690,8 +712,10 @@ def test_r14_window_composition():
     # mid-round additions (NEW_THIS_ROUND) slot before the retired tier
     n_active = len(order) - len(retired)
     tail = order[WINDOW:n_active]
+    # (same mid-r14 pin caveat as tier 2: revenue_by_nation/top_orders
+    # joined the GT-pin tier after the rotation)
     tier5 = tail[:22]
-    assert all(last.get(n) == 12 and n not in pinned for n in tier5), tier5
+    assert all(last.get(n) == 12 for n in tier5), tier5
     rest = [n for n in tail[22:] if n not in NEW_THIS_ROUND]
     assert all(last.get(n) in (12, 13) and n not in retired for n in rest), [
         n for n in rest if last.get(n) not in (12, 13)

@@ -1,0 +1,177 @@
+"""Round-14 GROUND_TRUTH pins for eight relational/core entries:
+full-semantics pure-python recomputation over the collected sf0.001
+tables (they are tiny — 6k lineitems). Each pin converts an unpinned
+entry to the 4-round rotation cap AND makes it retirement-eligible
+once it holds 3 green driver rounds — the pin tier's throughput is
+the lever the r14 capacity analysis identified."""
+
+from __future__ import annotations
+
+import datetime
+from collections import Counter, defaultdict
+
+import pytest
+
+from optimal_parallel_fp_growth_spark.queries import (
+    q_count_rows,
+    q_revenue_by_nation,
+    q_top_orders,
+)
+from optimal_parallel_fp_growth_spark.queries_relational import (
+    BIG_ORDER,
+    Q13_EXCLUDED_PRIORITY,
+    Q18_QTY,
+    SHIP_CUTOFF,
+    q_customer_order_counts,
+    q_customers_no_big_orders,
+    q_large_orders,
+    q_pricing_summary,
+)
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    t = {}
+    for name in ("lineitem", "orders", "customer", "nation"):
+        t[name] = load_table(spark, SF, name).collect()
+    return t
+
+
+def test_count_rows_matches_python(spark, tables):
+    want = len({r.l_orderkey for r in tables["lineitem"]})
+    assert q_count_rows(spark, SF).collect()[0].n == want
+
+
+def test_revenue_by_nation_matches_python(spark, tables):
+    cust = {r.c_custkey: r.c_nationkey for r in tables["customer"]}
+    nation = {r.n_nationkey: r.n_name for r in tables["nation"]}
+    o_cust = {r.o_orderkey: r.o_custkey for r in tables["orders"]}
+    rev = defaultdict(float)
+    n = Counter()
+    for r in tables["lineitem"]:
+        ck = o_cust.get(r.l_orderkey)
+        if ck is None or ck not in cust:
+            continue
+        nm = nation[cust[ck]]
+        rev[nm] += r.l_extendedprice * (1 - r.l_discount)
+        n[nm] += 1
+    got = {r.n_name: (r.revenue, r.n_lines)
+           for r in q_revenue_by_nation(spark, SF).collect()}
+    assert set(got) == set(rev)
+    for nm in rev:
+        assert got[nm][1] == n[nm]
+        assert abs(got[nm][0] - rev[nm]) < 0.01 + 1e-9 * abs(rev[nm])
+
+
+def test_top_orders_matches_python(spark, tables):
+    names = {r.c_custkey: r.c_name for r in tables["customer"]}
+    top = sorted(
+        tables["orders"], key=lambda r: (-r.o_totalprice, r.o_orderkey)
+    )[:10]
+    want = [(r.o_orderkey, names[r.o_custkey], r.o_totalprice) for r in top]
+    got = {
+        (r.o_orderkey, r.c_name, r.o_totalprice)
+        for r in q_top_orders(spark, SF).collect()
+    }
+    assert got == set(want) and len(got) == 10
+
+
+def test_pricing_summary_matches_python(spark, tables):
+    cutoff = datetime.date.fromisoformat(SHIP_CUTOFF)
+    agg = defaultdict(lambda: [0.0, 0.0, 0.0, 0.0, 0.0, 0])
+    for r in tables["lineitem"]:
+        d = r.l_shipdate
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        if d > cutoff:
+            continue
+        a = agg[(r.l_returnflag, r.l_linestatus)]
+        disc = r.l_extendedprice * (1 - r.l_discount)
+        a[0] += r.l_quantity
+        a[1] += r.l_extendedprice
+        a[2] += disc
+        a[3] += disc * (1 + r.l_tax)
+        a[4] += r.l_discount
+        a[5] += 1
+    got = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in q_pricing_summary(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for k, a in agg.items():
+        r = got[k]
+        assert r.count_order == a[5]
+        assert abs(r.sum_qty - a[0]) < 0.01 + 1e-9 * a[0]
+        assert abs(r.sum_base_price - a[1]) < 0.01 + 1e-9 * a[1]
+        assert abs(r.sum_disc_price - a[2]) < 0.01 + 1e-9 * a[2]
+        assert abs(r.sum_charge - a[3]) < 0.01 + 1e-9 * a[3]
+        assert abs(r.avg_qty - a[0] / a[5]) < 1e-5
+        assert abs(r.avg_price - a[1] / a[5]) < 1e-5
+        assert abs(r.avg_disc - a[4] / a[5]) < 1e-5
+
+
+def test_customer_order_counts_matches_python(spark, tables):
+    per = Counter()
+    for r in tables["orders"]:
+        if r.o_orderpriority != Q13_EXCLUDED_PRIORITY:
+            per[r.o_custkey] += 1
+    dist = Counter(per.get(r.c_custkey, 0) for r in tables["customer"])
+    got = {
+        r.c_count: r.custdist
+        for r in q_customer_order_counts(spark, SF).collect()
+    }
+    assert got == dict(dist)
+
+
+def test_large_orders_matches_python(spark, tables):
+    import calendar
+
+    qty = defaultdict(float)
+    for r in tables["lineitem"]:
+        qty[r.l_orderkey] += r.l_quantity
+    big = {k: v for k, v in qty.items() if round(v, 2) > Q18_QTY}
+    names = {r.c_custkey: r.c_name for r in tables["customer"]}
+    want = {}
+    for r in tables["orders"]:
+        if r.o_orderkey in big:
+            d = r.o_orderdate
+            tt = (
+                d.utctimetuple()
+                if isinstance(d, datetime.datetime)
+                else d.timetuple()
+            )
+            want[r.o_orderkey] = (
+                r.o_custkey,
+                names[r.o_custkey],
+                calendar.timegm(tt),
+                r.o_totalprice,
+                round(big[r.o_orderkey], 2),
+            )
+    got = {
+        r.orderkey: (
+            r.c_custkey, r.c_name, r.o_orderdate_epoch, r.o_totalprice,
+            r.total_qty,
+        )
+        for r in q_large_orders(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2] and got[k][3] == want[k][3]
+        assert abs(got[k][4] - want[k][4]) < 1e-6
+        assert got[k][2] == want[k][2], (k, got[k][2], want[k][2])
+
+
+def test_customers_no_big_orders_matches_python(spark, tables):
+    big_cust = {
+        r.o_custkey for r in tables["orders"] if r.o_totalprice > BIG_ORDER
+    }
+    want = {
+        r.c_custkey for r in tables["customer"] if r.c_custkey not in big_cust
+    }
+    got = {
+        r.c_custkey for r in q_customers_no_big_orders(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
