@@ -380,6 +380,21 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "customers_no_big_orders": (
         "test_relational_pins.py::test_customers_no_big_orders_matches_python"
     ),
+    "forecast_revenue": (
+        "test_relational_pins.py::test_forecast_revenue_matches_python"
+    ),
+    "order_priority_stats": (
+        "test_relational_pins.py::test_order_priority_stats_matches_python"
+    ),
+    "promo_revenue_share": (
+        "test_relational_pins.py::test_promo_revenue_share_matches_python"
+    ),
+    "shipping_priority": (
+        "test_relational_pins.py::test_shipping_priority_matches_python"
+    ),
+    "returned_item_report": (
+        "test_relational_pins.py::test_returned_item_report_matches_python"
+    ),
 }
 
 

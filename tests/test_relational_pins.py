@@ -175,3 +175,170 @@ def test_customers_no_big_orders_matches_python(spark, tables):
         r.c_custkey for r in q_customers_no_big_orders(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+# --- batch 2: five more (Q6/Q14/Q3/Q10 + priority stats) -------------
+
+
+def _d(x):
+    if isinstance(x, datetime.datetime):
+        return x.date()
+    return x
+
+
+def test_forecast_revenue_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        Q6_DISC_HI,
+        Q6_DISC_LO,
+        Q6_END,
+        Q6_QTY,
+        Q6_START,
+        q_forecast_revenue,
+    )
+
+    lo = datetime.date.fromisoformat(Q6_START)
+    hi = datetime.date.fromisoformat(Q6_END)
+    want = sum(
+        r.l_extendedprice * r.l_discount
+        for r in tables["lineitem"]
+        if lo <= _d(r.l_shipdate) < hi
+        and Q6_DISC_LO <= r.l_discount <= Q6_DISC_HI
+        and r.l_quantity < Q6_QTY
+    )
+    got = q_forecast_revenue(spark, SF).collect()[0].revenue
+    assert abs(got - want) < 0.01 + 1e-9 * abs(want)
+
+
+def test_order_priority_stats_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_order_priority_stats,
+    )
+
+    agg = defaultdict(lambda: [0, set(), 0.0])
+    for r in tables["orders"]:
+        a = agg[r.o_orderpriority]
+        a[0] += 1
+        a[1].add(r.o_custkey)
+        a[2] += r.o_totalprice
+    got = {
+        r.o_orderpriority: (r.n_orders, r.n_customers, r.avg_price)
+        for r in q_order_priority_stats(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for k, a in agg.items():
+        assert got[k][0] == a[0] and got[k][1] == len(a[1])
+        assert abs(got[k][2] - a[2] / a[0]) < 1e-5
+
+
+def test_promo_revenue_share_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        Q14_END,
+        Q14_START,
+        q_promo_revenue_share,
+    )
+
+    part_type = {
+        r.p_partkey: r.p_type
+        for r in load_table(spark, SF, "part").collect()
+    }
+    lo = datetime.date.fromisoformat(Q14_START)
+    hi = datetime.date.fromisoformat(Q14_END)
+    promo = total = 0.0
+    for r in tables["lineitem"]:
+        if not (lo <= _d(r.l_shipdate) < hi) or r.l_partkey not in part_type:
+            continue
+        rev = r.l_extendedprice * (1 - r.l_discount)
+        total += rev
+        if part_type[r.l_partkey] == "PROMO":
+            promo += rev
+    want = 100.0 * promo / total
+    got = q_promo_revenue_share(spark, SF).collect()[0].promo_revenue_pct
+    assert abs(got - want) < 1e-5
+
+
+def test_shipping_priority_matches_python(spark, tables):
+    import calendar
+
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        Q3_DATE,
+        Q3_SEGMENT,
+        q_shipping_priority,
+    )
+
+    cut = datetime.date.fromisoformat(Q3_DATE)
+    seg_cust = {
+        r.c_custkey
+        for r in tables["customer"]
+        if r.c_mktsegment == Q3_SEGMENT
+    }
+    ords = {
+        r.o_orderkey: r
+        for r in tables["orders"]
+        if _d(r.o_orderdate) < cut and r.o_custkey in seg_cust
+    }
+    rev = defaultdict(float)
+    for r in tables["lineitem"]:
+        if _d(r.l_shipdate) > cut and r.l_orderkey in ords:
+            rev[r.l_orderkey] += r.l_extendedprice * (1 - r.l_discount)
+    ranked = sorted(rev.items(), key=lambda kv: (-round(kv[1], 2), kv[0]))[:10]
+    want = {}
+    for k, v in ranked:
+        o = ords[k]
+        d = o.o_orderdate
+        tt = (
+            d.utctimetuple()
+            if isinstance(d, datetime.datetime)
+            else d.timetuple()
+        )
+        want[k] = (calendar.timegm(tt), o.o_orderpriority, round(v, 2))
+    got = {
+        r.l_orderkey: (r.o_orderdate_epoch, r.o_orderpriority, r.revenue)
+        for r in q_shipping_priority(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2]
+        assert abs(got[k][2] - want[k][2]) < 1e-6
+
+
+def test_returned_item_report_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        Q10_END,
+        Q10_START,
+        Q10_TOP,
+        q_returned_item_report,
+    )
+
+    lo = datetime.date.fromisoformat(Q10_START)
+    hi = datetime.date.fromisoformat(Q10_END)
+    ords = {
+        r.o_orderkey: r.o_custkey
+        for r in tables["orders"]
+        if lo <= _d(r.o_orderdate) < hi
+    }
+    cust = {r.c_custkey: r for r in tables["customer"]}
+    nation = {r.n_nationkey: r.n_name for r in tables["nation"]}
+    rev = defaultdict(float)
+    for r in tables["lineitem"]:
+        if r.l_returnflag == "R" and r.l_orderkey in ords:
+            rev[ords[r.l_orderkey]] += r.l_extendedprice * (1 - r.l_discount)
+    ranked = sorted(
+        rev.items(), key=lambda kv: (-round(kv[1], 2), kv[0])
+    )[:Q10_TOP]
+    want = {
+        ck: (
+            cust[ck].c_name,
+            cust[ck].c_acctbal,
+            nation[cust[ck].c_nationkey],
+            round(v, 2),
+        )
+        for ck, v in ranked
+    }
+    got = {
+        r.c_custkey: (r.c_name, r.c_acctbal, r.n_name, r.revenue)
+        for r in q_returned_item_report(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3]
+        assert abs(got[k][3] - want[k][3]) < 1e-6
