@@ -395,6 +395,18 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "returned_item_report": (
         "test_relational_pins.py::test_returned_item_report_matches_python"
     ),
+    "top_suppliers_per_nation": (
+        "test_relational_pins.py::test_top_suppliers_per_nation_matches_python"
+    ),
+    "nation_trade_volume": (
+        "test_relational_pins.py::test_nation_trade_volume_matches_python"
+    ),
+    "product_line_revenue": (
+        "test_relational_pins.py::test_product_line_revenue_matches_python"
+    ),
+    "segment_part_overlap": (
+        "test_relational_pins.py::test_segment_part_overlap_matches_python"
+    ),
 }
 
 

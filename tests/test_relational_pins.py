@@ -342,3 +342,139 @@ def test_returned_item_report_matches_python(spark, tables):
     for k in want:
         assert got[k][:3] == want[k][:3]
         assert abs(got[k][3] - want[k][3]) < 1e-6
+
+
+# --- batch 3: Q9 / Q7 / per-nation top-k / segment overlap -----------
+
+
+def test_top_suppliers_per_nation_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        TOP_N,
+        q_top_suppliers_per_nation,
+    )
+
+    supp = load_table(spark, SF, "supplier").collect()
+    sinfo = {r.s_suppkey: (r.s_name, r.s_nationkey) for r in supp}
+    rev = defaultdict(float)
+    for r in tables["lineitem"]:
+        if r.l_suppkey in sinfo:
+            rev[r.l_suppkey] += r.l_extendedprice * (1 - r.l_discount)
+    per_nation = defaultdict(list)
+    for sk, v in rev.items():
+        per_nation[sinfo[sk][1]].append((sk, round(v, 2)))
+    want = {}
+    for nk, lst in per_nation.items():
+        lst.sort(key=lambda kv: (-kv[1], kv[0]))
+        for rank, (sk, v) in enumerate(lst[:TOP_N], start=1):
+            want[(nk, rank)] = (sk, sinfo[sk][0], v)
+    got = {
+        (r.s_nationkey, r.rank): (r.s_suppkey, r.s_name, r.revenue)
+        for r in q_top_suppliers_per_nation(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2]
+        assert abs(got[k][2] - want[k][2]) < 1e-6
+
+
+def test_nation_trade_volume_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        Q7_END,
+        Q7_NATION_A,
+        Q7_NATION_B,
+        Q7_START,
+        q_nation_trade_volume,
+    )
+
+    lo = datetime.date.fromisoformat(Q7_START)
+    hi = datetime.date.fromisoformat(Q7_END)
+    nation = {r.n_nationkey: r.n_name for r in tables["nation"]}
+    pair = {Q7_NATION_A, Q7_NATION_B}
+    supp = {
+        r.s_suppkey: nation[r.s_nationkey]
+        for r in load_table(spark, SF, "supplier").collect()
+        if nation[r.s_nationkey] in pair
+    }
+    cust = {
+        r.c_custkey: nation[r.c_nationkey]
+        for r in tables["customer"]
+        if nation[r.c_nationkey] in pair
+    }
+    o_cust = {r.o_orderkey: r.o_custkey for r in tables["orders"]}
+    agg = defaultdict(float)
+    for r in tables["lineitem"]:
+        d = _d(r.l_shipdate)
+        if not (lo <= d < hi):
+            continue
+        sn = supp.get(r.l_suppkey)
+        ck = o_cust.get(r.l_orderkey)
+        cn = cust.get(ck)
+        if sn is None or cn is None or sn == cn:
+            continue
+        agg[(sn, cn, d.year)] += r.l_extendedprice * (1 - r.l_discount)
+    got = {
+        (r.supp_nation, r.cust_nation, r.l_year): r.volume
+        for r in q_nation_trade_volume(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for k, v in agg.items():
+        assert abs(got[k] - v) < 0.01 + 1e-9 * abs(v)
+
+
+def test_product_line_revenue_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        Q9_PART_LIKE,
+        q_product_line_revenue,
+    )
+
+    parts = {
+        r.p_partkey
+        for r in load_table(spark, SF, "part").collect()
+        if Q9_PART_LIKE in r.p_name
+    }
+    nation = {r.n_nationkey: r.n_name for r in tables["nation"]}
+    supp = {
+        r.s_suppkey: nation[r.s_nationkey]
+        for r in load_table(spark, SF, "supplier").collect()
+    }
+    o_date = {r.o_orderkey: _d(r.o_orderdate) for r in tables["orders"]}
+    agg = defaultdict(float)
+    for r in tables["lineitem"]:
+        if r.l_partkey not in parts or r.l_orderkey not in o_date:
+            continue
+        sn = supp.get(r.l_suppkey)
+        if sn is None:
+            continue
+        agg[(sn, o_date[r.l_orderkey].year)] += (
+            r.l_extendedprice * (1 - r.l_discount)
+        )
+    got = {
+        (r.nation, r.o_year): r.revenue
+        for r in q_product_line_revenue(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for k, v in agg.items():
+        assert abs(got[k] - v) < 0.01 + 1e-9 * abs(v)
+
+
+def test_segment_part_overlap_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        SEG_A,
+        SEG_B,
+        q_segment_part_overlap,
+    )
+
+    o_cust = {r.o_orderkey: r.o_custkey for r in tables["orders"]}
+    seg = {r.c_custkey: r.c_mktsegment for r in tables["customer"]}
+
+    def parts_of(segment):
+        out = set()
+        for r in tables["lineitem"]:
+            ck = o_cust.get(r.l_orderkey)
+            if ck is not None and seg.get(ck) == segment:
+                out.add(r.l_partkey)
+        return out
+
+    want = parts_of(SEG_A) & parts_of(SEG_B)
+    got = {r.partkey for r in q_segment_part_overlap(spark, SF).collect()}
+    assert got == want and len(want) > 0
