@@ -407,6 +407,21 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "segment_part_overlap": (
         "test_relational_pins.py::test_segment_part_overlap_matches_python"
     ),
+    "top_supplier": (
+        "test_relational_pins.py::test_top_supplier_matches_python"
+    ),
+    "nation_revenue_share": (
+        "test_relational_pins.py::test_nation_revenue_share_matches_python"
+    ),
+    "idle_rich_customers": (
+        "test_relational_pins.py::test_idle_rich_customers_matches_python"
+    ),
+    "late_order_priorities": (
+        "test_relational_pins.py::test_late_order_priorities_matches_python"
+    ),
+    "sole_late_suppliers": (
+        "test_relational_pins.py::test_sole_late_suppliers_matches_python"
+    ),
 }
 
 

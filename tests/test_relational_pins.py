@@ -478,3 +478,148 @@ def test_segment_part_overlap_matches_python(spark, tables):
     want = parts_of(SEG_A) & parts_of(SEG_B)
     got = {r.partkey for r in q_segment_part_overlap(spark, SF).collect()}
     assert got == want and len(want) > 0
+
+
+# --- batch 4: Q15 / Q8 / Q22 / Q4 / Q21 ------------------------------
+
+
+def test_top_supplier_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        Q15_END,
+        Q15_START,
+        q_top_supplier,
+    )
+
+    lo = datetime.date.fromisoformat(Q15_START)
+    hi = datetime.date.fromisoformat(Q15_END)
+    rev = defaultdict(float)
+    for r in tables["lineitem"]:
+        if lo <= _d(r.l_shipdate) < hi:
+            rev[r.l_suppkey] += r.l_extendedprice * (1 - r.l_discount)
+    rounded = {k: round(v, 2) for k, v in rev.items()}
+    mx = max(rounded.values())
+    names = {
+        r.s_suppkey: r.s_name
+        for r in load_table(spark, SF, "supplier").collect()
+    }
+    want = {
+        (k, names[k], v) for k, v in rounded.items() if v == mx
+    }
+    got = {
+        (r.s_suppkey, r.s_name, r.total_revenue)
+        for r in q_top_supplier(spark, SF).collect()
+    }
+    assert got == want and len(want) >= 1
+
+
+def test_nation_revenue_share_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_nation_revenue_share,
+    )
+
+    nation = {r.n_nationkey: r.n_name for r in tables["nation"]}
+    supp = {
+        r.s_suppkey: nation[r.s_nationkey]
+        for r in load_table(spark, SF, "supplier").collect()
+    }
+    o_year = {r.o_orderkey: _d(r.o_orderdate).year for r in tables["orders"]}
+    rev = defaultdict(float)
+    for r in tables["lineitem"]:
+        y = o_year.get(r.l_orderkey)
+        sn = supp.get(r.l_suppkey)
+        if y is None or sn is None:
+            continue
+        rev[(y, sn)] += r.l_extendedprice * (1 - r.l_discount)
+    year_tot = defaultdict(float)
+    for (y, _), v in rev.items():
+        year_tot[y] += v
+    got = {
+        (r.o_year, r.n_name): (r.revenue, r.share)
+        for r in q_nation_revenue_share(spark, SF).collect()
+    }
+    assert set(got) == set(rev)
+    for k, v in rev.items():
+        assert abs(got[k][0] - v) < 0.01 + 1e-9 * abs(v)
+        assert abs(got[k][1] - v / year_tot[k[0]]) < 1e-5
+
+
+def test_idle_rich_customers_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        Q22_URGENT,
+        q_idle_rich_customers,
+    )
+
+    pos = [r.c_acctbal for r in tables["customer"] if r.c_acctbal > 0]
+    avg_bal = sum(pos) / len(pos)
+    urgent = {
+        r.o_custkey
+        for r in tables["orders"]
+        if r.o_orderpriority == Q22_URGENT
+    }
+    agg = defaultdict(lambda: [0, 0.0])
+    for r in tables["customer"]:
+        if r.c_acctbal > avg_bal and r.c_custkey not in urgent:
+            a = agg[r.c_mktsegment]
+            a[0] += 1
+            a[1] += r.c_acctbal
+    got = {
+        r.c_mktsegment: (r.numcust, r.totacctbal)
+        for r in q_idle_rich_customers(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for k, a in agg.items():
+        assert got[k][0] == a[0]
+        assert abs(got[k][1] - a[1]) < 0.01 + 1e-9 * abs(a[1])
+
+
+def test_late_order_priorities_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_late_order_priorities,
+    )
+
+    ship = defaultdict(list)
+    for r in tables["lineitem"]:
+        ship[r.l_orderkey].append(_d(r.l_shipdate))
+    cnt = Counter()
+    for r in tables["orders"]:
+        cut = _d(r.o_orderdate) + datetime.timedelta(days=60)
+        if any(d > cut for d in ship.get(r.o_orderkey, ())):
+            cnt[r.o_orderpriority] += 1
+    got = {
+        r.o_orderpriority: r.order_count
+        for r in q_late_order_priorities(spark, SF).collect()
+    }
+    assert got == dict(cnt)
+
+
+def test_sole_late_suppliers_matches_python(spark, tables):
+    from optimal_parallel_fp_growth_spark.queries_relational import (
+        q_sole_late_suppliers,
+    )
+
+    per_order = defaultdict(list)
+    for r in tables["lineitem"]:
+        per_order[r.l_orderkey].append((r.l_suppkey, _d(r.l_shipdate)))
+    waits = Counter()
+    for ok, rows in per_order.items():
+        supps = {s for s, _ in rows}
+        if len(supps) < 2:
+            continue
+        mx = max(d for _, d in rows)
+        at_max = {s for s, d in rows if d == mx}
+        if len(at_max) == 1:
+            waits[next(iter(at_max))] += 1
+    names = {
+        r.s_suppkey: r.s_name
+        for r in load_table(spark, SF, "supplier").collect()
+    }
+    ranked = sorted(
+        ((names[s], n) for s, n in waits.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    got = [
+        (r.s_name, r.numwait)
+        for r in q_sole_late_suppliers(spark, SF).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == ranked
+    assert len(ranked) > 0
