@@ -422,6 +422,23 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "sole_late_suppliers": (
         "test_relational_pins.py::test_sole_late_suppliers_matches_python"
     ),
+    "word_count": (
+        "test_relational_pins.py::test_word_count_matches_python"
+    ),
+    "freq_items": (
+        "test_relational_pins.py::test_freq_items_matches_python"
+    ),
+    "tokenize_distinct": (
+        "test_relational_pins.py::test_tokenize_distinct_matches_python"
+    ),
+    # existing brute-force/golden suites that already ARE full-
+    # semantics recomputations of these entries' kernels:
+    "apriori_rules": (
+        "test_apriori.py::test_matches_brute_force_on_events"
+    ),
+    "freq_itemsets": (
+        "test_property_mining.py::test_both_kernels_match_brute_force"
+    ),
 }
 
 
@@ -641,7 +658,11 @@ def test_rotation_without_retirement_was_infeasible():
 
         due = [n for n in entries if deadline(n) <= r]
         if len(due) > WINDOW:
-            assert r <= 19, "infeasibility expected early"
+            # at the r14 rotation decision this fired at r18; the
+            # mid-r14 pin batches (26 entries to the cap-5 tier)
+            # pushed the counterfactual's collapse out to ~r20 —
+            # retirement is still required, just later
+            assert r <= 23, "infeasibility expected before the horizon"
             return  # infeasible, as documented
         for n in sorted(entries, key=lambda n: (deadline(n), n in pinned))[
             :WINDOW

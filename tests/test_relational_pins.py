@@ -623,3 +623,55 @@ def test_sole_late_suppliers_matches_python(spark, tables):
     ]
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == ranked
     assert len(ranked) > 0
+
+
+# --- batch 5: the mining/core trio (word_count, freq_items,
+#     tokenize_distinct) ----------------------------------------------
+
+
+def test_word_count_matches_python(spark):
+    from optimal_parallel_fp_growth_spark.queries import q_word_count
+
+    cnt = Counter()
+    for r in load_table(spark, SF, "documents").select("text").collect():
+        cnt.update(r.text.split(" "))
+    got = [(r.word, r.cnt) for r in q_word_count(spark, SF).collect()]
+    # exact counts AND the (cnt desc, word asc) total order
+    assert dict(got) == dict(cnt)
+    assert got == sorted(got, key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_freq_items_matches_python(spark, tables):
+    import math
+
+    from optimal_parallel_fp_growth_spark.queries import (
+        LINEITEM_MIN_SUPPORT,
+        q_freq_items,
+    )
+
+    baskets = defaultdict(set)
+    for r in tables["lineitem"]:
+        baskets[r.l_orderkey].add(str(r.l_partkey))
+    need = math.ceil(LINEITEM_MIN_SUPPORT * len(baskets))
+    cnt = Counter()
+    for items in baskets.values():
+        cnt.update(items)
+    want = {k: v for k, v in cnt.items() if v >= need}
+    got = {r.item: r.freq for r in q_freq_items(spark, SF).collect()}
+    assert got == want
+
+
+def test_tokenize_distinct_matches_python(spark):
+    from optimal_parallel_fp_growth_spark.queries import q_tokenize_distinct
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    out = q_tokenize_distinct(spark, SF).collect()  # exploded (doc_id, item)
+    got = defaultdict(list)
+    for r in out:
+        got[r.doc_id].append(r.item)
+    assert len(got) == len(docs)
+    for r in docs:
+        want = set(r.text.split(" "))
+        # distinct per doc: every token exactly once
+        assert len(got[r.doc_id]) == len(want), r.doc_id
+        assert set(got[r.doc_id]) == want, r.doc_id
