@@ -439,6 +439,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "freq_itemsets": (
         "test_property_mining.py::test_both_kernels_match_brute_force"
     ),
+    "events_top_users": (
+        "test_relational_pins.py::test_events_top_users_matches_python"
+    ),
+    "events_user_quartiles": (
+        "test_relational_pins.py::test_events_user_quartiles_matches_python"
+    ),
 }
 
 

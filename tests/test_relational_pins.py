@@ -675,3 +675,75 @@ def test_tokenize_distinct_matches_python(spark):
         # distinct per doc: every token exactly once
         assert len(got[r.doc_id]) == len(want), r.doc_id
         assert set(got[r.doc_id]) == want, r.doc_id
+
+
+# --- batch 6: events rank-family pins --------------------------------
+
+
+def test_events_top_users_matches_python(spark):
+    from optimal_parallel_fp_growth_spark.queries_events import (
+        TOP_USERS_K,
+        q_events_top_users,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    cnt = Counter((r.event_type, r.user_id) for r in ev.collect())
+    per_type = defaultdict(list)
+    for (t, u), n in cnt.items():
+        per_type[t].append((u, n))
+    want = {}
+    for t, lst in per_type.items():
+        lst.sort(key=lambda kv: (-kv[1], kv[0]))
+        for rank, (u, n) in enumerate(lst[:TOP_USERS_K], start=1):
+            want[(t, rank)] = (u, n)
+    got = {
+        (r.event_type, r.rank): (r.user_id, r.cnt)
+        for r in q_events_top_users(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_events_user_quartiles_matches_python(spark):
+    from optimal_parallel_fp_growth_spark.queries_events import (
+        q_events_user_quartiles,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "user_id", "value"
+    )
+    totals = defaultdict(float)
+    for r in ev.collect():
+        totals[(r.event_type, r.user_id)] += r.value
+    per_type = defaultdict(list)
+    for (t, u), v in totals.items():
+        per_type[t].append((u, round(v, 6)))
+    want = {}
+    for t, lst in per_type.items():
+        lst.sort(key=lambda kv: (-kv[1], kv[0]))
+        n = len(lst)
+        base, extra = divmod(n, 4)
+        # Spark ntile: the first (n % 4) tiles get one extra row
+        bounds = []
+        pos = 0
+        for tile in range(1, 5):
+            size = base + (1 if tile <= extra else 0)
+            bounds.extend([tile] * size)
+            pos += size
+        for i, (u, v) in enumerate(lst):
+            want[(t, u)] = (
+                v,
+                bounds[i],
+                round(i / (n - 1), 6) if n > 1 else 0.0,
+                round((i + 1) / n, 6),
+            )
+    got = {
+        (r.event_type, r.user_id): (
+            r.total_value, r.quartile, r.pct_rank, r.cume
+        )
+        for r in q_events_user_quartiles(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, (v, q, pr, cu) in want.items():
+        gv, gq, gpr, gcu = got[k]
+        assert abs(gv - v) < 1e-6 and gq == q, k
+        assert abs(gpr - pr) < 1e-6 and abs(gcu - cu) < 1e-6, k
