@@ -431,27 +431,30 @@ QUERIES.update(REL_QUERIES)
 # Driver sampling order. The correctness harness samples the registry in
 # insertion order with a bounded per-round window (exactly 50 rows since
 # r4), so entries whose last green driver row is OLDEST must come FIRST —
-# the rotation contract that bounds staleness. Round-14 tiers (staleness
-# computed from CORRECTNESS_r{01..13}.json; the invariant is enforced
+# the rotation contract that bounds staleness. Round-15 tiers (staleness
+# computed from CORRECTNESS_r{01..14}.json; the invariant is enforced
 # data-driven by tests/test_registry_order.py):
-#   1. the 8 entries with NO driver row ever — the mid-r13 additions
-#      (versioned_update, stats_pushdown, versioned_range_read,
-#      zorder_table_read, pii_redact, bucketed_table_merge,
-#      normalize_text, merge_update_cols), added after the r13 window
-#      was contractually full (NEW_THIS_ROUND exemption now expired).
-#   2. the 33 unpinned r11-green entries deferred through r13
-#      (staleness 3 at the r14 head — the mandated lead block named in
-#      the r13 tripwire output).
-#   3. the 7 pinned r11-green entries (cap 4: due r14/r15 — sampling
-#      them all now zeroes the r15 debt from this tier).
-#   4. the first 2 of the 24 unpinned r12-green — fills the window at
-#      exactly 50 (the remaining 22 hit staleness 3 at the r15 head
-#      and MUST lead the r15 window).
-#   5. the 22 remaining unpinned r12-green, then the 4 surviving
-#      (non-retired) pinned r12-green, then the 21 unpinned r13-green,
-#      then the 4 surviving pinned r13-green — the active tail,
-#      oldest-first.
-#   6. the RETIRED_TO_PYTEST tier (47 entries, below): permanently at
+#   1. the 8 entries with NO driver row ever — the mid-r14 additions
+#      (bucketed_sorted_read, events_first_touch, events_quantile_sketch,
+#      heavy_hitters_tokens, purge_deletes, partial_compact,
+#      schema_evolution_read, embedding_quantize), added after the r14
+#      window was contractually full (NEW_THIS_ROUND exemption now
+#      expired).
+#   2. the 20 surviving unpinned r12-green entries (staleness 3 at the
+#      r15 head — the mandated lead block named in the r14 tripwire
+#      output; revenue_by_nation/top_orders from that block retired).
+#   3. the 4 surviving pinned r12-green entries (cap 4: due r16/r17 —
+#      sampling them all now zeroes the r16/r17 debt from this tier).
+#   4. the 16 unpinned r13-green — they would ALL demand r16 window
+#      slots otherwise; sampling them now flattens the r16 demand.
+#   5. 2 of the 4 surviving pinned r13-green (index_search,
+#      versioned_stream_follow) — fills the window at exactly 50 and
+#      halves the r17/r18 debt from that tier.
+#   6. the active tail, oldest-first: the 2 remaining pinned r13-green
+#      (clustered_table_read, multimodal_video — cap 4, due r17/r18),
+#      the 14 unpinned r14-green (they lead the r16 window), then the
+#      15 surviving pinned r14-green.
+#   7. the RETIRED_TO_PYTEST tier (75 entries, below): permanently at
 #      the tail, outside the rotation.
 # Rotation-capacity ceiling (VERDICT r13 task #2): at 148 entries the
 # 50-slot window could no longer cover steady demand plus the pinned
@@ -473,6 +476,38 @@ QUERIES.update(REL_QUERIES)
 # in tests/test_registry_order.py::test_retired_entries_meet_criteria:
 # pinned + ≥3 distinct green driver rounds each).
 RETIRED_TO_PYTEST: frozenset[str] = frozenset({
+    # --- retired at the r15 rotation (28 entries newly at ≥3 greens
+    # after CORRECTNESS_r14 landed — the r14 pin-throughput batches
+    # made the whole relational tier eligible) ---
+    "apriori_rules",
+    "count_rows",
+    "customer_order_counts",
+    "customers_no_big_orders",
+    "events_top_users",
+    "events_user_quartiles",
+    "forecast_revenue",
+    "freq_items",
+    "freq_itemsets",
+    "idle_rich_customers",
+    "large_orders",
+    "late_order_priorities",
+    "nation_revenue_share",
+    "nation_trade_volume",
+    "order_priority_stats",
+    "pricing_summary",
+    "product_line_revenue",
+    "promo_revenue_share",
+    "returned_item_report",
+    "revenue_by_nation",
+    "segment_part_overlap",
+    "shipping_priority",
+    "sole_late_suppliers",
+    "tokenize_distinct",
+    "top_orders",
+    "top_supplier",
+    "top_suppliers_per_nation",
+    "word_count",
+    # --- retired at the r14 rotation ---
     "assoc_rules",
     "bloom_decontaminate",
     "bloom_user_filter",
@@ -523,65 +558,19 @@ RETIRED_TO_PYTEST: frozenset[str] = frozenset({
 })
 
 _DRIVER_PRIORITY: list[str] = [
-    # ---- r14 window (50) ----
-    # tier 1 — never driver-sampled: the 8 mid-r13 additions
-    # (NEW_THIS_ROUND exemption spent at the r13 snapshot)
-    "versioned_update",
-    "stats_pushdown",
-    "versioned_range_read",
-    "zorder_table_read",
-    "pii_redact",
-    "bucketed_table_merge",
-    "normalize_text",
-    "merge_update_cols",
-    # tier 2 — the 33 deferred unpinned r11-green (staleness 3 at the
-    # r14 head — named verbatim in the r13 tripwire output)
-    "product_line_revenue",
-    "promo_revenue_share",
-    "brand_discount_revenue",
-    "pricing_summary",
-    "customers_no_big_orders",
-    "top_suppliers_per_nation",
-    "order_priority_stats",
-    "segment_part_overlap",
-    "shipping_priority",
-    "forecast_revenue",
-    "returned_item_report",
-    "large_orders",
-    "nation_revenue_share",
-    "small_qty_revenue",
-    "customer_order_counts",
-    "top_supplier",
-    "idle_rich_customers",
-    "html_extract",
-    "lm_perplexity",
-    "gopher_rules",
-    "late_order_priorities",
-    "sole_late_suppliers",
-    "negative_pairs",
-    "hard_negatives",
-    "events_hopping",
-    "multimodal_pixels",
-    "count_rows",
-    "tokenize_distinct",
-    "freq_items",
-    "freq_itemsets_docs",
-    "apriori_rules",
-    "dedup_simhash",
-    "lang_id",
-    # tier 3 — the 7 pinned r11-green (cap 4: due r14/r15)
-    "multimodal_gif",
-    "dedup_zipf_prefix",
-    "skewed_token_counts",
-    "skewed_doc_hotness",
-    "hive_layout_read",
-    "compacted_layout_read",
-    "versioned_changes",
-    # tier 4 — 2 unpinned r12-green: fills the window at exactly 50
-    "doc_fingerprint",
-    "pii_stats",
-    # ---- active tail (51), oldest-first ----
-    # the 22 remaining unpinned r12-green (MUST lead the r15 window)
+    # ---- r15 window (50) ----
+    # tier 1 — never driver-sampled: the 8 mid-r14 additions
+    # (NEW_THIS_ROUND exemption spent at the r14 snapshot)
+    "bucketed_sorted_read",
+    "events_first_touch",
+    "events_quantile_sketch",
+    "heavy_hitters_tokens",
+    "purge_deletes",
+    "partial_compact",
+    "schema_evolution_read",
+    "embedding_quantize",
+    # tier 2 — the 20 surviving unpinned r12-green (staleness 3 at the
+    # r15 head — named verbatim in the r14 tripwire output)
     "repetition_signals",
     "source_ngram_overlap",
     "chunk_documents",
@@ -589,8 +578,6 @@ _DRIVER_PRIORITY: list[str] = [
     "curate_corpus",
     "corpus_split",
     "label_centroids",
-    "revenue_by_nation",
-    "top_orders",
     "multimodal_flac",
     "versioned_read",
     "versioned_merge",
@@ -604,13 +591,14 @@ _DRIVER_PRIORITY: list[str] = [
     "repeated_spans",
     "zorder_layout_read",
     "local_supplier_revenue",
-    # the 4 surviving pinned r12-green (cap 4: due r16/r17)
+    # tier 3 — the 4 surviving pinned r12-green (cap 4: due r16/r17;
+    # sampling them all now zeroes that debt)
     "incremental_agg",
     "materialized_view",
     "incremental_index",
     "mor_delete_read",
-    # the 21 unpinned r13-green (staleness 3 at the r16 head)
-    "word_count",
+    # tier 4 — the 16 unpinned r13-green (all would demand r16 window
+    # slots otherwise)
     "kmeans_clusters",
     "kmeans_auto",
     "semdedup",
@@ -619,34 +607,55 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_ann",
     "supplier_pagerank",
     "dedup_minhash_lsh",
-    "freq_itemsets",
     "deduped_corpus_cc",
-    "events_user_quartiles",
     "events_rolling",
     "events_daily_rollup",
     "events_asof_join",
     "events_hourly_cube",
     "events_json_props",
     "events_retention",
-    "events_top_users",
     "multimodal_frames",
-    "nation_trade_volume",
-    # the 4 surviving pinned r13-green (cap 4: due r17/r18)
+    # tier 5 — 2 of the 4 surviving pinned r13-green: fills the window
+    # at exactly 50, halves the r17/r18 debt from that tier
     "index_search",
     "versioned_stream_follow",
+    # ---- active tail (31), oldest-first ----
+    # the 2 remaining pinned r13-green (cap 4: due r17/r18)
     "clustered_table_read",
     "multimodal_video",
-    # ---- mid-r14 additions (window contractually full when added;
-    # NEW_THIS_ROUND exemption — they lead the r15 window) ----
-    "bucketed_sorted_read",
-    "events_first_touch",
-    "events_quantile_sketch",
-    "heavy_hitters_tokens",
-    "purge_deletes",
-    "partial_compact",
-    "schema_evolution_read",
-    "embedding_quantize",
-    # ---- retired tier (47) — never sampled again; pytest pins +
+    # the 14 unpinned r14-green (staleness 3 at the r17 head; they
+    # lead the r16 window)
+    "brand_discount_revenue",
+    "small_qty_revenue",
+    "html_extract",
+    "lm_perplexity",
+    "gopher_rules",
+    "negative_pairs",
+    "hard_negatives",
+    "events_hopping",
+    "multimodal_pixels",
+    "freq_itemsets_docs",
+    "dedup_simhash",
+    "lang_id",
+    "doc_fingerprint",
+    "pii_stats",
+    # the 15 surviving pinned r14-green (cap 4: due r18/r19)
+    "versioned_update",
+    "stats_pushdown",
+    "versioned_range_read",
+    "zorder_table_read",
+    "pii_redact",
+    "bucketed_table_merge",
+    "normalize_text",
+    "merge_update_cols",
+    "multimodal_gif",
+    "dedup_zipf_prefix",
+    "skewed_token_counts",
+    "skewed_doc_hotness",
+    "hive_layout_read",
+    "compacted_layout_read",
+    "versioned_changes",
+    # ---- retired tier (75) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),
 ]

@@ -1,19 +1,23 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (exactly 50 rows since r4). Round-14 rotation
+bounded per-round window (exactly 50 rows since r4). Round-15 rotation
 contract:
 
-* The eight mid-r13 additions (``versioned_update`` /
-  ``stats_pushdown`` / ``versioned_range_read`` / ``zorder_table_read``
-  / ``pii_redact`` / ``bucketed_table_merge`` / ``normalize_text`` /
-  ``merge_update_cols``, never driver-sampled — their NEW_THIS_ROUND
-  exemption expired at the r13 snapshot) lead, then the 33 unpinned
-  r11-green entries deferred through r13 (staleness 3 — named verbatim
-  in the r13 tripwire output), then ALL 7 pinned r11-green (cap 4: due
-  r14/r15 — sampling them all now zeroes the r15 debt from that tier),
-  then 2 of the 24 unpinned r12-green — exactly filling the window.
-  The remaining 22 unpinned r12-green MUST lead the r15 window.
+* The eight mid-r14 additions (``bucketed_sorted_read`` /
+  ``events_first_touch`` / ``events_quantile_sketch`` /
+  ``heavy_hitters_tokens`` / ``purge_deletes`` / ``partial_compact`` /
+  ``schema_evolution_read`` / ``embedding_quantize``, never
+  driver-sampled — their NEW_THIS_ROUND exemption expired at the r14
+  snapshot) lead, then the 20 surviving unpinned r12-green entries
+  (staleness 3 — named verbatim in the r14 tripwire output), then ALL
+  4 surviving pinned r12-green (cap 4: due r16/r17 — zeroing that
+  debt), then the 16 unpinned r13-green (they would all demand r16
+  slots otherwise), then 2 of the 4 surviving pinned r13-green —
+  exactly filling the window. The 14 unpinned r14-green MUST lead the
+  r16 window. The r14 pin-throughput batches made the whole relational
+  tier retirement-eligible once CORRECTNESS_r14 landed: 28 entries
+  retired at this rotation (47 → 75).
 * A pinned entry (entry-twin differential in ``TWINS``, or an
   independent-recomputation ground truth in ``GROUND_TRUTH_PINS``) may
   defer to a 4-round staleness cap; everything else holds the 2-round
@@ -456,16 +460,8 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
 NEW_THIS_ROUND: dict[str, int] = {
-    # (r13's eight additions rotated into the r14 window lead — their
-    # exemption is spent; r14 mid-round additions land here)
-    "bucketed_sorted_read": 14,
-    "events_first_touch": 14,
-    "events_quantile_sketch": 14,
-    "heavy_hitters_tokens": 14,
-    "purge_deletes": 14,
-    "partial_compact": 14,
-    "schema_evolution_read": 14,
-    "embedding_quantize": 14,
+    # (r14's eight additions rotated into the r15 window lead — their
+    # exemption is spent; r15 mid-round additions land here)
 }
 
 
@@ -713,23 +709,23 @@ def test_new_this_round_exemption_expires():
     assert not _staleness_violations(order, last, 9, set(), {"late_add": 7})
 
 
-def test_simulated_r15_rotation_is_feasible():
+def test_simulated_r16_rotation_is_feasible():
     """Rotation-debt solvency check, re-pinned each round: the
-    invariant must provably hold through a simulated r15 with no new
-    rows beyond the r14 window. Simulate: every ACTIVE entry in the
-    CURRENT head-50 goes green in r14, the r15 builder rotates
+    invariant must provably hold through a simulated r16 with no new
+    rows beyond the r15 window. Simulate: every ACTIVE entry in the
+    CURRENT head-50 goes green in r15, the r16 builder rotates
     greedily (most-stale first, pinned entries after unpinned at equal
     staleness, retired tier at the tail), and the invariant is
-    evaluated at the r15 head."""
+    evaluated at the r16 head."""
     order = list(Q.QUERIES)
     last, current = _last_green_by_entry()
-    assert current == 14  # this simulation is written against the r14 head
+    assert current == 15  # this simulation is written against the r15 head
     sim_last = dict(last)
     for name in order[:WINDOW]:
-        sim_last[name] = 14
+        sim_last[name] = 15
     pinned = _pinned()
     retired = Q.RETIRED_TO_PYTEST
-    r15_order = sorted(
+    r16_order = sorted(
         order,
         key=lambda n: (
             n in retired,  # retired tier stays at the tail
@@ -738,58 +734,62 @@ def test_simulated_r15_rotation_is_feasible():
         ),
     )
     violations = _staleness_violations(
-        r15_order, sim_last, 15, pinned, {}, retired
+        r16_order, sim_last, 16, pinned, {}, retired
     )
     assert not violations, "\n".join(violations)
 
 
 def test_window_leads_with_never_sampled_entries():
-    # the eight mid-r13 additions with no driver row ever lead the r14
+    # the eight mid-r14 additions with no driver row ever lead the r15
     # window.
     order = list(Q.QUERIES)
     assert order[:8] == [
-        "versioned_update", "stats_pushdown", "versioned_range_read",
-        "zorder_table_read", "pii_redact", "bucketed_table_merge",
-        "normalize_text", "merge_update_cols",
+        "bucketed_sorted_read", "events_first_touch",
+        "events_quantile_sketch", "heavy_hitters_tokens",
+        "purge_deletes", "partial_compact", "schema_evolution_read",
+        "embedding_quantize",
     ]
 
 
-def test_r14_window_composition():
+def test_r15_window_composition():
     """Pin the exact tiers so a mid-round insertion can't silently push
     a stale entry out of the window."""
     order = list(Q.QUERIES)
     last, _ = _last_green_by_entry()
     pinned = _pinned()
     retired = Q.RETIRED_TO_PYTEST
-    # tier 1: never driver-sampled (the eight mid-r13 additions)
+    # tier 1: never driver-sampled (the eight mid-r14 additions)
     tier1 = order[:8]
     assert all(n not in last for n in tier1), tier1
-    # tier 2: the 33 r11-green deferred through r13 (unpinned at the
-    # rotation; seven were GT-pinned MID-r14 as the capacity lever —
-    # pin status affects future caps, never this window's slots)
-    tier2 = order[8:41]
-    assert all(last.get(n) == 11 for n in tier2), tier2
-    # tier 3: ALL 7 pinned r11-green (cap 4, due r14/r15 — zeroing the
-    # r15 debt from this tier)
-    tier3 = order[41:48]
-    assert all(last.get(n) == 11 and n in pinned for n in tier3), tier3
-    # tier 4 fills the window: 2 unpinned r12-green
-    tier4 = order[48:WINDOW]
-    assert all(last.get(n) == 12 and n not in pinned for n in tier4), tier4
-    # active tail: 22 remaining unpinned r12-green (MUST lead r15),
-    # then surviving pinned r12, then unpinned r13, then pinned r13;
+    # tier 2: the 20 surviving unpinned r12-green (staleness 3 at the
+    # r15 head — named verbatim in the r14 tripwire output; staleness
+    # is the asserted fact — a mid-r15 pin batch may change pin status
+    # without affecting this window's slots)
+    tier2 = order[8:28]
+    assert all(last.get(n) == 12 for n in tier2), tier2
+    # tier 3: ALL 4 surviving pinned r12-green (cap 4, due r16/r17 —
+    # zeroing that debt)
+    tier3 = order[28:32]
+    assert all(last.get(n) == 12 and n in pinned for n in tier3), tier3
+    # tier 4: the 16 unpinned-at-rotation r13-green (they would all
+    # demand r16 slots otherwise)
+    tier4 = order[32:48]
+    assert all(last.get(n) == 13 for n in tier4), tier4
+    # tier 5 fills the window: 2 pinned r13-green
+    tier5 = order[48:WINDOW]
+    assert all(last.get(n) == 13 and n in pinned for n in tier5), tier5
+    # active tail: 2 remaining pinned r13-green, then the 14 unpinned
+    # r14-green (MUST lead r16), then surviving pinned r14-green;
     # mid-round additions (NEW_THIS_ROUND) slot before the retired tier
     n_active = len(order) - len(retired)
     tail = order[WINDOW:n_active]
-    # (same mid-r14 pin caveat as tier 2: revenue_by_nation/top_orders
-    # joined the GT-pin tier after the rotation)
-    tier5 = tail[:22]
-    assert all(last.get(n) == 12 for n in tier5), tier5
-    rest = [n for n in tail[22:] if n not in NEW_THIS_ROUND]
-    assert all(last.get(n) in (12, 13) and n not in retired for n in rest), [
-        n for n in rest if last.get(n) not in (12, 13)
+    tier6 = tail[:2]
+    assert all(last.get(n) == 13 and n in pinned for n in tier6), tier6
+    rest = [n for n in tail[2:] if n not in NEW_THIS_ROUND]
+    assert all(last.get(n) == 14 and n not in retired for n in rest), [
+        n for n in rest if last.get(n) != 14
     ]
-    assert set(n for n in tail[22:] if n in NEW_THIS_ROUND) == set(
+    assert set(n for n in tail[2:] if n in NEW_THIS_ROUND) == set(
         NEW_THIS_ROUND
     )
     # retired tier strictly last
@@ -831,7 +831,7 @@ def test_prior_round_correctness_rows_were_all_green():
     }
     for r in (
         "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10", "r11",
-        "r12", "r13",
+        "r12", "r13", "r14",
     ):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         red = sorted(k for k, v in rows.items() if not v.get("hash_match"))
