@@ -391,6 +391,14 @@ def main() -> None:
         # restore lifecycle drained one micro-batch per commit into a
         # replica table through the checkpointed cursor)
         "versioned_stream_follow",
+        # round-15 addition: exactly-once streaming ingest (real
+        # availableNow stream, one txn-stamped version per micro-batch,
+        # duplicated-epoch replay proven a no-op in-query)
+        "versioned_stream_ingest",
+        # round-15 addition: partition-spec evolution (metadata-only
+        # bucket-spec change, per-era pruning proven with one-file
+        # probes on both sides of the boundary)
+        "spec_evolved_read",
         # round-12 addition: recorded clustering spec (create clustered
         # from hash-partitioned input → spec-driven merge re-cluster →
         # stat-pruned quintile read, fail-closed on files_scanned)
@@ -450,18 +458,6 @@ def main() -> None:
         # round-14 addition: int8 scalar quantization (pure-codegen
         # projection; reconstruction bound fail-closed in-query)
         "embedding_quantize",
-        # -- TAIL on purpose: the two heavyweight ngram tiers (~22 s
-        #    and ~30 s at sf0.1) disturb whatever runs in their wake --
-        # the ppjoin prefix tier at τ=0.8 on the DENSE-vocab documents
-        # fixture (its honest worst case — prefix tokens are common, so
-        # candidates barely prune; the operator docstring records the
-        # measured verdict) — unbenched until r11 by oversight
-        "dedup_ngram_prefix",
-        # LAST: the oracle-exact quadratic ngram tier
-        #    (~30 s at sf0.1) disturbs whatever runs in its wake
-        #    (measured: deduped_corpus spread 5.9-16.8 s when it ran
-        #    mid-sequence); at the tail it has no followers --
-        "dedup_ngram_exact",
     ):
         q = QUERIES[qname]
 
@@ -473,6 +469,31 @@ def main() -> None:
             release_cached_inputs(out)
 
         timed(qname, run)
+
+    # ---- verification tiers at REDUCED SF (VERDICT r14 task #4) ----
+    # The two deliberately-quadratic ngram verification tiers
+    # (`max_df=0` exact + τ=0.8 ppjoin prefix on the dense-vocab
+    # fixture, both documented hot-head-quadratic in dedup.py) cost
+    # ~59 s = 11% of the sf0.1 e2e while the USER-path auto tier
+    # (dedup_ngram_jaccard, benched above) runs ~1.2 s. Their
+    # correctness gates are untouched — the driver's oracle compare
+    # and the judge's sweep still run both entries against DuckDB —
+    # so the bench times them at sf0.01: enough to catch a kernel
+    # regression without re-paying the quadratic head every round.
+    # Stage names carry the _sf001 suffix so ledgers never compare
+    # them against the old sf0.1 walls. Kept at the tail: they still
+    # disturb whatever runs in their wake.
+    small_sf = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    tier_sf = small_sf if os.path.isdir(small_sf) else SF_DIR
+    for qname in ("dedup_ngram_prefix", "dedup_ngram_exact"):
+        q = QUERIES[qname]
+
+        def run_small(q=q):
+            out = q(spark, tier_sf)
+            _force(out)
+            release_cached_inputs(out)
+
+        timed(f"{qname}_sf001", run_small)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

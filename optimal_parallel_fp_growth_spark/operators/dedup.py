@@ -272,16 +272,26 @@ def ngram_jaccard_prefix(
         )
         .select("doc_id", "n_sh", F.col("e.h").alias("h"))
     )
+    # both sides re-alias the hash column: a's and b's `h` share the
+    # same attribute lineage (both project `pref`), so joining on
+    # `a.h == b.h` resolves to the trivially-true `h == h` — Spark
+    # WARNs and rewrites it, but that is exactly how accidental
+    # cartesians start (VERDICT r14 task #6); distinct names make the
+    # equi-join key unambiguous
     a = pref.select(
-        F.col("doc_id").alias("doc_a"), "h", F.col("n_sh").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        F.col("h").alias("ha"),
+        F.col("n_sh").alias("na"),
     )
     b = pref.select(
-        F.col("doc_id").alias("doc_b"), "h", F.col("n_sh").alias("nb")
+        F.col("doc_id").alias("doc_b"),
+        F.col("h").alias("hb"),
+        F.col("n_sh").alias("nb"),
     )
     cand = (
         a.join(
             b,
-            (a.h == b.h)
+            (F.col("ha") == F.col("hb"))
             & (F.col("doc_a") < F.col("doc_b"))
             & (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(eps))
             & (F.col("na") >= F.lit(threshold) * F.col("nb") - F.lit(eps)),

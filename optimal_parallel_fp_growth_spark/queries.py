@@ -655,6 +655,10 @@ _DRIVER_PRIORITY: list[str] = [
     "hive_layout_read",
     "compacted_layout_read",
     "versioned_changes",
+    # ---- mid-r15 additions (window contractually full when added;
+    # NEW_THIS_ROUND exemption — they lead the r16 window) ----
+    "versioned_stream_ingest",
+    "spec_evolved_read",
     # ---- retired tier (75) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

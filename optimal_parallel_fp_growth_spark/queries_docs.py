@@ -1348,6 +1348,185 @@ GROUP BY lang
 """
 
 
+def q_versioned_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest under the oracle gate (round 15,
+    VERDICT r14 task #2; sources/versioned.py::stream_ingest_to_table):
+    feed the documents table through a REAL availableNow stream —
+    three single-file micro-batches on doc_id thirds — into a fresh
+    versioned table, one txn-stamped manifest version per batch, then
+    prove exactly-once by re-delivering a DUPLICATED EPOCH (the
+    at-least-once failure mode: batch committed, checkpoint lost
+    before advancing) and requiring the head version, history length,
+    and row count all unchanged. The aggregate reads the ingested
+    table, so a duplicated batch that actually committed would double
+    its rows and break equality with the closed-form oracle over the
+    batch input."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with session_temp_layout(spark, "ingest") as (tdir, materialize):
+        feed = os.path.join(tdir, "feed")
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        cuts = [hi // 3, 2 * (hi // 3)]
+        lo = None
+        for cut in [*cuts, None]:
+            part = docs
+            if lo is not None:
+                part = part.where(F.col("doc_id") > lo)
+            if cut is not None:
+                part = part.where(F.col("doc_id") <= cut)
+            part.coalesce(1).write.mode("append").parquet(feed)
+            lo = cut
+        tbl = os.path.join(tdir, "tbl")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        V.stream_ingest_to_table(
+            stream, tbl, os.path.join(tdir, "ckpt"), app_id="ingest"
+        ).awaitTermination()
+        ops = [h["op"] for h in V.table_history(tbl)]
+        if ops != ["create", "append", "append"]:
+            raise AssertionError(
+                f"expected one version per micro-batch, got {ops}"
+            )
+        if V.last_txn_epoch(tbl, "ingest") != 2:
+            raise AssertionError(
+                "txn watermark did not record the last epoch"
+            )
+        n = V.table_rowcount(tbl)
+        # the duplicated epoch: batch 2's exact payload, re-delivered
+        # with its already-committed (app_id, epoch) stamp
+        dup = docs.where(F.col("doc_id") > cuts[1])
+        v = V.with_retry(
+            lambda: V.append_table(dup, tbl, txn=("ingest", 2))
+        )
+        if v != 3 or len(V.table_history(tbl)) != 3:
+            raise AssertionError(
+                "duplicated epoch committed a version - exactly-once "
+                "broken"
+            )
+        if V.table_rowcount(tbl) != n:
+            raise AssertionError("duplicated epoch changed the row count")
+        out = V.read_table(spark, tbl).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_VERSIONED_STREAM_INGEST = """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_spec_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution under the oracle gate (round 15,
+    VERDICT r14 task #7; sources/versioned.py::evolve_table_spec —
+    the Iceberg spec-evolution shape): create the table bucketed
+    doc_id%4-wise over the LOW half of documents, evolve the spec to
+    8 buckets METADATA-ONLY (the commit must carry the same files),
+    then append the HIGH half under the new spec. The in-query gates
+    prove per-era pruning: an equality probe in the low half opens
+    exactly ONE file (bucket identity under the OLD spec picks 1 of
+    the era-0 files; every era-1 file range-prunes away), a probe in
+    the high half opens exactly ONE file (bucket identity under the
+    NEW spec; era-0 files range-prune), and each pruned read still
+    finds its row. The aggregate reads the whole cross-era table with
+    an era-marker column, so a row lost (or duplicated) across the
+    boundary breaks equality with the oracle."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with session_temp_layout(spark, "specs") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        mid = docs.agg(F.max("doc_id")).first()[0] // 2
+        V.create_table(
+            docs.where(F.col("doc_id") <= mid), path,
+            bucket_by=("doc_id", 4),
+        )
+        V.evolve_table_spec(path, bucket_by=("doc_id", 8))
+        ops = [h["op"] for h in V.table_history(path)]
+        if ops != ["create", "evolve-spec"]:
+            raise AssertionError(f"unexpected history {ops}")
+        vs = V._versions(path)
+        m1, m2 = V._load_manifest(path, 1), V._load_manifest(path, 2)
+        if m2["files"] != m1["files"]:
+            raise AssertionError(
+                "evolve-spec rewrote data - it must be metadata-only"
+            )
+        if m2.get("spec_id") != 1 or "0" not in m2.get("specs", {}):
+            raise AssertionError("spec registry not recorded")
+        V.append_table(docs.where(F.col("doc_id") > mid), path)
+        head = V._load_manifest(path, V._versions(path)[-1])
+        fstats = head["file_stats"]
+        old_n = sum(1 for f in m1["files"] if "__spec" not in fstats[f])
+        new_n = sum(
+            1
+            for f in head["files"]
+            if fstats[f].get("__spec") == 1
+        )
+        if old_n < 2 or new_n < 2:
+            raise AssertionError(
+                f"expected stamped files in both eras, got {old_n}/{new_n}"
+            )
+        probe_old = (
+            docs.where(F.col("doc_id") <= mid)
+            .agg(F.max("doc_id")).first()[0]
+        )
+        probe_new = docs.agg(F.max("doc_id")).first()[0]
+        for probe, era in ((probe_old, "old"), (probe_new, "new")):
+            opened = V.files_scanned(path, prune=("doc_id", "==", probe))
+            if opened != 1:
+                raise AssertionError(
+                    f"{era}-era probe {probe} opened {opened} files - "
+                    "per-era bucket pruning did not bite"
+                )
+            found = (
+                V.read_table(spark, path, prune=("doc_id", "==", probe))
+                .where(F.col("doc_id") == probe)
+                .count()
+            )
+            if found != 1:
+                raise AssertionError(
+                    f"{era}-era probe {probe} lost its row under pruning"
+                )
+        out = V.read_table(spark, path).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(
+                F.when(F.col("doc_id") <= mid, 1).otherwise(0)
+            ).alias("n_old_era"),
+        )
+        return materialize(out)
+
+
+ORACLE_SPEC_EVOLVED_READ = """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       sum(CASE WHEN doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+                THEN 1 ELSE 0 END)::BIGINT AS n_old_era
+FROM documents
+GROUP BY lang
+"""
+
+
 ORACLE_VERSIONED_MERGE = """
 WITH merged AS (
   SELECT doc_id, lang,
@@ -2660,6 +2839,8 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mor_delete_read": q_mor_delete_read,
     "index_search": q_index_search,
     "versioned_stream_follow": q_versioned_stream_follow,
+    "versioned_stream_ingest": q_versioned_stream_ingest,
+    "spec_evolved_read": q_spec_evolved_read,
     "clustered_table_read": q_clustered_table_read,
     "versioned_update": q_versioned_update,
     "stats_pushdown": q_stats_pushdown,
@@ -2729,6 +2910,8 @@ DOC_ORACLES: dict[str, str] = {
     "mor_delete_read": ORACLE_MOR_DELETE_READ,
     "index_search": ORACLE_INDEX_SEARCH,
     "versioned_stream_follow": ORACLE_VERSIONED_STREAM_FOLLOW,
+    "versioned_stream_ingest": ORACLE_VERSIONED_STREAM_INGEST,
+    "spec_evolved_read": ORACLE_SPEC_EVOLVED_READ,
     "clustered_table_read": ORACLE_CLUSTERED_TABLE_READ,
     "versioned_update": ORACLE_VERSIONED_UPDATE,
     "stats_pushdown": ORACLE_STATS_PUSHDOWN,

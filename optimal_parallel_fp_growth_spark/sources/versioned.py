@@ -74,6 +74,9 @@ __all__ = [
     "drop_column",
     "rename_column",
     "stream_to_table",
+    "stream_ingest_to_table",
+    "last_txn_epoch",
+    "evolve_table_spec",
     "stream_merge_to_table",
     "stream_table_changes",
     "stream_changes_to_table",
@@ -240,8 +243,10 @@ def _file_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
     for rel in rel_files:
         stats: dict[str, list] = {}
         try:
-            meta = pq.ParquetFile(str(pathlib.Path(path) / rel)).metadata
+            abs_path = str(pathlib.Path(path) / rel)
+            meta = pq.ParquetFile(abs_path).metadata
             schema = meta.schema.to_arrow_schema()
+            float_cols: list[str] = []
             for ci in range(meta.num_columns):
                 col = meta.schema.column(ci)
                 if "." in col.path:
@@ -258,6 +263,8 @@ def _file_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
                     or pa.types.is_boolean(typ)
                 ):
                     continue
+                if pa.types.is_floating(typ):
+                    float_cols.append(name)
                 lo = hi = None
                 ok = True
                 for rg in range(meta.num_row_groups):
@@ -282,6 +289,39 @@ def _file_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
                 # footer row count (Iceberg record_count): lets a
                 # mask-free COUNT(*) answer from the manifest alone
                 stats["__rows"] = meta.num_rows
+            if float_cols and meta.num_rows:
+                # per-file NaN flags (round 15, VERDICT r14 task #5 —
+                # the Iceberg nan_value_counts shape): parquet footer
+                # min/max EXCLUDE NaN while Spark and DuckDB order NaN
+                # above every value, so float range stats are only
+                # trustworthy when the file provably holds none. One
+                # extra column read at COMMIT time buys exact
+                # table_minmax and predicate pruning on every NaN-free
+                # float file; readers treat a missing flag as
+                # NaN-unknown (prune fail-open, minmax fail-closed).
+                import pyarrow.compute as pc
+
+                cols = pq.read_table(abs_path, columns=float_cols)
+                stats["__nan"] = {
+                    c: bool(
+                        pc.any(
+                            pc.is_nan(cols.column(c)), min_count=0
+                        ).as_py()
+                    )
+                    for c in float_cols
+                }
+            elif float_cols:
+                stats["__nan"] = {c: False for c in float_cols}
+            sid = _table_spec(path).get("spec_id")
+            if sid:
+                # spec-era stamp (round 15): which partition-spec era
+                # this file was written under. Stamped from the SAME
+                # _table.json the writer laid the file out by, so the
+                # stamp describes what actually happened even in the
+                # evolve-commit→spec-file crash window; readers resolve
+                # it against the manifest's specs registry. Absent
+                # (pre-evolution / never-evolved) means era 0.
+                stats["__spec"] = int(sid)
         except (OSError, pa.ArrowException):
             # unreadable/corrupt footer → file stays unprunable, not
             # broken. Programming errors must NOT be swallowed here —
@@ -464,6 +504,9 @@ def _commit(
     delete_files: list[dict] | None = None,
     renames: list[list[str]] | None = None,
     dropped: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    specs: dict | None = None,
+    spec_id: int | None = None,
 ) -> int:
     """Atomically birth ``version`` via an ATOMIC-CREATE-EXCLUSIVE
     primitive; raises FileExistsError on a concurrent commit of the
@@ -483,22 +526,35 @@ def _commit(
         _seq_of(rel)
     mdir = pathlib.Path(path) / _MANIFEST_DIR
     mdir.mkdir(parents=True, exist_ok=True)
-    # the rename chain and dropped-name graveyard (round-14 schema
-    # evolution) are LOAD-BEARING for reading pre-rename files, so they
-    # ride IN the manifest — atomic with the commit, never a sidecar
-    # property a crash could decouple. Writers don't thread them: each
-    # commit inherits its predecessor's unless the DDL overrides.
-    if renames is None or dropped is None:
-        try:
-            prev = (
-                _load_manifest(path, version - 1) if version > 1 else {}
-            )
-        except FileNotFoundError:
-            prev = {}  # first commit of a clone lands mid-sequence
-        if renames is None:
-            renames = prev.get("renames") or []
-        if dropped is None:
-            dropped = prev.get("dropped") or []
+    # the rename chain, dropped-name graveyard (round-14 schema
+    # evolution) and streaming-txn watermark map (round 15) are
+    # LOAD-BEARING — renames/dropped for reading pre-rename files, txns
+    # for exactly-once replay detection — so they ride IN the manifest:
+    # atomic with the commit, never a sidecar property a crash could
+    # decouple. Writers don't thread them: each commit inherits its
+    # predecessor's unless the DDL (or the stamping writer) overrides.
+    try:
+        prev = _load_manifest(path, version - 1) if version > 1 else {}
+    except FileNotFoundError:
+        prev = {}  # first commit of a clone lands mid-sequence
+    if renames is None:
+        renames = prev.get("renames") or []
+    if dropped is None:
+        dropped = prev.get("dropped") or []
+    txns = dict(prev.get("txns") or {})
+    if txn is not None:
+        app_id, epoch = txn
+        txns[str(app_id)] = int(epoch)
+    # partition-spec registry (round 15, the Iceberg spec-evolution
+    # shape): the append-only {spec_id: layout} map plus the CURRENT
+    # id, inherited like the rename chain; evolve_table_spec extends
+    # it, every other commit carries it forward. Only materialized
+    # once a table has evolved (never-evolved manifests stay lean and
+    # readers fall back to the table-level spec for every file).
+    if specs is None:
+        specs = prev.get("specs")
+        if spec_id is None:
+            spec_id = prev.get("spec_id")
     manifest = {
         "version": version,
         "op": op,
@@ -508,8 +564,12 @@ def _commit(
         "delete_files": delete_files or [],
         "renames": renames,
         "dropped": dropped,
+        "txns": txns,
         "committed_at": time.time(),
     }
+    if specs:
+        manifest["specs"] = specs
+        manifest["spec_id"] = int(spec_id or 0)
     tmp = mdir / f".v{version:08d}.json.tmp.{os.getpid()}"
     tmp.write_text(json.dumps(manifest, indent=1))
     target = _manifest_path(path, version)
@@ -672,20 +732,59 @@ def _stamp_buckets(
 _BUCKETABLE_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
 
 
+def _era_bucket_spec(
+    entry: dict | None,
+    specs: dict | None,
+    bcol: str | None,
+    bn: int,
+) -> tuple[str | None, int]:
+    """The (bucket col, bucket count) a file's ``__bucket`` stamp was
+    written under. With no specs registry (never-evolved table) every
+    file is the table-level spec's; with one, resolve the file's
+    ``__spec`` era (absent = era 0) — an era with no bucket layout
+    returns (None, 0), which disables bucket pruning for that file."""
+    if specs is None:
+        return bcol, bn
+    sid = str(int((entry or {}).get("__spec", 0)))
+    b = (specs.get(sid) or {}).get("bucket_by") or {}
+    return b.get("col"), int(b.get("n") or 0)
+
+
 def _file_passes(
     entry: dict | None,
     preds: list[tuple[str, str, object]],
     bcol: str | None,
     bn: int,
     types: dict[str, str],
+    specs: dict | None = None,
 ) -> bool:
     """Range-stats survival for every predicate, PLUS bucket-identity
     pruning: an equality on the bucket column skips every file whose
     recorded bucket is not ``pmod(murmur3(value), n)`` — the pruning
     that still works when keys are uuid-shaped and every file spans
     the full key RANGE. Files without a recorded bucket (pre-bucket
-    history) are never bucket-pruned."""
+    history) are never bucket-pruned.
+
+    Float/double predicates prune ONLY files whose commit-time
+    ``__nan`` flag recorded False for the column (round 15): footer
+    ranges exclude NaN while Spark and DuckDB treat NaN as larger
+    than every value (and equal to itself), so a NaN row in a file
+    with max=10 still satisfies ``col > 100`` — pruning it on the
+    range would drop a matching row. NaN-unknown (pre-r15 manifest)
+    or NaN-holding files survive every float predicate: fail-open is
+    a full-file read, never a wrong answer.
+
+    ``specs`` (round 15, spec evolution): the manifest's partition-
+    spec registry — when present, each file's bucket stamp is
+    interpreted under the spec ERA the file was written in
+    (:func:`_era_bucket_spec`), so a table whose bucket count or
+    column evolved still bucket-prunes pre-evolution files by the OLD
+    spec and post-evolution files by the new one."""
+    bcol, bn = _era_bucket_spec(entry, specs, bcol, bn)
     for col, op, val in preds:
+        if types.get(col) in ("float", "double"):
+            if ((entry or {}).get("__nan") or {}).get(col) is not False:
+                continue  # NaN-unknown/NaN-holding: never range-prune
         if not _file_survives(entry, col, op, val):
             return False
         if bcol is not None and col == bcol and op in ("==", "in"):
@@ -714,9 +813,14 @@ def create_table(
     bucket_by: tuple[str, int] | None = None,
     sort_within_buckets: list[str] | None = None,
     bucket_file_rows: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Create a versioned table at ``path`` (must not already be one).
     Returns the committed version (1).
+
+    ``txn=(app_id, epoch)`` stamps the creating commit's ``txns``
+    watermark (see :func:`append_table`), so a streaming sink whose
+    FIRST batch created the table detects that batch's replay too.
 
     ``cluster_by`` (round 12, the Delta liquid-clustering analog as a
     recorded TABLE property): cluster + sort this write on the named
@@ -825,7 +929,7 @@ def create_table(
             stats, files, int(bucket_by[1]),
             allow_splits=bool(sort_within_buckets),
         )
-    v = _commit(path, 1, files, "create", _schema_fields(df), stats)
+    v = _commit(path, 1, files, "create", _schema_fields(df), stats, txn=txn)
     # record the spec only once the create COMMITTED: a failed write
     # must leave no table property behind (advice r12). Crash between
     # commit and this write loses only the property (layout is intact,
@@ -848,7 +952,12 @@ def create_table(
     return v
 
 
-def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
+def append_table(
+    df: DataFrame,
+    path: str,
+    evolve: bool = False,
+    txn: tuple[str, int] | None = None,
+) -> int:
     """Append rows as a new version (old files + new files).
 
     Plain appends follow Iceberg's writer contract (round-8 pin): the
@@ -858,12 +967,29 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
     additionally permits ADDITIVE schema evolution: the append may
     carry columns the table lacks (they join the schema; older files
     read as null). Type changes to an existing column are always
-    rejected."""
+    rejected.
+
+    ``txn=(app_id, epoch)`` (round 15, the Delta ``txnAppId`` /
+    ``txnVersion`` idempotent-writer shape): the commit STAMPS the
+    manifest's inherited ``txns`` watermark map with
+    ``app_id → epoch``, and an append whose epoch is ≤ the recorded
+    watermark for its app_id is a NO-OP returning the current head —
+    a replayed micro-batch commits nothing, which upgrades
+    at-least-once ``foreachBatch`` delivery to exactly-once table
+    contents. Race-safe by construction: a concurrent duplicate makes
+    this writer lose the version hard-link (:class:`CommitConflict`);
+    the :func:`with_retry` replay re-reads the head, sees the epoch
+    recorded, and no-ops. Epochs must be monotone per app_id (Spark's
+    ``batchId`` is)."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     man = _load_manifest(path, cur)
+    if txn is not None:
+        recorded = (man.get("txns") or {}).get(str(txn[0]))
+        if recorded is not None and int(txn[1]) <= recorded:
+            return cur  # replayed epoch: already committed, no-op
     if evolve and man.get("schema") is not None:
         schema = _merge_schema(man["schema"], _schema_fields(df), man)
     else:
@@ -890,7 +1016,131 @@ def append_table(df: DataFrame, path: str, evolve: bool = False) -> int:
         schema,
         stats,
         man.get("delete_files"),  # masks still cover the carried files
+        txn=txn,
     )
+
+
+def evolve_table_spec(
+    path: str,
+    cluster_by: list[str] | None = None,
+    cluster_kind: str = "range",
+    bucket_by: tuple[str, int] | None = None,
+    sort_within_buckets: list[str] | None = None,
+    bucket_file_rows: int | None = None,
+) -> int:
+    """METADATA-ONLY partition-spec evolution (round 15, VERDICT r14
+    task #7 — the Iceberg spec-evolution shape): change the table's
+    recorded layout so it applies to NEW files only. No data is read
+    or rewritten — a table that outgrew its bucket count (or wants
+    buckets where it had range clustering) evolves in one manifest
+    commit instead of a full rewrite, which at 100 TB is the
+    difference between milliseconds and a cluster-day.
+
+    Mechanics: the commit extends the manifest's append-only
+    ``specs`` registry ({spec_id: layout}, inherited commit-to-commit
+    like the rename chain) and bumps the current id; every data file
+    keeps the spec-era stamp it was written under (``__spec`` in its
+    stats, absent = era 0), and readers bucket-prune each file by ITS
+    OWN era (:func:`_era_bucket_spec`) — pre-evolution files by the
+    old spec, post-evolution files by the new one, so pruning never
+    lies across the boundary. Rewriting ops (merge, compact,
+    overwrite) lay their output down in the CURRENT spec and stamp it,
+    migrating the table incrementally; a merge never bucket-skips a
+    file from another era. Pass no layout arguments to CLEAR the
+    layout for new files. Returns the committed version."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    cur = vs[-1]
+    man = _load_manifest(path, cur)
+    fields = dict(man.get("schema") or [])
+    if cluster_kind not in _CLUSTER_KINDS:
+        raise ValueError(
+            f"cluster_kind must be one of {_CLUSTER_KINDS}, got "
+            f"{cluster_kind!r}"
+        )
+    if cluster_kind != "range" and not cluster_by:
+        raise ValueError("cluster_kind requires cluster_by columns")
+    new_layout: dict = {}
+    if cluster_by:
+        if bucket_by is not None:
+            raise ValueError(
+                "bucket_by and cluster_by are mutually exclusive layouts"
+            )
+        missing = [c for c in cluster_by if fields and c not in fields]
+        if missing:
+            raise ValueError(f"cluster_by columns not in table: {missing}")
+        new_layout["cluster_by"] = list(cluster_by)
+        if cluster_kind != "range":
+            new_layout["cluster_kind"] = cluster_kind
+    if bucket_by is not None:
+        bcol, bn = bucket_by
+        if int(bn) < 2:
+            raise ValueError("bucket_by needs n >= 2 buckets")
+        if fields and bcol not in fields:
+            raise ValueError(f"bucket column {bcol!r} not in table")
+        if fields and fields.get(bcol) not in _BUCKETABLE_TYPES:
+            raise ValueError(
+                f"bucket column {bcol!r} is {fields.get(bcol)}: bucket "
+                f"keys must be one of {_BUCKETABLE_TYPES}"
+            )
+        bspec = {"col": bcol, "n": int(bn)}
+        if sort_within_buckets:
+            missing = [
+                c for c in sort_within_buckets if fields and c not in fields
+            ]
+            if missing:
+                raise ValueError(
+                    f"sort_within_buckets columns not in table: {missing}"
+                )
+            bspec["sort"] = list(sort_within_buckets)
+        if bucket_file_rows is not None:
+            if not sort_within_buckets:
+                raise ValueError(
+                    "bucket_file_rows needs sort_within_buckets"
+                )
+            if int(bucket_file_rows) < 1:
+                raise ValueError("bucket_file_rows must be >= 1")
+            bspec["rows"] = int(bucket_file_rows)
+        new_layout["bucket_by"] = bspec
+    elif sort_within_buckets or bucket_file_rows:
+        raise ValueError(
+            "sort_within_buckets/bucket_file_rows need bucket_by"
+        )
+    spec = _table_spec(path)
+    specs = dict(man.get("specs") or {})
+    if not specs:
+        # bootstrap the registry: era 0 is whatever the table-level
+        # spec said before the first evolution (files with no __spec
+        # stamp resolve here)
+        era0: dict = {}
+        if spec.get("cluster_by"):
+            era0["cluster_by"] = list(spec["cluster_by"])
+            if spec.get("cluster_kind", "range") != "range":
+                era0["cluster_kind"] = spec["cluster_kind"]
+        if spec.get("bucket_by"):
+            era0["bucket_by"] = dict(spec["bucket_by"])
+        specs["0"] = era0
+    new_id = max(int(k) for k in specs) + 1
+    specs[str(new_id)] = new_layout
+    v = _commit(
+        path, cur + 1, man["files"], "evolve-spec",
+        man.get("schema"), man.get("file_stats"),
+        man.get("delete_files"),
+        specs=specs, spec_id=new_id,
+    )
+    # writer-facing current layout AFTER the commit (create_table's
+    # ordering): a crash between the two leaves writers laying out —
+    # and stamping — the OLD era, which the registry still describes
+    new_spec = {
+        k: val
+        for k, val in spec.items()
+        if k not in ("cluster_by", "cluster_kind", "bucket_by")
+    }
+    new_spec.update(new_layout)
+    new_spec["spec_id"] = new_id
+    _write_table_spec(path, new_spec)
+    return v
 
 
 def overwrite_table(
@@ -1051,7 +1301,7 @@ def _compact_where(
     untouched = [
         f
         for f in man["files"]
-        if not _file_passes(fstats.get(f), preds, bcol, bn, types)
+        if not _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
     ]
     affected = [f for f in man["files"] if f not in set(untouched)]
     if not affected:
@@ -1795,7 +2045,7 @@ def read_table(
         files = [
             f
             for f in files
-            if _file_passes(fstats.get(f), preds, bcol, bn, types)
+            if _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
         ]
         if not files:
             # every file pruned: empty result with the table schema
@@ -1840,7 +2090,7 @@ def files_scanned(
     return sum(
         1
         for f in files
-        if _file_passes(fstats.get(f), preds, bcol, bn, types)
+        if _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
     )
 
 
@@ -2018,10 +2268,18 @@ def merge_table(
             .collect()
         }
         fstats_all = man.get("file_stats") or {}
+        # spec evolution (round 15): `hit` is computed under the
+        # CURRENT bucket spec, so only files written under that same
+        # era may be bucket-skipped — a file stamped under an older
+        # spec (different count or column) is always a rewrite
+        # candidate, which also migrates it into the current layout.
+        man_specs = man.get("specs")
         untouched = [
             f
             for f in man["files"]
             if (fstats_all.get(f) or {}).get("__bucket") is not None
+            and _era_bucket_spec(fstats_all.get(f), man_specs, bcol, bn)
+            == (bcol, bn)
             and (fstats_all.get(f) or {}).get("__bucket") not in hit
         ]
         affected = [f for f in man["files"] if f not in set(untouched)]
@@ -2358,7 +2616,7 @@ def delete_where(
     untouched = [
         f
         for f in man["files"]
-        if not _file_passes(fstats.get(f), preds, bcol, bn, types)
+        if not _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
     ]
     affected = [f for f in man["files"] if f not in set(untouched)]
     new_files: list[str] = []
@@ -2450,7 +2708,7 @@ def update_where(
     untouched = [
         f
         for f in man["files"]
-        if not _file_passes(fstats.get(f), preds, bcol, bn, types)
+        if not _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
     ]
     affected = [f for f in man["files"] if f not in set(untouched)]
     new_files: list[str] = []
@@ -2561,6 +2819,10 @@ def table_minmax(
       recorded extremum);
     - a string-typed column (parquet writers may TRUNCATE binary
       stats — valid as pruning bounds, not as exact extremes);
+    - a float/double column with ANY file not provably NaN-free (the
+      per-file ``__nan`` commit flag must be recorded False
+      everywhere — footer stats exclude NaN, Spark/DuckDB order it
+      above every value);
     - any file without complete recorded stats for the column (an
       all-NULL chunk, a pre-stats manifest, an unreadable footer).
 
@@ -2591,20 +2853,32 @@ def table_minmax(
                 "truncated, so manifest bounds are not exact extremes; "
                 "aggregate over read_table(...) instead"
             )
-        if typ in ("float", "double"):
-            raise ValueError(
-                f"column {col!r} is {typ}: parquet footer stats exclude "
-                "NaN (the spec leaves NaN handling undefined) while "
-                "Spark and DuckDB order NaN above every value, so a "
-                "manifest max() silently misses a NaN extremum; "
-                "aggregate over read_table(...) instead"
-            )
+    # float/double answer exactly ONLY when every file is provably
+    # NaN-free (round 15, VERDICT r14 task #5 — refining r14's
+    # unconditional fail-closed): parquet footer stats exclude NaN
+    # while Spark and DuckDB order NaN above every value, so a
+    # manifest max() silently misses a NaN extremum — unless the
+    # commit-time ``__nan`` flag recorded False for the column in
+    # EVERY non-empty file. A missing flag (pre-r15 manifest) or a
+    # True flag still fails closed.
+    need_nan_free = typ in ("float", "double") if schema is not None else False
     fstats = man.get("file_stats") or {}
     lo = hi = None
     for f in man["files"]:
         fs = fstats.get(f) or {}
         if fs.get("__rows") == 0:
             continue  # an empty file contributes no extremum
+        if need_nan_free:
+            flag = (fs.get("__nan") or {}).get(col)
+            if flag is not False:
+                state = "holds NaN" if flag else "has no NaN flag recorded"
+                raise ValueError(
+                    f"column {col!r} is {typ} and file {f} of {path}@v{v} "
+                    f"{state}: parquet footer stats exclude NaN while "
+                    "Spark and DuckDB order NaN above every value, so a "
+                    "manifest extremum would be silently wrong; "
+                    "aggregate over read_table(...) instead"
+                )
         rng = fs.get(col)
         if not rng:
             raise ValueError(
@@ -2639,6 +2913,67 @@ def stream_to_table(stream_df: DataFrame, path: str, checkpoint: str):
             append_table(batch_df, path)
         except FileNotFoundError:
             create_table(batch_df, path)
+
+    return (
+        stream_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def last_txn_epoch(path: str, app_id: str) -> int | None:
+    """The highest epoch ``app_id`` has committed to the table (its
+    manifest ``txns`` watermark), or None if it never wrote. The map is
+    inherited commit-to-commit, so this reads ONE manifest — the
+    head — regardless of history length."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    rec = (_load_manifest(path, vs[-1]).get("txns") or {}).get(str(app_id))
+    return None if rec is None else int(rec)
+
+
+def stream_ingest_to_table(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str | None = None,
+):
+    """EXACTLY-ONCE streaming sink (round 15, VERDICT r14 task #2):
+    commit each non-empty micro-batch as one atomic manifest version,
+    stamped with ``(app_id, batch_id)`` through the ``txns`` watermark
+    (see :func:`append_table`). Where :func:`stream_to_table` is
+    at-least-once — a batch whose append committed but whose checkpoint
+    write was lost duplicates on restart — this sink detects the replay
+    in the TABLE (epoch ≤ watermark → no-op), so crash/replay yields
+    exactly-once table contents with no upstream dedup key required.
+    Spark's ``batchId`` is monotone per checkpoint, which is exactly
+    the contract the watermark needs; ``app_id`` defaults to the
+    checkpoint path, the identity Spark's replay preserves.
+
+    Each batch is still ONE commit, so the change feed and time travel
+    see per-batch versions, and the existing optimistic-concurrency
+    arbiter (:func:`with_retry` around the manifest hard-link)
+    serializes this sink against any concurrent batch writer.
+
+    Returns the started ``StreamingQuery``."""
+    app = str(app_id) if app_id is not None else f"ingest:{checkpoint}"
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        txn = (app, int(batch_id))
+        try:
+            with_retry(lambda: append_table(batch_df, path, txn=txn))
+        except FileNotFoundError:
+            try:
+                create_table(batch_df, path, txn=txn)
+            except FileExistsError:
+                # a concurrent creator won (or a replayed FIRST batch
+                # found its own earlier create): append-path replay
+                # detection settles both cases
+                with_retry(lambda: append_table(batch_df, path, txn=txn))
 
     return (
         stream_df.writeStream.foreachBatch(commit)
@@ -2912,6 +3247,12 @@ def clone_table(
         dst, v, files, f"{kind}:{src}#v{v}", man.get("schema"), stats, dels,
         renames=man.get("renames") or [],
         dropped=man.get("dropped") or [],
+        # the clone's first manifest has no predecessor to inherit
+        # from, so the spec-era registry must ride along explicitly —
+        # losing it would let old-era bucket stamps be read under the
+        # current spec
+        specs=man.get("specs"),
+        spec_id=man.get("spec_id"),
     )
     if shallow:
         # register AFTER the commit so a failed clone leaves no stale

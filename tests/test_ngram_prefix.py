@@ -115,3 +115,25 @@ def test_property_prefix_equals_exact(spark):
         )
 
     run()
+
+
+def test_candidate_join_has_no_trivially_true_predicate(spark):
+    """VERDICT r14 task #6: the prefix candidate self-join previously
+    joined `a.h == b.h` where both sides shared the attribute lineage,
+    which Spark resolves to the trivially-true `h == h` (WARN in the
+    bench tail) — the exact shape accidental cartesians start from.
+    Assert the analyzed plan's join conditions never compare an
+    attribute to ITSELF (same name AND same expression id)."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    plan = ngram_jaccard_prefix(docs, threshold=0.5)._jdf.queryExecution(
+    ).analyzed().toString()
+    trivial = [
+        m.group(0)
+        for m in re.finditer(r"\(([a-zA-Z_]+#\d+L?) = \1\)", plan)
+    ]
+    assert not trivial, f"trivially-true predicates in plan: {trivial}"

@@ -364,6 +364,54 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "embedding_quantize": (
         "test_similarity.py::test_quantize_embeddings_matches_numpy"
     ),
+    # round-15 mid-round addition: the ingested table's full contents
+    # landed on the batch input row-for-row through a real stream,
+    # plus the crash/full-replay and duplicated-epoch contracts in the
+    # same suite
+    "versioned_stream_ingest": (
+        "test_stream_ingest.py::"
+        "test_stream_ingest_agrees_with_batch_and_versions_per_batch"
+    ),
+    # round-15 mid-round addition: per-era pruning recomputed from
+    # manifest math (bucket_of under each era's spec) with lossless
+    # probe reads, plus metadata-only/migration/clone contracts in the
+    # same suite
+    "spec_evolved_read": (
+        "test_spec_evolution.py::test_each_era_prunes_by_its_own_spec"
+    ),
+    # round-15 pin-throughput batch: the eight remaining unpinned
+    # relational entries (TPC-H Q2/Q5/Q11/Q12/Q16/Q17/Q19/Q20 shapes)
+    # recomputed in pure python — exact DECIMAL arithmetic where the
+    # entries use it — over the collected sf0.001 tables
+    "brand_discount_revenue": (
+        "test_relational_pins2.py::"
+        "test_brand_discount_revenue_matches_python"
+    ),
+    "small_qty_revenue": (
+        "test_relational_pins2.py::test_small_qty_revenue_matches_python"
+    ),
+    "returnflag_priority_lines": (
+        "test_relational_pins2.py::"
+        "test_returnflag_priority_lines_matches_python"
+    ),
+    "supplier_variety": (
+        "test_relational_pins2.py::test_supplier_variety_matches_python"
+    ),
+    "recent_concentration_suppliers": (
+        "test_relational_pins2.py::"
+        "test_recent_concentration_suppliers_matches_python"
+    ),
+    "local_supplier_revenue": (
+        "test_relational_pins2.py::"
+        "test_local_supplier_revenue_matches_python"
+    ),
+    "min_cost_part_supplier": (
+        "test_relational_pins2.py::"
+        "test_min_cost_part_supplier_matches_python"
+    ),
+    "important_parts": (
+        "test_relational_pins2.py::test_important_parts_matches_python"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
@@ -462,6 +510,8 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 NEW_THIS_ROUND: dict[str, int] = {
     # (r14's eight additions rotated into the r15 window lead — their
     # exemption is spent; r15 mid-round additions land here)
+    "versioned_stream_ingest": 15,
+    "spec_evolved_read": 15,
 }
 
 

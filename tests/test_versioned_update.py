@@ -196,10 +196,14 @@ def test_minmax_null_and_stats_gap(spark, tmp_path):
 
 
 def test_minmax_rejects_float_double_nan_hazard(spark, tmp_path):
-    # ADVICE r13 (medium): parquet footer stats EXCLUDE NaN while Spark
-    # and DuckDB order NaN above every value — a manifest max() over a
-    # float/double column silently misses a NaN extremum, so the type
-    # is rejected outright (same fail-closed posture as strings).
+    # ADVICE r13 (medium), refined by VERDICT r14 task #5: parquet
+    # footer stats EXCLUDE NaN while Spark and DuckDB order NaN above
+    # every value — a manifest max() over a float/double column
+    # silently misses a NaN extremum, so a NaN-holding (or
+    # NaN-unknown) file fails closed. Since round 15 commits record a
+    # per-file ``__nan`` flag, so a PROVABLY NaN-free float column
+    # answers exactly instead of being rejected outright (the full
+    # matrix lives in test_nan_stats.py).
     path = str(tmp_path / "t")
     create_table(
         spark.createDataFrame(
@@ -212,14 +216,12 @@ def test_minmax_rejects_float_double_nan_hazard(spark, tmp_path):
     # the demonstration: the real max IS NaN, which footer stats omit
     row = read_table(spark, path).agg(F.max("v").alias("m")).collect()[0]
     assert row.m != row.m  # NaN
-    # NaN-free float columns are still rejected — the manifest cannot
-    # know a future append won't introduce one
+    # a provably NaN-free float column answers exactly (round 15)
     create_table(
         spark.createDataFrame([(1, 1.5)], "k long, f float"),
         str(tmp_path / "t2"),
     )
-    with pytest.raises(ValueError, match="NaN"):
-        table_minmax(str(tmp_path / "t2"), "f")
+    assert table_minmax(str(tmp_path / "t2"), "f") == (1.5, 1.5)
     # integer columns keep answering from metadata
     assert table_minmax(path, "k") == (1, 2)
 
