@@ -412,6 +412,30 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "important_parts": (
         "test_relational_pins2.py::test_important_parts_matches_python"
     ),
+    # round-15 pin-throughput batch 2: the seven unpinned event-
+    # analytics entries recomputed in pure python (exact ints,
+    # math.fsum floats) over the collected sf0.001 events table
+    "events_rolling": (
+        "test_events_pins.py::test_events_rolling_matches_python"
+    ),
+    "events_daily_rollup": (
+        "test_events_pins.py::test_events_daily_rollup_matches_python"
+    ),
+    "events_hourly_cube": (
+        "test_events_pins.py::test_events_hourly_cube_matches_python"
+    ),
+    "events_asof_join": (
+        "test_events_pins.py::test_events_asof_join_matches_python"
+    ),
+    "events_json_props": (
+        "test_events_pins.py::test_events_json_props_matches_python"
+    ),
+    "events_retention": (
+        "test_events_pins.py::test_events_retention_matches_python"
+    ),
+    "events_hopping": (
+        "test_events_pins.py::test_events_hopping_matches_python"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
