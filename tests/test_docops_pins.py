@@ -1,0 +1,277 @@
+"""Round-15 GROUND_TRUTH pins for ten unpinned doc-pipeline entries:
+full-semantics pure-python recomputation (hashlib md5, python re,
+integer arithmetic) over the collected sf0.001 documents table. The
+tokenizer is the engine's exact split-on-single-space (empty strings
+preserved), so every count matches bit-for-bit; rounded float ratios
+recompute the identical expression and compare exactly."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+from itertools import combinations
+
+import pytest
+
+from optimal_parallel_fp_growth_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+)
+from optimal_parallel_fp_growth_spark.operators.pii import PII_PATTERNS
+from optimal_parallel_fp_growth_spark.operators.textops import ROLL_B, ROLL_P
+from optimal_parallel_fp_growth_spark.queries_docs import (
+    SPLIT_WEIGHTS,
+    q_chunk_documents,
+    q_corpus_split,
+    q_doc_fingerprint,
+    q_gopher_rules,
+    q_lang_id,
+    q_pack_sequences,
+    q_pii_stats,
+    q_repeated_spans,
+    q_repetition_signals,
+    q_source_ngram_overlap,
+)
+from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(text: str) -> list[str]:
+    return text.split(" ")  # F.split(text, ' '): empties preserved
+
+
+def _grams(toks: list[str], n: int) -> list[str]:
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").collect()
+
+
+def test_doc_fingerprint_matches_python(spark, docs):
+    want = {}
+    for r in docs:
+        norm = re.sub(" +", " ", r.text.lower())
+        h = hashlib.md5(norm.encode()).hexdigest()
+        acc = 0
+        for t in _toks(r.text):
+            th = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            acc = (acc * ROLL_B + th) % ROLL_P
+        want[r.doc_id] = (h, int(h[:15], 16), acc)
+    got = q_doc_fingerprint(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r.doc_id] == (r.fp_md5, r.fp_int, r.fp_roll)
+
+
+def test_pii_stats_matches_python(spark, docs):
+    pats = [(name, re.compile(pat)) for name, pat in PII_PATTERNS]
+    want = {}
+    for r in docs:
+        counts = tuple(
+            sum(1 for _ in p.finditer(r.text)) for _, p in pats
+        )
+        want[r.doc_id] = (*counts, sum(counts) > 0)
+    got = q_pii_stats(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r.doc_id] == (r.n_email, r.n_phone, r.n_ip, r.has_pii)
+    # sf0.001 is PII-free (the per-row compare above pins the
+    # no-false-positive side); the hit side is pinned on crafted input
+    # with hand-counted expectations
+    from optimal_parallel_fp_growth_spark.operators.pii import pii_stats
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org twice"),
+            (2, "call 555-123-4567 or 555 987 6543 now"),
+            (3, "hosts 10.0.0.1 and 192.168.254.3, no mail"),
+            (4, "mixed a@b.io at 1.2.3.4 via 555.123.4567"),
+            (5, "clean text with at-sign a@b but no tld dots"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {r.doc_id: r for r in pii_stats(crafted).collect()}
+    hand = {
+        1: (2, 0, 0, True),
+        2: (0, 2, 0, True),
+        3: (0, 0, 2, True),
+        4: (1, 1, 1, True),
+        5: (0, 0, 0, False),
+    }
+    for k, (e, p, i, h) in hand.items():
+        r = got2[k]
+        assert (r.n_email, r.n_phone, r.n_ip, r.has_pii) == (e, p, i, h)
+
+
+def test_chunk_documents_matches_python(spark, docs):
+    chunk, overlap = 16, 4
+    stride = chunk - overlap
+    want = {}
+    for r in docs:
+        toks = _toks(r.text)
+        n_chunks = 1 + math.ceil(max(len(toks) - chunk, 0) / stride)
+        for i in range(n_chunks):
+            c = toks[i * stride: i * stride + chunk]
+            want[(r.doc_id, i)] = (len(c), " ".join(c))
+    got = q_chunk_documents(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r.doc_id, r.chunk_idx)] == (r.n_tokens, r.chunk_text)
+
+
+def test_pack_sequences_matches_python(spark, docs):
+    budget = 256
+    by_group = defaultdict(list)
+    for r in docs:
+        by_group[r.source].append((r.doc_id, len(_toks(r.text))))
+    want = {}
+    for g, rows in by_group.items():
+        rows.sort()
+        start = 0
+        for doc_id, n in rows:
+            want[doc_id] = (g, n, start // budget)
+            start += n
+    got = q_pack_sequences(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r.doc_id] == (r.group, r.n_tokens, r.pack_id)
+
+
+def test_corpus_split_matches_python(spark, docs):
+    bounds = []
+    cum = 0.0
+    for name, w in SPLIT_WEIGHTS[:-1]:
+        cum += w
+        bounds.append((name, int(round(cum * 10_000))))
+    last = SPLIT_WEIGHTS[-1][0]
+
+    def split_of(doc_id):
+        b = int(
+            hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:8], 16
+        ) % 10_000
+        for name, bound in bounds:
+            if b < bound:
+                return name
+        return last
+
+    got = q_corpus_split(spark, SF).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        assert r.split == split_of(r.doc_id)
+    # all three splits are populated at this SF
+    assert {r.split for r in got} == {n for n, _ in SPLIT_WEIGHTS}
+
+
+def test_repetition_signals_matches_python(spark, docs):
+    want = {}
+    for r in docs:
+        toks = _toks(r.text)
+        n = len(toks)
+        cnt = Counter(toks)
+        grams = Counter(_grams(toks, 2))
+        want[r.doc_id] = (
+            n,
+            round(len(cnt) / n, 6),
+            round(max(cnt.values()) / n, 6),
+            round(max(grams.values()) / (n - 1), 6) if grams else 0.0,
+        )
+    got = q_repetition_signals(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r.doc_id] == (
+            r.n_tokens, r.distinct_ratio, r.top_token_frac, r.top_2gram_frac,
+        )
+
+
+def test_source_ngram_overlap_matches_python(spark, docs):
+    gram_sources = defaultdict(set)
+    for r in docs:
+        for g in set(_grams(_toks(r.text), 3)):
+            gram_sources[g].add(r.source)
+    pairs = Counter()
+    for sources in gram_sources.values():
+        for a, b in combinations(sorted(sources), 2):
+            pairs[(a, b)] += 1
+    got = {
+        (r.source_a, r.source_b): r.shared_grams
+        for r in q_source_ngram_overlap(spark, SF).collect()
+    }
+    assert got == dict(pairs) and pairs
+
+
+def test_repeated_spans_matches_python(spark, docs):
+    n = 6
+    occ = {}
+    df = Counter()
+    for r in docs:
+        c = Counter(_grams(_toks(r.text), n))
+        occ[r.doc_id] = c
+        for g in c:
+            df[g] += 1
+    want = {}
+    for r in docs:
+        n_grams = max(len(_toks(r.text)) - (n - 1), 0)
+        rep = sum(v for g, v in occ[r.doc_id].items() if df[g] >= 2)
+        want[r.doc_id] = (
+            n_grams, rep,
+            round(rep / n_grams, 6) if n_grams > 0 else 0.0,
+        )
+    got = q_repeated_spans(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r.doc_id] == (r.n_grams, r.repeated_occ, r.repeat_frac)
+    # the signal is non-trivial on the fixture
+    assert any(w[1] > 0 for w in want.values())
+
+
+def test_lang_id_matches_python(spark, docs):
+    markers = {k: set(v) for k, v in LANG_MARKERS.items()}
+    want = {}
+    for r in docs:
+        toks = _toks(r.text)
+        scored = sorted(
+            (-sum(1 for t in toks if t in m), lang)
+            for lang, m in markers.items()
+        )
+        neg, lang = scored[0]
+        want[r.doc_id] = lang if neg < 0 else "und"
+    got = q_lang_id(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r.doc_id] == r.lang_pred
+    assert len({*want.values()}) > 1  # the heuristic discriminates
+
+
+def test_gopher_rules_matches_python(spark, docs):
+    stop = set(EN_STOPWORDS)
+    alpha_re = re.compile("[A-Za-z]")
+    want = {}
+    for r in docs:
+        toks = _toks(r.text)
+        n = len(toks)
+        mean_wl = (len(r.text) - n + 1) / max(n, 1)
+        alpha = sum(1 for t in toks if alpha_re.search(t)) / max(n, 1)
+        flags = (
+            25 <= n <= 100_000,
+            3.0 <= mean_wl <= 10.0,
+            alpha >= 0.8,
+            sum(1 for t in toks if t in stop) >= 2,
+            len(set(toks)) / max(n, 1) >= 0.3,
+        )
+        want[r.doc_id] = (n, *flags, all(flags))
+    got = q_gopher_rules(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r.doc_id] == (
+            r.n_words, r.pass_word_count, r.pass_word_len, r.pass_alpha,
+            r.pass_stopwords, r.pass_dup, r.keep,
+        )
+    keeps = [w[-1] for w in want.values()]
+    assert any(keeps) and not all(keeps)  # the gate actually gates

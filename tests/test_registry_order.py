@@ -436,6 +436,36 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "events_hopping": (
         "test_events_pins.py::test_events_hopping_matches_python"
     ),
+    # round-15 pin-throughput batch 3: ten doc-pipeline entries
+    # recomputed in pure python (hashlib, python re, exact integer
+    # arithmetic) over the collected sf0.001 documents table; pii adds
+    # a crafted-input hand-count leg (the fixture corpus is PII-free)
+    "doc_fingerprint": (
+        "test_docops_pins.py::test_doc_fingerprint_matches_python"
+    ),
+    "pii_stats": "test_docops_pins.py::test_pii_stats_matches_python",
+    "chunk_documents": (
+        "test_docops_pins.py::test_chunk_documents_matches_python"
+    ),
+    "pack_sequences": (
+        "test_docops_pins.py::test_pack_sequences_matches_python"
+    ),
+    "corpus_split": (
+        "test_docops_pins.py::test_corpus_split_matches_python"
+    ),
+    "repetition_signals": (
+        "test_docops_pins.py::test_repetition_signals_matches_python"
+    ),
+    "source_ngram_overlap": (
+        "test_docops_pins.py::test_source_ngram_overlap_matches_python"
+    ),
+    "repeated_spans": (
+        "test_docops_pins.py::test_repeated_spans_matches_python"
+    ),
+    "lang_id": "test_docops_pins.py::test_lang_id_matches_python",
+    "gopher_rules": (
+        "test_docops_pins.py::test_gopher_rules_matches_python"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
