@@ -747,16 +747,25 @@ def test_rotation_capacity_is_sustainable():
     _edf_simulate(additions_per_round=8, end_round=23)
 
 
-def test_rotation_without_retirement_was_infeasible():
-    """Document WHY the retirement tier exists: with retirement
-    disabled, EDF (optimal for feasibility) already fails by r18 —
-    the 35-entry unpinned block going green together in r14 collides
-    with the pinned tier's cap-4 debt."""
+def test_rotation_without_retirement_documented():
+    """Document WHY the retirement tier exists, tracking its evolving
+    justification: at the r14 rotation decision, EDF with retirement
+    DISABLED failed by r18 (the 35-entry unpinned block going green
+    together collided with the pinned tier's cap-4 debt) — bare
+    feasibility demanded it. The r14 (26) and r15 (25) pin batches
+    since moved nearly the whole registry to the cap-5 tier, so the
+    counterfactual now stays feasible through the horizon; retirement
+    today buys ACTIVE-SET SHRINKAGE (75 entries consuming zero driver
+    slots, full sweeps staying ~5 min) rather than bare feasibility.
+    Assert the dichotomy: either the no-retirement sim collapses
+    before the horizon (the r14 state), or its feasibility is
+    explained by the pin tier carrying the load — never by a silently
+    shrunk registry."""
     greens = {n: set(g) for n, g in _green_rounds_by_entry().items()}
     pinned = set(_pinned())
     entries = list(Q.QUERIES)
     last = {n: max(g) for n, g in greens.items() if n in entries}
-    for r in range(14, 26):
+    for r in range(15, 27):
         def deadline(n: str) -> int:
             if n not in last:
                 return r
@@ -764,12 +773,7 @@ def test_rotation_without_retirement_was_infeasible():
 
         due = [n for n in entries if deadline(n) <= r]
         if len(due) > WINDOW:
-            # at the r14 rotation decision this fired at r18; the
-            # mid-r14 pin batches (26 entries to the cap-5 tier)
-            # pushed the counterfactual's collapse out to ~r20 —
-            # retirement is still required, just later
-            assert r <= 23, "infeasibility expected before the horizon"
-            return  # infeasible, as documented
+            return  # infeasible before the horizon, as in r14
         for n in sorted(entries, key=lambda n: (deadline(n), n in pinned))[
             :WINDOW
         ]:
@@ -778,10 +782,19 @@ def test_rotation_without_retirement_was_infeasible():
             nm = f"sim_r{r}_{i}"
             entries.append(nm)
             pinned.add(nm)
-    raise AssertionError(
-        "no-retirement schedule unexpectedly feasible — if the registry "
-        "shrank, reconsider whether the retired tier is still needed"
+    # feasible: must be the pin tier's doing — the unpinned active set
+    # alone demands well under a window even at the 2-round floor
+    u = [
+        n for n in Q.QUERIES
+        if n not in Q.RETIRED_TO_PYTEST and n not in _pinned()
+    ]
+    assert len(u) / 3 + (len(Q.QUERIES) - len(Q.RETIRED_TO_PYTEST)) / 5 <= (
+        WINDOW
+    ), (
+        "no-retirement schedule feasible but NOT explained by the pin "
+        "tier - if the registry shrank, reconsider the retired tier"
     )
+    assert len(Q.QUERIES) == len(set(Q.QUERIES)) and len(u) <= 30, u
 
 
 def test_window_covers_every_stale_unpinned_entry():
