@@ -466,6 +466,32 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "gopher_rules": (
         "test_docops_pins.py::test_gopher_rules_matches_python"
     ),
+    # round-15 pin-throughput batch 4: nine vector/sampling entries
+    # recomputed in pure python over the collected sf0.001 tables —
+    # the engine's exact left-to-right double fold for every dot
+    # product and decimal-HALF_UP rounding, so buckets, cells, ranks
+    # and tiebreaks match bit-for-bit
+    "label_centroids": (
+        "test_vector_pins.py::test_label_centroids_matches_python"
+    ),
+    "kmeans_clusters": (
+        "test_vector_pins.py::test_kmeans_clusters_matches_python"
+    ),
+    "kmeans_auto": (
+        "test_vector_pins.py::test_kmeans_auto_matches_python"
+    ),
+    "semdedup": "test_vector_pins.py::test_semdedup_matches_python",
+    "semdedup_auto": (
+        "test_vector_pins.py::test_semdedup_auto_matches_python"
+    ),
+    "knn_ann": "test_vector_pins.py::test_knn_ann_matches_python",
+    "knn_ivf": "test_vector_pins.py::test_knn_ivf_matches_python",
+    "hard_negatives": (
+        "test_vector_pins.py::test_hard_negatives_matches_python"
+    ),
+    "negative_pairs": (
+        "test_vector_pins.py::test_negative_pairs_matches_python"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
