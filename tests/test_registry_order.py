@@ -492,6 +492,24 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "negative_pairs": (
         "test_vector_pins.py::test_negative_pairs_matches_python"
     ),
+    # round-15 pin-throughput batch 5: dedup/graph/mining entries —
+    # hashlib minhash + simhash recomputes, union-find CC, pure-python
+    # power iteration, Apriori brute-force lattice
+    "dedup_minhash_lsh": (
+        "test_dedup_graph_pins.py::test_dedup_minhash_lsh_matches_python"
+    ),
+    "deduped_corpus_cc": (
+        "test_dedup_graph_pins.py::test_deduped_corpus_cc_matches_python"
+    ),
+    "dedup_simhash": (
+        "test_dedup_graph_pins.py::test_dedup_simhash_matches_python"
+    ),
+    "supplier_pagerank": (
+        "test_dedup_graph_pins.py::test_supplier_pagerank_matches_python"
+    ),
+    "freq_itemsets_docs": (
+        "test_dedup_graph_pins.py::test_freq_itemsets_docs_matches_python"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
