@@ -510,6 +510,47 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "freq_itemsets_docs": (
         "test_dedup_graph_pins.py::test_freq_itemsets_docs_matches_python"
     ),
+    # round-15 pin-throughput batch 6: lifecycle/pipeline entries —
+    # closed-form final states recomputed in pure python (exact
+    # DECIMAL sums, hashlib split buckets, add-alpha bigram LM, the
+    # full greedy-dedup → quality → split → pack curation chain)
+    "versioned_read": (
+        "test_lifecycle_pins.py::test_versioned_read_matches_python"
+    ),
+    "versioned_merge": (
+        "test_lifecycle_pins.py::test_versioned_merge_matches_python"
+    ),
+    "zorder_layout_read": (
+        "test_lifecycle_pins.py::test_zorder_layout_read_matches_python"
+    ),
+    "html_extract": (
+        "test_lifecycle_pins.py::test_html_extract_matches_python"
+    ),
+    "lm_perplexity": (
+        "test_lifecycle_pins.py::test_lm_perplexity_matches_python"
+    ),
+    "curate_corpus": (
+        "test_lifecycle_pins.py::test_curate_corpus_matches_python"
+    ),
+    # round-15 pin-throughput batch 7: the five remaining multimodal
+    # entries — each real encode/decode round trip verified against an
+    # independent pure-python recomputation of its closed-form recipe
+    # (the multimodal_video/gif pin standard)
+    "multimodal_pixels": (
+        "test_multimodal_pins.py::test_multimodal_pixels_matches_recipe"
+    ),
+    "multimodal_frames": (
+        "test_multimodal_pins.py::test_multimodal_frames_matches_recipe"
+    ),
+    "multimodal_audio": (
+        "test_multimodal_pins.py::test_multimodal_audio_matches_recipe"
+    ),
+    "multimodal_flac": (
+        "test_multimodal_pins.py::test_multimodal_flac_matches_recipe"
+    ),
+    "multimodal_jpeg": (
+        "test_multimodal_pins.py::test_multimodal_jpeg_matches_recipe"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
