@@ -2125,6 +2125,7 @@ def merge_table(
     cluster_by: list[str] | None = None,
     evolve: bool = False,
     update_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Copy-on-write UPSERT (the table-format MERGE core): rows of
     ``df`` REPLACE current rows with the same ``key`` value; keys not
@@ -2183,6 +2184,16 @@ def merge_table(
     cur = vs[-1]
     from pyspark.sql import functions as F
 
+    if txn is not None:
+        # exactly-once replay detection (round 15, same contract as
+        # append_table's txn): a replayed (app_id, epoch) is a ZERO-IO
+        # no-op — stronger than the keyed merge's per-key idempotence,
+        # which still re-reads and rewrites the affected files
+        recorded = (
+            _load_manifest(path, cur).get("txns") or {}
+        ).get(str(txn[0]))
+        if recorded is not None and int(txn[1]) <= recorded:
+            return cur
     if update_cols is not None:
         if not update_cols:
             raise ValueError("update_cols must name at least one column")
@@ -2373,6 +2384,7 @@ def merge_table(
         schema,
         stats,
         man.get("delete_files"),  # masks still cover the untouched files
+        txn=txn,
     )
 
 
@@ -2939,6 +2951,7 @@ def stream_ingest_to_table(
     path: str,
     checkpoint: str,
     app_id: str | None = None,
+    evolve: bool = False,
 ):
     """EXACTLY-ONCE streaming sink (round 15, VERDICT r14 task #2):
     commit each non-empty micro-batch as one atomic manifest version,
@@ -2956,6 +2969,8 @@ def stream_ingest_to_table(
     see per-batch versions, and the existing optimistic-concurrency
     arbiter (:func:`with_retry` around the manifest hard-link)
     serializes this sink against any concurrent batch writer.
+    ``evolve=True`` passes through to :func:`append_table`'s additive
+    schema evolution, for feeds that grow columns mid-stream.
 
     Returns the started ``StreamingQuery``."""
     app = str(app_id) if app_id is not None else f"ingest:{checkpoint}"
@@ -2965,7 +2980,9 @@ def stream_ingest_to_table(
             return
         txn = (app, int(batch_id))
         try:
-            with_retry(lambda: append_table(batch_df, path, txn=txn))
+            with_retry(
+                lambda: append_table(batch_df, path, evolve=evolve, txn=txn)
+            )
         except FileNotFoundError:
             try:
                 create_table(batch_df, path, txn=txn)
@@ -2973,7 +2990,11 @@ def stream_ingest_to_table(
                 # a concurrent creator won (or a replayed FIRST batch
                 # found its own earlier create): append-path replay
                 # detection settles both cases
-                with_retry(lambda: append_table(batch_df, path, txn=txn))
+                with_retry(
+                    lambda: append_table(
+                        batch_df, path, evolve=evolve, txn=txn
+                    )
+                )
 
     return (
         stream_df.writeStream.foreachBatch(commit)
@@ -2990,6 +3011,7 @@ def stream_merge_to_table(
     key: str,
     delete_col: str | None = None,
     evolve: bool = False,
+    app_id: str | None = None,
 ):
     """Streaming CDC sink: upsert each non-empty micro-batch into the
     versioned table by ``key`` (first batch creates the table). Within
@@ -3017,23 +3039,36 @@ def stream_merge_to_table(
     additive schema evolution, for CDC feeds that grow columns
     mid-stream.
 
+    ``app_id`` (round 15): stamp each batch's commit with the
+    ``(app_id, batch_id)`` txn watermark (see :func:`append_table`),
+    upgrading the sink to EXACTLY-ONCE — a replayed batch becomes a
+    zero-I/O no-op instead of a redundant (if idempotent) re-merge,
+    and the version history stops growing on replays. None keeps the
+    round-14 unstamped behavior.
+
     Returns the started ``StreamingQuery``."""
     from pyspark.sql import functions as F
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        txn = (str(app_id), int(batch_id)) if app_id is not None else None
         src = batch_df.dropDuplicates([key])
         try:
-            merge_table(src, path, key, delete_col=delete_col, evolve=evolve)
+            with_retry(
+                lambda: merge_table(
+                    src, path, key, delete_col=delete_col, evolve=evolve,
+                    txn=txn,
+                )
+            )
         except FileNotFoundError:
             if delete_col is None:
-                create_table(src, path)
+                create_table(src, path, txn=txn)
                 return
             flag = F.coalesce(
                 F.col(delete_col).cast("boolean"), F.lit(False)
             )
-            create_table(src.where(~flag).drop(delete_col), path)
+            create_table(src.where(~flag).drop(delete_col), path, txn=txn)
 
     return (
         stream_df.writeStream.foreachBatch(commit)

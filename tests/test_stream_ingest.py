@@ -169,3 +169,60 @@ def test_watermark_survives_unrelated_commits(spark, tmp_path):
     head = len(table_history(tbl))
     assert append_table(batch, tbl, txn=("app", 0)) == head  # still a no-op
     assert append_table(batch, tbl, txn=("app", 1)) == head + 1
+
+
+def test_merge_table_txn_replay_is_zero_io_noop(spark, tmp_path):
+    """merge_table(txn=): a replayed epoch returns the head with NO new
+    version and NO file rewrites — stronger than keyed idempotence,
+    which re-reads and rewrites the affected files."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _load_manifest,
+        _versions,
+        merge_table,
+    )
+
+    batch = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+    tbl = str(tmp_path / "vtable")
+    create_table(batch.repartitionByRange(4, "doc_id"), tbl)
+    changes = spark.createDataFrame([(5, -1), (50, -2)], "doc_id long, v long")
+    v = merge_table(changes, tbl, "doc_id", txn=("cdc", 0))
+    assert v == 2
+    files_v2 = _load_manifest(tbl, 2)["files"]
+    # the replay: same epoch → no version, files untouched
+    assert merge_table(changes, tbl, "doc_id", txn=("cdc", 0)) == 2
+    assert _versions(tbl) == [1, 2]
+    assert _load_manifest(tbl, 2)["files"] == files_v2
+    # next epoch merges normally
+    more = spark.createDataFrame([(7, -3)], "doc_id long, v long")
+    assert merge_table(more, tbl, "doc_id", txn=("cdc", 1)) == 3
+    got = {r.doc_id: r.v for r in read_table(spark, tbl).collect()}
+    assert (got[5], got[50], got[7]) == (-1, -2, -3) and len(got) == 100
+
+
+def test_stream_merge_exactly_once_under_full_replay(
+    spark, feed, tmp_path
+):
+    """stream_merge_to_table(app_id=...): total checkpoint loss +
+    full replay leaves versions AND contents unchanged."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        stream_merge_to_table,
+    )
+
+    docs, src = feed
+    tbl = str(tmp_path / "vtable")
+    q = stream_merge_to_table(
+        _stream(spark, docs, src), tbl, str(tmp_path / "ck1"), "doc_id",
+        app_id="cdc",
+    )
+    q.awaitTermination()
+    n = read_table(spark, tbl).count()
+    versions = len(table_history(tbl))
+    q2 = stream_merge_to_table(
+        _stream(spark, docs, src), tbl, str(tmp_path / "ck2"), "doc_id",
+        app_id="cdc",
+    )
+    q2.awaitTermination()
+    assert read_table(spark, tbl).count() == n == docs.count()
+    assert len(table_history(tbl)) == versions  # zero replayed commits
