@@ -3576,6 +3576,11 @@ def describe_table(path: str, version: int | None = None) -> dict:
         "renames": man.get("renames") or [],
         "dropped_columns": man.get("dropped") or [],
         "retained_versions": vs,
+        # round 15: spec-evolution era registry (None = never evolved)
+        # and the streaming-writer txn watermarks of this version
+        "spec_id": man.get("spec_id"),
+        "specs": man.get("specs"),
+        "txns": man.get("txns") or {},
     }
 
 
