@@ -191,3 +191,65 @@ def test_evolve_validation(spark, tmp_path):
     v = evolve_table_spec(path)
     assert _head(path)["specs"][str(_head(path)["spec_id"])] == {}
     assert v == 2
+
+
+def test_evolve_to_sorted_buckets_composes(spark, tmp_path):
+    """Era 1 can be a SORTED bucket layout: new-era files carry bucket
+    identity AND narrow sort-column slices, so a two-predicate lookup
+    opens one new-era file while era-0 files keep plain bucket
+    pruning."""
+    path = str(tmp_path / "tbl")
+    create_table(_docs(spark, 0, 200), path, bucket_by=("doc_id", 4))
+    evolve_table_spec(
+        path,
+        bucket_by=("doc_id", 4),
+        sort_within_buckets=["v"],
+        bucket_file_rows=20,
+    )
+    append_table(_docs(spark, 200, 400), path)
+    man = _head(path)
+    new_files = [
+        f for f in man["files"]
+        if (man["file_stats"][f]).get("__spec") == 1
+    ]
+    assert len(new_files) > 4  # bucket_file_rows split the buckets
+    # two-predicate lookup in the new era: bucket + v-range
+    probe = 300
+    preds = [
+        ("doc_id", "==", probe),
+        ("v", ">=", probe * 3),
+        ("v", "<=", probe * 3),
+    ]
+    assert files_scanned(path, prune=preds) == 1
+    got = read_table(spark, path, prune=preds).where(
+        F.col("doc_id") == probe
+    )
+    assert got.count() == 1
+    # era-0 probe still one file by old bucket identity
+    assert files_scanned(path, prune=("doc_id", "==", 7)) == 1
+
+
+def test_evolve_bucket_to_cluster(spark, tmp_path):
+    """Bucket era 0 → range-cluster era 1: old files keep bucket
+    pruning under their era, new files range-prune; the writer-facing
+    _table.json drops the bucket layout so rewrites cluster."""
+    path = str(tmp_path / "tbl")
+    create_table(_docs(spark, 0, 200), path, bucket_by=("doc_id", 4))
+    evolve_table_spec(path, cluster_by=["doc_id"])
+    append_table(
+        _docs(spark, 200, 400).repartition(4), path
+    )
+    man = _head(path)
+    assert man["specs"]["1"] == {"cluster_by": ["doc_id"]}
+    # old era: bucket identity picks 1 of 4; new era excluded by range
+    assert files_scanned(path, prune=("doc_id", "==", 7)) == 1
+    # new era: range stats prune (files possibly unsorted within —
+    # repartition(4) spans ranges, so just require < total and lossless)
+    total = files_scanned(path)
+    opened = files_scanned(path, prune=("doc_id", "==", 300))
+    assert opened < total
+    for probe in (7, 300):
+        got = read_table(spark, path, prune=("doc_id", "==", probe)).where(
+            F.col("doc_id") == probe
+        )
+        assert got.count() == 1
