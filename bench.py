@@ -399,6 +399,9 @@ def main() -> None:
         # bucket-spec change, per-era pruning proven with one-file
         # probes on both sides of the boundary)
         "spec_evolved_read",
+        # round-15 addition: substring-level dedup as a TRANSFORM
+        # (repeated 6-gram spans removed, text rebuilt string-exact)
+        "dedup_spans",
         # round-12 addition: recorded clustering spec (create clustered
         # from hash-partitioned input → spec-driven merge re-cluster →
         # stat-pruned quintile read, fail-closed on files_scanned)

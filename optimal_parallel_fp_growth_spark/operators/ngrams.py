@@ -253,3 +253,97 @@ def repeated_spans(
             ).alias("repeat_frac"),
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Substring-level dedup as a TRANSFORM (round 15) — the removal
+    stage :func:`repeated_spans` only signals: every token position
+    covered by an n-gram occurring in ≥ ``min_docs`` DISTINCT
+    documents is dropped, and the survivors re-join in order — the
+    "deduplicate long repeated spans" action of Lee et al. 2022
+    (arXiv:2107.06499), re-based from suffix arrays to n-gram postings
+    exactly like the signal tier. → (doc_id, n_tokens, n_removed,
+    text_clean) for EVERY document (short/clean docs pass through
+    unchanged; a fully-covered document cleans to '').
+
+    Scale shape: the posting stages are `repeated_spans`' — one
+    map-side-combined (doc, gram) shuffle carrying xxhash64 gram ids
+    (never gram text), a gram-keyed doc-frequency cut reusing that
+    exchange's partitioning, and a join back on the same gram key.
+    The only NEW exchange is the per-document reconstruction: covered
+    START positions explode into covered token positions (n rows per
+    repeated occurrence — bounded by the repeated-occurrence count,
+    not the corpus), an anti-join keeps surviving (doc, pos, tok)
+    rows, and ONE doc_id-keyed aggregation re-joins each document
+    in-row (sort_array over (pos, tok) structs — per-doc array sort,
+    no window, the ngram_jaccard_prefix lesson). Nothing quadratic;
+    stop-gram skew is bounded by the same (doc, gram) pre-aggregation
+    as the signal tier."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    toks.persist()  # feeds the gram postings AND the reconstruction
+    # gram occurrences WITH start positions (0-based)
+    occ = toks.select(
+        "doc_id",
+        F.posexplode(_ngram_array(F.col("toks"), n, sep)).alias("gi", "g"),
+    ).select("doc_id", "gi", F.xxhash64("g").alias("gram"))
+    rep = (
+        occ.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        occ.join(rep, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gi"), F.col("gi") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    positions = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = positions.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        tag_cached_inputs,
+    )
+
+    out = (
+        toks.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("int").alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+    return tag_cached_inputs(out, toks)

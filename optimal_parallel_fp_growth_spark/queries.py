@@ -659,6 +659,7 @@ _DRIVER_PRIORITY: list[str] = [
     # NEW_THIS_ROUND exemption — they lead the r16 window) ----
     "versioned_stream_ingest",
     "spec_evolved_read",
+    "dedup_spans",
     # ---- retired tier (75) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

@@ -1912,6 +1912,20 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup as a TRANSFORM (round 15;
+    operators/ngrams.py::remove_repeated_spans): drop every token
+    position covered by a 6-gram occurring in >= 2 distinct documents
+    and re-join the survivors in order — the removal action of
+    Lee et al. 2022 substring dedup, distributed via n-gram postings.
+    The oracle rebuilds every cleaned text with string_agg over the
+    surviving positions, so one mis-covered position or a reordered
+    token breaks string-exact equality."""
+    return ngrams.remove_repeated_spans(
+        load_table(spark, sf_dir, "documents"), n=6, min_docs=2
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngrams.inverted_index(
         load_table(spark, sf_dir, "documents"), max_postings=10, min_df=2
@@ -2505,6 +2519,28 @@ SELECT token, COUNT(*) AS df,
 FROM pairs GROUP BY token HAVING COUNT(*) >= 2
 """
 
+ORACLE_DEDUP_SPANS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, u.i - 1 AS gi,
+             array_to_string(toks[u.i:u.i+5], ' ') AS gram
+      FROM t, LATERAL (SELECT UNNEST(range(1, len(toks) - 4)) AS i) u
+      WHERE len(toks) >= 6),
+rep AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT g.doc_id, g.gi + v.o AS pos
+        FROM g JOIN rep USING (gram),
+             LATERAL (SELECT UNNEST(range(6)) AS o) v),
+p AS (SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+      FROM t, LATERAL (SELECT UNNEST(range(1, len(toks) + 1)) AS i) u),
+kept AS (SELECT p.doc_id, p.pos, p.tok
+         FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+         WHERE cov.pos IS NULL)
+SELECT t.doc_id, len(t.toks)::INT AS n_tokens,
+       (len(t.toks) - count(k.pos))::INT AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_clean
+FROM t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, len(t.toks)
+"""
+
 ORACLE_SOURCE_NGRAM_OVERLAP = """
 WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
 sg AS (SELECT DISTINCT source, array_to_string(t[i : i+2], ' ') AS gram
@@ -2823,6 +2859,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_sources": q_mix_sources,
     "ngram_counts": q_ngram_counts,
     "repeated_spans": q_repeated_spans,
+    "dedup_spans": q_dedup_spans,
     "inverted_index": q_inverted_index,
     "source_ngram_overlap": q_source_ngram_overlap,
     "mix_temperature": q_mix_temperature,
@@ -2894,6 +2931,7 @@ DOC_ORACLES: dict[str, str] = {
     "mix_sources": ORACLE_MIX_SOURCES,
     "ngram_counts": ORACLE_NGRAM_COUNTS,
     "repeated_spans": ORACLE_REPEATED_SPANS,
+    "dedup_spans": ORACLE_DEDUP_SPANS,
     "inverted_index": ORACLE_INVERTED_INDEX,
     "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
     "mix_temperature": ORACLE_MIX_TEMPERATURE,

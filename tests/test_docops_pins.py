@@ -275,3 +275,41 @@ def test_gopher_rules_matches_python(spark, docs):
         )
     keeps = [w[-1] for w in want.values()]
     assert any(keeps) and not all(keeps)  # the gate actually gates
+
+
+def test_dedup_spans_matches_python(spark, docs):
+    """Round-15 addition (remove_repeated_spans): positions covered by
+    a >=2-doc 6-gram drop; survivors re-join in order — recomputed
+    with a brute-force posting dict."""
+    from collections import Counter as _Counter
+
+    from optimal_parallel_fp_growth_spark.queries_docs import q_dedup_spans
+
+    n = 6
+    df = _Counter()
+    occ_pos = {}
+    for r in docs:
+        toks = _toks(r.text)
+        starts = {}
+        for i in range(max(len(toks) - n + 1, 0)):
+            starts.setdefault(" ".join(toks[i: i + n]), []).append(i)
+        occ_pos[r.doc_id] = (toks, starts)
+        for g in starts:
+            df[g] += 1
+    want = {}
+    removed_any = False
+    for r in docs:
+        toks, starts = occ_pos[r.doc_id]
+        covered = set()
+        for g, idxs in starts.items():
+            if df[g] >= 2:
+                for i in idxs:
+                    covered.update(range(i, i + n))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        removed_any |= bool(covered)
+        want[r.doc_id] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    got = q_dedup_spans(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r.doc_id] == (r.n_tokens, r.n_removed, r.text_clean)
+    assert removed_any  # the transform really removes spans here

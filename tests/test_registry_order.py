@@ -551,6 +551,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "multimodal_jpeg": (
         "test_multimodal_pins.py::test_multimodal_jpeg_matches_recipe"
     ),
+    # round-15 mid-round addition: the span-removal transform's full
+    # output (counts + rebuilt text, string-exact) recomputed by a
+    # brute-force posting dict
+    "dedup_spans": (
+        "test_docops_pins.py::test_dedup_spans_matches_python"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
@@ -651,6 +657,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     # exemption is spent; r15 mid-round additions land here)
     "versioned_stream_ingest": 15,
     "spec_evolved_read": 15,
+    "dedup_spans": 15,
 }
 
 
