@@ -724,3 +724,20 @@ def test_normalize_text_single_scan_one_arrow_pass(spark, sf_small):
     assert r.hash_exchanges == 0 and r.broadcast_exchanges == 0
     assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
     assert r.python_stages == 1
+
+
+def test_dedup_spans_no_window_and_partial_aggs(spark, sf_small):
+    """remove_repeated_spans (round 15): the per-doc rebuild must be an
+    in-row sort_array aggregation, never a whole-partition Window sort
+    (the ngram_jaccard_prefix spill lesson), posting aggregations must
+    map-side combine, and no Python UDF may appear anywhere."""
+    from optimal_parallel_fp_growth_spark.operators.ngrams import (
+        remove_repeated_spans,
+    )
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    out = remove_repeated_spans(load_table(spark, sf_small, "documents"))
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "partial_" in plan  # map-side combine on the posting aggs
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
