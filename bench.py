@@ -402,6 +402,9 @@ def main() -> None:
         # round-15 addition: substring-level dedup as a TRANSFORM
         # (repeated 6-gram spans removed, text rebuilt string-exact)
         "dedup_spans",
+        # round-15 addition: manifest bloom file-skipping (scattered-
+        # key point lookups open ~1 file; absent keys open zero)
+        "bloom_table_read",
         # round-12 addition: recorded clustering spec (create clustered
         # from hash-partitioned input → spec-driven merge re-cluster →
         # stat-pruned quintile read, fail-closed on files_scanned)

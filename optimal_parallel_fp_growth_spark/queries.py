@@ -660,6 +660,7 @@ _DRIVER_PRIORITY: list[str] = [
     "versioned_stream_ingest",
     "spec_evolved_read",
     "dedup_spans",
+    "bloom_table_read",
     # ---- retired tier (75) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

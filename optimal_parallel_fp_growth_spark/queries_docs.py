@@ -1518,6 +1518,89 @@ def q_spec_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return materialize(out)
 
 
+def q_bloom_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest Bloom file-skipping under the oracle gate (round 15;
+    sources/versioned.py::create_table(bloom_cols=...)): documents
+    keyed by a SCATTERED md5 key (every file's [min, max] h-range
+    spans the whole hex space, so range stats prune nothing and no
+    bucket layout exists) written with per-file bloom bitmaps; a
+    3-key point lookup must open ≤ 4 of the files (bitmap
+    non-membership, zero file opens to decide) while an absent key
+    opens ZERO, and the pruned read still finds every probed row —
+    the oracle restates the lookup by doc_id."""
+    import hashlib
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        "lang",
+        "n_chars",
+    )
+    with session_temp_layout(spark, "bloom") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        n = docs.count()
+        # size the bitmap to the expected per-file distinct count —
+        # the auto path (a frozen width saturates and forfeits
+        # skipping as the corpus grows; the 10x gate check caught
+        # exactly that)
+        V.create_table(
+            docs.repartitionByRange(8, "doc_id"), path,
+            bloom_cols=["h"],
+            bloom_bits=V.bloom_bits_for(n // 8),
+        )
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        probe_ids = [0, hi // 2, hi]
+        probes = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in probe_ids
+        ]
+        total = V.files_scanned(path)
+        opened = V.files_scanned(path, prune=("h", "in", probes))
+        # distribution-independent gates (the 10x key-shifted replica
+        # has no doc_id 0, so "every probe exists" cannot be assumed):
+        # the bloom must cut the scan to at most one file per probe
+        # (+1 fp allowance), an absent key must cut it to zero, and
+        # the pruned read must equal the full-scan filter row-for-row
+        if not (opened <= len(probe_ids) + 1 < total):
+            raise AssertionError(
+                f"bloom skipping failed: {len(probe_ids)}-key lookup "
+                f"opened {opened} of {total} files"
+            )
+        if V.files_scanned(path, prune=("h", "==", "not-a-key")) != 0:
+            raise AssertionError("absent key did not prune every file")
+        pruned = (
+            V.read_table(spark, path, prune=("h", "in", probes))
+            .where(F.col("h").isin(probes))
+            .count()
+        )
+        full = (
+            V.read_table(spark, path).where(F.col("h").isin(probes)).count()
+        )
+        if pruned != full:
+            raise AssertionError(
+                f"bloom pruning lost rows: {pruned} != {full}"
+            )
+        out = (
+            V.read_table(spark, path, prune=("h", "in", probes))
+            .where(F.col("h").isin(probes))
+            .select("doc_id", "lang", "n_chars")
+        )
+        return materialize(out)
+
+
+ORACLE_BLOOM_TABLE_READ = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id IN (0, (SELECT max(doc_id) // 2 FROM documents),
+                 (SELECT max(doc_id) FROM documents))
+"""
+
+
 ORACLE_SPEC_EVOLVED_READ = """
 SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
        sum(CASE WHEN doc_id <= (SELECT max(doc_id) // 2 FROM documents)
@@ -2878,6 +2961,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_stream_follow": q_versioned_stream_follow,
     "versioned_stream_ingest": q_versioned_stream_ingest,
     "spec_evolved_read": q_spec_evolved_read,
+    "bloom_table_read": q_bloom_table_read,
     "clustered_table_read": q_clustered_table_read,
     "versioned_update": q_versioned_update,
     "stats_pushdown": q_stats_pushdown,
@@ -2950,6 +3034,7 @@ DOC_ORACLES: dict[str, str] = {
     "versioned_stream_follow": ORACLE_VERSIONED_STREAM_FOLLOW,
     "versioned_stream_ingest": ORACLE_VERSIONED_STREAM_INGEST,
     "spec_evolved_read": ORACLE_SPEC_EVOLVED_READ,
+    "bloom_table_read": ORACLE_BLOOM_TABLE_READ,
     "clustered_table_read": ORACLE_CLUSTERED_TABLE_READ,
     "versioned_update": ORACLE_VERSIONED_UPDATE,
     "stats_pushdown": ORACLE_STATS_PUSHDOWN,

@@ -77,6 +77,7 @@ __all__ = [
     "stream_ingest_to_table",
     "last_txn_epoch",
     "evolve_table_spec",
+    "bloom_bits_for",
     "stream_merge_to_table",
     "stream_table_changes",
     "stream_changes_to_table",
@@ -227,7 +228,9 @@ def _write_data(
     return rel
 
 
-def _file_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
+def _file_stats(
+    path: str, rel_files: list[str], bloom_spec: dict | None = None
+) -> dict[str, dict]:
     """Per-file min/max column ranges, read from the parquet FOOTERS of
     the just-written files (no data scan — the writer already computed
     row-group statistics). Only scalar-typed columns with complete
@@ -312,6 +315,48 @@ def _file_stats(path: str, rel_files: list[str]) -> dict[str, dict]:
                 }
             elif float_cols:
                 stats["__nan"] = {c: False for c in float_cols}
+            bspec = (
+                bloom_spec
+                if bloom_spec is not None
+                else _table_spec(path).get("bloom") or {}
+            )
+            bcols = [
+                c for c in bspec.get("cols") or [] if c in schema.names
+            ]
+            if bcols and meta.num_rows:
+                # manifest bloom filters (round 15 — the Iceberg
+                # puffin-blob shape brought INTO the manifest): a
+                # point lookup on a scattered key can skip files with
+                # ZERO file opens, where min/max ranges span
+                # everything. One column read per file at COMMIT time
+                # (the __nan trade); a file whose distinct count
+                # saturates the fixed bitmap stores NOTHING and
+                # fail-opens — the bitmap never grows past its cap,
+                # so manifests stay lean at any file size.
+                import base64 as _b64
+
+                m = int(bspec.get("bits") or _BLOOM_DEFAULT_BITS)
+                kk = int(bspec.get("k") or _BLOOM_K)
+                cols = pq.read_table(
+                    abs_path, columns=[c for c in bcols]
+                )
+                blooms = {}
+                for c in bcols:
+                    vals = {
+                        v for v in cols.column(c).to_pylist()
+                        if v is not None
+                    }
+                    if not vals or len(vals) > m // 8:
+                        continue  # empty or saturated: fail-open
+                    blooms[c] = {
+                        "b64": _b64.b64encode(
+                            _bloom_of_values(vals, m, kk)
+                        ).decode(),
+                        "m": m,
+                        "k": kk,
+                    }
+                if blooms:
+                    stats["__bloom"] = blooms
             sid = _table_spec(path).get("spec_id")
             if sid:
                 # spec-era stamp (round 15): which partition-spec era
@@ -732,6 +777,69 @@ def _stamp_buckets(
 _BUCKETABLE_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
 
 
+_BLOOM_DEFAULT_BITS = 1 << 14  # 16 Kbit ≈ 2.7 KB base64 per file/col
+_BLOOM_K = 6
+
+
+def bloom_bits_for(
+    n_per_file: int,
+    bits_per_value: int = 10,
+    min_bits: int = _BLOOM_DEFAULT_BITS,
+    max_bits: int = 1 << 22,
+) -> int:
+    """Bitmap width for ~``n_per_file`` distinct values per file:
+    ≥ ``bits_per_value`` bits each (fpp ≈ 0.8% at k=6), rounded up to
+    a power of two — the ``ann_bits_for``/``kmeans_k_for`` recipe
+    applied to manifest blooms. The commit-time saturation guard
+    stores NOTHING under 8 bits/value, so a frozen width silently
+    forfeits skipping once files outgrow it (exactly what the 10×
+    gate check caught); derive the width from the expected per-file
+    distinct count instead. ``max_bits`` (4 Mbit = 700 KB base64)
+    bounds manifest growth — past it, prefer more files or a bucket
+    layout."""
+    need = max(int(n_per_file), 1) * bits_per_value
+    m = int(min_bits)
+    while m < need and m < max_bits:
+        m <<= 1
+    return m
+
+
+def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
+    """k deterministic bit positions for a probe value — pure python
+    (hashlib md5, the engine-common hash family), identical on the
+    build (pyarrow column values) and probe (prune predicate) sides.
+    Values compare through ``str()``: bloom columns are restricted to
+    int/string types, where str() is a bijection on both sides."""
+    import hashlib as _hashlib
+
+    s = str(value)
+    return [
+        int(
+            _hashlib.md5(f"bloom:{i}:{s}".encode()).hexdigest()[:16], 16
+        ) % m_bits
+        for i in range(k)
+    ]
+
+
+def _bloom_of_values(values, m_bits: int, k: int) -> bytes:
+    bits = bytearray((m_bits + 7) // 8)
+    for v in values:
+        for p in _bloom_positions(v, m_bits, k):
+            bits[p >> 3] |= 1 << (p & 7)
+    return bytes(bits)
+
+
+def _bloom_may_contain(entry_col: dict, value) -> bool:
+    import base64 as _b64
+
+    bits = _b64.b64decode(entry_col["b64"])
+    m, k = int(entry_col["m"]), int(entry_col["k"])
+    for p in _bloom_positions(value, m, k):
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 def _era_bucket_spec(
     entry: dict | None,
     specs: dict | None,
@@ -787,6 +895,18 @@ def _file_passes(
                 continue  # NaN-unknown/NaN-holding: never range-prune
         if not _file_survives(entry, col, op, val):
             return False
+        # manifest bloom probe (round 15): equality/IN on a
+        # bloom-indexed column can skip a file its range stats keep —
+        # a definite non-member prunes; membership or a saturated/
+        # absent bitmap falls through (fail-open, never wrong)
+        bl = ((entry or {}).get("__bloom") or {}).get(col)
+        if bl is not None and op in ("==", "in") and val is not None:
+            probes = val if op == "in" else (val,)
+            if not any(
+                v is not None and _bloom_may_contain(bl, v)
+                for v in probes
+            ):
+                return False
         if bcol is not None and col == bcol and op in ("==", "in"):
             t = types.get(col)
             b = (entry or {}).get("__bucket")
@@ -814,6 +934,8 @@ def create_table(
     sort_within_buckets: list[str] | None = None,
     bucket_file_rows: int | None = None,
     txn: tuple[str, int] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_DEFAULT_BITS,
 ) -> int:
     """Create a versioned table at ``path`` (must not already be one).
     Returns the committed version (1).
@@ -821,6 +943,19 @@ def create_table(
     ``txn=(app_id, epoch)`` stamps the creating commit's ``txns``
     watermark (see :func:`append_table`), so a streaming sink whose
     FIRST batch created the table detects that batch's replay too.
+
+    ``bloom_cols`` (round 15 — the Iceberg puffin / Parquet
+    footer-bloom shape, lifted into the MANIFEST so pruning needs
+    zero file opens): record per-file Bloom bitmaps for the named
+    int/string columns at every commit. Point lookups (``==`` / ``in``
+    prunes) then skip files whose bitmap proves non-membership — the
+    file-skipping tier for SCATTERED keys, where every file's
+    [min, max] spans the whole key space and range stats prune
+    nothing and no bucket layout was chosen. Each bitmap is capped at
+    ``bloom_bits`` (default 16 Kbit ≈ 2.7 KB in the manifest); a file
+    with more distinct values than the cap can hold stores nothing
+    and fail-opens, so manifests stay lean at any file size. Composes
+    with any layout (the bitmap is per-file metadata, not a layout).
 
     ``cluster_by`` (round 12, the Delta liquid-clustering analog as a
     recorded TABLE property): cluster + sort this write on the named
@@ -907,6 +1042,25 @@ def create_table(
         raise ValueError(
             "sort_within_buckets/bucket_file_rows need bucket_by"
         )
+    bloom_spec: dict | None = None
+    if bloom_cols:
+        field = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        bad = [
+            c for c in bloom_cols if field.get(c) not in _BUCKETABLE_TYPES
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom columns {bad} must be int/string "
+                f"({_BUCKETABLE_TYPES}): the bitmap hashes str(value), "
+                "a bijection for exactly these"
+            )
+        if int(bloom_bits) < 64:
+            raise ValueError("bloom_bits must be >= 64")
+        bloom_spec = {
+            "cols": list(bloom_cols),
+            "bits": int(bloom_bits),
+            "k": _BLOOM_K,
+        }
     # a _table.json with no manifest is debris from a failed earlier
     # create at this path — it must not leak into THIS table's life
     # (advice r12: a stale spec from a failed clustered create poisoned
@@ -923,7 +1077,7 @@ def create_table(
             df, int(bucket_by[1]), bucket_by[0], sort_within_buckets or []
         )
     files = _write_data(df, path, 1, max_records=bucket_file_rows)
-    stats = _file_stats(path, files)
+    stats = _file_stats(path, files, bloom_spec=bloom_spec)
     if bucket_by is not None:
         _stamp_buckets(
             stats, files, int(bucket_by[1]),
@@ -949,6 +1103,11 @@ def create_table(
         _write_table_spec(
             path, {**_table_spec(path), "bucket_by": bspec}
         )
+    if bloom_spec is not None:
+        # recorded AFTER the commit (same ordering as the layouts):
+        # v1's blooms were stamped from the explicit spec above, and a
+        # crash here only costs LATER writes their bitmaps (fail-open)
+        _write_table_spec(path, {**_table_spec(path), "bloom": bloom_spec})
     return v
 
 

@@ -557,6 +557,12 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "dedup_spans": (
         "test_docops_pins.py::test_dedup_spans_matches_python"
     ),
+    # round-15 mid-round addition: one file's stored bitmap rebuilt
+    # byte-for-byte from the raw parquet values in pure python, plus
+    # skip/fail-open/rewrite contracts in the same suite
+    "bloom_table_read": (
+        "test_bloom_table.py::test_bloom_math_matches_stored_bitmap"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
@@ -658,6 +664,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     "versioned_stream_ingest": 15,
     "spec_evolved_read": 15,
     "dedup_spans": 15,
+    "bloom_table_read": 15,
 }
 
 
