@@ -3731,6 +3731,7 @@ def describe_table(path: str, version: int | None = None) -> dict:
         "cluster_by": cluster_by,
         "cluster_kind": cluster_kind if cluster_by else None,
         "bucket_by": _table_spec(path).get("bucket_by"),
+        "bloom": _table_spec(path).get("bloom"),
         "constraints": table_constraints(path),
         "renames": man.get("renames") or [],
         "dropped_columns": man.get("dropped") or [],
