@@ -431,44 +431,33 @@ QUERIES.update(REL_QUERIES)
 # Driver sampling order. The correctness harness samples the registry in
 # insertion order with a bounded per-round window (exactly 50 rows since
 # r4), so entries whose last green driver row is OLDEST must come FIRST —
-# the rotation contract that bounds staleness. Round-15 tiers (staleness
-# computed from CORRECTNESS_r{01..14}.json; the invariant is enforced
+# the rotation contract that bounds staleness. Round-16 tiers (staleness
+# computed from CORRECTNESS_r{01..15}.json; the invariant is enforced
 # data-driven by tests/test_registry_order.py):
-#   1. the 8 entries with NO driver row ever — the mid-r14 additions
-#      (bucketed_sorted_read, events_first_touch, events_quantile_sketch,
-#      heavy_hitters_tokens, purge_deletes, partial_compact,
-#      schema_evolution_read, embedding_quantize), added after the r14
-#      window was contractually full (NEW_THIS_ROUND exemption now
-#      expired).
-#   2. the 20 surviving unpinned r12-green entries (staleness 3 at the
-#      r15 head — the mandated lead block named in the r14 tripwire
-#      output; revenue_by_nation/top_orders from that block retired).
-#   3. the 4 surviving pinned r12-green entries (cap 4: due r16/r17 —
-#      sampling them all now zeroes the r16/r17 debt from this tier).
-#   4. the 16 unpinned r13-green — they would ALL demand r16 window
-#      slots otherwise; sampling them now flattens the r16 demand.
-#   5. 2 of the 4 surviving pinned r13-green (index_search,
-#      versioned_stream_follow) — fills the window at exactly 50 and
-#      halves the r17/r18 debt from that tier.
-#   6. the active tail, oldest-first: the 2 remaining pinned r13-green
-#      (clustered_table_read, multimodal_video — cap 4, due r17/r18),
-#      the 14 unpinned r14-green (they lead the r16 window), then the
-#      15 surviving pinned r14-green.
-#   7. the RETIRED_TO_PYTEST tier (75 entries, below): permanently at
-#      the tail, outside the rotation.
-# Rotation-capacity ceiling (VERDICT r13 task #2): at 148 entries the
-# 50-slot window could no longer cover steady demand plus the pinned
-# tier's lumpy cap-4 debt — an EDF simulation shows the schedule going
-# infeasible at r18 with NO retirement, and feasible through r23 WITH
-# the retirement pipeline at the observed ~8 additions/round
-# (tests/test_registry_order.py::test_rotation_capacity_is_sustainable
-# re-runs that simulation every pytest). The mechanism: an entry
-# RETIRES from driver rotation when it is BOTH (a) pinned — a
-# full-semantics independent recomputation (TWINS differential or
-# GROUND_TRUTH_PINS brute-force) runs in every pytest — and (b)
-# driver-validated in ≥3 distinct rounds. Retired entries KEEP their
-# queries()/oracle_sql() registration (the judge's full sweep still
-# covers all of them); they only stop consuming driver-window slots.
+#   1. the 4 entries with NO driver row ever — the mid-r15 additions
+#      (versioned_stream_ingest, spec_evolved_read, dedup_spans,
+#      bloom_table_read), added after the r15 window was contractually
+#      full (NEW_THIS_ROUND exemption now expired).
+#   2. the 2 pinned r13-green (clustered_table_read, multimodal_video —
+#      staleness 3, due r17 at cap 4; sampled now, zeroing that debt).
+#   3. the 15 pinned r14-green (staleness 2).
+#   4. the 14 pinned r15-green (staleness 1).
+# After the r16 retirement wave (50 entries newly at ≥3 distinct green
+# driver rounds retired — the r15 pin batches made the whole doc/
+# vector/event/lifecycle tier eligible once CORRECTNESS_r15 landed;
+# 75 → 125 retired) the ACTIVE set is 35 entries, ALL pinned, so the
+# ENTIRE active registry fits in one 50-slot window with 15 slots of
+# slack for mid-r16 additions.
+# Rotation-capacity ceiling (VERDICT r13 task #2): the EDF simulation
+# in tests/test_registry_order.py::test_rotation_capacity_is_sustainable
+# replays history forward with 8 pinned additions/round and must stay
+# feasible through r23. The mechanism: an entry RETIRES from driver
+# rotation when it is BOTH (a) pinned — a full-semantics independent
+# recomputation (TWINS differential or GROUND_TRUTH_PINS brute-force)
+# runs in every pytest — and (b) driver-validated in ≥3 distinct
+# rounds. Retired entries KEEP their queries()/oracle_sql()
+# registration (the judge's full sweep still covers all of them); they
+# only stop consuming driver-window slots.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # sampling contract. tests/test_registry_order.py checks this list.
 
@@ -476,9 +465,60 @@ QUERIES.update(REL_QUERIES)
 # in tests/test_registry_order.py::test_retired_entries_meet_criteria:
 # pinned + ≥3 distinct green driver rounds each).
 RETIRED_TO_PYTEST: frozenset[str] = frozenset({
-    # --- retired at the r15 rotation (28 entries newly at ≥3 greens
-    # after CORRECTNESS_r14 landed — the r14 pin-throughput batches
-    # made the whole relational tier eligible) ---
+    # --- retired at the r16 rotation (50 entries newly at ≥3 greens
+    # after CORRECTNESS_r15 landed — the r15 pin-throughput batches
+    # made the doc/vector/event/lifecycle tiers eligible) ---
+    "brand_discount_revenue",
+    "chunk_documents",
+    "corpus_split",
+    "curate_corpus",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "deduped_corpus_cc",
+    "doc_fingerprint",
+    "events_asof_join",
+    "events_daily_rollup",
+    "events_hopping",
+    "events_hourly_cube",
+    "events_json_props",
+    "events_retention",
+    "events_rolling",
+    "freq_itemsets_docs",
+    "gopher_rules",
+    "hard_negatives",
+    "html_extract",
+    "important_parts",
+    "kmeans_auto",
+    "kmeans_clusters",
+    "knn_ann",
+    "knn_ivf",
+    "label_centroids",
+    "lang_id",
+    "lm_perplexity",
+    "local_supplier_revenue",
+    "min_cost_part_supplier",
+    "multimodal_audio",
+    "multimodal_flac",
+    "multimodal_frames",
+    "multimodal_jpeg",
+    "multimodal_pixels",
+    "negative_pairs",
+    "pack_sequences",
+    "pii_stats",
+    "recent_concentration_suppliers",
+    "repeated_spans",
+    "repetition_signals",
+    "returnflag_priority_lines",
+    "semdedup",
+    "semdedup_auto",
+    "small_qty_revenue",
+    "source_ngram_overlap",
+    "supplier_pagerank",
+    "supplier_variety",
+    "versioned_merge",
+    "versioned_read",
+    "zorder_layout_read",
+    # --- retired at the r15 rotation ---
     "apriori_rules",
     "count_rows",
     "customer_order_counts",
@@ -558,88 +598,17 @@ RETIRED_TO_PYTEST: frozenset[str] = frozenset({
 })
 
 _DRIVER_PRIORITY: list[str] = [
-    # ---- r15 window (50) ----
-    # tier 1 — never driver-sampled: the 8 mid-r14 additions
-    # (NEW_THIS_ROUND exemption spent at the r14 snapshot)
-    "bucketed_sorted_read",
-    "events_first_touch",
-    "events_quantile_sketch",
-    "heavy_hitters_tokens",
-    "purge_deletes",
-    "partial_compact",
-    "schema_evolution_read",
-    "embedding_quantize",
-    # tier 2 — the 20 surviving unpinned r12-green (staleness 3 at the
-    # r15 head — named verbatim in the r14 tripwire output)
-    "repetition_signals",
-    "source_ngram_overlap",
-    "chunk_documents",
-    "pack_sequences",
-    "curate_corpus",
-    "corpus_split",
-    "label_centroids",
-    "multimodal_flac",
-    "versioned_read",
-    "versioned_merge",
-    "min_cost_part_supplier",
-    "important_parts",
-    "returnflag_priority_lines",
-    "supplier_variety",
-    "recent_concentration_suppliers",
-    "multimodal_audio",
-    "multimodal_jpeg",
-    "repeated_spans",
-    "zorder_layout_read",
-    "local_supplier_revenue",
-    # tier 3 — the 4 surviving pinned r12-green (cap 4: due r16/r17;
-    # sampling them all now zeroes that debt)
-    "incremental_agg",
-    "materialized_view",
-    "incremental_index",
-    "mor_delete_read",
-    # tier 4 — the 16 unpinned r13-green (all would demand r16 window
-    # slots otherwise)
-    "kmeans_clusters",
-    "kmeans_auto",
-    "semdedup",
-    "semdedup_auto",
-    "knn_ivf",
-    "knn_ann",
-    "supplier_pagerank",
-    "dedup_minhash_lsh",
-    "deduped_corpus_cc",
-    "events_rolling",
-    "events_daily_rollup",
-    "events_asof_join",
-    "events_hourly_cube",
-    "events_json_props",
-    "events_retention",
-    "multimodal_frames",
-    # tier 5 — 2 of the 4 surviving pinned r13-green: fills the window
-    # at exactly 50, halves the r17/r18 debt from that tier
-    "index_search",
-    "versioned_stream_follow",
-    # ---- active tail (31), oldest-first ----
-    # the 2 remaining pinned r13-green (cap 4: due r17/r18)
+    # ---- r16 window (35 active — the whole active set fits) ----
+    # tier 1 — never driver-sampled: the 4 mid-r15 additions
+    # (NEW_THIS_ROUND exemption spent at the r15 snapshot)
+    "versioned_stream_ingest",
+    "spec_evolved_read",
+    "dedup_spans",
+    "bloom_table_read",
+    # tier 2 — the 2 pinned r13-green (staleness 3; cap-4 debt zeroed)
     "clustered_table_read",
     "multimodal_video",
-    # the 14 unpinned r14-green (staleness 3 at the r17 head; they
-    # lead the r16 window)
-    "brand_discount_revenue",
-    "small_qty_revenue",
-    "html_extract",
-    "lm_perplexity",
-    "gopher_rules",
-    "negative_pairs",
-    "hard_negatives",
-    "events_hopping",
-    "multimodal_pixels",
-    "freq_itemsets_docs",
-    "dedup_simhash",
-    "lang_id",
-    "doc_fingerprint",
-    "pii_stats",
-    # the 15 surviving pinned r14-green (cap 4: due r18/r19)
+    # tier 3 — the 15 pinned r14-green (staleness 2)
     "versioned_update",
     "stats_pushdown",
     "versioned_range_read",
@@ -655,13 +624,22 @@ _DRIVER_PRIORITY: list[str] = [
     "hive_layout_read",
     "compacted_layout_read",
     "versioned_changes",
-    # ---- mid-r15 additions (window contractually full when added;
-    # NEW_THIS_ROUND exemption — they lead the r16 window) ----
-    "versioned_stream_ingest",
-    "spec_evolved_read",
-    "dedup_spans",
-    "bloom_table_read",
-    # ---- retired tier (75) — never sampled again; pytest pins +
+    # tier 4 — the 14 pinned r15-green (staleness 1)
+    "bucketed_sorted_read",
+    "events_first_touch",
+    "events_quantile_sketch",
+    "heavy_hitters_tokens",
+    "purge_deletes",
+    "partial_compact",
+    "schema_evolution_read",
+    "embedding_quantize",
+    "incremental_agg",
+    "materialized_view",
+    "incremental_index",
+    "mor_delete_read",
+    "index_search",
+    "versioned_stream_follow",
+    # ---- retired tier (125) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),
 ]

@@ -1,23 +1,19 @@
 """Pin the driver-sampling order of the query registry.
 
 The correctness harness samples ``queries()`` in insertion order with a
-bounded per-round window (exactly 50 rows since r4). Round-15 rotation
+bounded per-round window (exactly 50 rows since r4). Round-16 rotation
 contract:
 
-* The eight mid-r14 additions (``bucketed_sorted_read`` /
-  ``events_first_touch`` / ``events_quantile_sketch`` /
-  ``heavy_hitters_tokens`` / ``purge_deletes`` / ``partial_compact`` /
-  ``schema_evolution_read`` / ``embedding_quantize``, never
-  driver-sampled — their NEW_THIS_ROUND exemption expired at the r14
-  snapshot) lead, then the 20 surviving unpinned r12-green entries
-  (staleness 3 — named verbatim in the r14 tripwire output), then ALL
-  4 surviving pinned r12-green (cap 4: due r16/r17 — zeroing that
-  debt), then the 16 unpinned r13-green (they would all demand r16
-  slots otherwise), then 2 of the 4 surviving pinned r13-green —
-  exactly filling the window. The 14 unpinned r14-green MUST lead the
-  r16 window. The r14 pin-throughput batches made the whole relational
-  tier retirement-eligible once CORRECTNESS_r14 landed: 28 entries
-  retired at this rotation (47 → 75).
+* The four mid-r15 additions (``versioned_stream_ingest`` /
+  ``spec_evolved_read`` / ``dedup_spans`` / ``bloom_table_read``,
+  never driver-sampled — their NEW_THIS_ROUND exemption expired at the
+  r15 snapshot) lead, then the 2 pinned r13-green (staleness 3 —
+  cap-4 debt zeroed), then the 15 pinned r14-green, then the 14 pinned
+  r15-green. The r15 pin-throughput batches made the whole doc/vector/
+  event/lifecycle tier retirement-eligible once CORRECTNESS_r15
+  landed: 50 entries retired at this rotation (75 → 125), leaving 35
+  active entries — ALL pinned — so the entire active registry fits in
+  one window with 15 slots of slack for mid-r16 additions.
 * A pinned entry (entry-twin differential in ``TWINS``, or an
   independent-recomputation ground truth in ``GROUND_TRUTH_PINS``) may
   defer to a 4-round staleness cap; everything else holds the 2-round
@@ -659,12 +655,8 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
 NEW_THIS_ROUND: dict[str, int] = {
-    # (r14's eight additions rotated into the r15 window lead — their
-    # exemption is spent; r15 mid-round additions land here)
-    "versioned_stream_ingest": 15,
-    "spec_evolved_read": 15,
-    "dedup_spans": 15,
-    "bloom_table_read": 15,
+    # (r15's four additions rotated into the r16 window lead — their
+    # exemption is spent; r16 mid-round additions land here)
 }
 
 
@@ -925,23 +917,23 @@ def test_new_this_round_exemption_expires():
     assert not _staleness_violations(order, last, 9, set(), {"late_add": 7})
 
 
-def test_simulated_r16_rotation_is_feasible():
+def test_simulated_r17_rotation_is_feasible():
     """Rotation-debt solvency check, re-pinned each round: the
-    invariant must provably hold through a simulated r16 with no new
-    rows beyond the r15 window. Simulate: every ACTIVE entry in the
-    CURRENT head-50 goes green in r15, the r16 builder rotates
+    invariant must provably hold through a simulated r17 with no new
+    rows beyond the r16 window. Simulate: every ACTIVE entry in the
+    CURRENT head-50 goes green in r16, the r17 builder rotates
     greedily (most-stale first, pinned entries after unpinned at equal
     staleness, retired tier at the tail), and the invariant is
-    evaluated at the r16 head."""
+    evaluated at the r17 head."""
     order = list(Q.QUERIES)
     last, current = _last_green_by_entry()
-    assert current == 15  # this simulation is written against the r15 head
+    assert current == 16  # this simulation is written against the r16 head
     sim_last = dict(last)
     for name in order[:WINDOW]:
-        sim_last[name] = 15
+        sim_last[name] = 16
     pinned = _pinned()
     retired = Q.RETIRED_TO_PYTEST
-    r16_order = sorted(
+    r17_order = sorted(
         order,
         key=lambda n: (
             n in retired,  # retired tier stays at the tail
@@ -950,64 +942,59 @@ def test_simulated_r16_rotation_is_feasible():
         ),
     )
     violations = _staleness_violations(
-        r16_order, sim_last, 16, pinned, {}, retired
+        r17_order, sim_last, 17, pinned, {}, retired
     )
     assert not violations, "\n".join(violations)
 
 
 def test_window_leads_with_never_sampled_entries():
-    # the eight mid-r14 additions with no driver row ever lead the r15
+    # the four mid-r15 additions with no driver row ever lead the r16
     # window.
     order = list(Q.QUERIES)
-    assert order[:8] == [
-        "bucketed_sorted_read", "events_first_touch",
-        "events_quantile_sketch", "heavy_hitters_tokens",
-        "purge_deletes", "partial_compact", "schema_evolution_read",
-        "embedding_quantize",
+    assert order[:4] == [
+        "versioned_stream_ingest", "spec_evolved_read",
+        "dedup_spans", "bloom_table_read",
     ]
 
 
-def test_r15_window_composition():
+def test_r16_window_composition():
     """Pin the exact tiers so a mid-round insertion can't silently push
-    a stale entry out of the window."""
+    a stale entry out of the window. After the r16 retirement wave
+    (50 entries newly at ≥3 greens once CORRECTNESS_r15 landed; 75 →
+    125 retired) the ACTIVE set is 35 entries, all pinned — the whole
+    active registry fits inside one window with 15 slots of slack."""
     order = list(Q.QUERIES)
     last, _ = _last_green_by_entry()
     pinned = _pinned()
     retired = Q.RETIRED_TO_PYTEST
-    # tier 1: never driver-sampled (the eight mid-r14 additions)
-    tier1 = order[:8]
-    assert all(n not in last for n in tier1), tier1
-    # tier 2: the 20 surviving unpinned r12-green (staleness 3 at the
-    # r15 head — named verbatim in the r14 tripwire output; staleness
-    # is the asserted fact — a mid-r15 pin batch may change pin status
-    # without affecting this window's slots)
-    tier2 = order[8:28]
-    assert all(last.get(n) == 12 for n in tier2), tier2
-    # tier 3: ALL 4 surviving pinned r12-green (cap 4, due r16/r17 —
-    # zeroing that debt)
-    tier3 = order[28:32]
-    assert all(last.get(n) == 12 and n in pinned for n in tier3), tier3
-    # tier 4: the 16 unpinned-at-rotation r13-green (they would all
-    # demand r16 slots otherwise)
-    tier4 = order[32:48]
-    assert all(last.get(n) == 13 for n in tier4), tier4
-    # tier 5 fills the window: 2 pinned r13-green
-    tier5 = order[48:WINDOW]
-    assert all(last.get(n) == 13 and n in pinned for n in tier5), tier5
-    # active tail: 2 remaining pinned r13-green, then the 14 unpinned
-    # r14-green (MUST lead r16), then surviving pinned r14-green;
-    # mid-round additions (NEW_THIS_ROUND) slot before the retired tier
     n_active = len(order) - len(retired)
-    tail = order[WINDOW:n_active]
-    tier6 = tail[:2]
-    assert all(last.get(n) == 13 and n in pinned for n in tier6), tier6
-    rest = [n for n in tail[2:] if n not in NEW_THIS_ROUND]
-    assert all(last.get(n) == 14 and n not in retired for n in rest), [
-        n for n in rest if last.get(n) != 14
-    ]
-    assert set(n for n in tail[2:] if n in NEW_THIS_ROUND) == set(
-        NEW_THIS_ROUND
+    assert n_active <= WINDOW, (
+        "active set outgrew the window — re-tier this test"
     )
+    active = order[:n_active]
+    assert all(n in pinned for n in active), [
+        n for n in active if n not in pinned
+    ]
+    # tier 1: never driver-sampled (the four mid-r15 additions)
+    tier1 = order[:4]
+    assert all(n not in last for n in tier1), tier1
+    # tier 2: the 2 pinned r13-green (staleness 3 at the r16 head —
+    # cap-4 debt zeroed by sampling now)
+    tier2 = order[4:6]
+    assert all(last.get(n) == 13 for n in tier2), tier2
+    # tier 3: the 15 pinned r14-green (staleness 2)
+    tier3 = order[6:21]
+    assert all(last.get(n) == 14 for n in tier3), tier3
+    # tier 4: the 14 pinned r15-green (staleness 1); mid-round
+    # additions (NEW_THIS_ROUND) slot after these, before the retired
+    # tier
+    tier4 = [n for n in order[21:n_active] if n not in NEW_THIS_ROUND]
+    assert all(last.get(n) == 15 for n in tier4), [
+        n for n in tier4 if last.get(n) != 15
+    ]
+    assert set(
+        n for n in order[21:n_active] if n in NEW_THIS_ROUND
+    ) == set(NEW_THIS_ROUND)
     # retired tier strictly last
     assert set(order[n_active:]) == set(retired)
 
@@ -1047,7 +1034,7 @@ def test_prior_round_correctness_rows_were_all_green():
     }
     for r in (
         "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10", "r11",
-        "r12", "r13", "r14",
+        "r12", "r13", "r14", "r15",
     ):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         red = sorted(k for k, v in rows.items() if not v.get("hash_match"))
