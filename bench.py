@@ -405,6 +405,14 @@ def main() -> None:
         # round-15 addition: manifest bloom file-skipping (scattered-
         # key point lookups open ~1 file; absent keys open zero)
         "bloom_table_read",
+        # round-16 addition: exactly-once DML (delete/update/compact
+        # each txn-stamped and REPLAYED in-query — replays must be
+        # zero-IO no-ops)
+        "versioned_txn_dml",
+        # round-16 addition: auto-sized manifest blooms added mid-life
+        # via spec evolution (pre-bloom files fail-open, post-
+        # evolution files skip; widths from per-file distinct counts)
+        "bloom_evolved_read",
         # round-12 addition: recorded clustering spec (create clustered
         # from hash-partitioned input → spec-driven merge re-cluster →
         # stat-pruned quintile read, fail-closed on files_scanned)

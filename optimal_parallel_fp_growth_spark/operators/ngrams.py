@@ -35,6 +35,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _split_tokens(text_col: str, sep: str) -> Column:
+    """Tokenize by splitting on the LITERAL ``sep`` (round 16, advice
+    r15): ``sep`` both tokenizes and re-joins, so gram text and any
+    rebuilt ``text_clean`` round-trip the input for ANY separator —
+    previously the split was hardcoded to " " while the join honored
+    ``sep``, silently mis-tokenizing ``sep="\t"`` calls. ``F.split``
+    takes a Java regex, so the separator rides inside \\Q...\\E
+    literal quoting (a sep containing the closing escape is rejected
+    rather than mis-parsed)."""
+    if "\\E" in sep:
+        raise ValueError(r"sep must not contain the regex literal \E")
+    return F.split(F.col(text_col), "\\Q" + sep + "\\E")
+
+
 def _ngram_array(toks: Column, n: int, sep: str) -> Column:
     """Array of n-grams (as sep-joined strings) from a token array.
 
@@ -57,14 +71,16 @@ def ngram_counts(
 ) -> DataFrame:
     """Corpus-wide n-gram count table: → (gram, cnt), cnt >= min_count.
 
-    Tokenization is the reference's split-on-space (epfp/EPFP.scala:26);
-    grams are token windows joined with ``sep``. Repeated occurrences
+    Tokenization splits on the literal ``sep`` (default " " — the
+    reference's split-on-space, epfp/EPFP.scala:26); grams are token
+    windows joined with the same ``sep``, so gram text round-trips
+    the input for any separator. Repeated occurrences
     inside one document all count (this is a corpus frequency table,
     not a document-frequency table — see ``inverted_index`` for df).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = docs.select(F.split(F.col(text_col), " ").alias("toks"))
+    toks = docs.select(_split_tokens(text_col, sep).alias("toks"))
     grams = toks.select(
         F.explode(_ngram_array(F.col("toks"), n, sep)).alias("gram")
     )
@@ -137,7 +153,7 @@ def source_ngram_overlap(
     """
     toks = docs.select(
         F.col(source_col).alias("source"),
-        F.split(F.col(text_col), " ").alias("toks"),
+        _split_tokens(text_col, sep).alias("toks"),
     )
     sg = toks.select(
         "source", F.explode(_ngram_array(F.col("toks"), n, sep)).alias("gram")
@@ -209,7 +225,7 @@ def repeated_spans(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("toks"),
+        _split_tokens(text_col, sep).alias("toks"),
     )
     base = toks.select(
         "doc_id",
@@ -292,7 +308,7 @@ def remove_repeated_spans(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("toks"),
+        _split_tokens(text_col, sep).alias("toks"),
     )
     toks.persist()  # feeds the gram postings AND the reconstruction
     # gram occurrences WITH start positions (0-based)

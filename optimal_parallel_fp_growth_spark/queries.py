@@ -639,6 +639,10 @@ _DRIVER_PRIORITY: list[str] = [
     "mor_delete_read",
     "index_search",
     "versioned_stream_follow",
+    # ---- mid-r16 additions (NEW_THIS_ROUND; the window has 15
+    # slots of slack, so they ride in the r16 window itself) ----
+    "versioned_txn_dml",
+    "bloom_evolved_read",
     # ---- retired tier (125) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

@@ -1610,6 +1610,198 @@ GROUP BY lang
 """
 
 
+def q_versioned_txn_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once DML under the oracle gate (round 16, VERDICT r15
+    task #3; sources/versioned.py::delete_where/update_where/
+    compact_table txn=): the streaming ``(app_id, epoch)`` watermark
+    that already guards append/create/merge now guards the whole DML
+    matrix — a stream-driven GDPR delete, correction update, or
+    maintenance compaction whose micro-batch replays (committed, then
+    checkpoint lost) must be a ZERO-IO no-op. The entry runs each
+    writer once, then REPLAYS its epoch with a predicate that would
+    mutate MORE rows if it executed: version history, rowcount and
+    the final aggregate must be those of the first delivery only.
+    The aggregate reads the table after delete+update, so a replay
+    that actually committed breaks equality with the closed-form
+    oracle over documents."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with session_temp_layout(spark, "txndml") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        lo_cut, hi_cut = hi // 10, 9 * (hi // 10)
+        V.create_table(docs.repartitionByRange(4, "doc_id"), path)
+        # epoch 1: ranged delete; replay widens the range — must no-op
+        v = V.delete_where(
+            spark, path, ("doc_id", "<", lo_cut), txn=("dml", 1)
+        )
+        n_after = V.read_table(spark, path).count()
+        v_replay = V.delete_where(
+            spark, path, ("doc_id", "<", 2 * lo_cut), txn=("dml", 1)
+        )
+        if v_replay != v or V.read_table(spark, path).count() != n_after:
+            raise AssertionError(
+                "replayed delete epoch committed - exactly-once broken"
+            )
+        # epoch 2: correction update; replay widens — must no-op
+        v = V.update_where(
+            spark, path, ("doc_id", ">=", hi_cut),
+            {"n_chars": F.lit(-1).cast("bigint")},
+            txn=("dml", 2),
+        )
+        flagged = V.read_table(spark, path).where("n_chars = -1").count()
+        v_replay = V.update_where(
+            spark, path, ("doc_id", ">=", lo_cut),
+            {"n_chars": F.lit(-1).cast("bigint")},
+            txn=("dml", 2),
+        )
+        if (
+            v_replay != v
+            or V.read_table(spark, path).where("n_chars = -1").count()
+            != flagged
+        ):
+            raise AssertionError(
+                "replayed update epoch committed - exactly-once broken"
+            )
+        # epoch 3: maintenance compaction; replay must add no version
+        v = V.compact_table(spark, path, txn=("dml", 3))
+        if V.compact_table(spark, path, txn=("dml", 3)) != v:
+            raise AssertionError(
+                "replayed compaction committed - exactly-once broken"
+            )
+        if V._versions(path) != [1, 2, 3, 4]:
+            raise AssertionError(
+                f"expected exactly 4 versions, got {V._versions(path)}"
+            )
+        if V.last_txn_epoch(path, "dml") != 3:
+            raise AssertionError("txn watermark did not advance to 3")
+        out = V.read_table(spark, path).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_VERSIONED_TXN_DML = """
+WITH cuts AS (
+  SELECT max(doc_id) // 10 AS lo_cut,
+         9 * (max(doc_id) // 10) AS hi_cut
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN doc_id >= (SELECT hi_cut FROM cuts)
+                THEN -1 ELSE n_chars END)::BIGINT AS total_chars
+FROM documents
+WHERE doc_id >= (SELECT lo_cut FROM cuts)
+GROUP BY lang
+"""
+
+
+def q_bloom_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized manifest blooms added MID-LIFE via spec evolution
+    (round 16, VERDICT r15 task #4; sources/versioned.py::
+    evolve_table_spec(bloom_cols=..., bloom_bits="auto")): the low
+    half of documents commits with NO bloom spec, the table evolves
+    to bloom the scattered md5 key with "auto" width (each file's
+    bitmap sized from its OWN distinct count — no caller-side
+    arithmetic, the frozen-width-saturation fix), and the high half
+    appends under the new spec. In-query gates prove era-correct
+    skipping: an ABSENT key opens exactly the pre-bloom files (they
+    fail OPEN — no bitmap ever says "definitely not here" for them)
+    and ZERO post-evolution files; a present high-half key opens at
+    most the pre-bloom files + 1 (+1 fp allowance); the pruned read
+    equals the full-scan filter row-for-row. The final lookup
+    re-reads through the prune, so a lost row breaks the oracle."""
+    import hashlib
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        "lang",
+        "n_chars",
+    )
+    with session_temp_layout(spark, "bloomauto") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        mid = hi // 2
+        V.create_table(
+            docs.where(F.col("doc_id") <= mid)
+            .repartitionByRange(4, "doc_id"),
+            path,
+        )
+        n_old = V.files_scanned(path)
+        V.evolve_table_spec(path, bloom_cols=["h"])  # bits="auto"
+        V.append_table(
+            docs.where(F.col("doc_id") > mid)
+            .repartitionByRange(4, "doc_id"),
+            path,
+        )
+        total = V.files_scanned(path)
+        if not n_old < total:
+            raise AssertionError("append added no files")
+        man = V._load_manifest(path, V._versions(path)[-1])
+        widths = {
+            st["__bloom"]["h"]["m"]
+            for st in man["file_stats"].values()
+            if "__bloom" in st
+        }
+        if not widths:
+            raise AssertionError("no auto-sized bitmaps were stamped")
+        # absent key: every bitmap-carrying file skips, every
+        # pre-bloom file fail-opens. The probe must be HEX-SHAPED so
+        # it lands inside the files' [min, max] h-range — a non-hex
+        # string sorts outside it and RANGE stats would prune the
+        # pre-bloom files too, hiding what this gate measures
+        absent = hashlib.md5(b"absent-key").hexdigest()
+        opened = V.files_scanned(path, prune=("h", "==", absent))
+        if opened != n_old:
+            raise AssertionError(
+                f"absent key opened {opened} files, want the {n_old} "
+                "pre-bloom (fail-open) files only"
+            )
+        probe = hashlib.md5(str(hi).encode()).hexdigest()
+        opened = V.files_scanned(path, prune=("h", "==", probe))
+        if not opened <= n_old + 1:
+            raise AssertionError(
+                f"high-half probe opened {opened} files - auto bloom "
+                "did not skip"
+            )
+        pruned = (
+            V.read_table(spark, path, prune=("h", "==", probe))
+            .where(F.col("h") == probe)
+            .count()
+        )
+        if pruned != 1:
+            raise AssertionError("bloom pruning lost the probed row")
+        out = (
+            V.read_table(spark, path, prune=("h", "==", probe))
+            .where(F.col("h") == probe)
+            .select("doc_id", "lang", "n_chars")
+        )
+        return materialize(out)
+
+
+ORACLE_BLOOM_EVOLVED_READ = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id = (SELECT max(doc_id) FROM documents)
+"""
+
+
 ORACLE_VERSIONED_MERGE = """
 WITH merged AS (
   SELECT doc_id, lang,
@@ -2962,6 +3154,8 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_stream_ingest": q_versioned_stream_ingest,
     "spec_evolved_read": q_spec_evolved_read,
     "bloom_table_read": q_bloom_table_read,
+    "versioned_txn_dml": q_versioned_txn_dml,
+    "bloom_evolved_read": q_bloom_evolved_read,
     "clustered_table_read": q_clustered_table_read,
     "versioned_update": q_versioned_update,
     "stats_pushdown": q_stats_pushdown,
@@ -3035,6 +3229,8 @@ DOC_ORACLES: dict[str, str] = {
     "versioned_stream_ingest": ORACLE_VERSIONED_STREAM_INGEST,
     "spec_evolved_read": ORACLE_SPEC_EVOLVED_READ,
     "bloom_table_read": ORACLE_BLOOM_TABLE_READ,
+    "versioned_txn_dml": ORACLE_VERSIONED_TXN_DML,
+    "bloom_evolved_read": ORACLE_BLOOM_EVOLVED_READ,
     "clustered_table_read": ORACLE_CLUSTERED_TABLE_READ,
     "versioned_update": ORACLE_VERSIONED_UPDATE,
     "stats_pushdown": ORACLE_STATS_PUSHDOWN,

@@ -228,8 +228,17 @@ def _write_data(
     return rel
 
 
+# distribute the per-file commit-stats pass once a commit writes at
+# least this many files: below it, one Spark job costs more than the
+# driver loop it replaces (the fixture-scale common case is 1-4 files)
+_STATS_DISTRIBUTE_MIN = 6
+
+
 def _file_stats(
-    path: str, rel_files: list[str], bloom_spec: dict | None = None
+    path: str,
+    rel_files: list[str],
+    bloom_spec: dict | None = None,
+    spark: SparkSession | None = None,
 ) -> dict[str, dict]:
     """Per-file min/max column ranges, read from the parquet FOOTERS of
     the just-written files (no data scan — the writer already computed
@@ -238,143 +247,217 @@ def _file_stats(
     gets ``{}`` and is never pruned. At cluster scale this is the
     manifest-level pruning index every table format keeps (Iceberg
     ``lower_bounds``/``upper_bounds``): a time-travel read with a
-    predicate opens only the files whose range intersects it."""
+    predicate opens only the files whose range intersects it.
+
+    When ``spark`` is passed and the commit wrote
+    ≥ ``_STATS_DISTRIBUTE_MIN`` files, the per-file pass runs AS A
+    SPARK JOB (one task per file batch, Arrow-batched ``mapInPandas``)
+    instead of a sequential driver loop — the Iceberg writer-side
+    stats model (round 16, VERDICT r15 task #2). The expensive parts
+    of the pass are per-file COLUMN reads (``__nan`` flags) and
+    per-distinct-value bloom hashing; serializing those on the driver
+    was the one genuine driver-side bottleneck left in the commit
+    path: at a 100 TB commit (thousands of files) the executors do
+    O(files) work in parallel while the driver only assembles the
+    manifest. The kernel returns each file's stats as one JSON blob —
+    a few KB per file — so the collect is manifest-sized, not
+    data-sized. Results are byte-identical to the driver loop (same
+    ``_stats_for_one_file`` body; pinned by
+    tests/test_distributed_stats.py)."""
+    spec = _table_spec(path)  # loaded ONCE per commit (advice r15)
+    bspec = bloom_spec if bloom_spec is not None else spec.get("bloom") or {}
+    sid = spec.get("spec_id")
+    if spark is not None and len(rel_files) >= _STATS_DISTRIBUTE_MIN:
+        return _file_stats_distributed(spark, path, rel_files, bspec, sid)
+    return {
+        rel: _stats_for_one_file(path, rel, bspec, sid) for rel in rel_files
+    }
+
+
+def _file_stats_distributed(
+    spark: SparkSession,
+    path: str,
+    rel_files: list[str],
+    bspec: dict,
+    sid,
+) -> dict[str, dict]:
+    """The commit-stats pass as a Spark job: one row per written file,
+    ``mapInPandas`` runs :func:`_stats_for_one_file` in the tasks, the
+    driver collects {file → stats-JSON} (KB-scale). local-mode and
+    cluster-mode alike: file paths must be visible to executors, which
+    holds for any shared filesystem / object store the table lives
+    on — the same assumption every read already makes."""
+    import pandas as _pd
+
+    cap = spark.sparkContext.defaultParallelism or 8
+
+    def kernel(batches):
+        for pdf in batches:
+            rels = list(pdf["rel"])
+            yield _pd.DataFrame(
+                {
+                    "rel": rels,
+                    "stats_json": [
+                        json.dumps(_stats_for_one_file(path, r, bspec, sid))
+                        for r in rels
+                    ],
+                }
+            )
+
+    rows = (
+        spark.createDataFrame([(r,) for r in rel_files], "rel string")
+        .repartition(min(len(rel_files), cap))
+        .mapInPandas(kernel, "rel string, stats_json string")
+        .collect()
+    )
+    got = {r["rel"]: json.loads(r["stats_json"]) for r in rows}
+    # manifest order follows the caller's file order, not task order
+    return {rel: got.get(rel, {}) for rel in rel_files}
+
+
+def _stats_for_one_file(path: str, rel: str, bspec: dict, sid) -> dict:
+    """Footer ranges + ``__rows``/``__nan``/``__bloom``/``__spec`` for
+    ONE data file — pure function of (file, bloom spec, spec era), so
+    the driver loop and the distributed job share it verbatim."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out: dict[str, dict] = {}
-    for rel in rel_files:
-        stats: dict[str, list] = {}
-        try:
-            abs_path = str(pathlib.Path(path) / rel)
-            meta = pq.ParquetFile(abs_path).metadata
-            schema = meta.schema.to_arrow_schema()
-            float_cols: list[str] = []
-            for ci in range(meta.num_columns):
-                col = meta.schema.column(ci)
-                if "." in col.path:
-                    continue  # nested field — no file-level scalar range
-                name = col.path
-                typ = schema.field(name).type
-                if not (
-                    pa.types.is_integer(typ)
-                    or pa.types.is_floating(typ)
-                    or pa.types.is_string(typ)
-                    or pa.types.is_large_string(typ)
-                    or pa.types.is_date(typ)
-                    or pa.types.is_timestamp(typ)
-                    or pa.types.is_boolean(typ)
-                ):
-                    continue
-                if pa.types.is_floating(typ):
-                    float_cols.append(name)
-                lo = hi = None
-                ok = True
-                for rg in range(meta.num_row_groups):
-                    s = meta.row_group(rg).column(ci).statistics
-                    if s is None or not s.has_min_max:
-                        ok = False
-                        break
-                    mn, mx = s.min, s.max
-                    lo = mn if lo is None or mn < lo else lo
-                    hi = mx if hi is None or mx > hi else hi
-                if ok and lo is not None:
-                    if pa.types.is_date(typ) or pa.types.is_timestamp(typ):
-                        # ISO strings: lexicographic == chronological.
-                        # Timestamp stats come back tz-aware (parquet
-                        # marks them adjusted-to-UTC); drop to naive
-                        # UTC so they compare cleanly against naive
-                        # probe values (_stat_probe) — a trailing
-                        # '+00:00' would break the <=/>= boundary.
-                        lo, hi = _iso_naive(lo), _iso_naive(hi)
-                    stats[name] = [lo, hi]
-            if "__rows" not in stats:
-                # footer row count (Iceberg record_count): lets a
-                # mask-free COUNT(*) answer from the manifest alone
-                stats["__rows"] = meta.num_rows
-            if float_cols and meta.num_rows:
-                # per-file NaN flags (round 15, VERDICT r14 task #5 —
-                # the Iceberg nan_value_counts shape): parquet footer
-                # min/max EXCLUDE NaN while Spark and DuckDB order NaN
-                # above every value, so float range stats are only
-                # trustworthy when the file provably holds none. One
-                # extra column read at COMMIT time buys exact
-                # table_minmax and predicate pruning on every NaN-free
-                # float file; readers treat a missing flag as
-                # NaN-unknown (prune fail-open, minmax fail-closed).
-                import pyarrow.compute as pc
+    stats: dict = {}
+    try:
+        abs_path = str(pathlib.Path(path) / rel)
+        meta = pq.ParquetFile(abs_path).metadata
+        schema = meta.schema.to_arrow_schema()
+        float_cols: list[str] = []
+        for ci in range(meta.num_columns):
+            col = meta.schema.column(ci)
+            if "." in col.path:
+                continue  # nested field — no file-level scalar range
+            name = col.path
+            typ = schema.field(name).type
+            if not (
+                pa.types.is_integer(typ)
+                or pa.types.is_floating(typ)
+                or pa.types.is_string(typ)
+                or pa.types.is_large_string(typ)
+                or pa.types.is_date(typ)
+                or pa.types.is_timestamp(typ)
+                or pa.types.is_boolean(typ)
+            ):
+                continue
+            if pa.types.is_floating(typ):
+                float_cols.append(name)
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                s = meta.row_group(rg).column(ci).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                mn, mx = s.min, s.max
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                if pa.types.is_date(typ) or pa.types.is_timestamp(typ):
+                    # ISO strings: lexicographic == chronological.
+                    # Timestamp stats come back tz-aware (parquet
+                    # marks them adjusted-to-UTC); drop to naive
+                    # UTC so they compare cleanly against naive
+                    # probe values (_stat_probe) — a trailing
+                    # '+00:00' would break the <=/>= boundary.
+                    lo, hi = _iso_naive(lo), _iso_naive(hi)
+                stats[name] = [lo, hi]
+        if "__rows" not in stats:
+            # footer row count (Iceberg record_count): lets a
+            # mask-free COUNT(*) answer from the manifest alone
+            stats["__rows"] = meta.num_rows
+        if float_cols and meta.num_rows:
+            # per-file NaN flags (round 15, VERDICT r14 task #5 —
+            # the Iceberg nan_value_counts shape): parquet footer
+            # min/max EXCLUDE NaN while Spark and DuckDB order NaN
+            # above every value, so float range stats are only
+            # trustworthy when the file provably holds none. One
+            # extra column read at COMMIT time buys exact
+            # table_minmax and predicate pruning on every NaN-free
+            # float file; readers treat a missing flag as
+            # NaN-unknown (prune fail-open, minmax fail-closed).
+            import pyarrow.compute as pc
 
-                cols = pq.read_table(abs_path, columns=float_cols)
-                stats["__nan"] = {
-                    c: bool(
-                        pc.any(
-                            pc.is_nan(cols.column(c)), min_count=0
-                        ).as_py()
-                    )
-                    for c in float_cols
-                }
-            elif float_cols:
-                stats["__nan"] = {c: False for c in float_cols}
-            bspec = (
-                bloom_spec
-                if bloom_spec is not None
-                else _table_spec(path).get("bloom") or {}
-            )
-            bcols = [
-                c for c in bspec.get("cols") or [] if c in schema.names
-            ]
-            if bcols and meta.num_rows:
-                # manifest bloom filters (round 15 — the Iceberg
-                # puffin-blob shape brought INTO the manifest): a
-                # point lookup on a scattered key can skip files with
-                # ZERO file opens, where min/max ranges span
-                # everything. One column read per file at COMMIT time
-                # (the __nan trade); a file whose distinct count
-                # saturates the fixed bitmap stores NOTHING and
-                # fail-opens — the bitmap never grows past its cap,
-                # so manifests stay lean at any file size.
-                import base64 as _b64
-
-                m = int(bspec.get("bits") or _BLOOM_DEFAULT_BITS)
-                kk = int(bspec.get("k") or _BLOOM_K)
-                cols = pq.read_table(
-                    abs_path, columns=[c for c in bcols]
+            cols = pq.read_table(abs_path, columns=float_cols)
+            stats["__nan"] = {
+                c: bool(
+                    pc.any(
+                        pc.is_nan(cols.column(c)), min_count=0
+                    ).as_py()
                 )
-                blooms = {}
-                for c in bcols:
-                    vals = {
-                        v for v in cols.column(c).to_pylist()
-                        if v is not None
-                    }
-                    if not vals or len(vals) > m // 8:
-                        continue  # empty or saturated: fail-open
-                    blooms[c] = {
-                        "b64": _b64.b64encode(
-                            _bloom_of_values(vals, m, kk)
-                        ).decode(),
-                        "m": m,
-                        "k": kk,
-                    }
-                if blooms:
-                    stats["__bloom"] = blooms
-            sid = _table_spec(path).get("spec_id")
-            if sid:
-                # spec-era stamp (round 15): which partition-spec era
-                # this file was written under. Stamped from the SAME
-                # _table.json the writer laid the file out by, so the
-                # stamp describes what actually happened even in the
-                # evolve-commit→spec-file crash window; readers resolve
-                # it against the manifest's specs registry. Absent
-                # (pre-evolution / never-evolved) means era 0.
-                stats["__spec"] = int(sid)
-        except (OSError, pa.ArrowException):
-            # unreadable/corrupt footer → file stays unprunable, not
-            # broken. Programming errors must NOT be swallowed here —
-            # a silent {} turns every prune into a full scan (this
-            # exact failure shipped once via a pyarrow API rename).
-            stats = {}
-        out[rel] = stats
-    return out
+                for c in float_cols
+            }
+        elif float_cols:
+            stats["__nan"] = {c: False for c in float_cols}
+        bcols = [
+            c for c in (bspec.get("cols") or []) if c in schema.names
+        ]
+        if bcols and meta.num_rows:
+            # manifest bloom filters (round 15 — the Iceberg
+            # puffin-blob shape brought INTO the manifest): a
+            # point lookup on a scattered key can skip files with
+            # ZERO file opens, where min/max ranges span
+            # everything. One column read per file at COMMIT time
+            # (the __nan trade); a file whose distinct count
+            # saturates the fixed bitmap stores NOTHING and
+            # fail-opens — the bitmap never grows past its cap,
+            # so manifests stay lean at any file size.
+            import base64 as _b64
+
+            bits_spec = bspec.get("bits") or _BLOOM_DEFAULT_BITS
+            kk = int(bspec.get("k") or _BLOOM_K)
+            cols = pq.read_table(
+                abs_path, columns=[c for c in bcols]
+            )
+            blooms = {}
+            for c in bcols:
+                vals = {
+                    v for v in cols.column(c).to_pylist()
+                    if v is not None
+                }
+                # bits="auto" (round 16, VERDICT r15 task #4):
+                # derive the width from THIS file's actual
+                # distinct count — a frozen default silently
+                # saturates once files outgrow it (the 10×-gate
+                # lesson); the per-entry "m" the reader probes
+                # with already rides in the manifest, so widths
+                # may vary file-to-file and commit-to-commit.
+                m = (
+                    bloom_bits_for(len(vals))
+                    if bits_spec == "auto"
+                    else int(bits_spec)
+                )
+                if not vals or len(vals) > m // 8:
+                    continue  # empty or saturated: fail-open
+                blooms[c] = {
+                    "b64": _b64.b64encode(
+                        _bloom_of_values(vals, m, kk)
+                    ).decode(),
+                    "m": m,
+                    "k": kk,
+                }
+            if blooms:
+                stats["__bloom"] = blooms
+        if sid:
+            # spec-era stamp (round 15): which partition-spec era
+            # this file was written under. Stamped from the SAME
+            # _table.json the writer laid the file out by, so the
+            # stamp describes what actually happened even in the
+            # evolve-commit→spec-file crash window; readers resolve
+            # it against the manifest's specs registry. Absent
+            # (pre-evolution / never-evolved) means era 0.
+            stats["__spec"] = int(sid)
+    except (OSError, pa.ArrowException):
+        # unreadable/corrupt footer → file stays unprunable, not
+        # broken. Programming errors must NOT be swallowed here —
+        # a silent {} turns every prune into a full scan (this
+        # exact failure shipped once via a pyarrow API rename).
+        stats = {}
+    return stats
 
 
 def table_rowcount(path: str, version: int | None = None) -> int:
@@ -552,6 +635,7 @@ def _commit(
     txn: tuple[str, int] | None = None,
     specs: dict | None = None,
     spec_id: int | None = None,
+    txns: dict | None = None,
 ) -> int:
     """Atomically birth ``version`` via an ATOMIC-CREATE-EXCLUSIVE
     primitive; raises FileExistsError on a concurrent commit of the
@@ -586,7 +670,12 @@ def _commit(
         renames = prev.get("renames") or []
     if dropped is None:
         dropped = prev.get("dropped") or []
-    txns = dict(prev.get("txns") or {})
+    # ``txns=`` overrides inheritance for the one commit with no
+    # predecessor to inherit from — a clone's first manifest (round
+    # 16, advice r15): dropping the source's watermark map would let
+    # a checkpointed stream repointed at a DR fork re-commit a
+    # replayed epoch.
+    txns = dict(txns if txns is not None else prev.get("txns") or {})
     if txn is not None:
         app_id, epoch = txn
         txns[str(app_id)] = int(epoch)
@@ -804,6 +893,19 @@ def bloom_bits_for(
     return m
 
 
+def _check_bloom_bits(bits) -> int | str:
+    """Validate a ``bloom_bits`` spec value: the literal ``"auto"``
+    (commit derives each file's width from its actual distinct count
+    via :func:`bloom_bits_for` — the default since round 16, because a
+    frozen width silently saturates once files outgrow it) or an
+    explicit width ≥ 64."""
+    if bits == "auto":
+        return "auto"
+    if int(bits) < 64:
+        raise ValueError("bloom_bits must be >= 64 (or 'auto')")
+    return int(bits)
+
+
 def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
     """k deterministic bit positions for a probe value — pure python
     (hashlib md5, the engine-common hash family), identical on the
@@ -838,6 +940,33 @@ def _bloom_may_contain(entry_col: dict, value) -> bool:
         if not (bits[p >> 3] >> (p & 7)) & 1:
             return False
     return True
+
+
+_BLOOM_NO_COERCE = object()  # sentinel: probe not coercible → fail-open
+
+
+def _bloom_probe_value(value, coltype: str | None):
+    """Coerce a probe value to the bloom column's MANIFEST type before
+    hashing (advice r15, medium): the bitmap hashed ``str()`` of the
+    stored values, so an equality probe with a float on an int column
+    (``("doc_id", "==", 5.0)`` — which Spark and DuckDB would match)
+    must hash ``"5"``, not ``"5.0"``, or the file is silently pruned
+    and matching rows lost. Non-coercible probes (``5.5`` on an int
+    column, an int on a string column, NaN) return the
+    ``_BLOOM_NO_COERCE`` sentinel and the caller falls through
+    FAIL-OPEN — the posture of saturated/absent bitmaps: a kept file
+    is never a wrong answer."""
+    if coltype in ("tinyint", "smallint", "int", "bigint"):
+        if isinstance(value, bool):
+            return int(value)
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        return _BLOOM_NO_COERCE
+    if coltype == "string":
+        return value if isinstance(value, str) else _BLOOM_NO_COERCE
+    return _BLOOM_NO_COERCE
 
 
 def _era_bucket_spec(
@@ -902,9 +1031,18 @@ def _file_passes(
         bl = ((entry or {}).get("__bloom") or {}).get(col)
         if bl is not None and op in ("==", "in") and val is not None:
             probes = val if op == "in" else (val,)
-            if not any(
-                v is not None and _bloom_may_contain(bl, v)
+            # coerce each probe to the column's manifest type before
+            # hashing (advice r15): a float probe on an int column
+            # must hash the int form; non-coercible probes keep the
+            # file (fail-open), range stats already had their say
+            keys = [
+                _bloom_probe_value(v, types.get(col))
                 for v in probes
+                if v is not None
+            ]
+            if keys and not any(
+                k is _BLOOM_NO_COERCE or _bloom_may_contain(bl, k)
+                for k in keys
             ):
                 return False
         if bcol is not None and col == bcol and op in ("==", "in"):
@@ -935,7 +1073,7 @@ def create_table(
     bucket_file_rows: int | None = None,
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None,
-    bloom_bits: int = _BLOOM_DEFAULT_BITS,
+    bloom_bits: int | str = "auto",
 ) -> int:
     """Create a versioned table at ``path`` (must not already be one).
     Returns the committed version (1).
@@ -951,10 +1089,14 @@ def create_table(
     prunes) then skip files whose bitmap proves non-membership — the
     file-skipping tier for SCATTERED keys, where every file's
     [min, max] spans the whole key space and range stats prune
-    nothing and no bucket layout was chosen. Each bitmap is capped at
-    ``bloom_bits`` (default 16 Kbit ≈ 2.7 KB in the manifest); a file
-    with more distinct values than the cap can hold stores nothing
-    and fail-opens, so manifests stay lean at any file size. Composes
+    nothing and no bucket layout was chosen. ``bloom_bits="auto"``
+    (the default since round 16) sizes each FILE's bitmap from its
+    actual distinct count at commit time (≥10 bits/value, power-of-2,
+    capped at 4 Mbit — :func:`bloom_bits_for`), so bitmaps never
+    silently saturate as files grow; an explicit integer width caps
+    every bitmap at that many bits instead, and a file with more
+    distinct values than the cap can hold stores nothing and
+    fail-opens, so manifests stay lean at any file size. Composes
     with any layout (the bitmap is per-file metadata, not a layout).
 
     ``cluster_by`` (round 12, the Delta liquid-clustering analog as a
@@ -1054,11 +1196,9 @@ def create_table(
                 f"({_BUCKETABLE_TYPES}): the bitmap hashes str(value), "
                 "a bijection for exactly these"
             )
-        if int(bloom_bits) < 64:
-            raise ValueError("bloom_bits must be >= 64")
         bloom_spec = {
             "cols": list(bloom_cols),
-            "bits": int(bloom_bits),
+            "bits": _check_bloom_bits(bloom_bits),
             "k": _BLOOM_K,
         }
     # a _table.json with no manifest is debris from a failed earlier
@@ -1077,7 +1217,9 @@ def create_table(
             df, int(bucket_by[1]), bucket_by[0], sort_within_buckets or []
         )
     files = _write_data(df, path, 1, max_records=bucket_file_rows)
-    stats = _file_stats(path, files, bloom_spec=bloom_spec)
+    stats = _file_stats(
+        path, files, bloom_spec=bloom_spec, spark=df.sparkSession
+    )
     if bucket_by is not None:
         _stamp_buckets(
             stats, files, int(bucket_by[1]),
@@ -1163,7 +1305,7 @@ def append_table(
         files = _write_data(df, path, cur + 1)
     _validate_constraints(df.sparkSession, path, files, cur + 1, schema)
     stats = dict(man.get("file_stats") or {})
-    new_stats = _file_stats(path, files)
+    new_stats = _file_stats(path, files, spark=df.sparkSession)
     if bcol is not None:
         _stamp_buckets(
             new_stats, files, bn,
@@ -1186,6 +1328,8 @@ def evolve_table_spec(
     bucket_by: tuple[str, int] | None = None,
     sort_within_buckets: list[str] | None = None,
     bucket_file_rows: int | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int | str = "auto",
 ) -> int:
     """METADATA-ONLY partition-spec evolution (round 15, VERDICT r14
     task #7 — the Iceberg spec-evolution shape): change the table's
@@ -1194,6 +1338,14 @@ def evolve_table_spec(
     buckets where it had range clustering) evolves in one manifest
     commit instead of a full rewrite, which at 100 TB is the
     difference between milliseconds and a cluster-day.
+
+    ``bloom_cols`` (round 16): add, replace, or clear (``[]``) the
+    table's manifest-bloom spec in the same evolution — existing
+    files keep whatever bitmaps their commit stamped (each entry
+    carries its own width ``m``; readers probe per-entry), new
+    commits stamp the new columns. ``bloom_bits`` as in
+    :func:`create_table` (default ``"auto"``: per-file width from the
+    actual distinct count).
 
     Mechanics: the commit extends the manifest's append-only
     ``specs`` registry ({spec_id: layout}, inherited commit-to-commit
@@ -1266,6 +1418,23 @@ def evolve_table_spec(
         raise ValueError(
             "sort_within_buckets/bucket_file_rows need bucket_by"
         )
+    new_bloom: dict | None = None
+    if bloom_cols is not None and bloom_cols != []:
+        bad = [
+            c
+            for c in bloom_cols
+            if fields and fields.get(c) not in _BUCKETABLE_TYPES
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom columns {bad} must be int/string "
+                f"({_BUCKETABLE_TYPES})"
+            )
+        new_bloom = {
+            "cols": list(bloom_cols),
+            "bits": _check_bloom_bits(bloom_bits),
+            "k": _BLOOM_K,
+        }
     spec = _table_spec(path)
     specs = dict(man.get("specs") or {})
     if not specs:
@@ -1298,6 +1467,10 @@ def evolve_table_spec(
     }
     new_spec.update(new_layout)
     new_spec["spec_id"] = new_id
+    if bloom_cols is not None:
+        new_spec.pop("bloom", None)
+        if new_bloom is not None:
+            new_spec["bloom"] = new_bloom
     _write_table_spec(path, new_spec)
     return v
 
@@ -1307,6 +1480,7 @@ def overwrite_table(
     path: str,
     cluster_by: list[str] | None = None,
     cluster_kind: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Replace the table's contents as a new version; history keeps
     the old versions readable. A recorded ``cluster_by`` spec
@@ -1318,11 +1492,23 @@ def overwrite_table(
     DROPS a recorded clustered column RESETS the spec instead of
     failing (advice r12: the spec was previously permanent, wedging
     exactly the workflow the error message recommends). The spec file
-    is rewritten only after the commit succeeds."""
+    is rewritten only after the commit succeeds.
+
+    ``txn=(app_id, epoch)`` (round 16, VERDICT r15 task #3): the same
+    exactly-once replay guard as :func:`append_table` — a
+    stream-driven overwrite whose epoch is ≤ the recorded watermark
+    for its app_id is a ZERO-IO no-op returning the current head, so
+    a replayed ``foreachBatch`` overwrite never doubles a version."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
+    if txn is not None:
+        recorded_epoch = (
+            _load_manifest(path, cur).get("txns") or {}
+        ).get(str(txn[0]))
+        if recorded_epoch is not None and int(txn[1]) <= recorded_epoch:
+            return cur  # replayed epoch: already committed, no-op
     spec = _table_spec(path)
     recorded = spec.get("cluster_by")
     recorded_kind = spec.get("cluster_kind", "range")
@@ -1353,14 +1539,15 @@ def overwrite_table(
     _validate_constraints(
         df.sparkSession, path, files, cur + 1, _schema_fields(df)
     )
-    stats = _file_stats(path, files)
+    stats = _file_stats(path, files, spark=df.sparkSession)
     if bcol is not None:
         _stamp_buckets(
             stats, files, bn,
             allow_splits=bool(_spec_bucket_sort(path)[0]),
         )
     v = _commit(
-        path, cur + 1, files, "overwrite", _schema_fields(df), stats
+        path, cur + 1, files, "overwrite", _schema_fields(df), stats,
+        txn=txn,
     )
     if (effective or recorded) and (
         effective != recorded or kind != recorded_kind
@@ -1380,7 +1567,11 @@ def overwrite_table(
 
 
 def compact_table(
-    spark: SparkSession, path: str, target_mb: int = 128, where=None
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    where=None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Rewrite the CURRENT version's rows into ~target_mb files as a
     new version (narrow coalesce — no shuffle; with a recorded
@@ -1399,15 +1590,27 @@ def compact_table(
     small appended files) folds without touching the cold petabytes.
     Delete sidecars are read through on the rewritten subset (their
     new sequence outranks every sidecar) and KEPT for the carried
-    files, unlike the full compact, which materializes them away."""
+    files, unlike the full compact, which materializes them away.
+
+    ``txn=(app_id, epoch)`` (round 16, VERDICT r15 task #3): the same
+    exactly-once replay guard as :func:`append_table` — a
+    stream-triggered compaction whose epoch is ≤ the recorded
+    watermark for its app_id is a ZERO-IO no-op returning the current
+    head, so a replayed maintenance batch never doubles a rewrite."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     man = _load_manifest(path, cur)
+    if txn is not None:
+        recorded_epoch = (man.get("txns") or {}).get(str(txn[0]))
+        if recorded_epoch is not None and int(txn[1]) <= recorded_epoch:
+            return cur  # replayed epoch: already committed, no-op
     preds = _norm_prune(where)
     if preds:
-        return _compact_where(spark, path, cur, man, preds, target_mb)
+        return _compact_where(
+            spark, path, cur, man, preds, target_mb, txn=txn
+        )
     total = sum(
         (pathlib.Path(path) / f).stat().st_size for f in man["files"]
     )
@@ -1431,7 +1634,7 @@ def compact_table(
     else:
         df = read_table(spark, path, version=cur).coalesce(target)
     files = _write_data(df, path, cur + 1, max_records=srows)
-    stats = _file_stats(path, files)
+    stats = _file_stats(path, files, spark=spark)
     if bcol is not None:
         _stamp_buckets(
             stats, files, bn,
@@ -1441,6 +1644,7 @@ def compact_table(
         path, cur + 1, files, "compact",
         man.get("schema") or _schema_fields(df),
         stats,
+        txn=txn,
     )
 
 
@@ -1451,6 +1655,7 @@ def _compact_where(
     man: dict,
     preds: list[tuple[str, str, object]],
     target_mb: int,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """The partial-compaction arm of :func:`compact_table`: rewrite
     only the stats-intersecting files, carry the rest by reference."""
@@ -1490,7 +1695,7 @@ def _compact_where(
             base = base.coalesce(target)
         new_files = _write_data(base, path, cur + 1, max_records=srows)
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
-    new_stats = _file_stats(path, new_files)
+    new_stats = _file_stats(path, new_files, spark=spark)
     if bcol is not None:
         _stamp_buckets(
             new_stats, new_files, bn,
@@ -1501,6 +1706,7 @@ def _compact_where(
         path, cur + 1, untouched + new_files, "compact",
         man.get("schema"), stats,
         man.get("delete_files"),  # masks still cover the carried files
+        txn=txn,
     )
 
 
@@ -2116,7 +2322,7 @@ def purge_deletes(spark: SparkSession, path: str) -> int:
             base = _bucket_df(base, bn, bcol, scols)
         new_files = _write_data(base, path, cur + 1, max_records=srows)
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
-    new_stats = _file_stats(path, new_files)
+    new_stats = _file_stats(path, new_files, spark=spark)
     bcol, bn = _spec_bucket(path)
     if bcol is not None:
         _stamp_buckets(
@@ -2531,7 +2737,7 @@ def merge_table(
         for f, s in (man.get("file_stats") or {}).items()
         if f in set(untouched)
     }
-    new_stats = _file_stats(path, new_files)
+    new_stats = _file_stats(path, new_files, spark=df.sparkSession)
     if bcol is not None:
         _stamp_buckets(
             new_stats, new_files, bn,
@@ -2762,7 +2968,10 @@ def table_changes(
 
 
 def delete_where(
-    spark: SparkSession, path: str, predicate
+    spark: SparkSession,
+    path: str,
+    predicate,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Copy-on-write row-level DELETE: commit a new version without the
     rows matching ``predicate`` — one (col, op, value) triple or a
@@ -2772,12 +2981,22 @@ def delete_where(
     range cannot contain a matching row carry forward by reference;
     only files that might match are rewritten with the matching rows
     filtered out. A file whose rows ALL match is simply dropped from
-    the manifest."""
+    the manifest.
+
+    ``txn=(app_id, epoch)`` (round 16, VERDICT r15 task #3): the same
+    exactly-once replay guard as :func:`append_table` — a
+    stream-driven delete (e.g. a GDPR erasure feed applied per
+    micro-batch) whose epoch is ≤ the recorded watermark for its
+    app_id is a ZERO-IO no-op returning the current head."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     man = _load_manifest(path, cur)
+    if txn is not None:
+        recorded_epoch = (man.get("txns") or {}).get(str(txn[0]))
+        if recorded_epoch is not None and int(txn[1]) <= recorded_epoch:
+            return cur  # replayed epoch: already committed, no-op
     preds = _norm_prune(predicate)
     if not preds:
         raise ValueError("delete_where needs a predicate")
@@ -2807,7 +3026,7 @@ def delete_where(
             kept = _bucket_df(kept, bn, bcol, scols)
         new_files = _write_data(kept, path, cur + 1, max_records=srows)
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
-    new_stats = _file_stats(path, new_files)
+    new_stats = _file_stats(path, new_files, spark=spark)
     if bcol is not None:
         _stamp_buckets(
             new_stats, new_files, bn,
@@ -2818,6 +3037,7 @@ def delete_where(
         path, cur + 1, untouched + new_files, "delete",
         man.get("schema"), stats,
         man.get("delete_files"),  # masks still cover the untouched files
+        txn=txn,
     )
 
 
@@ -2826,6 +3046,7 @@ def update_where(
     path: str,
     predicate: tuple[str, str, object],
     assignments: dict[str, object],
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Copy-on-write row-level UPDATE (the SQL ``UPDATE ... SET ...
     WHERE ...`` / Delta ``UPDATE`` shape — round 13, completing the
@@ -2848,7 +3069,12 @@ def update_where(
     (the rewritten files' sequence number exceeds every sidecar's, so
     stale masks never re-apply to them). With a recorded ``cluster_by``
     spec the rewritten rows re-cluster, so updating a clustered column
-    cannot silently destroy the layout pruned reads depend on."""
+    cannot silently destroy the layout pruned reads depend on.
+
+    ``txn=(app_id, epoch)`` (round 16, VERDICT r15 task #3): the same
+    exactly-once replay guard as :func:`append_table` — a replayed
+    stream-driven update is a ZERO-IO no-op returning the current
+    head."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
@@ -2859,6 +3085,10 @@ def update_where(
         raise ValueError("update_where needs at least one assignment")
     cur = vs[-1]
     man = _load_manifest(path, cur)
+    if txn is not None:
+        recorded_epoch = (man.get("txns") or {}).get(str(txn[0]))
+        if recorded_epoch is not None and int(txn[1]) <= recorded_epoch:
+            return cur  # replayed epoch: already committed, no-op
     preds = _norm_prune(predicate)
     if not preds:
         raise ValueError(
@@ -2963,7 +3193,7 @@ def update_where(
             spark, path, new_files, cur + 1, man.get("schema")
         )
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
-    new_stats = _file_stats(path, new_files)
+    new_stats = _file_stats(path, new_files, spark=spark)
     if bcol is not None:
         _stamp_buckets(
             new_stats, new_files, bn,
@@ -2974,6 +3204,7 @@ def update_where(
         path, cur + 1, untouched + new_files, "update",
         man.get("schema"), stats,
         man.get("delete_files"),  # masks still cover the untouched files
+        txn=txn,
     )
 
 
@@ -3447,6 +3678,15 @@ def clone_table(
         # current spec
         specs=man.get("specs"),
         spec_id=man.get("spec_id"),
+        # the streaming-writer watermark map rides along for the same
+        # reason (round 16, advice r15): a DR fork must keep replay
+        # detection — a checkpointed stream_ingest sink repointed at
+        # the clone sees its last epoch recorded and no-ops the
+        # replay, instead of silently re-committing the batch. (Delta
+        # clones RESET txn ids; we diverge deliberately — exactly-once
+        # survives the fork, and a genuinely new writer should use a
+        # fresh app_id.)
+        txns=man.get("txns"),
     )
     if shallow:
         # register AFTER the commit so a failed clone leaves no stale
@@ -4053,7 +4293,7 @@ def _commit_view_state(
     files = _write_data(state, view_path, version)
     return _commit(
         view_path, version, files, op, _schema_fields(state),
-        _file_stats(view_path, files),
+        _file_stats(view_path, files, spark=state.sparkSession),
     )
 
 

@@ -101,3 +101,24 @@ def test_train_bpe_validation(spark, sf_small):
         train_bpe(docs, num_merges=0)
     with pytest.raises(ValueError, match="top_words"):
         train_bpe(docs, top_words=0)
+
+
+def test_memoized_apply_matches_uncached_semantics(spark, sf_small):
+    """Round 16 (VERDICT r15 task #6): apply_bpe memoizes word →
+    token count per worker. The memo must be invisible: token counts
+    equal a pure per-occurrence recompute on a fixture engineered so
+    every word repeats many times (maximum hit rate)."""
+    rows = [
+        (i, " ".join(["lower", "newest", "widest", "lower"][i % 4 :] * 20))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, num_merges=20, top_words=100)
+    ranks = {(r.left, r.right): r.rank for r in merges.collect()}
+    got = {r.doc_id: r.n_bpe_tokens for r in apply_bpe(docs, merges).collect()}
+    from optimal_parallel_fp_growth_spark.operators.bpe import _apply_merges
+
+    for doc_id, text in rows:
+        words = [w for w in text.split(" ") if w]
+        want = sum(len(_apply_merges(w, ranks)) for w in words)
+        assert got[doc_id] == want, doc_id

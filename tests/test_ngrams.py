@@ -212,3 +212,66 @@ def test_repeated_spans_plan_map_side_combined(spark, tiny_docs):
     # the (doc, gram) occurrence aggregate must partial-combine before
     # its exchange — the stage that bounds stop-gram skew at 100 TB
     assert "partial_count" in plan
+
+
+# ---------------------------------------------------------------------------
+# sep round-trips (round 16, VERDICT r15 task #5 / ADVICE r15): `sep`
+# both tokenizes AND joins — previously the split was hardcoded to
+# " " while the join honored sep, so any non-space sep mis-tokenized
+# silently and remove_repeated_spans could never round-trip its input.
+
+
+def test_ngram_counts_honors_tab_sep(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\tb\tc"), (2, "a\tb")], "doc_id long, text string"
+    )
+    got = {
+        r.gram: r.cnt
+        for r in ngram_counts(docs, n=2, min_count=1, sep="\t").collect()
+    }
+    assert got == {"a\tb": 2, "b\tc": 1}
+
+
+def test_ngram_counts_sep_is_literal_not_regex(spark):
+    # "." and "|" are regex metacharacters: a raw F.split would
+    # explode "a.b" into single characters
+    docs = spark.createDataFrame([(1, "a.b.a.b")], "doc_id long, text string")
+    got = {
+        r.gram: r.cnt
+        for r in ngram_counts(docs, n=2, min_count=1, sep=".").collect()
+    }
+    assert got == {"a.b": 2, "b.a": 1}
+
+
+def test_remove_repeated_spans_tab_sep_round_trips(spark):
+    from optimal_parallel_fp_growth_spark.operators.ngrams import (
+        remove_repeated_spans,
+    )
+
+    boiler = "\t".join(f"b{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "\t" + "\t".join(f"u{i}" for i in range(4))),
+            (2, boiler + "\t" + "\t".join(f"w{i}" for i in range(3))),
+            (3, "clean\tdoc\twith\tno\trepeats"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(docs, n=6, sep="\t").collect()
+    }
+    # the shared 6-token boilerplate is removed from both carriers,
+    # and the survivors re-join with the SAME tab separator
+    assert out[1].text_clean == "\t".join(f"u{i}" for i in range(4))
+    assert out[2].text_clean == "\t".join(f"w{i}" for i in range(3))
+    assert out[1].n_removed == out[2].n_removed == 6
+    # a clean doc ROUND-TRIPS its input exactly (split==join contract)
+    assert out[3].text_clean == "clean\tdoc\twith\tno\trepeats"
+    assert out[3].n_removed == 0
+
+
+def test_split_tokens_rejects_quote_escape(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="sep"):
+        ngram_counts(docs, n=1, min_count=1, sep="x\\Ey").collect()

@@ -559,6 +559,20 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "bloom_table_read": (
         "test_bloom_table.py::test_bloom_math_matches_stored_bitmap"
     ),
+    # round-16 mid-round addition: the entry's final aggregate
+    # (delete low decile, n_chars := -1 top decile, every epoch
+    # replayed) recomputed in pure python over the raw parquet —
+    # exact integer arithmetic
+    "versioned_txn_dml": (
+        "test_r16_lakehouse.py::test_versioned_txn_dml_matches_python"
+    ),
+    # round-16 mid-round addition: an auto-width stored bitmap
+    # rebuilt byte-for-byte in pure python (hand-rolled width
+    # doubling + md5 positions), pre-evolution files asserted
+    # bitmap-free, plus the entry's lookup landed on the raw parquet
+    "bloom_evolved_read": (
+        "test_r16_lakehouse.py::test_bloom_evolved_bitmap_matches_python"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
@@ -657,6 +671,8 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 NEW_THIS_ROUND: dict[str, int] = {
     # (r15's four additions rotated into the r16 window lead — their
     # exemption is spent; r16 mid-round additions land here)
+    "versioned_txn_dml": 16,
+    "bloom_evolved_read": 16,
 }
 
 
