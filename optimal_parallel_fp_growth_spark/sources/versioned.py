@@ -230,8 +230,19 @@ def _write_data(
 
 # distribute the per-file commit-stats pass once a commit writes at
 # least this many files: below it, one Spark job costs more than the
-# driver loop it replaces (the fixture-scale common case is 1-4 files)
+# driver loop it replaces. Two thresholds because the per-file work
+# differs by an order of magnitude: with BLOOM columns each file pays
+# a column read + per-distinct-value hashing (the 20M-row probe
+# measured 3.2 s/file driver-side), so the job pays for itself almost
+# immediately; without them the pass is footer reads + at most a
+# float-column NaN check (~10 ms/file), where a several-hundred-ms
+# Spark job round trip only wins on genuinely wide commits — the
+# small-commit lifecycle stages (schema_evolution_read,
+# bucketed_table_merge, each committing a handful of times) should
+# never pay job latency for driver work that costs less than the job
+# submission itself.
 _STATS_DISTRIBUTE_MIN = 6
+_STATS_DISTRIBUTE_MIN_LIGHT = 32
 
 
 def _file_stats(
@@ -249,9 +260,11 @@ def _file_stats(
     ``lower_bounds``/``upper_bounds``): a time-travel read with a
     predicate opens only the files whose range intersects it.
 
-    When ``spark`` is passed and the commit wrote
-    ≥ ``_STATS_DISTRIBUTE_MIN`` files, the per-file pass runs AS A
-    SPARK JOB (one task per file batch, Arrow-batched ``mapInPandas``)
+    When ``spark`` is passed and the commit wrote enough files to
+    amortize a job (``_STATS_DISTRIBUTE_MIN`` with bloom columns,
+    ``_STATS_DISTRIBUTE_MIN_LIGHT`` without — see the thresholds'
+    comment), the per-file pass runs AS A SPARK JOB (one task per
+    file batch, Arrow-batched ``mapInPandas``)
     instead of a sequential driver loop — the Iceberg writer-side
     stats model (round 16, VERDICT r15 task #2). The expensive parts
     of the pass are per-file COLUMN reads (``__nan`` flags) and
@@ -267,7 +280,12 @@ def _file_stats(
     spec = _table_spec(path)  # loaded ONCE per commit (advice r15)
     bspec = bloom_spec if bloom_spec is not None else spec.get("bloom") or {}
     sid = spec.get("spec_id")
-    if spark is not None and len(rel_files) >= _STATS_DISTRIBUTE_MIN:
+    threshold = (
+        _STATS_DISTRIBUTE_MIN
+        if bspec.get("cols")
+        else _STATS_DISTRIBUTE_MIN_LIGHT
+    )
+    if spark is not None and len(rel_files) >= threshold:
         return _file_stats_distributed(spark, path, rel_files, bspec, sid)
     return {
         rel: _stats_for_one_file(path, rel, bspec, sid) for rel in rel_files

@@ -383,3 +383,93 @@ def test_bloom_evolved_bitmap_matches_python(spark, tmp_path):
             t.column("n_chars").to_pylist()[k],
         )
     ]
+
+
+# ---------------------------------------------------------------------------
+# property: random writer/replay interleavings are exactly-once
+
+
+def test_property_random_replay_sequences_are_exactly_once(spark, tmp_path):
+    """Hypothesis over the whole txn-stamped writer matrix: any
+    sequence of append/delete/update/compact/merge steps, each
+    either a NEW epoch or a REPLAY of the last committed one, must
+    leave the table exactly as if every epoch ran once — contents,
+    version count, and watermark all first-delivery-only."""
+    from hypothesis import given, settings, strategies as st
+
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        merge_table,
+        with_retry,
+    )
+
+    step = st.tuples(
+        st.sampled_from(["append", "delete", "update", "compact", "merge"]),
+        st.booleans(),  # True = replay the previous epoch
+    )
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=st.lists(step, min_size=1, max_size=5))
+    def run(ops):
+        counter[0] += 1
+        path = str(tmp_path / f"rtbl{counter[0]}")
+        create_table(
+            spark.createDataFrame(
+                [(i, i * 3) for i in range(100)], "doc_id long, v long"
+            ).repartitionByRange(2, "doc_id"),
+            path,
+        )
+        expected = {i: i * 3 for i in range(100)}
+        nxt, epoch, versions = 100, 0, 1
+        for op, replay in ops:
+            e = epoch if replay and epoch > 0 else epoch + 1
+            effective = e > epoch
+            epoch = max(epoch, e)
+            if op == "append":
+                df = spark.createDataFrame(
+                    [(i, i * 3) for i in range(nxt, nxt + 20)],
+                    "doc_id long, v long",
+                )
+                with_retry(
+                    lambda: append_table(df, path, txn=("app", e))
+                )
+                if effective:
+                    expected.update(
+                        {i: i * 3 for i in range(nxt, nxt + 20)}
+                    )
+                    nxt += 20
+            elif op == "delete":
+                lo = min(expected) if expected else 0
+                delete_where(
+                    spark, path, ("doc_id", "<=", lo), txn=("app", e)
+                )
+                if effective:
+                    expected.pop(lo, None)
+            elif op == "update":
+                hi = max(expected) if expected else 0
+                update_where(
+                    spark, path, ("doc_id", ">=", hi),
+                    {"v": F.lit(-5).cast("bigint")}, txn=("app", e),
+                )
+                if effective and expected:
+                    expected[hi] = -5
+            elif op == "compact":
+                compact_table(spark, path, txn=("app", e))
+            elif op == "merge":
+                k = nxt // 2
+                ch = spark.createDataFrame(
+                    [(k, -9)], "doc_id long, v long"
+                )
+                with_retry(
+                    lambda: merge_table(ch, path, "doc_id", txn=("app", e))
+                )
+                if effective:
+                    expected[k] = -9
+            if effective:
+                versions += 1
+            assert len(_versions(path)) == versions, (op, replay)
+        got = {r.doc_id: r.v for r in read_table(spark, path).collect()}
+        assert got == expected
+        assert last_txn_epoch(path, "app") == (epoch or None)
+
+    run()
