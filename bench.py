@@ -413,6 +413,10 @@ def main() -> None:
         # via spec evolution (pre-bloom files fail-open, post-
         # evolution files skip; widths from per-file distinct counts)
         "bloom_evolved_read",
+        # round-16 addition: atomic slice replacement (the Delta
+        # replaceWhere backfill shape: ONE commit swaps the middle
+        # doc_id slice; leak attempt fails closed, replay no-ops)
+        "replace_where_read",
         # round-12 addition: recorded clustering spec (create clustered
         # from hash-partitioned input → spec-driven merge re-cluster →
         # stat-pruned quintile read, fail-closed on files_scanned)

@@ -643,6 +643,7 @@ _DRIVER_PRIORITY: list[str] = [
     # slots of slack, so they ride in the r16 window itself) ----
     "versioned_txn_dml",
     "bloom_evolved_read",
+    "replace_where_read",
     # ---- retired tier (125) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

@@ -1802,6 +1802,95 @@ WHERE doc_id = (SELECT max(doc_id) FROM documents)
 """
 
 
+def q_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic slice replacement under the oracle gate (round 16;
+    sources/versioned.py::overwrite_where — the Delta ``replaceWhere``
+    backfill shape): documents committed in 4 range files, then the
+    middle [25%, 75%) doc_id slice is REPLACED in ONE commit by a
+    recomputed batch (same rows, n_chars negated) — no window where
+    the slice is missing, unlike delete_where + append_table's two
+    versions. In-query gates: the history is exactly
+    [create, replace_where]; at least one out-of-slice file carries
+    BY REFERENCE into the new manifest (slice-bounded cost — at
+    100 TB a backfill rewrites the slice, not the table); a
+    replacement batch containing an out-of-slice row raises BEFORE
+    anything commits and leaves the table untouched (the fail-closed
+    containment contract); and a replayed ``txn`` epoch is a ZERO-IO
+    no-op. The aggregate reads the final table, so a lost carried
+    row, a surviving old slice row, or a leaked/doubled replacement
+    breaks equality with the closed-form oracle."""
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    with session_temp_layout(spark, "replwhere") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        lo_cut, hi_cut = hi // 4, 3 * (hi // 4)
+        V.create_table(docs.repartitionByRange(4, "doc_id"), path)
+        man1 = V._load_manifest(path, 1)
+        in_slice = (F.col("doc_id") >= lo_cut) & (F.col("doc_id") < hi_cut)
+        repl = docs.where(in_slice).withColumn(
+            "n_chars", -F.col("n_chars")
+        )
+        pred = [("doc_id", ">=", lo_cut), ("doc_id", "<", hi_cut)]
+        V.overwrite_where(repl, path, pred, txn=("backfill", 1))
+        ops = [h["op"] for h in V.table_history(path)]
+        if ops != ["create", "replace_where"]:
+            raise AssertionError(f"expected one atomic commit, got {ops}")
+        man2 = V._load_manifest(path, 2)
+        if not set(man1["files"]) & set(man2["files"]):
+            raise AssertionError(
+                "no out-of-slice file carried by reference - the "
+                "backfill rewrote the whole table"
+            )
+        # fail-closed containment: a leaked row must abort pre-commit
+        leak = docs.limit(1).withColumn(
+            "doc_id", F.lit(hi + 10_000_000).cast("long")
+        )
+        try:
+            V.overwrite_where(repl.unionByName(leak), path, pred)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(
+                "out-of-slice replacement row did not fail closed"
+            )
+        # replayed epoch: a ZERO-IO no-op
+        v = V.overwrite_where(
+            docs.where(in_slice), path, pred, txn=("backfill", 1)
+        )
+        if v != 2 or V._versions(path) != [1, 2]:
+            raise AssertionError(
+                "replayed backfill epoch committed - exactly-once broken"
+            )
+        out = V.read_table(spark, path).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return materialize(out)
+
+
+ORACLE_REPLACE_WHERE_READ = """
+WITH cuts AS (
+  SELECT max(doc_id) // 4 AS lo_cut, 3 * (max(doc_id) // 4) AS hi_cut
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN doc_id >= (SELECT lo_cut FROM cuts)
+                 AND doc_id < (SELECT hi_cut FROM cuts)
+                THEN -n_chars ELSE n_chars END)::BIGINT AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
 ORACLE_VERSIONED_MERGE = """
 WITH merged AS (
   SELECT doc_id, lang,
@@ -3156,6 +3245,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_table_read": q_bloom_table_read,
     "versioned_txn_dml": q_versioned_txn_dml,
     "bloom_evolved_read": q_bloom_evolved_read,
+    "replace_where_read": q_replace_where_read,
     "clustered_table_read": q_clustered_table_read,
     "versioned_update": q_versioned_update,
     "stats_pushdown": q_stats_pushdown,
@@ -3231,6 +3321,7 @@ DOC_ORACLES: dict[str, str] = {
     "bloom_table_read": ORACLE_BLOOM_TABLE_READ,
     "versioned_txn_dml": ORACLE_VERSIONED_TXN_DML,
     "bloom_evolved_read": ORACLE_BLOOM_EVOLVED_READ,
+    "replace_where_read": ORACLE_REPLACE_WHERE_READ,
     "clustered_table_read": ORACLE_CLUSTERED_TABLE_READ,
     "versioned_update": ORACLE_VERSIONED_UPDATE,
     "stats_pushdown": ORACLE_STATS_PUSHDOWN,

@@ -473,3 +473,157 @@ def test_property_random_replay_sequences_are_exactly_once(spark, tmp_path):
         assert last_txn_epoch(path, "app") == (epoch or None)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# overwrite_where — the Delta replaceWhere shape (round 16)
+
+
+def test_overwrite_where_replaces_slice_atomically(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        overwrite_where,
+        table_history,
+    )
+
+    path = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i * 3) for i in range(400)], "doc_id long, v long"
+        ).repartitionByRange(4, "doc_id"),
+        path,
+    )
+    man1 = _load_manifest(path, 1)
+    repl = spark.createDataFrame(
+        [(i, -i) for i in range(100, 150)], "doc_id long, v long"
+    )
+    v = overwrite_where(
+        repl, path, [("doc_id", ">=", 100), ("doc_id", "<", 200)]
+    )
+    assert v == 2
+    assert [h["op"] for h in table_history(path)] == [
+        "create", "replace_where",
+    ]
+    got = {r.doc_id: r.v for r in read_table(spark, path).collect()}
+    want = {i: i * 3 for i in range(400) if not 100 <= i < 200}
+    want.update({i: -i for i in range(100, 150)})
+    assert got == want  # rows 150-199 deleted, 100-149 replaced
+    # files outside the slice carry BY REFERENCE, not rewritten
+    man2 = _load_manifest(path, 2)
+    carried = set(man1["files"]) & set(man2["files"])
+    assert len(carried) >= 2, "out-of-slice files must carry by reference"
+
+
+def test_overwrite_where_fails_closed_on_leaked_rows(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        overwrite_where,
+    )
+
+    path = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i) for i in range(100)], "doc_id long, v long"
+        ),
+        path,
+    )
+    # one row outside the slice, one NULL key (NULL never satisfies)
+    for bad in ([(50, 1), (999, 2)], [(50, 1), (None, 2)]):
+        repl = spark.createDataFrame(bad, "doc_id long, v long")
+        with pytest.raises(ValueError, match="do not satisfy"):
+            overwrite_where(
+                repl, path, [("doc_id", ">=", 0), ("doc_id", "<", 60)]
+            )
+    assert _versions(path) == [1]  # nothing committed
+    assert read_table(spark, path).count() == 100
+
+
+def test_overwrite_where_txn_replay_is_noop(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        overwrite_where,
+    )
+
+    path = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i) for i in range(100)], "doc_id long, v long"
+        ),
+        path,
+    )
+    repl = spark.createDataFrame([(5, -5)], "doc_id long, v long")
+    v = overwrite_where(
+        repl, path, [("doc_id", ">=", 5), ("doc_id", "<", 10)],
+        txn=("bf", 1),
+    )
+    assert v == 2 and read_table(spark, path).count() == 96
+    repl2 = spark.createDataFrame([(20, -20)], "doc_id long, v long")
+    v2 = overwrite_where(
+        repl2, path, [("doc_id", ">=", 20), ("doc_id", "<", 30)],
+        txn=("bf", 1),
+    )
+    assert v2 == 2 and _versions(path) == [1, 2]
+    assert read_table(spark, path).count() == 96
+    assert last_txn_epoch(path, "bf") == 1
+
+
+def test_overwrite_where_respects_bucket_layout(spark, tmp_path):
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        files_scanned,
+        overwrite_where,
+    )
+
+    path = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i) for i in range(200)], "doc_id long, v long"
+        ),
+        path,
+        bucket_by=("doc_id", 4),
+    )
+    repl = spark.createDataFrame(
+        [(i, -i) for i in range(40, 60)], "doc_id long, v long"
+    )
+    overwrite_where(
+        repl, path, [("doc_id", ">=", 40), ("doc_id", "<", 60)]
+    )
+    # the rewrite re-bucketed: an equality probe still opens ≤ the
+    # per-bucket file count, and finds the REPLACED value
+    opened = files_scanned(path, prune=("doc_id", "==", 45))
+    assert opened < files_scanned(path)
+    rows = read_table(spark, path, prune=("doc_id", "==", 45)).where(
+        F.col("doc_id") == 45
+    ).collect()
+    assert len(rows) == 1 and rows[0].v == -45
+
+
+def test_replace_where_read_matches_python(spark, sf_small):
+    """Full-semantics pin for the ``replace_where_read`` entry: the
+    final aggregate (middle [25%, 75%) doc_id slice replaced with
+    negated n_chars, leak attempt aborted, epoch replayed) recomputed
+    in pure python over the raw parquet — exact integer arithmetic."""
+    import pyarrow.parquet as pq
+
+    from optimal_parallel_fp_growth_spark.queries_docs import (
+        q_replace_where_read,
+    )
+
+    got = {
+        r.lang: (r.n_docs, r.total_chars)
+        for r in q_replace_where_read(spark, sf_small).collect()
+    }
+    t = pq.read_table(
+        sf_small + "/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    rows = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        )
+    )
+    hi = max(d for d, _, _ in rows)
+    lo_cut, hi_cut = hi // 4, 3 * (hi // 4)
+    want: dict[str, list[int]] = {}
+    for d, lang, nc in rows:
+        w = want.setdefault(lang, [0, 0])
+        w[0] += 1
+        w[1] += -nc if lo_cut <= d < hi_cut else nc
+    assert got == {k: (v[0], v[1]) for k, v in want.items()}

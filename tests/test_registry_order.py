@@ -573,6 +573,13 @@ GROUND_TRUTH_PINS: dict[str, str] = {
     "bloom_evolved_read": (
         "test_r16_lakehouse.py::test_bloom_evolved_bitmap_matches_python"
     ),
+    # round-16 mid-round addition: the replaced-slice final state
+    # recomputed in pure python over the raw parquet (exact ints),
+    # plus atomicity/containment/carried-file contracts in the same
+    # suite
+    "replace_where_read": (
+        "test_r16_lakehouse.py::test_replace_where_read_matches_python"
+    ),
     # round-14 pin-throughput batch (the capacity lever the r14
     # analysis identified): seven relational/core entries recomputed
     # in pure python over the collected sf0.001 tables
@@ -673,6 +680,7 @@ NEW_THIS_ROUND: dict[str, int] = {
     # exemption is spent; r16 mid-round additions land here)
     "versioned_txn_dml": 16,
     "bloom_evolved_read": 16,
+    "replace_where_read": 16,
 }
 
 
