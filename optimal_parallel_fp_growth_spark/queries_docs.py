@@ -1809,7 +1809,11 @@ def q_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle [25%, 75%) doc_id slice is REPLACED in ONE commit by a
     recomputed batch (same rows, n_chars negated) — no window where
     the slice is missing, unlike delete_where + append_table's two
-    versions. In-query gates: the history is exactly
+    versions. The cuts sit at 37.5%/62.5% of the key space, safely
+    INSIDE the 4-way range partitioning: cuts at the quartile
+    boundaries themselves made the carried-file gate depend on range
+    sampling jitter (flaky at sf0.1 — an edge file sometimes
+    intersected the slice by a handful of rows). In-query gates: the history is exactly
     [create, replace_where]; at least one out-of-slice file carries
     BY REFERENCE into the new manifest (slice-bounded cost — at
     100 TB a backfill rewrites the slice, not the table); a
@@ -1832,7 +1836,7 @@ def q_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     with session_temp_layout(spark, "replwhere") as (tdir, materialize):
         path = os.path.join(tdir, "tbl")
         hi = docs.agg(F.max("doc_id")).first()[0]
-        lo_cut, hi_cut = hi // 4, 3 * (hi // 4)
+        lo_cut, hi_cut = 3 * (hi // 8), 5 * (hi // 8)
         V.create_table(docs.repartitionByRange(4, "doc_id"), path)
         man1 = V._load_manifest(path, 1)
         in_slice = (F.col("doc_id") >= lo_cut) & (F.col("doc_id") < hi_cut)
@@ -1879,7 +1883,8 @@ def q_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REPLACE_WHERE_READ = """
 WITH cuts AS (
-  SELECT max(doc_id) // 4 AS lo_cut, 3 * (max(doc_id) // 4) AS hi_cut
+  SELECT 3 * (max(doc_id) // 8) AS lo_cut,
+         5 * (max(doc_id) // 8) AS hi_cut
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,

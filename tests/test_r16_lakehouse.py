@@ -596,7 +596,7 @@ def test_overwrite_where_respects_bucket_layout(spark, tmp_path):
 
 def test_replace_where_read_matches_python(spark, sf_small):
     """Full-semantics pin for the ``replace_where_read`` entry: the
-    final aggregate (middle [25%, 75%) doc_id slice replaced with
+    final aggregate (middle [37.5%, 62.5%) doc_id slice replaced with
     negated n_chars, leak attempt aborted, epoch replayed) recomputed
     in pure python over the raw parquet — exact integer arithmetic."""
     import pyarrow.parquet as pq
@@ -620,7 +620,7 @@ def test_replace_where_read_matches_python(spark, sf_small):
         )
     )
     hi = max(d for d, _, _ in rows)
-    lo_cut, hi_cut = hi // 4, 3 * (hi // 4)
+    lo_cut, hi_cut = 3 * (hi // 8), 5 * (hi // 8)
     want: dict[str, list[int]] = {}
     for d, lang, nc in rows:
         w = want.setdefault(lang, [0, 0])
