@@ -1761,17 +1761,35 @@ def q_bloom_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         if not widths:
             raise AssertionError("no auto-sized bitmaps were stamped")
-        # absent key: every bitmap-carrying file skips, every
-        # pre-bloom file fail-opens. The probe must be HEX-SHAPED so
-        # it lands inside the files' [min, max] h-range — a non-hex
-        # string sorts outside it and RANGE stats would prune the
-        # pre-bloom files too, hiding what this gate measures
+        # absent key: every bitmap-carrying file skips (±1 bloom
+        # false positive, fpp ≈0.8%/file), every pre-bloom file
+        # whose h-RANGE contains the probe fail-opens. The expected
+        # open count is computed from the manifest rather than
+        # assumed equal to n_old (review r16): at tiny scale factors
+        # a pre-bloom file's [min, max] can exclude the digest and
+        # range stats prune it — correct behavior the old exact
+        # equality would have flagged. The probe is hex-shaped so it
+        # lands inside most files' h-range at all.
         absent = hashlib.md5(b"absent-key").hexdigest()
+        stats = man["file_stats"]
+        expected = 0
+        for f in man["files"]:
+            st = stats.get(f) or {}
+            if "__bloom" in st:
+                continue
+            rng = st.get("h")
+            if not rng or (rng[0] <= absent <= rng[1]):
+                expected += 1
         opened = V.files_scanned(path, prune=("h", "==", absent))
-        if opened != n_old:
+        if not expected <= opened <= expected + 1:
             raise AssertionError(
-                f"absent key opened {opened} files, want the {n_old} "
-                "pre-bloom (fail-open) files only"
+                f"absent key opened {opened} files, want the "
+                f"{expected} range-surviving pre-bloom (fail-open) "
+                "files (+1 fp allowance)"
+            )
+        if opened >= total:
+            raise AssertionError(
+                "absent key opened every file - bitmaps skipped nothing"
             )
         probe = hashlib.md5(str(hi).encode()).hexdigest()
         opened = V.files_scanned(path, prune=("h", "==", probe))

@@ -276,8 +276,8 @@ def _file_stats(
     manifest. The kernel returns each file's stats as one JSON blob —
     a few KB per file — so the collect is manifest-sized, not
     data-sized. Results are byte-identical to the driver loop (same
-    ``_stats_for_one_file`` body; pinned by
-    tests/test_distributed_stats.py)."""
+    ``_stats_for_one_file`` body; pinned by tests/
+    test_r16_lakehouse.py::test_distributed_stats_match_driver_loop)."""
     spec = _table_spec(path)  # loaded ONCE per commit (advice r15)
     bspec = bloom_spec if bloom_spec is not None else spec.get("bloom") or {}
     sid = spec.get("spec_id")
@@ -1306,10 +1306,8 @@ def append_table(
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     man = _load_manifest(path, cur)
-    if txn is not None:
-        recorded = (man.get("txns") or {}).get(str(txn[0]))
-        if recorded is not None and int(txn[1]) <= recorded:
-            return cur  # replayed epoch: already committed, no-op
+    if _txn_replayed(man, txn):
+        return cur  # replayed epoch: already committed, no-op
     if evolve and man.get("schema") is not None:
         schema = _merge_schema(man["schema"], _schema_fields(df), man)
     else:
@@ -1364,7 +1362,13 @@ def evolve_table_spec(
     carries its own width ``m``; readers probe per-entry), new
     commits stamp the new columns. ``bloom_bits`` as in
     :func:`create_table` (default ``"auto"``: per-file width from the
-    actual distinct count).
+    actual distinct count). A bloom-ONLY call (``bloom_cols`` with no
+    layout arguments) CARRIES the current layout into the new era
+    instead of clearing it — blooms are per-file metadata, not a
+    layout, so "evolve the bloom spec" must never silently destroy a
+    bucket/cluster layout (review r16: the bare no-layout-args =
+    clear-layout rule used to fire here, un-bucketing every future
+    commit of a bucketed table).
 
     Mechanics: the commit extends the manifest's append-only
     ``specs`` registry ({spec_id: layout}, inherited commit-to-commit
@@ -1437,6 +1441,20 @@ def evolve_table_spec(
         raise ValueError(
             "sort_within_buckets/bucket_file_rows need bucket_by"
         )
+    if bloom_cols is not None and not (
+        cluster_by
+        or bucket_by is not None
+        or sort_within_buckets
+        or bucket_file_rows
+    ):
+        # bloom-only evolution: the new era keeps the current layout
+        cur_spec = _table_spec(path)
+        if cur_spec.get("cluster_by"):
+            new_layout["cluster_by"] = list(cur_spec["cluster_by"])
+            if cur_spec.get("cluster_kind", "range") != "range":
+                new_layout["cluster_kind"] = cur_spec["cluster_kind"]
+        if cur_spec.get("bucket_by"):
+            new_layout["bucket_by"] = dict(cur_spec["bucket_by"])
     new_bloom: dict | None = None
     if bloom_cols is not None and bloom_cols != []:
         bad = [
@@ -1522,12 +1540,8 @@ def overwrite_table(
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
-    if txn is not None:
-        recorded_epoch = (
-            _load_manifest(path, cur).get("txns") or {}
-        ).get(str(txn[0]))
-        if recorded_epoch is not None and int(txn[1]) <= recorded_epoch:
-            return cur  # replayed epoch: already committed, no-op
+    if _txn_replayed(_load_manifest(path, cur), txn):
+        return cur  # replayed epoch: already committed, no-op
     spec = _table_spec(path)
     recorded = spec.get("cluster_by")
     recorded_kind = spec.get("cluster_kind", "range")
@@ -1621,10 +1635,8 @@ def compact_table(
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     man = _load_manifest(path, cur)
-    if txn is not None:
-        recorded_epoch = (man.get("txns") or {}).get(str(txn[0]))
-        if recorded_epoch is not None and int(txn[1]) <= recorded_epoch:
-            return cur  # replayed epoch: already committed, no-op
+    if _txn_replayed(man, txn):
+        return cur  # replayed epoch: already committed, no-op
     preds = _norm_prune(where)
     if preds:
         return _compact_where(
@@ -2568,16 +2580,12 @@ def merge_table(
     cur = vs[-1]
     from pyspark.sql import functions as F
 
-    if txn is not None:
-        # exactly-once replay detection (round 15, same contract as
-        # append_table's txn): a replayed (app_id, epoch) is a ZERO-IO
-        # no-op — stronger than the keyed merge's per-key idempotence,
-        # which still re-reads and rewrites the affected files
-        recorded = (
-            _load_manifest(path, cur).get("txns") or {}
-        ).get(str(txn[0]))
-        if recorded is not None and int(txn[1]) <= recorded:
-            return cur
+    # exactly-once replay detection (round 15, same contract as
+    # append_table's txn): a replayed (app_id, epoch) is a ZERO-IO
+    # no-op — stronger than the keyed merge's per-key idempotence,
+    # which still re-reads and rewrites the affected files
+    if txn is not None and _txn_replayed(_load_manifest(path, cur), txn):
+        return cur
     if update_cols is not None:
         if not update_cols:
             raise ValueError("update_cols must name at least one column")
@@ -3012,10 +3020,8 @@ def delete_where(
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     man = _load_manifest(path, cur)
-    if txn is not None:
-        recorded_epoch = (man.get("txns") or {}).get(str(txn[0]))
-        if recorded_epoch is not None and int(txn[1]) <= recorded_epoch:
-            return cur  # replayed epoch: already committed, no-op
+    if _txn_replayed(man, txn):
+        return cur  # replayed epoch: already committed, no-op
     preds = _norm_prune(predicate)
     if not preds:
         raise ValueError("delete_where needs a predicate")
@@ -3104,10 +3110,8 @@ def update_where(
         raise ValueError("update_where needs at least one assignment")
     cur = vs[-1]
     man = _load_manifest(path, cur)
-    if txn is not None:
-        recorded_epoch = (man.get("txns") or {}).get(str(txn[0]))
-        if recorded_epoch is not None and int(txn[1]) <= recorded_epoch:
-            return cur  # replayed epoch: already committed, no-op
+    if _txn_replayed(man, txn):
+        return cur  # replayed epoch: already committed, no-op
     preds = _norm_prune(predicate)
     if not preds:
         raise ValueError(
@@ -3266,10 +3270,8 @@ def overwrite_where(
         raise FileNotFoundError(f"no versioned table at {path}")
     cur = vs[-1]
     man = _load_manifest(path, cur)
-    if txn is not None:
-        recorded_epoch = (man.get("txns") or {}).get(str(txn[0]))
-        if recorded_epoch is not None and int(txn[1]) <= recorded_epoch:
-            return cur  # replayed epoch: already committed, no-op
+    if _txn_replayed(man, txn):
+        return cur  # replayed epoch: already committed, no-op
     preds = _norm_prune(predicate)
     if not preds:
         raise ValueError(
@@ -3280,11 +3282,17 @@ def overwrite_where(
     schema = man.get("schema") or _schema_fields(df)
     cond = _prune_cond(preds)
     aligned = _align_to_schema(df, schema, man.get("renames"))
+    # the replacement lineage feeds TWO actions (the containment
+    # count and the write) — and the docstring's canonical caller is
+    # an expensive recompute, so persist it across them (review r16:
+    # the backfill's compute used to run twice)
+    aligned = aligned.persist()
     # containment BEFORE any write: a row may violate the predicate
     # through NULLs too (NULL <op> v is not TRUE), so count the
     # complement of a strict match
     leaked = aligned.where(~F.coalesce(cond, F.lit(False))).count()
     if leaked:
+        aligned.unpersist()
         raise ValueError(
             f"overwrite_where: {leaked} replacement row(s) do not "
             "satisfy the predicate - refusing to write outside the "
@@ -3322,7 +3330,10 @@ def overwrite_where(
             base, spec_cluster, base.rdd.getNumPartitions() or 1,
             spec_kind,
         )
-    new_files = _write_data(base, path, cur + 1, max_records=srows)
+    try:
+        new_files = _write_data(base, path, cur + 1, max_records=srows)
+    finally:
+        aligned.unpersist()
     _validate_constraints(spark, path, new_files, cur + 1, schema)
     stats = {f: s for f, s in fstats.items() if f in set(untouched)}
     new_stats = _file_stats(path, new_files, spark=spark)
@@ -3454,6 +3465,19 @@ def stream_to_table(stream_df: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _txn_replayed(man: dict, txn: tuple[str, int] | None) -> bool:
+    """True when ``txn``'s epoch is ≤ the manifest's recorded
+    watermark for its app_id — the shared replay test every
+    txn-stamped writer (create/append/merge/overwrite/delete/update/
+    compact/replace_where) runs before doing any work. One helper so
+    a change to replay semantics lands in every writer at once
+    (review r16: the 3-line guard had been copy-pasted six times)."""
+    if txn is None:
+        return False
+    recorded = (man.get("txns") or {}).get(str(txn[0]))
+    return recorded is not None and int(txn[1]) <= recorded
 
 
 def last_txn_epoch(path: str, app_id: str) -> int | None:

@@ -627,3 +627,55 @@ def test_replace_where_read_matches_python(spark, sf_small):
         w[0] += 1
         w[1] += -nc if lo_cut <= d < hi_cut else nc
     assert got == {k: (v[0], v[1]) for k, v in want.items()}
+
+
+def test_bloom_only_evolve_keeps_bucket_layout(spark, tmp_path):
+    """Review r16: evolve_table_spec(bloom_cols=...) with NO layout
+    arguments used to fire the bare 'no layout args = clear layout'
+    rule and silently un-bucket the table — every later append wrote
+    unbucketed files and bucket-identity pruning died. A bloom-only
+    evolution must carry the current layout into the new era."""
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        files_scanned,
+    )
+
+    path = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, f"h{i}") for i in range(400)], "doc_id long, h string"
+        ),
+        path,
+        bucket_by=("doc_id", 4),
+    )
+    evolve_table_spec(path, bloom_cols=["h"])
+    spec = V._table_spec(path)
+    assert spec.get("bucket_by") == {"col": "doc_id", "n": 4}
+    assert spec.get("bloom", {}).get("cols") == ["h"]
+    man = _load_manifest(path, 2)
+    assert man["specs"]["1"].get("bucket_by") == {"col": "doc_id", "n": 4}
+    # appends still bucket: 4 files, and a point probe opens ~1
+    append_table(
+        spark.createDataFrame(
+            [(i, f"h{i}") for i in range(400, 800)],
+            "doc_id long, h string",
+        ),
+        path,
+    )
+    man3 = _load_manifest(path, 3)
+    new_files = [f for f in man3["files"] if "/v00000003/" in f]
+    assert len(new_files) == 4, "append no longer bucketed"
+    assert all(
+        "__bucket" in man3["file_stats"][f] for f in new_files
+    )
+    opened = files_scanned(path, prune=("doc_id", "==", 450))
+    assert opened <= 2  # one file per era's matching bucket
+    # and a bloom-only CLEAR ([]) also keeps the layout
+    evolve_table_spec(path, bloom_cols=[])
+    assert V._table_spec(path).get("bucket_by") == {
+        "col": "doc_id", "n": 4,
+    }
+    assert "bloom" not in V._table_spec(path)
+    # an explicit bare evolve (no args at all) still clears — the
+    # documented layout-clear path is untouched
+    evolve_table_spec(path)
+    assert V._table_spec(path).get("bucket_by") is None
