@@ -431,23 +431,23 @@ QUERIES.update(REL_QUERIES)
 # Driver sampling order. The correctness harness samples the registry in
 # insertion order with a bounded per-round window (exactly 50 rows since
 # r4), so entries whose last green driver row is OLDEST must come FIRST —
-# the rotation contract that bounds staleness. Round-16 tiers (staleness
-# computed from CORRECTNESS_r{01..15}.json; the invariant is enforced
+# the rotation contract that bounds staleness. Round-17 tiers (staleness
+# computed from CORRECTNESS_r{01..16}.json; the invariant is enforced
 # data-driven by tests/test_registry_order.py):
-#   1. the 4 entries with NO driver row ever — the mid-r15 additions
-#      (versioned_stream_ingest, spec_evolved_read, dedup_spans,
-#      bloom_table_read), added after the r15 window was contractually
-#      full (NEW_THIS_ROUND exemption now expired).
-#   2. the 2 pinned r13-green (clustered_table_read, multimodal_video —
-#      staleness 3, due r17 at cap 4; sampled now, zeroing that debt).
-#   3. the 15 pinned r14-green (staleness 2).
-#   4. the 14 pinned r15-green (staleness 1).
-# After the r16 retirement wave (50 entries newly at ≥3 distinct green
-# driver rounds retired — the r15 pin batches made the whole doc/
-# vector/event/lifecycle tier eligible once CORRECTNESS_r15 landed;
-# 75 → 125 retired) the ACTIVE set is 35 entries, ALL pinned, so the
-# ENTIRE active registry fits in one 50-slot window with 15 slots of
-# slack for mid-r16 additions.
+# The r16 driver window went 50/50 green and covered the ENTIRE active
+# set, so every active entry's latest green is r16 — all 24 survivors
+# tie at staleness 1 and the tie-break is GREEN-HISTORY THINNESS
+# (fewest distinct green rounds first), which maximizes retirement
+# throughput:
+#   1. the 7 single-green entries (r16 only): the 4 mid-r15 additions
+#      that led the r16 window, then the 3 mid-r16 additions.
+#   2. the 17 two-green entries (r13/r14/r15 + r16) — one more green
+#      row retires each of them at the r18 rotation.
+# After the r17 retirement wave (14 entries newly at ≥3 distinct green
+# driver rounds once CORRECTNESS_r16 landed; 125 → 139 retired) the
+# ACTIVE set is 24 entries, ALL pinned — the whole active registry
+# fits in one 50-slot window with 26 slots of slack for mid-r17
+# additions.
 # Rotation-capacity ceiling (VERDICT r13 task #2): the EDF simulation
 # in tests/test_registry_order.py::test_rotation_capacity_is_sustainable
 # replays history forward with 8 pinned additions/round and must stay
@@ -465,6 +465,24 @@ QUERIES.update(REL_QUERIES)
 # in tests/test_registry_order.py::test_retired_entries_meet_criteria:
 # pinned + ≥3 distinct green driver rounds each).
 RETIRED_TO_PYTEST: frozenset[str] = frozenset({
+    # --- retired at the r17 rotation (14 entries newly at ≥3 greens
+    # after CORRECTNESS_r16 landed — the r16 window sampled the whole
+    # active set, so every 2-green survivor of the r16 wave crossed
+    # the threshold) ---
+    "compacted_layout_read",
+    "dedup_zipf_prefix",
+    "hive_layout_read",
+    "incremental_agg",
+    "incremental_index",
+    "index_search",
+    "materialized_view",
+    "mor_delete_read",
+    "multimodal_gif",
+    "multimodal_video",
+    "skewed_doc_hotness",
+    "skewed_token_counts",
+    "versioned_changes",
+    "versioned_stream_follow",
     # --- retired at the r16 rotation (50 entries newly at ≥3 greens
     # after CORRECTNESS_r15 landed — the r15 pin-throughput batches
     # made the doc/vector/event/lifecycle tiers eligible) ---
@@ -598,17 +616,22 @@ RETIRED_TO_PYTEST: frozenset[str] = frozenset({
 })
 
 _DRIVER_PRIORITY: list[str] = [
-    # ---- r16 window (35 active — the whole active set fits) ----
-    # tier 1 — never driver-sampled: the 4 mid-r15 additions
-    # (NEW_THIS_ROUND exemption spent at the r15 snapshot)
+    # ---- r17 window (24 active — the whole active set fits; every
+    # entry's latest green is r16, so staleness ties at 1 and the
+    # tie-break is green-history thinness: fewest distinct green
+    # driver rounds first, maximizing retirement throughput) ----
+    # tier 1 — single-green (r16 only): the 4 mid-r15 additions that
+    # led the r16 window, then the 3 mid-r16 additions
     "versioned_stream_ingest",
     "spec_evolved_read",
     "dedup_spans",
     "bloom_table_read",
-    # tier 2 — the 2 pinned r13-green (staleness 3; cap-4 debt zeroed)
+    "versioned_txn_dml",
+    "bloom_evolved_read",
+    "replace_where_read",
+    # tier 2 — two-green (r13/r14/r15 + r16): one more green row
+    # retires each at the r18 rotation (historical order kept)
     "clustered_table_read",
-    "multimodal_video",
-    # tier 3 — the 15 pinned r14-green (staleness 2)
     "versioned_update",
     "stats_pushdown",
     "versioned_range_read",
@@ -617,14 +640,6 @@ _DRIVER_PRIORITY: list[str] = [
     "bucketed_table_merge",
     "normalize_text",
     "merge_update_cols",
-    "multimodal_gif",
-    "dedup_zipf_prefix",
-    "skewed_token_counts",
-    "skewed_doc_hotness",
-    "hive_layout_read",
-    "compacted_layout_read",
-    "versioned_changes",
-    # tier 4 — the 14 pinned r15-green (staleness 1)
     "bucketed_sorted_read",
     "events_first_touch",
     "events_quantile_sketch",
@@ -633,18 +648,9 @@ _DRIVER_PRIORITY: list[str] = [
     "partial_compact",
     "schema_evolution_read",
     "embedding_quantize",
-    "incremental_agg",
-    "materialized_view",
-    "incremental_index",
-    "mor_delete_read",
-    "index_search",
-    "versioned_stream_follow",
-    # ---- mid-r16 additions (NEW_THIS_ROUND; the window has 15
-    # slots of slack, so they ride in the r16 window itself) ----
-    "versioned_txn_dml",
-    "bloom_evolved_read",
-    "replace_where_read",
-    # ---- retired tier (125) — never sampled again; pytest pins +
+    # ---- mid-r17 additions (NEW_THIS_ROUND) slot here, before the
+    # retired tier ----
+    # ---- retired tier (139) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),
 ]

@@ -676,11 +676,9 @@ GROUND_TRUTH_PINS: dict[str, str] = {
 # have a row — closing the loophole that let r8 skip html_extract/
 # lm_perplexity silently (VERDICT r8 task #3).
 NEW_THIS_ROUND: dict[str, int] = {
-    # (r15's four additions rotated into the r16 window lead — their
-    # exemption is spent; r16 mid-round additions land here)
-    "versioned_txn_dml": 16,
-    "bloom_evolved_read": 16,
-    "replace_where_read": 16,
+    # (r16's three additions got r16 driver rows inside the r16 window
+    # itself — their exemption is spent; r17 mid-round additions land
+    # here)
 }
 
 
@@ -850,16 +848,13 @@ def test_rotation_capacity_is_sustainable():
         f"active registry outgrew the window: {u} unpinned + {p} pinned "
         f"need {u / 3 + p / 5:.1f} slots/round > {WINDOW}"
     )
-    # the mandated simulation: ≥2 rounds past r16 at ~8 additions/round
-    # (we run through r23 — three rounds past the r20 build horizon —
-    # additions pinned per policy). The schedule saturates at r25 at
-    # this rate: sustained 8-pinned-additions/round adds ~1.6
-    # slots/round of steady demand while retirement frees an entry only
-    # after 3 green driver rounds (~10 rounds at cap-5 spacing), so
-    # beyond the horizon the levers are slowing additions or raising
-    # the retire throughput — recorded here so the round that hits it
-    # inherits the analysis, not a surprise.
-    _edf_simulate(additions_per_round=8, end_round=23)
+    # the mandated simulation: well past the r20 build horizon at ~8
+    # additions/round, additions pinned per policy. At the r16 head
+    # the schedule saturated around r25; the r17 retirement wave (14
+    # more entries off-rotation, active set 24 with every survivor one
+    # green from eligibility) pushed the empirically-probed horizon
+    # past r30 — we pin r26 (horizon + 6) as the asserted bound.
+    _edf_simulate(additions_per_round=8, end_round=26)
 
 
 def test_rotation_without_retirement_documented():
@@ -941,23 +936,23 @@ def test_new_this_round_exemption_expires():
     assert not _staleness_violations(order, last, 9, set(), {"late_add": 7})
 
 
-def test_simulated_r17_rotation_is_feasible():
+def test_simulated_r18_rotation_is_feasible():
     """Rotation-debt solvency check, re-pinned each round: the
-    invariant must provably hold through a simulated r17 with no new
-    rows beyond the r16 window. Simulate: every ACTIVE entry in the
-    CURRENT head-50 goes green in r16, the r17 builder rotates
+    invariant must provably hold through a simulated r18 with no new
+    rows beyond the r17 window. Simulate: every ACTIVE entry in the
+    CURRENT head-50 goes green in r17, the r18 builder rotates
     greedily (most-stale first, pinned entries after unpinned at equal
     staleness, retired tier at the tail), and the invariant is
-    evaluated at the r17 head."""
+    evaluated at the r18 head."""
     order = list(Q.QUERIES)
     last, current = _last_green_by_entry()
-    assert current == 16  # this simulation is written against the r16 head
+    assert current == 17  # this simulation is written against the r17 head
     sim_last = dict(last)
     for name in order[:WINDOW]:
-        sim_last[name] = 16
+        sim_last[name] = 17
     pinned = _pinned()
     retired = Q.RETIRED_TO_PYTEST
-    r17_order = sorted(
+    r18_order = sorted(
         order,
         key=lambda n: (
             n in retired,  # retired tier stays at the tail
@@ -966,29 +961,36 @@ def test_simulated_r17_rotation_is_feasible():
         ),
     )
     violations = _staleness_violations(
-        r17_order, sim_last, 17, pinned, {}, retired
+        r18_order, sim_last, 18, pinned, {}, retired
     )
     assert not violations, "\n".join(violations)
 
 
-def test_window_leads_with_never_sampled_entries():
-    # the four mid-r15 additions with no driver row ever lead the r16
-    # window.
+def test_window_leads_with_thinnest_history():
+    # No never-sampled entries remain (first time in the build: the
+    # r16 window covered the entire active set). The r17 tie-break is
+    # green-history thinness: the 7 single-green entries (r16 only)
+    # lead the window.
     order = list(Q.QUERIES)
-    assert order[:4] == [
+    last, _ = _last_green_by_entry()
+    assert all(n in last for n in order), [n for n in order if n not in last]
+    assert order[:7] == [
         "versioned_stream_ingest", "spec_evolved_read",
         "dedup_spans", "bloom_table_read",
+        "versioned_txn_dml", "bloom_evolved_read", "replace_where_read",
     ]
 
 
-def test_r16_window_composition():
+def test_r17_window_composition():
     """Pin the exact tiers so a mid-round insertion can't silently push
-    a stale entry out of the window. After the r16 retirement wave
-    (50 entries newly at ≥3 greens once CORRECTNESS_r15 landed; 75 →
-    125 retired) the ACTIVE set is 35 entries, all pinned — the whole
-    active registry fits inside one window with 15 slots of slack."""
+    a stale entry out of the window. After the r17 retirement wave
+    (14 entries newly at ≥3 greens once CORRECTNESS_r16 landed; 125 →
+    139 retired) the ACTIVE set is 24 entries, all pinned and all
+    r16-green — the whole active registry fits inside one window with
+    26 slots of slack."""
     order = list(Q.QUERIES)
     last, _ = _last_green_by_entry()
+    greens = _green_rounds_by_entry()
     pinned = _pinned()
     retired = Q.RETIRED_TO_PYTEST
     n_active = len(order) - len(retired)
@@ -999,25 +1001,23 @@ def test_r16_window_composition():
     assert all(n in pinned for n in active), [
         n for n in active if n not in pinned
     ]
-    # tier 1: never driver-sampled (the four mid-r15 additions)
-    tier1 = order[:4]
-    assert all(n not in last for n in tier1), tier1
-    # tier 2: the 2 pinned r13-green (staleness 3 at the r16 head —
-    # cap-4 debt zeroed by sampling now)
-    tier2 = order[4:6]
-    assert all(last.get(n) == 13 for n in tier2), tier2
-    # tier 3: the 15 pinned r14-green (staleness 2)
-    tier3 = order[6:21]
-    assert all(last.get(n) == 14 for n in tier3), tier3
-    # tier 4: the 14 pinned r15-green (staleness 1); mid-round
-    # additions (NEW_THIS_ROUND) slot after these, before the retired
-    # tier
-    tier4 = [n for n in order[21:n_active] if n not in NEW_THIS_ROUND]
-    assert all(last.get(n) == 15 for n in tier4), [
-        n for n in tier4 if last.get(n) != 15
+    # every active entry's latest green is r16 (staleness ties at 1)
+    assert all(last.get(n) == 16 for n in active if n not in NEW_THIS_ROUND), [
+        (n, last.get(n)) for n in active if last.get(n) != 16
+    ]
+    # tier 1: single-green (r16 only) — the thinnest histories lead
+    tier1 = order[:7]
+    assert all(greens.get(n) == {16} for n in tier1), [
+        (n, sorted(greens.get(n, ()))) for n in tier1
+    ]
+    # tier 2: two-green (one pre-r16 green + r16); mid-round additions
+    # (NEW_THIS_ROUND) slot after these, before the retired tier
+    tier2 = [n for n in order[7:n_active] if n not in NEW_THIS_ROUND]
+    assert all(len(greens.get(n, ())) == 2 and 16 in greens[n] for n in tier2), [
+        (n, sorted(greens.get(n, ()))) for n in tier2
     ]
     assert set(
-        n for n in order[21:n_active] if n in NEW_THIS_ROUND
+        n for n in order[7:n_active] if n in NEW_THIS_ROUND
     ) == set(NEW_THIS_ROUND)
     # retired tier strictly last
     assert set(order[n_active:]) == set(retired)
@@ -1058,7 +1058,7 @@ def test_prior_round_correctness_rows_were_all_green():
     }
     for r in (
         "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10", "r11",
-        "r12", "r13", "r14", "r15",
+        "r12", "r13", "r14", "r15", "r16",
     ):
         rows = json.loads((REPO / f"CORRECTNESS_{r}.json").read_text())
         red = sorted(k for k, v in rows.items() if not v.get("hash_match"))
