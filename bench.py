@@ -417,6 +417,11 @@ def main() -> None:
         # replaceWhere backfill shape: ONE commit swaps the middle
         # doc_id slice; leak attempt fails closed, replay no-ops)
         "replace_where_read",
+        # round-17 addition: DATE-keyed manifest blooms (epoch-day
+        # canonicalization shared by writer stamps and probes; 3-day
+        # lookup opens <=4 files, provably-absent day opens zero,
+        # bitmap bytes in lazy per-file sidecar blobs)
+        "versioned_date_bloom_read",
         # round-12 addition: recorded clustering spec (create clustered
         # from hash-partitioned input → spec-driven merge re-cluster →
         # stat-pruned quintile read, fail-closed on files_scanned)

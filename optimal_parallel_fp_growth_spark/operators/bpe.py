@@ -145,7 +145,10 @@ def apply_bpe(
     ``word → token count`` across its whole partition stream (round
     16, VERDICT r15 task #6): text is Zipfian, so the hit rate on
     real corpora is >90% and the greedy merge loop runs roughly once
-    per DISTINCT word per worker instead of once per occurrence."""
+    per DISTINCT word per worker instead of once per occurrence. The
+    1M-entry bound evicts the oldest HALF when hit (round 17), so a
+    hostile non-Zipfian vocab degrades to steady-state partial caching
+    rather than full-recompute spikes."""
     rank_list = [
         ((r.left, r.right), r.rank) for r in merges.collect()
     ]
@@ -160,7 +163,14 @@ def apply_bpe(
             n = memo.get(w)
             if n is None:
                 if len(memo) >= 1_000_000:
-                    memo.clear()  # bound worker memory on hostile vocab
+                    # bound worker memory on hostile vocab by evicting
+                    # HALF (oldest-inserted first — dict order), not
+                    # clearing wholesale: a full clear() made the cache
+                    # oscillate between full and empty with periodic
+                    # full-recompute spikes (advice r16 / VERDICT
+                    # what's-wrong #3); steady-state keeps the hot tail
+                    for k in list(memo)[:500_000]:
+                        del memo[k]
                 n = memo[w] = len(_apply_merges(w, ranks))
             return n
 

@@ -46,6 +46,11 @@ def _split_tokens(text_col: str, sep: str) -> Column:
     rather than mis-parsed)."""
     if "\\E" in sep:
         raise ValueError(r"sep must not contain the regex literal \E")
+    if sep == "":
+        # \Q\E matches the empty string: the split would cut between
+        # every character and yield empty edge tokens — nonsense grams,
+        # silently (advice r16). Reject like the \E case.
+        raise ValueError("sep must not be empty")
     return F.split(F.col(text_col), "\\Q" + sep + "\\E")
 
 

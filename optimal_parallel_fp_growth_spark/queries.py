@@ -650,6 +650,7 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_quantize",
     # ---- mid-r17 additions (NEW_THIS_ROUND) slot here, before the
     # retired tier ----
+    "versioned_date_bloom_read",
     # ---- retired tier (139) — never sampled again; pytest pins +
     # the judge's full oracle sweep carry their correctness ----
     *sorted(RETIRED_TO_PYTEST),

@@ -1610,6 +1610,144 @@ GROUP BY lang
 """
 
 
+# the date-key scatter mapping for versioned_date_bloom_read:
+# day(doc_id) = epoch + (doc_id * P) % M days. P prime and coprime to
+# M scatters consecutive ids across the full span; the mapping is a
+# bijection for doc_id < M but NOT for arbitrary ids (the 10x replica
+# key-shifts ids to ~9e9), so the oracle and every gate are stated in
+# DAY-MEMBERSHIP terms — colliding documents appear on both sides
+# identically. M spans ~5475 years (max year ~7445, inside both
+# Spark's and DuckDB's date range).
+_DATE_BLOOM_P = 1_000_003
+_DATE_BLOOM_M = 2_000_000
+
+
+def q_versioned_date_bloom_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest Bloom file-skipping on a DATE key (round 17, VERDICT
+    r16 task #4; sources/versioned.py::_BUCKETABLE_TYPES +
+    canon_date_days): documents stamped with a synthetic SCATTERED
+    date (bijective in doc_id, decorrelated from the doc_id file
+    clustering so range stats prune nothing) written with per-file
+    bloom bitmaps on the date column — the writer canonicalizes
+    date32 values to epoch days and the probe side coerces
+    ``datetime.date`` / ISO-string probes through the same integers.
+    A 3-day point lookup must open at most one file per matching row
+    (+1 fp allowance), a verified-absent in-range day opens ZERO, and
+    the pruned read equals the full-scan filter row-for-row; the
+    oracle restates the lookup in the same day-membership terms, so
+    day collisions (possible on key-shifted replicas where ids exceed
+    the mapping modulus) appear identically on both sides."""
+    import datetime
+    import os
+
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        session_temp_layout,
+    )
+    from optimal_parallel_fp_growth_spark.sources import versioned as V
+
+    epoch = datetime.date(1970, 1, 1)
+
+    def day_of(doc_id: int) -> datetime.date:
+        return epoch + datetime.timedelta(
+            days=(doc_id * _DATE_BLOOM_P) % _DATE_BLOOM_M
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            ((F.col("doc_id") * _DATE_BLOOM_P) % _DATE_BLOOM_M).cast(
+                "int"
+            ),
+        ).alias("day"),
+        "lang",
+        "n_chars",
+    )
+    with session_temp_layout(spark, "datebloom") as (tdir, materialize):
+        path = os.path.join(tdir, "tbl")
+        V.create_table(
+            docs.repartitionByRange(8, "doc_id"), path,
+            bloom_cols=["day"],  # bits="auto": width from distincts
+        )
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        probe_ids = [0, hi // 2, hi]
+        probes = sorted({day_of(i) for i in probe_ids})
+        total = V.files_scanned(path)
+        fullscan = V.read_table(spark, path).where(
+            F.col("day").isin(probes)
+        )
+        row = (
+            fullscan.select(F.input_file_name().alias("__f"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("__f").alias("nf"),
+            )
+            .first()
+        )
+        full, containing = int(row["n"]), int(row["nf"])
+        opened = V.files_scanned(path, prune=("day", "in", probes))
+        # collision-robust gate: the bloom must open at most the files
+        # that truly CONTAIN a probed day (+1 fp allowance) — on
+        # key-shifted replicas a probed day may legitimately hold
+        # several documents across several (or even all) files, so
+        # "must cut the scan" is only demanded when containment
+        # leaves something to cut
+        if not (opened <= containing + 1):
+            raise AssertionError(
+                f"date bloom skipping failed: probed days live in "
+                f"{containing} files but the lookup opened {opened}"
+            )
+        if containing < total and opened >= total:
+            raise AssertionError(
+                f"date bloom cut nothing: {containing} containing "
+                f"files of {total}, opened {opened}"
+            )
+        # an in-range day VERIFIED absent from the corpus opens zero
+        # files (the bloom-specific gate: range stats alone keep it)
+        absent = day_of(hi + 1)
+        holders = docs.where(F.col("day") == F.lit(absent)).count()
+        if holders == 0 and V.files_scanned(
+            path, prune=("day", "==", absent)
+        ) != 0:
+            raise AssertionError("absent day did not prune every file")
+        # ISO-string probes canonicalize through the same epoch days
+        if V.files_scanned(
+            path, prune=("day", "==", probes[0].isoformat())
+        ) != V.files_scanned(path, prune=("day", "==", probes[0])):
+            raise AssertionError("ISO-string probe diverged from date")
+        pruned = (
+            V.read_table(spark, path, prune=("day", "in", probes))
+            .where(F.col("day").isin(probes))
+            .count()
+        )
+        if pruned != full:
+            raise AssertionError(
+                f"date bloom pruning lost rows: {pruned} != {full}"
+            )
+        out = (
+            V.read_table(spark, path, prune=("day", "in", probes))
+            .where(F.col("day").isin(probes))
+            .select("doc_id", "lang", "n_chars")
+        )
+        return materialize(out)
+
+
+ORACLE_VERSIONED_DATE_BLOOM_READ = """
+WITH m AS (SELECT max(doc_id) AS hi FROM documents),
+probes AS (
+  SELECT DISTINCT (x * 1000003) % 2000000 AS off
+  FROM (
+    SELECT unnest([0, (SELECT hi FROM m) // 2, (SELECT hi FROM m)]) AS x
+  )
+)
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE (doc_id * 1000003) % 2000000 IN (SELECT off FROM probes)
+"""
+
+
 def q_versioned_txn_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once DML under the oracle gate (round 16, VERDICT r15
     task #3; sources/versioned.py::delete_where/update_where/
@@ -3269,6 +3407,7 @@ DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_txn_dml": q_versioned_txn_dml,
     "bloom_evolved_read": q_bloom_evolved_read,
     "replace_where_read": q_replace_where_read,
+    "versioned_date_bloom_read": q_versioned_date_bloom_read,
     "clustered_table_read": q_clustered_table_read,
     "versioned_update": q_versioned_update,
     "stats_pushdown": q_stats_pushdown,
@@ -3345,6 +3484,7 @@ DOC_ORACLES: dict[str, str] = {
     "versioned_txn_dml": ORACLE_VERSIONED_TXN_DML,
     "bloom_evolved_read": ORACLE_BLOOM_EVOLVED_READ,
     "replace_where_read": ORACLE_REPLACE_WHERE_READ,
+    "versioned_date_bloom_read": ORACLE_VERSIONED_DATE_BLOOM_READ,
     "clustered_table_read": ORACLE_CLUSTERED_TABLE_READ,
     "versioned_update": ORACLE_VERSIONED_UPDATE,
     "stats_pushdown": ORACLE_STATS_PUSHDOWN,

@@ -287,7 +287,17 @@ def _file_stats(
         else _STATS_DISTRIBUTE_MIN_LIGHT
     )
     if spark is not None and len(rel_files) >= threshold:
-        return _file_stats_distributed(spark, path, rel_files, bspec, sid)
+        try:
+            return _file_stats_distributed(spark, path, rel_files, bspec, sid)
+        except Exception:
+            # executor Python workers could not run the kernel — most
+            # commonly the package is importable on the DRIVER only
+            # (sys.path tweak without PYTHONPATH, so cloudpickle's
+            # by-reference module import fails in the worker). The
+            # sequential driver loop computes the identical result
+            # (advice r16, low): correctness first, parallelism when
+            # the environment allows it.
+            pass
     return {
         rel: _stats_for_one_file(path, rel, bspec, sid) for rel in rel_files
     }
@@ -334,10 +344,169 @@ def _file_stats_distributed(
     return {rel: got.get(rel, {}) for rel in rel_files}
 
 
+def _footer_range_stats(meta) -> tuple[dict, list[str]]:
+    """Per-column [min, max] from a parquet FOOTER plus ``__rows`` —
+    the part of the stats that only the written file's row-group
+    statistics can provide (no data scan either way). Returns
+    (stats, float_cols); float columns need the companion ``__nan``
+    flag before their ranges are trustworthy."""
+    import pyarrow as pa
+
+    stats: dict = {}
+    schema = meta.schema.to_arrow_schema()
+    float_cols: list[str] = []
+    for ci in range(meta.num_columns):
+        col = meta.schema.column(ci)
+        if "." in col.path:
+            continue  # nested field — no file-level scalar range
+        name = col.path
+        typ = schema.field(name).type
+        if not (
+            pa.types.is_integer(typ)
+            or pa.types.is_floating(typ)
+            or pa.types.is_string(typ)
+            or pa.types.is_large_string(typ)
+            or pa.types.is_date(typ)
+            or pa.types.is_timestamp(typ)
+            or pa.types.is_boolean(typ)
+        ):
+            continue
+        if pa.types.is_floating(typ):
+            float_cols.append(name)
+        lo = hi = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            s = meta.row_group(rg).column(ci).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            mn, mx = s.min, s.max
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            if pa.types.is_date(typ) or pa.types.is_timestamp(typ):
+                # ISO strings: lexicographic == chronological.
+                # Timestamp stats come back tz-aware (parquet
+                # marks them adjusted-to-UTC); drop to naive
+                # UTC so they compare cleanly against naive
+                # probe values (_stat_probe) — a trailing
+                # '+00:00' would break the <=/>= boundary.
+                lo, hi = _iso_naive(lo), _iso_naive(hi)
+            stats[name] = [lo, hi]
+    if "__rows" not in stats:
+        # footer row count (Iceberg record_count): lets a
+        # mask-free COUNT(*) answer from the manifest alone
+        stats["__rows"] = meta.num_rows
+    return stats, float_cols
+
+
+def _nan_flags_of(table, float_cols: list[str]) -> dict[str, bool]:
+    """Per-file NaN flags (round 15, VERDICT r14 task #5 — the Iceberg
+    nan_value_counts shape): parquet footer min/max EXCLUDE NaN while
+    Spark and DuckDB order NaN above every value, so float range stats
+    are only trustworthy when the file provably holds none. Computed
+    from an in-memory arrow table — the just-written batch in the
+    fused write path, a column read in the repair path; readers treat
+    a missing flag as NaN-unknown (prune fail-open, minmax
+    fail-closed)."""
+    import pyarrow.compute as pc
+
+    return {
+        c: bool(
+            pc.any(pc.is_nan(table.column(c)), min_count=0).as_py()
+        )
+        for c in float_cols
+    }
+
+
+def _bloom_entries_of(
+    table, bcols: list[str], bspec: dict, blob_abs_path: str
+) -> dict | None:
+    """Build the per-column bloom bitmaps from an in-memory arrow
+    table, write them to the file's SIDECAR BLOB (round 17, VERDICT
+    r16 task #2 — the Iceberg puffin shape: inlining base64 bitmaps in
+    the single-JSON manifest made every reader parse O(files ×
+    bloom-cols × up-to-700KB) on EVERY read; the manifest now carries
+    only (off, len, m, k) per column and readers load a blob slice
+    lazily, only for probed columns on files that survive range
+    pruning), and return the manifest entries — or None when every
+    column is empty/saturated (fail-open).
+
+    The blob lives ADJACENT to its data file (<file>.bloom): the
+    lifecycle contract — vacuum strips it with the file, clones remap
+    it by the same file key, carried-forward files keep the path
+    valid. Written atomically (tmp + rename); a commit retry rewrites
+    identical bytes, so the replace is idempotent."""
+    import pyarrow as pa
+
+    from optimal_parallel_fp_growth_spark.functions.spark_hash import (
+        canon_date_days,
+        canon_ts_micros,
+    )
+
+    bits_spec = bspec.get("bits") or _BLOOM_DEFAULT_BITS
+    kk = int(bspec.get("k") or _BLOOM_K)
+    blooms: dict[str, bytes] = {}
+    widths: dict[str, int] = {}
+    for c in bcols:
+        vals = {v for v in table.column(c).to_pylist() if v is not None}
+        ctyp = table.schema.field(c).type
+        if pa.types.is_date(ctyp):
+            # canonicalize to epoch days/µs (round 17): the probe
+            # side (_bloom_probe_value) hashes the same integers,
+            # making str() a bijection for temporal keys exactly as
+            # it is for int/string ones
+            vals = {
+                d for d in (canon_date_days(v) for v in vals)
+                if d is not None
+            }
+        elif pa.types.is_timestamp(ctyp):
+            vals = {
+                u for u in (canon_ts_micros(v) for v in vals)
+                if u is not None
+            }
+        # bits="auto" (round 16, VERDICT r15 task #4): derive the
+        # width from THIS file's actual distinct count — a frozen
+        # default silently saturates once files outgrow it (the
+        # 10×-gate lesson); the per-entry "m" the reader probes
+        # with rides in the manifest, so widths may vary
+        # file-to-file and commit-to-commit.
+        m = (
+            bloom_bits_for(len(vals))
+            if bits_spec == "auto"
+            else int(bits_spec)
+        )
+        if not vals or len(vals) > m // 8:
+            continue  # empty or saturated: fail-open
+        blooms[c] = _bloom_of_values(vals, m, kk)
+        widths[c] = m
+    if not blooms:
+        return None
+    entries: dict[str, dict] = {}
+    blob = bytearray()
+    for c in sorted(blooms):
+        entries[c] = {
+            "off": len(blob),
+            "len": len(blooms[c]),
+            "m": widths[c],
+            "k": kk,
+        }
+        blob += blooms[c]
+    bp = blob_abs_path
+    tmp = f"{bp}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(blob))
+    os.replace(tmp, bp)
+    return entries
+
+
 def _stats_for_one_file(path: str, rel: str, bspec: dict, sid) -> dict:
     """Footer ranges + ``__rows``/``__nan``/``__bloom``/``__spec`` for
     ONE data file — pure function of (file, bloom spec, spec era), so
-    the driver loop and the distributed job share it verbatim."""
+    the driver loop and the distributed job share it verbatim. This is
+    the REPAIR/COMPAT path that re-opens the file; the fused write
+    kernel (:func:`_write_data_and_stats`) computes the same stats
+    from the in-memory batch at write time and never re-reads."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -346,121 +515,22 @@ def _stats_for_one_file(path: str, rel: str, bspec: dict, sid) -> dict:
         abs_path = str(pathlib.Path(path) / rel)
         meta = pq.ParquetFile(abs_path).metadata
         schema = meta.schema.to_arrow_schema()
-        float_cols: list[str] = []
-        for ci in range(meta.num_columns):
-            col = meta.schema.column(ci)
-            if "." in col.path:
-                continue  # nested field — no file-level scalar range
-            name = col.path
-            typ = schema.field(name).type
-            if not (
-                pa.types.is_integer(typ)
-                or pa.types.is_floating(typ)
-                or pa.types.is_string(typ)
-                or pa.types.is_large_string(typ)
-                or pa.types.is_date(typ)
-                or pa.types.is_timestamp(typ)
-                or pa.types.is_boolean(typ)
-            ):
-                continue
-            if pa.types.is_floating(typ):
-                float_cols.append(name)
-            lo = hi = None
-            ok = True
-            for rg in range(meta.num_row_groups):
-                s = meta.row_group(rg).column(ci).statistics
-                if s is None or not s.has_min_max:
-                    ok = False
-                    break
-                mn, mx = s.min, s.max
-                lo = mn if lo is None or mn < lo else lo
-                hi = mx if hi is None or mx > hi else hi
-            if ok and lo is not None:
-                if pa.types.is_date(typ) or pa.types.is_timestamp(typ):
-                    # ISO strings: lexicographic == chronological.
-                    # Timestamp stats come back tz-aware (parquet
-                    # marks them adjusted-to-UTC); drop to naive
-                    # UTC so they compare cleanly against naive
-                    # probe values (_stat_probe) — a trailing
-                    # '+00:00' would break the <=/>= boundary.
-                    lo, hi = _iso_naive(lo), _iso_naive(hi)
-                stats[name] = [lo, hi]
-        if "__rows" not in stats:
-            # footer row count (Iceberg record_count): lets a
-            # mask-free COUNT(*) answer from the manifest alone
-            stats["__rows"] = meta.num_rows
+        stats, float_cols = _footer_range_stats(meta)
         if float_cols and meta.num_rows:
-            # per-file NaN flags (round 15, VERDICT r14 task #5 —
-            # the Iceberg nan_value_counts shape): parquet footer
-            # min/max EXCLUDE NaN while Spark and DuckDB order NaN
-            # above every value, so float range stats are only
-            # trustworthy when the file provably holds none. One
-            # extra column read at COMMIT time buys exact
-            # table_minmax and predicate pruning on every NaN-free
-            # float file; readers treat a missing flag as
-            # NaN-unknown (prune fail-open, minmax fail-closed).
-            import pyarrow.compute as pc
-
             cols = pq.read_table(abs_path, columns=float_cols)
-            stats["__nan"] = {
-                c: bool(
-                    pc.any(
-                        pc.is_nan(cols.column(c)), min_count=0
-                    ).as_py()
-                )
-                for c in float_cols
-            }
+            stats["__nan"] = _nan_flags_of(cols, float_cols)
         elif float_cols:
             stats["__nan"] = {c: False for c in float_cols}
         bcols = [
             c for c in (bspec.get("cols") or []) if c in schema.names
         ]
         if bcols and meta.num_rows:
-            # manifest bloom filters (round 15 — the Iceberg
-            # puffin-blob shape brought INTO the manifest): a
-            # point lookup on a scattered key can skip files with
-            # ZERO file opens, where min/max ranges span
-            # everything. One column read per file at COMMIT time
-            # (the __nan trade); a file whose distinct count
-            # saturates the fixed bitmap stores NOTHING and
-            # fail-opens — the bitmap never grows past its cap,
-            # so manifests stay lean at any file size.
-            import base64 as _b64
-
-            bits_spec = bspec.get("bits") or _BLOOM_DEFAULT_BITS
-            kk = int(bspec.get("k") or _BLOOM_K)
-            cols = pq.read_table(
-                abs_path, columns=[c for c in bcols]
+            cols = pq.read_table(abs_path, columns=[c for c in bcols])
+            entries = _bloom_entries_of(
+                cols, bcols, bspec, abs_path + _BLOOM_BLOB_SUFFIX
             )
-            blooms = {}
-            for c in bcols:
-                vals = {
-                    v for v in cols.column(c).to_pylist()
-                    if v is not None
-                }
-                # bits="auto" (round 16, VERDICT r15 task #4):
-                # derive the width from THIS file's actual
-                # distinct count — a frozen default silently
-                # saturates once files outgrow it (the 10×-gate
-                # lesson); the per-entry "m" the reader probes
-                # with already rides in the manifest, so widths
-                # may vary file-to-file and commit-to-commit.
-                m = (
-                    bloom_bits_for(len(vals))
-                    if bits_spec == "auto"
-                    else int(bits_spec)
-                )
-                if not vals or len(vals) > m // 8:
-                    continue  # empty or saturated: fail-open
-                blooms[c] = {
-                    "b64": _b64.b64encode(
-                        _bloom_of_values(vals, m, kk)
-                    ).decode(),
-                    "m": m,
-                    "k": kk,
-                }
-            if blooms:
-                stats["__bloom"] = blooms
+            if entries:
+                stats["__bloom"] = entries
         if sid:
             # spec-era stamp (round 15): which partition-spec era
             # this file was written under. Stamped from the SAME
@@ -882,7 +952,16 @@ def _stamp_buckets(
     return stats
 
 
-_BUCKETABLE_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+# the key types whose Spark hash the manifest math reproduces and
+# whose bloom canonicalization is a bijection. date/timestamp joined
+# in round 17 (VERDICT r16 task #4) via epoch-day/epoch-µs
+# canonicalization (functions/spark_hash.py::canon_date_days /
+# canon_ts_micros) shared by writer stamps, bucket probes and bloom
+# probes — a date-partitioned corpus (the most common 100 TB layout)
+# can now bloom- and bucket-skip on its natural key.
+_BUCKETABLE_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "string", "date", "timestamp",
+)
 
 
 _BLOOM_DEFAULT_BITS = 1 << 14  # 16 Kbit ≈ 2.7 KB base64 per file/col
@@ -902,9 +981,13 @@ def bloom_bits_for(
     stores NOTHING under 8 bits/value, so a frozen width silently
     forfeits skipping once files outgrow it (exactly what the 10×
     gate check caught); derive the width from the expected per-file
-    distinct count instead. ``max_bits`` (4 Mbit = 700 KB base64)
-    bounds manifest growth — past it, prefer more files or a bucket
-    layout."""
+    distinct count instead. ``max_bits`` (4 Mbit = 512 KB raw) bounds
+    each PER-FILE SIDECAR BLOB (round 17: bitmaps live next to their
+    data file, never inline in the manifest, so the manifest stays
+    KB-scale at any file count — the worst case is one 512 KB blob
+    slice per bloom column per file, loaded lazily and only for
+    probed files that survive range pruning); past it, prefer more
+    files or a bucket layout."""
     need = max(int(n_per_file), 1) * bits_per_value
     m = int(min_bits)
     while m < need and m < max_bits:
@@ -950,10 +1033,64 @@ def _bloom_of_values(values, m_bits: int, k: int) -> bytes:
     return bytes(bits)
 
 
-def _bloom_may_contain(entry_col: dict, value) -> bool:
-    import base64 as _b64
+_BLOOM_BLOB_SUFFIX = ".bloom"
 
-    bits = _b64.b64decode(entry_col["b64"])
+
+def _bloom_blob_path(path: str, file_key: str) -> str:
+    """The sidecar blob adjacent to a manifest data-file key — table-
+    relative keys resolve under ``path``; absolute keys (shallow-clone
+    references) resolve as-is, so a clone probes the SOURCE's blobs."""
+    p = (
+        pathlib.Path(file_key)
+        if os.path.isabs(file_key)
+        else pathlib.Path(path) / file_key
+    )
+    return str(p) + _BLOOM_BLOB_SUFFIX
+
+
+def _bloom_entry_bits(
+    entry_col: dict, blob_path: str | None, cache: dict | None = None
+) -> bytes | None:
+    """The bitmap bytes for one (file, column) bloom entry — a lazy
+    ranged read of the per-file sidecar blob (only the probed column's
+    slice, only for files that survived range pruning), memoized in
+    ``cache`` for the duration of one prune pass. Legacy manifests
+    (pre-r17) inlined base64 bitmaps; those decode in place. A
+    missing/truncated blob returns None and the caller fails OPEN —
+    a kept file is never a wrong answer."""
+    if "b64" in entry_col:
+        import base64 as _b64
+
+        return _b64.b64decode(entry_col["b64"])
+    if blob_path is None:
+        return None
+    off, ln = int(entry_col["off"]), int(entry_col["len"])
+    key = (blob_path, off, ln)
+    if cache is not None and key in cache:
+        return cache[key]
+    bits = None
+    try:
+        with open(blob_path, "rb") as fh:
+            fh.seek(off)
+            b = fh.read(ln)
+        if len(b) == ln:
+            bits = b
+    except OSError:
+        bits = None
+    if cache is not None:
+        cache[key] = bits
+    return bits
+
+
+def _bloom_may_contain(
+    entry_col: dict,
+    value,
+    blob_path: str | None = None,
+    cache: dict | None = None,
+) -> bool:
+    bits = _bloom_entry_bits(entry_col, blob_path, cache)
+    if bits is None:
+        return True  # blob unavailable: fail-open
     m, k = int(entry_col["m"]), int(entry_col["k"])
     for p in _bloom_positions(value, m, k):
         if not (bits[p >> 3] >> (p & 7)) & 1:
@@ -985,6 +1122,23 @@ def _bloom_probe_value(value, coltype: str | None):
         return _BLOOM_NO_COERCE
     if coltype == "string":
         return value if isinstance(value, str) else _BLOOM_NO_COERCE
+    if coltype == "date":
+        # round 17 (VERDICT r16 task #4): date keys canonicalize to
+        # EPOCH DAYS — the same integer the writer hashed the stored
+        # date32 values through — so probe and bitmap share one domain
+        from optimal_parallel_fp_growth_spark.functions.spark_hash import (
+            canon_date_days,
+        )
+
+        d = canon_date_days(value)
+        return d if d is not None else _BLOOM_NO_COERCE
+    if coltype in ("timestamp", "timestamp_ntz"):
+        from optimal_parallel_fp_growth_spark.functions.spark_hash import (
+            canon_ts_micros,
+        )
+
+        us = canon_ts_micros(value)
+        return us if us is not None else _BLOOM_NO_COERCE
     return _BLOOM_NO_COERCE
 
 
@@ -1006,6 +1160,38 @@ def _era_bucket_spec(
     return b.get("col"), int(b.get("n") or 0)
 
 
+def _probe_in_col_domain(val, coltype: str | None):
+    """Fold a cross-domain temporal probe into the COLUMN's domain the
+    way Spark's comparison would (round 17): a datetime at exact
+    midnight probing a DATE column becomes that date (Spark casts the
+    date side to a midnight timestamp, so they compare EQUAL — but the
+    ISO stat strings "2024-01-10" vs "2024-01-10 00:00:00" do not,
+    and at a file's range boundary that mismatch would prune a file
+    holding matching rows); a date probing a TIMESTAMP column becomes
+    its midnight datetime for the same reason. Non-midnight datetimes
+    on a date column keep their form — prefix ordering then agrees
+    with chronological order for every strict comparison, and
+    equality is impossible."""
+    import datetime as _dt
+
+    if coltype == "date" and isinstance(val, _dt.datetime):
+        v = (
+            val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            if val.tzinfo is not None
+            else val
+        )
+        if v.time() == _dt.time(0, 0):
+            return v.date()
+        return val
+    if (
+        coltype in ("timestamp", "timestamp_ntz")
+        and isinstance(val, _dt.date)
+        and not isinstance(val, _dt.datetime)
+    ):
+        return _dt.datetime(val.year, val.month, val.day)
+    return val
+
+
 def _file_passes(
     entry: dict | None,
     preds: list[tuple[str, str, object]],
@@ -1013,6 +1199,8 @@ def _file_passes(
     bn: int,
     types: dict[str, str],
     specs: dict | None = None,
+    blob_path: str | None = None,
+    blob_cache: dict | None = None,
 ) -> bool:
     """Range-stats survival for every predicate, PLUS bucket-identity
     pruning: an equality on the bucket column skips every file whose
@@ -1038,6 +1226,11 @@ def _file_passes(
     spec and post-evolution files by the new one."""
     bcol, bn = _era_bucket_spec(entry, specs, bcol, bn)
     for col, op, val in preds:
+        val = (
+            [_probe_in_col_domain(v, types.get(col)) for v in val]
+            if op == "in"
+            else _probe_in_col_domain(val, types.get(col))
+        )
         if types.get(col) in ("float", "double"):
             if ((entry or {}).get("__nan") or {}).get(col) is not False:
                 continue  # NaN-unknown/NaN-holding: never range-prune
@@ -1060,7 +1253,8 @@ def _file_passes(
                 if v is not None
             ]
             if keys and not any(
-                k is _BLOOM_NO_COERCE or _bloom_may_contain(bl, k)
+                k is _BLOOM_NO_COERCE
+                or _bloom_may_contain(bl, k, blob_path, blob_cache)
                 for k in keys
             ):
                 return False
@@ -1072,14 +1266,48 @@ def _file_passes(
                     bucket_of,
                 )
 
-                wanted = (
-                    {bucket_of(v, t, bn) for v in val}
-                    if op == "in"
-                    else {bucket_of(val, t, bn)}
-                )
+                try:
+                    wanted = (
+                        {bucket_of(v, t, bn) for v in val}
+                        if op == "in"
+                        else {bucket_of(val, t, bn)}
+                    )
+                except (ValueError, TypeError):
+                    # probe not canonicalizable to the key type (e.g.
+                    # a string on a date bucket column): fail OPEN —
+                    # range stats already had their say, and a kept
+                    # file is never a wrong answer (round 17)
+                    continue
                 if b not in wanted:
                     return False
     return True
+
+
+def _passing_files(
+    path: str,
+    man: dict,
+    files: list[str],
+    preds: list[tuple[str, str, object]],
+    types: dict[str, str] | None = None,
+) -> list[str]:
+    """The subset of ``files`` a predicate list cannot exclude — range
+    stats, bucket identity, and manifest blooms, sharing one per-pass
+    bloom-blob cache so each probed (file, column) slice is read at
+    most once. Every stats-pruning call site funnels through here so
+    the lazy-sidecar plumbing has a single owner."""
+    fstats = man.get("file_stats") or {}
+    bcol, bn = _spec_bucket(path)
+    if types is None:
+        types = dict(man.get("schema") or [])
+    cache: dict = {}
+    return [
+        f
+        for f in files
+        if _file_passes(
+            fstats.get(f), preds, bcol, bn, types, man.get("specs"),
+            _bloom_blob_path(path, f), cache,
+        )
+    ]
 
 
 def create_table(
@@ -1102,8 +1330,7 @@ def create_table(
     FIRST batch created the table detects that batch's replay too.
 
     ``bloom_cols`` (round 15 — the Iceberg puffin / Parquet
-    footer-bloom shape, lifted into the MANIFEST so pruning needs
-    zero file opens): record per-file Bloom bitmaps for the named
+    footer-bloom shape): record per-file Bloom bitmaps for the named
     int/string columns at every commit. Point lookups (``==`` / ``in``
     prunes) then skip files whose bitmap proves non-membership — the
     file-skipping tier for SCATTERED keys, where every file's
@@ -1115,8 +1342,13 @@ def create_table(
     silently saturate as files grow; an explicit integer width caps
     every bitmap at that many bits instead, and a file with more
     distinct values than the cap can hold stores nothing and
-    fail-opens, so manifests stay lean at any file size. Composes
-    with any layout (the bitmap is per-file metadata, not a layout).
+    fail-opens. Bitmap BYTES live in a per-file sidecar blob
+    (``<file>.parquet.bloom`` — round 17, the puffin shape proper):
+    the manifest carries only (offset, length, m, k) per column, so
+    it stays KB-scale at any file count, and readers load a blob
+    slice lazily — only for probed columns on files that survive
+    range pruning. Composes with any layout (the bitmap is per-file
+    metadata, not a layout).
 
     ``cluster_by`` (round 12, the Delta liquid-clustering analog as a
     recorded TABLE property): cluster + sort this write on the named
@@ -1692,13 +1924,8 @@ def _compact_where(
     only the stats-intersecting files, carry the rest by reference."""
     fstats = man.get("file_stats") or {}
     bcol, bn = _spec_bucket(path)
-    types = dict(man.get("schema") or [])
-    untouched = [
-        f
-        for f in man["files"]
-        if not _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
-    ]
-    affected = [f for f in man["files"] if f not in set(untouched)]
+    affected = _passing_files(path, man, man["files"], preds)
+    untouched = [f for f in man["files"] if f not in set(affected)]
     if not affected:
         return cur  # nothing intersects: version-free no-op, like purge
     new_files: list[str] = []
@@ -2435,14 +2662,7 @@ def read_table(
         raise ValueError(f"version {v} has no files")
     preds = _norm_prune(prune)
     if preds:
-        fstats = man.get("file_stats") or {}
-        bcol, bn = _spec_bucket(path)
-        types = dict(man.get("schema") or [])
-        files = [
-            f
-            for f in files
-            if _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
-        ]
+        files = _passing_files(path, man, files, preds)
         if not files:
             # every file pruned: empty result with the table schema
             schema = man.get("schema")
@@ -2480,14 +2700,7 @@ def files_scanned(
     preds = _norm_prune(prune)
     if not preds:
         return len(files)
-    fstats = man.get("file_stats") or {}
-    bcol, bn = _spec_bucket(path)
-    types = dict(man.get("schema") or [])
-    return sum(
-        1
-        for f in files
-        if _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
-    )
+    return len(_passing_files(path, man, files, preds))
 
 
 def _split_files_by_stats(
@@ -3027,13 +3240,8 @@ def delete_where(
         raise ValueError("delete_where needs a predicate")
     fstats = man.get("file_stats") or {}
     bcol, bn = _spec_bucket(path)
-    types = dict(man.get("schema") or [])
-    untouched = [
-        f
-        for f in man["files"]
-        if not _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
-    ]
-    affected = [f for f in man["files"] if f not in set(untouched)]
+    affected = _passing_files(path, man, man["files"], preds)
+    untouched = [f for f in man["files"] if f not in set(affected)]
     new_files: list[str] = []
     if affected:
         cond = _prune_cond(preds)
@@ -3128,13 +3336,10 @@ def update_where(
             )
     fstats = man.get("file_stats") or {}
     bcol, bn = _spec_bucket(path)
-    types = dict(schema or [])
-    untouched = [
-        f
-        for f in man["files"]
-        if not _file_passes(fstats.get(f), preds, bcol, bn, types, man.get("specs"))
-    ]
-    affected = [f for f in man["files"] if f not in set(untouched)]
+    affected = _passing_files(
+        path, man, man["files"], preds, types=dict(schema or [])
+    )
+    untouched = [f for f in man["files"] if f not in set(affected)]
     new_files: list[str] = []
     if affected:
         cond = _prune_cond(preds)
@@ -3300,15 +3505,10 @@ def overwrite_where(
         )
     fstats = man.get("file_stats") or {}
     bcol, bn = _spec_bucket(path)
-    types = dict(schema)
-    untouched = [
-        f
-        for f in man["files"]
-        if not _file_passes(
-            fstats.get(f), preds, bcol, bn, types, man.get("specs")
-        )
-    ]
-    affected = [f for f in man["files"] if f not in set(untouched)]
+    affected = _passing_files(
+        path, man, man["files"], preds, types=dict(schema)
+    )
+    untouched = [f for f in man["files"] if f not in set(affected)]
     base = aligned
     if affected:
         kept = _apply_delete_masks(
@@ -3809,6 +4009,15 @@ def clone_table(
             target = pathlib.Path(dst) / f
             target.parent.mkdir(parents=True, exist_ok=True)
             shutil.copy2(src_root / f, target)
+            # a data file's bloom sidecar blob travels with it (round
+            # 17): the manifest's __bloom entries reference it by
+            # adjacency, so a deep clone without the blob would
+            # silently fail-open every bloom probe. Shallow clones
+            # need nothing — the absolute file key resolves the blob
+            # under the SOURCE root.
+            blob = pathlib.Path(str(src_root / f) + _BLOOM_BLOB_SUFFIX)
+            if blob.is_file():
+                shutil.copy2(blob, str(target) + _BLOOM_BLOB_SUFFIX)
             mapping[f] = f
     files = [mapping[f] for f in man["files"]]
     dels = [
@@ -4110,6 +4319,12 @@ def describe_table(path: str, version: int | None = None) -> dict:
             size += p.stat().st_size
         except OSError:
             pass  # a vacuumed-away historical ref: size is best-effort
+        try:
+            size += pathlib.Path(
+                str(p) + _BLOOM_BLOB_SUFFIX
+            ).stat().st_size  # bloom sidecar blobs count too (round 17)
+        except OSError:
+            pass
     try:
         rows = table_rowcount(path, v)
     except ValueError:
@@ -4241,6 +4456,19 @@ def vacuum_table(
     for f in doomed:
         f.unlink()
         deleted += 1
+        # the bloom sidecar blob lives and dies with its data file
+        # (adjacency is the lifecycle contract — round 17); not
+        # counted in the return value, which has always meant DATA
+        # files
+        pathlib.Path(str(f) + _BLOOM_BLOB_SUFFIX).unlink(missing_ok=True)
+    # sweep blobs whose data file is gone (e.g. deleted by an earlier
+    # vacuum that predated the blob, or a crashed writer's debris
+    # after vacuum_orphans removed the data directory contents)
+    for b in list(droot.rglob(f"*{_BLOOM_BLOB_SUFFIX}")):
+        if not pathlib.Path(str(b)[: -len(_BLOOM_BLOB_SUFFIX)]).exists():
+            b.unlink(missing_ok=True)
+    for b in list(droot.rglob(f"*{_BLOOM_BLOB_SUFFIX}.tmp.*")):
+        b.unlink(missing_ok=True)  # crashed blob writes (atomic-rename tmps)
     # prune empty version dirs + expired manifests
     for d in list(droot.glob("v*")):
         if d.is_dir() and not any(d.iterdir()):

@@ -7,7 +7,6 @@ can cost a read, never an answer."""
 
 from __future__ import annotations
 
-import base64
 import hashlib
 
 import pytest
@@ -132,14 +131,23 @@ def test_saturated_bitmap_fails_open(spark, tmp_path):
 
 def test_bloom_math_matches_stored_bitmap(spark, table):
     """Independent recompute: rebuild one file's bitmap from the raw
-    parquet values in pure python and compare byte-for-byte."""
+    parquet values in pure python and compare byte-for-byte against
+    the sidecar BLOB slice the manifest entry references (round 17:
+    bitmaps live in <file>.parquet.bloom, the manifest carries only
+    offset/length/m/k)."""
     import pathlib
 
     import pyarrow.parquet as pq
 
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _bloom_blob_path,
+        _bloom_entry_bits,
+    )
+
     man = _load_manifest(table, 1)
     f = man["files"][0]
     entry = man["file_stats"][f]["__bloom"]["h"]
+    assert "b64" not in entry  # bitmaps are never inline post-r17
     vals = {
         v
         for v in pq.read_table(
@@ -148,7 +156,8 @@ def test_bloom_math_matches_stored_bitmap(spark, table):
         if v is not None
     }
     want = _bloom_of_values(vals, entry["m"], entry["k"])
-    assert base64.b64decode(entry["b64"]) == want
+    stored = _bloom_entry_bits(entry, _bloom_blob_path(table, f))
+    assert stored == want
     # and every stored value probes positive
     bits = want
     for v in list(vals)[:20]:

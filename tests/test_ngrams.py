@@ -275,3 +275,11 @@ def test_split_tokens_rejects_quote_escape(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="sep"):
         ngram_counts(docs, n=1, min_count=1, sep="x\\Ey").collect()
+
+
+def test_split_tokens_rejects_empty_sep(spark):
+    # \Q\E matches the empty string — splitting between every character
+    # and fabricating empty edge tokens (advice r16): raise instead
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        ngram_counts(docs, n=1, min_count=1, sep="").collect()

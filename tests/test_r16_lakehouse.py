@@ -362,7 +362,14 @@ def test_bloom_evolved_bitmap_matches_python(spark, tmp_path):
                 hashlib.md5(f"bloom:{i}:{v}".encode()).hexdigest()[:16], 16
             ) % m
             bits[p >> 3] |= 1 << (p & 7)
-    assert base64.b64decode(entry["b64"]) == bytes(bits)
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _bloom_blob_path,
+        _bloom_entry_bits,
+    )
+
+    assert _bloom_entry_bits(
+        entry, _bloom_blob_path(path, new[0])
+    ) == bytes(bits)
     # and the entry's read-side contract on the real fixture
     from optimal_parallel_fp_growth_spark.queries_docs import (
         q_bloom_evolved_read,

@@ -1,0 +1,378 @@
+"""Round-17 lakehouse hardening: bloom bitmaps move OUT of the
+single-JSON manifest into lazily-loaded per-file sidecar blobs
+(``<file>.parquet.bloom`` — the Iceberg puffin shape; VERDICT r16 task
+#2). The manifest carries only (offset, length, m, k) per bloom column,
+so it stays KB-scale at any file count and every reader stops paying
+O(files × bloom-cols × bitmap) JSON parsing. Blob lifecycle rides data-
+file adjacency: vacuum strips blobs with their files, deep clones copy
+them, shallow clones resolve them under the source root, and a missing
+blob fails OPEN (a kept file is never a wrong answer)."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from optimal_parallel_fp_growth_spark.sources import versioned as V
+from optimal_parallel_fp_growth_spark.sources.versioned import (
+    _BLOOM_BLOB_SUFFIX,
+    _bloom_blob_path,
+    _bloom_entry_bits,
+    _load_manifest,
+    _manifest_path,
+    clone_table,
+    create_table,
+    files_scanned,
+    read_table,
+    vacuum_table,
+)
+
+N_FILES = 8
+
+
+def _df(spark, start, n):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def _h(i: int) -> str:
+    import hashlib
+
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    create_table(
+        _df(spark, 0, 2000).repartitionByRange(N_FILES, "doc_id"),
+        path,
+        bloom_cols=["h"],
+    )
+    return path
+
+
+def test_manifest_carries_no_inline_bitmaps(table):
+    """The scale contract itself: every __bloom entry is a (off, len,
+    m, k) reference, the blob file exists adjacent to its data file
+    with exactly the referenced bytes, and the manifest JSON is
+    KB-scale — smaller than the bitmaps it references, which inline
+    base64 could never be."""
+    man = _load_manifest(table, 1)
+    total_bitmap_bytes = 0
+    n_entries = 0
+    for f, st in man["file_stats"].items():
+        for col, entry in (st.get("__bloom") or {}).items():
+            n_entries += 1
+            assert "b64" not in entry, (f, col)
+            assert set(entry) == {"off", "len", "m", "k"}, entry
+            blob = pathlib.Path(_bloom_blob_path(table, f))
+            assert blob.is_file(), blob
+            assert blob.stat().st_size >= entry["off"] + entry["len"]
+            total_bitmap_bytes += entry["len"]
+    assert n_entries == N_FILES  # every file stamped one 'h' bitmap
+    manifest_bytes = _manifest_path(table, 1).stat().st_size
+    assert manifest_bytes < total_bitmap_bytes, (
+        f"manifest {manifest_bytes}B should be smaller than the "
+        f"{total_bitmap_bytes}B of bitmaps it references"
+    )
+
+
+def test_missing_blob_fails_open_not_wrong(spark, table):
+    """Deleting every blob degrades bloom pruning to fail-open (all
+    files survive) but never changes an answer — the posture of
+    saturated/absent bitmaps."""
+    probe = _h(777)
+    assert files_scanned(table, prune=("h", "==", probe)) <= 2
+    for f in _load_manifest(table, 1)["files"]:
+        pathlib.Path(_bloom_blob_path(table, f)).unlink()
+    # fail-open: the scattered key's range check keeps every file
+    assert files_scanned(table, prune=("h", "==", probe)) == N_FILES
+    got = read_table(spark, table, prune=("h", "==", probe)).where(
+        F.col("h") == probe
+    ).collect()
+    assert len(got) == 1 and got[0].doc_id == 777
+
+
+def test_truncated_blob_fails_open(spark, table):
+    man = _load_manifest(table, 1)
+    f = man["files"][0]
+    blob = pathlib.Path(_bloom_blob_path(table, f))
+    blob.write_bytes(blob.read_bytes()[:10])  # short read → None
+    entry = man["file_stats"][f]["__bloom"]["h"]
+    assert _bloom_entry_bits(entry, str(blob)) is None
+    got = read_table(spark, table, prune=("h", "==", _h(0))).where(
+        F.col("h") == _h(0)
+    ).collect()
+    assert len(got) == 1
+
+
+def test_legacy_inline_b64_manifest_still_prunes(spark, tmp_path):
+    """A pre-r17 manifest with inline base64 bitmaps keeps pruning:
+    _bloom_entry_bits decodes "b64" entries in place, no blob needed."""
+    import base64
+
+    path = str(tmp_path / "legacy")
+    create_table(
+        _df(spark, 0, 400).repartitionByRange(2, "doc_id"),
+        path,
+        bloom_cols=["h"],
+    )
+    mp = _manifest_path(path, 1)
+    man = json.loads(mp.read_text())
+    for f, st in man["file_stats"].items():
+        entry = st["__bloom"]["h"]
+        bits = _bloom_entry_bits(entry, _bloom_blob_path(path, f))
+        st["__bloom"]["h"] = {
+            "b64": base64.b64encode(bits).decode(),
+            "m": entry["m"],
+            "k": entry["k"],
+        }
+        pathlib.Path(_bloom_blob_path(path, f)).unlink()
+    mp.write_text(json.dumps(man))
+    assert files_scanned(path, prune=("h", "==", "absent-key")) == 0
+    opened = files_scanned(path, prune=("h", "==", _h(5)))
+    assert 1 <= opened <= 2
+
+
+def test_deep_clone_carries_blobs(spark, table, tmp_path):
+    dst = str(tmp_path / "deep")
+    clone_table(table, dst)
+    man = _load_manifest(dst, 1)
+    for f in man["files"]:
+        assert not pathlib.Path(f).is_absolute()
+        assert pathlib.Path(_bloom_blob_path(dst, f)).is_file()
+    assert files_scanned(dst, prune=("h", "==", "absent-key")) == 0
+    assert files_scanned(dst, prune=("h", "==", _h(42))) <= 2
+
+
+def test_shallow_clone_probes_source_blobs(spark, table, tmp_path):
+    dst = str(tmp_path / "shallow")
+    clone_table(table, dst, shallow=True)
+    man = _load_manifest(dst, 1)
+    for f in man["files"]:
+        assert pathlib.Path(f).is_absolute()
+        # no blob copied into the clone; the absolute key resolves
+        # the SOURCE's blob
+        assert _bloom_blob_path(dst, f) == f + _BLOOM_BLOB_SUFFIX
+    assert files_scanned(dst, prune=("h", "==", "absent-key")) == 0
+
+
+def test_vacuum_strips_blobs_with_their_files(spark, table):
+    """A rewrite (overwrite) obsoletes v1's files; vacuum deletes them
+    AND their blobs, plus any blob whose data file is already gone and
+    crashed blob-write tmps."""
+    v1_files = _load_manifest(table, 1)["files"]
+    V.overwrite_table(
+        _df(spark, 0, 100).repartitionByRange(2, "doc_id"), table
+    )
+    droot = pathlib.Path(table) / "data"
+    # plant debris: an orphan blob (no data file) and a crashed tmp
+    orphan = droot / "v00000001" / ("ghost.parquet" + _BLOOM_BLOB_SUFFIX)
+    orphan.write_bytes(b"x")
+    tmp = droot / "v00000001" / (
+        "part.parquet" + _BLOOM_BLOB_SUFFIX + ".tmp.999"
+    )
+    tmp.write_bytes(b"y")
+    deleted = vacuum_table(table, keep_last=1)
+    assert deleted == len(v1_files)  # return value still counts DATA files
+    for f in v1_files:
+        assert not (pathlib.Path(table) / f).exists()
+        assert not pathlib.Path(_bloom_blob_path(table, f)).exists()
+    assert not orphan.exists() and not tmp.exists()
+    # the live version's blobs survive
+    for f in _load_manifest(table, 2)["files"]:
+        assert pathlib.Path(_bloom_blob_path(table, f)).is_file()
+    assert files_scanned(table, prune=("h", "==", "absent-key")) == 0
+
+
+def test_distributed_stats_failure_falls_back_to_driver_loop(
+    spark, table, monkeypatch
+):
+    """Advice r16 (low): an executor environment that cannot import the
+    package (driver-only sys.path) must not fail the commit — the
+    sequential driver loop computes the identical stats."""
+    man = _load_manifest(table, 1)
+    rel_files = man["files"]
+    assert len(rel_files) >= V._STATS_DISTRIBUTE_MIN
+
+    def boom(*a, **k):
+        raise RuntimeError("worker import failure")
+
+    monkeypatch.setattr(V, "_file_stats_distributed", boom)
+    got = V._file_stats(table, rel_files, spark=spark)
+    assert set(got) == set(rel_files)
+    for f in rel_files:
+        assert got[f]["__bloom"]["h"] == man["file_stats"][f]["__bloom"]["h"]
+
+
+def _date_df(spark, n_days=64, rows_per_day=8):
+    """One row per (day, i): day column is a DATE, ts a TIMESTAMP."""
+    return (
+        spark.range(n_days * rows_per_day)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("id") % n_days).cast("int"),
+            ).alias("day"),
+            (
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.col("id") * 3600
+                )
+            ).alias("ts"),
+        )
+    )
+
+
+def test_date_bloom_skips_on_natural_key(spark, tmp_path):
+    """VERDICT r16 task #4: a date-partitioned corpus bloom-skips on
+    its natural key. Files are range-clustered by day, so each holds a
+    narrow day slice — but the bloom must ALSO prune a day that falls
+    inside a file's [min, max] yet is absent from it."""
+    import datetime
+
+    path = str(tmp_path / "datetbl")
+    df = _date_df(spark).where(
+        # punch holes: drop every 7th day so in-range absent keys exist
+        (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7)
+        != 3
+    )
+    V.create_table(
+        df.repartitionByRange(8, "doc_id"), path, bloom_cols=["day"]
+    )
+    man = _load_manifest(path, 1)
+    assert any(
+        "__bloom" in st and "day" in st["__bloom"]
+        for st in man["file_stats"].values()
+    )
+    present = datetime.date(2024, 1, 2)
+    absent = datetime.date(2024, 1, 4)  # day index 3: punched out
+    assert files_scanned(path, prune=("day", "==", present)) >= 1
+    got = read_table(spark, path, prune=("day", "==", present)).where(
+        F.col("day") == present
+    )
+    assert got.count() == 8
+    # the punched-out day is absent from EVERY file: bloom prunes all
+    assert files_scanned(path, prune=("day", "==", absent)) == 0
+    # ISO-string probes canonicalize identically
+    assert files_scanned(path, prune=("day", "==", "2024-01-04")) == 0
+    assert files_scanned(
+        path, prune=("day", "==", "2024-01-02")
+    ) == files_scanned(path, prune=("day", "==", present))
+    # a datetime probe on a date column is NO_COERCE: fail-open, the
+    # read stays exact
+    dt = datetime.datetime(2024, 1, 4, 0, 0)
+    assert read_table(spark, path, prune=("day", "==", dt)).where(
+        F.col("day") == F.lit("2024-01-04").cast("date")
+    ).count() == 0
+
+
+def test_timestamp_bloom_skips(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "tstbl")
+    V.create_table(
+        _date_df(spark).repartitionByRange(8, "doc_id"),
+        path,
+        bloom_cols=["ts"],
+    )
+    present = datetime.datetime.utcfromtimestamp(1_700_000_000 + 5 * 3600)
+    absent = present.replace(microsecond=123456)
+    assert files_scanned(path, prune=("ts", "==", present)) >= 1
+    assert files_scanned(path, prune=("ts", "==", absent)) == 0
+    got = read_table(spark, path, prune=("ts", "==", present)).where(
+        F.col("ts") == present
+    )
+    assert got.count() == 1
+    # tz-aware probe folds to UTC and still matches
+    aware = present.replace(
+        tzinfo=datetime.timezone.utc
+    ).astimezone(datetime.timezone(datetime.timedelta(hours=2)))
+    assert files_scanned(path, prune=("ts", "==", aware)) == files_scanned(
+        path, prune=("ts", "==", present)
+    )
+
+
+def test_date_bucket_layout_prunes(spark, tmp_path):
+    """bucket_by on a DATE key: manifest-side bucket identity pruning
+    opens only the probed day's bucket, matching Spark's murmur3 of
+    epoch days (differentially pinned in test_spark_hash.py)."""
+    import datetime
+
+    path = str(tmp_path / "datebucket")
+    V.create_table(_date_df(spark), path, bucket_by=("day", 8))
+    man = _load_manifest(path, 1)
+    assert any(
+        "__bucket" in (st or {}) for st in man["file_stats"].values()
+    )
+    probe = datetime.date(2024, 1, 10)
+    opened = files_scanned(path, prune=("day", "==", probe))
+    assert 1 <= opened < files_scanned(path)
+    got = read_table(spark, path, prune=("day", "==", probe)).where(
+        F.col("day") == probe
+    )
+    assert got.count() == 8
+    # a non-canonicalizable probe on the bucket key must not crash the
+    # bucket math (fail-open there); range stats still exclude it —
+    # consistent with Spark, where date_col == 'not-a-date' casts to
+    # NULL and matches nothing
+    assert files_scanned(path, prune=("day", "==", "not-a-date")) == 0
+    import pyspark.sql.utils  # noqa: F401
+
+    assert read_table(
+        spark, path, prune=("day", "==", datetime.datetime(2024, 1, 10))
+    ).where(F.col("day") == probe).count() == 8  # datetime probe: fail-open
+
+
+def test_versioned_date_bloom_read_matches_python(spark):
+    """GROUND_TRUTH pin for the ``versioned_date_bloom_read`` entry:
+    recompute the expected rows in pure python from the raw sf0.001
+    parquet — the bijective day mapping means the 3-day lookup must
+    return exactly the 3 probed documents' (doc_id, lang, n_chars)."""
+    import pyarrow.parquet as pq
+
+    from optimal_parallel_fp_growth_spark.queries_docs import (
+        q_versioned_date_bloom_read,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    rows = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        )
+    )
+    hi = max(r[0] for r in rows)
+    P, M = 1_000_003, 2_000_000
+    offs = {(i * P) % M for i in (0, hi // 2, hi)}
+    want = sorted(r for r in rows if (r[0] * P) % M in offs)
+    got = sorted(
+        tuple(r) for r in q_versioned_date_bloom_read(spark, sf).collect()
+    )
+    assert got == want
+
+
+def test_describe_table_counts_blob_bytes(table):
+    d = V.describe_table(table)
+    data = sum(
+        (pathlib.Path(table) / f).stat().st_size
+        for f in _load_manifest(table, 1)["files"]
+    )
+    blobs = sum(
+        pathlib.Path(_bloom_blob_path(table, f)).stat().st_size
+        for f in _load_manifest(table, 1)["files"]
+    )
+    assert blobs > 0
+    assert d["size_bytes"] == data + blobs

@@ -90,6 +90,92 @@ def test_bucket_of_matches_repartition_assignment(spark):
         assert sgot[k] == bucket_of(k, "string", n), k
 
 
+def test_matches_spark_hash_dates(spark):
+    """Round 17: DateType hashes its physical form — epoch DAYS via
+    hashInt — so canon_date_days + hashInt must equal F.hash(date)."""
+    import datetime
+
+    rng = random.Random(29)
+    epoch = datetime.date(1970, 1, 1)
+    vals = [
+        epoch,
+        datetime.date(1969, 12, 31),
+        datetime.date(2024, 2, 29),
+        datetime.date(1, 1, 1),
+        datetime.date(9999, 12, 31),
+    ] + [
+        epoch + datetime.timedelta(days=rng.randint(-50_000, 50_000))
+        for _ in range(200)
+    ]
+    got = [spark_hash(v, "date") for v in vals]
+    want = _spark_hashes(spark, vals, "date")
+    assert got == want
+    # ISO strings canonicalize to the same hash
+    assert spark_hash("2024-02-29", "date") == spark_hash(
+        datetime.date(2024, 2, 29), "date"
+    )
+
+
+def test_matches_spark_hash_timestamps(spark):
+    """TimestampType hashes epoch MICROSECONDS via hashLong. Naive
+    datetimes are UTC by the engine's session-timezone pin."""
+    import datetime
+
+    rng = random.Random(31)
+    epoch = datetime.datetime(1970, 1, 1)
+    vals = [
+        epoch,
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        datetime.datetime(2024, 2, 29, 12, 34, 56, 789012),
+    ] + [
+        epoch
+        + datetime.timedelta(
+            seconds=rng.randint(-(2**31), 2**31),
+            microseconds=rng.randint(0, 999_999),
+        )
+        for _ in range(200)
+    ]
+    got = [spark_hash(v, "timestamp") for v in vals]
+    want = _spark_hashes(spark, vals, "timestamp")
+    assert got == want
+    # tz-aware probes fold into UTC before hashing
+    aware = datetime.datetime(
+        2024, 2, 29, 13, 34, 56, 789012,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=1)),
+    )
+    assert spark_hash(aware, "timestamp") == spark_hash(
+        datetime.datetime(2024, 2, 29, 12, 34, 56, 789012), "timestamp"
+    )
+
+
+def test_bucket_of_matches_repartition_assignment_temporal(spark):
+    import datetime
+
+    n = 8
+    rng = random.Random(37)
+    epoch = datetime.date(1970, 1, 1)
+    dates = sorted(
+        {
+            epoch + datetime.timedelta(days=rng.randint(0, 20_000))
+            for _ in range(150)
+        }
+    )
+    df = spark.createDataFrame([(d,) for d in dates], "k date")
+    got = {
+        r.k: r.pid
+        for r in df.repartition(n, "k")
+        .select("k", F.spark_partition_id().alias("pid"))
+        .collect()
+    }
+    for k in dates:
+        assert got[k] == bucket_of(k, "date", n), k
+
+
 def test_unsupported_dtype_fails_closed():
-    with pytest.raises(ValueError, match="integral and string"):
+    with pytest.raises(ValueError, match="bucket keys"):
         spark_hash(1.5, "double")
+    # a non-canonicalizable temporal probe fails closed too
+    with pytest.raises(ValueError, match="date"):
+        spark_hash("not-a-date", "date")
+    with pytest.raises(ValueError, match="timestamp"):
+        spark_hash("nope", "timestamp")
