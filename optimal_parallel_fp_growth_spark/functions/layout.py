@@ -1,0 +1,51 @@
+"""Scan-parallelism repair for compute-bound operators.
+
+A parquet source is only splittable at row-group boundaries, so a
+single-file/single-row-group table (the benchmark fixtures; at
+production scale an unsplittable gzip text drop or a badly compacted
+upstream table) scans as ONE partition — and every compute-heavy chain
+built directly on that scan (tokenize → shingle → md5 → minhash,
+HOF vector folds, Arrow codec batches) serializes on one core while
+the rest of the cluster idles. Guide §2.5 ("input skew: one huge
+unsplittable file — repartition immediately after the read") and §6.
+
+:func:`fan_out_scan` is the shared, scale-adaptive fix, generalized
+from ``multimodal._spread_for_codec`` (round 7, measured: the AVI
+codec stage ran serial on the single-split fixture). It only ever
+WIDENS the partition count: a healthy multi-file 100 TB scan already
+fans out past the session parallelism and passes through untouched —
+the exchange exists exactly when the alternative is a serial stage.
+
+Keyed vs keyless: pass the column(s) a downstream aggregation keys on
+when one exists — hash partitioning is deterministic under task retry
+(guide §2.5's SPARK-38388 caveat does not apply; no rand()) and skips
+the local sort every keyless round-robin repartition pays
+(``spark.sql.execution.sortBeforeRepartition``). With a matching
+partition count, Catalyst also reuses the exchange for a downstream
+``groupBy`` on the same key, so the repaired plan still carries ONE
+shuffle total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fan_out_scan(
+    df: DataFrame, *key_cols: str, target: int | None = None
+) -> DataFrame:
+    """Re-split ``df`` to ``target`` (default: session parallelism)
+    partitions when its physical plan currently has fewer — a no-op on
+    inputs that already fan out. Streaming frames pass through:
+    micro-batch partitioning is the source's concern."""
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)

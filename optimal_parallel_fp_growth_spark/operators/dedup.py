@@ -36,6 +36,7 @@ from optimal_parallel_fp_growth_spark.functions.caching import (
     tag_cached_inputs,
     unpersist_blocks,
 )
+from optimal_parallel_fp_growth_spark.functions.layout import fan_out_scan
 from optimal_parallel_fp_growth_spark.functions.text import tokens
 
 
@@ -63,8 +64,15 @@ def _doc_shingles(
 ) -> DataFrame:
     """→ (doc_id, *keep_cols, sh) with tokens materialized behind a
     projection boundary so the lambda sees an attribute, not the split
-    expression."""
-    return docs.select(
+    expression. The pruned (doc_id, text) projection is fanned out
+    BEFORE tokenization (functions/layout.py): on a single-split
+    source the whole tokenize→shingle chain would otherwise run as one
+    serial task (measured r17: 5.4 s of dedup_clusters' 8.8 s wall was
+    this chain on one core); a healthy scan passes through untouched."""
+    base = fan_out_scan(
+        docs.select("doc_id", *keep_cols, F.col(text_col)), "doc_id"
+    )
+    return base.select(
         "doc_id", *keep_cols, tokens(text_col).alias("toks")
     ).select("doc_id", *keep_cols, _shingles_of(F.col("toks"), k).alias("sh"))
 
@@ -966,8 +974,13 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     aggregation (rows of a doc are co-located in the scan, so the
     shuffle carries ~1 combined row per doc). The tempting zero-shuffle
     formulation (interpreted filter() passes per row) measured 3×
-    SLOWER at sf0.1 — HOFs don't codegen."""
-    tok = docs.select(
+    SLOWER at sf0.1 — HOFs don't codegen.
+
+    The pruned projection fans out before tokenize/md5 (layout.py) so a
+    single-split source doesn't serialize the per-token digest work."""
+    tok = fan_out_scan(
+        docs.select("doc_id", F.col(text_col)), "doc_id"
+    ).select(
         "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).select(
         "doc_id",

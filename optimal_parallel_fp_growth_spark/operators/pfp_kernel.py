@@ -214,7 +214,20 @@ def mine_pandas(
             }
         )
 
-    return cond_agg.groupBy("group").applyInPandas(mine_group, out_schema)
+    # Pin the mining stage's parallelism. Its shuffle is bytes-tiny
+    # (combined conditional transactions), so AQE's bytes-advisory
+    # coalescing packs the COMPUTE-bound Python tree mining into a
+    # handful of tasks (measured r17: 3 tasks for a 40-group run).
+    # An explicit hash repartition on the group key is exempt from AQE
+    # coalescing and satisfies the groupBy's clustering, so no second
+    # exchange is added; 4× overallocation keeps expected hash-collision
+    # parallelism loss under ~12% (guide §2.5: few distinct keys need
+    # several× more partitions than keys to spread).
+    return (
+        cond_agg.repartition(4 * num_groups, "group")
+        .groupBy("group")
+        .applyInPandas(mine_group, out_schema)
+    )
 
 
 def mine_pandas_by(
@@ -366,8 +379,13 @@ def mine_pandas_by(
             }
         )
 
+    # Same mining-stage parallelism pin as mine_pandas: the (corpus,
+    # group) shuffle is bytes-tiny and AQE would coalesce the
+    # compute-bound mining into a few tasks.
+    total_groups = sum(max(a) + 1 for a in assign.values())
     return (
-        cond_agg.groupBy("corpus", "group")
+        cond_agg.repartition(4 * total_groups, "corpus", "group")
+        .groupBy("corpus", "group")
         .applyInPandas(mine_group, f"corpus {corpus_dt}, items array<{item_dt}>, freq long")
         .withColumnRenamed("corpus", corpus_col)
     )

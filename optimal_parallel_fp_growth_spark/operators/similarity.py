@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from optimal_parallel_fp_growth_spark.functions.layout import fan_out_scan
+
 ANN_BITS = 6  # 64 sign buckets — the pinned default the oracle mirrors
 ANN_TARGET_OCCUPANCY = 64  # expected docs per bucket the auto path aims at
 
@@ -73,8 +75,16 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _prepared(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    v = _as_double(F.col(vec_col))
-    return emb.select(F.col(id_col).alias("vec_id"), v.alias("v")).withColumn(
+    # fan out a single-split scan BEFORE the interpreted norm2 fold —
+    # the whole vector family (knn/ann/ivf/kmeans/semdedup) builds on
+    # this frame, and on the one-file fixture the fold plus everything
+    # downstream otherwise serializes on one core (functions/layout.py)
+    base = fan_out_scan(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__e")),
+        "vec_id",
+    )
+    v = _as_double(F.col("__e"))
+    return base.select("vec_id", v.alias("v")).withColumn(
         "norm2", _dot(F.col("v"), F.col("v"))
     )
 

@@ -32,6 +32,22 @@ def get_session(app_name: str = "opfpg-spark", shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate infers `size(x)>0 AND isnotnull(x)`
+        # from every explode(x), and predicate pushdown then SUBSTITUTES
+        # x's defining expression below the exchange — for this engine's
+        # signature pattern (explode over a derived shingle/token array)
+        # that re-computes the tokenize→shingle chain 3× per row (twice
+        # in the pushed filter, once in the projection), in the SCAN
+        # stage. Measured r17: decontaminate 8.2 s → 2.3 s at sf0.1 with
+        # the rule excluded; at 100 TB the duplication is pure CPU waste
+        # on the hottest expression. The rule only ever prunes rows that
+        # explode() would drop anyway (no result change), and none of
+        # its inferred predicates are parquet-pushable here (guide §4.4:
+        # stop the optimizer duplicating expensive expressions).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
