@@ -60,7 +60,11 @@ def _shingles_of(t: Column, k: int = 2) -> Column:
 
 
 def _doc_shingles(
-    docs: DataFrame, text_col: str, k: int = 2, keep_cols: tuple[str, ...] = ()
+    docs: DataFrame,
+    text_col: str,
+    k: int = 2,
+    keep_cols: tuple[str, ...] = (),
+    min_tokens: int | None = None,
 ) -> DataFrame:
     """→ (doc_id, *keep_cols, sh) with tokens materialized behind a
     projection boundary so the lambda sees an attribute, not the split
@@ -68,10 +72,22 @@ def _doc_shingles(
     BEFORE tokenization (functions/layout.py): on a single-split
     source the whole tokenize→shingle chain would otherwise run as one
     serial task (measured r17: 5.4 s of dedup_clusters' 8.8 s wall was
-    this chain on one core); a healthy scan passes through untouched."""
-    base = fan_out_scan(
-        docs.select("doc_id", *keep_cols, F.col(text_col)), "doc_id"
-    )
+    this chain on one core); a healthy scan passes through untouched.
+
+    ``min_tokens=k`` replaces a caller-side ``size(sh) > 0`` filter:
+    equivalent row-for-row (``sh`` is empty/NULL exactly when the doc
+    has < k tokens — see ``_shingles_of``'s guard), but a filter over
+    the DERIVED ``sh`` gets predicate-pushed below the fan-out exchange
+    with the whole shingle expression substituted, re-computing the
+    chain once per row in the (possibly serial) scan stage and AGAIN in
+    the projection (measured r17: an 8.5 s single-task scan-stage job
+    in dedup_clusters). The cheap token-count form pushes to the scan
+    as one split() per row and prunes rows before the exchange
+    (guide §2.3 — shuffle fewer bytes)."""
+    pruned = docs.select("doc_id", *keep_cols, F.col(text_col))
+    if min_tokens is not None:
+        pruned = pruned.where(F.size(tokens(text_col)) >= min_tokens)
+    base = fan_out_scan(pruned, "doc_id")
     return base.select(
         "doc_id", *keep_cols, tokens(text_col).alias("toks")
     ).select("doc_id", *keep_cols, _shingles_of(F.col("toks"), k).alias("sh"))
@@ -253,7 +269,7 @@ def ngram_jaccard_prefix(
     a ``row_number`` window, whose whole-partition sort spilled 3.2 GB
     at sf1. → (doc_a, doc_b, jaccard)."""
     eps = 1e-9
-    sh = _doc_shingles(docs, text_col, k).where(F.size("sh") > 0)
+    sh = _doc_shingles(docs, text_col, k, min_tokens=k)
     sh.persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     posting = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
@@ -694,8 +710,7 @@ def minhash_signatures(
         ]
     )
     return (
-        _doc_shingles(docs, text_col, k, keep_cols)
-        .where(F.size("sh") > 0)
+        _doc_shingles(docs, text_col, k, keep_cols, min_tokens=k)
         .withColumn("hs", base)
         .select("doc_id", *keep_cols, "sh", sig.alias("sig"))
     )

@@ -58,6 +58,11 @@ def test_minhash_has_single_scan_no_python(spark, sf_small):
     from optimal_parallel_fp_growth_spark.operators.dedup import minhash_signatures
     from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
+    # cold-plan assertion: an earlier test may have left this exact
+    # subtree persisted (minhash_lsh_pairs persists its signatures), and
+    # the CacheManager would substitute an InMemoryTableScan, breaking
+    # the scan count below in an order-dependent way
+    spark.catalog.clearCache()
     plan = _plan(minhash_signatures(load_table(spark, sf_small, "documents")))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Scan parquet") == 1
