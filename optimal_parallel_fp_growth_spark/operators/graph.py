@@ -130,6 +130,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     assume_distinct: bool = False,
+    assume_symmetric: bool = False,
     redistribute_dangling: bool = False,
     reliable: bool = False,
     bucketed_edges: bool | str = "auto",
@@ -143,6 +144,17 @@ def pagerank(
     pass it when the caller already produced a distinct edge list
     (e.g. a ``.distinct()``-ed join output plus its loss-free
     reversal), saving one full-edge-list shuffle.
+
+    ``assume_symmetric=True`` declares the edge set closed under
+    reversal (u→v implies v→u — what callers that symmetrize get by
+    construction). Then every node has ≥1 in-edge whose src is ranked,
+    so the per-round contribution sums already cover every node and
+    the ``nodes``-side left join that fills absent sums with 0 is the
+    identity — each round skips it outright (guide §2.4: one fewer
+    shuffle join per round; ranks are bit-identical because covered
+    rows take the same ``base + d·s`` arm). Ignored when
+    ``redistribute_dangling=True`` (a symmetric graph has no dangling
+    nodes — the correction is already a no-op there).
 
     ``bucketed_edges=True`` is the big-graph path: the loop-invariant
     degree-annotated edge list is written ONCE as a parquet table
@@ -197,11 +209,34 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # materialized once, read every round
     edge_table = None
+    ed_cache = None
     if bucketed_edges:
         if n_buckets is None:
             n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
         edge_table, ed = _bucketed_edge_table(spark, e.join(deg, "src"), n_buckets)
         ed_ids: set[int] = set()
+    elif not reliable:
+        # A localCheckpoint cut would erase the layout (LogicalRDD
+        # reports UnknownPartitioning under AQE), forcing every round's
+        # edges⋈ranks join to RE-exchange and RE-sort the loop-invariant
+        # edge list. Persisting it partitioned+sorted on src instead
+        # keeps the InMemoryRelation's HashPartitioning/SortOrder
+        # visible to the planner: each round's SortMergeJoin then reads
+        # the cached edge blocks with no exchange and no sort — only
+        # the (node, rank) side pays one (guide §2.4; the in-memory
+        # twin of the bucketed-table layout). Robustness is unchanged
+        # vs the localCheckpoint cut: either way an executor loss under
+        # reliable=False forces a restart.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        ed_cache = (
+            e.join(deg, "src")
+            .repartition(n_part, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        ed_cache.count()
+        ed = ed_cache
+        ed_ids = set()
     else:
         seen = persistent_rdd_ids(spark)
         ed = _cut(e.join(deg, "src"), reliable)
@@ -219,6 +254,8 @@ def pagerank(
         unpersist_blocks(spark, e_ids | ed_ids)
         if edge_table is not None:
             spark.sql(f"DROP TABLE IF EXISTS {edge_table}")
+        if ed_cache is not None:
+            ed_cache.unpersist()
         return tag_cached_inputs(
             nodes.withColumn("rank", F.lit(0.0)),
             RddBlockHandle(spark, node_ids),
@@ -253,11 +290,22 @@ def pagerank(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
             )
             lhs = nodes.crossJoin(F.broadcast(dm))
+        elif assume_symmetric:
+            # sums covers every node (docstring): the nodes-side left
+            # join is the identity — the round is just the covered arm
+            # of the generic update, evaluated over sums directly
+            lhs = None
         else:
             lhs = nodes.withColumn("__dm", F.lit(0.0))
-        seen = persistent_rdd_ids(spark)
-        r = _cut(
-            lhs.join(sums, "node", "left").select(
+        if lhs is None:
+            upd = sums.select(
+                "node",
+                F.round(
+                    F.lit(base) + damping * F.col("s"), PR_DECIMALS
+                ).alias("rank"),
+            )
+        else:
+            upd = lhs.join(sums, "node", "left").select(
                 "node",
                 F.round(
                     F.lit(base)
@@ -265,15 +313,18 @@ def pagerank(
                     * (F.coalesce("s", F.lit(0.0)) + F.col("__dm") / n),
                     PR_DECIMALS,
                 ).alias("rank"),
-            ),
-            reliable,
-        )
+            )
+        seen = persistent_rdd_ids(spark)
+        r = _cut(upd, reliable)
         unpersist_blocks(spark, prev_r_ids)
         prev_r_ids = persistent_rdd_ids(spark) - seen
     if edge_table is not None:
         # no live reader: either the last round's cut materialized the
         # ranks, or (n_iter=0) the returned plan derives from nodes
         spark.sql(f"DROP TABLE IF EXISTS {edge_table}")
+    if ed_cache is not None:
+        # same no-live-reader argument as the table drop above
+        ed_cache.unpersist()
     if n_iter > 0:
         # final plan is the last cut — loop-invariant blocks are dead
         unpersist_blocks(spark, loop_ids | node_ids)

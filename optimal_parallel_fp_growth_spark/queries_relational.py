@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from optimal_parallel_fp_growth_spark.functions.layout import fan_out_scan
 from optimal_parallel_fp_growth_spark.functions.time import epoch_seconds
 from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
@@ -636,7 +637,15 @@ def _supplier_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction: cs is distinct and the 'c'/'s' prefixes make the
     reversed copy disjoint from it."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # the (orderkey, suppkey) projection is 16 bytes/row, but the
+    # broadcast-join + concat + distinct map side runs ON the lineitem
+    # scan's partitioning — serial on a single-split source (measured
+    # r17: a 0.8 s 3-task edge-build job at sf0.1); a healthy scan
+    # passes through untouched (functions/layout.py)
+    li = fan_out_scan(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        "l_orderkey",
+    )
     cs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -657,8 +666,13 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimal_parallel_fp_growth_spark.operators.graph import pagerank
 
     # sym is distinct by construction — skip the operator's defensive
-    # full-edge-list dedup shuffle
-    return pagerank(_supplier_trade_graph(spark, sf_dir), assume_distinct=True)
+    # full-edge-list dedup shuffle; symmetric by construction — skip
+    # the per-round nodes-side left join (graph.py docstring)
+    return pagerank(
+        _supplier_trade_graph(spark, sf_dir),
+        assume_distinct=True,
+        assume_symmetric=True,
+    )
 
 
 def q_supplier_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,6 +685,7 @@ def q_supplier_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         _supplier_trade_graph(spark, sf_dir),
         assume_distinct=True,
+        assume_symmetric=True,
         bucketed_edges=True,
     )
 
