@@ -155,15 +155,21 @@ def test_bloom_math_matches_stored_bitmap(spark, table):
         ).column("h").to_pylist()
         if v is not None
     }
-    want = _bloom_of_values(vals, entry["m"], entry["k"])
+    ver = int(entry.get("v") or 1)
+    want = _bloom_of_values(vals, entry["m"], entry["k"], version=ver)
     stored = _bloom_entry_bits(entry, _bloom_blob_path(table, f))
     assert stored == want
-    # and every stored value probes positive
+    # and every stored value probes positive, through the SAME
+    # position function that built the bitmap (entry "v" dispatch)
+    from optimal_parallel_fp_growth_spark.sources.versioned import (
+        _positions_fn,
+    )
+
     bits = want
     for v in list(vals)[:20]:
         assert all(
             (bits[p >> 3] >> (p & 7)) & 1
-            for p in _bloom_positions(v, entry["m"], entry["k"])
+            for p in _positions_fn(entry)(v, entry["m"], entry["k"])
         )
 
 

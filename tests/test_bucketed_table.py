@@ -231,21 +231,26 @@ def test_describe_and_guards(spark, tmp_path):
 
 
 def test_broken_naming_contract_stamps_nothing_reads_stay_exact(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch
 ):
     """VERDICT r13 task #3: _stamp_buckets trusts part-file index ==
     shuffle partition id. Break the one-file-per-task convention
     deliberately (maxRecordsPerFile=1 splits every task into cNNN
     files) and require the fail-closed outcome: NO bucket recorded —
     never a wrong one — so equality reads stay exact, merely
-    unpruned."""
+    unpruned. The SESSION conf only reaches the legacy JVM writer:
+    the round-17 fused kernel lays out its own files (splits come
+    solely from the explicit bucket_file_rows), so it is immune to
+    this conf — pinned at the end."""
     path = str(tmp_path / "b")
     key = "spark.sql.files.maxRecordsPerFile"
+    monkeypatch.setenv("OPFPG_FUSED_WRITE", "0")
     spark.conf.set(key, "1")
     try:
         create_table(_uuid_corpus(spark, 40), path, bucket_by=("h", 4))
     finally:
         spark.conf.unset(key)
+        monkeypatch.delenv("OPFPG_FUSED_WRITE")
     man = _load_manifest(table_path := path, 1)
     stamped = [
         s.get("__bucket")
@@ -271,6 +276,29 @@ def test_broken_naming_contract_stamps_nothing_reads_stay_exact(
         r.doc_id
         for r in read_table(
             spark, table_path, prune=("h", "==", _h(7))
+        ).select("doc_id").collect()
+    ] == [7]
+    # fused kernel: the same hostile session conf cannot break the
+    # naming convention, so stamps survive and pruning still bites
+    path2 = str(tmp_path / "b2")
+    spark.conf.set(key, "1")
+    try:
+        create_table(
+            _uuid_corpus(spark, 40), path2, bucket_by=("h", 4),
+            bloom_cols=["h"],  # bloom write -> fused kernel
+        )
+    finally:
+        spark.conf.unset(key)
+    man2 = _load_manifest(path2, 1)
+    assert all(
+        "__bucket" in s
+        for s in man2["file_stats"].values()
+        if s.get("__rows", 1) != 0
+    )
+    assert [
+        r.doc_id
+        for r in read_table(
+            spark, path2, prune=("h", "==", _h(7))
         ).select("doc_id").collect()
     ] == [7]
 

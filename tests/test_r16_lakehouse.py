@@ -355,12 +355,15 @@ def test_bloom_evolved_bitmap_matches_python(spark, tmp_path):
     while m < need and m < (1 << 22):
         m <<= 1
     assert entry["m"] == m == 32768
+    # r17: entries stamp the v2 single-digest double-hashing positions
+    assert int(entry.get("v") or 1) == 2
     bits = bytearray(m // 8)
     for v in sorted(vals):
+        d = hashlib.md5(f"bloom:{v}".encode()).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
         for i in range(entry["k"]):
-            p = int(
-                hashlib.md5(f"bloom:{i}:{v}".encode()).hexdigest()[:16], 16
-            ) % m
+            p = (h1 + i * h2) % m
             bits[p >> 3] |= 1 << (p & 7)
     from optimal_parallel_fp_growth_spark.sources.versioned import (
         _bloom_blob_path,

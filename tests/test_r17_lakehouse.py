@@ -72,7 +72,8 @@ def test_manifest_carries_no_inline_bitmaps(table):
         for col, entry in (st.get("__bloom") or {}).items():
             n_entries += 1
             assert "b64" not in entry, (f, col)
-            assert set(entry) == {"off", "len", "m", "k"}, entry
+            # "v" = position-function version (r17: single-digest v2)
+            assert set(entry) == {"off", "len", "m", "k", "v"}, entry
             blob = pathlib.Path(_bloom_blob_path(table, f))
             assert blob.is_file(), blob
             assert blob.stat().st_size >= entry["off"] + entry["len"]
@@ -127,9 +128,20 @@ def test_legacy_inline_b64_manifest_still_prunes(spark, tmp_path):
     )
     mp = _manifest_path(path, 1)
     man = json.loads(mp.read_text())
+    import pyarrow.parquet as pq
+
     for f, st in man["file_stats"].items():
         entry = st["__bloom"]["h"]
-        bits = _bloom_entry_bits(entry, _bloom_blob_path(path, f))
+        # a faithful pre-r17 manifest: v1-position bitmap, inline b64,
+        # no "v" key (the v-dispatch must default to v1 for it)
+        vals = {
+            v
+            for v in pq.read_table(
+                str(pathlib.Path(path) / f), columns=["h"]
+            ).column("h").to_pylist()
+            if v is not None
+        }
+        bits = V._bloom_of_values(vals, entry["m"], entry["k"], version=1)
         st["__bloom"]["h"] = {
             "b64": base64.b64encode(bits).decode(),
             "m": entry["m"],
@@ -376,3 +388,129 @@ def test_describe_table_counts_blob_bytes(table):
     )
     assert blobs > 0
     assert d["size_bytes"] == data + blobs
+
+
+# ---------------------------------------------------------------------------
+# fused write+stats kernel (VERDICT r16 task #3: files are read zero
+# times after being written)
+
+
+def test_fused_write_stats_match_repair_path(spark, tmp_path):
+    """The fused kernel's manifest stats (computed from in-memory
+    batches at write time) must be BYTE-IDENTICAL to what the
+    repair/compat path computes by re-opening each written file —
+    fusion is an execution move, not a semantics change."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+        (F.col("id") / 7.0).alias("x"),
+        F.date_add(
+            F.lit("2021-01-01").cast("date"), (F.col("id") % 90).cast("int")
+        ).alias("d"),
+    )
+    create_table(df.repartition(6, "doc_id"), path, bloom_cols=["h", "d"])
+    man = _load_manifest(path, 1)
+    assert len(man["files"]) == 6
+    spec = V._table_spec(path)
+    bspec = spec.get("bloom") or {}
+    sid = spec.get("spec_id")
+    for rel in man["files"]:
+        repair = V._stats_for_one_file(path, rel, bspec, sid)
+        assert man["file_stats"][rel] == repair, rel
+        assert "__bloom" in repair and "__nan" in repair
+
+
+def test_fused_and_legacy_write_paths_agree(spark, tmp_path, monkeypatch):
+    """Same (deterministically hash-partitioned) frame written through
+    the fused kernel and through the legacy two-pass path: identical
+    per-file stats multisets, identical readback."""
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+        (F.col("id") / 3.0).alias("x"),
+    ).repartition(5, "doc_id")
+    pf = str(tmp_path / "fused")
+    create_table(df, pf, bloom_cols=["h"])
+    monkeypatch.setenv("OPFPG_FUSED_WRITE", "0")
+    pl = str(tmp_path / "legacy")
+    create_table(df, pl, bloom_cols=["h"])
+    monkeypatch.delenv("OPFPG_FUSED_WRITE")
+    mf, ml = _load_manifest(pf, 1), _load_manifest(pl, 1)
+
+    def keyed(man):
+        # part index identifies the hash partition in both naming
+        # schemes; stats must match partition-for-partition
+        out = {}
+        for rel in man["files"]:
+            idx = pathlib.Path(rel).name.split("-")[1]
+            out[idx] = man["file_stats"][rel]
+        return out
+
+    assert keyed(mf) == keyed(ml)
+    a = sorted(tuple(r) for r in read_table(spark, pf).collect())
+    b = sorted(tuple(r) for r in read_table(spark, pl).collect())
+    assert a == b
+
+
+def test_fused_empty_rewrite_keeps_readable_file(spark, tmp_path):
+    """A rewrite that empties the table must still commit a readable
+    (schema-only) file set, exactly like Spark's writer would."""
+    path = str(tmp_path / "tbl")
+    create_table(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") / 3.0).alias("v")
+        ),
+        path,
+        bloom_cols=["k"],
+    )
+    V.delete_where(spark, path, [("k", "<", 1000)])
+    man = _load_manifest(path, 2)
+    assert len(man["files"]) == 1
+    back = read_table(spark, path)
+    assert back.count() == 0
+    assert set(back.columns) == {"k", "v"}
+
+
+def test_fused_kernel_failure_falls_back_to_legacy(spark, tmp_path, monkeypatch):
+    """An environment where the kernel cannot run (e.g. executors
+    can't import the package) must degrade to the legacy two-pass
+    write, not fail the commit."""
+    def boom(*a, **k):
+        raise RuntimeError("no workers")
+
+    monkeypatch.setattr(V, "_write_data_fused", boom)
+    path = str(tmp_path / "tbl")
+    create_table(_df(spark, 0, 500).coalesce(2), path, bloom_cols=["h"])
+    man = _load_manifest(path, 1)
+    assert len(man["files"]) == 2
+    assert all("__bloom" in s for s in man["file_stats"].values())
+    assert read_table(spark, path).count() == 500
+
+
+def test_fused_bucket_splits_still_stamp(spark, tmp_path):
+    """Sorted-bucket writes through the kernel keep the part-index =
+    bucket-id naming convention _stamp_buckets fail-closes on, so
+    every split file still gets its bucket stamp."""
+    path = str(tmp_path / "tbl")
+    create_table(
+        _df(spark, 0, 4000),
+        path,
+        bucket_by=("doc_id", 4),
+        sort_within_buckets=["doc_id"],
+        bucket_file_rows=500,
+        bloom_cols=["h"],
+    )
+    man = _load_manifest(path, 1)
+    # 4 buckets, each ~1000 rows split at 500/file -> >=2 files/bucket
+    assert len(man["files"]) >= 8
+    assert all("__bucket" in s for s in man["file_stats"].values())
+    # stamp must equal the murmur3 bucket of the rows inside
+    from optimal_parallel_fp_growth_spark.functions.spark_hash import (
+        bucket_of,
+    )
+
+    for rel, s in man["file_stats"].items():
+        lo, hi = s["doc_id"]
+        assert bucket_of(int(lo), "bigint", 4) == s["__bucket"]
+        assert bucket_of(int(hi), "bigint", 4) == s["__bucket"]

@@ -2203,12 +2203,12 @@ def test_cluster_spec_is_not_permanent(spark, tmp_path):
     # write-data step dies mid-create), and the debris must not poison
     # the retry either way
     broken = str(tmp_path / "broken")
-    real_write = V._write_data
+    real_write = V._write_data_and_stats
 
     def boom(*a, **k):
         raise RuntimeError("disk full")
 
-    V._write_data = boom
+    V._write_data_and_stats = boom
     try:
         with pytest.raises(RuntimeError, match="disk full"):
             create_table(
@@ -2217,7 +2217,7 @@ def test_cluster_spec_is_not_permanent(spark, tmp_path):
                 cluster_by=["k"],
             )
     finally:
-        V._write_data = real_write
+        V._write_data_and_stats = real_write
     import pathlib
 
     assert not (pathlib.Path(broken) / "_table.json").exists()
