@@ -2447,13 +2447,29 @@ def _read_files(
 ) -> DataFrame:
     """Read a manifest's file list under its MANIFEST schema: files
     written before a schema-evolving append lack the newer columns, so
-    the read merges file schemas and aligns to the manifest (missing
-    columns become typed nulls; renamed columns coalesce over their
-    name history — see _align_to_schema). For a never-evolved table
-    this is the plain read plus a no-op projection."""
+    the read aligns to the manifest (missing columns become typed
+    nulls; renamed columns coalesce over their name history — see
+    _align_to_schema).
+
+    When the table has NO rename history the manifest schema IS the
+    read schema, so it is passed to the reader explicitly (round 17,
+    guide §6/§7.3 — the Iceberg reader model: the manifest is the
+    schema authority, never the files): Spark then skips schema
+    inference outright, where the previous ``mergeSchema=true`` read
+    FOOTERS OF EVERY FILE on every read — a per-read job that grows
+    linearly with file count (at 10k files that is 10k footer reads
+    per read). Additive evolution still works — the parquet reader
+    fills requested-but-absent columns with nulls, and type changes
+    to shared columns are rejected at write time — but RENAMED
+    columns are physically old-named in old files, which only the
+    merged read + coalesce-over-name-history can surface, so a
+    renames-bearing manifest keeps the merge path."""
     paths = [str(pathlib.Path(path) / f) for f in files]
     if schema is None:
         return spark.read.parquet(*paths)
+    if not renames:
+        ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+        return spark.read.schema(ddl).parquet(*paths)
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
     return _align_to_schema(df, schema, renames)
 
