@@ -125,9 +125,17 @@ def _fold_norm2(coords: list[float]) -> float:
 
 
 def _dist2_to(cv: list[float], cn: float) -> Column:
-    """round(|v|² − 2·v·c + |c|², 6) against literal centroid coords."""
+    """round(|v|² − 2·v·c + |c|², 6) against literal centroid coords.
+
+    One array Literal per centroid (``F.lit(list)``), not dim
+    element Literals under a CreateArray: the k×dim element tree made
+    the analyzer/codegen pass the dominant cost of every Lloyd
+    iteration (measured 4.6–8.5 s → 2.0 s plan build at k=8, d=64).
+    Same values, same left-to-right fold."""
     dot = F.aggregate(
-        F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in cv]), lambda x, y: x * y),
+        F.zip_with(
+            F.col("v"), F.lit([float(x) for x in cv]), lambda x, y: x * y
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -152,10 +152,13 @@ def _transform_direct(
 
     items = F.col(items_col)
     if collected:
+        # one array Literal per antecedent (F.lit(list)), not one
+        # element Literal per item: with thousands of rules the
+        # element-wise tree dominates plan analysis time
         rule_lits = F.array(
             *[
                 F.struct(
-                    F.array(*[F.lit(x) for x in ante]).alias("ante"),
+                    F.lit(list(ante)).alias("ante"),
                     F.lit(cons).alias("cons"),
                 )
                 for ante, cons, _ in collected
