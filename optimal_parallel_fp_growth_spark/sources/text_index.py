@@ -232,16 +232,13 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
         .persist()
     )
     try:
-        if changeset.isEmpty():
-            # content-identical churn: advance the watermark with a
-            # zero-file-change commit so sync stays monotone
-            man = _load_manifest(index_path, cur)
-            _commit(
-                index_path, cur + 1, man["files"], f"index@base_v{head}",
-                man.get("schema"), man.get("file_stats"),
-            )
-            return head
-        merge_table(
+        # the emptiness probe rides the merge's own bounds aggregate
+        # (``empty_ok``) instead of a separate isEmpty job: merge
+        # returns the UNCHANGED version when the changeset nets to
+        # nothing (content-identical churn), and sync then advances
+        # the watermark with a zero-file-change commit so it stays
+        # monotone
+        new_v = merge_table(
             changeset, index_path, "posting_id",
             delete_col="__delete", op_label=f"index@base_v{head}",
             # re-cluster rewritten files by token so a wide changeset
@@ -249,7 +246,14 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
             # cannot destroy the disjoint token ranges pruned lookups
             # depend on
             cluster_by=["token", key],
+            empty_ok=True,
         )
+        if new_v == cur:
+            man = _load_manifest(index_path, cur)
+            _commit(
+                index_path, cur + 1, man["files"], f"index@base_v{head}",
+                man.get("schema"), man.get("file_stats"),
+            )
         return head
     finally:
         changeset.unpersist()

@@ -3114,6 +3114,7 @@ def merge_table(
     evolve: bool = False,
     update_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    empty_ok: bool = False,
 ) -> int:
     """Copy-on-write UPSERT (the table-format MERGE core): rows of
     ``df`` REPLACE current rows with the same ``key`` value; keys not
@@ -3238,7 +3239,14 @@ def merge_table(
     bounds = df.agg(
         F.min(key), F.max(key), F.count(F.lit(1)), F.count(key)
     ).collect()[0]
-    if bounds[0] is None:
+    if bounds[2] == 0:
+        # ``empty_ok`` (round 17): CDC appliers probe emptiness anyway
+        # to skip content-identical commits — folding the probe into
+        # the bounds aggregate this job already pays removes one full
+        # pass over the changeset per micro-batch. No commit: the
+        # current version is returned unchanged.
+        if empty_ok:
+            return cur
         raise ValueError("merge source has no rows (or all-null keys)")
     if bounds[2] != bounds[3]:
         raise ValueError(
@@ -4329,22 +4337,33 @@ def stream_changes_to_table(
     def apply(batch: DataFrame, version: int) -> None:
         changes = batch.where(F.col("_change_type") != "update_preimage")
         cols = [c for c in changes.columns if c != "_change_type"]
-        # persist the changeset: it is consumed three times per batch
-        # (emptiness probe, the merge's bounds/null-key scan, the merge
-        # join itself), and each re-computation re-reads the commit's
-        # version-exclusive files and re-runs the feed's full-outer join
+        # persist the changeset: it is consumed twice per batch (the
+        # merge's bounds/null-key scan, then the merge join itself),
+        # and each re-computation re-reads the commit's
+        # version-exclusive files and re-runs the feed's full-outer
+        # join. The emptiness probe (content-identical commit, e.g.
+        # compaction) rides the merge's own bounds aggregate
+        # (``empty_ok``) instead of a separate isEmpty job per batch.
         src = changes.select(
             *cols,
             (F.col("_change_type") == "delete").alias("__cdc_delete"),
         ).dropDuplicates([key]).persist()
         try:
-            if src.isEmpty():
-                return  # content-identical commit (e.g. compaction)
             try:
-                merge_table(src, dst_path, key, delete_col="__cdc_delete")
+                merge_table(
+                    src, dst_path, key,
+                    delete_col="__cdc_delete", empty_ok=True,
+                )
             except FileNotFoundError:
-                live = src.where(~F.col("__cdc_delete")).drop("__cdc_delete")
-                create_table(live, dst_path)
+                # bootstrap: no replica yet. The emptiness probe the
+                # merge's bounds job normally absorbs runs here, on
+                # the rare bootstrap path only (an empty batch stays
+                # a no-op, exactly as before the fusion).
+                if not src.isEmpty():
+                    live = src.where(~F.col("__cdc_delete")).drop(
+                        "__cdc_delete"
+                    )
+                    create_table(live, dst_path)
         finally:
             src.unpersist()
 

@@ -514,3 +514,26 @@ def test_fused_bucket_splits_still_stamp(spark, tmp_path):
         lo, hi = s["doc_id"]
         assert bucket_of(int(lo), "bigint", 4) == s["__bucket"]
         assert bucket_of(int(hi), "bigint", 4) == s["__bucket"]
+
+
+def test_merge_empty_ok_is_a_no_commit_no_op(spark, tmp_path):
+    """``empty_ok`` (round 17): CDC appliers used to pay a separate
+    isEmpty job per micro-batch before merging; the probe now rides
+    the merge's own bounds aggregate. Empty source + empty_ok =
+    version unchanged, zero new commits; without the flag the
+    pre-existing ValueError contract stands, and all-null keys stay
+    an error either way."""
+    path = str(tmp_path / "tbl")
+    create_table(_df(spark, 0, 100), path)
+    empty = _df(spark, 0, 100).where(F.lit(False))
+    assert V.merge_table(empty, path, "doc_id", empty_ok=True) == 1
+    assert V._versions(path) == [1]  # no-op: nothing committed
+    with pytest.raises(ValueError, match="no rows"):
+        V.merge_table(empty, path, "doc_id")
+    all_null = _df(spark, 0, 5).select(
+        F.lit(None).cast("long").alias("doc_id"), "h", "v"
+    )
+    with pytest.raises(ValueError, match="null"):
+        V.merge_table(all_null, path, "doc_id", empty_ok=True)
+    # a non-empty merge through the same flag still commits normally
+    assert V.merge_table(_df(spark, 0, 10), path, "doc_id", empty_ok=True) == 2
