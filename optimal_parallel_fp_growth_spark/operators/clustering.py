@@ -46,6 +46,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.functions.caching import tag_cached_inputs
+from optimal_parallel_fp_growth_spark.functions.literals import (
+    lit_double_array,
+    lit_double_matrix,
+    lit_long_array,
+)
 from optimal_parallel_fp_growth_spark.operators.similarity import _dot, _prepared
 
 KMEANS_K = 8
@@ -124,40 +129,68 @@ def _fold_norm2(coords: list[float]) -> float:
     return acc
 
 
-def _dist2_to(cv: list[float], cn: float) -> Column:
-    """round(|v|² − 2·v·c + |c|², 6) against literal centroid coords.
+def _dist2_sorted(
+    coords: list[list[float]],
+    norms: list[float],
+    ids: list[int],
+    id_field: str,
+    id_type: str,
+) -> Column:
+    """Sorted ``(dist2, <id_field>)`` struct array scoring a row's
+    ``v``/``norm2`` against every centroid — round(|v|² − 2·v·c +
+    |c|², 6), same left-to-right fold per centroid as before.
 
-    One array Literal per centroid (``F.lit(list)``), not dim
-    element Literals under a CreateArray: the k×dim element tree made
-    the analyzer/codegen pass the dominant cost of every Lloyd
-    iteration (measured 4.6–8.5 s → 2.0 s plan build at k=8, d=64).
-    Same values, same left-to-right fold."""
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("v"), F.lit([float(x) for x in cv]), lambda x, y: x * y
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    Built as ONE transform over an index sequence against matrix/array
+    SQL-text literals (functions/literals.py) instead of one
+    aggregate+zip_with expression pair per centroid: each HOF lambda
+    costs ~20 ms of py4j traffic to CONSTRUCT and ``F.lit(list)`` one
+    gateway round trip per element, so the per-centroid form spent
+    more driver time building the plan each Lloyd iteration than the
+    executors spent running it (guide §1.2). 3 lambdas total,
+    independent of k; values, fold order, rounding and struct typing
+    are unchanged."""
+    cvs = lit_double_matrix(coords)
+    cns = lit_double_array(norms)
+    ids_arr = lit_long_array(ids)
+    if id_type != "bigint":
+        ids_arr = ids_arr.cast(f"array<{id_type}>")
+    return F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(coords))),
+            lambda i: F.struct(
+                F.round(
+                    F.col("norm2")
+                    - 2
+                    * F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.element_at(cvs, i),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    + F.element_at(cns, i),
+                    DIST_DECIMALS,
+                ).alias("dist2"),
+                F.element_at(ids_arr, i).alias(id_field),
+            ),
+        )
     )
-    return F.round(F.col("norm2") - 2 * dot + F.lit(cn), DIST_DECIMALS)
 
 
 def _assign(prepared: DataFrame, cents: list[_Centroid]) -> DataFrame:
     """(vec_id, v, norm2) + (cluster, dist2): nearest centroid by
-    (dist2, cid) — argmin via array_sort over k literal structs, the
-    ivf_topk cell-assignment shape: zero shuffles, pure codegen."""
-    scored = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _dist2_to(cv, cn).alias("dist2"),
-                    # long, not the lit-default int: cluster ids are seed
-                    # vec_ids and the driver hasher is dtype-sensitive
-                    F.lit(cid).cast("long").alias("cid"),
-                )
-                for cid, cv, cn in cents
-            ]
-        )
+    (dist2, cid) — argmin via array_sort over k scored structs, the
+    ivf_topk cell-assignment shape: zero shuffles, no exchange."""
+    # long, not the lit-default int: cluster ids are seed vec_ids and
+    # the driver hasher is dtype-sensitive
+    scored = _dist2_sorted(
+        [cv for _, cv, _ in cents],
+        [cn for _, _, cn in cents],
+        [cid for cid, _, _ in cents],
+        "cid",
+        "bigint",
     )
     return prepared.withColumn("__c", scored[0]).select(
         "vec_id",
@@ -227,15 +260,12 @@ def _assign_two_level(
     if len(groups) == 1:
         return _assign(prepared, cents)
     probe = max(1, min(probe, len(groups)))
-    coarse_sorted = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _dist2_to(gc, gn).alias("dist2"), F.lit(g).alias("g")
-                )
-                for g, (gc, gn, _m) in enumerate(groups)
-            ]
-        )
+    coarse_sorted = _dist2_sorted(
+        [gc for gc, _gn, _m in groups],
+        [gn for _gc, gn, _m in groups],
+        list(range(len(groups))),
+        "g",
+        "int",
     )
     # The probe-nearest coarse ids MUST be materialized behind a
     # projection boundary before the when-chain touches them: the chain
@@ -248,18 +278,14 @@ def _assign_two_level(
         "vec_id", "v", "norm2", F.slice(coarse_sorted, 1, probe).alias("__cg")
     )
     fine_best = []
-    for g, (_gc, _gn, members) in enumerate(groups):
+    for _g, (_gc, _gn, members) in enumerate(groups):
         fine_best.append(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            _dist2_to(cv, cn).alias("dist2"),
-                            F.lit(cid).cast("long").alias("cid"),
-                        )
-                        for cid, cv, cn in members
-                    ]
-                )
+            _dist2_sorted(
+                [cv for _, cv, _ in members],
+                [cn for _, _, cn in members],
+                [cid for cid, _, _ in members],
+                "cid",
+                "bigint",
             )[0]
         )
     candidates = []

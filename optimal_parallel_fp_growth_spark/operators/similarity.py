@@ -35,6 +35,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from optimal_parallel_fp_growth_spark.functions.layout import fan_out_scan
+from optimal_parallel_fp_growth_spark.functions.literals import (
+    lit_double_array,
+    lit_double_matrix,
+    lit_int_array,
+    lit_long_array,
+)
 
 ANN_BITS = 6  # 64 sign buckets — the pinned default the oracle mirrors
 ANN_TARGET_OCCUPANCY = 64  # expected docs per bucket the auto path aims at
@@ -289,30 +295,43 @@ def _cell_scores(cents: list[tuple[int, list[float], float]]) -> Column:
     bit-for-bit. Shared by the one-shot `ivf_topk` and the persisted
     `build_ivf_index`/`ann_against_index` pair."""
 
-    def cos_to(cv: list[float], cn: float) -> Column:
-        # one array Literal per centroid, not dim element Literals:
-        # at cells≈isqrt(n) this tree dominated ivf planning time
-        # (knn_ivf_index driver gap 3.8 s vs 1.5 s of job time)
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.lit([float(x) for x in cv]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.round(dot / F.sqrt(F.col("norm2") * F.lit(cn)), 6)
-
+    # ONE transform over an index sequence against matrix/array SQL-
+    # text literals (functions/literals.py), not one aggregate+zip_with
+    # pair per centroid: each HOF lambda costs ~20 ms of py4j traffic
+    # to construct and F.lit(list) one gateway round trip per element,
+    # so at cells≈isqrt(n) the per-cell form spent more driver time
+    # BUILDING the probe plan than running it (knn_ivf_index: 1.5 s of
+    # a 5.3 s wall). 3 lambdas total, independent of cell count;
+    # values, fold order, rounding and struct typing are unchanged.
+    cids = [cid for cid, _, _ in cents]
+    ids_arr = (
+        lit_int_array(cids)
+        if all(-(2**31) <= c < 2**31 for c in cids)
+        else lit_long_array(cids)
+    )
+    cvs = lit_double_matrix([cv for _, cv, _ in cents])
+    cns = lit_double_array([cn for _, _, cn in cents])
     return F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-cos_to(cv, cn)).alias("neg_cos"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv, cn in cents
-            ]
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: F.struct(
+                (
+                    -F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("v"),
+                                F.element_at(cvs, i),
+                                lambda x, y: x * y,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / F.sqrt(F.col("norm2") * F.element_at(cns, i)),
+                        6,
+                    )
+                ).alias("neg_cos"),
+                F.element_at(ids_arr, i).alias("cid"),
+            ),
         )
     )
 
@@ -596,11 +615,12 @@ def random_projection(
     prepared = emb.select(
         F.col(id_col).alias("vec_id"), *keep_cols, v.alias("__v")
     )
-    proj = F.array(
-        *[
-            _dot(F.col("__v"), F.lit([float(x) for x in row]))
-            for row in R
-        ]
+    # one transform over the projection-matrix literal (3 lambdas
+    # total) instead of one _dot expression pair per output dim —
+    # same rows in order, same left-to-right fold per row
+    proj = F.transform(
+        lit_double_matrix([[float(x) for x in row] for row in R]),
+        lambda r: _dot(F.col("__v"), r),
     )
     return prepared.select("vec_id", *keep_cols, proj.alias("proj"))
 
@@ -612,11 +632,22 @@ def _hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     under-spread buckets when coordinates are correlated). Plane rows
     are driver-side literals so the DuckDB oracle reproduces buckets
     bit-for-bit (same L2R dot fold)."""
-    b = F.lit(0)
-    for j, row in enumerate(planes):
-        d = _dot(vec, F.lit([float(x) for x in row]))
-        b = b + F.when(d > 0, F.lit(1 << j)).otherwise(0)
-    return b
+    # fold over a transform against the plane-matrix literal (4
+    # lambdas total) instead of one _dot pair per plane; same terms,
+    # same int addition order, same result type
+    planes_lit = lit_double_matrix([[float(x) for x in row] for row in planes])
+    weights = lit_int_array([1 << j for j in range(len(planes))])
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(planes))),
+            lambda j: F.when(
+                _dot(vec, F.element_at(planes_lit, j)) > 0,
+                F.element_at(weights, j),
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 def hyperplane_planes(bits: int, dim: int, seed: int = 0) -> list[list[float]]:
