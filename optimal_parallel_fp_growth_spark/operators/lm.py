@@ -88,9 +88,17 @@ def _ngram_pairs(docs: DataFrame, text_col: str, n: int) -> DataFrame:
                 lambda c, t: F.struct(c.alias("ctx"), t.alias("w")),
             ),
         ).otherwise(F.array())
-    return docs.select(
-        "doc_id", F.explode(pairs).alias("g")
-    ).select("doc_id", "g.ctx", "g.w")
+    from optimal_parallel_fp_growth_spark.functions.layout import (
+        fan_out_scan,
+    )
+
+    # fan out a single-split scan before the per-token gram build —
+    # train AND score both run through here (functions/layout.py)
+    return fan_out_scan(
+        docs.select("doc_id", F.col(text_col)), "doc_id"
+    ).select("doc_id", F.explode(pairs).alias("g")).select(
+        "doc_id", "g.ctx", "g.w"
+    )
 
 
 def train_ngram_lm(

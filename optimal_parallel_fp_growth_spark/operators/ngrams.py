@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from optimal_parallel_fp_growth_spark.functions.layout import fan_out_scan
 
 
 def _split_tokens(text_col: str, sep: str) -> Column:
@@ -85,7 +86,13 @@ def ngram_counts(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = docs.select(_split_tokens(text_col, sep).alias("toks"))
+    # fan out a single-split scan before the tokenize/gram explode —
+    # the whole chain otherwise runs as ONE serial task on an
+    # unsplittable source (functions/layout.py; round-17 job profiles
+    # showed 0.3-0.8 s single-task scan stages across this family)
+    toks = fan_out_scan(docs.select(F.col(text_col)), text_col).select(
+        _split_tokens(text_col, sep).alias("toks")
+    )
     grams = toks.select(
         F.explode(_ngram_array(F.col("toks"), n, sep)).alias("gram")
     )
@@ -114,6 +121,11 @@ def inverted_index(
     """
     if max_postings < 1:
         raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    # deliberately NOT fan_out_scan'd (round 17): the per-row work here
+    # is one plain split (no gram build, no hashing), and the A/B
+    # measured the added exchange costing more than the serial scan
+    # saves (0.43 s -> 0.71 s warm at sf0.1) — the rest of this family
+    # fans out because their tokenize/gram chains are compute-bound
     pairs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
@@ -156,10 +168,12 @@ def source_ngram_overlap(
     shuffles total (distinct, final pair count), both map-side combined;
     per-gram work is O(#sources²) with #sources ~ dozens at 100 TB.
     """
-    toks = docs.select(
-        F.col(source_col).alias("source"),
-        _split_tokens(text_col, sep).alias("toks"),
-    )
+    # keyed on the text, not the source: sources are a handful of
+    # distinct values, so hashing on source would collapse the fan-out
+    toks = fan_out_scan(
+        docs.select(F.col(source_col).alias("source"), F.col(text_col)),
+        text_col,
+    ).select("source", _split_tokens(text_col, sep).alias("toks"))
     sg = toks.select(
         "source", F.explode(_ngram_array(F.col("toks"), n, sep)).alias("gram")
     ).distinct()
@@ -228,10 +242,10 @@ def repeated_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _split_tokens(text_col, sep).alias("toks"),
-    )
+    toks = fan_out_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        "doc_id",
+    ).select("doc_id", _split_tokens(text_col, sep).alias("toks"))
     base = toks.select(
         "doc_id",
         F.greatest(F.size("toks") - (n - 1), F.lit(0)).alias("n_grams"),
@@ -311,10 +325,15 @@ def remove_repeated_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _split_tokens(text_col, sep).alias("toks"),
-    )
+    # fan out BEFORE the persist: a single-split source otherwise
+    # materializes the cache as ONE partition and every downstream
+    # stage reading it (posting explode, position explode,
+    # reconstruction) runs serial — round-17 job profile showed
+    # 0.84 s + 0.57 s single-task jobs inside dedup_spans
+    toks = fan_out_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        "doc_id",
+    ).select("doc_id", _split_tokens(text_col, sep).alias("toks"))
     toks.persist()  # feeds the gram postings AND the reconstruction
     # gram occurrences WITH start positions (0-based)
     occ = toks.select(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from optimal_parallel_fp_growth_spark.functions.layout import fan_out_scan
 
 from optimal_parallel_fp_growth_spark.functions.text import (
     EN_STOPWORDS,
@@ -194,7 +195,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     reduces to one row per doc_id. Same two shuffles at any corpus
     size; no Python, no HOF in the hot path.
     """
-    toks = docs.select("doc_id", tokens(text_col).alias("toks"))
+    # fan out a single-split scan before tokenize/explode (layout.py)
+    toks = fan_out_scan(
+        docs.select("doc_id", F.col(text_col)), "doc_id"
+    ).select("doc_id", tokens(text_col).alias("toks"))
     tok = toks.select("doc_id", F.explode("toks").alias("tok"))
     tok_stats = (
         tok.groupBy("doc_id", "tok")
@@ -267,7 +271,9 @@ def tfidf_top_terms(
     small corpora), above it the term-keyed shuffle join is the correct
     scale path — the hint is advisory, never load-bearing.
     ``broadcast_df=True/False`` pins either strategy explicitly."""
-    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    tok = fan_out_scan(
+        docs.select("doc_id", F.col(text_col)), "doc_id"
+    ).select("doc_id", F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     if broadcast_df:

@@ -631,9 +631,14 @@ def test_video_and_gif_stages_have_only_the_widen_exchange(spark, sf_small):
 
 
 def test_lm_bigram_extraction_is_shuffle_free(spark, sf_small):
-    """train/score must not exchange before the count aggregation:
-    the in-row zip_with extraction replaces the lead() window (which
-    shuffled and sorted the whole token stream by doc_id)."""
+    """train/score must not exchange the TOKEN STREAM before the count
+    aggregation: the in-row zip_with extraction replaces the lead()
+    window (which shuffled and sorted the whole token stream by
+    doc_id). The round-17 fan_out_scan adds one deliberate
+    REPARTITION exchange of raw (doc_id, text) ROWS below the gram
+    build — a scan-parallelism repair carrying one row per document,
+    not the exploded stream — so the pin forbids windows and
+    requirement-driven exchanges, not the repartition."""
     from optimal_parallel_fp_growth_spark.operators.lm import _ngram_pairs
     from optimal_parallel_fp_growth_spark.sources.catalog import load_table
 
@@ -643,7 +648,14 @@ def test_lm_bigram_extraction_is_shuffle_free(spark, sf_small):
             _ngram_pairs(docs, "text", n)
             ._jdf.queryExecution().executedPlan().toString()
         )
-        assert "Exchange" not in plan and "Window" not in plan, n
+        assert "Window" not in plan, n
+        assert "ENSURE_REQUIREMENTS" not in plan, n
+        assert plan.count("Exchange") <= 1, n
+        # the one allowed exchange is the scan fan-out, below the
+        # explode: Generate must sit ABOVE it in the plan text
+        if "Exchange" in plan:
+            assert "REPARTITION_BY_NUM" in plan, n
+            assert plan.index("Generate") < plan.index("Exchange"), n
 
 
 # ---------------------------------------------------------------------
