@@ -556,6 +556,32 @@ def main() -> None:
             "engine_pipeline",
             "engine_pipeline_pandas",
             "events_pipeline",
+            # round 18 (VERDICT r17 task #2, additions-only): the four
+            # pipeline stages above are driver/fixed-cost-bound at
+            # sf0.1, so a headline limited to them gave the driver's
+            # per-query PERF comparison and core-count scaling probe
+            # no data-parallel signal (the 8-vs-32-core ratios ≈ 1
+            # false-positived suspect_cpus_ignored). These ~15 stages
+            # are the executor-bound cross-section: dedup/shingle
+            # tiers, vector kernels, graph iteration, lakehouse
+            # lifecycle, codec and skew stages. The stdout line stays
+            # well under the driver's ~2000-char tail capture.
+            "dedup_clusters",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "dedup_zipf_prefix",
+            "deduped_corpus_cc",
+            "decontaminate",
+            "curate_corpus",
+            "kmeans_clusters",
+            "knn_ivf_index",
+            "semdedup",
+            "supplier_pagerank",
+            "supplier_pagerank_bucketed",
+            "versioned_stream_follow",
+            "index_search",
+            "multimodal_frames",
+            "skewed_token_counts",
         )
         if k in timings
     }

@@ -149,6 +149,12 @@ def _dist2_sorted(
     executors spent running it (guide §1.2). 3 lambdas total,
     independent of k; values, fold order, rounding and struct typing
     are unchanged."""
+    if not coords:
+        # F.sequence(1, 0) infers step -1 and yields [1, 0] — phantom
+        # element_at probes on empty literals (ADVICE r17), where the
+        # old per-centroid form produced an empty array. No caller may
+        # score against zero centroids.
+        raise ValueError("at least one centroid is required")
     cvs = lit_double_matrix(coords)
     cns = lit_double_array(norms)
     ids_arr = lit_long_array(ids)

@@ -101,7 +101,8 @@ def _cut(df: DataFrame, reliable: bool) -> DataFrame:
 
 
 def _bucketed_edge_table(
-    spark, ed: DataFrame, n_buckets: int, key: str = "src"
+    spark, ed: DataFrame, n_buckets: int, key: str = "src",
+    outdeg_over: str | None = None,
 ) -> tuple[str, DataFrame]:
     """Persist a loop-invariant edge list as a table BUCKETED on its
     per-round join key and hand back a scan of it. Every later
@@ -111,11 +112,28 @@ def _bucketed_edge_table(
     storage-format parquet instead of block-manager rows — the two
     per-round costs the localCheckpoint/persist variants pay. The
     repartition aligns write tasks with bucket ids (both murmur3 on
-    the key) so each bucket is a single sorted file."""
+    the key) so each bucket is a single sorted file.
+
+    ``outdeg_over`` (round 18): annotate each edge with its source's
+    out-degree as a window count RIDING the alignment exchange (the
+    window's ClusteredDistribution(col) is satisfied by the
+    repartition) instead of the former ``edges ⋈ groupBy(src).count``
+    input, whose plan paid THREE exchanges of the edge list (e-side
+    join hash, the aggregation, then the alignment repartition —
+    guide §2.4: two operations keyed the same way share one
+    exchange). Values are identical: count(*) over partitionBy(src)
+    of a distinct edge list IS the out-degree the join annotated."""
+    from pyspark.sql import Window
+
     name = f"opfpg_pr_edges_{uuid.uuid4().hex}"
+    w = ed.repartition(n_buckets, key)
+    if outdeg_over is not None:
+        w = w.withColumn(
+            "outdeg",
+            F.count(F.lit(1)).over(Window.partitionBy(outdeg_over)),
+        )
     (
-        ed.repartition(n_buckets, key)
-        .write.bucketBy(n_buckets, key)
+        w.write.bucketBy(n_buckets, key)
         .sortBy(key)
         .format("parquet")
         .saveAsTable(name)
@@ -201,11 +219,24 @@ def pagerank(
     # for. (Caller-persisted frames NOT in the registry keep the same
     # hazard — materialize them before calling, or register them.)
     materialize_pending_caches()
-    seen = persistent_rdd_ids(spark)
-    e = _cut(e, reliable)
-    e_ids = persistent_rdd_ids(spark) - seen
+    e_ids: set[int] = set()
+    if bucketed_edges is not True:
+        # An EXPLICIT bucketed_edges=True skips this cut: the bucketed
+        # write below is itself the one materialization of the edge
+        # build (one pass, straight into the table layout), and every
+        # later derivation (nodes, dangling) reads the table scan —
+        # so a localCheckpoint here would only add a second full pass
+        # plus a block-manager working set (guide §1.2). "auto" still
+        # cuts first: its crossover count must not re-run the build.
+        seen = persistent_rdd_ids(spark)
+        e = _cut(e, reliable)
+        e_ids = persistent_rdd_ids(spark) - seen
     if bucketed_edges == "auto":
         bucketed_edges = e.count() >= BUCKETED_EDGE_CROSSOVER
+    # lazy: evaluated only by the non-bucketed branches below (the
+    # bucketed write annotates out-degrees itself, and with an
+    # explicit bucketed_edges=True `e` is uncut — evaluating deg here
+    # would re-run the whole edge build)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # materialized once, read every round
     edge_table = None
@@ -213,7 +244,9 @@ def pagerank(
     if bucketed_edges:
         if n_buckets is None:
             n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        edge_table, ed = _bucketed_edge_table(spark, e.join(deg, "src"), n_buckets)
+        edge_table, ed = _bucketed_edge_table(
+            spark, e, n_buckets, outdeg_over="src"
+        )
         ed_ids: set[int] = set()
     elif not reliable:
         # A localCheckpoint cut would erase the layout (LogicalRDD
@@ -242,9 +275,13 @@ def pagerank(
         ed = _cut(e.join(deg, "src"), reliable)
         ed_ids = persistent_rdd_ids(spark) - seen
     seen = persistent_rdd_ids(spark)
+    # node set from the MATERIALIZED degree-annotated edge list (every
+    # branch above has forced ed by here) — same rows as e, so the
+    # same node set, without touching e, which under an explicit
+    # bucketed_edges=True is the raw (uncut) build plan
     nodes = _cut(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct(),
         reliable,
     )
@@ -268,8 +305,12 @@ def pagerank(
         # nodes with no out-edges; tiny relative to the edge list, and
         # the per-round mass aggregate over it is a 1-row DataFrame
         seen = persistent_rdd_ids(spark)
+        # src set from the materialized ed, not deg: deg's plan reads
+        # e, which an explicit bucketed_edges=True leaves uncut; the
+        # anti join ignores right-side duplicates, so the set of src
+        # values is all that matters
         dangling = _cut(
-            nodes.join(deg.select(F.col("src").alias("node")), "node", "anti"),
+            nodes.join(ed.select(F.col("src").alias("node")), "node", "anti"),
             reliable,
         )
         loop_ids |= persistent_rdd_ids(spark) - seen

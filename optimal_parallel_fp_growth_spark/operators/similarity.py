@@ -303,6 +303,10 @@ def _cell_scores(cents: list[tuple[int, list[float], float]]) -> Column:
     # BUILDING the probe plan than running it (knn_ivf_index: 1.5 s of
     # a 5.3 s wall). 3 lambdas total, independent of cell count;
     # values, fold order, rounding and struct typing are unchanged.
+    if not cents:
+        # F.sequence(1, 0) infers step -1 → [1, 0]: phantom
+        # element_at probes on empty literals (ADVICE r17)
+        raise ValueError("at least one centroid is required")
     cids = [cid for cid, _, _ in cents]
     ids_arr = (
         lit_int_array(cids)
@@ -635,17 +639,28 @@ def _hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     # fold over a transform against the plane-matrix literal (4
     # lambdas total) instead of one _dot pair per plane; same terms,
     # same int addition order, same result type
+    if not planes:
+        # F.sequence(1, 0) infers step -1 → [1, 0]: phantom
+        # element_at probes on empty literals (ADVICE r17)
+        raise ValueError("at least one hyperplane is required")
     planes_lit = lit_double_matrix([[float(x) for x in row] for row in planes])
-    weights = lit_int_array([1 << j for j in range(len(planes))])
+    if len(planes) > 31:
+        # 1 << 31 exceeds int32 (ADVICE r17): take the long arm, the
+        # same silent widening the old per-plane F.lit(1 << j) did
+        weights = lit_long_array([1 << j for j in range(len(planes))])
+        zero = F.lit(0).cast("long")
+    else:
+        weights = lit_int_array([1 << j for j in range(len(planes))])
+        zero = F.lit(0)
     return F.aggregate(
         F.transform(
             F.sequence(F.lit(1), F.lit(len(planes))),
             lambda j: F.when(
                 _dot(vec, F.element_at(planes_lit, j)) > 0,
                 F.element_at(weights, j),
-            ).otherwise(0),
+            ).otherwise(zero),
         ),
-        F.lit(0),
+        zero,
         lambda acc, x: acc + x,
     )
 

@@ -351,3 +351,16 @@ def test_auto_impl_matches_pinned_sql(spark, sf_small):
         for r in kmeans_assign(emb, k=16, impl="sql").collect()
     }
     assert auto == sql and auto
+
+
+def test_dist2_sorted_empty_centroids_raises(spark):
+    """ADVICE r17: F.sequence(1, 0) yields [1, 0] (step -1), so an
+    empty centroid list would score phantom entries — guard it."""
+    import pytest as _pytest
+
+    from optimal_parallel_fp_growth_spark.operators.clustering import (
+        _dist2_sorted,
+    )
+
+    with _pytest.raises(ValueError, match="centroid"):
+        _dist2_sorted([], [], [], "cid", "bigint")

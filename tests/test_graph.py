@@ -203,3 +203,50 @@ def test_pagerank_auto_dispatch_crossover(web_graph, monkeypatch):
     got = {r.node: r.rank for r in G.pagerank(df).collect()}
     assert got == want
     assert {t.name for t in spark.catalog.listTables()} == before
+
+
+def test_bucketed_edge_table_window_outdeg_matches_join(spark):
+    """r18: the bucketed write annotates out-degrees with a window
+    count riding the alignment exchange (ONE edge-list shuffle)
+    instead of the former edges ⋈ groupBy(src).count input (three).
+    The annotated table must be row-identical to the join form."""
+    from pyspark.sql import functions as F_
+
+    from optimal_parallel_fp_growth_spark.operators.graph import (
+        _bucketed_edge_table,
+    )
+
+    e = spark.createDataFrame(
+        [(i % 5, (i * 3) % 11) for i in range(40)], "src long, dst long"
+    ).distinct()
+    deg = e.groupBy("src").agg(F_.count(F_.lit(1)).alias("outdeg"))
+    want = sorted(map(tuple, e.join(deg, "src").collect()))
+    name = None
+    try:
+        name, scan = _bucketed_edge_table(spark, e, 4, outdeg_over="src")
+        got = sorted(
+            map(tuple, scan.select("src", "dst", "outdeg").collect())
+        )
+        assert got == want
+    finally:
+        if name:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pagerank_bucketed_redistribute_dangling_matches_python(spark):
+    """r18: dangling detection now derives from the materialized edge
+    table (ed.src), so the bucketed path must still redistribute
+    leaked mass exactly like the python reference."""
+    edges = [("a", "b"), ("a", "c"), ("c", "d"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            df,
+            n_iter=2,
+            redistribute_dangling=True,
+            bucketed_edges=True,
+            n_buckets=4,
+        ).collect()
+    }
+    assert got == _py_pagerank_redistribute(edges, n_iter=2)

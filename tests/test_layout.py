@@ -50,3 +50,32 @@ def test_explicit_target_overrides_session_parallelism(spark):
 def test_streaming_frames_pass_through(spark):
     stream = spark.readStream.format("rate").load()
     assert fan_out_scan(stream, "value") is stream
+
+
+def test_scan_partition_probe_is_memoized_per_source(spark, sf_small, tmp_path):
+    """r18 (VERDICT r17 task #7): the partition probe must not build a
+    second physical plan per fan_out_scan call — one probe per
+    (session, file set), later calls hit the memo."""
+    from optimal_parallel_fp_growth_spark.functions import layout
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    layout._SCAN_PARTS_MEMO.clear()
+    docs = load_table(spark, sf_small, "documents")
+    n1 = layout._scan_partitions(docs.select("doc_id"))
+    assert len(layout._SCAN_PARTS_MEMO) == 1
+    # a different projection over the SAME files hits the same entry
+    n2 = layout._scan_partitions(docs.select("doc_id", "text"))
+    assert n2 == n1
+    assert len(layout._SCAN_PARTS_MEMO) == 1
+    # memo returns what the direct probe would
+    assert n1 == docs.select("doc_id").rdd.getNumPartitions()
+    # a DIFFERENT file set gets its own entry
+    p = str(tmp_path / "other")
+    spark.range(0, 10).coalesce(1).write.parquet(p)
+    other = spark.read.parquet(p)
+    assert layout._scan_partitions(other) == 1
+    assert len(layout._SCAN_PARTS_MEMO) == 2
+    # fileless (in-memory) frames fall back unmemoized
+    local = spark.range(0, 10)
+    layout._scan_partitions(local)
+    assert len(layout._SCAN_PARTS_MEMO) == 2

@@ -183,11 +183,21 @@ def test_tfidf_topk_window_is_two_phase(spark, sf_small):
         start = next(
             i for i, ln in enumerate(lines) if "WindowGroupLimit" in ln
         )
+        def _is_side_branch(ln: str) -> bool:
+            # a ':' in the tree-drawing prefix marks a side branch —
+            # those may exchange freely (ADVICE r17: the old collector
+            # would falsely fail on a doc_id exchange there)
+            idx = 0
+            while idx < len(ln) and ln[idx] in " :+-":
+                idx += 1
+            return ":" in ln[:idx]
+
         between = []
         for ln in lines[start + 1:]:
-            if "HashAggregate(keys=[doc_id" in ln:
+            if "HashAggregate(keys=[doc_id" in ln and not _is_side_branch(ln):
                 break
-            between.append(ln)
+            if not _is_side_branch(ln):
+                between.append(ln)
         # a doc_id re-shuffle here would mean per-doc posting rows
         # crossing an exchange above the (doc, term) aggregate — the
         # exact cost the two-phase limit exists to avoid

@@ -127,3 +127,30 @@ def test_hyperplane_ann_recall_floor(spark, emb):
     r_hyp = recall(ann_topk_hyperplane(emb, q, k=10, bits=8, seed=0))
     r_coord = recall(ann_topk(emb, q, k=10, bits=8))
     assert r_hyp > r_coord
+
+
+def test_hyperplane_ann_over_31_bits_widens_to_long(spark, emb):
+    """ADVICE r17: bits >= 32 used to raise from lit_int_array
+    (1 << 31 exceeds int32) where the old per-plane F.lit silently
+    widened — the long arm restores that widening."""
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        ann_topk_hyperplane,
+    )
+
+    q = emb.where(F.col("vec_id") == 0)
+    # with 2^33 buckets the query's bucket is usually empty of other
+    # vectors — the contract here is "runs, no int32 overflow", plus
+    # the k bound when anything does collide
+    rows = ann_topk_hyperplane(emb, q, k=3, bits=33, seed=1).collect()
+    assert len(rows) <= 3
+
+
+def test_hyperplane_bucket_empty_planes_raises(spark):
+    from pyspark.sql import functions as F_
+
+    from optimal_parallel_fp_growth_spark.operators.similarity import (
+        _hyperplane_bucket,
+    )
+
+    with pytest.raises(ValueError, match="hyperplane"):
+        _hyperplane_bucket(F_.col("v"), [])
