@@ -219,6 +219,20 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
             F.array_distinct(F.split(F.col(text_col), " "))
         ).alias("token"),
     )
+    # localCheckpoint, not persist (r18, same A/B as the CDF follow
+    # applier in versioned.py): the changeset is referenced by the
+    # merge's bounds scan, delete split, anti-join and upsert union,
+    # and a plain persist leaves the full feed plan (version-exclusive
+    # reads + full-outer join + explode + netting aggregate) under
+    # every reference for the driver to re-analyze; the cut
+    # materializes the same blocks and truncates the lineage. A lost
+    # block fails the sync and the monotone watermark replays it.
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        persistent_rdd_ids,
+        unpersist_blocks,
+    )
+
+    seen_ids = persistent_rdd_ids(spark)
     changeset = (
         posts.groupBy("token", key)
         .agg(F.sum("__w").alias("__net"))
@@ -229,8 +243,9 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
             key,
             (F.col("__net") < 0).alias("__delete"),
         )
-        .persist()
+        .localCheckpoint()
     )
+    blocks = persistent_rdd_ids(spark) - seen_ids
     try:
         # the emptiness probe rides the merge's own bounds aggregate
         # (``empty_ok``) instead of a separate isEmpty job: merge
@@ -256,7 +271,7 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
             )
         return head
     finally:
-        changeset.unpersist()
+        unpersist_blocks(spark, blocks)
 
 
 def search_text_index(
