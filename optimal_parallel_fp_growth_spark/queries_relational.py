@@ -654,9 +654,23 @@ def _supplier_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cs.union(
-        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # symmetrize by EXPLODING each edge into its two directions instead
+    # of union(cs, reversed(cs)) (r18): the union carried the whole
+    # join→distinct subtree TWICE — AQE's stage reuse dedupes the
+    # distinct's shuffle write, but the post-exchange final aggregate,
+    # projection and exchange read still ran once per branch. The
+    # explode yields the identical row multiset (cs is distinct and the
+    # 'c'/'s' prefixes keep the reversed rows disjoint) in ONE pass.
+    return cs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
