@@ -63,8 +63,11 @@ def test_scan_partition_probe_is_memoized_per_source(spark, sf_small, tmp_path):
     docs = load_table(spark, sf_small, "documents")
     n1 = layout._scan_partitions(docs.select("doc_id"))
     assert len(layout._SCAN_PARTS_MEMO) == 1
-    # a different projection over the SAME files hits the same entry
-    n2 = layout._scan_partitions(docs.select("doc_id", "text"))
+    # the SAME shape rebuilt hits the same entry (canonicalized
+    # semantic hash — fresh exprIds don't defeat the memo)
+    n2 = layout._scan_partitions(
+        load_table(spark, sf_small, "documents").select("doc_id")
+    )
     assert n2 == n1
     assert len(layout._SCAN_PARTS_MEMO) == 1
     # memo returns what the direct probe would
@@ -79,3 +82,24 @@ def test_scan_partition_probe_is_memoized_per_source(spark, sf_small, tmp_path):
     local = spark.range(0, 10)
     layout._scan_partitions(local)
     assert len(layout._SCAN_PARTS_MEMO) == 2
+
+
+def test_memo_never_shadows_a_repartitioned_frame(spark, sf_small):
+    """Regression (r18): keying the memo on the file set ALONE let a
+    raw-scan probe (1 partition on the single-split fixture) shadow an
+    already-repartitioned frame over the same files, so fan_out_scan
+    injected a spurious second exchange (surfaced as
+    test_bloom_decontaminate_plan_contract failing — 6 hash exchanges —
+    whenever the minhash plan test had primed the memo first). The
+    plan-shape component of the key keeps the two separate."""
+    from optimal_parallel_fp_growth_spark.functions import layout
+    from optimal_parallel_fp_growth_spark.sources.catalog import load_table
+
+    layout._SCAN_PARTS_MEMO.clear()
+    raw = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    assert layout._scan_partitions(raw) == 1  # primes the memo
+    wide = raw.repartition(8)
+    # the repartitioned frame must probe as ALREADY healthy...
+    assert layout._scan_partitions(wide) == 8
+    # ...so fan_out_scan is a no-op on it (no spurious exchange)
+    assert fan_out_scan(wide, "doc_id", target=8) is wide
