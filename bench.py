@@ -519,6 +519,13 @@ def main() -> None:
         timed(f"{qname}_sf001", run_small)
 
     total = round(sum(timings.values()), 3)
+    # record the core count the session actually ran with (r18,
+    # additive): the driver's scaling probe compares runs at different
+    # $SPARK_GRAFT_CPUS, and a run artifact that carries its own cpus
+    # value proves the env var was honored without cross-referencing
+    # launch logs.
+    _cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = int(_cpus_env) if _cpus_env.isdigit() else _cpus_env
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -543,6 +550,7 @@ def main() -> None:
                 "iowait_pct": {k: v[1] for k, v in steals.items()},
                 "errors": errors,
                 "sf": sf_val,
+                "cpus": cpus,
             },
             f,
             indent=1,
@@ -607,6 +615,7 @@ def main() -> None:
                 "errors": len(errors),
                 "steal": steal_summary,
                 "sf": sf_val,
+                "cpus": cpus,
             }
         )
     )
