@@ -16,6 +16,15 @@ deliberately swallowed: a worker that needs pandas will re-raise its
 own ImportError with full context; the daemon must never die over a
 preload.
 
+This module lives at the REPO ROOT, outside the engine package, on
+purpose: the daemon is launched as ``python -m <module>``, and a
+package-internal module would execute the package ``__init__`` —
+which imports the entire engine (and pyspark.sql) — UNGUARDED before
+the try block below, so any import-time error anywhere in the engine
+would kill the daemon instead of degrading gracefully, and every
+executor daemon would carry the whole engine module tree it never
+uses.
+
 None of these libraries spawn threads or open descriptors at import
 time (fork-safety): numpy's BLAS pools and pyarrow's memory pools are
 created lazily on first use, which happens post-fork in the worker.

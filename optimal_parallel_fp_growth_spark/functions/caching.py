@@ -142,14 +142,35 @@ def materialize_pending_caches() -> int:
 
 def persistent_rdd_ids(spark) -> set[int]:
     """IDs of every RDD currently persisted in the JVM (caches AND
-    localCheckpoint blocks). Diffing this around a ``localCheckpoint``
-    call is the only way to later free the checkpoint's blocks —
-    ``DataFrame`` exposes no unpersist for them, and ``df.rdd`` derives
-    a NEW RDD whose unpersist would not touch the checkpointed one."""
+    localCheckpoint blocks). ``DataFrame`` exposes no unpersist for
+    checkpoint blocks, and ``df.rdd`` derives a NEW RDD whose unpersist
+    would not touch the checkpointed one — free them by diffing this
+    around the ``localCheckpoint`` call, or (race-free, preferred when
+    the checkpointed frame is at hand) via
+    :func:`localcheckpoint_rdd_ids`."""
     return {
         int(i)
         for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     }
+
+
+def localcheckpoint_rdd_ids(df) -> set[int]:
+    """Exact persisted-RDD id of a ``localCheckpoint()``-ed DataFrame,
+    read off its analyzed ``LogicalRDD`` node. Unlike diffing
+    :func:`persistent_rdd_ids` around the checkpoint call, this cannot
+    race a CONCURRENT thread's checkpoint into the cleanup set (the
+    diff window would capture it, and the later
+    :func:`unpersist_blocks` would cut that thread's lineage
+    irrecoverably). Returns an empty set when the plan is not a bare
+    LogicalRDD or the JVM accessors are unavailable — callers keep the
+    diff protocol as the fallback."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() != "LogicalRDD":
+            return set()
+        return {int(node.rdd().id())}
+    except Exception:  # noqa: BLE001 — cleanup precision, never fatal
+        return set()
 
 
 def unpersist_blocks(spark, ids) -> int:

@@ -63,14 +63,19 @@ def _scan_partitions(df: DataFrame) -> int:
         files = []
     if not files:
         return df.rdd.getNumPartitions()
-    key = (
-        df.sparkSession.sparkContext.applicationId,
-        tuple(sorted(files)),
-        sem,
-    )
+    app = df.sparkSession.sparkContext.applicationId
+    key = (app, tuple(sorted(files)), sem)
     n = _SCAN_PARTS_MEMO.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
+        # entries keyed by a DEAD application id can never hit again
+        # (the id is unique per session) — drop them on the first
+        # insert from a new session so a long-lived process cycling
+        # sessions (pytest, notebooks) doesn't accumulate file-list
+        # tuples forever
+        stale = [k for k in _SCAN_PARTS_MEMO if k[0] != app]
+        for k in stale:
+            del _SCAN_PARTS_MEMO[k]
         _SCAN_PARTS_MEMO[key] = n
     return n
 

@@ -260,10 +260,9 @@ def ngram_jaccard_prefix(
 
     Implementation notes (the measured version — a first cut paid its
     win back in overhead): shingles travel the candidate machinery as
-    64-bit md5-derived longs, not strings (16-byte exchange rows; a
-    collision merges two shingles' identities, which is
-    ~2⁻⁶⁰-per-pair and the same md5-rare caveat as
-    :func:`_band_key_col` — verification stays exact either way), and
+    64-bit ``xxhash64`` longs, not strings (16-byte exchange rows; a
+    collision merges two shingles' identities, which is ~2⁻⁶⁴-per-pair
+    — verification stays exact either way), and
     the per-doc prefix comes from ``sort_array(collect_list(...))`` +
     ``slice`` (one doc-keyed exchange, per-doc array sorts) instead of
     a ``row_number`` window, whose whole-partition sort spilled 3.2 GB

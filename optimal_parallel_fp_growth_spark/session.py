@@ -50,15 +50,17 @@ def get_session(app_name: str = "opfpg-spark", shuffle_partitions: int | None = 
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Python workers fork from a per-executor daemon; pre-importing
-        # pandas/numpy/pyarrow IN the daemon (daemon_preload.py) makes
-        # every forked worker inherit them via copy-on-write instead of
-        # paying the ~1 s import chain per worker on its first Arrow
-        # batch (VERDICT r17 task #6 — the measured floor of a
-        # session's first Arrow stage). OPFPG_DAEMON_PRELOAD=0 opts
-        # out (and restores the stock daemon) for A/B.
+        # pandas/numpy/pyarrow IN the daemon (opfpg_daemon_preload.py,
+        # a repo-root module so ``python -m`` never executes the heavy
+        # engine package __init__) makes every forked worker inherit
+        # them via copy-on-write instead of paying the ~1 s import
+        # chain per worker on its first Arrow batch (VERDICT r17 task
+        # #6 — the measured floor of a session's first Arrow stage).
+        # OPFPG_DAEMON_PRELOAD=0 opts out (and restores the stock
+        # daemon) for A/B.
         .config(
             "spark.python.daemon.module",
-            "optimal_parallel_fp_growth_spark.daemon_preload"
+            "opfpg_daemon_preload"
             if os.environ.get("OPFPG_DAEMON_PRELOAD", "1") != "0"
             else "pyspark.daemon",
         )

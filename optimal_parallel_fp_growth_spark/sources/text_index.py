@@ -228,6 +228,7 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
     # materializes the same blocks and truncates the lineage. A lost
     # block fails the sync and the monotone watermark replays it.
     from optimal_parallel_fp_growth_spark.functions.caching import (
+        localcheckpoint_rdd_ids,
         persistent_rdd_ids,
         unpersist_blocks,
     )
@@ -245,7 +246,12 @@ def sync_text_index(spark: SparkSession, index_path: str) -> int:
         )
         .localCheckpoint()
     )
-    blocks = persistent_rdd_ids(spark) - seen_ids
+    # exact id off the checkpointed LogicalRDD; the diff window is only
+    # the fallback (a diff can race a concurrent thread's checkpoint
+    # into the cleanup set — r18 review finding)
+    blocks = localcheckpoint_rdd_ids(changeset) or (
+        persistent_rdd_ids(spark) - seen_ids
+    )
     try:
         # the emptiness probe rides the merge's own bounds aggregate
         # (``empty_ok``) instead of a separate isEmpty job: merge

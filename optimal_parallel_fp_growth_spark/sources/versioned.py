@@ -4355,6 +4355,7 @@ def stream_changes_to_table(
 
     def apply(batch: DataFrame, version: int) -> None:
         from optimal_parallel_fp_growth_spark.functions.caching import (
+            localcheckpoint_rdd_ids,
             persistent_rdd_ids,
             unpersist_blocks,
         )
@@ -4377,13 +4378,19 @@ def stream_changes_to_table(
         # documented contract). The emptiness probe (content-identical
         # commit, e.g. compaction) rides the merge's own bounds
         # aggregate (``empty_ok``) instead of a separate isEmpty job.
+        # Cleanup set comes from the checkpointed plan's own LogicalRDD
+        # id (exact); the diff window is only the fallback — a diff can
+        # race a CONCURRENT thread's checkpoint into the set and cut
+        # that thread's lineage irrecoverably (r18 review finding).
         sess = batch.sparkSession
         seen = persistent_rdd_ids(sess)
         src = changes.select(
             *cols,
             (F.col("_change_type") == "delete").alias("__cdc_delete"),
         ).dropDuplicates([key]).localCheckpoint()
-        blocks = persistent_rdd_ids(sess) - seen
+        blocks = localcheckpoint_rdd_ids(src) or (
+            persistent_rdd_ids(sess) - seen
+        )
         try:
             try:
                 merge_table(

@@ -48,3 +48,32 @@ def test_tagged_query_releases_clean(spark, sf_small, name):
     release_cached_inputs(out)
     leaked = persistent_rdd_ids(spark) - baseline
     assert not leaked, f"{name} leaked persistent RDDs: {leaked}"
+
+
+def test_localcheckpoint_rdd_ids_exact_and_race_free(spark):
+    """r18 review finding: diffing persistent_rdd_ids around a
+    localCheckpoint can race a concurrent thread's checkpoint into the
+    cleanup set; localcheckpoint_rdd_ids reads the EXACT id off the
+    checkpointed plan's LogicalRDD instead."""
+    from optimal_parallel_fp_growth_spark.functions.caching import (
+        localcheckpoint_rdd_ids,
+        unpersist_blocks,
+    )
+
+    before = persistent_rdd_ids(spark)
+    a = spark.range(0, 50).localCheckpoint()
+    b = spark.range(50, 100).localCheckpoint()  # the "concurrent" cut
+    ids_a = localcheckpoint_rdd_ids(a)
+    ids_b = localcheckpoint_rdd_ids(b)
+    new = persistent_rdd_ids(spark) - before
+    # exact: each helper call returns exactly its own frame's id —
+    # never the sibling's (a diff window here would return BOTH)
+    assert len(ids_a) == 1 and len(ids_b) == 1
+    assert ids_a.isdisjoint(ids_b)
+    assert ids_a | ids_b == new
+    # releasing a's blocks must leave b computable
+    unpersist_blocks(spark, ids_a)
+    assert b.count() == 50
+    # non-checkpointed plans return empty (callers keep the diff path)
+    assert localcheckpoint_rdd_ids(spark.range(3)) == set()
+    unpersist_blocks(spark, ids_b)
